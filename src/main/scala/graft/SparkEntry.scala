@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CleansingQueries, CoreQueries}
+import graft.queries.{CleansingQueries, CoreQueries, OpsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,7 @@ object SparkEntry {
   private def catalogs = Seq(
     CoreQueries.queries -> CoreQueries.oracles,
     CleansingQueries.queries -> CleansingQueries.oracles,
+    OpsQueries.queries -> OpsQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

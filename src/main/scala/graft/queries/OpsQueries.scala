@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops._
+import graft.schema.{LogicalCol, SchemaMapper}
+import graft.functions.Cleansing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, DecimalType, DateType}
+
+/** Oracle-checked coverage for the DW-load operators (SURVEY §2.3 J6-J8,
+  * §2.5 W1, §2.4 A8, §1.3 schema mapping) — each query drives the REAL ops
+  * API (ChangeClassifier / MergeInto / SurrogateKeys / Dedupe / LookupDim /
+  * SchemaMapper / DimResolver), with the DuckDB oracle re-deriving the
+  * expected outcome in plain SQL.
+  */
+object OpsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Perturbed "incoming" feed derived from part: price bump for %7,
+    * renamed for %11, brand-new keys (+1,000,000) for %13. */
+  private def incomingParts(p: DataFrame): DataFrame = {
+    val modified = p.select(
+      col("p_partkey").as("bk"),
+      when(col("p_partkey") % 11 === 0, concat(col("p_name"), lit("_x")))
+        .otherwise(col("p_name")).as("name"),
+      when(col("p_partkey") % 7 === 0, col("p_retailprice") + 1.0)
+        .otherwise(col("p_retailprice")).as("price"))
+    val fresh = p.filter(col("p_partkey") % 13 === 0).select(
+      (col("p_partkey") + 1000000L).as("bk"),
+      col("p_name").as("name"), col("p_retailprice").as("price"))
+    modified.unionByName(fresh)
+  }
+
+  private def existingParts(p: DataFrame): DataFrame =
+    p.select(col("p_partkey").as("bk"), col("p_name").as("name"),
+      col("p_retailprice").as("price"))
+
+  def queries: Map[String, Q] = Map(
+    // ---- J6/J7: change classification through ChangeClassifier ----------
+    "j7_classify_changes" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      ChangeClassifier.classifyChanges(
+        incomingParts(p), existingParts(p), Seq("bk"),
+        Seq(TrackedCol("name"), TrackedCol("price", Some(0.01))))
+        .select(col("bk"), col("operation"))
+        .orderBy(col("bk"))
+    }),
+
+    // ---- J8: merge upsert through MergeInto -----------------------------
+    "j8_merge_upsert" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val staged = ChangeClassifier.classifyChanges(
+        incomingParts(p), existingParts(p), Seq("bk"),
+        Seq(TrackedCol("name"), TrackedCol("price", Some(0.01))))
+      MergeInto.mergeInto(existingParts(p), staged, Seq("bk"),
+        Seq("name", "price"), opCol = Some("operation"))
+        .orderBy(col("bk"))
+    }),
+
+    // ---- §1.3: dynamic schema mapping (aliases, inject, coerce) ---------
+    "s4_schema_mapper" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      // simulate an all-string file with alias headers and messy values
+      val file = o.select(
+        col("o_orderkey").cast("string").as("  Order_Ref "),
+        concat(lit("₹"), col("o_totalprice").cast("decimal(12,2)")
+          .cast("string")).as("TOTAL AMT"),
+        date_format(col("o_orderdate").cast("date"), "dd/MM/yyyy")
+          .as("TXN_DATE"))
+      SchemaMapper(file, Seq(
+        LogicalCol("ORDER_ID", aliases = Seq("ORDER_REF", "ID"),
+          targetType = Some(LongType)),
+        LogicalCol("TOTAL_PRICE", aliases = Seq("TOTAL AMT", "AMOUNT"),
+          clean = Some(Cleansing.cleanNumeric),
+          targetType = Some(DecimalType(12, 2))),
+        LogicalCol("FULL_DATE", aliases = Seq("TXN_DATE", "SALE_DATE"),
+          clean = Some(c => Cleansing.parseDateMulti(c).cast("string")),
+          targetType = Some(DateType)),
+        LogicalCol("CHANNEL", required = false)))
+        .orderBy(col("ORDER_ID"))
+    }),
+
+    // ---- J2-J5 via DimResolver API with miss handling -------------------
+    "j2b_resolve_dim_keys" -> ((s, d) => {
+      val su = Tables.supplier(s, d)
+      val n  = Tables.nation(s, d)
+      val facts = su
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"),
+          when(col("s_suppkey") % 9 === 0, concat(col("n_name"), lit("_ZZ")))
+            .otherwise(lower(concat(lit(" "), col("n_name"), lit("  "))))
+            .as("nation_raw"))
+      DimResolver.resolveDimKeys(facts, Seq(DimLookup(
+        n, Seq("nation_raw"), Seq("n_name"), "n_nationkey", "nation_key")))
+        .select(col("s_suppkey"), col("nation_key"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- W1 scale path: contiguous keys without a global sort -----------
+    // Key↔row pairing is intentionally order-free; the KEY SET is exact:
+    // maxKey+1 .. maxKey+N, gap-free. Oracle checks exactly that.
+    "w1b_contiguous_keys" -> ((s, d) => {
+      val su = Tables.supplier(s, d).repartition(8)
+      SurrogateKeys.assignContiguous(su, "new_key", 1000000L)
+        .select(col("new_key")).orderBy(col("new_key"))
+    }),
+
+    // ---- A8 via Dedupe API: keep-last ----------------------------------
+    "a8b_dedupe_keep_last" -> ((s, d) => {
+      Dedupe.dedupeByKey(Tables.lineitem(s, d), Seq("l_orderkey"),
+        Seq(col("l_linenumber").desc, col("l_partkey").desc,
+          col("l_suppkey").desc, col("l_extendedprice").desc))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // ---- Lookup-dim upsert (snowflake maintenance) ----------------------
+    "lookup_dim_upsert" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val types = p.select(col("p_type").as("value")).distinct()
+      val existing = types
+        .withColumn("key", row_number().over(Window.orderBy(col("value")))
+          .cast("long"))
+        .filter(col("key") <= 10).select(col("key"), col("value"))
+      val (updated, _) = LookupDim.upsert(existing,
+        p.select(col("p_type").as("value")), "value", "key")
+      updated.orderBy(col("key"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "j7_classify_changes" ->
+      """WITH incoming AS (
+        |  SELECT p_partkey AS bk,
+        |    CASE WHEN p_partkey % 11 = 0 THEN p_name || '_x'
+        |         ELSE p_name END AS name,
+        |    CASE WHEN p_partkey % 7 = 0 THEN p_retailprice + 1.0
+        |         ELSE p_retailprice END AS price
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000, p_name, p_retailprice
+        |  FROM part WHERE p_partkey % 13 = 0),
+        |existing AS (
+        |  SELECT p_partkey AS bk, p_name AS name, p_retailprice AS price
+        |  FROM part)
+        |SELECT i.bk,
+        |  CASE WHEN e.bk IS NULL THEN 'INSERT' ELSE 'UPDATE' END AS operation
+        |FROM incoming i LEFT JOIN existing e ON i.bk = e.bk
+        |WHERE e.bk IS NULL
+        |   OR COALESCE(i.name,'') <> COALESCE(e.name,'')
+        |   OR abs(i.price - e.price) > 0.01
+        |ORDER BY i.bk""".stripMargin,
+
+    "j8_merge_upsert" ->
+      """SELECT p_partkey AS bk,
+        |  CASE WHEN p_partkey % 11 = 0 THEN p_name || '_x'
+        |       ELSE p_name END AS name,
+        |  CASE WHEN p_partkey % 7 = 0 THEN p_retailprice + 1.0
+        |       ELSE p_retailprice END AS price
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey + 1000000, p_name, p_retailprice
+        |FROM part WHERE p_partkey % 13 = 0
+        |ORDER BY bk""".stripMargin,
+
+    "s4_schema_mapper" ->
+      """SELECT o_orderkey AS ORDER_ID,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS TOTAL_PRICE,
+        |  CAST(o_orderdate AS DATE) AS FULL_DATE,
+        |  CAST(NULL AS VARCHAR) AS CHANNEL
+        |FROM orders ORDER BY ORDER_ID""".stripMargin,
+
+    "j2b_resolve_dim_keys" ->
+      """WITH facts AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 9 = 0 THEN n_name || '_ZZ'
+        |         ELSE lower(' ' || n_name || '  ') END AS nation_raw
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |dim AS (
+        |  SELECT upper(trim(n_name)) AS nk, MIN(n_nationkey) AS nation_key
+        |  FROM nation GROUP BY 1)
+        |SELECT f.s_suppkey, d.nation_key
+        |FROM facts f LEFT JOIN dim d
+        |  ON (CASE WHEN f.nation_raw IS NULL OR trim(f.nation_raw) = ''
+        |      THEN '' ELSE upper(trim(f.nation_raw)) END) = d.nk
+        |ORDER BY f.s_suppkey""".stripMargin,
+
+    "w1b_contiguous_keys" ->
+      """SELECT 1000000 + ROW_NUMBER() OVER (ORDER BY s_suppkey) AS new_key
+        |FROM supplier ORDER BY new_key""".stripMargin,
+
+    "a8b_dedupe_keep_last" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC,
+        |  l_extendedprice DESC) = 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "lookup_dim_upsert" ->
+      """WITH types AS (SELECT DISTINCT p_type AS value FROM part),
+        |existing AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY value) AS BIGINT) AS key,
+        |    value
+        |  FROM types QUALIFY key <= 10),
+        |fresh AS (
+        |  SELECT value FROM types
+        |  WHERE value NOT IN (SELECT value FROM existing)),
+        |newrows AS (
+        |  SELECT CAST(10 + ROW_NUMBER() OVER (ORDER BY value) AS BIGINT)
+        |    AS key, value
+        |  FROM fresh)
+        |SELECT key, value FROM existing
+        |UNION ALL SELECT key, value FROM newrows
+        |ORDER BY key""".stripMargin,
+  )
+}
