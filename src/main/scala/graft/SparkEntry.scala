@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CleansingQueries, CoreQueries, OpsQueries}
+import graft.queries.{CleansingQueries, CoreQueries, DateDimQueries, OpsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +36,7 @@ object SparkEntry {
     CoreQueries.queries -> CoreQueries.oracles,
     CleansingQueries.queries -> CleansingQueries.oracles,
     OpsQueries.queries -> OpsQueries.oracles,
+    DateDimQueries.queries -> DateDimQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
