@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CleansingQueries, CoreQueries, DateDimQueries, OpsQueries}
+import graft.queries.{CleansingQueries, CoreQueries, DateDimQueries, OpsQueries, ValidateQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,7 @@ object SparkEntry {
     CleansingQueries.queries -> CleansingQueries.oracles,
     OpsQueries.queries -> OpsQueries.oracles,
     DateDimQueries.queries -> DateDimQueries.oracles,
+    ValidateQueries.queries -> ValidateQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,158 @@
+package graft.validate
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Cleansing
+
+/** Declarative data-quality checks (SURVEY.md §2.8 V1-V10): the engine
+  * behind the reference's validate_table.py CLI, re-expressed so that ALL
+  * scalar checks for a table evaluate in ONE aggregation job (one scan —
+  * the reference runs one SQL per check; at 100 TB that's the difference
+  * between 1 and 10 full-table reads). PK-uniqueness needs its own
+  * shuffle; everything else folds into the single agg.
+  */
+sealed trait Check
+/** V1: row count >= n (validate_table.py:135-140, 277-285) */
+final case class MinRows(n: Long) extends Check
+/** V2: mandatory columns present (schema-level, :142-148) */
+final case class MandatoryColumns(cols: Seq[String]) extends Check
+/** V3: zero nulls in mandatory columns (:150-155, 287-302) */
+final case class NoNulls(cols: Seq[String]) extends Check
+/** V4: numeric-parsability after currency strip (:157-197) */
+final case class NumericParsable(cols: Seq[String]) extends Check
+/** V5: flag domain ∈ {Y,N}, no nulls/empties (:199-219) */
+final case class FlagDomain(cols: Seq[String]) extends Check
+/** V6: PK uniqueness (:221-231, 304-335) */
+final case class PkUnique(cols: Seq[String]) extends Check
+/** V7: freshness — rows exist where dateCol = execDate (:337-396);
+  * warnOnly replays --skip_freshness_check's downgrade-to-warning. */
+final case class Freshness(dateCol: String, execDate: String,
+    warnOnly: Boolean = false) extends Check
+
+final case class CheckResult(check: String, column: String,
+    observed: Long, threshold: Long, passed: Boolean, severity: String)
+
+object Validator {
+
+  private val resultSchema = StructType(Seq(
+    StructField("check", StringType, nullable = false),
+    StructField("column", StringType, nullable = false),
+    StructField("observed", LongType, nullable = false),
+    StructField("threshold", LongType, nullable = false),
+    StructField("passed", BooleanType, nullable = false),
+    StructField("severity", StringType, nullable = false)))
+
+  /** Evaluate all checks; returns one row per (check, column). Scalar
+    * checks share a single aggregation pass; each PkUnique adds one
+    * shuffle job. */
+  def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val spark = df.sparkSession
+    val present = df.columns.map(_.toUpperCase).toSet
+
+    // schema-level checks need no job at all
+    val schemaResults = checks.collect { case MandatoryColumns(cols) =>
+      cols.map { c =>
+        val ok = present.contains(c.toUpperCase)
+        CheckResult("mandatory_column", c, if (ok) 1L else 0L, 1L, ok, "ERROR")
+      }
+    }.flatten
+
+    // one aggregation pass for every scalar check
+    case class AggSlot(check: String, column: String, threshold: Long,
+        passIfAtLeast: Boolean, severity: String, expr: Column)
+    val slots = scala.collection.mutable.ArrayBuffer.empty[AggSlot]
+    checks.foreach {
+      case MinRows(n) =>
+        slots += AggSlot("min_rows", "*", n, passIfAtLeast = true, "ERROR",
+          count(lit(1)))
+      case NoNulls(cols) => cols.foreach { c =>
+        slots += AggSlot("no_nulls", c, 0L, passIfAtLeast = false, "ERROR",
+          sum(when(col(c).isNull, 1L).otherwise(0L)))
+      }
+      case NumericParsable(cols) => cols.foreach { c =>
+        slots += AggSlot("numeric_parsable", c, 0L, passIfAtLeast = false,
+          "ERROR", sum(when(col(c).isNotNull &&
+            Cleansing.cleanNumericValidator(col(c)).isNull, 1L)
+            .otherwise(0L)))
+      }
+      case FlagDomain(cols) => cols.foreach { c =>
+        slots += AggSlot("flag_domain", c, 0L, passIfAtLeast = false,
+          "ERROR", sum(when(col(c).isNull || !col(c).isin("Y", "N"), 1L)
+            .otherwise(0L)))
+      }
+      case Freshness(dateCol, execDate, warnOnly) =>
+        slots += AggSlot("freshness", dateCol, 1L, passIfAtLeast = true,
+          if (warnOnly) "WARNING" else "ERROR",
+          sum(when(col(dateCol).cast("date") === lit(execDate).cast("date"),
+            1L).otherwise(0L)))
+      case _ => ()
+    }
+    val aggResults: Seq[CheckResult] = if (slots.isEmpty) Nil else {
+      val named = slots.zipWithIndex.map { case (s, i) =>
+        coalesce(s.expr.cast("long"), lit(0L)).as(s"c$i") }
+      val row = df.agg(named.head, named.tail.toSeq: _*).collect()(0)
+      slots.zipWithIndex.map { case (s, i) =>
+        val v = row.getLong(i)
+        val ok = if (s.passIfAtLeast) v >= s.threshold else v <= s.threshold
+        CheckResult(s.check, s.column, v, s.threshold, ok, s.severity)
+      }.toSeq
+    }
+
+    // PK uniqueness: count of duplicated key groups (one shuffle each)
+    val pkResults = checks.collect { case PkUnique(cols) =>
+      val dupGroups = df.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+      CheckResult("pk_unique", cols.mkString("+"), dupGroups, 0L,
+        dupGroups == 0L, "ERROR")
+    }
+
+    val all = schemaResults ++ aggResults ++ pkResults
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(all.map(r =>
+        Row(r.check, r.column, r.observed, r.threshold, r.passed,
+          r.severity)), 1),
+      resultSchema)
+  }
+
+  /** Top-N duplicate examples for a failing PkUnique (V6's evidence,
+    * validate_table.py:320-327). */
+  def duplicateExamples(df: DataFrame, pk: Seq[String], n: Int = 5): DataFrame =
+    df.groupBy(pk.map(col): _*).agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+      .orderBy(col("dup_count").desc +: pk.map(col): _*)
+      .limit(n)
+
+  /** V8: numeric profile per column in one pass (:398-415). avg is
+    * decimal-sum/count for cross-engine determinism. */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c => Seq(
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max"),
+      (sum(col(c).cast(DecimalType(18, 4))).cast("double") / count(col(c)))
+        .as(s"${c}__avg"),
+      count(col(c)).as(s"${c}__nonnull"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to (column, min, max, avg, non_null) rows
+    val spark = df.sparkSession
+    val r = row.collect()(0)
+    val out = cols.zipWithIndex.map { case (c, i) =>
+      Row(c, r.getDouble(i * 4), r.getDouble(i * 4 + 1),
+        r.getDouble(i * 4 + 2), r.getLong(i * 4 + 3))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("min", DoubleType), StructField("max", DoubleType),
+        StructField("avg", DoubleType), StructField("non_null", LongType))))
+  }
+
+  /** V10: the DAG-shaped suite — named tables with their contracts,
+    * evaluated in order (dims ∥ → fact → file in the reference; order
+    * here is the caller's list). Returns results tagged by table. */
+  def suite(tables: Seq[(String, DataFrame, Seq[Check])]): DataFrame =
+    tables.map { case (name, df, checks) =>
+      run(df, checks).withColumn("table", lit(name))
+    }.reduce(_ unionByName _)
+}

@@ -49,16 +49,18 @@ def main():
         spark_rel = con.sql(
             f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
         scols = sorted(spark_rel.columns)
+        qcols = ','.join('"%s"' % c for c in scols)
         s_rows = con.sql(
-            f"SELECT {','.join(scols)} FROM spark_rel").fetchall()
+            f"SELECT {qcols} FROM spark_rel").fetchall()
         if name not in oracle:
             results[name] = "ROWS_OK" if len(s_rows) > 0 else "ROWS_EMPTY"
             continue
         try:
             ora = con.sql(oracle[name])
             ocols = sorted(ora.columns)
+            oq = ','.join('"%s"' % c for c in ocols)
             o_rows = con.sql(
-                f"SELECT {','.join(ocols)} FROM ora").fetchall()
+                f"SELECT {oq} FROM ora").fetchall()
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {str(e).splitlines()[0]}"
             continue
