@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication family for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine. Every variant follows the
+  * same scale shape — per-row signature (codegen'd expressions, no
+  * shuffle) → bucket-join on signature pieces (shuffle only candidate
+  * keys, never all-pairs) → verify within buckets. All-pairs comparison
+  * never happens: at 100 TB the candidate set is the only quadratic-risk
+  * surface, and banding keeps it near-linear for realistic thresholds.
+  */
+object Dedup {
+
+  // ---- exact ------------------------------------------------------------
+
+  /** Content hash for exact dedup (whitespace/case-normalized md5 —
+    * mirrors what e.g. CCNet/C4 call "exact dedup"). */
+  def contentHash(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Exact dedup: keep the lowest-`idCol` row per content hash. Returns
+    * the input plus (content_hash, dup_rank, is_duplicate). One shuffle
+    * on the hash. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    df.withColumn("content_hash", contentHash(col(textCol)))
+      .withColumn("dup_rank", row_number().over(w))
+      .withColumn("is_duplicate", col("dup_rank") > 1)
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  /** Deterministic universal hash family over a 31-bit-reduced shingle
+    * hash: h_i(x) = (a_i * x + b_i) mod M31 with M31 = 2^31-1 (prime).
+    * The final mod is essential — without it a_i*x+b_i is MONOTONE in x,
+    * every "independent" function picks the same argmin shingle, and all
+    * signature agreement collapses (observed: 0/64 agreement on docs with
+    * jaccard 0.86). Products stay under 62 bits so ANSI overflow checking
+    * never trips. Constants derive from a splitmix64-style mix of the
+    * index — no RNG state, reproducible everywhere. */
+  private val M31 = 2147483647L
+  private def hashFamily(n: Int): Seq[(Long, Long)] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until n).map(i => ((mix(i.toLong * 2) & M31) | 1L,
+      mix(i.toLong * 2 + 1) & M31))
+  }
+
+  /** MinHash signature (array of `numHashes` longs) over word
+    * `k`-shingles. Pure expressions — no UDF, no shuffle. */
+  def minhashSignature(text: Column, k: Int = 3,
+      numHashes: Int = 64): Column = {
+    val hashes = transform(TextAnalysis.shingles(text, k),
+      s => pmod(xxhash64(s), lit(M31)))
+    val sig = hashFamily(numHashes).map { case (a, b) =>
+      array_min(transform(hashes,
+        h => pmod(h * lit(a) + lit(b), lit(M31))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * numHashes/bands rows each; a pair agreeing on ANY full band becomes
+    * a candidate. Emits (idCol, band, band_hash). */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int): DataFrame = {
+    val n = bands
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(n - 1)), b =>
+          xxhash64(concat_ws("_", b,
+            concat_ws(",", slice(col(sigCol),
+              b * (size(col(sigCol)) / n) + 1,
+              size(col(sigCol)) / n))))))
+      ).withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  /** Candidate pairs from banding (a < b, distinct). The groupBy keeps
+    * bucket explosion bounded; within-bucket pairing is the only
+    * quadratic step and is bounded by bucket size. */
+  def lshCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val l = bandsDf.select(col("band"), col("band_hash"),
+      col(idCol).as("id_a"))
+    val r = bandsDf.select(col("band"), col("band_hash"),
+      col(idCol).as("id_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard over word k-shingle SETS for verification. */
+  def jaccard(textA: Column, textB: Column, k: Int = 3): Column = {
+    val sa = array_distinct(TextAnalysis.shingles(textA, k))
+    val sb = array_distinct(TextAnalysis.shingles(textB, k))
+    round(size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)), 6)
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signature → bands → candidate
+    * pairs → exact-Jaccard verify ≥ threshold. Returns (id_a, id_b,
+    * jaccard). */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val sigs = df.select(col(idCol),
+      minhashSignature(col(textCol), k, numHashes).as("sig"))
+    val cands = lshCandidatePairs(lshBands(sigs, idCol, "sig", bands), idCol)
+    val t = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val t2 = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+    cands.join(t, "id_a").join(t2, "id_b")
+      .withColumn("jaccard", jaccard(col("text_a"), col("text_b"), k))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash per document via explode + one groupBy: token hash
+    * votes ±1 per bit, sign of the vote sum sets the bit. Scales as one
+    * shuffle keyed by doc id (combiner-friendly: partial sums map-side).
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j"))
+    val bits = exploded.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bits.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of `chunks`
+    * equal-width signature chunks — pigeonhole guarantees full recall for
+    * hamming < chunks — then verified with bit_count(xor) ≤ maxHamming.
+    * More chunks = better recall for a given hamming budget but smaller
+    * (hotter) buckets; 8×8-bit is a good default for ≤7-bit drift. */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 8): DataFrame = {
+    require(64 % chunks == 0, "chunks must divide 64")
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    val sigs = simhash64(df, idCol, textCol)
+    val chunked = sigs.select(col(idCol), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftrightunsigned(col("simhash"), c * width)
+          .bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val l = chunked.select(col("chunk"), col("chunk_val"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("chunk_val"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- embedding cosine near-dup ----------------------------------------
+
+  /** Embedding near-dup: LSH-bucket by hyperplane signs (Similarity
+    * module), verify cosine ≥ threshold within buckets. */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol),
+      Similarity.hyperplaneBucket(col(vecCol), 64, planes, seed)
+        .as("bucket"))
+    val l = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"))
+    val r = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+}

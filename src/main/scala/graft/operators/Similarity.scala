@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]). Three tiers:
+  *  - bruteForceTopK: exact, query-set broadcast — the correctness
+  *    baseline and the right choice when |queries| is small;
+  *  - hyperplane-LSH bucketing: sub-linear candidate generation for
+  *    near-dup thresholds;
+  *  - IVF (k-means coarse quantizer, nprobe cells): the 100 TB shape —
+  *    centroids broadcast, data shuffled ONCE at index build, each query
+  *    touches nprobe/nCells of the data.
+  * All vector math is zip_with/aggregate expressions in double — no UDFs.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Unrounded: sequential double accumulation is bit-identical across
+    * engines (verified vs DuckDB), while rounding would reintroduce
+    * HALF_UP-vs-binary divergence. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic hyperplanes: `planes` × `dim` weights in [-1,1] from a
+    * seeded JVM RNG (stable across runs/executors; broadcast as a
+    * literal). */
+  def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  /** Sign-pattern bucket id (0 .. 2^planes-1) of a vector against the
+    * seeded hyperplanes. Cosine-similar vectors collide with high
+    * probability; each added plane halves the expected bucket size. */
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int,
+      seed: Long): Column =
+    hyperplanes(dim, planes, seed).zipWithIndex.map { case (w, p) =>
+      when(dot(vec, typedLit(w)) >= 0, shiftleft(lit(1L), p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact top-k neighbors for each query (queries: (qid, qvec), small →
+    * broadcast; data never shuffles until the per-query window). */
+  def bruteForceTopK(data: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val scored = data.crossJoin(broadcast(queries))
+      .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("cosine"))
+  }
+
+  // ---- IVF (inverted-file) index ----------------------------------------
+
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Element-wise mean of grouped vectors via posexplode (combiner-
+    * friendly; one shuffle per iteration keyed by (cell, pos)). */
+  private def meanVectors(df: DataFrame, keyCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)))
+      .groupBy(col(keyCol), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("pairs"))
+      .select(col(keyCol),
+        transform(col("pairs"), p => p.getField("m")).as("centroid"))
+
+  /** Build an IVF index: k-means with deterministic init (lowest ids) and
+    * a fixed small iteration count. Returns the data with a `cell` column
+    * and the centroid table (tiny, broadcastable). */
+  def ivfBuild(data: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 3): IvfIndex = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    // deterministic init: the nCells lowest-id vectors (tiny collect)
+    val init: Seq[(Long, Seq[Double])] = data.orderBy(col(idCol))
+      .limit(nCells).select(col(vecCol).cast("array<double>"))
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+    var centroids = init.toDF("cell", "centroid")
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(data, idCol, vecCol, centroids)
+      centroids = meanVectors(assigned, "cell", vecCol)
+    }
+    IvfIndex(assignCells(data, idCol, vecCol, centroids), centroids)
+  }
+
+  /** Assign each vector to its max-cosine centroid (centroids broadcast;
+    * data shuffles only for the per-id argmax window — at scale, replace
+    * with a map-side argmax via aggregate over the centroid literal). */
+  def assignCells(data: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val scored = data.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine(col(vecCol), col("centroid")))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .drop("rn", "sim", "centroid")
+  }
+
+  /** IVF query: rank cells per query by centroid cosine, search the top
+    * `nprobe` cells only. */
+  def ivfTopK(index: IvfIndex, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val cellRank = queries.crossJoin(broadcast(index.centroids))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(cosine(col(qvecCol), col("centroid")).desc, col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("cell"))
+    cellRank.join(index.assigned, "cell")
+      .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("cosine"))
+  }
+}

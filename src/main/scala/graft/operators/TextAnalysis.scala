@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north star): language id, quality scoring, token
+  * counting, fingerprinting. All pure Column expressions — codegen'd,
+  * shuffle-free, linear scans; at 100 TB these run at parquet-read speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (lowercased). */
+  def tokens(c: Column): Column =
+    split(lower(trim(c)), "\\s+")
+
+  /** Whitespace token count; 0 for null/blank. */
+  def tokenCountWs(c: Column): Column =
+    when(c.isNull || trim(c) === "", 0).otherwise(size(tokens(c)))
+
+  /** BPE-ish token count: word pieces + standalone punctuation — the
+    * standard cheap proxy for LLM token counts (~= GPT-ish tokens for
+    * ASCII text). */
+  def tokenCountBpe(c: Column): Column =
+    when(c.isNull, 0).otherwise(
+      regexp_count(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")))
+
+  /** Character-class ratios (over total length, 6-decimal rounded so the
+    * DuckDB oracle matches bit-for-bit). */
+  def punctRatio(c: Column): Column = classRatio(c, "[^A-Za-z0-9\\s]")
+  def digitRatio(c: Column): Column = classRatio(c, "[0-9]")
+  private def classRatio(c: Column, cls: String): Column =
+    when(c.isNull || length(c) === 0, 0.0).otherwise(
+      round(regexp_count(c, lit(cls)).cast("double") / length(c), 6))
+
+  /** Mean whitespace-token length, 6-decimal rounded. */
+  def meanTokenLen(c: Column): Column =
+    when(tokenCountWs(c) === 0, 0.0).otherwise(
+      round(aggregate(tokens(c), lit(0L),
+        (acc, t) => acc + length(t)).cast("double") / size(tokens(c)), 6))
+
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that", "be")
+
+  /** Fraction of tokens that are stopwords (quality signal: natural prose
+    * sits around 0.3-0.5; keyword spam near 0). */
+  def stopwordRatio(c: Column,
+      stopwords: Seq[String] = englishStopwords): Column = {
+    val sw = typedLit(stopwords)
+    when(tokenCountWs(c) === 0, 0.0).otherwise(
+      round(size(filter(tokens(c), t => array_contains(sw, t)))
+        .cast("double") / size(tokens(c)), 6))
+  }
+
+  /** Composite quality score in [0,1]: long enough, prose-like
+    * punctuation/digit profile, sane word lengths. The exact recipe is
+    * a heuristic; what matters operationally is that it is deterministic,
+    * cheap, and monotone in the obvious junk signals. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 200.0, lit(1.0))
+    val punctOk = lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))
+    val digitOk = lit(1.0) - least(digitRatio(c) * 5.0, lit(1.0))
+    val wordOk = when(meanTokenLen(c).between(3.0, 10.0), 1.0).otherwise(0.5)
+    round((lenScore * 0.4 + punctOk * 0.25 + digitOk * 0.25 + wordOk * 0.1), 6)
+  }
+
+  /** Marker-word profiles for the n-gram-heuristic language id. Small by
+    * design (a real deployment swaps in bigger profiles as data). */
+  val defaultLangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "une", "dans"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit",
+      "ein"))
+
+  /** Language id by stopword voting: argmax of marker hits, ties and
+    * zero-hit rows → "und" (undetermined). */
+  def langId(c: Column,
+      profiles: Seq[(String, Seq[String])] = defaultLangProfiles): Column = {
+    val toks = tokens(c)
+    val scores = profiles.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => array_contains(typedLit(markers), t)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (profile order) achieving the max, if any hits
+    val ladder = scores.foldLeft(when(best <= 0, "und")) {
+      case (acc, (lang, sc)) => acc.when(sc === best, lang)
+    }
+    when(c.isNull, "und").otherwise(ladder.otherwise("und"))
+  }
+
+  /** 64-bit content fingerprint of whitespace-normalized lowercase text
+    * (document identity under trivial reformatting). */
+  def fingerprint(c: Column): Column =
+    xxhash64(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Word k-shingles (the unit for MinHash / Jaccard). */
+  def shingles(c: Column, k: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < k, array(concat_ws(" ", t)))
+      .otherwise(transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+  }
+}

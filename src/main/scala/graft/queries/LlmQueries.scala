@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate coverage for the LLM-data-pipeline operators (BASELINE.json north
+  * star: dedup, similarity search, text analysis at scale).
+  *
+  * Oracle-checked where DuckDB can recompute the math independently
+  * (token stats, language id, exact dedup, the Jaccard kernel, exact
+  * brute-force ANN); signature-based ops (MinHash-LSH, SimHash, embedding
+  * LSH) are rows-only here — their correctness evidence is LlmOpsSpec's
+  * planted-duplicate recall tests.
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // ---- text analysis: token stats, quality, language id ---------------
+    "t1_text_analysis" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        TA.tokenCountWs(col("text")).as("n_tok_ws"),
+        TA.tokenCountBpe(col("text")).as("n_tok_bpe"),
+        TA.punctRatio(col("text")).as("punct_ratio"),
+        TA.digitRatio(col("text")).as("digit_ratio"),
+        TA.meanTokenLen(col("text")).as("mean_tok_len"),
+        TA.stopwordRatio(col("text")).as("stopword_ratio"),
+        TA.qualityScore(col("text")).as("quality"),
+        TA.langId(col("text")).as("lang_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- exact dedup over mangled copies ---------------------------------
+    "d1_exact_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val mangled = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat(lit("  "), upper(regexp_replace(col("text"), " ", "   ")))
+            .as("text"))
+      Dedup.exactDedup(docs.unionByName(mangled), "text", "doc_id")
+        .select(col("doc_id"), col("content_hash"), col("dup_rank"),
+          col("is_duplicate"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- the Jaccard verification kernel on fixed pairs ------------------
+    "d2_jaccard_kernel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccard(col("text_a"), col("text_b"), 3).as("jaccard"))
+        .orderBy(col("id_a"))
+    }),
+
+    // ---- MinHash-LSH near-dup pairs (rows-only; corpus has real dups) ----
+    "d3_minhash_pairs" -> ((s, d) => {
+      Dedup.minhashDupPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- SimHash near-dup pairs (rows-only) ------------------------------
+    "d4_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashDupPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 8, chunks = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- embedding-cosine near-dup with planted copies (rows-only) -------
+    "d5_embedding_dups" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"))
+      val planted = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"), x => x * 1.001).as("embedding"))
+      Dedup.embeddingDupPairs(emb.unionByName(planted), "vec_id",
+        "embedding", threshold = 0.999, planes = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- exact brute-force ANN top-k (oracle-checked) --------------------
+    "ann1_bruteforce_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- IVF ANN top-k (rows-only; recall pinned in LlmOpsSpec) ----------
+    "ann2_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"))
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val index = Similarity.ivfBuild(emb, "vec_id", "embedding",
+        nCells = 8, iters = 2)
+      Similarity.ivfTopK(index, "vec_id", "embedding", queries,
+        "qid", "qv", k = 5, nprobe = 3)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+  )
+
+  private val stopList = TA.englishStopwords
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+  private def profileSql(markers: Seq[String]): String =
+    markers.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracles: Map[String, String] = Map(
+    "t1_text_analysis" -> {
+      val profiles = TA.defaultLangProfiles
+      val scoreExprs = profiles.map { case (lang, m) =>
+        s"len(list_filter(toks, t -> list_contains(${profileSql(m)}, t)))" +
+          s" AS s_$lang"
+      }.mkString(",\n    ")
+      val ladder = profiles.map { case (lang, _) =>
+        s"WHEN s_$lang = best THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text, toks,
+         |    $scoreExprs
+         |  FROM base),
+         |feat AS (
+         |  SELECT doc_id, text, toks,
+         |    s_en, s_es, s_fr, s_de,
+         |    greatest(s_en, s_es, s_fr, s_de) AS best,
+         |    CAST(len(toks) AS INTEGER) AS n_tok_ws,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tok_bpe,
+         |    round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+         |      AS DOUBLE) / length(text), 6) AS punct_ratio,
+         |    round(CAST(len(regexp_extract_all(text, '[0-9]'))
+         |      AS DOUBLE) / length(text), 6) AS digit_ratio,
+         |    round(CAST(list_sum(list_transform(toks, t -> length(t)))
+         |      AS DOUBLE) / len(toks), 6) AS mean_tok_len,
+         |    round(CAST(len(list_filter(toks,
+         |      t -> list_contains($stopList, t))) AS DOUBLE) / len(toks), 6)
+         |      AS stopword_ratio
+         |  FROM scored)
+         |SELECT doc_id, n_tok_ws, n_tok_bpe, punct_ratio, digit_ratio,
+         |  mean_tok_len, stopword_ratio,
+         |  round(least(length(text) / 200.0, 1.0) * 0.4
+         |    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.25
+         |    + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.25
+         |    + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0
+         |       THEN 1.0 ELSE 0.5 END) * 0.1, 6) AS quality,
+         |  CASE WHEN best <= 0 THEN 'und' $ladder ELSE 'und' END AS lang_id
+         |FROM feat ORDER BY doc_id""".stripMargin
+    },
+
+    "d1_exact_dedup" ->
+      """WITH alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    '  ' || upper(replace(text, ' ', '   '))
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      AS content_hash
+        |  FROM alldocs)
+        |SELECT doc_id, content_hash,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id)
+        |    AS INTEGER) AS dup_rank,
+        |  ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) > 1
+        |    AS is_duplicate
+        |FROM hashed ORDER BY doc_id""".stripMargin,
+
+    "d2_jaccard_kernel" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |      i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+        |           string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+        |           string_split_regex(lower(trim(text)), '\s+')[i+2]))
+        |      AS shingles
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+        |    AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 5 = 0
+        |ORDER BY id_a""".stripMargin,
+
+    "ann1_bruteforce_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE)
+        |           * CAST(e.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+        |      AS cosine
+        |  FROM embeddings e, q)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+        |  SELECT qid, vec_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+  )
+}

@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("token counts, ratios, quality monotonicity") {
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "buy now!!! $$$ click http://x.y 12345 67890 !!!"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      TA.tokenCountWs(col("text")).as("ws"),
+      TA.tokenCountBpe(col("text")).as("bpe"),
+      TA.qualityScore(col("text")).as("q"),
+      TA.stopwordRatio(col("text")).as("sw"))
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) === 14)
+    assert(out(1).getInt(1) === 8)
+    assert(out(0).getAs[Double]("q") > out(1).getAs[Double]("q"))
+    assert(out(0).getAs[Double]("sw") > 0.2)
+    assert(out(2).getInt(1) === 0 && out(2).getInt(2) === 0)
+  }
+
+  test("langId: marker-word voting on real sentences") {
+    val got = evalStr(c => TA.langId(c), Seq(
+      "the cat sat on the mat and it is happy",
+      "el gato que vive en la casa de los vecinos",
+      "le chat est dans la maison et les jardins",
+      "der hund und die katze sind von den kindern",
+      "zzz qqq www"))
+    assert(got.flatten === Seq("en", "es", "fr", "de", "und"))
+  }
+
+  test("shingles and jaccard") {
+    val df = Seq(("a b c d e", "a b c d f")).toDF("x", "y")
+    val r = df.select(
+      size(TA.shingles(col("x"), 3)).as("n"),
+      Dedup.jaccard(col("x"), col("y"), 3).as("j")).collect().head
+    assert(r.getInt(0) === 3) // "a b c","b c d","c d e"
+    // shared: {a b c, b c d}; union: 4 distinct -> 0.5
+    assert(r.getDouble(1) === 0.5)
+  }
+
+  test("exactDedup flags whitespace/case variants") {
+    val df = Seq(
+      (1L, "Hello  World foo"), (2L, "hello world   foo"),
+      (3L, "something else")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "text", "doc_id")
+      .orderBy("doc_id").select("is_duplicate").as[Boolean].collect().toSeq
+    assert(out === Seq(false, true, false))
+  }
+
+  test("minhashDupPairs finds planted near-dups; extras are real dups") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat(col("text"), lit(" zz qq ww")).as("text"))
+    val all = docs.unionByName(planted)
+    val found = Dedup.minhashDupPairs(all, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val pairs = found.map(p => (p._1, p._2)).toSet
+    val expected = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").as[Long].collect()
+      .map(i => (i, i + 10000L)).toSet
+    // all planted pairs recovered…
+    assert(expected.subsetOf(pairs))
+    // …extras are allowed (the synthetic corpus contains GENUINE
+    // near-dups, e.g. jaccard≈0.99 pairs) but must really clear the bar
+    assert(found.forall(_._3 >= 0.7))
+  }
+
+  test("simhashDupPairs finds planted near-dups (8-chunk banding)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val all = docs.unionByName(planted)
+    val pairs = Dedup.simhashDupPairs(all, "doc_id", "text",
+      maxHamming = 16, chunks = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").as[Long].collect()
+      .map(i => (i, i + 10000L)).toSet
+    // one appended token on a ~20-60-token doc drifts ≈√n bits; 16×4-bit
+    // chunks guarantee recall for hamming ≤ 15
+    assert(expected.subsetOf(pairs))
+  }
+
+  test("embeddingDupPairs finds perturbed near-identical vectors") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") * 1.001).as("embedding"))
+    val all = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(planted)
+    val pairs = Dedup.embeddingDupPairs(all, "vec_id", "embedding",
+      threshold = 0.999, planes = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").as[Long].collect()
+      .map(i => (i, i + 10000L)).toSet
+    // scaling a vector by 1.001 keeps cosine = 1 AND the same LSH bucket
+    assert(pairs === expected)
+  }
+
+  test("bruteForceTopK exact on tiny vectors") {
+    val data = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.9, 0.1)), (4L, Seq(-1.0, 0.0)))
+      .toDF("id", "v")
+    val q = Seq((100L, Seq(1.0, 0.0))).toDF("qid", "qv")
+    val got = Similarity.bruteForceTopK(data, "id", "v", q, "qid", "qv", 2)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 3L))
+  }
+
+  test("IVF: recall@10 >= 0.7 vs brute force, touches fewer rows") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val index = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      nCells = 8, iters = 2)
+    val approx = Similarity.ivfTopK(index, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10, nprobe = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall")
+    assert(index.centroids.count() === 8)
+  }
+}
