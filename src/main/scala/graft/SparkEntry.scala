@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CleansingQueries, CoreQueries, DateDimQueries, LlmQueries, OpsQueries, ValidateQueries}
+import graft.queries.{CleansingQueries, CoreQueries, DateDimQueries, IoQueries, LlmQueries, OpsQueries, ValidateQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,7 @@ object SparkEntry {
     DateDimQueries.queries -> DateDimQueries.oracles,
     ValidateQueries.queries -> ValidateQueries.oracles,
     LlmQueries.queries -> LlmQueries.oracles,
+    IoQueries.queries -> IoQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: media as opaque
+  * `binary` payloads + a typed metadata struct, with decode / feature /
+  * resize / frame-sample stages.
+  *
+  * The Spark-side plumbing (schema, batch shape, partition sizing,
+  * pipeline composition) is real and tested; the actual codec call is
+  * STUBBED behind `DecodeStub` as a deterministic fake — the container
+  * has no image/audio libraries. A deployment swaps `DecodeStub.decode`
+  * for an FFI call (JNI / ONNX / javacv); every signature stays put.
+  *
+  * Scale notes: payloads ride in the same parquet row group as their
+  * metadata — size `spark.sql.files.maxPartitionBytes` DOWN (e.g. 32 MB)
+  * when average payloads are MBs so a task holds O(tens) of rows;
+  * metadata-only predicates (media_type, width, dims) prune on column
+  * statistics WITHOUT touching payload bytes because parquet is columnar
+  * — filter-then-decode is the whole game.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("media_type", StringType),  // image | audio | video
+    StructField("format", StringType),      // png/jpeg/wav/mp4…
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("size_bytes", LongType)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", mediaMetaType)))
+
+  /** Deterministic fake codec: "decodes" a payload to a small fixed
+    * feature vector derived from content hashes. Real decode goes here
+    * (??? in a deployment without the codec lib). */
+  object DecodeStub {
+    /** Per-payload feature vector (dim 8), deterministic in content. */
+    def featureExpr(payload: Column, dim: Int = 8): Column =
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => pmod(xxhash64(payload, i), lit(1000000L)).cast("double")
+          / 1000000.0)
+
+  }
+
+  /** Wrap an id+binary frame into the canonical media schema, deriving
+    * size metadata from the payload. */
+  def toMedia(df: DataFrame, idCol: String, payloadCol: String,
+      mediaType: String, format: String, width: Column,
+      height: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      col(payloadCol).as("payload"),
+      struct(
+        lit(mediaType).as("media_type"), lit(format).as("format"),
+        width.cast("int").as("width"), height.cast("int").as("height"),
+        lit(0L).as("duration_ms"),
+        octet_length(col(payloadCol)).cast("long").as("size_bytes"))
+        .as("meta"))
+
+  /** Decode+featurize: metadata-only filters FIRST (columnar pruning —
+    * payload bytes never leave parquet for filtered-out rows), then the
+    * stubbed decode produces features. */
+  def extractFeatures(media: DataFrame, minW: Int = 0,
+      dim: Int = 8): DataFrame =
+    media.filter(col("meta.width") >= minW)
+      .select(col("media_id"), col("meta"),
+        DecodeStub.featureExpr(col("payload"), dim).as("features"))
+
+  /** Fake frame-sampling for video-typed rows: n evenly spaced "frames",
+    * each a deterministic slice hash of the payload — the row-explosion
+    * shape (1 video → n frame rows) that a real sampler produces. */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+    media.filter(col("meta.media_type") === "video")
+      .select(col("media_id"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => xxhash64(col("payload"), i))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame_hash")
+
+  /** Resize stage: updates metadata dims and replaces the payload with
+    * the stub's re-encoded bytes. */
+  def resize(media: DataFrame, newW: Int, newH: Int): DataFrame =
+    media.select(col("media_id"),
+      expr(s"substring(payload, 1, greatest(1, cast(octet_length(payload)" +
+        s" * (($newW * $newH) / greatest(meta.width * meta.height, 1.0))" +
+        s" as int)))").as("payload"),
+      struct(col("meta.media_type").as("media_type"),
+        col("meta.format").as("format"),
+        lit(newW).as("width"), lit(newH).as("height"),
+        col("meta.duration_ms").as("duration_ms"),
+        col("meta.size_bytes").as("size_bytes")).as("meta"))
+}

@@ -1,0 +1,136 @@
+package graft
+
+import graft.sources.{CsvIO, Ledger}
+import graft.streaming.IncrementalLoad
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class IoStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_test").toString
+
+  test("pipe CSV round-trip: all-string read, null tokens, header") {
+    val dir = tmp()
+    val df = Seq(("1", "a|b  c", "12.50"), ("2", null, "NULL"))
+      .toDF("id", "name", "amt")
+    CsvIO.write(df, s"$dir/out", sep = "|")
+    val back = CsvIO.readAllString(spark, s"$dir/out", sep = "|")
+    assert(back.schema.fields.forall(_.dataType == StringType))
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getString(1) === "a|b  c") // quoting preserves the sep
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2)) // NULL token -> null
+  }
+
+  test("rotation moves Current/ files to Archive/") {
+    val dir = tmp()
+    val cur = s"$dir/Current"; val arc = s"$dir/Archive"
+    new java.io.File(cur).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$cur/sales_20240101.csv"), "x")
+    Files.writeString(java.nio.file.Paths.get(s"$cur/sales_20240102.csv"), "y")
+    assert(CsvIO.rotate(spark, cur, arc) === 2)
+    assert(new java.io.File(arc).list().sorted.toSeq ===
+      Seq("sales_20240101.csv", "sales_20240102.csv"))
+    assert(new java.io.File(cur).list().isEmpty)
+  }
+
+  test("ledger: newest-first unprocessed selection, mark, filter") {
+    val dir = tmp()
+    new java.io.File(dir).mkdirs()
+    Seq("sales_20240101.csv", "sales_20240103.csv", "store_x.csv",
+      "sales_20240102.txt").foreach { n =>
+      Files.writeString(java.nio.file.Paths.get(s"$dir/$n"), "h")
+    }
+    val files = Ledger.listFiles(spark, dir, "sales_", ".csv")
+    assert(files.count() === 2) // prefix+suffix filter
+    val ledgerPath = s"$dir/_ledger"
+    Ledger.markProcessed(spark, ledgerPath, "sales_20240103.csv",
+      "2024-01-03T00:00:00")
+    val ledger = spark.read.parquet(ledgerPath)
+    assert(Ledger.nextUnprocessed(files, ledger) ===
+      Some("sales_20240101.csv"))
+    Ledger.markProcessed(spark, ledgerPath, "sales_20240101.csv", "t")
+    assert(Ledger.nextUnprocessed(files,
+      spark.read.parquet(ledgerPath)) === None)
+  }
+
+  test("incremental streaming load: one batch per file, exactly-once") {
+    val dir = tmp()
+    val in = s"$dir/incoming"; new java.io.File(in).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$in/f1.csv"),
+      "id|v\n1|10\n2|20\n")
+    Files.writeString(java.nio.file.Paths.get(s"$in/f2.csv"),
+      "id|v\n3|30\n")
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("v", StringType)))
+    var seen = Vector.empty[Long]
+    val out1 = IncrementalLoad.runCsv(spark, in, schema,
+      s"$dir/ckpt") { (batch, _) =>
+      seen = seen :+ batch.count()
+      IncrementalLoad.Processed
+    }
+    assert(out1.size === 2)             // one micro-batch per file
+    assert(seen.sorted === Vector(1L, 2L))
+    // second run: checkpoint says everything is consumed -> no batches
+    val out2 = IncrementalLoad.runCsv(spark, in, schema,
+      s"$dir/ckpt") { (_, _) => IncrementalLoad.Processed }
+    assert(out2.isEmpty)
+    // a NEW file arrives -> exactly one new batch
+    Files.writeString(java.nio.file.Paths.get(s"$in/f3.csv"),
+      "id|v\n4|40\n5|50\n6|60\n")
+    val out3 = IncrementalLoad.runCsv(spark, in, schema,
+      s"$dir/ckpt") { (batch, _) =>
+      if (batch.count() == 3) IncrementalLoad.Processed
+      else IncrementalLoad.PoisonFile("unexpected")
+    }
+    assert(out3.map(_._2) === Seq(IncrementalLoad.Processed))
+  }
+
+  test("windowed event counts with watermark (batch-mode check)") {
+    val ev = Seq(
+      ("2024-01-01 00:05:00", "click", 1.0),
+      ("2024-01-01 00:20:00", "click", 2.0),
+      ("2024-01-01 00:25:00", "view", 3.0))
+      .toDF("ts_s", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = IncrementalLoad.windowedEventCounts(ev, "ts", "event_type",
+      "15 minutes", "1 hour")
+      .orderBy("window_start", "event_type").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("n") === 1L)
+  }
+
+  test("multimodal: schema, metadata pruning, features, frames, resize") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val media = Multimodal.toMedia(
+      docs.withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload", "video", "mp4",
+      width = (col("doc_id") % 4 + 1) * lit(320),
+      height = lit(240))
+    // same shape (names + types); nullability flags are derivation detail
+    def shape(s: StructType): Seq[(String, String)] =
+      s.fields.toSeq.map(f => f.name ->
+        f.dataType.sql.replace(" NOT NULL", ""))
+    assert(shape(media.schema) === shape(Multimodal.mediaSchema))
+    val feats = Multimodal.extractFeatures(media, minW = 640, dim = 8)
+    val fRows = feats.collect()
+    assert(fRows.nonEmpty)
+    assert(fRows.forall(_.getSeq[Double](2).size === 8))
+    assert(fRows.forall(r => r.getSeq[Double](2)
+      .forall(v => v >= 0.0 && v < 1.0)))
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.count() === 50 * 4)
+    val resized = Multimodal.resize(media, 160, 120)
+    val r = resized.select(col("meta.width"),
+      octet_length(col("payload"))).collect()
+    assert(r.forall(_.getInt(0) === 160))
+    assert(r.forall(_.getInt(1) >= 1))
+    // determinism: same payload -> same features
+    val f2 = Multimodal.extractFeatures(media, minW = 640, dim = 8).collect()
+    assert(fRows.map(_.getSeq[Double](2)).toSeq ===
+      f2.map(_.getSeq[Double](2)).toSeq)
+  }
+}
