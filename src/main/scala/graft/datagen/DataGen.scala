@@ -1,0 +1,202 @@
+package graft.datagen
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.{Cleansing, RefData}
+
+/** Seeded synthetic generators (SURVEY §2.7 F27/F28, §7.1 item 6) — the
+  * Spark re-expression of the reference's daily data-generation scripts
+  * (dim_product_daily.py / dim_store_daily.py / dim_distributor_daily.py /
+  * fact_sales_daily.py): `spark.range` + `rand(seed)`-driven weighted
+  * choices, fully distributed and reproducible (same seed → same rows).
+  */
+object DataGen {
+
+  /** F27: weighted categorical choice as a cumulative-probability
+    * when-ladder over a uniform draw. */
+  def weightedChoice(u: Column, choices: Seq[(String, Double)]): Column = {
+    val total = choices.map(_._2).sum
+    val cum = choices.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    choices.zip(cum).init.foldLeft(when(lit(false), lit("")): Column) {
+      case (acc, ((v, _), c)) => acc.when(u < c, lit(v))
+    }.otherwise(lit(choices.last._1))
+  }
+
+  /** F28: uniform draw in [lo, hi). */
+  def uniform(u: Column, lo: Double, hi: Double): Column =
+    u * (hi - lo) + lo
+
+  // weights mirror dim_product_daily.py:977-994 / dim_store_daily.py:72-78
+  val categoryWeights: Seq[(String, Double)] = Seq(
+    "Grocery" -> 40, "PersonalCare" -> 20, "BabyCare" -> 12,
+    "Beverage" -> 15, "Dairy" -> 10, "HomeCare" -> 3)
+  val classOfTradeWeights: Seq[(String, Double)] = Seq(
+    "Modern Trade - Hypermarket" -> 15, "Modern Trade - Supermarket" -> 25,
+    "General Trade - Kirana" -> 40, "Convenience Store" -> 10,
+    "Cash & Carry - Wholesale" -> 10)
+  val distributorTypeWeights: Seq[(String, Double)] = Seq(
+    "National" -> 15, "Regional" -> 30, "Local" -> 55)
+  val subcategoryByCategory: Map[String, Seq[String]] = Map(
+    "Grocery" -> Seq("Rice", "Wheat Flour", "Edible Oil", "Pulses",
+      "Spices", "Biscuits", "Noodles", "Snacks"),
+    "PersonalCare" -> Seq("Shampoo", "Soap", "Toothpaste", "Face Wash",
+      "Hair Oil"),
+    "BabyCare" -> Seq("Baby Powder", "Baby Wipes", "Diapers", "Baby Soap"),
+    "Beverage" -> Seq("Soft Drink", "Juice", "Tea", "Coffee",
+      "Energy Drink"),
+    "Dairy" -> Seq("Milk", "Curd", "Cheese", "Butter", "Paneer"),
+    "HomeCare" -> Seq("Detergent", "Dishwash", "Floor Cleaner",
+      "Toilet Cleaner"))
+
+  private def pickFrom(values: Seq[String], idx: Column): Column =
+    element_at(typedLit(values), (idx % values.size + 1).cast("int"))
+
+  /** Product dimension: n rows keyed from startKey+1, seeded draws for
+    * category/subcategory/brand/price, SKU per F26. */
+  def products(spark: SparkSession, n: Long, seed: Long = 42,
+      startKey: Long = 0): DataFrame = {
+    val base = spark.range(n)
+      .withColumn("product_id", col("id") + 1 + startKey)
+      .withColumn("u1", rand(seed))
+      .withColumn("u2", rand(seed + 1))
+      .withColumn("u3", rand(seed + 2))
+    val cat = weightedChoice(col("u1"), categoryWeights)
+    val withCat = base.withColumn("category", cat)
+    val sub = subcategoryByCategory.foldLeft(
+      when(lit(false), lit("")): Column) { case (acc, (c, subs)) =>
+        acc.when(col("category") === c,
+          pickFrom(subs, floor(col("u2") * 1000).cast("long")))
+    }.otherwise(lit("General"))
+    val brands = RefData.brandManufacturerMap.keys.toSeq.sorted
+    withCat
+      .withColumn("sub_category", sub)
+      .withColumn("brand",
+        pickFrom(brands, floor(col("u3") * 10000).cast("long")))
+      .withColumn("product_name",
+        concat_ws(" ", col("brand"), col("sub_category"),
+          col("product_id").cast("string")))
+      .withColumn("unit_price",
+        round(uniform(col("u2"), 10.0, 500.0), 2).cast(DecimalType(10, 2)))
+      .withColumn("sku", Cleansing.skuCode(lit("SKU"), col("brand"),
+        col("sub_category"), col("product_id")))
+      .withColumn("manufacturer", RefData.manufacturerFor(col("brand")))
+      .select("product_id", "product_name", "brand", "category",
+        "sub_category", "manufacturer", "sku", "unit_price")
+  }
+
+  /** Store dimension with volume weights (used for weighted fact picks). */
+  def stores(spark: SparkSession, n: Long, seed: Long = 43,
+      startKey: Long = 0): DataFrame = {
+    val cities = Seq("Mumbai", "Delhi", "Bengaluru", "Chennai", "Kolkata",
+      "Hyderabad", "Pune", "Ahmedabad")
+    val states = Seq("Maharashtra", "Delhi", "Karnataka", "Tamil Nadu",
+      "West Bengal", "Telangana", "Maharashtra", "Gujarat")
+    spark.range(n)
+      .withColumn("store_id", col("id") + 1 + startKey)
+      .withColumn("u1", rand(seed)).withColumn("u2", rand(seed + 1))
+      .withColumn("class_of_trade",
+        weightedChoice(col("u1"), classOfTradeWeights))
+      .withColumn("is_chain", when(col("u2") < 0.3, "Y").otherwise("N"))
+      .withColumn("cidx", (col("store_id") % cities.size).cast("int"))
+      .withColumn("store_name",
+        concat(lit("Store "), col("store_id").cast("string")))
+      .withColumn("city", element_at(typedLit(cities), col("cidx") + 1))
+      .withColumn("state", element_at(typedLit(states), col("cidx") + 1))
+      .withColumn("volume_weight",
+        when(col("class_of_trade").contains("Hypermarket"), 5.0)
+          .when(col("class_of_trade").contains("Wholesale"), 4.0)
+          .when(col("class_of_trade").contains("Supermarket"), 3.0)
+          .otherwise(1.0))
+      .select("store_id", "store_name", "class_of_trade", "is_chain",
+        "city", "state", "volume_weight")
+  }
+
+  def distributors(spark: SparkSession, n: Long, seed: Long = 44,
+      startKey: Long = 0): DataFrame =
+    spark.range(n)
+      .withColumn("dist_id", col("id") + 1 + startKey)
+      .withColumn("u1", rand(seed))
+      .withColumn("dist_name",
+        concat(lit("Distributor "), col("dist_id").cast("string")))
+      .withColumn("dist_type",
+        weightedChoice(col("u1"), distributorTypeWeights))
+      .withColumn("active_flag", when(rand(seed + 1) < 0.9, "Y")
+        .otherwise("N"))
+      .select("dist_id", "dist_name", "dist_type", "active_flag")
+
+  /** Fact generator (fact_sales_daily.py:135-200): weighted store pick,
+    * category-affinity product pick (P7), random active distributor,
+    * qty with wholesale multiplier + weekend/seasonal boost (F28),
+    * tiered discount + decimal money math (F21/F22).
+    *
+    * Dim picks are broadcast joins on a modular index — the fact side
+    * never shuffles; at 1000 executors this is embarrassingly parallel.
+    */
+  def factSales(spark: SparkSession, n: Long, dateId: Int,
+      productsDf: DataFrame, storesDf: DataFrame, distributorsDf: DataFrame,
+      seed: Long = 45, startKey: Long = 0): DataFrame = {
+    val nStores = storesDf.count()
+    val nProducts = productsDf.count()
+    val nDists = distributorsDf.count()
+    val base = spark.range(n)
+      .withColumn("sales_id", col("id") + 1 + startKey)
+      .withColumn("u_store", rand(seed))
+      .withColumn("u_prod", rand(seed + 1))
+      .withColumn("u_dist", rand(seed + 2))
+      .withColumn("u_qty", rand(seed + 3))
+      .withColumn("u_boost", rand(seed + 4))
+    // weighted store pick: square the uniform to skew toward the
+    // high-weight (low index after desc sort) stores
+    val storesIdx = storesDf
+      .withColumn("sidx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("volume_weight").desc, col("store_id"))) - 1)
+    val withStore = base
+      .withColumn("sidx",
+        floor(pow(col("u_store"), 2.0) * nStores).cast("int"))
+      .join(broadcast(storesIdx), "sidx")
+    // category-affinity product pick (P7): Kirana/Convenience prefer
+    // staple categories
+    val productsIdx = productsDf.withColumn("pidx",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("product_id"))) - 1)
+    val affinity = when(col("class_of_trade").contains("Kirana"),
+      typedLit(Seq("Grocery", "Beverage", "Dairy")))
+      .when(col("class_of_trade").contains("Convenience"),
+        typedLit(Seq("Beverage", "Dairy", "Grocery")))
+      .otherwise(typedLit(Seq.empty[String]))
+    val withProd = withStore
+      .withColumn("affinity_cats", affinity)
+      .withColumn("pidx", floor(col("u_prod") * nProducts).cast("int"))
+      .join(broadcast(productsIdx), "pidx")
+      .filter(size(col("affinity_cats")) === 0 ||
+        array_contains(col("affinity_cats"), col("category")))
+    val distsIdx = distributorsDf.filter(col("active_flag") === "Y")
+      .withColumn("didx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("dist_id"))) - 1)
+    val nActive = distsIdx.count()
+    val joined = withProd
+      .withColumn("didx", floor(col("u_dist") * nActive).cast("int"))
+      .join(broadcast(distsIdx), "didx")
+    val isWholesale = col("class_of_trade").contains("Wholesale")
+    val qty = greatest(
+      when(isWholesale,
+        floor(uniform(col("u_qty"), 5.0, 20.0) * 10).cast("long"))
+        .otherwise(floor(uniform(col("u_qty"), 1.0, 10.0)).cast("long")),
+      lit(1L))
+    val gross = Cleansing.grossAmount(qty, col("unit_price"))
+    val pct = Cleansing.tieredDiscount(gross, col("class_of_trade"),
+      col("is_chain"))
+    val disc = Cleansing.discountAmount(gross, pct)
+    joined
+      .withColumn("date_id", lit(dateId))
+      .withColumn("quantity_sold", qty)
+      .withColumn("gross_amount", gross)
+      .withColumn("discount_amount", disc)
+      .withColumn("net_amount", Cleansing.netAmount(gross, disc))
+      .select("sales_id", "date_id", "store_id", "product_id", "dist_id",
+        "quantity_sold", "unit_price", "gross_amount", "discount_amount",
+        "net_amount")
+  }
+}

@@ -1,0 +1,222 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.datagen.DataGen
+import graft.datedim.DateDim
+import graft.functions.Cleansing
+import graft.ops._
+import graft.schema.{LogicalCol, SchemaMapper}
+import graft.sources.{CsvIO, Ledger}
+import graft.validate._
+
+/** The reference's four DAGs (SURVEY §3 E1-E3 + §2.8 V10) composed from
+  * the engine's operators — a user of Dynamic-ETL maps each Airflow task
+  * onto one of these entry points.
+  *
+  *   E1 sourceLoad   : generate dims + facts → parquet "source DB"
+  *   E2 extract      : full fact dump (comma CSV, rotation) + 4-way
+  *                     star-join snapshot (pipe CSV into incoming/)
+  *   E3 dwLoad       : incoming snapshot CSV → schema-resolve → clean →
+  *                     resolve dim keys → classify changes → assign
+  *                     surrogate keys → merge into the DW fact
+  *   V10 validation  : per-table declarative contracts
+  */
+object Pipelines {
+
+  // ---- E1: daily source load -------------------------------------------
+  final case class SourceDb(products: DataFrame, stores: DataFrame,
+      distributors: DataFrame, dates: DataFrame, facts: DataFrame)
+
+  def sourceLoad(spark: SparkSession, root: String, nFacts: Long = 1000,
+      dateId: Int = 20240115, seed: Long = 42): SourceDb = {
+    val products = DataGen.products(spark, 50, seed)
+    val stores = DataGen.stores(spark, 30, seed + 1)
+    val dists = DataGen.distributors(spark, 10, seed + 2)
+    val dates = DateDim.generate(spark, "2024-01-01", "2024-01-31")
+    // guard: fact day must exist in dim_date (J9, fact_sales_daily.py:22-33)
+    require(dates.filter(col("date_id") === dateId).limit(1).count() > 0,
+      s"date_id $dateId missing from dim_date")
+    val facts = DataGen.factSales(spark, nFacts, dateId, products, stores,
+      dists, seed + 3)
+    Seq("products" -> products, "stores" -> stores,
+      "distributors" -> dists, "dates" -> dates, "facts" -> facts)
+      .foreach { case (n, df) =>
+        df.write.mode("overwrite").parquet(s"$root/source/$n") }
+    SourceDb(
+      spark.read.parquet(s"$root/source/products"),
+      spark.read.parquet(s"$root/source/stores"),
+      spark.read.parquet(s"$root/source/distributors"),
+      spark.read.parquet(s"$root/source/dates"),
+      spark.read.parquet(s"$root/source/facts"))
+  }
+
+  // ---- E2: extract + denormalized snapshot ------------------------------
+  /** Full-dump comma CSV with Current→Archive rotation, then the wide
+    * star-join snapshot as pipe CSV into incoming/ (S2/S3/S6/J1/O1). */
+  def extract(spark: SparkSession, db: SourceDb, root: String): DataFrame = {
+    CsvIO.rotate(spark, s"$root/extract/Current", s"$root/extract/Archive")
+    CsvIO.write(db.facts.orderBy(col("sales_id"))
+      .select(db.facts.columns.map(c => col(c).cast("string")): _*),
+      s"$root/extract/Current/fact_sales", sep = ",")
+    val snapshot = db.facts
+      .join(broadcast(db.stores), "store_id")
+      .join(broadcast(db.products), "product_id")
+      .join(broadcast(db.distributors), "dist_id")
+      .join(broadcast(db.dates), "date_id")
+      .select(
+        col("sales_id"), col("date_id"), col("full_date"),
+        col("store_id"), col("store_name"), col("class_of_trade"),
+        col("is_chain"), col("city"), col("state"),
+        col("product_id"), col("product_name"), col("brand"),
+        col("category"), col("sub_category"), col("manufacturer"),
+        db.products("unit_price").as("product_unit_price"),
+        col("dist_id"), col("dist_name"), col("dist_type"),
+        col("active_flag"),
+        col("quantity_sold"), db.facts("unit_price").as("sales_unit_price"),
+        col("gross_amount"), col("discount_amount"), col("net_amount"))
+      .orderBy(col("sales_id"))
+    CsvIO.write(snapshot
+      .select(snapshot.columns.map(c => col(c).cast("string")): _*),
+      s"$root/incoming/sales_snapshot", sep = "|")
+    snapshot
+  }
+
+  // ---- E3: target DW load ----------------------------------------------
+  /** The 9-stage fact loader (load_fact_sales_dw.py): read incoming →
+    * alias-resolve → clean → resolve the 4 dim keys → drop misses →
+    * classify INSERT/UPDATE vs the current DW state → assign surrogate
+    * keys → merge → overwrite. Returns (newDwFacts, stats). */
+  def dwLoad(spark: SparkSession, db: SourceDb, root: String,
+      incomingPath: String): (DataFrame, Map[String, Long]) = {
+    val raw = CsvIO.readAllString(spark, incomingPath, sep = "|")
+    // stage 4: alias-tolerant schema resolution, all-string → cleaned
+    val resolved = SchemaMapper(raw, Seq(
+      LogicalCol("SALES_ID", aliases = Seq("ID"),
+        targetType = Some(LongType)),
+      LogicalCol("FULL_DATE", aliases = Seq("SALE_DATE",
+        "TRANSACTION_DATE", "DATE"),
+        clean = Some(c => Cleansing.parseDateMulti(c).cast("string")),
+        targetType = Some(DateType)),
+      LogicalCol("STORE_NAME", aliases = Seq("STORE")),
+      LogicalCol("CITY", required = false),
+      LogicalCol("PRODUCT_NAME", aliases = Seq("PRODUCT")),
+      LogicalCol("BRAND", required = false),
+      LogicalCol("DIST_NAME", aliases = Seq("DISTRIBUTOR")),
+      LogicalCol("QUANTITY_SOLD", aliases = Seq("QTY", "QUANTITY"),
+        clean = Some(Cleansing.cleanNumeric),
+        targetType = Some(LongType)),
+      LogicalCol("SALES_UNIT_PRICE", aliases = Seq("UNIT_PRICE", "PRICE"),
+        clean = Some(Cleansing.cleanNumeric),
+        targetType = Some(DecimalType(12, 2))),
+      LogicalCol("GROSS_AMOUNT", clean = Some(Cleansing.cleanNumeric),
+        targetType = Some(DecimalType(12, 2))),
+      LogicalCol("DISCOUNT_AMOUNT", clean = Some(Cleansing.cleanNumeric),
+        targetType = Some(DecimalType(12, 2))),
+      LogicalCol("NET_AMOUNT", clean = Some(Cleansing.cleanNumeric),
+        targetType = Some(DecimalType(12, 2)))))
+    // stage 5: dim-key resolution through normalized business keys
+    val keyed = DimResolver.resolveDimKeys(resolved, Seq(
+      DimLookup(db.stores, Seq("STORE_NAME"), Seq("store_name"),
+        "store_id", "STORE_KEY"),
+      DimLookup(db.products, Seq("PRODUCT_NAME"), Seq("product_name"),
+        "product_id", "PRODUCT_KEY",
+        fallback = Some(("PRODUCT_NAME", "product_name", "product_id"))),
+      DimLookup(db.distributors, Seq("DIST_NAME"), Seq("dist_name"),
+        "dist_id", "DIST_KEY"),
+      DimLookup(db.dates.withColumn("fd", col("full_date").cast("string")),
+        Seq("FULL_DATE"), Seq("fd"), "date_id", "DATE_ID")))
+    val misses = DimResolver.missCounts(keyed,
+      Seq("STORE_KEY", "PRODUCT_KEY", "DIST_KEY", "DATE_ID"))
+    // stage 6: drop unresolved / unparseable rows (P5/P6)
+    val clean = keyed.na.drop(Seq("STORE_KEY", "PRODUCT_KEY", "DIST_KEY",
+      "DATE_ID", "QUANTITY_SOLD", "NET_AMOUNT"))
+      .withColumn("natural_key", Cleansing.naturalKey(col("DATE_ID"),
+        col("STORE_KEY"), col("PRODUCT_KEY"), col("DIST_KEY")))
+    val incoming = Dedupe.dedupeByKey(clean, Seq("natural_key"),
+      Seq(col("SALES_ID")))
+      .select(col("natural_key"), col("DATE_ID").as("date_id"),
+        col("STORE_KEY").as("store_key"),
+        col("PRODUCT_KEY").as("product_key"),
+        col("DIST_KEY").as("dist_key"),
+        col("QUANTITY_SOLD").as("quantity_sold"),
+        col("SALES_UNIT_PRICE").cast("double").as("unit_price"),
+        col("GROSS_AMOUNT").cast("double").as("gross_amount"),
+        col("DISCOUNT_AMOUNT").cast("double").as("discount_amount"),
+        col("NET_AMOUNT").cast("double").as("net_amount"))
+    // stage 7: classify vs current DW state
+    val dwPath = s"$root/dw/fact_sales"
+    val existing = loadOrEmpty(spark, dwPath, incoming.schema
+      .add("fact_key", LongType))
+    val tracked = Seq(TrackedCol("quantity_sold", Some(0.5)),
+      TrackedCol("unit_price", Some(0.01)),
+      TrackedCol("gross_amount", Some(0.01)),
+      TrackedCol("discount_amount", Some(0.01)),
+      TrackedCol("net_amount", Some(0.01)))
+    val staged0 = ChangeClassifier.classifyChanges(incoming,
+      existing.drop("fact_key"), Seq("natural_key"), tracked)
+    // stage 8: surrogate keys for the INSERT set only (W3's lesson)
+    val maxKey = SurrogateKeys.currentMax(existing, "fact_key")
+    val inserts = SurrogateKeys.assignSequential(
+      staged0.filter(col("operation") === "INSERT"), "fact_key", maxKey,
+      Seq(col("natural_key")))
+    val updates = staged0.filter(col("operation") === "UPDATE")
+      .join(existing.select("natural_key", "fact_key"), "natural_key")
+    val staged = inserts.unionByName(updates.select(inserts.columns
+      .map(col).toIndexedSeq: _*))
+    // stage 9: merge + atomic overwrite
+    val merged = MergeInto.mergeInto(existing, staged, Seq("natural_key"),
+      incoming.columns.filterNot(_ == "natural_key").toSeq,
+      opCol = Some("operation"))
+    val stats = Map(
+      "incoming" -> incoming.count(),
+      "inserts" -> inserts.count(), "updates" -> updates.count()) ++
+      misses.map { case (k, v) => s"miss_$k" -> v }
+    overwriteParquet(spark, merged, dwPath)
+    (spark.read.parquet(dwPath), stats)
+  }
+
+  /** Atomic-swap overwrite: write to a staging location, then swap — the
+    * re-runnability contract of the reference's staging+MERGE+commit. */
+  private def overwriteParquet(spark: SparkSession, df: DataFrame,
+      path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
+
+  private def loadOrEmpty(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  // ---- V10: validation suite -------------------------------------------
+  def validationSuite(db: SourceDb, dwFacts: DataFrame,
+      execDateId: Int): DataFrame =
+    Validator.suite(Seq(
+      ("products", db.products, Seq(MinRows(10),
+        NoNulls(Seq("product_id", "product_name", "brand", "category")),
+        PkUnique(Seq("product_id")))),
+      ("stores", db.stores, Seq(MinRows(10),
+        NoNulls(Seq("store_id", "store_name")),
+        FlagDomain(Seq("is_chain")), PkUnique(Seq("store_id")))),
+      ("distributors", db.distributors, Seq(MinRows(5),
+        FlagDomain(Seq("active_flag")), PkUnique(Seq("dist_id")))),
+      ("dates", db.dates, Seq(MinRows(28),
+        FlagDomain(Seq("is_weekend", "is_business_day")),
+        PkUnique(Seq("date_id")))),
+      ("fact_sales_dw", dwFacts, Seq(MinRows(1),
+        NoNulls(Seq("natural_key", "date_id", "store_key", "product_key",
+          "dist_key", "net_amount")),
+        PkUnique(Seq("natural_key"))))))
+}

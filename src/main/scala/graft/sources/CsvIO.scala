@@ -44,7 +44,9 @@ object CsvIO {
     val arc = new Path(archive)
     if (!fs.exists(cur)) return 0
     if (!fs.exists(arc)) fs.mkdirs(arc)
-    val moved = fs.listStatus(cur).filter(_.isFile).map { st =>
+    // entries may be plain files (the reference's case) or the directory
+    // outputs a distributed CSV sink produces — rotate both
+    val moved = fs.listStatus(cur).map { st =>
       fs.rename(st.getPath, new Path(arc, st.getPath.getName))
     }
     moved.count(identity)

@@ -1,0 +1,51 @@
+package graft
+
+import graft.pipelines.Pipelines
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The SURVEY §7.2 minimum end-to-end slice: generate → extract →
+  * snapshot → dw-load → validate, plus the idempotence contract (§5:
+  * re-running the same file is a no-op). */
+class PipelineSpec extends SparkSpec {
+
+  test("E1→E2→E3→V10 end-to-end, then idempotent re-run") {
+    val root = Files.createTempDirectory("graft_pipe").toString
+    // E1: source load
+    val db = Pipelines.sourceLoad(spark, root, nFacts = 500,
+      dateId = 20240115)
+    assert(db.facts.count() > 0 && db.products.count() === 50)
+
+    // E2: extract + snapshot (star join, ordered, pipe CSV)
+    val snapshot = Pipelines.extract(spark, db, root)
+    assert(snapshot.count() === db.facts.count())
+    assert(new java.io.File(s"$root/incoming/sales_snapshot").exists())
+
+    // E3: DW load from the incoming file
+    val (dw1, stats1) = Pipelines.dwLoad(spark, db, root,
+      s"$root/incoming/sales_snapshot")
+    assert(stats1("inserts") > 0)
+    assert(stats1("updates") === 0)           // first load: all inserts
+    assert(stats1("miss_STORE_KEY") === 0)    // every key resolves
+    val dw1Count = dw1.count() // materialize before the overwrite-by-swap
+    assert(dw1Count === stats1("inserts"))
+    // surrogate keys are dense 1..N
+    val keys = dw1.select("fact_key").collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq === (1L to keys.length))
+
+    // idempotence: same file again → zero inserts, zero updates
+    val (dw2, stats2) = Pipelines.dwLoad(spark, db, root,
+      s"$root/incoming/sales_snapshot")
+    assert(stats2("inserts") === 0 && stats2("updates") === 0)
+    assert(dw2.count() === dw1Count)
+
+    // V10: the whole suite passes
+    val results = Pipelines.validationSuite(db, dw2, 20240115)
+    val failed = results.filter(col("passed") === false).collect()
+    assert(failed.isEmpty, failed.mkString("; "))
+
+    // rotation: a second extract moves the previous dump to Archive/
+    Pipelines.extract(spark, db, root)
+    assert(new java.io.File(s"$root/extract/Archive").list().nonEmpty)
+  }
+}
