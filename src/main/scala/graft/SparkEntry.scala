@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CleansingQueries, CoreQueries, DateDimQueries, FilterQueries, IoQueries, LlmQueries, OpsQueries, ValidateQueries}
+import graft.queries.{CleansingQueries, CoreQueries, DateDimQueries, FilterQueries, IoQueries, LlmQueries, OpsQueries, StreamQueries, ValidateQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +41,7 @@ object SparkEntry {
     LlmQueries.queries -> LlmQueries.oracles,
     IoQueries.queries -> IoQueries.oracles,
     FilterQueries.queries -> FilterQueries.oracles,
+    StreamQueries.queries -> StreamQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

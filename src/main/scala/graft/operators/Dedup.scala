@@ -166,11 +166,17 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 64-bit SimHash per document via explode + one groupBy: token hash
-    * votes ±1 per bit, sign of the vote sum sets the bit. Scales as one
-    * shuffle keyed by doc id (combiner-friendly: partial sums map-side).
-    */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 64-bit SimHash per document — native expression, zero shuffle
+    * (SimHash is per-row; the earlier explode+groupBy formulation paid a
+    * full shuffle keyed by doc id for what is a row-local loop). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.expressions.SimHash.simhashSig(col(textCol)).as("simhash"))
+
+  /** Composed-expression SimHash kept for cross-checking the native
+    * expression in specs (explode tokens → groupBy → 64 bit-vote sums). */
+  private[graft] def simhash64Composed(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val exploded = df.select(col(idCol),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

@@ -25,8 +25,13 @@ object Similarity {
 
   /** Unrounded: sequential double accumulation is bit-identical across
     * engines (verified vs DuckDB), while rounding would reintroduce
-    * HALF_UP-vs-binary divergence. */
+    * HALF_UP-vs-binary divergence. Native single-pass expression — the
+    * zip_with/aggregate formulation pays 3 interpreted lambda walks per
+    * pair (kept as cosineComposed for the equivalence spec). */
   def cosine(a: Column, b: Column): Column =
+    graft.expressions.Cosine.cosineSim(a, b)
+
+  private[graft] def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   /** Deterministic hyperplanes: `planes` × `dim` weights in [-1,1] from a

@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.Sessionize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate coverage for the streaming-shaped operators evaluated in batch
+  * mode: gap-based sessionization (session_window) and the watermarked
+  * fixed-window aggregation. The DuckDB oracles re-derive sessions
+  * independently with lag + cumulative-sum — a drift in session_window
+  * semantics (gap inclusivity, end = last+gap) breaks the hash match.
+  */
+object StreamQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "st1_sessionize" -> ((s, d) => {
+      Sessionize.sessionize(Tables.events(s, d), "ts", "user_id",
+        "15 minutes")
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    "st2_windowed_counts" -> ((s, d) => {
+      graft.streaming.IncrementalLoad.windowedEventCounts(
+        Tables.events(s, d), "ts", "event_type", "1 hour", "1 day")
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "st1_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |lagged AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts - lag(ts) OVER w >= INTERVAL 15 MINUTE
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM lagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 15 MINUTE AS session_end,
+        |  MIN(ts) AS first_event, MAX(ts) AS last_event,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "st2_windowed_counts" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+        |    AS window_start,
+        |  time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+        |    + INTERVAL 1 HOUR AS window_end,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
+  )
+}

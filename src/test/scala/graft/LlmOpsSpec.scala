@@ -151,4 +151,25 @@ class LlmOpsSpec extends SparkSpec {
     val bad = both.filter(not(col("native") === col("composed"))).count()
     assert(bad === 0)
   }
+
+  test("native SimHashSig and CosineSim match composed formulations") {
+    val docs = Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"), col("text"))
+    val nat = Dedup.simhash64(docs, "doc_id", "text")
+      .withColumnRenamed("simhash", "n")
+    val comp = Dedup.simhash64Composed(docs, "doc_id", "text")
+      .withColumnRenamed("simhash", "c")
+    assert(nat.join(comp, "doc_id").filter(col("n") =!= col("c"))
+      .count() === 0)
+
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .limit(500)
+    val diff = pairs.select(
+      Similarity.cosine(col("va"), col("vb")).as("n"),
+      Similarity.cosineComposed(col("va"), col("vb")).as("c"))
+      .filter(not(col("n") <=> col("c"))).count()
+    assert(diff === 0) // bit-identical, not just approximately equal
+  }
 }
