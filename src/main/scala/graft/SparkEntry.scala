@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CleansingQueries, CoreQueries, DateDimQueries, FilterQueries, IoQueries, LlmQueries, OpsQueries, StreamQueries, ValidateQueries}
+import graft.queries.{AnalyticQueries, CleansingQueries, CoreQueries, DateDimQueries, FilterQueries, IoQueries, LlmQueries, OpsQueries, StreamQueries, ValidateQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,7 @@ object SparkEntry {
     IoQueries.queries -> IoQueries.oracles,
     FilterQueries.queries -> FilterQueries.oracles,
     StreamQueries.queries -> StreamQueries.oracles,
+    AnalyticQueries.queries -> AnalyticQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -25,10 +25,27 @@ object Cosine {
 }
 
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  /** Real doGenCode (not CodegenFallback): calls back into this
+    * instance via a reference object, so the surrounding projection
+    * stays inside one whole-stage-codegen span instead of being split
+    * at a fallback boundary. */
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineSimExpr", this,
+      classOf[CosineSim].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |Object cosR = $ref.nullSafeEval($a, $b);
+         |if (cosR == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) cosR).doubleValue(); }
+       """.stripMargin
+    })
+  }
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true

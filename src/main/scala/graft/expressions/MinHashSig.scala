@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -51,13 +51,25 @@ object MinHash {
 }
 
 case class MinHashSig(child: Expression, k: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import MinHash._
 
   private lazy val family = hashFamily(numHashes)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+
+  /** Reference-object doGenCode keeps the surrounding projection in one
+    * whole-stage-codegen span (CodegenFallback would split it). */
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this,
+      classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $ref.nullSafeEval($c);"
+    })
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].trim().toLowerCase.toString

@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -25,10 +25,22 @@ object SimHash {
 }
 
 case class SimHashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_sig"
+
+  /** Reference-object doGenCode keeps the surrounding projection in one
+    * whole-stage-codegen span (CodegenFallback would split it). */
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this,
+      classOf[SimHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($c))" +
+        s".longValue();"
+    })
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].trim().toLowerCase.toString

@@ -103,18 +103,28 @@ object Similarity {
     IvfIndex(assignCells(data, idCol, vecCol, centroids), centroids)
   }
 
-  /** Assign each vector to its max-cosine centroid (centroids broadcast;
-    * data shuffles only for the per-id argmax window — at scale, replace
-    * with a map-side argmax via aggregate over the centroid literal). */
+  /** Assign each vector to its max-cosine centroid — MAP-SIDE argmax:
+    * the (tiny) centroid table is collected into a literal and the
+    * argmax runs as a per-row expression. Zero shuffle, zero
+    * row-multiplication; the crossJoin+window alternative multiplied the
+    * data ×nCells and shuffled it for the per-id window. Ties break
+    * toward the lowest cell id. */
   def assignCells(data: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
-    val scored = data.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosine(col(vecCol), col("centroid")))
-    scored.withColumn("rn", row_number().over(
-        Window.partitionBy(col(idCol))
-          .orderBy(col("sim").desc, col("cell"))))
-      .filter(col("rn") === 1)
-      .drop("rn", "sim", "centroid")
+    val cents: Seq[(Long, Seq[Double])] = centroids
+      .select(col("cell").cast("long"), col("centroid"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val best = cents.map { case (cellId, c) =>
+      struct(cosine(col(vecCol), typedLit(c)).as("sim"),
+        lit(-cellId).as("negcell"))
+    }
+    // greatest(struct(sim, -cell)) = max sim, ties -> lowest cell
+    val cell =
+      if (best.size == 1) lit(cents.head._1)
+      else greatest(best: _*).getField("negcell") * lit(-1L)
+    data.withColumn("cell", cell)
   }
 
   /** IVF query: rank cells per query by centroid cosine, search the top
