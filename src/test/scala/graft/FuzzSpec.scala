@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.{Cleansing => C}
+import org.apache.spark.sql.functions._
+
+/** Seeded fuzz over the coerce-style cleaners (SURVEY §5: parse
+  * robustness for F10/F12): arbitrary garbage must never throw, must
+  * yield null-or-valid, and canonical inputs must round-trip. */
+class FuzzSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(20260812L)
+  private def randString(n: Int): String = {
+    val alphabet = "0123456789abcXYZ ₹$,.-/:% \t" + "Rs"
+    (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+  }
+
+  test("cleanNumeric/cleanPrice: never throw, null-or-valid on garbage") {
+    val inputs = (1 to 500).map(_ => randString(rnd.nextInt(14))) ++
+      Seq(null, "", "₹", "-", ".", "--5", "1.2.3", "1e5", "  12,34.50  ")
+    val out = strDf(inputs)
+      .select(C.cleanNumeric(col("v")).cast("double").as("n"),
+        C.cleanPrice(col("v")).cast("double").as("p"))
+      .collect()
+    out.foreach { r =>
+      if (!r.isNullAt(0)) assert(r.getDouble(0) >= 0) // negatives rejected
+      if (!r.isNullAt(1)) {
+        assert(r.getDouble(1) > 0 && r.getDouble(1) <= 100000)
+      }
+    }
+    // canonical decimal strings parse exactly
+    val canon = strDf(Seq("1234.56", "₹1,234.56", "$ 0.01"))
+      .select(C.cleanNumeric(col("v")).cast("double").as("n")).collect()
+    assert(canon.map(_.getDouble(0)).toSeq === Seq(1234.56, 1234.56, 0.01))
+  }
+
+  test("parseDateMulti: garbage -> null; every supported format round-trips") {
+    val garbage = (1 to 300).map(_ => randString(rnd.nextInt(12)))
+    val g = strDf(garbage)
+      .select(C.parseDateMulti(col("v")).as("d")).collect()
+    g.foreach { r =>
+      if (!r.isNullAt(0)) {
+        val y = r.getDate(0).toLocalDate.getYear
+        assert(y >= 0 && y <= 9999) // parsed => a sane date, no throw
+      }
+    }
+    // round-trip: format a known date through each supported pattern
+    val date = java.time.LocalDate.of(2024, 3, 7)
+    val javaPatterns = Seq("yyyy-MM-dd", "yyyy/MM/dd", "dd-MM-yyyy",
+      "dd/MM/yyyy", "yyyyMMdd")
+    val formatted = javaPatterns.map(p =>
+      date.format(java.time.format.DateTimeFormatter.ofPattern(p)))
+    val rt = strDf(formatted)
+      .select(C.parseDateMulti(col("v")).cast("string").as("d")).collect()
+    assert(rt.map(_.getString(0)).toSeq ===
+      Seq.fill(javaPatterns.size)("2024-03-07"))
+  }
+
+  test("normalizeKey/cleanText: idempotent under re-application") {
+    val inputs = (1 to 200).map(_ => randString(rnd.nextInt(20))) :+ null
+    val out = strDf(inputs).select(
+      C.normalizeKey(col("v")).as("k1"),
+      C.normalizeKey(C.normalizeKey(col("v"))).as("k2"),
+      C.cleanText(col("v")).as("t1"),
+      C.cleanText(C.cleanText(col("v"))).as("t2")).collect()
+    out.foreach { r =>
+      assert(Option(r.getString(0)) === Option(r.getString(1)))
+      assert(Option(r.getAs[String]("t1")) === Option(r.getAs[String]("t2")))
+    }
+  }
+}
