@@ -84,6 +84,68 @@ object Pipelines {
   }
 
   // ---- E3: target DW load ----------------------------------------------
+
+  /** File-level outcomes mirroring the reference's consumption rules
+    * (FIXTURES §6): Poison files are marked processed and skipped
+    * (empty file, missing required columns — load_fact_sales_dw.py:
+    * 92-96, 204-210); Retry leaves the file unconsumed (empty target
+    * dims, :156-175); Loaded carries the merge stats. */
+  sealed trait LoadOutcome
+  final case class Loaded(facts: DataFrame,
+      stats: Map[String, Long]) extends LoadOutcome
+  final case class Poison(reason: String) extends LoadOutcome
+  final case class Retry(reason: String) extends LoadOutcome
+
+  /** Outcome-classified load: empty file → Poison; unresolvable schema →
+    * Poison; any empty dim → Retry; else run the 9-stage load. */
+  def loadIncoming(spark: SparkSession, db: SourceDb, root: String,
+      incomingPath: String): LoadOutcome = {
+    val raw = CsvIO.readAllString(spark, incomingPath, sep = "|")
+    if (raw.isEmpty) return Poison("empty file")
+    val res = SchemaMapper.resolve(raw, factLogicalCols)
+    if (!res.ok)
+      return Poison(s"missing required columns: " +
+        res.missingRequired.mkString(", "))
+    val dimsEmpty = Seq("stores" -> db.stores, "products" -> db.products,
+      "distributors" -> db.distributors, "dates" -> db.dates)
+      .collect { case (n, d) if d.isEmpty => n }
+    if (dimsEmpty.nonEmpty)
+      return Retry(s"empty dims: ${dimsEmpty.mkString(", ")}")
+    val (facts, stats) = dwLoad(spark, db, root, incomingPath)
+    Loaded(facts, stats)
+  }
+
+  /** Alias-tolerant logical schema of the incoming snapshot (FIXTURES
+    * §1): shared by resolution checks and the loader. */
+  def factLogicalCols: Seq[LogicalCol] = Seq(
+    LogicalCol("SALES_ID", aliases = Seq("ID"),
+      targetType = Some(LongType)),
+    LogicalCol("FULL_DATE", aliases = Seq("SALE_DATE",
+      "TRANSACTION_DATE", "DATE"),
+      clean = Some(c => Cleansing.parseDateMulti(c).cast("string")),
+      targetType = Some(DateType)),
+    LogicalCol("STORE_NAME", aliases = Seq("STORE", "STORENAME")),
+    LogicalCol("CITY", required = false),
+    LogicalCol("PRODUCT_NAME", aliases = Seq("PRODUCT")),
+    LogicalCol("BRAND", aliases = Seq("BRAND_NAME"), required = false),
+    LogicalCol("DIST_NAME", aliases = Seq("DISTRIBUTOR",
+      "DISTRIBUTOR_NAME")),
+    LogicalCol("QUANTITY_SOLD", aliases = Seq("QTY", "QUANTITY"),
+      clean = Some(Cleansing.cleanNumeric),
+      targetType = Some(LongType)),
+    LogicalCol("SALES_UNIT_PRICE", aliases = Seq("UNIT_PRICE", "PRICE"),
+      clean = Some(Cleansing.cleanNumeric),
+      targetType = Some(DecimalType(12, 2))),
+    LogicalCol("GROSS_AMOUNT", aliases = Seq("GROSS_SALES",
+      "TOTAL_AMOUNT"), clean = Some(Cleansing.cleanNumeric),
+      targetType = Some(DecimalType(12, 2))),
+    LogicalCol("DISCOUNT_AMOUNT", aliases = Seq("DISCOUNT"),
+      clean = Some(Cleansing.cleanNumeric),
+      targetType = Some(DecimalType(12, 2))),
+    LogicalCol("NET_AMOUNT", aliases = Seq("NET_SALES", "NET"),
+      clean = Some(Cleansing.cleanNumeric),
+      targetType = Some(DecimalType(12, 2))))
+
   /** The 9-stage fact loader (load_fact_sales_dw.py): read incoming →
     * alias-resolve → clean → resolve the 4 dim keys → drop misses →
     * classify INSERT/UPDATE vs the current DW state → assign surrogate
@@ -92,30 +154,7 @@ object Pipelines {
       incomingPath: String): (DataFrame, Map[String, Long]) = {
     val raw = CsvIO.readAllString(spark, incomingPath, sep = "|")
     // stage 4: alias-tolerant schema resolution, all-string → cleaned
-    val resolved = SchemaMapper(raw, Seq(
-      LogicalCol("SALES_ID", aliases = Seq("ID"),
-        targetType = Some(LongType)),
-      LogicalCol("FULL_DATE", aliases = Seq("SALE_DATE",
-        "TRANSACTION_DATE", "DATE"),
-        clean = Some(c => Cleansing.parseDateMulti(c).cast("string")),
-        targetType = Some(DateType)),
-      LogicalCol("STORE_NAME", aliases = Seq("STORE")),
-      LogicalCol("CITY", required = false),
-      LogicalCol("PRODUCT_NAME", aliases = Seq("PRODUCT")),
-      LogicalCol("BRAND", required = false),
-      LogicalCol("DIST_NAME", aliases = Seq("DISTRIBUTOR")),
-      LogicalCol("QUANTITY_SOLD", aliases = Seq("QTY", "QUANTITY"),
-        clean = Some(Cleansing.cleanNumeric),
-        targetType = Some(LongType)),
-      LogicalCol("SALES_UNIT_PRICE", aliases = Seq("UNIT_PRICE", "PRICE"),
-        clean = Some(Cleansing.cleanNumeric),
-        targetType = Some(DecimalType(12, 2))),
-      LogicalCol("GROSS_AMOUNT", clean = Some(Cleansing.cleanNumeric),
-        targetType = Some(DecimalType(12, 2))),
-      LogicalCol("DISCOUNT_AMOUNT", clean = Some(Cleansing.cleanNumeric),
-        targetType = Some(DecimalType(12, 2))),
-      LogicalCol("NET_AMOUNT", clean = Some(Cleansing.cleanNumeric),
-        targetType = Some(DecimalType(12, 2)))))
+    val resolved = SchemaMapper(raw, factLogicalCols)
     // stage 5: dim-key resolution through normalized business keys
     val keyed = DimResolver.resolveDimKeys(resolved, Seq(
       DimLookup(db.stores, Seq("STORE_NAME"), Seq("store_name"),
@@ -175,6 +214,25 @@ object Pipelines {
       misses.map { case (k, v) => s"miss_$k" -> v }
     overwriteParquet(spark, merged, dwPath)
     (spark.read.parquet(dwPath), stats)
+  }
+
+  /** Snowflake lookup-dim maintenance (target_dw's dim_category /
+    * dim_sub_category / dim_manufacturer): distinct incoming values
+    * anti-joined against the stored dim, new keys from max+1, append,
+    * atomic swap. Returns value→newRowCount per dim. */
+  def maintainSnowflakeDims(spark: SparkSession, root: String,
+      snapshot: DataFrame): Map[String, Long] = {
+    val dimSchema = StructType(Seq(
+      StructField("key", LongType), StructField("value", StringType)))
+    Seq("category", "sub_category", "manufacturer").map { c =>
+      val path = s"$root/dw/dim_$c"
+      val existing = loadOrEmpty(spark, path, dimSchema)
+      val (updated, newRows) = graft.ops.LookupDim.upsert(
+        existing, snapshot.select(col(c).as("value")), "value", "key")
+      val n = newRows.count()
+      overwriteParquet(spark, updated, path)
+      c -> n
+    }.toMap
   }
 
   /** Atomic-swap overwrite: write to a staging location, then swap — the

@@ -48,4 +48,57 @@ class PipelineSpec extends SparkSpec {
     Pipelines.extract(spark, db, root)
     assert(new java.io.File(s"$root/extract/Archive").list().nonEmpty)
   }
+
+  test("FIXTURES §6: poison, retry, and snowflake-dim maintenance") {
+    val root = Files.createTempDirectory("graft_pipe2").toString
+    val db = Pipelines.sourceLoad(spark, root, nFacts = 200,
+      dateId = 20240115)
+    val snapshot = Pipelines.extract(spark, db, root)
+
+    // (b) empty CSV -> Poison
+    val emptyDir = s"$root/incoming/empty"
+    graft.sources.CsvIO.write(snapshot.limit(0)
+      .select(snapshot.columns.map(c => col(c).cast("string")): _*),
+      emptyDir)
+    Pipelines.loadIncoming(spark, db, root, emptyDir) match {
+      case Pipelines.Poison(r) => assert(r.contains("empty file"))
+      case other => fail(s"expected Poison, got $other")
+    }
+
+    // (c) missing required columns -> Poison naming them
+    val badDir = s"$root/incoming/bad"
+    graft.sources.CsvIO.write(
+      snapshot.select(col("sales_id").cast("string")), badDir)
+    Pipelines.loadIncoming(spark, db, root, badDir) match {
+      case Pipelines.Poison(r) =>
+        assert(r.contains("STORE_NAME") && r.contains("NET_AMOUNT"))
+      case other => fail(s"expected Poison, got $other")
+    }
+
+    // (d) valid file but empty dims -> Retry (file stays consumable)
+    val emptyDims = db.copy(stores = db.stores.limit(0))
+    Pipelines.loadIncoming(spark, emptyDims, root,
+      s"$root/incoming/sales_snapshot") match {
+      case Pipelines.Retry(r) => assert(r.contains("stores"))
+      case other => fail(s"expected Retry, got $other")
+    }
+
+    // happy path through the outcome API
+    Pipelines.loadIncoming(spark, db, root,
+      s"$root/incoming/sales_snapshot") match {
+      case Pipelines.Loaded(_, stats) => assert(stats("inserts") > 0)
+      case other => fail(s"expected Loaded, got $other")
+    }
+
+    // snowflake dims: first run inserts, second run adds nothing
+    val n1 = Pipelines.maintainSnowflakeDims(spark, root, snapshot)
+    assert(n1("category") > 0 && n1("manufacturer") > 0)
+    val n2 = Pipelines.maintainSnowflakeDims(spark, root, snapshot)
+    assert(n2.values.forall(_ === 0L))
+    val cats = spark.read.parquet(s"$root/dw/dim_category")
+    assert(cats.count() === n1("category"))
+    // keys are dense 1..N
+    assert(cats.select("key").collect().map(_.getLong(0)).sorted.toSeq
+      === (1L to n1("category")))
+  }
 }
