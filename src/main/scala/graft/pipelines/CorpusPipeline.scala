@@ -1,0 +1,60 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis => TA}
+
+/** Composed training-data preparation pipeline — the end-to-end shape a
+  * 100 TB corpus clean actually runs, built from the engine's operators:
+  *
+  *   annotate (lang, quality, token counts — one codegen'd scan)
+  *     → language filter
+  *     → quality threshold
+  *     → exact dedup (normalized-hash, keep lowest id)
+  *     → near-dup removal (MinHash-LSH pairs → drop the higher id of
+  *       each verified pair — a cheap union-find approximation that is
+  *       exact for pairwise clusters and conservative for larger ones)
+  *     → corpus stats.
+  *
+  * Every stage is a narrow transformation or a bounded bucket-join; the
+  * only full shuffles are the exact-dedup hash partition and the LSH
+  * band join.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.5,
+      minhashThreshold: Double = 0.8,
+      shingleK: Int = 3)
+
+  /** One-scan annotation: metadata every later stage filters on. */
+  def annotate(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("lang_id", TA.langId(col(textCol)))
+      .withColumn("quality", TA.qualityScore(col(textCol)))
+      .withColumn("n_tokens", TA.tokenCountWs(col(textCol)))
+      .withColumn("fingerprint", TA.fingerprint(col(textCol)))
+
+  /** Full clean: returns (cleanCorpus, statsRow). */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): (DataFrame, Map[String, Long]) = {
+    val n0 = docs.count()
+    val annotated = annotate(docs, textCol)
+    val kept = annotated
+      .filter(col("lang_id").isin(cfg.langs: _*))
+      .filter(col("quality") >= cfg.minQuality)
+    val n1 = kept.count()
+    val exact = Dedup.exactDedup(kept, textCol, idCol)
+      .filter(!col("is_duplicate"))
+      .drop("content_hash", "dup_rank", "is_duplicate")
+    val n2 = exact.count()
+    val dupPairs = Dedup.minhashDupPairs(exact, idCol, textCol,
+      k = cfg.shingleK, threshold = cfg.minhashThreshold)
+    val losers = dupPairs.select(col("id_b").as(idCol)).distinct()
+    val cleaned = exact.join(losers, Seq(idCol), "left_anti")
+    val n3 = cleaned.count()
+    (cleaned, Map(
+      "input" -> n0, "after_lang_quality" -> n1,
+      "after_exact_dedup" -> n2, "after_near_dedup" -> n3))
+  }
+}

@@ -85,6 +85,21 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- composed corpus-clean pipeline (rows-only; spec-verified) -------
+    "c1_corpus_clean" -> ((s, d) => {
+      import s.implicits._
+      val (_, stats) = graft.pipelines.CorpusPipeline.clean(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text",
+        graft.pipelines.CorpusPipeline.Config(
+          langs = Seq("en", "und"), minQuality = 0.3,
+          minhashThreshold = 0.8))
+      Seq((stats("input"), stats("after_lang_quality"),
+        stats("after_exact_dedup"), stats("after_near_dedup")))
+        .toDF("input", "after_lang_quality", "after_exact_dedup",
+          "after_near_dedup")
+    }),
+
     // ---- exact brute-force ANN top-k (oracle-checked) --------------------
     "ann1_bruteforce_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)

@@ -1,0 +1,46 @@
+package graft
+
+import graft.pipelines.CorpusPipeline
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpus clean: monotone stage counts, dups removed, survivors clean") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang")
+    // plant exact + near duplicates
+    val exactCopies = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 20000L).as("doc_id"),
+        upper(col("text")).as("text"), col("lang"))
+    val nearCopies = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 30000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"), col("lang"))
+    val all = docs.unionByName(exactCopies).unionByName(nearCopies)
+
+    val (cleaned, stats) = CorpusPipeline.clean(all, "doc_id", "text",
+      CorpusPipeline.Config(langs = Seq("en", "und"), minQuality = 0.3,
+        minhashThreshold = 0.8))
+    // stage counts are monotone non-increasing
+    assert(stats("input") >= stats("after_lang_quality"))
+    assert(stats("after_lang_quality") >= stats("after_exact_dedup"))
+    assert(stats("after_exact_dedup") >= stats("after_near_dedup"))
+    // every planted exact copy that survived filtering was removed
+    val survivors = cleaned.select("doc_id").as[Long].collect().toSet
+    assert(!survivors.exists(_ >= 20000L && survivors.size > 0))
+    // near-dup copies: losers (higher ids) removed when their original
+    // also survived the quality gate
+    val originals = survivors.filter(_ < 10000L)
+    val nearSurvivors = survivors.filter(id => id >= 30000L)
+    nearSurvivors.foreach { id =>
+      assert(!originals.contains(id - 30000L),
+        s"near-dup pair ($id, ${id - 30000L}) both survived")
+    }
+    // survivors really are clean: re-running removes nothing
+    val (again, stats2) = CorpusPipeline.clean(cleaned, "doc_id", "text",
+      CorpusPipeline.Config(langs = Seq("en", "und"), minQuality = 0.3,
+        minhashThreshold = 0.8))
+    assert(stats2("input") === stats2("after_near_dedup"))
+    assert(again.count() === cleaned.count())
+  }
+}
