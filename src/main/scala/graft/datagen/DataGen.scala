@@ -156,22 +156,36 @@ object DataGen {
       .withColumn("sidx",
         floor(pow(col("u_store"), 2.0) * nStores).cast("int"))
       .join(broadcast(storesIdx), "sidx")
-    // category-affinity product pick (P7): Kirana/Convenience prefer
-    // staple categories
-    val productsIdx = productsDf.withColumn("pidx",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("product_id"))) - 1)
-    val affinity = when(col("class_of_trade").contains("Kirana"),
-      typedLit(Seq("Grocery", "Beverage", "Dairy")))
-      .when(col("class_of_trade").contains("Convenience"),
-        typedLit(Seq("Beverage", "Dairy", "Grocery")))
-      .otherwise(typedLit(Seq.empty[String]))
+    // category-affinity product pick (P7): Kirana/Convenience draw from
+    // their allowed-category product pools, everyone else from the full
+    // catalog. Drawing WITHIN the pool (indexed per group) honors the
+    // requested row count exactly — a rejection filter would silently
+    // drop ~15-20% of rows and leave sales_id gaps.
+    val affinityGroups: Seq[(String, Seq[String])] = Seq(
+      "kirana" -> Seq("Grocery", "Beverage", "Dairy"),
+      "convenience" -> Seq("Beverage", "Dairy", "Grocery"),
+      "all" -> Nil)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("product_id"))
+    val pools = affinityGroups.map { case (g, cats) =>
+      val pool = if (cats.isEmpty) productsDf
+        else productsDf.filter(col("category").isin(cats: _*))
+      g -> pool.withColumn("pidx", row_number().over(w) - 1)
+        .withColumn("pgroup", lit(g))
+    }
+    val poolSizes = pools.map { case (g, df) => g -> df.count() }.toMap
+    val poolUnion = pools.map(_._2).reduce(_ unionByName _)
+    val groupCol = when(col("class_of_trade").contains("Kirana"),
+      "kirana")
+      .when(col("class_of_trade").contains("Convenience"), "convenience")
+      .otherwise("all")
+    val sizeCol = affinityGroups.map(_._1).foldLeft(lit(0L)) { (acc, g) =>
+      when(col("pgroup_pick") === g, lit(poolSizes(g))).otherwise(acc)
+    }
     val withProd = withStore
-      .withColumn("affinity_cats", affinity)
-      .withColumn("pidx", floor(col("u_prod") * nProducts).cast("int"))
-      .join(broadcast(productsIdx), "pidx")
-      .filter(size(col("affinity_cats")) === 0 ||
-        array_contains(col("affinity_cats"), col("category")))
+      .withColumn("pgroup_pick", groupCol)
+      .withColumn("pidx", floor(col("u_prod") * sizeCol).cast("int"))
+      .withColumnRenamed("pgroup_pick", "pgroup")
+      .join(broadcast(poolUnion), Seq("pgroup", "pidx"))
     val distsIdx = distributorsDf.filter(col("active_flag") === "Y")
       .withColumn("didx", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("dist_id"))) - 1)

@@ -52,6 +52,10 @@ case class CosineSim(left: Expression, right: Expression)
     case _ => false
   }
 
+  /** Null on: length mismatch, any null element, or a zero-norm side.
+    * The zero-norm case matters operationally: NaN sorts ABOVE all
+    * doubles in Spark, so a NaN cosine would rank a dead all-zeros
+    * vector first in every top-k and pass every >= threshold filter. */
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -61,11 +65,13 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
+    if (na == 0.0 || nb == 0.0) return null
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 

@@ -39,19 +39,12 @@ object Dedup {
     * every "independent" function picks the same argmin shingle, and all
     * signature agreement collapses (observed: 0/64 agreement on docs with
     * jaccard 0.86). Products stay under 62 bits so ANSI overflow checking
-    * never trips. Constants derive from a splitmix64-style mix of the
-    * index — no RNG state, reproducible everywhere. */
-  private val M31 = 2147483647L
-  private def hashFamily(n: Int): Seq[(Long, Long)] = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    (0 until n).map(i => ((mix(i.toLong * 2) & M31) | 1L,
-      mix(i.toLong * 2 + 1) & M31))
-  }
+    * never trips. Constants are the SAME family the native MinHashSig
+    * expression uses — one source of truth keeps column-level and native
+    * signatures interchangeable. */
+  private val M31 = graft.expressions.MinHash.M31
+  private def hashFamily(n: Int): Seq[(Long, Long)] =
+    graft.expressions.MinHash.hashFamily(n).toSeq
 
   /** MinHash signature (array of `numHashes` longs) over word
     * `k`-shingles. Pure expressions — no UDF, no shuffle. */
@@ -222,12 +215,17 @@ object Dedup {
   // ---- embedding cosine near-dup ----------------------------------------
 
   /** Embedding near-dup: LSH-bucket by hyperplane signs (Similarity
-    * module), verify cosine ≥ threshold within buckets. */
+    * module), verify cosine ≥ threshold within buckets. `dim` must match
+    * the embedding dimension — a mismatched hyperplane would null every
+    * projection and collapse all rows into one bucket (all-pairs!), so
+    * it is probed from the data when not supplied. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 12,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim
+      else df.select(size(col(vecCol))).first().getInt(0)
     val bucketed = df.select(col(idCol), col(vecCol),
-      Similarity.hyperplaneBucket(col(vecCol), 64, planes, seed)
+      Similarity.hyperplaneBucket(col(vecCol), d, planes, seed)
         .as("bucket"))
     val l = bucketed.select(col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("v_a"))

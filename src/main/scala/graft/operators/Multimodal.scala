@@ -90,9 +90,14 @@ object Multimodal {
       expr(s"substring(payload, 1, greatest(1, cast(octet_length(payload)" +
         s" * (($newW * $newH) / greatest(meta.width * meta.height, 1.0))" +
         s" as int)))").as("payload"),
-      struct(col("meta.media_type").as("media_type"),
-        col("meta.format").as("format"),
-        lit(newW).as("width"), lit(newH).as("height"),
-        col("meta.duration_ms").as("duration_ms"),
-        col("meta.size_bytes").as("size_bytes")).as("meta"))
+      col("meta"))
+      .select(col("media_id"), col("payload"),
+        // size_bytes recomputed from the NEW payload — stale metadata
+        // would poison the metadata-first pruning contract
+        struct(col("meta.media_type").as("media_type"),
+          col("meta.format").as("format"),
+          lit(newW).as("width"), lit(newH).as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          octet_length(col("payload")).cast("long").as("size_bytes"))
+          .as("meta"))
 }

@@ -62,7 +62,11 @@ object TextAnalysis {
     val punctOk = lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))
     val digitOk = lit(1.0) - least(digitRatio(c) * 5.0, lit(1.0))
     val wordOk = when(meanTokenLen(c).between(3.0, 10.0), 1.0).otherwise(0.5)
-    round((lenScore * 0.4 + punctOk * 0.25 + digitOk * 0.25 + wordOk * 0.1), 6)
+    // explicit null guard: least() SKIPS nulls, so without it a NULL text
+    // would score lenScore=1.0 and rank as high-quality junk
+    when(c.isNull, 0.0).otherwise(
+      round((lenScore * 0.4 + punctOk * 0.25 + digitOk * 0.25
+        + wordOk * 0.1), 6))
   }
 
   /** Marker-word profiles for the n-gram-heuristic language id. Small by

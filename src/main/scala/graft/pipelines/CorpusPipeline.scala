@@ -38,7 +38,7 @@ object CorpusPipeline {
   /** Full clean: returns (cleanCorpus, statsRow). The post-exact-dedup
     * frame is persisted — it feeds BOTH the MinHash pass and the final
     * anti-join, and the per-stage counts would otherwise recompute the
-    * whole prefix per action (measured 10.3 s → 4.8 s at sf0.1). */
+    * whole prefix per action (measured 10.3 s → 7.9 s at sf0.1). */
   def clean(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): (DataFrame, Map[String, Long]) = {
     val n0 = docs.count()
@@ -55,8 +55,12 @@ object CorpusPipeline {
     val dupPairs = Dedup.minhashDupPairs(survivors, idCol, textCol,
       k = cfg.shingleK, threshold = cfg.minhashThreshold)
     val losers = dupPairs.select(col("id_b").as(idCol)).distinct()
+    // localCheckpoint severs lineage to the cached frame so it can be
+    // released here instead of leaking across calls
     val cleaned = survivors.join(losers, Seq(idCol), "left_anti")
+      .localCheckpoint()
     val n3 = cleaned.count()
+    exact.unpersist()
     (cleaned, Map(
       "input" -> n0, "after_lang_quality" -> n1,
       "after_exact_dedup" -> (n1 - nDups), "after_near_dedup" -> n3))

@@ -22,16 +22,19 @@ object Jdbc {
       partitionRead: Option[(String, Long, Long, Int)] = None)
 
   /** Options for reading `query` (pushdown happens in the database —
-    * exactly the reference's hand-written SELECT ... WHERE). */
+    * exactly the reference's hand-written SELECT ... WHERE).
+    * Spark forbids combining the `query` option with partitionColumn, so
+    * partitioned reads wrap the query as a dbtable subquery alias. */
   def readOptions(cfg: JdbcConfig, query: String): Map[String, String] = {
     val base = Map(
       "url" -> cfg.url, "user" -> cfg.user, "password" -> cfg.password,
-      "query" -> query, "fetchsize" -> cfg.fetchSize.toString)
+      "fetchsize" -> cfg.fetchSize.toString)
     cfg.partitionRead match {
       case Some((col, lo, hi, n)) => base ++ Map(
+        "dbtable" -> s"($query) graft_sub",
         "partitionColumn" -> col, "lowerBound" -> lo.toString,
         "upperBound" -> hi.toString, "numPartitions" -> n.toString)
-      case None => base
+      case None => base + ("query" -> query)
     }
   }
 

@@ -134,12 +134,15 @@ object Validator {
       count(col(c)).as(s"${c}__nonnull"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot to (column, min, max, avg, non_null) rows
+    // unpivot to (column, min, max, avg, non_null) rows; min/max/avg are
+    // null for an empty table or all-null column — exactly the degenerate
+    // inputs a validator must survive, so box nulls instead of getDouble
     val spark = df.sparkSession
     val r = row.collect()(0)
+    def d(i: Int): java.lang.Double =
+      if (r.isNullAt(i)) null else java.lang.Double.valueOf(r.getDouble(i))
     val out = cols.zipWithIndex.map { case (c, i) =>
-      Row(c, r.getDouble(i * 4), r.getDouble(i * 4 + 1),
-        r.getDouble(i * 4 + 2), r.getLong(i * 4 + 3))
+      Row(c, d(i * 4), d(i * 4 + 1), d(i * 4 + 2), r.getLong(i * 4 + 3))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1),
       StructType(Seq(

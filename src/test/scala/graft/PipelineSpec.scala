@@ -14,7 +14,8 @@ class PipelineSpec extends SparkSpec {
     // E1: source load
     val db = Pipelines.sourceLoad(spark, root, nFacts = 500,
       dateId = 20240115)
-    assert(db.facts.count() > 0 && db.products.count() === 50)
+    assert(db.facts.count() === 500) // generator honors n exactly
+    assert(db.products.count() === 50)
 
     // E2: extract + snapshot (star join, ordered, pipe CSV)
     val snapshot = Pipelines.extract(spark, db, root)
