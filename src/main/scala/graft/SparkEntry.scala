@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AnalyticQueries, CleansingQueries, CoreQueries, DateDimQueries, FilterQueries, IoQueries, LlmQueries, OpsQueries, StreamQueries, ValidateQueries}
+import graft.queries.{AnalyticQueries, CleansingQueries, CoreQueries, DateDimQueries, FilterQueries, IoQueries, LlmQueries, OpsQueries, StreamQueries, ValidateQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,7 @@ object SparkEntry {
     FilterQueries.queries -> FilterQueries.oracles,
     StreamQueries.queries -> StreamQueries.oracles,
     AnalyticQueries.queries -> AnalyticQueries.oracles,
+    WindowQueries.queries -> WindowQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.Tables
+import graft.Tables.{dsum, dec2, dec4}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Capability breadth beyond the reference's own surface (SURVEY §2.5
+  * notes the reference has no ranking/lag/frames — a complete engine its
+  * users can grow into needs them): window functions with frames,
+  * ROLLUP hierarchies, pivot, and correlated-subquery shapes. All
+  * oracle-checked against DuckDB's independent implementations.
+  */
+object WindowQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // ---- rank / lag / running-sum frames over per-customer orders -------
+    "w4_window_frames" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("order_date"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          dec2(col("o_totalprice")).as("price"))
+        .withColumn("order_rank", row_number().over(byCust))
+        .withColumn("prev_price",
+          lag(col("price"), 1).over(byCust).cast("double"))
+        .withColumn("running_spend",
+          sum(col("price")).over(byCust.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).cast("double"))
+        .withColumn("price", col("price").cast("double"))
+        .orderBy(col("o_custkey"), col("order_rank"))
+    }),
+
+    // ---- ROLLUP: revenue by region→nation hierarchy with subtotals ------
+    "g1_rollup" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name").asc_nulls_first,
+          col("n_name").asc_nulls_first)
+    }),
+
+    // ---- pivot: order counts per status × priority ----------------------
+    "pv1_pivot_status" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- Q18 shape: customers with any large order (HAVING + semi) ------
+    "q18_big_orders" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("total_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- Q16 shape: NOT IN correlated exclusion -------------------------
+    "q16_not_in" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val su = Tables.supplier(s, d)
+      val li = Tables.lineitem(s, d)
+      // suppliers with below-zero balance are "complained about"
+      val badSupp = su.filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val liOk = li.join(badSupp, col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      liOk.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+        .limit(25)
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "w4_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS price,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_rank,
+        |  CAST(lag(CAST(o_totalprice AS DECIMAL(15,2)), 1) OVER w
+        |    AS DOUBLE) AS prev_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_rank""".stripMargin,
+
+    "g1_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "pv1_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT o_orderkey, o_custkey, total_qty FROM orders
+        |JOIN (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    > 150.0
+        |) big ON o_orderkey = big.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q16_not_in" ->
+      """SELECT p_brand, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 25""".stripMargin,
+  )
+}
