@@ -30,19 +30,40 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  /** Real doGenCode (not CodegenFallback): calls back into this
-    * instance via a reference object, so the surrounding projection
-    * stays inside one whole-stage-codegen span instead of being split
-    * at a fallback boundary. */
+  /** Fully inlined doGenCode: emits the fused loop directly into the
+    * whole-stage-codegen function — no reference-object call, no Double
+    * boxing per row. This is the hot path of brute-force/IVF ANN where
+    * the expression runs once per (vector, query) PAIR; at cluster scale
+    * that is billions of invocations. Logic mirrors nullSafeEval
+    * exactly (same accumulation order → same bits). */
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("cosineSimExpr", this,
-      classOf[CosineSim].getName)
+    val af = elemIsFloat(left); val bf = elemIsFloat(right)
+    def get(arr: String, i: String, isFloat: Boolean): String =
+      if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val bad = ctx.freshName("bad")
       s"""
-         |Object cosR = $ref.nullSafeEval($a, $b);
-         |if (cosR == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((java.lang.Double) cosR).doubleValue(); }
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    double $x = ${get(a, i, af)};
+         |    double $y = ${get(b, i, bf)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if ($bad || $na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+         |  else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na)
+         |      * java.lang.Math.sqrt($nb));
+         |  }
+         |}
        """.stripMargin
     })
   }

@@ -214,19 +214,23 @@ object Dedup {
 
   // ---- embedding cosine near-dup ----------------------------------------
 
-  /** Embedding near-dup: LSH-bucket by hyperplane signs (Similarity
-    * module), verify cosine ≥ threshold within buckets. `dim` must match
-    * the embedding dimension — a mismatched hyperplane would null every
-    * projection and collapse all rows into one bucket (all-pairs!), so
-    * it is probed from the data when not supplied. */
+  /** Embedding near-dup: multi-probe LSH bucketing by hyperplane signs
+    * (Similarity module), verify cosine ≥ threshold within buckets.
+    * Multi-probe matters for TRUE near-dups (not just rescaled copies):
+    * a pair whose projection sits near one hyperplane differs in one
+    * sign bit and single-bucket LSH misses it; probing the
+    * lowest-margin flips recovers those pairs.
+    * `dim` must match the embedding dimension — a mismatched hyperplane
+    * would null every projection and collapse all rows into one bucket
+    * (all-pairs!), so it is probed from the data when not supplied. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 12,
-      seed: Long = 42L, dim: Int = -1): DataFrame = {
+      seed: Long = 42L, dim: Int = -1, probes: Int = 2): DataFrame = {
     val d = if (dim > 0) dim
       else df.select(size(col(vecCol))).first().getInt(0)
     val bucketed = df.select(col(idCol), col(vecCol),
-      Similarity.hyperplaneBucket(col(vecCol), d, planes, seed)
-        .as("bucket"))
+      explode(Similarity.multiProbeBuckets(col(vecCol), d, planes, seed,
+        probes)).as("bucket"))
     val l = bucketed.select(col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("v_a"))
     val r = bucketed.select(col("bucket"), col(idCol).as("id_b"),

@@ -52,6 +52,35 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Multi-probe buckets: the exact bucket plus `probes` neighbors with
+    * the LOWEST-MARGIN sign flipped first — a near-dup pair whose
+    * projection sits close to one hyperplane lands one bit apart, and
+    * single-bucket LSH misses it. Probing the most-uncertain bits
+    * recovers those pairs at the cost of (probes+1)× bucket rows.
+    * Returns an array of bucket ids; explode and join on the element. */
+  def multiProbeBuckets(vec: Column, dim: Int, planes: Int, seed: Long,
+      probes: Int): Column = {
+    val ws = hyperplanes(dim, planes, seed)
+    val dots = ws.map(w => dot(vec, typedLit(w)))
+    val base = dots.zipWithIndex.map { case (dp, p) =>
+      when(dp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // rank planes by |margin| ascending: flip the most uncertain ones
+    val ranked = array_sort(array(dots.zipWithIndex.map { case (dp, p) =>
+      struct(abs(dp).as("m"), lit(p).as("p"))
+    }: _*))
+    // shiftleft needs a literal count; resolve the dynamic plane index
+    // through a when-ladder (planes is small)
+    def maskFor(pcol: Column): Column =
+      (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
+        when(pcol === p, lit(1L << p)).otherwise(acc)
+      }
+    val flips = (0 until math.min(probes, planes)).map { i =>
+      base.bitwiseXOR(maskFor(element_at(ranked, i + 1).getField("p")))
+    }
+    array((base +: flips): _*)
+  }
+
   /** Exact top-k neighbors for each query (queries: (qid, qvec), small →
     * broadcast; data never shuffles until the per-query window). */
   def bruteForceTopK(data: DataFrame, idCol: String, vecCol: String,

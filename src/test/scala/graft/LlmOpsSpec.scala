@@ -172,4 +172,31 @@ class LlmOpsSpec extends SparkSpec {
       .filter(not(col("n") <=> col("c"))).count()
     assert(diff === 0) // bit-identical, not just approximately equal
   }
+
+  test("multi-probe LSH recovers additively-perturbed near-dups") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    // ADDITIVE noise (not scaling): can flip low-margin hyperplane signs
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x + when(i % 2 === 0, 0.002).otherwise(-0.002))
+          .as("embedding"))
+    val all = emb.unionByName(planted)
+    val expected = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").as[Long].collect()
+      .map(i => (i, i + 10000L)).toSet
+    def recall(probes: Int): Double = {
+      val pairs = Dedup.embeddingDupPairs(all, "vec_id", "embedding",
+        threshold = 0.99, planes = 8, probes = probes)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      expected.intersect(pairs).size.toDouble / expected.size
+    }
+    val single = recall(0)
+    val multi = recall(2)
+    assert(multi >= single)
+    assert(multi >= 0.9, s"multi-probe recall=$multi (single=$single)")
+  }
 }
