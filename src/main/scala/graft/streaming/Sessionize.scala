@@ -40,6 +40,64 @@ object Sessionize {
   final case class UserStats(user_id: Long, n_events: Long,
       sum_value: Double, n_purchases: Long)
 
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp,
+      value: Double)
+  final case class ClosedSession(user_id: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long, sum_value: Double)
+  final case class SessState(startMs: Long, lastMs: Long,
+      n: Long, total: Double)
+
+  /** Custom-state sessionization with EVENT-TIME TIMEOUT — the
+    * flatMapGroupsWithState shape for semantics session_window can't
+    * express (emit-on-close, custom per-session payloads): events fold
+    * into per-user open-session state; when the watermark passes
+    * last_event + gap the timeout fires and the CLOSED session is
+    * emitted exactly once. Batches may carry several sessions' worth of
+    * events — intra-batch gaps close sessions inline. */
+  def closedSessions(events: Dataset[TimedEvent], gapSeconds: Long,
+      watermark: String): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val gapMs = gapSeconds * 1000
+    def fold(userId: Long, rows: Iterator[TimedEvent],
+        state: GroupState[SessState]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator.single(ClosedSession(userId,
+          new java.sql.Timestamp(s.startMs),
+          new java.sql.Timestamp(s.lastMs + gapMs), s.n, s.total))
+      }
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var open = state.getOption
+      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        open match {
+          case Some(s) if t - s.lastMs < gapMs =>
+            open = Some(SessState(s.startMs, math.max(s.lastMs, t),
+              s.n + 1, s.total + e.value))
+          case Some(s) =>
+            closed += ClosedSession(userId, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs + gapMs), s.n, s.total)
+            open = Some(SessState(t, t, 1L, e.value))
+          case None =>
+            open = Some(SessState(t, t, 1L, e.value))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastMs + gapMs)
+      }
+      closed.iterator
+    }
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fold)
+  }
+
   /** Cumulative per-user stats via mapGroupsWithState: each micro-batch
     * folds its events into the user's persistent state and emits the
     * updated totals. Batch mode: single fold (state starts empty). */

@@ -63,4 +63,49 @@ class SessionizeSpec extends SparkSpec {
       .filter(col("count") =!= col("c2")).count()
     assert(diff === 0)
   }
+
+  test("closedSessions: event-time timeout emits closed sessions once") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[Sessionize.TimedEvent]
+    val query = Sessionize.closedSessions(input.toDS(), gapSeconds = 600,
+      watermark = "0 seconds")
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    // batch 1: one open session for user 1
+    input.addData(
+      Sessionize.TimedEvent(1, ts("2024-01-01 00:00:00"), 1.0),
+      Sessionize.TimedEvent(1, ts("2024-01-01 00:05:00"), 2.0))
+    query.processAllAvailable()
+    assert(spark.sql("SELECT * FROM closed_sessions").count() === 0)
+    // batch 2: a much later event closes user 1's session inline AND
+    // advances the watermark past user 2's (absent) state
+    input.addData(
+      Sessionize.TimedEvent(1, ts("2024-01-01 02:00:00"), 5.0))
+    query.processAllAvailable()
+    // the first session closed with 2 events, end = last + gap
+    val rows = spark.sql(
+      "SELECT * FROM closed_sessions ORDER BY session_start").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Long]("n_events") === 2L)
+    assert(rows(0).getAs[java.sql.Timestamp]("session_end").toString
+      === "2024-01-01 00:15:00.0")
+    assert(rows(0).getAs[Double]("sum_value") === 3.0)
+    // batch 3: watermark moves far ahead -> timeout closes the 02:00
+    // session without any new event for user 1
+    input.addData(
+      Sessionize.TimedEvent(2, ts("2024-01-01 06:00:00"), 9.0))
+    query.processAllAvailable()
+    input.addData(
+      Sessionize.TimedEvent(2, ts("2024-01-01 07:00:00"), 1.0))
+    query.processAllAvailable()
+    val rows2 = spark.sql(
+      "SELECT * FROM closed_sessions ORDER BY session_start").collect()
+    query.stop()
+    assert(rows2.length >= 2)
+    val second = rows2(1)
+    assert(second.getAs[Long]("user_id") === 1L)
+    assert(second.getAs[Long]("n_events") === 1L)
+    assert(second.getAs[Double]("sum_value") === 5.0)
+  }
 }
