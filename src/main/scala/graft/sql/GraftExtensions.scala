@@ -1,0 +1,79 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Lower, StringTrim, Upper}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+
+import graft.expressions.{CosineSim, MinHashSig, SimHashSig}
+
+/** Session-extension entry point — the idiomatic way to ship an engine as
+  * a library: users add
+  * `spark.sql.extensions=graft.sql.GraftExtensions` and every session in
+  * the cluster gets the native functions and optimizer rules with no
+  * per-session registration call (unlike [[SqlSurface.registerFunctions]],
+  * which is session-local and imperative).
+  *
+  * Injects:
+  *  - the three native codegen expressions as SQL functions
+  *    (`minhash_sig`, `simhash_sig`, `cosine_sim`);
+  *  - [[CollapseRedundantNormalization]], an optimizer rule for the
+  *    cleansing-expression library.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t) => MinHashSig(t, 3, 64)
+        case Seq(t, Literal(k: Int, _), Literal(n: Int, _)) =>
+          MinHashSig(t, k, n)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(text[, k, numHashes]) — k and numHashes must be " +
+            "integer literals")
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => CollapseRedundantNormalization)
+  }
+}
+
+/** Collapses redundant string-normalization chains that arise when
+  * cleansing functions compose — e.g. `normalize_key` (F11,
+  * load_fact_sales_dw.py:40-43 in the reference) applied to a column that
+  * an earlier stage already cleaned yields `upper(trim(upper(trim(x))))`;
+  * the reference can't see this (each pandas `apply` is opaque), but a
+  * declarative plan can:
+  *
+  *  - `upper(upper(e))`  → `upper(e)`   (idempotent; same for lower)
+  *  - `trim(trim(e))`    → `trim(e)`    (default whitespace trim only)
+  *  - `upper(trim(upper(e)))` → `upper(trim(e))` (case-mapping never adds
+  *    or removes leading/trailing whitespace; same for lower)
+  *
+  * Guarded to the default (UTF8_BINARY) string type — exotic collations
+  * keep their original expression. Runs in the user-provided rule batch
+  * to fixed point, so arbitrarily deep chains collapse fully.
+  */
+object CollapseRedundantNormalization extends Rule[LogicalPlan] {
+
+  private def plainString(e: Expression): Boolean = e.dataType == StringType
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Upper(inner @ Upper(_)) if plainString(inner) => inner
+      case Lower(inner @ Lower(_)) if plainString(inner) => inner
+      case StringTrim(inner @ StringTrim(_, None), None)
+          if plainString(inner) => inner
+      case Upper(StringTrim(Upper(e), None)) if plainString(e) =>
+        Upper(StringTrim(e, None))
+      case Lower(StringTrim(Lower(e), None)) if plainString(e) =>
+        Lower(StringTrim(e, None))
+    }
+}

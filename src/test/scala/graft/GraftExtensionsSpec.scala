@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The session fixture builds with
+  * `spark.sql.extensions=graft.sql.GraftExtensions`, so these tests prove
+  * the library-level injection path end-to-end: no per-session
+  * registration calls anywhere in this spec.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("injected SQL functions work with zero registration calls") {
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(3.0F, 4.0F), array(3.0F, 4.0F)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+
+    val sig = spark.sql(
+      "SELECT minhash_sig('the quick brown fox', 3, 16) AS mh")
+      .collect().head.getSeq[Long](0)
+    assert(sig.size === 16)
+
+    val sh = spark.sql("SELECT simhash_sig('hello world') AS sh")
+      .collect().head.getLong(0)
+    // deterministic: same input → same signature
+    val sh2 = spark.sql("SELECT simhash_sig('hello world') AS sh")
+      .collect().head.getLong(0)
+    assert(sh === sh2)
+  }
+
+  test("redundant normalization chains collapse in the optimized plan") {
+    def uppers(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Int = {
+      var n = 0
+      plan.foreach(_.expressions.foreach(_.foreach {
+        case _: org.apache.spark.sql.catalyst.expressions.Upper => n += 1
+        case _ => ()
+      }))
+      n
+    }
+
+    // parquet-backed input so ConvertToLocalRelation can't pre-evaluate
+    val cust = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    // upper(trim(upper(trim(x)))) — the double-cleaned join-key shape
+    val q = cust.select(
+      upper(trim(upper(trim(col("c_name"))))).as("k"))
+    assert(uppers(q.queryExecution.optimizedPlan) === 1,
+      q.queryExecution.optimizedPlan.toString)
+
+    // semantics preserved: collapsed plan ≡ single normalization
+    val viaOnce = cust.select(upper(trim(col("c_name"))).as("k"))
+      .orderBy("k").collect().toSeq
+    assert(q.orderBy("k").collect().toSeq === viaOnce)
+  }
+
+  test("collapse leaves single normalizations and non-default trims alone") {
+    import spark.implicits._
+    val df = Seq("xax").toDF("v")
+    // trim with an explicit trim-string is NOT idempotent-composable with
+    // the default trim — must survive untouched
+    val r = df.select(trim(trim($"v", "x")).as("t")).collect().head.getString(0)
+    assert(r === "a")
+  }
+}
