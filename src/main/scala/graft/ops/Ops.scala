@@ -108,13 +108,24 @@ object ChangeClassifier {
     *
     * Scale: one shuffle of each side on bk (sort-merge); when `existing`
     * is a dimension (small), Spark's AQE broadcasts it automatically.
+    *
+    * `nullSafeKeys` (default true) matches the reference's pandas-dict
+    * probe, where None components of a composite key DO match (product bk
+    * includes nullable `size`). Pass false when every bk column is
+    * provably non-null (e.g. the fact's concat-built natural_key):
+    * Catalyst rewrites `<=>` joins to hash on `coalesce(k,''),isnull(k)`,
+    * which disqualifies a bucketed `existing` from co-located scans —
+    * plain `===` keeps the bucket layout and the target side unshuffled.
     */
   def classifyChanges(incoming: DataFrame, existing: DataFrame,
-      bk: Seq[String], tracked: Seq[TrackedCol]): DataFrame = {
+      bk: Seq[String], tracked: Seq[TrackedCol],
+      nullSafeKeys: Boolean = true): DataFrame = {
     val in2 = incoming.alias("__in")
     val ex2 = existing.alias("__ex")
-    val joinCond = bk.map(k => col(s"__in.$k") <=> col(s"__ex.$k"))
-      .reduce(_ && _)
+    val joinCond = bk.map { k =>
+      if (nullSafeKeys) col(s"__in.$k") <=> col(s"__ex.$k")
+      else col(s"__in.$k") === col(s"__ex.$k")
+    }.reduce(_ && _)
     val inCols = incoming.columns.map(c => col(s"__in.$c"))
     val inserts = in2.join(ex2, joinCond, "left_anti")
       .withColumn("operation", lit("INSERT"))
@@ -187,14 +198,22 @@ object MergeInto {
     * reference's staging + MERGE + commit.
     *
     * Scale: one shuffle of both sides on the key (sort-merge). With a
-    * bucketed/partitioned target, Spark co-locates and the exchange on
-    * the target side disappears. AQE handles staged-side skew.
+    * bucketed/partitioned target AND `nullSafeKeys=false`, Spark
+    * co-locates and the exchange on the target side disappears
+    * (see [[ChangeClassifier.classifyChanges]] — `<=>` defeats bucket
+    * co-location; Oracle's `MERGE ON (t.k = s.k)` is plain equality
+    * anyway, so false is also the reference-faithful setting). AQE
+    * handles staged-side skew.
     */
   def mergeInto(target: DataFrame, staged: DataFrame, onKeys: Seq[String],
-      updateCols: Seq[String], opCol: Option[String] = None): DataFrame = {
+      updateCols: Seq[String], opCol: Option[String] = None,
+      nullSafeKeys: Boolean = true): DataFrame = {
     val t = target.alias("t")
     val s = staged.alias("s")
-    val cond = onKeys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val cond = onKeys.map { k =>
+      if (nullSafeKeys) col(s"t.$k") <=> col(s"s.$k")
+      else col(s"t.$k") === col(s"s.$k")
+    }.reduce(_ && _)
     val joined0 = t.join(s, cond, "full_outer")
     // NOT MATCHED + op != 'INSERT' rows are dropped (the reference's
     // WHEN NOT MATCHED ... WHERE op='INSERT' guard).

@@ -1,0 +1,82 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Bucketed storage for the DW fact — the 100 TB path for the E3 loader.
+  *
+  * The parquet-path variant ([[Pipelines.dwLoad]]) re-shuffles the ENTIRE
+  * target fact on `natural_key` twice per load (classify join + merge
+  * join). At the reference's volumes that is irrelevant; at 100 TB the
+  * target-side exchange dominates the whole pipeline. Storing the fact as
+  * a table bucketed by `natural_key` makes the target's scan report
+  * `HashPartitioning(natural_key, n)`, so every equi-join in the load —
+  * classify left-anti, classify inner, fact-key re-attach, and the merge
+  * full-outer — co-locates on the bucket layout and only the (small)
+  * incoming delta is exchanged. The merge output is already partitioned
+  * on `natural_key`, so the bucketed write-back needs no extra shuffle
+  * either: total data moved per load is O(delta), not O(target).
+  *
+  * Mirrors the reference's staging+MERGE+commit re-runnability
+  * (load_fact_sales_dw.py:390-418): the merged result lands in a staging
+  * table first, then swaps in via DROP + RENAME.
+  *
+  * Bucket count: 32 here (matches local[32]); on a real cluster size it
+  * so one bucket ≈ 100-500 MB at the target volume (100 TB → ~8192).
+  */
+object BucketedDw {
+
+  val DefaultBuckets = 32
+
+  /** Create an empty bucketed fact table if absent. */
+  def ensureTable(spark: SparkSession, table: String, schema: StructType,
+      nBuckets: Int = DefaultBuckets): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      writeBucketed(empty, table, nBuckets)
+    }
+
+  private def writeBucketed(df: DataFrame, table: String,
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "natural_key").sortBy("natural_key")
+      .saveAsTable(table)
+
+  /** Atomic-ish swap: stage the merged fact as a new bucketed table, then
+    * DROP old + RENAME staging in (metastore ops, no data rewrite). */
+  def swapIn(spark: SparkSession, merged: DataFrame, table: String,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    val stage = table + "__staging"
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    writeBucketed(merged, stage, nBuckets)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+  }
+
+  /** The E3 fact load against a bucketed target: same stages 4-9 as
+    * [[Pipelines.dwLoad]], but `existing` comes from the bucketed table
+    * and the merge result swaps back in bucketed. Returns
+    * (newDwFacts, stats).
+    */
+  def dwLoad(spark: SparkSession, db: Pipelines.SourceDb,
+      incomingPath: String, table: String = "fact_sales_dw",
+      nBuckets: Int = DefaultBuckets): (DataFrame, Map[String, Long]) = {
+    val (incoming, misses) = Pipelines.prepareIncoming(spark, db,
+      incomingPath)
+    ensureTable(spark, table, incoming.schema.add("fact_key", LongType),
+      nBuckets)
+    val existing = spark.table(table)
+    val (merged, inserts, updates) = Pipelines.stageAndMerge(incoming,
+      existing)
+    val stats = Map(
+      "incoming" -> incoming.count(),
+      "inserts" -> inserts.count(), "updates" -> updates.count()) ++
+      misses.map { case (k, v) => s"miss_$k" -> v }
+    // stats are computed BEFORE the swap: they read `existing`, which the
+    // DROP below would invalidate mid-query otherwise.
+    swapIn(spark, merged, table, nBuckets)
+    (spark.table(table), stats)
+  }
+}

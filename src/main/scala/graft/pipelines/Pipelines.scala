@@ -146,11 +146,12 @@ object Pipelines {
       clean = Some(Cleansing.cleanNumeric),
       targetType = Some(DecimalType(12, 2))))
 
-  /** The 9-stage fact loader (load_fact_sales_dw.py): read incoming →
-    * alias-resolve → clean → resolve the 4 dim keys → drop misses →
-    * classify INSERT/UPDATE vs the current DW state → assign surrogate
-    * keys → merge → overwrite. Returns (newDwFacts, stats). */
-  def dwLoad(spark: SparkSession, db: SourceDb, root: String,
+  /** Stages 4-6 of the fact loader, shared by the parquet-path and
+    * bucketed-table variants: read incoming CSV → alias-resolve → clean →
+    * resolve the 4 dim keys → drop misses → dedupe to the fact grain.
+    * Returns (incoming delta at DW schema minus fact_key, miss counters).
+    */
+  def prepareIncoming(spark: SparkSession, db: SourceDb,
       incomingPath: String): (DataFrame, Map[String, Long]) = {
     val raw = CsvIO.readAllString(spark, incomingPath, sep = "|")
     // stage 4: alias-tolerant schema resolution, all-string → cleaned
@@ -184,17 +185,44 @@ object Pipelines {
         col("GROSS_AMOUNT").cast("double").as("gross_amount"),
         col("DISCOUNT_AMOUNT").cast("double").as("discount_amount"),
         col("NET_AMOUNT").cast("double").as("net_amount"))
+    (incoming, misses)
+  }
+
+  /** The 9-stage fact loader (load_fact_sales_dw.py): read incoming →
+    * alias-resolve → clean → resolve the 4 dim keys → drop misses →
+    * classify INSERT/UPDATE vs the current DW state → assign surrogate
+    * keys → merge → overwrite. Returns (newDwFacts, stats). */
+  def dwLoad(spark: SparkSession, db: SourceDb, root: String,
+      incomingPath: String): (DataFrame, Map[String, Long]) = {
+    val (incoming, misses) = prepareIncoming(spark, db, incomingPath)
     // stage 7: classify vs current DW state
     val dwPath = s"$root/dw/fact_sales"
     val existing = loadOrEmpty(spark, dwPath, incoming.schema
       .add("fact_key", LongType))
+    val (merged, inserts, updates) = stageAndMerge(incoming, existing)
+    val stats = Map(
+      "incoming" -> incoming.count(),
+      "inserts" -> inserts.count(), "updates" -> updates.count()) ++
+      misses.map { case (k, v) => s"miss_$k" -> v }
+    overwriteParquet(spark, merged, dwPath)
+    (spark.read.parquet(dwPath), stats)
+  }
+
+  /** Stages 7-9 minus the write: classify INSERT/UPDATE vs `existing`
+    * (which must carry `fact_key`), assign surrogate keys to the INSERT
+    * set only (W3's lesson), merge. Returns (merged, inserts, updates). */
+  def stageAndMerge(incoming: DataFrame,
+      existing: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val tracked = Seq(TrackedCol("quantity_sold", Some(0.5)),
       TrackedCol("unit_price", Some(0.01)),
       TrackedCol("gross_amount", Some(0.01)),
       TrackedCol("discount_amount", Some(0.01)),
       TrackedCol("net_amount", Some(0.01)))
+    // natural_key is concat-built from non-null keys → plain equality,
+    // which keeps a bucketed `existing` co-located (no target shuffle)
     val staged0 = ChangeClassifier.classifyChanges(incoming,
-      existing.drop("fact_key"), Seq("natural_key"), tracked)
+      existing.drop("fact_key"), Seq("natural_key"), tracked,
+      nullSafeKeys = false)
     // stage 8: surrogate keys for the INSERT set only (W3's lesson)
     val maxKey = SurrogateKeys.currentMax(existing, "fact_key")
     val inserts = SurrogateKeys.assignSequential(
@@ -204,16 +232,11 @@ object Pipelines {
       .join(existing.select("natural_key", "fact_key"), "natural_key")
     val staged = inserts.unionByName(updates.select(inserts.columns
       .map(col).toIndexedSeq: _*))
-    // stage 9: merge + atomic overwrite
+    // stage 9: merge (caller owns the atomic write/swap)
     val merged = MergeInto.mergeInto(existing, staged, Seq("natural_key"),
-      incoming.columns.filterNot(_ == "natural_key").toSeq,
-      opCol = Some("operation"))
-    val stats = Map(
-      "incoming" -> incoming.count(),
-      "inserts" -> inserts.count(), "updates" -> updates.count()) ++
-      misses.map { case (k, v) => s"miss_$k" -> v }
-    overwriteParquet(spark, merged, dwPath)
-    (spark.read.parquet(dwPath), stats)
+      incoming.columns.filterNot(c => c == "natural_key").toSeq,
+      opCol = Some("operation"), nullSafeKeys = false)
+    (merged, inserts, updates)
   }
 
   /** Snowflake lookup-dim maintenance (target_dw's dim_category /
