@@ -69,6 +69,91 @@ object AnalyticQueries {
         .orderBy(col("lost_revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+
+    // ---- Q7 shape: volume shipping between two nations by year ----------
+    "q7_volume_shipping" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_18"
+            && col("cust_nation") === "NATION_19")
+          || (col("supp_nation") === "NATION_19"
+            && col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(net.as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // ---- Q8 shape: a nation's market share within a region by year ------
+    "q8_market_share" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val p = Tables.part(s, d)
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"),
+        col("n_regionkey").as("c_rk"))
+      val r = Tables.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_type") === "PROMO")
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("c_rk") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .withColumn("vol", dec2(col("l_extendedprice"))
+          * (lit(1).cast("decimal(9,4)") - dec4(col("l_discount"))))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        // decimal sums are exact; the double division of the two exact
+        // casts is IEEE-identical across engines
+        .agg((sum(when(col("supp_nation") === "NATION_19", col("vol"))
+            .otherwise(lit(0))).cast("double")
+          / sum(col("vol")).cast("double")).as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_year"))
+    }),
+
+    // ---- Q21 shape: sole late-shipping supplier on multi-supplier orders
+    // (no commit/receipt dates in the synthetic schema, so "late" is
+    // reshaped to shipped >90 days after the order date)
+    "q21_late_suppliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val su = Tables.supplier(s, d)
+      val pairs = li.select(col("l_orderkey").as("ok"),
+        col("l_suppkey").as("sk")).distinct()
+      val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      // EXISTS: some other supplier on the same order
+      val withOther = late.alias("l1").join(pairs.alias("l2"),
+        col("l1.ok") === col("l2.ok") && col("l1.sk") =!= col("l2.sk"),
+        "left_semi")
+      // NOT EXISTS: no other supplier was also late on it
+      val sole = withOther.alias("l1").join(late.alias("l3"),
+        col("l1.ok") === col("l3.ok") && col("l1.sk") =!= col("l3.sk"),
+        "left_anti")
+      sole.join(broadcast(su), col("sk") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    }),
   )
 
   private val netSql = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) " +
@@ -105,5 +190,58 @@ object AnalyticQueries {
          |WHERE l_returnflag = 'R'
          |GROUP BY 1, 2, 3
          |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+         |  $netSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+         |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH vols AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |    n1.n_name AS supp_nation,
+        |    CAST(l_extendedprice AS DECIMAL(15,2))
+        |      * (CAST(1 AS DECIMAL(9,4))
+        |         - CAST(l_discount AS DECIMAL(9,4))) AS vol
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'ASIA')
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_19' THEN vol
+        |           ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+        |  COUNT(*) AS n_lines
+        |FROM vols GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q21_late_suppliers" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+        |pairs AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.sk = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM pairs l2
+        |              WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.ok = l1.ok AND l3.sk <> l1.sk)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
   )
 }
