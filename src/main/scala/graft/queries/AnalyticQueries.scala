@@ -135,22 +135,22 @@ object AnalyticQueries {
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
       val su = Tables.supplier(s, d)
-      val pairs = li.select(col("l_orderkey").as("ok"),
-        col("l_suppkey").as("sk")).distinct()
-      val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") >
-          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      // EXISTS: some other supplier on the same order
-      val withOther = late.alias("l1").join(pairs.alias("l2"),
-        col("l1.ok") === col("l2.ok") && col("l1.sk") =!= col("l2.sk"),
-        "left_semi")
-      // NOT EXISTS: no other supplier was also late on it
-      val sole = withOther.alias("l1").join(late.alias("l3"),
-        col("l1.ok") === col("l3.ok") && col("l1.sk") =!= col("l3.sk"),
-        "left_anti")
-      sole.join(broadcast(su), col("sk") === col("s_suppkey"))
+      // EXISTS(other supplier) ∧ NOT EXISTS(other late supplier) ≡
+      // per-order: distinct suppliers > 1 ∧ late suppliers == 1 — the
+      // decorrelated form, as two pipelined aggregations (per-pair late
+      // flag, then per-order counts) instead of semi+anti re-joins.
+      // Deliberately NOT countDistinct×2: multiple distinct aggregates
+      // plan an Expand that triples the rows into the shuffle.
+      val isLate = max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1).otherwise(0))
+      val perPair = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(isLate.as("is_late"))
+      val perOrder = perPair.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"),
+          max(when(col("is_late") === 1, col("l_suppkey"))).as("late_sk"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+      perOrder.join(broadcast(su), col("late_sk") === col("s_suppkey"))
         .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(20)
     }),
