@@ -31,6 +31,39 @@ object Dedup {
       .withColumn("is_duplicate", col("dup_rank") > 1)
   }
 
+  /** Exact dedup that never shuffles the payload — the 100 TB variant of
+    * [[exactDedup]] (which windows over content_hash, moving every text
+    * byte through the exchange). Winners (min-id per hash) are computed
+    * on a narrow (hash, id) projection — the only thing shuffled is ~40
+    * bytes/row after map-side partial agg — and joined back on `idCol`,
+    * where AQE broadcasts the winner set when it fits and the storage
+    * layout (id-bucketed at scale) co-locates otherwise. Output: input
+    * plus (content_hash, is_duplicate); no dup_rank (rank needs the
+    * window — use [[exactDedup]] when you need it). */
+  def exactDedupNarrow(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val hashed = df.withColumn("content_hash", contentHash(col(textCol)))
+    val winners = hashed.select(col("content_hash"), col(idCol))
+      .groupBy(col("content_hash")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol)).withColumn("__winner", lit(true))
+    hashed.join(winners, Seq(idCol), "left")
+      .withColumn("is_duplicate", col("__winner").isNull)
+      .drop("__winner")
+  }
+
+  /** Just the duplicate ids (everything except the min-id winner of each
+    * content hash) — the cheapest exact-dedup currency for a pipeline:
+    * the caller anti-joins this (tiny, broadcastable) set against the
+    * corpus and no payload byte is ever shuffled or re-materialized. */
+  def exactDupIds(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val pairs = df.select(col(idCol),
+      contentHash(col(textCol)).as("content_hash"))
+    val winners = pairs.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("__win"))
+    pairs.join(winners, Seq("content_hash"))
+      .filter(col(idCol) =!= col("__win")).select(col(idCol))
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** Deterministic universal hash family over a 31-bit-reduced shingle

@@ -17,8 +17,9 @@ import graft.operators.{Dedup, TextAnalysis => TA}
   *     → corpus stats.
   *
   * Every stage is a narrow transformation or a bounded bucket-join; the
-  * only full shuffles are the exact-dedup hash partition and the LSH
-  * band join.
+  * only full shuffles move narrow keys — the exact-dedup (hash, id)
+  * pairs and the LSH band join — document payloads never enter an
+  * exchange.
   */
 object CorpusPipeline {
 
@@ -35,23 +36,30 @@ object CorpusPipeline {
       .withColumn("n_tokens", TA.tokenCountWs(col(textCol)))
       .withColumn("fingerprint", TA.fingerprint(col(textCol)))
 
-  /** Full clean: returns (cleanCorpus, statsRow). The post-exact-dedup
-    * frame is persisted — it feeds BOTH the MinHash pass and the final
-    * anti-join, and the per-stage counts would otherwise recompute the
-    * whole prefix per action (measured 10.3 s → 7.9 s at sf0.1). */
+  /** Full clean: returns (cleanCorpus, statsRow). The filtered+annotated
+    * frame is persisted — it feeds the dedup winner agg, the dedup probe
+    * side, the MinHash pass, and the final anti-join, and the per-stage
+    * counts would otherwise recompute the regex-heavy annotation per
+    * action. Exact dedup is the narrow (no-payload-shuffle) variant. */
   def clean(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): (DataFrame, Map[String, Long]) = {
     val n0 = docs.count()
     val annotated = annotate(docs, textCol)
+    // persist the filtered, annotated corpus: the regex-heavy annotation
+    // runs ONCE, and every later stage (dedup winner agg, dedup probe,
+    // MinHash, final anti-join) reads the cache instead of re-scanning
     val kept = annotated
       .filter(col("lang_id").isin(cfg.langs: _*))
       .filter(col("quality") >= cfg.minQuality)
-    val exact = Dedup.exactDedup(kept, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n1 = exact.count() // materializes once; kept-count derived below
-    val nDups = exact.filter(col("is_duplicate")).count()
-    val survivors = exact.filter(!col("is_duplicate"))
-      .drop("content_hash", "dup_rank", "is_duplicate")
+    val n1 = kept.count()
+    // narrow exact dedup: only (hash, id) pairs move; the loser-id set is
+    // tiny (persisted) and the corpus is never re-materialized — each
+    // stage is the cached corpus + a broadcast anti-join
+    val exactLosers = Dedup.exactDupIds(kept, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDups = exactLosers.count()
+    val survivors = kept.join(exactLosers, Seq(idCol), "left_anti")
     val dupPairs = Dedup.minhashDupPairs(survivors, idCol, textCol,
       k = cfg.shingleK, threshold = cfg.minhashThreshold)
     val losers = dupPairs.select(col("id_b").as(idCol)).distinct()
@@ -60,7 +68,8 @@ object CorpusPipeline {
     val cleaned = survivors.join(losers, Seq(idCol), "left_anti")
       .localCheckpoint()
     val n3 = cleaned.count()
-    exact.unpersist()
+    exactLosers.unpersist()
+    kept.unpersist()
     (cleaned, Map(
       "input" -> n0, "after_lang_quality" -> n1,
       "after_exact_dedup" -> (n1 - nDups), "after_near_dedup" -> n3))

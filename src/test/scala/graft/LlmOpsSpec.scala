@@ -56,6 +56,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === Seq(false, true, false))
   }
 
+  test("narrow exact dedup agrees with the window form on real docs") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val mangled = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 50000L).as("doc_id"),
+        upper(col("text")).as("text")) // case variant -> exact dup
+    val all = docs.unionByName(mangled)
+    val viaWindow = Dedup.exactDedup(all, "text", "doc_id")
+      .filter(col("is_duplicate")).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val viaNarrow = Dedup.exactDedupNarrow(all, "text", "doc_id")
+      .filter(col("is_duplicate")).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val viaIds = Dedup.exactDupIds(all, "text", "doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(viaNarrow === viaWindow)
+    assert(viaIds === viaWindow)
+    assert(viaWindow.nonEmpty) // the planted variants were caught
+  }
+
   test("minhashDupPairs finds planted near-dups; extras are real dups") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val planted = docs.filter(col("doc_id") % 10 === 0)

@@ -8,7 +8,7 @@ object QBench {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    val q = graft.queries.AnalyticQueries.queries(args(0))
+    val q = SparkEntry.queries(args(0))
     // warm
     q(spark, d).collect()
     val times = (1 to 5).map { _ =>
