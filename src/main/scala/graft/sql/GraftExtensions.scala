@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => CollapseRedundantNormalization)
+    // MERGE INTO for plain parquet tables (see MergeSql): rewrite the
+    // parsed-but-unresolved MergeIntoTable before the analyzer rejects
+    // it for non-row-level-operation tables
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

@@ -1,0 +1,213 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `MERGE INTO` SQL for plain (v1 parquet) tables.
+  *
+  * The reference's users speak Oracle `MERGE INTO ... USING staging ON
+  * (bk) WHEN MATCHED [AND guard] THEN UPDATE ... WHEN NOT MATCHED [AND
+  * guard] THEN INSERT ...` (load_dim_product_dw.py:634-670,
+  * load_fact_sales_dw.py:390-418). Spark's parser accepts the syntax but
+  * execution requires a `SupportsRowLevelOperations` v2 table, which
+  * parquet is not — so [[GraftSqlParser]] (injected via
+  * `spark.sql.extensions`) rewrites the freshly parsed, fully unresolved
+  * [[MergeIntoTable]] into [[GraftMergeCommand]], which executes the
+  * same full-outer-join merge as [[graft.ops.MergeInto]] and swaps the
+  * result in atomically (staging table + DROP + RENAME), preserving the
+  * target's bucketing layout.
+  *
+  * Supported shape (the reference's, exactly): plain table refs on both
+  * sides, ≤1 `WHEN MATCHED [AND c] THEN UPDATE SET * | SET a=b,...`,
+  * ≤1 `WHEN NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (...)`.
+  * Anything else (DELETE actions, NOT MATCHED BY SOURCE, subquery
+  * sources, schema evolution) falls through untouched to Spark's own
+  * path and error messages. As with SQL MERGE, the source must be
+  * unique on the join keys (the reference pre-assigns keys for the same
+  * reason — load_dim_product_dw.py:628-631).
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewrite(delegate.parsePlan(sqlText))
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable => MergeSql.tryRewrite(m).getOrElse(m)
+    case other => other
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object MergeSql {
+
+  /** A plain table reference: (multipart name, SQL-visible alias). */
+  private def tableRef(p: LogicalPlan): Option[(Seq[String], String)] =
+    p match {
+      case SubqueryAlias(ident, UnresolvedRelation(parts, _, _)) =>
+        Some((parts, ident.name))
+      case UnresolvedRelation(parts, _, _) => Some((parts, parts.last))
+      case _ => None
+    }
+
+  /** Rewrite if the MERGE is within the supported shape, else None. */
+  def tryRewrite(m: MergeIntoTable): Option[LogicalPlan] = {
+    if (m.withSchemaEvolution || m.notMatchedBySourceActions.nonEmpty)
+      return None
+    val okMatched = m.matchedActions.size <= 1 && m.matchedActions.forall {
+      case _: UpdateStarAction | _: UpdateAction => true
+      case _ => false
+    }
+    val okNotMatched = m.notMatchedActions.size <= 1 &&
+      m.notMatchedActions.forall {
+        case _: InsertStarAction | _: InsertAction => true
+        case _ => false
+      }
+    if (!okMatched || !okNotMatched) return None
+    for {
+      (tParts, tAlias) <- tableRef(m.targetTable)
+      (sParts, sAlias) <- tableRef(m.sourceTable)
+      if tParts.size <= 2 && sParts.size <= 2
+    } yield GraftMergeCommand(tParts, tAlias, sParts, sAlias,
+      new MergeSpec(m.mergeCondition, m.matchedActions.headOption,
+        m.notMatchedActions.headOption))
+  }
+}
+
+/** Opaque holder for the (deliberately unresolved) merge expressions.
+  * A plain class, not a Product of Expressions: TreeNode reflection must
+  * NOT surface these as the command's expressions, or CheckAnalysis
+  * would fail them as unresolved — they resolve later, against the
+  * re-aliased DataFrames inside [[GraftMergeCommand.run]]. */
+final class MergeSpec(
+    val condition: Expression,
+    val matched: Option[MergeAction],
+    val notMatched: Option[MergeAction]) extends Serializable {
+  override def toString: String =
+    s"on=$condition matched=$matched notMatched=$notMatched"
+}
+
+/** Driver-side merge execution: full-outer join on the (unresolved, so
+  * alias-correct) ON condition, per-column case analysis, atomic swap.
+  */
+final case class GraftMergeCommand(
+    targetParts: Seq[String], targetAlias: String,
+    sourceParts: Seq[String], sourceAlias: String,
+    spec: MergeSpec) extends LeafRunnableCommand {
+
+  private def condition: Expression = spec.condition
+  private def matched: Option[MergeAction] = spec.matched
+  private def notMatched: Option[MergeAction] = spec.notMatched
+
+  override def output: Seq[Attribute] = Seq.empty
+
+  private def ident(parts: Seq[String]): TableIdentifier = parts match {
+    case Seq(t) => TableIdentifier(t)
+    case Seq(db, t) => TableIdentifier(t, Some(db))
+    case _ => throw new IllegalArgumentException(parts.mkString("."))
+  }
+
+  private def nameOf(e: Expression): String = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      a.nameParts.last
+    case other => throw new IllegalArgumentException(
+      s"unsupported assignment key: $other")
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tName = targetParts.mkString(".")
+    val sName = sourceParts.mkString(".")
+    val targetSchema = spark.table(tName).schema
+    val t = spark.table(tName)
+      .withColumn("__t_present", lit(true)).alias(targetAlias)
+    val s = spark.table(sName)
+      .withColumn("__s_present", lit(true)).alias(sourceAlias)
+    val joined = t.join(s, ColumnBridge.column(condition), "full_outer")
+
+    val tPresent = col(s"$targetAlias.__t_present").isNotNull
+    val sPresent = col(s"$sourceAlias.__s_present").isNotNull
+    def cond(a: Option[Expression]): Column =
+      a.map(ColumnBridge.column).getOrElse(lit(true))
+
+    // per-target-column value in the UPDATE branch
+    val updCond = cond(matched.flatMap(_.condition))
+    def updValue(c: String): Column = matched match {
+      case Some(_: UpdateStarAction) | None => col(s"$sourceAlias.$c")
+      case Some(UpdateAction(_, assigns, _)) =>
+        assigns.find(a => nameOf(a.key).equalsIgnoreCase(c))
+          .map(a => ColumnBridge.column(a.value))
+          .getOrElse(col(s"$targetAlias.$c"))
+      case Some(other) => throw new IllegalStateException(other.toString)
+    }
+    // per-target-column value in the INSERT branch
+    val insCond = cond(notMatched.flatMap(_.condition))
+    def insValue(c: String): Column = notMatched match {
+      case Some(_: InsertStarAction) | None => col(s"$sourceAlias.$c")
+      case Some(InsertAction(_, assigns)) =>
+        assigns.find(a => nameOf(a.key).equalsIgnoreCase(c))
+          .map(a => ColumnBridge.column(a.value))
+          .getOrElse(lit(null))
+      case Some(other) => throw new IllegalStateException(other.toString)
+    }
+
+    // matched & guard → update; matched & !guard / target-only → keep;
+    // source-only & guard → insert; source-only & !guard → drop
+    val keep =
+      if (notMatched.isEmpty) tPresent
+      else tPresent || insCond
+    val outCols = targetSchema.fields.map { f =>
+      val c = f.name
+      val tCol = col(s"$targetAlias.$c")
+      val base =
+        if (matched.isEmpty) when(tPresent, tCol).otherwise(insValue(c))
+        else when(tPresent && sPresent,
+            when(updCond, updValue(c)).otherwise(tCol))
+          .when(tPresent, tCol)
+          .otherwise(insValue(c))
+      base.cast(f.dataType).as(c)
+    }
+    val result = joined.filter(keep).select(outCols.toIndexedSeq: _*)
+
+    // atomic-ish swap preserving format + bucketing
+    val catalog = spark.sessionState.catalog
+    val meta = catalog.getTableMetadata(ident(targetParts))
+    val stageParts = targetParts.init :+ (targetParts.last + "__merge_stg")
+    val stageName = stageParts.mkString(".")
+    spark.sql(s"DROP TABLE IF EXISTS $stageName")
+    val writer = result.write.mode("overwrite")
+      .format(meta.provider.getOrElse("parquet"))
+    meta.bucketSpec.foreach { bs =>
+      val w2 = writer.bucketBy(bs.numBuckets,
+        bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+      if (bs.sortColumnNames.nonEmpty)
+        w2.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+    }
+    writer.saveAsTable(stageName)
+    spark.sql(s"DROP TABLE $tName")
+    spark.sql(s"ALTER TABLE $stageName RENAME TO $tName")
+    Seq.empty
+  }
+}
