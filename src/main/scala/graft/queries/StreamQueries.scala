@@ -27,6 +27,19 @@ object StreamQueries {
         Tables.events(s, d), "ts", "event_type", "1 hour", "1 day")
         .orderBy(col("window_start"), col("event_type"))
     }),
+
+    // as-of join: each click enriched with the latest preceding view's
+    // value for the same user (union+window form — one shuffle)
+    "aj1_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.AsOf.asofJoin(clicks, views, Seq("user_id"), "ts",
+        pickCols = Seq("value"), ordCol = Some("event_id"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -60,5 +73,18 @@ object StreamQueries {
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "aj1_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.user_id, c.ts, c.event_id, c.value,
+        |  (SELECT v.value FROM views v
+        |   WHERE v.user_id = c.user_id AND v.ts <= c.ts
+        |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS value_asof
+        |FROM clicks c ORDER BY c.event_id""".stripMargin,
   )
 }
