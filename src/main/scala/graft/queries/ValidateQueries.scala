@@ -56,6 +56,15 @@ object ValidateQueries {
       Validator.numericProfile(messyEvents(s, d), Seq("value", "user_id"))
         .orderBy(col("column"))
     }),
+
+    // sketch profile (HLL++ distinct + approx median): rows-only gate —
+    // sketch values are engine-specific; error bounds are spec-pinned
+    // against the exact aggregates in ChecksApproxSpec
+    "v8b_approx_profile" -> ((s, d) => {
+      Validator.approxProfile(Tables.lineitem(s, d),
+        Seq("l_extendedprice", "l_partkey", "l_quantity"))
+        .orderBy(col("column"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(

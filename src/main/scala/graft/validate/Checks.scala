@@ -125,6 +125,36 @@ object Validator {
 
   /** V8: numeric profile per column in one pass (:398-415). avg is
     * decimal-sum/count for cross-engine determinism. */
+  /** Sketch-based profile for the 100 TB validator: exact min/max/count
+    * (cheap partials) plus approx_count_distinct (HLL++) and
+    * approx-percentile medians instead of their exact forms — COUNT
+    * DISTINCT and exact percentiles are the two profile aggregates whose
+    * exact versions need a full shuffle of the column; the sketches are
+    * one pass, mergeable, and bounded-error (`rsd`, percentile
+    * `accuracy`). One aggregation job for all columns, like
+    * [[numericProfile]]. */
+  def approxProfile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
+      pctAccuracy: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = cols.flatMap { c => Seq(
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max"),
+      count(col(c)).as(s"${c}__nonnull"),
+      approx_count_distinct(col(c), rsd).as(s"${c}__approx_distinct"),
+      percentile_approx(col(c).cast("double"), lit(0.5),
+        lit(pctAccuracy)).as(s"${c}__approx_median"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def d(i: Int): java.lang.Double =
+      if (r.isNullAt(i)) null else java.lang.Double.valueOf(r.getDouble(i))
+    cols.zipWithIndex.map { case (c, i) =>
+      val b = i * 5
+      (c, d(b), d(b + 1), r.getLong(b + 2), r.getLong(b + 3), d(b + 4))
+    }.toDF("column", "min", "max", "non_null", "approx_distinct",
+      "approx_median")
+  }
+
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c => Seq(
       min(col(c)).cast("double").as(s"${c}__min"),
