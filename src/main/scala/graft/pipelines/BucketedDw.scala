@@ -44,15 +44,20 @@ object BucketedDw {
       .bucketBy(nBuckets, "natural_key").sortBy("natural_key")
       .saveAsTable(table)
 
-  /** Atomic-ish swap: stage the merged fact as a new bucketed table, then
-    * DROP old + RENAME staging in (metastore ops, no data rewrite). */
+  /** Atomic-ish swap: stage the merged fact as a new bucketed table,
+    * rename old out, rename staging in, then drop the old data — a
+    * failure at any step leaves either the original or the renamed
+    * original recoverable (never a window with no table data). */
   def swapIn(spark: SparkSession, merged: DataFrame, table: String,
       nBuckets: Int = DefaultBuckets): Unit = {
     val stage = table + "__staging"
-    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    val old = table + "__old"
+    spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+    spark.sql(s"DROP TABLE IF EXISTS `$old`")
     writeBucketed(merged, stage, nBuckets)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
+    spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE `$old`")
   }
 
   /** The E3 fact load against a bucketed target: same stages 4-9 as

@@ -191,12 +191,20 @@ final case class GraftMergeCommand(
     }
     val result = joined.filter(keep).select(outCols.toIndexedSeq: _*)
 
-    // atomic-ish swap preserving format + bucketing
+    // swap preserving format + bucketing. Order matters for safety: the
+    // merged result is fully materialized as the staging table FIRST;
+    // then old-out / new-in are two metastore renames, and the old data
+    // is dropped only after the new table is in place — a failure at any
+    // point leaves either the original or the renamed original on disk.
     val catalog = spark.sessionState.catalog
     val meta = catalog.getTableMetadata(ident(targetParts))
-    val stageParts = targetParts.init :+ (targetParts.last + "__merge_stg")
-    val stageName = stageParts.mkString(".")
-    spark.sql(s"DROP TABLE IF EXISTS $stageName")
+    def q(parts: Seq[String]): String =
+      parts.map(p => s"`$p`").mkString(".")
+    val tQ = q(targetParts)
+    val stageQ = q(targetParts.init :+ (targetParts.last + "__merge_stg"))
+    val oldQ = q(targetParts.init :+ (targetParts.last + "__merge_old"))
+    spark.sql(s"DROP TABLE IF EXISTS $stageQ")
+    spark.sql(s"DROP TABLE IF EXISTS $oldQ")
     val writer = result.write.mode("overwrite")
       .format(meta.provider.getOrElse("parquet"))
     meta.bucketSpec.foreach { bs =>
@@ -205,9 +213,10 @@ final case class GraftMergeCommand(
       if (bs.sortColumnNames.nonEmpty)
         w2.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
     }
-    writer.saveAsTable(stageName)
-    spark.sql(s"DROP TABLE $tName")
-    spark.sql(s"ALTER TABLE $stageName RENAME TO $tName")
+    writer.saveAsTable(stageQ.replace("`", ""))
+    spark.sql(s"ALTER TABLE $tQ RENAME TO $oldQ")
+    spark.sql(s"ALTER TABLE $stageQ RENAME TO $tQ")
+    spark.sql(s"DROP TABLE $oldQ")
     Seq.empty
   }
 }
