@@ -39,7 +39,13 @@ object Dedup {
     * where AQE broadcasts the winner set when it fits and the storage
     * layout (id-bucketed at scale) co-locates otherwise. Output: input
     * plus (content_hash, is_duplicate); no dup_rank (rank needs the
-    * window — use [[exactDedup]] when you need it). */
+    * window — use [[exactDedup]] when you need it).
+    *
+    * Null-id rows are never marked duplicate (a null key can't join the
+    * winner set, and dropping data on a missing id would be silent
+    * loss); [[exactDedup]]'s window form instead ranks them within
+    * their hash group. Ids are non-null by contract, so the forms agree
+    * on every valid input. */
   def exactDedupNarrow(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val hashed = df.withColumn("content_hash", contentHash(col(textCol)))
@@ -47,7 +53,8 @@ object Dedup {
       .groupBy(col("content_hash")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol)).withColumn("__winner", lit(true))
     hashed.join(winners, Seq(idCol), "left")
-      .withColumn("is_duplicate", col("__winner").isNull)
+      .withColumn("is_duplicate",
+        col("__winner").isNull && col(idCol).isNotNull)
       .drop("__winner")
   }
 

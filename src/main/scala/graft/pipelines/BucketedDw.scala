@@ -29,6 +29,18 @@ object BucketedDw {
 
   val DefaultBuckets = 32
 
+  /** Roll back an interrupted [[swapIn]]: if the table is missing but
+    * its renamed-aside copy exists (crash between the two renames), put
+    * the copy back. MUST run before [[ensureTable]], which would
+    * otherwise create an empty table and a later swap would delete the
+    * only surviving data. */
+  def recover(spark: SparkSession, table: String): Unit = {
+    val old = table + "__old"
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(old))
+      spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
+  }
+
   /** Create an empty bucketed fact table if absent. */
   def ensureTable(spark: SparkSession, table: String, schema: StructType,
       nBuckets: Int = DefaultBuckets): Unit =
@@ -68,8 +80,13 @@ object BucketedDw {
   def dwLoad(spark: SparkSession, db: Pipelines.SourceDb,
       incomingPath: String, table: String = "fact_sales_dw",
       nBuckets: Int = DefaultBuckets): (DataFrame, Map[String, Long]) = {
-    val (incoming, misses) = Pipelines.prepareIncoming(spark, db,
+    val (incoming0, misses) = Pipelines.prepareIncoming(spark, db,
       incomingPath)
+    // four downstream actions (stats ×3 + the staged write) would each
+    // re-run the CSV read + schema map + dim joins + dedup otherwise
+    val incoming = incoming0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    recover(spark, table)
     ensureTable(spark, table, incoming.schema.add("fact_key", LongType),
       nBuckets)
     val existing = spark.table(table)
@@ -80,8 +97,9 @@ object BucketedDw {
       "inserts" -> inserts.count(), "updates" -> updates.count()) ++
       misses.map { case (k, v) => s"miss_$k" -> v }
     // stats are computed BEFORE the swap: they read `existing`, which the
-    // DROP below would invalidate mid-query otherwise.
+    // swap below would invalidate mid-query otherwise.
     swapIn(spark, merged, table, nBuckets)
+    incoming.unpersist()
     (spark.table(table), stats)
   }
 }

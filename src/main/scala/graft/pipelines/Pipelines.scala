@@ -194,7 +194,11 @@ object Pipelines {
     * keys → merge → overwrite. Returns (newDwFacts, stats). */
   def dwLoad(spark: SparkSession, db: SourceDb, root: String,
       incomingPath: String): (DataFrame, Map[String, Long]) = {
-    val (incoming, misses) = prepareIncoming(spark, db, incomingPath)
+    val (incoming0, misses) = prepareIncoming(spark, db, incomingPath)
+    // four downstream actions (stats ×3 + the merge write) would each
+    // re-run the CSV read + schema map + dim joins + dedup otherwise
+    val incoming = incoming0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stage 7: classify vs current DW state
     val dwPath = s"$root/dw/fact_sales"
     val existing = loadOrEmpty(spark, dwPath, incoming.schema
@@ -205,6 +209,7 @@ object Pipelines {
       "inserts" -> inserts.count(), "updates" -> updates.count()) ++
       misses.map { case (k, v) => s"miss_$k" -> v }
     overwriteParquet(spark, merged, dwPath)
+    incoming.unpersist()
     (spark.read.parquet(dwPath), stats)
   }
 

@@ -137,9 +137,38 @@ final case class GraftMergeCommand(
       s"unsupported assignment key: $other")
   }
 
+  /** Providers whose tables cannot have native row-level MERGE — the
+    * only ones this command may rewrite. A connector like Delta/Iceberg
+    * brings its own transactional MERGE; hijacking it with a swap would
+    * destroy table history, so those error out loudly instead. */
+  private val fileProviders =
+    Set("parquet", "orc", "json", "csv", "text", "avro", "hive")
+
   override def run(spark: SparkSession): Seq[Row] = {
     val tName = targetParts.mkString(".")
     val sName = sourceParts.mkString(".")
+    val catalog = spark.sessionState.catalog
+    if (!catalog.tableExists(ident(targetParts))) {
+      // roll back an interrupted swap (crash between the two renames)
+      val oldId = ident(targetParts.init :+
+        (targetParts.last + "__merge_old"))
+      if (catalog.tableExists(oldId))
+        spark.sql(s"ALTER TABLE ${quoted(targetParts.init :+
+          (targetParts.last + "__merge_old"))} RENAME TO " +
+          quoted(targetParts))
+    }
+    val meta = catalog.getTableMetadata(ident(targetParts))
+    val provider = meta.provider.getOrElse("parquet").toLowerCase
+    if (!fileProviders.contains(provider))
+      throw new UnsupportedOperationException(
+        s"graft MERGE INTO rewrites file-source tables only; " +
+          s"`$tName` uses provider '$provider', which may support " +
+          "native row-level MERGE — use that instead")
+    if (meta.tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+      throw new UnsupportedOperationException(
+        s"graft MERGE INTO does not support EXTERNAL table `$tName`: " +
+          "the staged swap would relocate its data into the warehouse")
     val targetSchema = spark.table(tName).schema
     val t = spark.table(tName)
       .withColumn("__t_present", lit(true)).alias(targetAlias)
@@ -191,22 +220,22 @@ final case class GraftMergeCommand(
     }
     val result = joined.filter(keep).select(outCols.toIndexedSeq: _*)
 
-    // swap preserving format + bucketing. Order matters for safety: the
-    // merged result is fully materialized as the staging table FIRST;
-    // then old-out / new-in are two metastore renames, and the old data
-    // is dropped only after the new table is in place — a failure at any
-    // point leaves either the original or the renamed original on disk.
-    val catalog = spark.sessionState.catalog
-    val meta = catalog.getTableMetadata(ident(targetParts))
-    def q(parts: Seq[String]): String =
-      parts.map(p => s"`$p`").mkString(".")
-    val tQ = q(targetParts)
-    val stageQ = q(targetParts.init :+ (targetParts.last + "__merge_stg"))
-    val oldQ = q(targetParts.init :+ (targetParts.last + "__merge_old"))
+    // swap preserving format, partitioning, and bucketing. Order matters
+    // for safety: the merged result is fully materialized as the staging
+    // table FIRST; then old-out / new-in are two metastore renames, and
+    // the old data is dropped only after the new table is in place — a
+    // failure at any point leaves either the original or the renamed
+    // original on disk (and the next MERGE rolls the rename back).
+    val tQ = quoted(targetParts)
+    val stageQ = quoted(targetParts.init :+
+      (targetParts.last + "__merge_stg"))
+    val oldQ = quoted(targetParts.init :+
+      (targetParts.last + "__merge_old"))
     spark.sql(s"DROP TABLE IF EXISTS $stageQ")
     spark.sql(s"DROP TABLE IF EXISTS $oldQ")
-    val writer = result.write.mode("overwrite")
-      .format(meta.provider.getOrElse("parquet"))
+    val writer = result.write.mode("overwrite").format(provider)
+    if (meta.partitionColumnNames.nonEmpty)
+      writer.partitionBy(meta.partitionColumnNames: _*)
     meta.bucketSpec.foreach { bs =>
       val w2 = writer.bucketBy(bs.numBuckets,
         bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
@@ -216,7 +245,32 @@ final case class GraftMergeCommand(
     writer.saveAsTable(stageQ.replace("`", ""))
     spark.sql(s"ALTER TABLE $tQ RENAME TO $oldQ")
     spark.sql(s"ALTER TABLE $stageQ RENAME TO $tQ")
+    // Partitioned tables need care: RENAME moves the table directory but
+    // does NOT rewrite per-partition locations, so (a) the renamed-in
+    // table's entries point at the dead staging path — purge them
+    // (retaining data) and MSCK-rediscover under the new location; and
+    // (b) the renamed-out old table's entries point INTO the new
+    // table's directory — deregister them (retaining data!) before the
+    // DROP, or it would follow the stale locations and delete the new
+    // table's partitions.
+    if (meta.partitionColumnNames.nonEmpty) {
+      val tId = ident(targetParts)
+      val stale = catalog.listPartitions(tId).map(_.spec)
+      if (stale.nonEmpty)
+        catalog.dropPartitions(tId, stale, ignoreIfNotExists = true,
+          purge = false, retainData = true)
+      spark.sql(s"MSCK REPAIR TABLE $tQ")
+      val oldId = ident(targetParts.init :+
+        (targetParts.last + "__merge_old"))
+      val oldParts = catalog.listPartitions(oldId).map(_.spec)
+      if (oldParts.nonEmpty)
+        catalog.dropPartitions(oldId, oldParts, ignoreIfNotExists = true,
+          purge = false, retainData = true)
+    }
     spark.sql(s"DROP TABLE $oldQ")
     Seq.empty
   }
+
+  private def quoted(parts: Seq[String]): String =
+    parts.map(p => s"`$p`").mkString(".")
 }

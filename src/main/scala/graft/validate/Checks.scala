@@ -123,8 +123,6 @@ object Validator {
       .orderBy(col("dup_count").desc +: pk.map(col): _*)
       .limit(n)
 
-  /** V8: numeric profile per column in one pass (:398-415). avg is
-    * decimal-sum/count for cross-engine determinism. */
   /** Sketch-based profile for the 100 TB validator: exact min/max/count
     * (cheap partials) plus approx_count_distinct (HLL++) and
     * approx-percentile medians instead of their exact forms — COUNT
@@ -155,6 +153,8 @@ object Validator {
       "approx_median")
   }
 
+  /** V8: numeric profile per column in one pass (:398-415). avg is
+    * decimal-sum/count for cross-engine determinism. */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c => Seq(
       min(col(c)).cast("double").as(s"${c}__min"),

@@ -35,4 +35,25 @@ class AsOfSpec extends SparkSpec {
       203L -> Some(9.0),
       204L -> None))       // key never quoted
   }
+
+  test("asofJoin is row-atomic: null picked values don't fall back") {
+    val quotes = Seq(
+      (1L, "2024-01-01 00:00:00", 100L, Some(5.0), Some("a")),
+      (1L, "2024-01-01 00:10:00", 101L, None, Some("b")), // null value
+      (1L, null.asInstanceOf[String], 102L, Some(99.0), Some("z")))
+      .toDF("user_id", "ts_s", "event_id", "value", "tag")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val trades = Seq((1L, "2024-01-01 00:20:00", 200L))
+      .toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+    val r = AsOf.asofJoin(trades, quotes, Seq("user_id"), "ts",
+      pickCols = Seq("value", "tag"), ordCol = Some("event_id"))
+      .select("value_asof", "tag_asof").collect().head
+    // the 00:10 quote is the match: its null value must NOT fall back to
+    // the older 5.0, and tag must come from the SAME row ("b")
+    assert(r.isNullAt(0))
+    assert(r.getString(1) === "b")
+    // the null-ts quote (99.0/"z") never matches anything (SQL r.ts<=l.ts)
+  }
 }

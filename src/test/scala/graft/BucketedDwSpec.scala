@@ -13,7 +13,7 @@ class BucketedDwSpec extends SparkSpec {
   private val table = "fact_sales_dw_test"
 
   private def dropTables(): Unit =
-    Seq(table, table + "__staging").foreach { t =>
+    Seq(table, table + "__staging", table + "__old").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new java.io.File(s"spark-warehouse/$t")
       if (loc.exists()) {
@@ -50,6 +50,22 @@ class BucketedDwSpec extends SparkSpec {
     val cols = dwP.columns.sorted.map(col).toIndexedSeq
     assert(dw2.select(cols: _*).orderBy("natural_key").collect().toSeq
       === dwP.select(cols: _*).orderBy("natural_key").collect().toSeq)
+  }
+
+  test("recover rolls back a crash between swapIn's two renames") {
+    val root = Files.createTempDirectory("graft_bdw3").toString
+    val db = Pipelines.sourceLoad(spark, root, nFacts = 100,
+      dateId = 20240115)
+    Pipelines.extract(spark, db, root)
+    val incoming = s"$root/incoming/sales_snapshot"
+    val (dw1, _) = BucketedDw.dwLoad(spark, db, incoming, table)
+    val n1 = dw1.count()
+    // simulate the crash window: table renamed aside, new one not yet in
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `${table}__old`")
+    // next load must restore the data, not rebuild from an empty table
+    val (dw2, stats2) = BucketedDw.dwLoad(spark, db, incoming, table)
+    assert(stats2("inserts") === 0 && stats2("updates") === 0)
+    assert(dw2.count() === n1)
   }
 
   test("bucketed target joins without exchanging the target side") {

@@ -75,6 +75,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaWindow.nonEmpty) // the planted variants were caught
   }
 
+  test("narrow exact dedup never drops null-id rows") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "same text"), (null, "same text"), (null, "unique text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedupNarrow(df, "text", "doc_id")
+    // null ids can't be ranked against the winner — kept, never dropped
+    assert(out.filter(col("is_duplicate")).count() === 0)
+    assert(out.count() === 3)
+  }
+
   test("minhashDupPairs finds planted near-dups; extras are real dups") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val planted = docs.filter(col("doc_id") % 10 === 0)

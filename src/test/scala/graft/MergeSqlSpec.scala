@@ -91,6 +91,26 @@ class MergeSqlSpec extends SparkSpec {
       && bs.get.bucketColumnNames === Seq("k"))
   }
 
+  test("MERGE INTO preserves a partitioned target's layout") {
+    dropAll("ms_p", "ms_ps")
+    Seq((1L, 1.0, 202401), (2L, 2.0, 202402)).toDF("k", "v", "p_month")
+      .write.format("parquet").partitionBy("p_month").saveAsTable("ms_p")
+    Seq((2L, 2.5, 202402), (3L, 3.0, 202403)).toDF("k", "v", "p_month")
+      .write.format("parquet").saveAsTable("ms_ps")
+
+    spark.sql("""MERGE INTO ms_p USING ms_ps ON ms_p.k = ms_ps.k
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    assert(spark.table("ms_p").orderBy("k").as[(Long, Double, Int)]
+      .collect().toSeq ===
+      Seq((1L, 1.0, 202401), (2L, 2.5, 202402), (3L, 3.0, 202403)))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("ms_p"))
+    assert(meta.partitionColumnNames === Seq("p_month"))
+    dropAll("ms_p", "ms_ps")
+  }
+
   test("unsupported shapes fall through to Spark's own error") {
     dropAll("ms_t", "ms_s")
     Seq((1L, "a", 10.0)).toDF("k", "name", "v")
