@@ -38,4 +38,34 @@ object Layout {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact one partition's small files — the maintenance job the
+    * append-only layout needs: every [[appendMonth]] adds task-count
+    * files, and at 100 TB unchecked file counts dominate planning time
+    * (listing + footer reads) long before data size does. Rewrites the
+    * partition into ceil(bytes / targetBytes) files via a staged
+    * directory swap (readers of other partitions are unaffected).
+    * Returns (filesBefore, filesAfter). */
+  def compactPartition(spark: SparkSession, path: String,
+      partition: String, targetBytes: Long = 128L * 1024 * 1024)
+      : (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$partition")
+    val files = fs.listStatus(dir).filter(f =>
+      f.getPath.getName.endsWith(".parquet"))
+    val bytes = files.map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (files.length <= n) return (files.length, files.length)
+    val staged = new org.apache.hadoop.fs.Path(s"$path/.${partition}__compact")
+    spark.read.parquet(dir.toString).repartition(n)
+      .write.mode("overwrite").parquet(staged.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$path/.${partition}__old")
+    fs.rename(dir, old)
+    fs.rename(staged, dir)
+    fs.delete(old, true)
+    val after = fs.listStatus(dir).count(f =>
+      f.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
 }

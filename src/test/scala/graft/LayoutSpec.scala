@@ -31,6 +31,30 @@ class LayoutSpec extends SparkSpec {
       .filter(col("p_month") === 199506).count() === expect)
   }
 
+  test("compactPartition shrinks file count, preserves rows and pruning") {
+    val root = Files.createTempDirectory("graft_layout3").toString
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val jan95 = li.filter(year(col("l_shipdate")) === 1995
+      && month(col("l_shipdate")) === 6)
+    Layout.writeMonthPartitioned(jan95, "l_shipdate", s"$root/fact")
+    // simulate many tiny appends
+    (1 to 5).foreach { _ =>
+      Layout.appendMonth(jan95.limit(10), "l_shipdate", s"$root/fact")
+    }
+    val expect = Layout.read(spark, s"$root/fact")
+      .filter(col("p_month") === 199506).count()
+
+    val (before, after) = Layout.compactPartition(spark, s"$root/fact",
+      "p_month=199506")
+    assert(before > after && after === 1) // tiny data -> one file
+    val q = Layout.read(spark, s"$root/fact")
+      .filter(col("p_month") === 199506)
+    assert(q.count() === expect)
+    q.count()
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(p_month"))
+  }
+
   test("appendMonth adds one directory and leaves the others untouched") {
     val root = Files.createTempDirectory("graft_layout2").toString
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
