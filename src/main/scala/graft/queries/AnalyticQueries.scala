@@ -128,6 +128,38 @@ object AnalyticQueries {
         .orderBy(col("o_year"))
     }),
 
+    // ---- Q12 shape: priority mix of late shipments by line status -------
+    "q12_late_priority" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // ---- Q14 shape: promo revenue share by ship month -------------------
+    "q14_promo_share" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("vol", dec2(col("l_extendedprice"))
+          * (lit(1).cast("decimal(9,4)") - dec4(col("l_discount"))))
+        .groupBy((year(col("l_shipdate")) * 100
+          + month(col("l_shipdate"))).as("ship_month"))
+        .agg((sum(when(col("p_type") === "PROMO", col("vol"))
+            .otherwise(lit(0))).cast("double") * lit(100.0)
+          / sum(col("vol")).cast("double")).as("promo_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("ship_month"))
+    }),
+
     // ---- Q21 shape: sole late-shipping supplier on multi-supplier orders
     // (no commit/receipt dates in the synthetic schema, so "late" is
     // reshaped to shipped >90 days after the order date)
@@ -228,6 +260,31 @@ object AnalyticQueries {
         |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
         |  COUNT(*) AS n_lines
         |FROM vols GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q12_late_priority" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH v AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) * 100
+        |      + EXTRACT(MONTH FROM l_shipdate) AS INT) AS ship_month,
+        |    p_type,
+        |    CAST(l_extendedprice AS DECIMAL(15,2))
+        |      * (CAST(1 AS DECIMAL(9,4))
+        |         - CAST(l_discount AS DECIMAL(9,4))) AS vol
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT ship_month,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol ELSE 0 END)
+        |    AS DOUBLE) * 100.0 / CAST(SUM(vol) AS DOUBLE) AS promo_share,
+        |  COUNT(*) AS n_lines
+        |FROM v GROUP BY ship_month ORDER BY ship_month""".stripMargin,
 
     "q21_late_suppliers" ->
       """WITH late AS (
