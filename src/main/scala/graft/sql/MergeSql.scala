@@ -73,27 +73,33 @@ object MergeSql {
       case _ => None
     }
 
-  /** Rewrite if the MERGE is within the supported shape, else None. */
+  /** Rewrite if the MERGE is within the supported shape, else None.
+    * Supported: any number of WHEN clauses (first-match-wins), UPDATE
+    * SET * / SET list, DELETE, INSERT * / column list, and NOT MATCHED
+    * BY SOURCE UPDATE/DELETE. Unsupported (falls through to Spark):
+    * schema evolution, subquery sources, 3-part names. */
   def tryRewrite(m: MergeIntoTable): Option[LogicalPlan] = {
-    if (m.withSchemaEvolution || m.notMatchedBySourceActions.nonEmpty)
-      return None
-    val okMatched = m.matchedActions.size <= 1 && m.matchedActions.forall {
-      case _: UpdateStarAction | _: UpdateAction => true
+    if (m.withSchemaEvolution) return None
+    val okMatched = m.matchedActions.forall {
+      case _: UpdateStarAction | _: UpdateAction | _: DeleteAction => true
       case _ => false
     }
-    val okNotMatched = m.notMatchedActions.size <= 1 &&
-      m.notMatchedActions.forall {
-        case _: InsertStarAction | _: InsertAction => true
-        case _ => false
-      }
-    if (!okMatched || !okNotMatched) return None
+    val okNotMatched = m.notMatchedActions.forall {
+      case _: InsertStarAction | _: InsertAction => true
+      case _ => false
+    }
+    val okBySource = m.notMatchedBySourceActions.forall {
+      case _: UpdateAction | _: DeleteAction => true
+      case _ => false
+    }
+    if (!okMatched || !okNotMatched || !okBySource) return None
     for {
       (tParts, tAlias) <- tableRef(m.targetTable)
       (sParts, sAlias) <- tableRef(m.sourceTable)
       if tParts.size <= 2 && sParts.size <= 2
     } yield GraftMergeCommand(tParts, tAlias, sParts, sAlias,
-      new MergeSpec(m.mergeCondition, m.matchedActions.headOption,
-        m.notMatchedActions.headOption))
+      new MergeSpec(m.mergeCondition, m.matchedActions,
+        m.notMatchedActions, m.notMatchedBySourceActions))
   }
 }
 
@@ -104,10 +110,12 @@ object MergeSql {
   * re-aliased DataFrames inside [[GraftMergeCommand.run]]. */
 final class MergeSpec(
     val condition: Expression,
-    val matched: Option[MergeAction],
-    val notMatched: Option[MergeAction]) extends Serializable {
+    val matched: Seq[MergeAction],
+    val notMatched: Seq[MergeAction],
+    val bySource: Seq[MergeAction]) extends Serializable {
   override def toString: String =
-    s"on=$condition matched=$matched notMatched=$notMatched"
+    s"on=$condition matched=$matched notMatched=$notMatched " +
+      s"bySource=$bySource"
 }
 
 /** Driver-side merge execution: full-outer join on the (unresolved, so
@@ -119,8 +127,9 @@ final case class GraftMergeCommand(
     spec: MergeSpec) extends LeafRunnableCommand {
 
   private def condition: Expression = spec.condition
-  private def matched: Option[MergeAction] = spec.matched
-  private def notMatched: Option[MergeAction] = spec.notMatched
+  private def matched: Seq[MergeAction] = spec.matched
+  private def notMatched: Seq[MergeAction] = spec.notMatched
+  private def bySource: Seq[MergeAction] = spec.bySource
 
   override def output: Seq[Attribute] = Seq.empty
 
@@ -178,47 +187,68 @@ final case class GraftMergeCommand(
 
     val tPresent = col(s"$targetAlias.__t_present").isNotNull
     val sPresent = col(s"$sourceAlias.__s_present").isNotNull
+    val isMatched = tPresent && sPresent
+    val tOnly = tPresent && !sPresent
     def cond(a: Option[Expression]): Column =
       a.map(ColumnBridge.column).getOrElse(lit(true))
 
-    // per-target-column value in the UPDATE branch
-    val updCond = cond(matched.flatMap(_.condition))
-    def updValue(c: String): Column = matched match {
-      case Some(_: UpdateStarAction) | None => col(s"$sourceAlias.$c")
-      case Some(UpdateAction(_, assigns, _)) =>
-        assigns.find(a => nameOf(a.key).equalsIgnoreCase(c))
-          .map(a => ColumnBridge.column(a.value))
-          .getOrElse(col(s"$targetAlias.$c"))
-      case Some(other) => throw new IllegalStateException(other.toString)
-    }
-    // per-target-column value in the INSERT branch
-    val insCond = cond(notMatched.flatMap(_.condition))
-    def insValue(c: String): Column = notMatched match {
-      case Some(_: InsertStarAction) | None => col(s"$sourceAlias.$c")
-      case Some(InsertAction(_, assigns)) =>
-        assigns.find(a => nameOf(a.key).equalsIgnoreCase(c))
-          .map(a => ColumnBridge.column(a.value))
-          .getOrElse(lit(null))
-      case Some(other) => throw new IllegalStateException(other.toString)
-    }
+    // SQL MERGE semantics: within each WHEN group, the FIRST action
+    // whose condition holds fires; no action firing means keep (matched
+    // / by-source) or drop (not-matched). -1 = nothing fired.
+    def firstIdx(actions: Seq[MergeAction]): Column =
+      actions.zipWithIndex.foldRight(lit(-1): Column) {
+        case ((a, i), els) => when(cond(a.condition), lit(i)).otherwise(els)
+      }
+    val mAct = firstIdx(matched)
+    val iAct = firstIdx(notMatched)
+    val bAct = firstIdx(bySource)
 
-    // matched & guard → update; matched & !guard / target-only → keep;
-    // source-only & guard → insert; source-only & !guard → drop
-    val keep =
-      if (notMatched.isEmpty) tPresent
-      else tPresent || insCond
+    def deleteIdxs(actions: Seq[MergeAction]): Seq[Int] =
+      actions.zipWithIndex.collect { case (_: DeleteAction, i) => i }
+    def isin(c: Column, idxs: Seq[Int]): Column =
+      if (idxs.isEmpty) lit(false) else c.isin(idxs: _*)
+
+    val dropRow =
+      (isMatched && isin(mAct, deleteIdxs(matched))) ||
+        ((!tPresent) && iAct === -1) ||
+        (tOnly && isin(bAct, deleteIdxs(bySource)))
+
+    def assignVal(assigns: Seq[Assignment], c: String,
+        default: Column): Column =
+      assigns.find(a => nameOf(a.key).equalsIgnoreCase(c))
+        .map(a => ColumnBridge.column(a.value)).getOrElse(default)
+
+    // per-column value: fold the action list into a when-chain keyed by
+    // the fired-action index (delete rows are filtered, so any value do)
+    def chain(actions: Seq[MergeAction], act: Column, c: String,
+        default: Column, starVal: Column, insertMissing: Boolean): Column =
+      actions.zipWithIndex.foldRight(default) {
+        case ((a, i), els) => a match {
+          case _: UpdateStarAction | _: InsertStarAction =>
+            when(act === i, starVal).otherwise(els)
+          case UpdateAction(_, assigns, _) =>
+            when(act === i, assignVal(assigns, c, default)).otherwise(els)
+          case InsertAction(_, assigns) =>
+            when(act === i, assignVal(assigns, c,
+              if (insertMissing) lit(null) else default)).otherwise(els)
+          case _: DeleteAction => els
+        }
+      }
+
     val outCols = targetSchema.fields.map { f =>
       val c = f.name
       val tCol = col(s"$targetAlias.$c")
-      val base =
-        if (matched.isEmpty) when(tPresent, tCol).otherwise(insValue(c))
-        else when(tPresent && sPresent,
-            when(updCond, updValue(c)).otherwise(tCol))
-          .when(tPresent, tCol)
-          .otherwise(insValue(c))
+      val sCol = col(s"$sourceAlias.$c")
+      val base = when(isMatched,
+          chain(matched, mAct, c, tCol, sCol, insertMissing = false))
+        .when(tOnly,
+          chain(bySource, bAct, c, tCol, tCol, insertMissing = false))
+        .otherwise(
+          chain(notMatched, iAct, c, lit(null), sCol,
+            insertMissing = true))
       base.cast(f.dataType).as(c)
     }
-    val result = joined.filter(keep).select(outCols.toIndexedSeq: _*)
+    val result = joined.filter(!dropRow).select(outCols.toIndexedSeq: _*)
 
     // swap preserving format, partitioning, and bucketing. Order matters
     // for safety: the merged result is fully materialized as the staging

@@ -111,6 +111,50 @@ class MergeSqlSpec extends SparkSpec {
     dropAll("ms_p", "ms_ps")
   }
 
+  test("multi-WHEN: first-match-wins with DELETE and guarded UPDATE") {
+    dropAll("ms_t", "ms_s")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+      .write.format("parquet").saveAsTable("ms_t")
+    Seq((1L, "del", -1.0), (2L, "b2", 25.0), (3L, "c2", 30.5),
+      (4L, "d", 40.0)).toDF("k", "name", "v")
+      .write.format("parquet").saveAsTable("ms_s")
+
+    // negative source value deletes; v-diff > 1 updates; else untouched
+    spark.sql("""MERGE INTO ms_t t USING ms_s s ON t.k = s.k
+      |WHEN MATCHED AND s.v < 0 THEN DELETE
+      |WHEN MATCHED AND abs(s.v - t.v) > 1.0 THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val got = spark.table("ms_t").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq(
+      (2L, "b2", 25.0),  // second WHEN fired
+      (3L, "c", 30.0),   // no WHEN fired -> untouched
+      (4L, "d", 40.0)))  // inserted; 1L deleted
+  }
+
+  test("NOT MATCHED BY SOURCE: full sync with delete and flagging") {
+    dropAll("ms_t", "ms_s")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+      .write.format("parquet").saveAsTable("ms_t")
+    Seq((1L, "a2", 11.0)).toDF("k", "name", "v")
+      .write.format("parquet").saveAsTable("ms_s")
+
+    // rows absent from the source: small ones deleted, big ones zeroed
+    spark.sql("""MERGE INTO ms_t t USING ms_s s ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED BY SOURCE AND t.v < 25 THEN DELETE
+      |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0.0""".stripMargin)
+
+    val got = spark.table("ms_t").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a2", 11.0),  // matched update
+      (3L, "c", 0.0)))   // not-matched-by-source update; 2L deleted
+  }
+
   test("unsupported shapes fall through to Spark's own error") {
     dropAll("ms_t", "ms_s")
     Seq((1L, "a", 10.0)).toDF("k", "name", "v")
@@ -118,8 +162,10 @@ class MergeSqlSpec extends SparkSpec {
     Seq((1L, "a", 10.0)).toDF("k", "name", "v")
       .write.format("parquet").saveAsTable("ms_s")
     val e = intercept[Exception] {
-      spark.sql("""MERGE INTO ms_t t USING ms_s s ON t.k = s.k
-        |WHEN MATCHED THEN DELETE""".stripMargin)
+      // subquery source is not rewritten -> Spark's own v2-only error
+      spark.sql(
+        """MERGE INTO ms_t t USING (SELECT * FROM ms_s) s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
     }
     assert(e.getMessage.contains("MERGE INTO TABLE"))
   }
