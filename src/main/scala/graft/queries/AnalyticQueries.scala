@@ -160,6 +160,28 @@ object AnalyticQueries {
         .orderBy(col("ship_month"))
     }),
 
+    // ---- SCD2 as-of resolution against a deterministic version history:
+    // part "price versions" exist only for even ship-years (min price,
+    // effective Jan 1), so odd-year facts genuinely resolve backwards
+    "sc1_scd2_resolve" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val history = li.filter(year(col("l_shipdate")) % 2 === 0)
+        .groupBy(col("l_partkey"), year(col("l_shipdate")).as("vy"))
+        .agg(min(dec2(col("l_extendedprice"))).cast("double")
+          .as("min_price"))
+        .select(col("l_partkey"),
+          to_timestamp(make_date(col("vy"), lit(1), lit(1)))
+            .as("scd_start"),
+          col("min_price"), col("vy").as("scd_version"))
+      val facts = li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_shipdate"))
+      graft.ops.Scd2.resolveAtTime(facts, history, Seq("l_partkey"),
+        "l_shipdate", attrs = Seq("min_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    }),
+
     // ---- Q21 shape: sole late-shipping supplier on multi-supplier orders
     // (no commit/receipt dates in the synthetic schema, so "late" is
     // reshaped to shipped >90 days after the order date)
@@ -285,6 +307,29 @@ object AnalyticQueries {
         |    AS DOUBLE) * 100.0 / CAST(SUM(vol) AS DOUBLE) AS promo_share,
         |  COUNT(*) AS n_lines
         |FROM v GROUP BY ship_month ORDER BY ship_month""".stripMargin,
+
+    "sc1_scd2_resolve" ->
+      """WITH h AS (
+        |  SELECT l_partkey,
+        |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS vy,
+        |    CAST(MIN(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+        |      AS min_price
+        |  FROM lineitem
+        |  WHERE EXTRACT(YEAR FROM l_shipdate) % 2 = 0
+        |  GROUP BY 1, 2)
+        |SELECT f.l_orderkey, f.l_linenumber, f.l_partkey, f.l_suppkey,
+        |  f.l_extendedprice, f.l_shipdate,
+        |  (SELECT h.min_price FROM h
+        |   WHERE h.l_partkey = f.l_partkey
+        |     AND h.vy <= EXTRACT(YEAR FROM f.l_shipdate)
+        |   ORDER BY h.vy DESC LIMIT 1) AS min_price_asof,
+        |  (SELECT h.vy FROM h
+        |   WHERE h.l_partkey = f.l_partkey
+        |     AND h.vy <= EXTRACT(YEAR FROM f.l_shipdate)
+        |   ORDER BY h.vy DESC LIMIT 1) AS scd_version_asof
+        |FROM lineitem f
+        |ORDER BY f.l_orderkey, f.l_linenumber, f.l_partkey, f.l_suppkey,
+        |  f.l_extendedprice""".stripMargin,
 
     "q21_late_suppliers" ->
       """WITH late AS (
