@@ -160,6 +160,41 @@ object AnalyticQueries {
         .orderBy(col("ship_month"))
     }),
 
+    // ---- Q15 shape: supplier(s) achieving the maximum revenue ----------
+    "q15_top_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      val rev = li.filter(year(col("l_shipdate")) === 1997)
+        .groupBy(col("l_suppkey"))
+        .agg(net.as("total_rev"))
+      val maxRev = rev.agg(max(col("total_rev")).as("mr"))
+      rev.join(broadcast(maxRev), col("total_rev") === col("mr"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- Q2 shape: which supplier ships each part cheapest -------------
+    "q2_min_price_supplier" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      val p = Tables.part(s, d)
+      val minp = li.groupBy(col("l_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_price")).alias("m")
+      li.alias("l").join(minp,
+          col("l.l_partkey") === col("m.l_partkey")
+            && col("l.l_extendedprice") === col("m.min_price"))
+        .select(col("l.l_partkey").as("partkey"),
+          col("l.l_suppkey").as("l_suppkey"), col("m.min_price"))
+        .distinct()
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(p), col("partkey") === col("p_partkey"))
+        .select(col("partkey"), col("p_name"), col("s_name"),
+          col("min_price"))
+        .orderBy(col("partkey"), col("s_name"))
+        .limit(100)
+    }),
+
     // ---- SCD2 as-of resolution against a deterministic version history:
     // part "price versions" exist only for even ship-years (min price,
     // effective Jan 1), so odd-year facts genuinely resolve backwards
@@ -307,6 +342,29 @@ object AnalyticQueries {
         |    AS DOUBLE) * 100.0 / CAST(SUM(vol) AS DOUBLE) AS promo_share,
         |  COUNT(*) AS n_lines
         |FROM v GROUP BY ship_month ORDER BY ship_month""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, $netSql AS total_rev
+         |  FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q2_min_price_supplier" ->
+      """WITH minp AS (
+        |  SELECT l_partkey, MIN(l_extendedprice) AS min_price
+        |  FROM lineitem GROUP BY 1),
+        |sel AS (
+        |  SELECT DISTINCT l.l_partkey AS partkey, l.l_suppkey, m.min_price
+        |  FROM lineitem l JOIN minp m ON l.l_partkey = m.l_partkey
+        |    AND l.l_extendedprice = m.min_price)
+        |SELECT partkey, p_name, s_name, min_price
+        |FROM sel JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN part ON partkey = p_partkey
+        |ORDER BY partkey, s_name LIMIT 100""".stripMargin,
 
     "sc1_scd2_resolve" ->
       """WITH h AS (
