@@ -35,7 +35,10 @@ object IncrementalAgg {
         s"unsupported incremental aggregate: $other")
     }
     def combine(a: Column, b: Column): Column = agg match {
-      case "sum" => coalesce(a, lit(0)) + coalesce(b, lit(0))
+      // SUM(all-null) is NULL in SQL: only coalesce when one side has a
+      // real value, or the incremental result diverges from a recompute
+      case "sum" => when(a.isNull && b.isNull, lit(null))
+        .otherwise(coalesce(a, lit(0)) + coalesce(b, lit(0)))
       case "min" => least(a, b) // least/greatest skip nulls
       case "max" => greatest(a, b)
     }
@@ -57,7 +60,9 @@ object IncrementalAgg {
       measures: Seq[Measure]): DataFrame = {
     val s = summary.alias("s")
     val d = delta.alias("d")
-    val cond = keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _)
+    // null-safe: groupBy keeps NULL as a real group, so the fold must
+    // match it too or every maintain() adds another null-key row
+    val cond = keys.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _)
     val joined = s.join(d, cond, "full_outer")
     val outKeys = keys.map(k => coalesce(col(s"s.$k"), col(s"d.$k")).as(k))
     val outN = (coalesce(col("s.n"), lit(0L)) +

@@ -86,20 +86,21 @@ object BucketedDw {
     // re-run the CSV read + schema map + dim joins + dedup otherwise
     val incoming = incoming0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    recover(spark, table)
-    ensureTable(spark, table, incoming.schema.add("fact_key", LongType),
-      nBuckets)
-    val existing = spark.table(table)
-    val (merged, inserts, updates) = Pipelines.stageAndMerge(incoming,
-      existing)
-    val stats = Map(
-      "incoming" -> incoming.count(),
-      "inserts" -> inserts.count(), "updates" -> updates.count()) ++
-      misses.map { case (k, v) => s"miss_$k" -> v }
-    // stats are computed BEFORE the swap: they read `existing`, which the
-    // swap below would invalidate mid-query otherwise.
-    swapIn(spark, merged, table, nBuckets)
-    incoming.unpersist()
-    (spark.table(table), stats)
+    try {
+      recover(spark, table)
+      ensureTable(spark, table, incoming.schema.add("fact_key", LongType),
+        nBuckets)
+      val existing = spark.table(table)
+      val (merged, inserts, updates) = Pipelines.stageAndMerge(incoming,
+        existing)
+      val stats = Map(
+        "incoming" -> incoming.count(),
+        "inserts" -> inserts.count(), "updates" -> updates.count()) ++
+        misses.map { case (k, v) => s"miss_$k" -> v }
+      // stats are computed BEFORE the swap: they read `existing`, which
+      // the swap below would invalidate mid-query otherwise.
+      swapIn(spark, merged, table, nBuckets)
+      (spark.table(table), stats)
+    } finally incoming.unpersist()
   }
 }

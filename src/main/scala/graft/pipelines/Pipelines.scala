@@ -199,18 +199,19 @@ object Pipelines {
     // re-run the CSV read + schema map + dim joins + dedup otherwise
     val incoming = incoming0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // stage 7: classify vs current DW state
-    val dwPath = s"$root/dw/fact_sales"
-    val existing = loadOrEmpty(spark, dwPath, incoming.schema
-      .add("fact_key", LongType))
-    val (merged, inserts, updates) = stageAndMerge(incoming, existing)
-    val stats = Map(
-      "incoming" -> incoming.count(),
-      "inserts" -> inserts.count(), "updates" -> updates.count()) ++
-      misses.map { case (k, v) => s"miss_$k" -> v }
-    overwriteParquet(spark, merged, dwPath)
-    incoming.unpersist()
-    (spark.read.parquet(dwPath), stats)
+    try {
+      // stage 7: classify vs current DW state
+      val dwPath = s"$root/dw/fact_sales"
+      val existing = loadOrEmpty(spark, dwPath, incoming.schema
+        .add("fact_key", LongType))
+      val (merged, inserts, updates) = stageAndMerge(incoming, existing)
+      val stats = Map(
+        "incoming" -> incoming.count(),
+        "inserts" -> inserts.count(), "updates" -> updates.count()) ++
+        misses.map { case (k, v) => s"miss_$k" -> v }
+      overwriteParquet(spark, merged, dwPath)
+      (spark.read.parquet(dwPath), stats)
+    } finally incoming.unpersist()
   }
 
   /** Stages 7-9 minus the write: classify INSERT/UPDATE vs `existing`
@@ -267,10 +268,10 @@ object Pipelines {
     * re-runnability contract of the reference's staging+MERGE+commit. */
   private def overwriteParquet(spark: SparkSession, df: DataFrame,
       path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
     val dst = new org.apache.hadoop.fs.Path(path)
+    // the path's own filesystem, not fs.defaultFS
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__staging")
     df.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(dst)) fs.delete(dst, true)
     fs.rename(tmp, dst)
@@ -278,9 +279,9 @@ object Pipelines {
 
   private def loadOrEmpty(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
       spark.read.parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

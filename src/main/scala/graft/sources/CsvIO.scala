@@ -39,8 +39,8 @@ object CsvIO {
     * extract lands (extract_sales_daily.py:18-23). Hadoop rename — works
     * on HDFS/S3A committers alike. */
   def rotate(spark: SparkSession, current: String, archive: String): Int = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(current)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val arc = new Path(archive)
     if (!fs.exists(cur)) return 0
     if (!fs.exists(arc)) fs.mkdirs(arc)
@@ -86,8 +86,8 @@ object Ledger {
   def listFiles(spark: SparkSession, dir: String, prefix: String,
       suffix: String): DataFrame = {
     import spark.implicits._
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val names =
       if (!fs.exists(p)) Seq.empty[String]
       else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName)

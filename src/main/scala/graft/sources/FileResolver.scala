@@ -19,7 +19,8 @@ object FileResolver {
     * paths and the date they matched on. */
   def globWithWalkback(spark: SparkSession, pattern: String,
       date: LocalDate, daysBack: Int): Option[(LocalDate, Seq[String])] = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(pattern).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     (0 to daysBack).iterator.map { back =>
       val d = date.minusDays(back)
       val glob = pattern.replace("YYYYMMDD", fmt.format(d))

@@ -49,20 +49,32 @@ object Layout {
   def compactPartition(spark: SparkSession, path: String,
       partition: String, targetBytes: Long = 128L * 1024 * 1024)
       : (Int, Int) = {
-    val fs = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(s"$path/$partition")
+    // the partition's own filesystem, not fs.defaultFS — they differ
+    // when compacting e.g. an object-store path from an HDFS-default
+    // cluster
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(
+      s"$path/.${partition}__compact")
+    val old = new org.apache.hadoop.fs.Path(s"$path/.${partition}__old")
+    // crash recovery: renamed-out but never renamed-in → put it back;
+    // stale staging/backup from completed or failed runs → remove
+    if (!fs.exists(dir) && fs.exists(old) && !fs.rename(old, dir))
+      throw new java.io.IOException(s"recovery rename $old -> $dir failed")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    if (fs.exists(old)) fs.delete(old, true)
+
     val files = fs.listStatus(dir).filter(f =>
       f.getPath.getName.endsWith(".parquet"))
     val bytes = files.map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     if (files.length <= n) return (files.length, files.length)
-    val staged = new org.apache.hadoop.fs.Path(s"$path/.${partition}__compact")
     spark.read.parquet(dir.toString).repartition(n)
       .write.mode("overwrite").parquet(staged.toString)
-    val old = new org.apache.hadoop.fs.Path(s"$path/.${partition}__old")
-    fs.rename(dir, old)
-    fs.rename(staged, dir)
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"rename $dir -> $old failed")
+    if (!fs.rename(staged, dir))
+      throw new java.io.IOException(s"rename $staged -> $dir failed")
     fs.delete(old, true)
     val after = fs.listStatus(dir).count(f =>
       f.getPath.getName.endsWith(".parquet"))

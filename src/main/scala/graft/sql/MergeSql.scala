@@ -153,18 +153,58 @@ final case class GraftMergeCommand(
   private val fileProviders =
     Set("parquet", "orc", "json", "csv", "text", "avro", "hive")
 
+  /** Deregister a partitioned table's entries (retaining data) before
+    * dropping it: after renames its locations can point into ANOTHER
+    * table's directory, and a plain DROP would follow them and delete
+    * that table's data. */
+  private def dropTableSafely(spark: SparkSession,
+      parts: Seq[String]): Unit = {
+    val catalog = spark.sessionState.catalog
+    val id = ident(parts)
+    if (catalog.tableExists(id)) {
+      if (catalog.getTableMetadata(id).partitionColumnNames.nonEmpty) {
+        val specs = catalog.listPartitions(id).map(_.spec)
+        if (specs.nonEmpty)
+          catalog.dropPartitions(id, specs, ignoreIfNotExists = true,
+            purge = false, retainData = true)
+      }
+      spark.sql(s"DROP TABLE ${quoted(parts)}")
+    }
+  }
+
+  /** Fix a renamed-in partitioned table whose partition entries still
+    * point at its pre-rename location: purge (retaining data) and
+    * rediscover under the current location. */
+  private def repairPartitions(spark: SparkSession,
+      parts: Seq[String]): Unit = {
+    val catalog = spark.sessionState.catalog
+    val id = ident(parts)
+    if (catalog.getTableMetadata(id).partitionColumnNames.nonEmpty) {
+      val stale = catalog.listPartitions(id).map(_.spec)
+      if (stale.nonEmpty)
+        catalog.dropPartitions(id, stale, ignoreIfNotExists = true,
+          purge = false, retainData = true)
+      spark.sql(s"MSCK REPAIR TABLE ${quoted(parts)}")
+    }
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val tName = targetParts.mkString(".")
     val sName = sourceParts.mkString(".")
     val catalog = spark.sessionState.catalog
+    val oldParts = targetParts.init :+ (targetParts.last + "__merge_old")
     if (!catalog.tableExists(ident(targetParts))) {
       // roll back an interrupted swap (crash between the two renames)
-      val oldId = ident(targetParts.init :+
-        (targetParts.last + "__merge_old"))
-      if (catalog.tableExists(oldId))
-        spark.sql(s"ALTER TABLE ${quoted(targetParts.init :+
-          (targetParts.last + "__merge_old"))} RENAME TO " +
+      if (catalog.tableExists(ident(oldParts)))
+        spark.sql(s"ALTER TABLE ${quoted(oldParts)} RENAME TO " +
           quoted(targetParts))
+    } else if (catalog.tableExists(ident(oldParts))) {
+      // crash AFTER the renames but before cleanup: the target may have
+      // stale partition entries and the old copy must be dropped via
+      // the deregistration path (its entries point into the live
+      // target's directory — a plain DROP would delete live data)
+      repairPartitions(spark, targetParts)
+      dropTableSafely(spark, oldParts)
     }
     val meta = catalog.getTableMetadata(ident(targetParts))
     val provider = meta.provider.getOrElse("parquet").toLowerCase
@@ -257,12 +297,11 @@ final case class GraftMergeCommand(
     // failure at any point leaves either the original or the renamed
     // original on disk (and the next MERGE rolls the rename back).
     val tQ = quoted(targetParts)
-    val stageQ = quoted(targetParts.init :+
-      (targetParts.last + "__merge_stg"))
-    val oldQ = quoted(targetParts.init :+
-      (targetParts.last + "__merge_old"))
-    spark.sql(s"DROP TABLE IF EXISTS $stageQ")
-    spark.sql(s"DROP TABLE IF EXISTS $oldQ")
+    val stageParts = targetParts.init :+ (targetParts.last + "__merge_stg")
+    val stageQ = quoted(stageParts)
+    val oldQ = quoted(oldParts)
+    dropTableSafely(spark, stageParts)
+    dropTableSafely(spark, oldParts)
     val writer = result.write.mode("overwrite").format(provider)
     if (meta.partitionColumnNames.nonEmpty)
       writer.partitionBy(meta.partitionColumnNames: _*)
@@ -275,29 +314,13 @@ final case class GraftMergeCommand(
     writer.saveAsTable(stageQ.replace("`", ""))
     spark.sql(s"ALTER TABLE $tQ RENAME TO $oldQ")
     spark.sql(s"ALTER TABLE $stageQ RENAME TO $tQ")
-    // Partitioned tables need care: RENAME moves the table directory but
-    // does NOT rewrite per-partition locations, so (a) the renamed-in
-    // table's entries point at the dead staging path — purge them
-    // (retaining data) and MSCK-rediscover under the new location; and
-    // (b) the renamed-out old table's entries point INTO the new
-    // table's directory — deregister them (retaining data!) before the
-    // DROP, or it would follow the stale locations and delete the new
-    // table's partitions.
-    if (meta.partitionColumnNames.nonEmpty) {
-      val tId = ident(targetParts)
-      val stale = catalog.listPartitions(tId).map(_.spec)
-      if (stale.nonEmpty)
-        catalog.dropPartitions(tId, stale, ignoreIfNotExists = true,
-          purge = false, retainData = true)
-      spark.sql(s"MSCK REPAIR TABLE $tQ")
-      val oldId = ident(targetParts.init :+
-        (targetParts.last + "__merge_old"))
-      val oldParts = catalog.listPartitions(oldId).map(_.spec)
-      if (oldParts.nonEmpty)
-        catalog.dropPartitions(oldId, oldParts, ignoreIfNotExists = true,
-          purge = false, retainData = true)
-    }
-    spark.sql(s"DROP TABLE $oldQ")
+    // RENAME moves the table directory but does NOT rewrite per-partition
+    // locations: fix the renamed-in table's stale entries, then drop the
+    // old copy through the deregistration path (its entries point INTO
+    // the new table's directory). A crash anywhere in here is finished
+    // by the next MERGE's recovery block.
+    repairPartitions(spark, targetParts)
+    dropTableSafely(spark, oldParts)
     Seq.empty
   }
 

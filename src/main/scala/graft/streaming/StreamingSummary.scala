@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.hadoop.fs.Path
 
 import graft.ops.IncrementalAgg
 import graft.ops.IncrementalAgg.Measure
@@ -11,19 +12,40 @@ import graft.ops.IncrementalAgg.Measure
   * [[graft.ops.IncrementalAgg]] inside `foreachBatch` — each micro-batch
   * is summarized to the grain and folded into the stored summary with
   * one join, so the summary is always O(groups) and each batch costs
-  * O(delta). The checkpoint makes it exactly-once: a crashed batch
-  * replays and the (deterministic) fold result is simply rewritten.
+  * O(delta).
   *
-  * This is the streaming shape of the reference's end-of-run summary
-  * reconciliation queries (fact_sales_daily.py:226-262) — instead of
-  * re-querying the DB after each load, the summary IS maintained by the
-  * load.
+  * Exactly-once across crashes needs the fold itself to be idempotent,
+  * because foreachBatch replays a batch whose checkpoint commit didn't
+  * land. The summary is therefore stored VERSIONED by batch id
+  * (`summaryPath/v=<batchId>`):
+  *  - a replayed batch sees its own version already present and skips —
+  *    no double-count;
+  *  - each fold reads the latest version strictly older than itself and
+  *    writes its own (tmp + rename), so no crash window ever deletes
+  *    the only copy;
+  *  - superseded versions are pruned only after the new one is in place.
   */
 object StreamingSummary {
 
+  private def fsOf(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong).toSeq.sorted
+  }
+
+  /** The current summary (latest version), or None before any batch. */
+  def current(spark: SparkSession, summaryPath: String): Option[DataFrame] =
+    versions(spark, summaryPath).lastOption.map(v =>
+      spark.read.parquet(s"$summaryPath/v=$v"))
+
   /** Drain all pending parquet files under `inDir` (AvailableNow),
-    * folding each batch into the summary at `summaryPath`. Returns the
-    * final summary. */
+    * folding each batch into the versioned summary at `summaryPath`.
+    * Returns the final summary. */
   def maintainFromFiles(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, checkpoint: String,
       summaryPath: String, keys: Seq[String],
@@ -33,25 +55,32 @@ object StreamingSummary {
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = IncrementalAgg.summarize(batch, keys, measures)
-        val fs = org.apache.hadoop.fs.FileSystem
-          .get(spark.sparkContext.hadoopConfiguration)
-        val cur = new org.apache.hadoop.fs.Path(summaryPath)
-        val next =
-          if (fs.exists(cur))
-            IncrementalAgg.maintain(spark.read.parquet(summaryPath),
-              delta, keys, measures)
-          else delta
-        // stage + swap so a mid-write crash never corrupts the summary
-        val tmp = new org.apache.hadoop.fs.Path(summaryPath + "__stg")
-        next.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(cur)) fs.delete(cur, true)
-        fs.rename(tmp, cur)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = fsOf(spark, summaryPath)
+        val existing = versions(spark, summaryPath)
+        if (!existing.contains(batchId)) { // replay after a crash: skip
+          val delta = IncrementalAgg.summarize(batch, keys, measures)
+          val next = existing.filter(_ < batchId).lastOption match {
+            case Some(prev) => IncrementalAgg.maintain(
+              spark.read.parquet(s"$summaryPath/v=$prev"), delta,
+              keys, measures)
+            case None => delta
+          }
+          val tmp = new Path(s"$summaryPath/.v=${batchId}__tmp")
+          val dst = new Path(s"$summaryPath/v=$batchId")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          next.write.mode("overwrite").parquet(tmp.toString)
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"rename $tmp -> $dst failed")
+          // prune superseded versions only now that dst is in place
+          existing.filter(_ < batchId).foreach(v =>
+            fs.delete(new Path(s"$summaryPath/v=$v"), true))
+        }
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(summaryPath)
+    current(spark, summaryPath).getOrElse(
+      throw new IllegalStateException(s"no summary under $summaryPath"))
   }
 }
