@@ -51,6 +51,29 @@ object WindowQueries {
           col("n_name").asc_nulls_first)
     }),
 
+    // ---- CUBE: all grouping-set combinations with grouping_id ----------
+    "g2_cube" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- UNPIVOT/stack: wide per-flag sums melted to (metric, value) ----
+    "u1_unpivot" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val wide = li.groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+      wide.select(col("l_returnflag"),
+          expr("stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price)" +
+            " AS (metric, value)"))
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
     // ---- pivot: order counts per status × priority ----------------------
     "pv1_pivot_status" -> ((s, d) => {
       Tables.orders(s, d)
@@ -120,6 +143,29 @@ object WindowQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "g2_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "u1_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value
+        |FROM w UNPIVOT (value FOR metric IN (sum_qty, sum_price))
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     "pv1_pivot_status" ->
       """SELECT o_orderpriority,
