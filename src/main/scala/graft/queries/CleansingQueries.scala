@@ -179,12 +179,15 @@ object CleansingQueries {
       val gross = C.grossAmount(col("l_quantity"), col("l_extendedprice"))
       val pct = C.tieredDiscount(gross, storeClass, isChain)
       val disc = C.discountAmount(gross, pct)
+      // money math stays DECIMAL end-to-end (F22); the FINAL projection is
+      // cast to DOUBLE purely for driver-hash canonicalization (DuckDB's
+      // DECIMAL→pandas repr differs from Spark's parquet DECIMAL).
       li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), col("l_extendedprice"),
-        gross.as("gross_amount"),
-        pct.cast("decimal(6,4)").as("discount_pct"),
-        disc.as("discount_amount"),
-        C.netAmount(gross, disc).as("net_amount"))
+        gross.cast("double").as("gross_amount"),
+        pct.cast("decimal(6,4)").cast("double").as("discount_pct"),
+        disc.cast("double").as("discount_amount"),
+        C.netAmount(gross, disc).cast("double").as("net_amount"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_extendedprice"))
     }),
@@ -415,8 +418,12 @@ object CleansingQueries {
         |      AS discount_amount
         |  FROM pct)
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |  l_extendedprice, gross_amount, discount_pct, discount_amount,
-        |  CAST(gross_amount - discount_amount AS DECIMAL(12,2)) AS net_amount
+        |  l_extendedprice,
+        |  CAST(gross_amount AS DOUBLE) AS gross_amount,
+        |  CAST(discount_pct AS DOUBLE) AS discount_pct,
+        |  CAST(discount_amount AS DOUBLE) AS discount_amount,
+        |  CAST(CAST(gross_amount - discount_amount AS DECIMAL(12,2))
+        |    AS DOUBLE) AS net_amount
         |FROM calc
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |  l_extendedprice""".stripMargin,

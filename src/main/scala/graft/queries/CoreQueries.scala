@@ -298,7 +298,8 @@ object CoreQueries {
 
     "a4_conditional_agg" ->
       """SELECT o_orderstatus,
-        |  SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_big,
+        |  CAST(SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_big,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 

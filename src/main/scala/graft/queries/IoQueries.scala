@@ -30,10 +30,13 @@ object IoQueries {
         date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd")
           .as("o_orderdate"))
       CsvIO.write(src, path, sep = "|")
+      // typed cast goes through DECIMAL(12,2) (file semantics) but lands on
+      // DOUBLE for driver-hash canonicalization.
       CsvIO.readAllString(s, path, sep = "|")
         .select(col("o_orderkey").cast("long").as("o_orderkey"),
           col("o_orderstatus"),
-          col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+          col("o_totalprice").cast("decimal(12,2)").cast("double")
+            .as("o_totalprice"),
           col("o_orderdate").cast("date").as("o_orderdate"))
         .orderBy(col("o_orderkey"))
     }),
@@ -70,7 +73,7 @@ object IoQueries {
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 9 = 0 THEN NULL
         |       ELSE o_orderstatus END AS o_orderstatus,
-        |  CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
         |  CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 

@@ -80,6 +80,8 @@ object OpsQueries {
           clean = Some(c => Cleansing.parseDateMulti(c).cast("string")),
           targetType = Some(DateType)),
         LogicalCol("CHANNEL", required = false)))
+        // DECIMAL lands on DOUBLE for driver-hash canonicalization only.
+        .withColumn("TOTAL_PRICE", col("TOTAL_PRICE").cast("double"))
         .orderBy(col("ORDER_ID"))
     }),
 
@@ -168,7 +170,7 @@ object OpsQueries {
 
     "s4_schema_mapper" ->
       """SELECT o_orderkey AS ORDER_ID,
-        |  CAST(o_totalprice AS DECIMAL(12,2)) AS TOTAL_PRICE,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS TOTAL_PRICE,
         |  CAST(o_orderdate AS DATE) AS FULL_DATE,
         |  CAST(NULL AS VARCHAR) AS CHANNEL
         |FROM orders ORDER BY ORDER_ID""".stripMargin,

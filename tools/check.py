@@ -45,13 +45,14 @@ def main():
     results = {}
     names = sorted([os.path.basename(p) for p in glob.glob(f"{out}/*")
                     if os.path.isdir(p)])
+    import pyarrow.parquet as pq
     for name in names:
-        spark_rel = con.sql(
-            f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
-        scols = sorted(spark_rel.columns)
-        qcols = ','.join('"%s"' % c for c in scols)
-        s_rows = con.sql(
-            f"SELECT {qcols} FROM spark_rel").fetchall()
+        # Read the Spark side via pyarrow->python objects (like the driver),
+        # NOT via duckdb — so Decimal-vs-float / hugeint repr skew is caught.
+        tbl = pq.read_table(glob.glob(f"{out}/{name}/*.parquet")[0])
+        scols = sorted(tbl.column_names)
+        s_rows = list(zip(*[tbl.column(c).to_pylist() for c in scols])) \
+            if scols else []
         if name not in oracle:
             results[name] = "ROWS_OK" if len(s_rows) > 0 else "ROWS_EMPTY"
             continue
