@@ -243,6 +243,119 @@ object AnalyticQueries {
         .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(20)
     }),
+
+    // ---- Q4 shape: priority mix of orders with a late line (EXISTS) -----
+    // (no commit/receipt dates in the synthetic schema: "late" is shipped
+    // >60 days after the order date, which needs the parent order row, so
+    // the EXISTS is a conditioned semi join, not a bare key semi join)
+    "q4_priority_exists" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1996-01-01"
+          && col("o_orderdate") < "1996-07-01")
+      o.join(li,
+          col("o_orderkey") === col("l_orderkey")
+            && col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- Q6 shape: forecast-revenue-change scalar aggregate -------------
+    "q6_forecast_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1997
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(sum(dec2(col("l_extendedprice")) * dec4(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // ---- Q9 shape: profit by supplier nation and year -------------------
+    // (no partsupp/supplycost in the synthetic schema: line cost is
+    // quantity x part list price, revenue is the discounted price)
+    "q9_profit_nation_year" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_name").contains("widget"))
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val amount = (dec2(col("l_extendedprice"))
+        * (lit(1).cast("decimal(9,4)") - dec4(col("l_discount"))))
+        .minus(dec2(col("p_retailprice")) * dec2(col("l_quantity")))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).as("o_year"))
+        .agg(sum(amount).cast("double").as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // ---- Q13 shape: customer distribution by order count ----------------
+    // left outer join so zero-order customers land in the c_count=0 bucket
+    "q13_custdist" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val perCust = c.join(o, col("c_custkey") === col("o_custkey"),
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ---- Q17 shape: revenue from small-quantity lines vs part average ---
+    "q17_small_quantity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_type") === "MEDIUM")
+      // per-part avg over integer-valued doubles: the sum is exact in
+      // IEEE double, so avg*0.2 is bit-identical in DuckDB
+      val avgq = li.groupBy(col("l_partkey").as("ap"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_floor"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(avgq, col("l_partkey") === col("ap"))
+        .filter(col("l_quantity") < col("qty_floor"))
+        .agg((Tables.dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // ---- Q19 shape: disjunctive brand/size/quantity predicate join ------
+    "q19_disjunctive" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val pred =
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 25)
+          && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 35)
+          && col("l_quantity").between(20, 30))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey") && pred)
+        .agg(net.as("revenue"), count(lit(1)).as("n_lines"))
+    }),
+
+    // ---- Q20 shape: suppliers shipping large volumes of matching parts --
+    "q20_part_supply" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_name").startsWith("small"))
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d).filter(col("n_name") === "NATION_3")
+      val bigShippers = li
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("ship_qty"))
+        .filter(col("ship_qty") > 100)
+        .select(col("l_suppkey")).distinct()
+      su.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(bigShippers, col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
   )
 
   private val netSql = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) " +
@@ -403,5 +516,84 @@ object AnalyticQueries {
         |  AND NOT EXISTS (SELECT 1 FROM late l3
         |                  WHERE l3.ok = l1.ok AND l3.sk <> l1.sk)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+        |    * CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q9_profit_nation_year" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+        |      * (CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))
+        |      - CAST(p_retailprice AS DECIMAL(15,2))
+        |      * CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q13_custdist" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH avgq AS (
+        |  SELECT l_partkey AS ap, AVG(l_quantity) * 0.2 AS qty_floor
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN avgq ON l_partkey = ap
+        |WHERE p_type = 'MEDIUM' AND l_quantity < qty_floor""".stripMargin,
+
+    "q19_disjunctive" ->
+      s"""SELECT $netSql AS revenue, COUNT(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q20_part_supply" ->
+      """WITH big AS (
+        |  SELECT DISTINCT l_suppkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(l_quantity) > 100)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM big)
+        |ORDER BY s_suppkey""".stripMargin,
   )
 }

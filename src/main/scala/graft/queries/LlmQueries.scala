@@ -33,6 +33,24 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- portable rolling-hash document fingerprint ----------------------
+    // The production fingerprint is TextAnalysis.fingerprint (xxhash64,
+    // one codegen'd call). DuckDB has no xxhash64, so the GATE uses an
+    // explicit polynomial rolling hash over the normalized text's code
+    // points — same plumbing (normalize → per-char fold), independently
+    // recomputable on the oracle side.
+    "t2_fingerprint" -> ((s, d) => {
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val codes = transform(
+        filter(split(norm, ""), ch => ch =!= ""),
+        ch => ascii(ch).cast("long"))
+      val fp = aggregate(codes, lit(7L),
+        (acc, cd) => (acc * 131 + cd) % 1000000007L)
+      Tables.documents(s, d)
+        .select(col("doc_id"), fp.as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- exact dedup over mangled copies ---------------------------------
     "d1_exact_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -177,6 +195,19 @@ object LlmQueries {
          |  CASE WHEN best <= 0 THEN 'und' $ladder ELSE 'und' END AS lang_id
          |FROM feat ORDER BY doc_id""".stripMargin
     },
+
+    "t2_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(range(1, length(t) + 1),
+        |        i -> CAST(unicode(t[i]) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007) AS fingerprint
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "d1_exact_dedup" ->
       """WITH alldocs AS (

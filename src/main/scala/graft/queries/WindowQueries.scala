@@ -84,6 +84,33 @@ object WindowQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- W2: SKU counter continuation (SURVEY §2.5) ---------------------
+    // Parse the max trailing counter out of the existing SKU population,
+    // then number new rows from max+1 — the reference's "continue the
+    // sequence from what's already on disk" pattern. The row_number is a
+    // global sort barrier, sized for insert batches (SURVEY §7.4 #1).
+    "w2_sku_counter" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      def code = substring(
+        regexp_replace(upper(col("p_type")), "[^A-Z]", ""), 1, 3)
+      val existing = p.filter(col("p_partkey") % 2 === 0)
+        .select(concat(lit("SKU-"), code, lit("-"),
+          lpad((col("p_partkey") % 90000).cast("string"), 5, "0"))
+          .as("sku"))
+      val maxCtr = existing.agg(coalesce(
+        max(regexp_extract(col("sku"), "([0-9]+)$", 1).cast("long")),
+        lit(0L)).as("max_ctr"))
+      val w = Window.orderBy(col("p_partkey"))
+      p.filter(col("p_partkey") % 2 === 1)
+        .select(col("p_partkey"), code.as("code"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(maxCtr))
+        .select(col("p_partkey"), concat(lit("SKU-"), col("code"),
+          lit("-"), lpad((col("max_ctr") + col("rn")).cast("string"),
+            5, "0")).as("sku"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- Q18 shape: customers with any large order (HAVING + semi) ------
     "q18_big_orders" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -174,6 +201,24 @@ object WindowQueries {
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "w2_sku_counter" ->
+      """WITH existing AS (
+        |  SELECT 'SKU-'
+        |    || substr(regexp_replace(upper(p_type), '[^A-Z]', '', 'g'), 1, 3)
+        |    || '-' || lpad(CAST(p_partkey % 90000 AS VARCHAR), 5, '0') AS sku
+        |  FROM part WHERE p_partkey % 2 = 0),
+        |mc AS (
+        |  SELECT COALESCE(MAX(CAST(regexp_extract(sku, '([0-9]+)$', 1)
+        |    AS BIGINT)), 0) AS max_ctr
+        |  FROM existing)
+        |SELECT p_partkey,
+        |  'SKU-'
+        |    || substr(regexp_replace(upper(p_type), '[^A-Z]', '', 'g'), 1, 3)
+        |    || '-' || lpad(CAST(max_ctr + ROW_NUMBER()
+        |      OVER (ORDER BY p_partkey) AS VARCHAR), 5, '0') AS sku
+        |FROM part, mc WHERE p_partkey % 2 = 1
+        |ORDER BY p_partkey""".stripMargin,
 
     "q18_big_orders" ->
       """SELECT o_orderkey, o_custkey, total_qty FROM orders
