@@ -95,6 +95,35 @@ object Similarity {
       .select(col(qidCol), col("rank"), col(idCol), col("cosine"))
   }
 
+  /** LSH-bucketed top-k — the other sub-linear ANN path. The DATA side is
+    * bucketed exactly once (one bucket per row, no multiplication); the
+    * QUERY side is multi-probed (queries are few, so (probes+1)× query
+    * rows is cheap) and broadcast. Each query then scores only the rows
+    * whose bucket collides with one of its probes. A (row, query) pair
+    * can collide in more than one probe bucket, so candidates are
+    * deduped before ranking. Recall rises with `probes`, falls with
+    * `planes`; the 100 TB tuning is planes ≈ log2(rows/targetBucket). */
+  def lshTopK(data: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, planes: Int = 8, probes: Int = 3, seed: Long = 42L,
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim
+      else data.select(size(col(vecCol))).first().getInt(0)
+    val bucketed = data.withColumn("bucket",
+      hyperplaneBucket(col(vecCol), d, planes, seed))
+    val qb = queries.select(col(qidCol), col(qvecCol),
+      explode(multiProbeBuckets(col(qvecCol), d, planes, seed, probes))
+        .as("bucket"))
+    bucketed.join(broadcast(qb), Seq("bucket"))
+      .dropDuplicates(qidCol, idCol)
+      .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("cosine"))
+  }
+
   // ---- IVF (inverted-file) index ----------------------------------------
 
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)

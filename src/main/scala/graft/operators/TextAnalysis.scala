@@ -15,8 +15,18 @@ object TextAnalysis {
     split(lower(trim(c)), "\\s+")
 
   /** Whitespace token count; 0 for null/blank. */
-  def tokenCountWs(c: Column): Column =
-    when(c.isNull || trim(c) === "", 0).otherwise(size(tokens(c)))
+  def tokenCountWs(c: Column): Column = tokenCountWsT(c, tokens(c))
+
+  /** Variant over a pre-materialized token array. Higher-order functions
+    * evaluate interpreted (no whole-stage codegen), so the regex split
+    * inside `tokens` is NOT subexpression-eliminated across the lambda
+    * expressions that use it — an annotate projection computing lang id,
+    * quality, and counts re-splits the text ~6x per row. Materializing
+    * the array once in its own projection (CollapseProject keeps a
+    * multi-referenced non-cheap alias) makes every downstream op read it.
+    */
+  def tokenCountWsT(raw: Column, toks: Column): Column =
+    when(raw.isNull || trim(raw) === "", 0).otherwise(size(toks))
 
   /** BPE-ish token count: word pieces + standalone punctuation — the
     * standard cheap proxy for LLM token counts (~= GPT-ish tokens for
@@ -34,10 +44,12 @@ object TextAnalysis {
       round(regexp_count(c, lit(cls)).cast("double") / length(c), 6))
 
   /** Mean whitespace-token length, 6-decimal rounded. */
-  def meanTokenLen(c: Column): Column =
-    when(tokenCountWs(c) === 0, 0.0).otherwise(
-      round(aggregate(tokens(c), lit(0L),
-        (acc, t) => acc + length(t)).cast("double") / size(tokens(c)), 6))
+  def meanTokenLen(c: Column): Column = meanTokenLenT(c, tokens(c))
+
+  def meanTokenLenT(raw: Column, toks: Column): Column =
+    when(tokenCountWsT(raw, toks) === 0, 0.0).otherwise(
+      round(aggregate(toks, lit(0L),
+        (acc, t) => acc + length(t)).cast("double") / size(toks), 6))
 
   val englishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
@@ -46,22 +58,29 @@ object TextAnalysis {
   /** Fraction of tokens that are stopwords (quality signal: natural prose
     * sits around 0.3-0.5; keyword spam near 0). */
   def stopwordRatio(c: Column,
+      stopwords: Seq[String] = englishStopwords): Column =
+    stopwordRatioT(c, tokens(c), stopwords)
+
+  def stopwordRatioT(raw: Column, toks: Column,
       stopwords: Seq[String] = englishStopwords): Column = {
     val sw = typedLit(stopwords)
-    when(tokenCountWs(c) === 0, 0.0).otherwise(
-      round(size(filter(tokens(c), t => array_contains(sw, t)))
-        .cast("double") / size(tokens(c)), 6))
+    when(tokenCountWsT(raw, toks) === 0, 0.0).otherwise(
+      round(size(filter(toks, t => array_contains(sw, t)))
+        .cast("double") / size(toks), 6))
   }
 
   /** Composite quality score in [0,1]: long enough, prose-like
     * punctuation/digit profile, sane word lengths. The exact recipe is
     * a heuristic; what matters operationally is that it is deterministic,
     * cheap, and monotone in the obvious junk signals. */
-  def qualityScore(c: Column): Column = {
+  def qualityScore(c: Column): Column = qualityScoreT(c, tokens(c))
+
+  def qualityScoreT(c: Column, toks: Column): Column = {
     val lenScore = least(length(c).cast("double") / 200.0, lit(1.0))
     val punctOk = lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))
     val digitOk = lit(1.0) - least(digitRatio(c) * 5.0, lit(1.0))
-    val wordOk = when(meanTokenLen(c).between(3.0, 10.0), 1.0).otherwise(0.5)
+    val wordOk = when(meanTokenLenT(c, toks).between(3.0, 10.0), 1.0)
+      .otherwise(0.5)
     // explicit null guard: least() SKIPS nulls, so without it a NULL text
     // would score lenScore=1.0 and rank as high-quality junk
     when(c.isNull, 0.0).otherwise(
@@ -81,13 +100,66 @@ object TextAnalysis {
   /** Language id by stopword voting: argmax of marker hits, ties and
     * zero-hit rows → "und" (undetermined). */
   def langId(c: Column,
+      profiles: Seq[(String, Seq[String])] = defaultLangProfiles): Column =
+    langIdT(c, tokens(c), profiles)
+
+  def langIdT(c: Column, toks: Column,
       profiles: Seq[(String, Seq[String])] = defaultLangProfiles): Column = {
-    val toks = tokens(c)
     val scores = profiles.map { case (lang, markers) =>
       lang -> size(filter(toks, t => array_contains(typedLit(markers), t)))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // first language (profile order) achieving the max, if any hits
+    val ladder = scores.foldLeft(when(best <= 0, "und")) {
+      case (acc, (lang, sc)) => acc.when(sc === best, lang)
+    }
+    when(c.isNull, "und").otherwise(ladder.otherwise("und"))
+  }
+
+  // ---- fused single-pass stats (native expression) ----------------------
+  // One tokenization pass per row instead of ~7 interpreted lambda walks;
+  // every derived column below is bit-identical to its composed
+  // counterpart (pinned by LlmOpsSpec's equivalence test and the t1
+  // DuckDB oracle).
+
+  /** struct<n_tok, sum_len, n_stop, scores> — materialize ONCE per row
+    * (its own projection) and derive everything from it. */
+  def textStats(c: Column,
+      stopwords: Seq[String] = englishStopwords,
+      profiles: Seq[(String, Seq[String])] = defaultLangProfiles): Column =
+    graft.expressions.TextStatsExpr.textStats(c, stopwords,
+      profiles.map(_._2))
+
+  def tokenCountWsS(raw: Column, st: Column): Column =
+    when(raw.isNull || trim(raw) === "", 0).otherwise(st.getField("n_tok"))
+
+  def meanTokenLenS(raw: Column, st: Column): Column =
+    when(tokenCountWsS(raw, st) === 0, 0.0).otherwise(
+      round(st.getField("sum_len").cast("double")
+        / st.getField("n_tok"), 6))
+
+  def stopwordRatioS(raw: Column, st: Column): Column =
+    when(tokenCountWsS(raw, st) === 0, 0.0).otherwise(
+      round(st.getField("n_stop").cast("double")
+        / st.getField("n_tok"), 6))
+
+  def qualityScoreS(c: Column, st: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 200.0, lit(1.0))
+    val punctOk = lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))
+    val digitOk = lit(1.0) - least(digitRatio(c) * 5.0, lit(1.0))
+    val wordOk = when(meanTokenLenS(c, st).between(3.0, 10.0), 1.0)
+      .otherwise(0.5)
+    when(c.isNull, 0.0).otherwise(
+      round((lenScore * 0.4 + punctOk * 0.25 + digitOk * 0.25
+        + wordOk * 0.1), 6))
+  }
+
+  def langIdS(c: Column, st: Column,
+      profiles: Seq[(String, Seq[String])] = defaultLangProfiles): Column = {
+    val scores = profiles.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(st.getField("scores"), i + 1)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val ladder = scores.foldLeft(when(best <= 0, "und")) {
       case (acc, (lang, sc)) => acc.when(sc === best, lang)
     }

@@ -29,12 +29,21 @@ object CorpusPipeline {
       minhashThreshold: Double = 0.8,
       shingleK: Int = 3)
 
-  /** One-scan annotation: metadata every later stage filters on. */
-  def annotate(docs: DataFrame, textCol: String): DataFrame =
-    docs.withColumn("lang_id", TA.langId(col(textCol)))
-      .withColumn("quality", TA.qualityScore(col(textCol)))
-      .withColumn("n_tokens", TA.tokenCountWs(col(textCol)))
-      .withColumn("fingerprint", TA.fingerprint(col(textCol)))
+  /** One-scan annotation: metadata every later stage filters on. The
+    * fused TextStats struct is materialized ONCE in its own projection
+    * (CollapseProject keeps a multi-referenced non-cheap alias), so the
+    * document is tokenized exactly once per row; the lambda-composed
+    * alternative re-walks the token array per annotation column,
+    * interpreted. Outputs are bit-identical (LlmOpsSpec pins it). */
+  def annotate(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.withColumn("__st", TA.textStats(t))
+      .withColumn("lang_id", TA.langIdS(t, col("__st")))
+      .withColumn("quality", TA.qualityScoreS(t, col("__st")))
+      .withColumn("n_tokens", TA.tokenCountWsS(t, col("__st")))
+      .withColumn("fingerprint", TA.fingerprint(t))
+      .drop("__st")
+  }
 
   /** Full clean: returns (cleanCorpus, statsRow). The filtered+annotated
     * frame is persisted — it feeds the dedup winner agg, the dedup probe

@@ -20,16 +20,22 @@ object LlmQueries {
 
   def queries: Map[String, Q] = Map(
     // ---- text analysis: token stats, quality, language id ---------------
+    // Runs the FUSED TextStats native expression (one tokenization pass);
+    // the DuckDB oracle recomputes everything independently, so this gate
+    // checks the native path, and LlmOpsSpec pins fused ≡ composed.
     "t1_text_analysis" -> ((s, d) => {
-      Tables.documents(s, d).select(col("doc_id"),
-        TA.tokenCountWs(col("text")).as("n_tok_ws"),
-        TA.tokenCountBpe(col("text")).as("n_tok_bpe"),
-        TA.punctRatio(col("text")).as("punct_ratio"),
-        TA.digitRatio(col("text")).as("digit_ratio"),
-        TA.meanTokenLen(col("text")).as("mean_tok_len"),
-        TA.stopwordRatio(col("text")).as("stopword_ratio"),
-        TA.qualityScore(col("text")).as("quality"),
-        TA.langId(col("text")).as("lang_id"))
+      val t = col("text")
+      Tables.documents(s, d)
+        .withColumn("__st", TA.textStats(t))
+        .select(col("doc_id"),
+          TA.tokenCountWsS(t, col("__st")).as("n_tok_ws"),
+          TA.tokenCountBpe(t).as("n_tok_bpe"),
+          TA.punctRatio(t).as("punct_ratio"),
+          TA.digitRatio(t).as("digit_ratio"),
+          TA.meanTokenLenS(t, col("__st")).as("mean_tok_len"),
+          TA.stopwordRatioS(t, col("__st")).as("stopword_ratio"),
+          TA.qualityScoreS(t, col("__st")).as("quality"),
+          TA.langIdS(t, col("__st")).as("lang_id"))
         .orderBy(col("doc_id"))
     }),
 
@@ -125,6 +131,19 @@ object LlmQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.bruteForceTopK(emb, "vec_id", "embedding",
         queries, "qid", "qv", k = 5)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- LSH-bucketed ANN top-k (rows-only; recall pinned in spec) -------
+    "ann3_lsh_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"))
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
+        k = 5, planes = 4, probes = 4)
         .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
         .orderBy(col("qid"), col("rank"))
     }),

@@ -40,8 +40,5 @@ object CProf {
 }
 object CorpusStages {
   def annotate(docs: org.apache.spark.sql.DataFrame) =
-    docs.withColumn("lang_id", TA.langId(col("text")))
-      .withColumn("quality", TA.qualityScore(col("text")))
-      .withColumn("n_tokens", TA.tokenCountWs(col("text")))
-      .withColumn("fingerprint", TA.fingerprint(col("text")))
+    graft.pipelines.CorpusPipeline.annotate(docs, "text")
 }
