@@ -49,6 +49,24 @@ object CoreQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // ---- SQL-text surface: the same engine through spark.sql ------------
+    // The reference's users speak SQL (its compute is SQL pushed to
+    // Oracle); this query goes parse → Catalyst through spark.sql over
+    // the registered views and is hash-checked like everything else.
+    "sql1_sql_text" -> ((s, d) => {
+      graft.sql.SqlSurface.registerTables(s, d)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+            AS sum_base_price,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    }),
+
     // ---- J1/P1/O1: denormalized wide star-join snapshot -----------------
     // Mirrors extract_sales_snapshot.py:32-96 (fact ⋈ all dims, ordered by
     // the fact PK). part/supplier are broadcast; orders joins on the key.
@@ -295,6 +313,17 @@ object CoreQueries {
         |  COUNT(DISTINCT p_type) AS n_type,
         |  COUNT(DISTINCT p_size) AS n_size
         |FROM part""".stripMargin,
+
+    "sql1_sql_text" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "a4_conditional_agg" ->
       """SELECT o_orderstatus,

@@ -28,6 +28,46 @@ object StreamQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // semi-structured props: typed from_json parse (schema-on-read), then
+    // aggregate on the extracted field — the event-pipeline idiom the
+    // flat-relational reference lacks. Oracle re-extracts via regex so
+    // the check is independent of any JSON library.
+    "e1_json_props" -> ((s, d) => {
+      val schema = "k INT"
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType
+            .fromDDL(schema)).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ordered funnel: first view → first click after it → first purchase
+    // after that, per user; one shuffle on user_id, reused by every
+    // stage (co-partitioned joins on the same key don't re-exchange)
+    "e2_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id"), col("v_ts"))
+        .agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      def stage(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n_users")).select(
+          lit(name).as("stage"), col("n_users"))
+      stage(v, "1_view")
+        .unionByName(stage(c, "2_click_after_view"))
+        .unionByName(stage(p, "3_purchase_after_click"))
+        .orderBy(col("stage"))
+    }),
+
     // as-of join: each click enriched with the latest preceding view's
     // value for the same user (union+window form — one shuffle)
     "aj1_asof_join" -> ((s, d) => {
@@ -73,6 +113,36 @@ object StreamQueries {
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "e1_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+        |    AS INT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+        |    AS INT)) AS INT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e2_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS c_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS p_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |  GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT '2_click_after_view', COUNT(*) FROM c
+        |  UNION ALL
+        |  SELECT '3_purchase_after_click', COUNT(*) FROM p)
+        |ORDER BY stage""".stripMargin,
 
     "aj1_asof_join" ->
       """WITH clicks AS (
