@@ -44,22 +44,29 @@ object Similarity {
 
   /** Sign-pattern bucket id (0 .. 2^planes-1) of a vector against the
     * seeded hyperplanes. Cosine-similar vectors collide with high
-    * probability; each added plane halves the expected bucket size. */
+    * probability; each added plane halves the expected bucket size.
+    * Native single-pass projection (HyperplaneBuckets, probes=0). */
   def hyperplaneBucket(vec: Column, dim: Int, planes: Int,
       seed: Long): Column =
-    hyperplanes(dim, planes, seed).zipWithIndex.map { case (w, p) =>
-      when(dot(vec, typedLit(w)) >= 0, shiftleft(lit(1L), p))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+    element_at(graft.expressions.HyperplaneBucketsExpr
+      .multiProbeBuckets(vec, hyperplanes(dim, planes, seed), 0), 1)
 
   /** Multi-probe buckets: the exact bucket plus `probes` neighbors with
     * the LOWEST-MARGIN sign flipped first — a near-dup pair whose
     * projection sits close to one hyperplane lands one bit apart, and
     * single-bucket LSH misses it. Probing the most-uncertain bits
     * recovers those pairs at the cost of (probes+1)× bucket rows.
-    * Returns an array of bucket ids; explode and join on the element. */
+    * Returns an array of bucket ids; explode and join on the element.
+    * Native: every plane's projection accumulates in ONE pass over the
+    * vector (the composed per-plane zip_with/aggregate walks it `planes`
+    * times, interpreted — kept below for the equivalence spec). */
   def multiProbeBuckets(vec: Column, dim: Int, planes: Int, seed: Long,
-      probes: Int): Column = {
+      probes: Int): Column =
+    graft.expressions.HyperplaneBucketsExpr.multiProbeBuckets(
+      vec, hyperplanes(dim, planes, seed), probes)
+
+  private[graft] def multiProbeBucketsComposed(vec: Column, dim: Int,
+      planes: Int, seed: Long, probes: Int): Column = {
     val ws = hyperplanes(dim, planes, seed)
     val dots = ws.map(w => dot(vec, typedLit(w)))
     val base = dots.zipWithIndex.map { case (dp, p) =>

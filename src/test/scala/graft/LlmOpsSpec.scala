@@ -234,6 +234,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("native HyperplaneBuckets matches the composed formulation") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val both = emb.select(col("vec_id"),
+      Similarity.multiProbeBuckets(col("embedding"), 64, 8, 42L, 3)
+        .as("native"),
+      Similarity.multiProbeBucketsComposed(col("embedding"), 64, 8, 42L, 3)
+        .as("composed"))
+    assert(both.filter(not(col("native") === col("composed")))
+      .count() === 0)
+    // float input path agrees with the double path
+    val f = Tables.embeddings(spark, sf).select(col("vec_id"),
+      Similarity.multiProbeBuckets(col("embedding"), 64, 8, 42L, 3)
+        .as("nf"))
+    assert(both.select(col("vec_id"), col("native"))
+      .join(f, "vec_id").filter(not(col("native") === col("nf")))
+      .count() === 0)
+  }
+
   test("native SimHashSig and CosineSim match composed formulations") {
     val docs = Tables.documents(spark, sf).limit(100)
       .select(col("doc_id"), col("text"))
