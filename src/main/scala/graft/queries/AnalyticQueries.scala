@@ -338,6 +338,43 @@ object AnalyticQueries {
         .agg(net.as("revenue"), count(lit(1)).as("n_lines"))
     }),
 
+    // ---- Q11 shape: suppliers whose revenue share exceeds a threshold ---
+    // (no partsupp in the synthetic schema: "value" is shipped revenue)
+    "q11_value_share" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(net.as("supp_rev"), count(lit(1)).as("n_lines"))
+      // total from an independent exact-decimal aggregate (NOT a sum of
+      // the per-supplier doubles, whose accumulation order differs
+      // between engines and would move the filter boundary)
+      val total = li.agg(net.as("total_rev"))
+      rev.crossJoin(broadcast(total))
+        .filter(col("supp_rev") > col("total_rev") * 0.011)
+        .select(col("l_suppkey"), col("supp_rev"), col("n_lines"))
+        .orderBy(col("supp_rev").desc, col("l_suppkey"))
+    }),
+
+    // ---- Q22 shape: high-balance customers with no recent orders --------
+    "q22_cold_customers" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val n = Tables.nation(s, d)
+      // davg = exact decimal sum / count — bit-identical across engines
+      // (plain double avg is accumulation-order-dependent)
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg(Tables.davg(col("c_acctbal")).as("ab"))
+      val recent = o.filter(col("o_orderdate") >= "1999-01-01")
+        .select(col("o_custkey")).distinct()
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          Tables.dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("n_name"))
+    }),
+
     // ---- Q20 shape: suppliers shipping large volumes of matching parts --
     "q20_part_supply" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -581,6 +618,33 @@ object AnalyticQueries {
          |       AND l_quantity BETWEEN 10 AND 20)
          |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q11_value_share" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, $netSql AS supp_rev, COUNT(*) AS n_lines
+         |  FROM lineitem GROUP BY 1),
+         |total AS (SELECT $netSql AS total_rev FROM lineitem)
+         |SELECT l_suppkey, supp_rev, n_lines
+         |FROM rev, total
+         |WHERE supp_rev > total_rev * 0.011
+         |ORDER BY supp_rev DESC, l_suppkey""".stripMargin,
+
+    "q22_cold_customers" ->
+      """WITH ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(c_acctbal) AS ab
+        |  FROM customer WHERE c_acctbal > 0),
+        |recent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= DATE '1999-01-01')
+        |SELECT n_name, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer, ab
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > ab
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q20_part_supply" ->
       """WITH big AS (

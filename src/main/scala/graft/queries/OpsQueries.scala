@@ -119,6 +119,44 @@ object OpsQueries {
         .orderBy(col("l_orderkey"))
     }),
 
+    // ---- Fuzzy key matching: blocked levenshtein on the key domain ------
+    // The scale pattern for key canonicalization: DISTINCT the key domain
+    // first (64 names here; orders of magnitude below fact cardinality),
+    // block by a cheap predicate (length band), verify with edit
+    // distance. Never runs all-pairs on the fact table.
+    "d6_fuzzy_pairs" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+      val a = names.select(col("p_name").as("name_a"))
+      val b = names.select(col("p_name").as("name_b"))
+      a.join(b, col("name_a") < col("name_b")
+          && abs(length(col("name_a")) - length(col("name_b"))) <= 3
+          && levenshtein(col("name_a"), col("name_b")) <= 3)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .orderBy(col("name_a"), col("name_b"))
+    }),
+
+    // ---- O-series breadth: INTERSECT / EXCEPT ---------------------------
+    "o5_intersect" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val custN = Tables.customer(s, d)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"))
+      val suppN = Tables.supplier(s, d)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"))
+      custN.intersect(suppN).orderBy(col("n_name"))
+    }),
+
+    "o6_except" -> ((s, d) => {
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      su.select(col("s_nationkey"))
+        .except(su.filter(col("s_acctbal") < 0).select(col("s_nationkey")))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name")).orderBy(col("n_name"))
+    }),
+
     // ---- Lookup-dim upsert (snowflake maintenance) ----------------------
     "lookup_dim_upsert" -> ((s, d) => {
       val p = Tables.part(s, d)
@@ -134,6 +172,32 @@ object OpsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "d6_fuzzy_pairs" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM names a JOIN names b
+        |  ON a.p_name < b.p_name
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
+        |  AND levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "o5_intersect" ->
+      """SELECT n_name FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |INTERSECT
+        |SELECT n_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+
+    "o6_except" ->
+      """SELECT n_name FROM (
+        |  SELECT DISTINCT s_nationkey FROM supplier
+        |  EXCEPT
+        |  SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal < 0)
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+
     "j7_classify_changes" ->
       """WITH incoming AS (
         |  SELECT p_partkey AS bk,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
 
-import graft.expressions.{CosineSim, MinHashSig, SimHashSig}
+import graft.expressions.{CosineSim, HyperplaneBuckets, MinHashSig, SimHashSig, TextStats}
 
 /** Session-extension entry point — the idiomatic way to ship an engine as
   * a library: users add
@@ -17,8 +17,9 @@ import graft.expressions.{CosineSim, MinHashSig, SimHashSig}
   * which is session-local and imperative).
   *
   * Injects:
-  *  - the three native codegen expressions as SQL functions
-  *    (`minhash_sig`, `simhash_sig`, `cosine_sim`);
+  *  - the five native codegen expressions as SQL functions
+  *    (`minhash_sig`, `simhash_sig`, `cosine_sim`, `text_stats`,
+  *    `hyperplane_buckets`);
   *  - [[CollapseRedundantNormalization]], an optimizer rule for the
   *    cleansing-expression library.
   */
@@ -41,6 +42,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      (exprs: Seq[Expression]) => TextStats(exprs.head,
+        graft.operators.TextAnalysis.englishStopwords,
+        graft.operators.TextAnalysis.defaultLangProfiles.map(_._2))))
+    ext.injectFunction((FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName,
+        "hyperplane_buckets"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(v, Literal(dim: Int, _), Literal(planes: Int, _),
+            Literal(seed, _), Literal(probes: Int, _)) =>
+          val s = seed match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case other => throw new IllegalArgumentException(
+              s"seed must be an integer literal, got $other")
+          }
+          HyperplaneBuckets(v, graft.operators.Similarity
+            .hyperplanes(dim, planes, s).map(_.toArray).toArray, probes)
+        case _ => throw new IllegalArgumentException(
+          "hyperplane_buckets(vec, dim, planes, seed, probes) — config " +
+            "args must be integer literals")
+      }))
     ext.injectOptimizerRule(_ => CollapseRedundantNormalization)
     // MERGE INTO for plain parquet tables (see MergeSql): rewrite the
     // parsed-but-unresolved MergeIntoTable before the analyzer rejects

@@ -55,6 +55,46 @@ class FuzzSpec extends SparkSpec {
       Seq.fill(javaPatterns.size)("2024-03-07"))
   }
 
+  test("TextStats fused ≡ composed on random text incl unicode edges") {
+    import graft.operators.{TextAnalysis => TA}
+    val alphabet = "ab cd the le der 09!?\t\né中  "
+    def randText(): String =
+      (0 until rnd.nextInt(60)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    val inputs = (1 to 400).map(_ => randText()) ++
+      Seq(null, "", " ", "\t\n", "the", "中文 été")
+    val docs = strDf(inputs).withColumn("id",
+      monotonically_increasing_id())
+    val t = col("v")
+    val composed = docs.select(col("id"),
+      TA.tokenCountWs(t).as("n"), TA.meanTokenLen(t).as("ml"),
+      TA.stopwordRatio(t).as("sr"), TA.langId(t).as("l"))
+      .orderBy("id").collect()
+    val fused = docs.withColumn("__st", TA.textStats(t))
+      .select(col("id"),
+        TA.tokenCountWsS(t, col("__st")).as("n"),
+        TA.meanTokenLenS(t, col("__st")).as("ml"),
+        TA.stopwordRatioS(t, col("__st")).as("sr"),
+        TA.langIdS(t, col("__st")).as("l"))
+      .orderBy("id").collect()
+    assert(composed.toSeq === fused.toSeq)
+  }
+
+  test("HyperplaneBuckets fused ≡ composed on random vectors incl zeros") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val vecs: Seq[Seq[Double]] =
+      (1 to 200).map(_ => Seq.fill(16)(rnd.nextDouble() * 2 - 1)) ++
+        Seq(Seq.fill(16)(0.0), Seq.fill(16)(1e-300), Seq.fill(16)(-1.0))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "vec")
+    val both = df.select(col("id"),
+      Similarity.multiProbeBuckets(col("vec"), 16, 10, 7L, 4).as("n"),
+      Similarity.multiProbeBucketsComposed(col("vec"), 16, 10, 7L, 4)
+        .as("c"))
+    assert(both.filter(not(col("n") === col("c"))).count() === 0)
+  }
+
   test("normalizeKey/cleanText: idempotent under re-application") {
     val inputs = (1 to 200).map(_ => randString(rnd.nextInt(20))) :+ null
     val out = strDf(inputs).select(

@@ -26,6 +26,19 @@ class GraftExtensionsSpec extends SparkSpec {
     val sh2 = spark.sql("SELECT simhash_sig('hello world') AS sh")
       .collect().head.getLong(0)
     assert(sh === sh2)
+
+    val ts = spark.sql(
+      "SELECT text_stats('the quick brown fox and le chat') AS s")
+      .select(col("s.n_tok"), col("s.n_stop"), col("s.scores"))
+      .collect().head
+    assert(ts.getInt(0) === 7)
+    assert(ts.getInt(1) === 2) // 'the', 'and'
+    assert(ts.getSeq[Int](2).head === 2) // en markers: the, and
+
+    val hb = spark.sql(
+      "SELECT hyperplane_buckets(array(1.0D, -2.0D, 0.5D, 3.0D), " +
+        "4, 6, 42L, 2) AS b").collect().head.getSeq[Long](0)
+    assert(hb.size === 3 && hb.distinct.size === 3) // base + 2 distinct flips
   }
 
   test("redundant normalization chains collapse in the optimized plan") {
