@@ -52,8 +52,11 @@ object CorpusPipeline {
     * action. Exact dedup is the narrow (no-payload-shuffle) variant. */
   def clean(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): (DataFrame, Map[String, Long]) = {
-    val n0 = docs.count()
-    val annotated = annotate(docs, textCol)
+    // the input count rides the SAME job as the kept count via an
+    // Observation metric on the pre-filter scan — no separate n0 pass
+    val obs = org.apache.spark.sql.Observation()
+    val annotated = annotate(docs.observe(obs, count(lit(1)).as("n0")),
+      textCol)
     // persist the filtered, annotated corpus: the regex-heavy annotation
     // runs ONCE, and every later stage (dedup winner agg, dedup probe,
     // MinHash, final anti-join) reads the cache instead of re-scanning
@@ -62,6 +65,7 @@ object CorpusPipeline {
       .filter(col("quality") >= cfg.minQuality)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n1 = kept.count()
+    val n0 = obs.get("n0").asInstanceOf[Long]
     // narrow exact dedup: only (hash, id) pairs move; the loser-id set is
     // tiny (persisted) and the corpus is never re-materialized — each
     // stage is the cached corpus + a broadcast anti-join
@@ -73,9 +77,10 @@ object CorpusPipeline {
       k = cfg.shingleK, threshold = cfg.minhashThreshold)
     val losers = dupPairs.select(col("id_b").as(idCol)).distinct()
     // localCheckpoint severs lineage to the cached frame so it can be
-    // released here instead of leaking across calls
+    // released here instead of leaking across calls; lazy so the
+    // materialization and the count share one action
     val cleaned = survivors.join(losers, Seq(idCol), "left_anti")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val n3 = cleaned.count()
     exactLosers.unpersist()
     kept.unpersist()
