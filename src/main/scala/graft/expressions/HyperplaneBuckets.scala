@@ -42,6 +42,25 @@ case class HyperplaneBuckets(child: Expression,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_buckets"
 
+  /** SQL-reachable (GraftExtensions), so malformed inputs must fail at
+    * analysis, not per-row: only float/double arrays project correctly
+    * (getDouble on int-packed ArrayData would read garbage), and a
+    * negative probe count would blow up the output allocation. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        if (probes < 0)
+          TypeCheckResult.TypeCheckFailure(
+            s"probes must be >= 0, got $probes")
+        else TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double> input, " +
+          s"got ${other.catalogString}")
+    }
+  }
+
   /** Reference-object doGenCode keeps the surrounding projection in one
     * whole-stage-codegen span (CodegenFallback would split it). */
   override protected def doGenCode(ctx: CodegenContext,
@@ -75,7 +94,10 @@ case class HyperplaneBuckets(child: Expression,
     var base = 0L
     var p = 0
     while (p < planes) {
-      if (dots(p) >= 0) base |= (1L << p)
+      // NaN sets the bit: Spark SQL orders NaN above every double, so
+      // the composed `when(dp >= 0, …)` is TRUE for NaN — mirror it
+      // (Java's `NaN >= 0` alone is false)
+      if (dots(p) >= 0 || dots(p).isNaN) base |= (1L << p)
       p += 1
     }
     val order = Array.range(0, planes)

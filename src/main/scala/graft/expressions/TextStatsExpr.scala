@@ -91,7 +91,9 @@ case class TextStats(child: Expression, stopwords: Seq[String],
     var i = 0
     while (i < tokens.length) {
       val t = tokens(i)
-      sumLen += UTF8String.fromString(t).numChars()
+      // code points, matching Spark length() (UTF8String.numChars) —
+      // computed allocation-free instead of re-encoding to UTF8String
+      sumLen += t.codePointCount(0, t.length)
       if (stopSet.contains(t)) nStop += 1
       var p = 0
       while (p < scores.length) {

@@ -50,9 +50,17 @@ object CorpusStore {
       idCol: String, textCol: String,
       nBuckets: Int = DefaultBuckets): (Long, Long) = {
     val nBatch = batch.count()
+    // null text is content-free and has no content address — rejected
+    // here explicitly (it would otherwise vanish in the null-unsafe
+    // join below with no trace)
     val hashed = batch.select(col(idCol).cast("long").as(idCol),
         col(textCol).as(textCol))
+      .filter(col(textCol).isNotNull)
       .withColumn("content_hash", Dedup.contentHash(col(textCol)))
+      // a batch can hold the SAME (id, text) row twice (retried crawl
+      // record); collapse exact row dups or the min-id join-back below
+      // would keep both copies and break the one-row-per-hash invariant
+      .dropDuplicates("content_hash", idCol)
     // within-batch winners: lowest id per hash (deterministic)
     val winners = hashed.groupBy(col("content_hash"))
       .agg(min(col(idCol)).as(idCol))

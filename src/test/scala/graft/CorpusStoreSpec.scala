@@ -57,10 +57,31 @@ class CorpusStoreSpec extends SparkSpec {
       concat(lit("  "), upper(col("text"))).as("text"))
     val (a4, _) = CorpusStore.ingest(spark, table, mangled, "doc_id", "text")
     assert(a4 === 0)
+
+    // exact duplicate ROWS within one batch collapse to one appended row,
+    // and null text is rejected (content-free), not silently lost
+    import spark.implicits._
+    val noisy = Seq((500001L, "zz unique alpha"), (500001L, "zz unique alpha"),
+      (500002L, "zz unique beta"), (500003L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val before = spark.table(table).count()
+    val (a5, n5) = CorpusStore.ingest(spark, table, noisy, "doc_id", "text")
+    assert(n5 === 4 && a5 === 2)
+    assert(spark.table(table).count() === before + 2)
+    assert(spark.table(table).select("content_hash").distinct().count()
+      === before + 2)
   }
 
   test("dedup anti-join never exchanges the corpus side") {
-    // table exists and is non-empty from the previous test
+    // self-contained: ensure the table exists and holds at least one
+    // batch even when this test runs in isolation
+    CorpusStore.ensure(spark, table, "doc_id", "text")
+    if (spark.table(table).isEmpty) {
+      CorpusStore.ingest(spark, table,
+        Tables.documents(spark, "/root/testdata/sf0.001")
+          .select(col("doc_id"), col("text")).filter(col("doc_id") < 100),
+        "doc_id", "text")
+    }
     val batch = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text")).filter(col("doc_id") < 30)
       .withColumn("content_hash",
