@@ -47,10 +47,33 @@ object Bench {
                  catch { case _: Throwable => false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query timings for local analysis (not parsed by the driver).
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$fullQs,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case _: Throwable => () }
+    // The driver keeps only the LAST 2000 chars of stdout and parses the
+    // JSON line out of that tail; sbt's trailing "[success] ..." line eats
+    // ~100 of them. Keep this line comfortably under the budget: headline
+    // queries only, 3-decimal values, numeric sf.
+    val headline = Seq(
+      "a2_pricing_summary", "q3_order_revenue", "q5_nation_revenue",
+      "q8_market_share", "q9_profit_nation_year", "q18_big_orders",
+      "q21_late_suppliers", "j1_star_snapshot", "sc1_scd2_resolve",
+      "st1_sessionize", "d1_exact_dedup", "d3_minhash_pairs",
+      "d5_embedding_dups", "ann1_bruteforce_topk", "t1_text_analysis",
+      "c1_corpus_clean", "w4_window_frames", "g1_rollup")
+    val byName = results.toMap
+    val qs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + fmt(v)))
+      .mkString("{", ",", "}")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val failed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }
