@@ -45,14 +45,26 @@ def main():
     results = {}
     names = sorted([os.path.basename(p) for p in glob.glob(f"{out}/*")
                     if os.path.isdir(p)])
+    import pyarrow as pa
     import pyarrow.parquet as pq
     for name in names:
-        # Read the Spark side via pyarrow->python objects (like the driver),
-        # NOT via duckdb — so Decimal-vs-float / hugeint repr skew is caught.
-        tbl = pq.read_table(glob.glob(f"{out}/{name}/*.parquet")[0])
-        scols = sorted(tbl.column_names)
-        s_rows = list(zip(*[tbl.column(c).to_pylist() for c in scols])) \
-            if scols else []
+        try:
+            # Read the Spark side via pyarrow->python objects (like the
+            # driver), NOT via duckdb — so Decimal-vs-float / hugeint repr
+            # skew is caught. Read EVERY part file (a query can emit more
+            # than one), and record ERR instead of crashing the whole run
+            # when a query left nothing behind.
+            parts = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+            if not parts:
+                results[name] = "ERR: no parquet part files"
+                continue
+            tbl = pa.concat_tables([pq.read_table(p) for p in parts])
+            scols = sorted(tbl.column_names)
+            s_rows = list(zip(*[tbl.column(c).to_pylist() for c in scols])) \
+                if scols else []
+        except Exception as e:
+            results[name] = f"ERR: {str(e).splitlines()[0]}"
+            continue
         if name not in oracle:
             results[name] = "ROWS_OK" if len(s_rows) > 0 else "ROWS_EMPTY"
             continue
