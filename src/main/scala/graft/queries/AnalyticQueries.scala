@@ -164,7 +164,10 @@ object AnalyticQueries {
     "q15_top_supplier" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val su = Tables.supplier(s, d)
-      val rev = li.filter(year(col("l_shipdate")) === 1997)
+      // range predicate, not year(): a function over the column defeats
+      // parquet row-group stats pruning; between reaches PushedFilters
+      val rev = li.filter(col("l_shipdate")
+          .between("1997-01-01", "1997-12-31"))
         .groupBy(col("l_suppkey"))
         .agg(net.as("total_rev"))
       val maxRev = rev.agg(max(col("total_rev")).as("mr"))
@@ -266,7 +269,8 @@ object AnalyticQueries {
     // ---- Q6 shape: forecast-revenue-change scalar aggregate -------------
     "q6_forecast_revenue" -> ((s, d) => {
       Tables.lineitem(s, d)
-        .filter(year(col("l_shipdate")) === 1997
+        // date RANGE instead of year(): pushes to the parquet scan
+        .filter(col("l_shipdate").between("1997-01-01", "1997-12-31")
           && col("l_discount").between(0.05, 0.07)
           && col("l_quantity") < 24)
         .agg(sum(dec2(col("l_extendedprice")) * dec4(col("l_discount")))

@@ -45,15 +45,25 @@ object LlmQueries {
     // explicit polynomial rolling hash over the normalized text's code
     // points — same plumbing (normalize → per-char fold), independently
     // recomputable on the oracle side.
+    // Codepoint portability is ENFORCED, not assumed: the corpus is pure
+    // ASCII, so derived rows append BMP (₹, 中) and supplementary (😀)
+    // characters. Spark 4's split(s,'') yields one element per CODE POINT
+    // and ascii() returns that code point (verified: ascii('😀')=128512,
+    // = DuckDB unicode()); if either ever regresses to byte/UTF-16-unit
+    // semantics, these rows break the hash match.
     "t2_fingerprint" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val nonAscii = base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"),
+          concat(col("text"), lit(" héllo wörld ₹42 中文 😀")).as("text"))
+      val docs = base.unionByName(nonAscii)
       val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
       val codes = transform(
         filter(split(norm, ""), ch => ch =!= ""),
         ch => ascii(ch).cast("long"))
       val fp = aggregate(codes, lit(7L),
         (acc, cd) => (acc * 131 + cd) % 1000000007L)
-      Tables.documents(s, d)
-        .select(col("doc_id"), fp.as("fingerprint"))
+      docs.select(col("doc_id"), fp.as("fingerprint"))
         .orderBy(col("doc_id"))
     }),
 
@@ -216,10 +226,15 @@ object LlmQueries {
     },
 
     "t2_fingerprint" ->
-      """WITH n AS (
+      """WITH alldocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' héllo wörld ₹42 中文 😀'
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |n AS (
         |  SELECT doc_id,
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-        |  FROM documents)
+        |  FROM alldocs)
         |SELECT doc_id,
         |  list_reduce(
         |    list_prepend(CAST(7 AS BIGINT),

@@ -30,8 +30,10 @@ object StreamQueries {
 
     // semi-structured props: typed from_json parse (schema-on-read), then
     // aggregate on the extracted field — the event-pipeline idiom the
-    // flat-relational reference lacks. Oracle re-extracts via regex so
-    // the check is independent of any JSON library.
+    // flat-relational reference lacks. Oracle re-extracts with DuckDB's
+    // own JSON parser (json_extract_string + TRY_CAST) — independent of
+    // Spark's parser AND of the generator's formatting (the earlier regex
+    // oracle was coupled to the exact '"k": N' whitespace).
     "e1_json_props" -> ((s, d) => {
       val schema = "k INT"
       Tables.events(s, d)
@@ -116,9 +118,9 @@ object StreamQueries {
 
     "e1_json_props" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k')
         |    AS INT)) AS BIGINT) AS sum_k,
-        |  CAST(MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+        |  CAST(MAX(TRY_CAST(json_extract_string(props, '$.k')
         |    AS INT)) AS INT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

@@ -58,12 +58,13 @@ def main():
             if not parts:
                 results[name] = "ERR: no parquet part files"
                 continue
-            tbl = pa.concat_tables([pq.read_table(p) for p in parts])
+            tbl = pa.concat_tables([pq.read_table(p) for p in parts],
+                                   promote_options="default")
             scols = sorted(tbl.column_names)
             s_rows = list(zip(*[tbl.column(c).to_pylist() for c in scols])) \
                 if scols else []
         except Exception as e:
-            results[name] = f"ERR: {str(e).splitlines()[0]}"
+            results[name] = f"ERR: {f'{type(e).__name__}: {e}'.splitlines()[0]}"
             continue
         if name not in oracle:
             results[name] = "ROWS_OK" if len(s_rows) > 0 else "ROWS_EMPTY"
@@ -75,7 +76,8 @@ def main():
             o_rows = con.sql(
                 f"SELECT {oq} FROM ora").fetchall()
         except Exception as e:
-            results[name] = f"ORACLE_SQL_ERROR: {str(e).splitlines()[0]}"
+            results[name] = \
+                f"ORACLE_SQL_ERROR: {f'{type(e).__name__}: {e}'.splitlines()[0]}"
             continue
         if [c.lower() for c in scols] != [c.lower() for c in ocols]:
             results[name] = f"SCHEMA_MISMATCH spark={scols} oracle={ocols}"
