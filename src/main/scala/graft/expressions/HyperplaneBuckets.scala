@@ -24,6 +24,9 @@ import org.apache.spark.sql.types._
   * Null vector → null. Null elements contribute 0 to every projection
   * (the synthetic and any sane embedding column has containsNull=false;
   * the composed form nulls the whole dot in that corner instead).
+  * A vector whose length differs from the hyperplane dim RAISES —
+  * truncating would assign a plausible-but-wrong bucket (silent recall
+  * loss); mis-dimensioned embeddings are a data bug to surface.
   */
 object HyperplaneBucketsExpr {
   def multiProbeBuckets(vec: Column, weights: Seq[Seq[Double]],
@@ -80,7 +83,15 @@ case class HyperplaneBuckets(child: Expression,
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), if (planes > 0) weights(0).length else 0)
+    // A ragged/mis-dimensioned vector must FAIL, not truncate: silently
+    // projecting a prefix buckets the row plausibly-but-wrong, and a
+    // wrong bucket is an invisible recall hole. (Type/probe validation
+    // happens at analysis in checkInputDataTypes; length is per-row.)
+    val n = if (planes > 0) weights(0).length else 0
+    if (planes > 0 && a.numElements() != n)
+      throw new IllegalArgumentException(
+        s"hyperplane_buckets: vector length ${a.numElements()} != " +
+          s"hyperplane dim $n — ragged or mis-dimensioned embedding")
     val dots = new Array[Double](planes)
     var i = 0
     while (i < n) {

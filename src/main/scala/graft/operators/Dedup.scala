@@ -266,8 +266,7 @@ object Dedup {
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 12,
       seed: Long = 42L, dim: Int = -1, probes: Int = 2): DataFrame = {
-    val d = if (dim > 0) dim
-      else df.select(size(col(vecCol))).first().getInt(0)
+    val d = if (dim > 0) dim else Similarity.inferDim(df, vecCol)
     val bucketed = df.select(col(idCol), col(vecCol),
       explode(Similarity.multiProbeBuckets(col(vecCol), d, planes, seed,
         probes)).as("bucket"))

@@ -17,6 +17,19 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Infer the embedding dimension from the first non-null vector.
+    * Fails fast with a clear message on empty or all-null input instead
+    * of the NoSuchElementException/NPE a bare `.first()` produced, and
+    * skips null rows so a leading null can't poison the probe. Costs one
+    * tiny job — pass `dim` explicitly on hot paths to avoid it. */
+  private[operators] def inferDim(df: DataFrame, vecCol: String): Int = {
+    val head = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    require(head.nonEmpty, s"cannot infer embedding dim: no non-null " +
+      s"'$vecCol' values — pass dim explicitly")
+    head(0).getInt(0)
+  }
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -114,8 +127,7 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, planes: Int = 8, probes: Int = 3, seed: Long = 42L,
       dim: Int = -1): DataFrame = {
-    val d = if (dim > 0) dim
-      else data.select(size(col(vecCol))).first().getInt(0)
+    val d = if (dim > 0) dim else inferDim(data, vecCol)
     val bucketed = data.withColumn("bucket",
       hyperplaneBucket(col(vecCol), d, planes, seed))
     val qb = queries.select(col(qidCol), col(qvecCol),
@@ -157,9 +169,12 @@ object Similarity {
     import spark.implicits._
     // deterministic init: the nCells lowest-id vectors (tiny collect)
     val init: Seq[(Long, Seq[Double])] = data.orderBy(col(idCol))
+      .filter(col(vecCol).isNotNull)
       .limit(nCells).select(col(vecCol).cast("array<double>"))
       .collect().toSeq.zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+    require(init.nonEmpty,
+      s"ivfBuild: no non-null '$vecCol' vectors to seed centroids")
     var centroids = init.toDF("cell", "centroid")
     for (_ <- 0 until iters) {
       val assigned = assignCells(data, idCol, vecCol, centroids)

@@ -143,13 +143,29 @@ object ChangeClassifier {
 
 object SurrogateKeys {
 
-  /** Gap-free sequential keys: maxKey + row_number over a stable total
-    * order. A single-reducer barrier — correct for the reference's
-    * <=10k-rows-per-run insert batches, NOT for bulk backfills. */
+  /** Gap-free sequential keys: maxKey + global rank over a stable total
+    * order — SAME semantics as `row_number().over(Window.orderBy(ord))`,
+    * executed scalably: range-repartition on the order columns, sort
+    * within partitions, then zipWithIndex (per-partition counts + offset
+    * prefix-sum). No single-reducer WindowExec anywhere: the old
+    * unpartitioned-window form funneled every row through one task, the
+    * silent scale cliff SURVEY §7.4 risk 1 warns about. Cost is one range
+    * shuffle + one light count job — the shuffle also existed in the
+    * window form; the single reducer is what's gone. Keys are contiguous
+    * maxKey+1..maxKey+N in `ord` order (ties ranked arbitrarily but
+    * counted once, exactly like row_number). */
   def assignSequential(newRows: DataFrame, keyCol: String, maxKey: Long,
-      ord: Seq[Column]): DataFrame =
-    newRows.withColumn(keyCol,
-      row_number().over(Window.orderBy(ord: _*)).cast("long") + lit(maxKey))
+      ord: Seq[Column]): DataFrame = {
+    require(ord.nonEmpty, "assignSequential needs a total order; " +
+      "use assignContiguous for order-free contiguous keys")
+    val spark = newRows.sparkSession
+    val sorted = newRows.repartitionByRange(ord: _*)
+      .sortWithinPartitions(ord: _*)
+    val withKeys = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (maxKey + idx + 1L))
+    }
+    spark.createDataFrame(withKeys, sorted.schema.add(keyCol, "long"))
+  }
 
   /** Scale path: contiguous (gap-free) but order-free keys via
     * per-partition counts + offsets — no global sort, no single reducer.

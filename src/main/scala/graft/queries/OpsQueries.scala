@@ -161,9 +161,9 @@ object OpsQueries {
     "lookup_dim_upsert" -> ((s, d) => {
       val p = Tables.part(s, d)
       val types = p.select(col("p_type").as("value")).distinct()
-      val existing = types
-        .withColumn("key", row_number().over(Window.orderBy(col("value")))
-          .cast("long"))
+      // fixture keys via the range-partitioned rank (no global window)
+      val existing = SurrogateKeys.assignSequential(types, "key", 0L,
+          Seq(col("value")))
         .filter(col("key") <= 10).select(col("key"), col("value"))
       val (updated, _) = LookupDim.upsert(existing,
         p.select(col("p_type").as("value")), "value", "key")

@@ -87,8 +87,10 @@ object WindowQueries {
     // ---- W2: SKU counter continuation (SURVEY §2.5) ---------------------
     // Parse the max trailing counter out of the existing SKU population,
     // then number new rows from max+1 — the reference's "continue the
-    // sequence from what's already on disk" pattern. The row_number is a
-    // global sort barrier, sized for insert batches (SURVEY §7.4 #1).
+    // sequence from what's already on disk" pattern. Numbering goes
+    // through SurrogateKeys.assignSequential (range-partitioned rank, no
+    // single-reducer WindowExec) — same p_partkey order the old global
+    // window produced, so the oracle's ROW_NUMBER() is unchanged.
     "w2_sku_counter" -> ((s, d) => {
       val p = Tables.part(s, d)
       def code = substring(
@@ -100,10 +102,11 @@ object WindowQueries {
       val maxCtr = existing.agg(coalesce(
         max(regexp_extract(col("sku"), "([0-9]+)$", 1).cast("long")),
         lit(0L)).as("max_ctr"))
-      val w = Window.orderBy(col("p_partkey"))
-      p.filter(col("p_partkey") % 2 === 1)
-        .select(col("p_partkey"), code.as("code"))
-        .withColumn("rn", row_number().over(w).cast("long"))
+      val numbered = graft.ops.SurrogateKeys.assignSequential(
+        p.filter(col("p_partkey") % 2 === 1)
+          .select(col("p_partkey"), code.as("code")),
+        "rn", 0L, Seq(col("p_partkey")))
+      numbered
         .crossJoin(broadcast(maxCtr))
         .select(col("p_partkey"), concat(lit("SKU-"), col("code"),
           lit("-"), lpad((col("max_ctr") + col("rn")).cast("string"),

@@ -301,4 +301,48 @@ class LlmOpsSpec extends SparkSpec {
     assert(multi >= single)
     assert(multi >= 0.9, s"multi-probe recall=$multi (single=$single)")
   }
+
+  test("dim inference fails fast on empty / all-null input") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.embeddingDupPairs(empty, "id", "v")
+    }
+    assert(e1.getMessage.contains("pass dim explicitly"))
+    val allNull = Seq[(Long, Option[Seq[Double]])]((1L, None), (2L, None))
+      .toDF("id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(allNull, "id", "v",
+        allNull.select(col("id").as("qid"), col("v").as("qv")), "qid", "qv",
+        k = 1)
+    }
+    assert(e2.getMessage.contains("pass dim explicitly"))
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.ivfBuild(empty, "id", "v", nCells = 2)
+    }
+    assert(e3.getMessage.contains("ivfBuild"))
+  }
+
+  test("dim inference skips a leading null vector") {
+    val df = Seq(
+      (1L, None),
+      (2L, Some(Seq(1.0, 0.0, 0.0, 0.0))),
+      (3L, Some(Seq(1.001, 0.0, 0.0, 0.0)))).toDF("id", "v")
+    val pairs = Dedup.embeddingDupPairs(df, "id", "v",
+      threshold = 0.999, planes = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((2L, 3L)))
+  }
+
+  test("ragged vector raises instead of silently truncating the bucket") {
+    val planes = Similarity.hyperplanes(dim = 4, planes = 2, seed = 1L)
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v") // len 3 != 4
+    val ex = intercept[Exception] {
+      df.select(graft.expressions.HyperplaneBucketsExpr
+        .multiProbeBuckets(col("v"), planes, 1)).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m =>
+      m != null && m.contains("hyperplane_buckets")), chain(ex).toString)
+  }
 }
