@@ -230,11 +230,23 @@ object Dedup {
     * More chunks = better recall for a given hamming budget but smaller
     * (hotter) buckets; 8×8-bit is a good default for ≤7-bit drift. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 8): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 8): DataFrame =
+    simhashPairsFromSigs(simhash64(df, idCol, textCol), idCol,
+      maxHamming, chunks)
+
+  /** The pairing machinery over a precomputed (idCol, simhash) frame —
+    * exposed so any 64-bit-signature family rides the same chunk-banded
+    * candidate join + bit_count verify (the gate uses it with a
+    * portable hash family DuckDB can recompute; production uses the
+    * native xxhash64 signature via [[simhashDupPairs]]). With
+    * maxHamming < chunks the pigeonhole makes recall EXACT, not
+    * probabilistic: the emitted pairs are precisely all pairs at
+    * hamming ≤ maxHamming. */
+  def simhashPairsFromSigs(sigs: DataFrame, idCol: String,
+      maxHamming: Int, chunks: Int): DataFrame = {
     require(64 % chunks == 0, "chunks must divide 64")
     val width = 64 / chunks
     val mask = (1L << width) - 1
-    val sigs = simhash64(df, idCol, textCol)
     val chunked = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("simhash"), c * width)

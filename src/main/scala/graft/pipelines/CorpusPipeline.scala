@@ -27,7 +27,12 @@ object CorpusPipeline {
       langs: Seq[String] = Seq("en"),
       minQuality: Double = 0.5,
       minhashThreshold: Double = 0.8,
-      shingleK: Int = 3)
+      shingleK: Int = 3,
+      /** LSH bands (numHashes=64 fixed). 16 (r=4) is the throughput
+        * default; 32 (r=2) trades more candidates for near-certain
+        * recall at threshold — the gate uses 32 so its DuckDB
+        * brute-force oracle is a stable ground truth. */
+      lshBands: Int = 16)
 
   /** One-scan annotation: metadata every later stage filters on. The
     * fused TextStats struct is materialized ONCE in its own projection
@@ -74,7 +79,8 @@ object CorpusPipeline {
     val nDups = exactLosers.count()
     val survivors = kept.join(exactLosers, Seq(idCol), "left_anti")
     val dupPairs = Dedup.minhashDupPairs(survivors, idCol, textCol,
-      k = cfg.shingleK, threshold = cfg.minhashThreshold)
+      k = cfg.shingleK, bands = cfg.lshBands,
+      threshold = cfg.minhashThreshold)
     val losers = dupPairs.select(col("id_b").as(idCol)).distinct()
     // localCheckpoint severs lineage to the cached frame so it can be
     // released here instead of leaking across calls; lazy so the

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Gate coverage for the LLM-data-pipeline operators (BASELINE.json north
@@ -92,21 +92,44 @@ object LlmQueries {
         .orderBy(col("id_a"))
     }),
 
-    // ---- MinHash-LSH near-dup pairs (rows-only; corpus has real dups) ----
+    // ---- MinHash-LSH near-dup pairs (oracle: DuckDB brute force) ---------
+    // The oracle is brute-force all-pairs exact Jaccard ≥ threshold —
+    // the TRUE pair set, computed with no knowledge of LSH. The gate
+    // therefore checks RECALL, not just plumbing: bands=32 (r=2) puts
+    // the per-pair miss probability at threshold 0.7 below 1e-9
+    // (1-(1-0.49)^32), and the sig-agreement prefilter cut sits >4σ
+    // from the threshold, so LSH output ≡ ground truth on any corpus;
+    // precision is exact by the final Jaccard verify. Verified equal to
+    // the brute-force set at sf0.001/sf0.01 (25 pairs, bitwise values).
     "d3_minhash_pairs" -> ((s, d) => {
       Dedup.minhashDupPairs(Tables.documents(s, d), "doc_id", "text",
-        k = 3, numHashes = 64, bands = 16, threshold = 0.7)
+        k = 3, numHashes = 64, bands = 32, threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- SimHash near-dup pairs (rows-only) ------------------------------
+    // ---- SimHash near-dup pairs (oracle: DuckDB brute force) -------------
+    // Portable 63-bit signature (polynomial codepoint token hash +
+    // affine-parity bits — DuckDB recomputes it independently) through
+    // the production chunk-banded pairing machinery. maxHamming=7 <
+    // chunks=8 makes recall pigeonhole-EXACT, so the emitted pairs are
+    // provably all pairs at hamming ≤ 7 and the brute-force oracle is
+    // exact ground truth. The native xxhash64 signature (not DuckDB-
+    // recomputable) keeps its planted-recall + native≡composed specs.
     "d4_simhash_pairs" -> ((s, d) => {
-      Dedup.simhashDupPairs(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 8, chunks = 8)
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id"), graft.expressions.PortableSimHash
+          .portableSimhashSig(col("text")).as("simhash"))
+      Dedup.simhashPairsFromSigs(sigs, "doc_id", maxHamming = 7, chunks = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- embedding-cosine near-dup with planted copies (rows-only) -------
+    // ---- embedding-cosine near-dup with planted copies -------------------
+    // Oracle: brute-force all-pairs cosine ≥ threshold in DuckDB. The
+    // planted rows are SCALED copies — identical hyperplane sign pattern
+    // — so LSH recall for them is deterministic, and random 64-dim
+    // vectors never reach 0.999 cosine; the LSH output equals the true
+    // set with exact (sequentially-accumulated, engine-identical)
+    // cosine values.
     "d5_embedding_dups" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>")
@@ -119,7 +142,12 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- composed corpus-clean pipeline (rows-only; spec-verified) -------
+    // ---- composed corpus-clean pipeline (oracle: staged recompute) -------
+    // DuckDB re-derives every stage count from first principles: the
+    // t1 lang/quality features, md5 exact-dedup winners, then brute-
+    // force Jaccard ≥ 0.8 for the near-dup losers. lshBands=32 makes
+    // the LSH recall exact (see d3) so the brute-force count is the
+    // true expectation.
     "c1_corpus_clean" -> ((s, d) => {
       import s.implicits._
       val (_, stats) = graft.pipelines.CorpusPipeline.clean(
@@ -127,7 +155,7 @@ object LlmQueries {
         "doc_id", "text",
         graft.pipelines.CorpusPipeline.Config(
           langs = Seq("en", "und"), minQuality = 0.3,
-          minhashThreshold = 0.8))
+          minhashThreshold = 0.8, lshBands = 32))
       Seq((stats("input"), stats("after_lang_quality"),
         stats("after_exact_dedup"), stats("after_near_dedup")))
         .toDF("input", "after_lang_quality", "after_exact_dedup",
@@ -145,27 +173,36 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // ---- LSH-bucketed ANN top-k (rows-only; recall pinned in spec) -------
+    // ---- LSH-bucketed ANN top-k (oracle: DuckDB brute-force top-k) -------
+    // The corpus is augmented with 5 scaled copies of each query vector:
+    // identical direction ⟹ identical hyperplane signs ⟹ every copy
+    // shares the query's base bucket, so the index PROVABLY returns
+    // them; with cosines ~1.0 they (plus the query itself, also in the
+    // data) ARE the global top-5, so approximate top-k ≡ exact top-k
+    // and the independent brute-force oracle is the true expectation.
+    // A bucketing/probing/dedup/ranking regression loses a planted
+    // neighbor and breaks the hash match. Recall at thinner settings
+    // stays spec-pinned (LlmOpsSpec).
     "ann3_lsh_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>")
-          .as("embedding"))
-      val queries = emb.filter(col("vec_id") < 3)
+      val data = annCorpus(s, d)
+      val queries = data.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
+      Similarity.lshTopK(data, "vec_id", "embedding", queries, "qid", "qv",
         k = 5, planes = 4, probes = 4)
         .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // ---- IVF ANN top-k (rows-only; recall pinned in LlmOpsSpec) ----------
+    // ---- IVF ANN top-k (oracle: DuckDB brute-force top-k) ----------------
+    // Same planted-copy construction: copies assign to the query's own
+    // argmax-cosine cell (cosine is scale-invariant), which is always
+    // among the nprobe probed cells, so the IVF result is provably the
+    // exact top-5 regardless of where k-means put the centroids.
     "ann2_ivf_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>")
-          .as("embedding"))
-      val queries = emb.filter(col("vec_id") < 3)
+      val data = annCorpus(s, d)
+      val queries = data.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val index = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      val index = Similarity.ivfBuild(data, "vec_id", "embedding",
         nCells = 8, iters = 2)
       Similarity.ivfTopK(index, "vec_id", "embedding", queries,
         "qid", "qv", k = 5, nprobe = 3)
@@ -174,56 +211,237 @@ object LlmQueries {
     }),
   )
 
+  /** Shared ANN gate corpus: embeddings (as double) plus 5 scaled
+    * near-copies of each query vector (ids 10000+, scales 1.001..1.005
+    * — distinct so ranks are decided by cosine values both engines
+    * compute identically). */
+  private def annCorpus(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val q = emb.filter(col("vec_id") < 3)
+    val copies = (0 until 5).map { c =>
+      q.select((lit(10000L) + col("vec_id") * 5 + lit(c.toLong))
+          .as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0 + 0.001 * (c + 1)))
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+    emb.unionByName(copies)
+  }
+
+  private val SimP = graft.expressions.PortableSimHash.P
+  private def bitConsts(j: Int): (Long, Long) =
+    graft.expressions.PortableSimHash.bitConsts(j)
+
   private val stopList = TA.englishStopwords
     .map(w => s"'$w'").mkString("[", ", ", "]")
   private def profileSql(markers: Seq[String]): String =
     markers.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Shared WITH-prefix (base → scored → feat) re-deriving the t1
+    * text features in DuckDB; t1's oracle selects from it directly and
+    * c1's builds the pipeline-stage recompute on top. */
+  private def featCtes: String = {
+    val profiles = TA.defaultLangProfiles
+    val scoreExprs = profiles.map { case (lang, m) =>
+      s"len(list_filter(toks, t -> list_contains(${profileSql(m)}, t)))" +
+        s" AS s_$lang"
+    }.mkString(",\n    ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, text, toks,
+       |    $scoreExprs
+       |  FROM base),
+       |feat AS (
+       |  SELECT doc_id, text, toks,
+       |    s_en, s_es, s_fr, s_de,
+       |    greatest(s_en, s_es, s_fr, s_de) AS best,
+       |    CAST(len(toks) AS INTEGER) AS n_tok_ws,
+       |    CAST(len(regexp_extract_all(text,
+       |      '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tok_bpe,
+       |    round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+       |      AS DOUBLE) / length(text), 6) AS punct_ratio,
+       |    round(CAST(len(regexp_extract_all(text, '[0-9]'))
+       |      AS DOUBLE) / length(text), 6) AS digit_ratio,
+       |    round(CAST(list_sum(list_transform(toks, t -> length(t)))
+       |      AS DOUBLE) / len(toks), 6) AS mean_tok_len,
+       |    round(CAST(len(list_filter(toks,
+       |      t -> list_contains($stopList, t))) AS DOUBLE) / len(toks), 6)
+       |      AS stopword_ratio
+       |  FROM scored)""".stripMargin
+  }
+
+  /** The t1/c1 quality formula and language ladder as SQL snippets. */
+  private def qualitySql: String =
+    """round(least(length(text) / 200.0, 1.0) * 0.4
+      |    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.25
+      |    + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.25
+      |    + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0
+      |       THEN 1.0 ELSE 0.5 END) * 0.1, 6)""".stripMargin
+  private def langLadderSql: String = {
+    val ladder = TA.defaultLangProfiles.map { case (lang, _) =>
+      s"WHEN s_$lang = best THEN '$lang'"
+    }.mkString(" ")
+    s"CASE WHEN best <= 0 THEN 'und' $ladder ELSE 'und' END"
+  }
+
+  /** Spark-matching word-3-shingle set in DuckDB (same as d2's oracle). */
+  private def shinglesCte(src: String): String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
+       |      i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+       |           string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
+       |           string_split_regex(lower(trim(text)), '\\s+')[i+2]))
+       |      AS shingles
+       |  FROM $src)""".stripMargin
+
+  /** Brute-force Jaccard pair CTE over `sh` with the sound size-ratio
+    * prune (j ≥ t ⟹ min|set|/max|set| ≥ t, truncation keeps it loose). */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+       |      AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(a.shingles) >= CAST($threshold * len(b.shingles) AS BIGINT)
+       |    AND len(b.shingles) >= CAST($threshold * len(a.shingles) AS BIGINT)
+       |""".stripMargin
+
+  /** Generated DuckDB recompute of the d4 portable simhash — same
+    * constants as [[portableSimhashFromHashes]], then brute-force
+    * all-pairs hamming (xor + bit_count). */
+  private def d4OracleSql: String = {
+    val bitTerms = (0 until 63).map { j =>
+      val (a, b) = bitConsts(j)
+      s"(CASE WHEN 2*len(list_filter(hs, h -> ((h*$a+$b) % $SimP) % 2 = 1))" +
+        s" > len(hs) THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS ts
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, list_transform(ts, t -> list_reduce(
+       |    list_prepend(CAST(7 AS BIGINT),
+       |      list_transform(range(1, length(t) + 1),
+       |        i -> CAST(unicode(t[i]) AS BIGINT))),
+       |    (acc, c) -> (acc * 131 + c) % $SimP)) AS hs
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM th)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** ann2/ann3 oracle: independent brute-force top-5 over the planted
+    * corpus (mirrors annCorpus; knows nothing about LSH/IVF). */
+  private def annOracleSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |    AS v
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT 10000 + vec_id * 5 + c,
+      |    list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * (1.0 + 0.001 * (c + 1)))
+      |  FROM embeddings, range(0, 5) t(c) WHERE vec_id < 3),
+      |nrm AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+      |      AS nv
+      |  FROM base),
+      |q AS (SELECT vec_id AS qid, v AS qv, nv AS nq FROM nrm
+      |  WHERE vec_id < 3),
+      |scored AS (
+      |  SELECT q.qid, e.vec_id,
+      |    list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i]))
+      |      / (e.nv * q.nq) AS cosine
+      |  FROM nrm e, q)
+      |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+      |  SELECT qid, vec_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "t1_text_analysis" -> {
-      val profiles = TA.defaultLangProfiles
-      val scoreExprs = profiles.map { case (lang, m) =>
-        s"len(list_filter(toks, t -> list_contains(${profileSql(m)}, t)))" +
-          s" AS s_$lang"
-      }.mkString(",\n    ")
-      val ladder = profiles.map { case (lang, _) =>
-        s"WHEN s_$lang = best THEN '$lang'"
-      }.mkString(" ")
-      s"""WITH base AS (
-         |  SELECT doc_id, text,
-         |    string_split_regex(lower(trim(text)), '\\s+') AS toks
-         |  FROM documents),
-         |scored AS (
-         |  SELECT doc_id, text, toks,
-         |    $scoreExprs
-         |  FROM base),
-         |feat AS (
-         |  SELECT doc_id, text, toks,
-         |    s_en, s_es, s_fr, s_de,
-         |    greatest(s_en, s_es, s_fr, s_de) AS best,
-         |    CAST(len(toks) AS INTEGER) AS n_tok_ws,
-         |    CAST(len(regexp_extract_all(text,
-         |      '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tok_bpe,
-         |    round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
-         |      AS DOUBLE) / length(text), 6) AS punct_ratio,
-         |    round(CAST(len(regexp_extract_all(text, '[0-9]'))
-         |      AS DOUBLE) / length(text), 6) AS digit_ratio,
-         |    round(CAST(list_sum(list_transform(toks, t -> length(t)))
-         |      AS DOUBLE) / len(toks), 6) AS mean_tok_len,
-         |    round(CAST(len(list_filter(toks,
-         |      t -> list_contains($stopList, t))) AS DOUBLE) / len(toks), 6)
-         |      AS stopword_ratio
-         |  FROM scored)
+    "t1_text_analysis" ->
+      s"""$featCtes
          |SELECT doc_id, n_tok_ws, n_tok_bpe, punct_ratio, digit_ratio,
          |  mean_tok_len, stopword_ratio,
-         |  round(least(length(text) / 200.0, 1.0) * 0.4
-         |    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.25
-         |    + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.25
-         |    + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0
-         |       THEN 1.0 ELSE 0.5 END) * 0.1, 6) AS quality,
-         |  CASE WHEN best <= 0 THEN 'und' $ladder ELSE 'und' END AS lang_id
-         |FROM feat ORDER BY doc_id""".stripMargin
-    },
+         |  $qualitySql AS quality,
+         |  $langLadderSql AS lang_id
+         |FROM feat ORDER BY doc_id""".stripMargin,
+
+    "d3_minhash_pairs" ->
+      s"""WITH ${shinglesCte("documents")},
+         |pairs AS (
+         |  ${jaccardPairsSql(0.7)})
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d4_simhash_pairs" -> d4OracleSql,
+
+    "d5_embedding_dups" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001)
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |nrm AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+        |      AS nv
+        |  FROM base),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |      / (a.nv * b.nv) AS cosine
+        |  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann2_ivf_topk" -> annOracleSql,
+    "ann3_lsh_topk" -> annOracleSql,
+
+    "c1_corpus_clean" ->
+      s"""$featCtes,
+         |ann AS (
+         |  SELECT doc_id, text,
+         |    $qualitySql AS quality,
+         |    $langLadderSql AS lang_id
+         |  FROM feat),
+         |kept AS (
+         |  SELECT doc_id, text FROM ann
+         |  WHERE lang_id IN ('en', 'und') AND quality >= 0.3),
+         |hashed AS (
+         |  SELECT doc_id, text,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+         |  FROM kept),
+         |survivors AS (
+         |  SELECT doc_id, text FROM hashed
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1),
+         |${shinglesCte("survivors")},
+         |losers AS (
+         |  SELECT DISTINCT id_b FROM (
+         |  ${jaccardPairsSql(0.8)})
+         |  WHERE jaccard >= 0.8)
+         |SELECT (SELECT COUNT(*) FROM documents) AS input,
+         |  (SELECT COUNT(*) FROM kept) AS after_lang_quality,
+         |  (SELECT COUNT(*) FROM survivors) AS after_exact_dedup,
+         |  (SELECT COUNT(*) FROM survivors) - (SELECT COUNT(*) FROM losers)
+         |    AS after_near_dedup""".stripMargin,
 
     "t2_fingerprint" ->
       """WITH alldocs AS (

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 class LlmOpsSpec extends SparkSpec {
@@ -300,6 +301,33 @@ class LlmOpsSpec extends SparkSpec {
     val multi = recall(2)
     assert(multi >= single)
     assert(multi >= 0.9, s"multi-probe recall=$multi (single=$single)")
+  }
+
+  test("native PortableSimHashSig matches the composed formulation") {
+    import graft.expressions.PortableSimHash
+    val SimP = PortableSimHash.P
+    // composed column formulation: per-token codepoint polyhash array,
+    // then 63 affine-parity vote bits — slow but independently built
+    // from Spark primitives (conv/hex/encode for code points)
+    def tokenHashes(t: Column): Column = transform(TA.tokens(t), tok =>
+      aggregate(transform(filter(split(tok, ""), ch => ch =!= ""),
+        ch => conv(hex(encode(ch, "UTF-32")), 16, 10).cast("long")),
+        lit(7L), (acc, c) => (acc * 131 + c) % SimP))
+    def composed(hs: Column): Column = (0 until PortableSimHash.Bits)
+      .map { j =>
+        val (a, b) = PortableSimHash.bitConsts(j)
+        val odd = size(filter(hs,
+          h => ((h * lit(a) + lit(b)) % SimP) % 2L === 1L))
+        when(odd * 2 > size(hs), lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    // append BMP + supplementary chars so codepoint folding is pinned
+    val df = Tables.documents(spark, sf).select(col("doc_id"),
+      concat(col("text"), lit(" héllo ₹42 中文 😀")).as("text"))
+    val diff = df.withColumn("__th", tokenHashes(col("text")))
+      .select(PortableSimHash.portableSimhashSig(col("text")).as("n"),
+        composed(col("__th")).as("c"))
+      .filter(not(col("n") <=> col("c"))).count()
+    assert(diff === 0)
   }
 
   test("dim inference fails fast on empty / all-null input") {
