@@ -1,10 +1,11 @@
 package graft.queries
 
 import graft.Tables
-import graft.sources.CsvIO
+import graft.sources.{CsvIO, Ledger}
 import graft.operators.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
 
 /** Gate coverage for the file-interchange layer (SURVEY §2.1 S2-S4) and
   * the multimodal plumbing. The CSV query actually round-trips bytes
@@ -38,6 +39,57 @@ object IoQueries {
           col("o_totalprice").cast("decimal(12,2)").cast("double")
             .as("o_totalprice"),
           col("o_orderdate").cast("date").as("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- S5/S6/S7: the incremental file-control loop, end to end --------
+    // Builds the reference's file lifecycle from scratch each run: three
+    // pipe-CSV batch files land in staging/ (S2 writer), rotate into
+    // current/ (S6), a ledger already records batch 003 as consumed, the
+    // newest-first selection must therefore pick 002 (S5 — ascending
+    // selection would pick 001 and change the file CONTENTS, breaking
+    // the hash), the file is read back (S4) and marked processed (S7),
+    // after which the next selection must fall back to 001. File
+    // contents are modulo slices of orders, so DuckDB reconstructs the
+    // expected rows — including which file was picked — from the table
+    // alone.
+    "s5_ledger_loop" -> ((s, d) => {
+      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
+      val base = s"/tmp/graft_s5_$sfTag"
+      val fs = new Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      val orders = Tables.orders(s, d)
+      (1 to 3).foreach { n =>
+        val slice = orders.filter(col("o_orderkey") % 3 === n % 3)
+          .select(col("o_orderkey").cast("string").as("o_orderkey"),
+            col("o_totalprice").cast("decimal(12,2)").cast("string")
+              .as("o_totalprice"))
+        val tmp = s"$base/tmp_$n"
+        CsvIO.write(slice.coalesce(1), tmp, sep = "|")
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        fs.mkdirs(new Path(s"$base/staging"))
+        fs.rename(part, new Path(s"$base/staging/sales_00$n.csv"))
+        fs.delete(new Path(tmp), true)
+      }
+      val moved = CsvIO.rotate(s, s"$base/staging", s"$base/current")
+      require(moved == 3, s"rotation moved $moved files, expected 3")
+      val ledgerPath = s"$base/ledger"
+      Ledger.markProcessed(s, ledgerPath, "sales_003.csv",
+        "2024-01-01T00:00:00")
+      def files = Ledger.listFiles(s, s"$base/current", "sales_", ".csv")
+      def ledger = s.read.parquet(ledgerPath)
+      val next = Ledger.nextUnprocessed(files, ledger)
+        .getOrElse(sys.error("no unprocessed file found"))
+      val consumed = CsvIO.readAllString(s, s"$base/current/$next",
+        sep = "|")
+      Ledger.markProcessed(s, ledgerPath, next, "2024-01-01T01:00:00")
+      val after = Ledger.nextUnprocessed(files, ledger).getOrElse("NONE")
+      consumed.select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_totalprice").cast("decimal(12,2)").cast("double")
+            .as("o_totalprice"),
+          lit(next).as("processed_file"), lit(after).as("next_after"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -76,6 +128,15 @@ object IoQueries {
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
         |  CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "s5_ledger_loop" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+        |    AS o_totalprice,
+        |  'sales_002.csv' AS processed_file,
+        |  'sales_001.csv' AS next_after
+        |FROM orders WHERE o_orderkey % 3 = 2
+        |ORDER BY o_orderkey""".stripMargin,
 
     "m1_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image' AS media_type,

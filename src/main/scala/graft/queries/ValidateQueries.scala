@@ -57,11 +57,13 @@ object ValidateQueries {
         .orderBy(col("column"))
     }),
 
-    // sketch profile (HLL++ distinct + approx median): rows-only gate —
-    // sketch values are engine-specific; error bounds are spec-pinned
-    // against the exact aggregates in ChecksApproxSpec
+    // sketch profile: self-verifying gate form — exact min/max/count are
+    // hash-checked against DuckDB, and the engine-specific sketch values
+    // are asserted within their error bounds as booleans (a sketch
+    // drifting out of bound flips false and breaks the hash match).
+    // Raw sketch behavior is additionally spec-pinned in ChecksApproxSpec.
     "v8b_approx_profile" -> ((s, d) => {
-      Validator.approxProfile(Tables.lineitem(s, d),
+      Validator.approxProfileChecked(Tables.lineitem(s, d),
         Seq("l_extendedprice", "l_partkey", "l_quantity"))
         .orderBy(col("column"))
     }),
@@ -136,6 +138,23 @@ object ValidateQueries {
       """SELECT l_orderkey, COUNT(*) AS dup_count FROM lineitem
         |GROUP BY l_orderkey HAVING COUNT(*) > 1
         |ORDER BY dup_count DESC, l_orderkey LIMIT 5""".stripMargin,
+
+    "v8b_approx_profile" ->
+      """SELECT 'l_extendedprice' AS "column",
+        |  CAST(MIN(l_extendedprice) AS DOUBLE) AS "min",
+        |  CAST(MAX(l_extendedprice) AS DOUBLE) AS "max",
+        |  COUNT(l_extendedprice) AS non_null,
+        |  true AS distinct_ok, true AS median_ok
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_partkey', CAST(MIN(l_partkey) AS DOUBLE),
+        |  CAST(MAX(l_partkey) AS DOUBLE), COUNT(l_partkey), true, true
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', CAST(MIN(l_quantity) AS DOUBLE),
+        |  CAST(MAX(l_quantity) AS DOUBLE), COUNT(l_quantity), true, true
+        |FROM lineitem
+        |ORDER BY "column"""".stripMargin,
 
     "v8_numeric_profile" ->
       """WITH ev AS (SELECT value, user_id FROM events)

@@ -33,7 +33,37 @@ final case class Freshness(dateCol: String, execDate: String,
 final case class CheckResult(check: String, column: String,
     observed: Long, threshold: Long, passed: Boolean, severity: String)
 
+/** V9: identifier-injection guard (validate_table.py:56-65, 250-257).
+  * The reference whitelists `[A-Za-z0-9_$#]{1,128}` for every
+  * table/column name arriving from the CLI before embedding it in SQL
+  * text; the same contract is enforced here at check-evaluation entry
+  * — each name a Check references, and each table label a suite tags
+  * results with — so a hostile name fails loudly instead of reaching
+  * any SQL/identifier surface downstream. */
+object Identifiers {
+  private val Safe = "^[A-Za-z0-9_$#]{1,128}$".r
+  def isSafe(name: String): Boolean =
+    name != null && Safe.matches(name)
+  def requireSafe(name: String): String = {
+    require(isSafe(name),
+      s"Unsafe table/column name rejected: '$name'. " +
+        "Only alphanumeric characters, _, $, # are allowed.")
+    name
+  }
+}
+
 object Validator {
+
+  /** Column/table names referenced by a check (validated by V9). */
+  private def referencedNames(c: Check): Seq[String] = c match {
+    case MandatoryColumns(cols) => cols
+    case NoNulls(cols)          => cols
+    case NumericParsable(cols)  => cols
+    case FlagDomain(cols)       => cols
+    case PkUnique(cols)         => cols
+    case Freshness(dc, _, _)    => Seq(dc)
+    case MinRows(_)             => Nil
+  }
 
   private val resultSchema = StructType(Seq(
     StructField("check", StringType, nullable = false),
@@ -47,6 +77,7 @@ object Validator {
     * checks share a single aggregation pass; each PkUnique adds one
     * shuffle job. */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    checks.flatMap(referencedNames).foreach(Identifiers.requireSafe)
     val spark = df.sparkSession
     val present = df.columns.map(_.toUpperCase).toSet
 
@@ -153,6 +184,48 @@ object Validator {
       "approx_median")
   }
 
+  /** Self-verifying sketch profile for the GATE: emits the exact
+    * aggregates (min/max/non_null — independently recomputable by the
+    * DuckDB oracle) plus booleans asserting each sketch landed inside
+    * its documented error bound, judged against exact references
+    * computed in the SAME aggregation job. Sketch VALUES are
+    * engine-specific and never enter the hash compare; the booleans do
+    * — so an HLL++ or KLL regression that drifts past its bound flips a
+    * boolean and breaks the gate, while legal sketch jitter doesn't.
+    * Bounds: |approx_distinct − exact| ≤ max(2, 3·rsd·exact) (HLL++
+    * rsd is a 1σ figure; 3σ); approx median within the exact
+    * [0.5−5/acc, 0.5+5/acc] quantiles (KLL rank error is n/acc — 5×
+    * headroom). The exact references need a full shuffle, so this is
+    * for gate scale; production profiles use [[approxProfile]]. */
+  def approxProfileChecked(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05, pctAccuracy: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = cols.flatMap { c => Seq(
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max"),
+      count(col(c)).as(s"${c}__nonnull"),
+      approx_count_distinct(col(c), rsd).as(s"${c}__ad"),
+      percentile_approx(col(c).cast("double"), lit(0.5),
+        lit(pctAccuracy)).as(s"${c}__am"),
+      countDistinct(col(c)).as(s"${c}__ed"),
+      percentile(col(c).cast("double"),
+        lit(0.5 - 5.0 / pctAccuracy)).as(s"${c}__plo"),
+      percentile(col(c).cast("double"),
+        lit(0.5 + 5.0 / pctAccuracy)).as(s"${c}__phi"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def d(i: Int): Double = if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+    cols.zipWithIndex.map { case (c, i) =>
+      val b = i * 8
+      val (ad, am) = (r.getLong(b + 3), d(b + 4))
+      val ed = r.getLong(b + 5)
+      val distinctOk = math.abs(ad - ed) <= math.max(2.0, 3 * rsd * ed)
+      val medianOk = am >= d(b + 6) && am <= d(b + 7)
+      (c, d(b), d(b + 1), r.getLong(b + 2), distinctOk, medianOk)
+    }.toDF("column", "min", "max", "non_null", "distinct_ok", "median_ok")
+  }
+
   /** V8: numeric profile per column in one pass (:398-415). avg is
     * decimal-sum/count for cross-engine determinism. */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
@@ -186,6 +259,7 @@ object Validator {
     * here is the caller's list). Returns results tagged by table. */
   def suite(tables: Seq[(String, DataFrame, Seq[Check])]): DataFrame =
     tables.map { case (name, df, checks) =>
+      Identifiers.requireSafe(name)
       run(df, checks).withColumn("table", lit(name))
     }.reduce(_ unionByName _)
 }

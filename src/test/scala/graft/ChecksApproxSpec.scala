@@ -32,4 +32,41 @@ class ChecksApproxSpec extends SparkSpec {
       assert(medErr < 0.02, s"$c approx_median off by $medErr of range")
     }
   }
+
+  test("approxProfileChecked: bound booleans hold on real data") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val rows = Validator.approxProfileChecked(li,
+      Seq("l_extendedprice", "l_partkey", "l_quantity")).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"${r.getString(0)} distinct_ok false")
+      assert(r.getBoolean(5), s"${r.getString(0)} median_ok false")
+    }
+  }
+
+  test("V9: unsafe identifiers are rejected at check entry") {
+    import graft.validate._
+    val df = strDf(Seq("x"), "ok_col$1")
+    // safe: alphanumeric + _ $ # up to 128 chars
+    Validator.run(df, Seq(NoNulls(Seq("ok_col$1")))).collect()
+    val bad = Seq("a;DROP TABLE t", "a b", "a\"b", "", "x" * 129,
+      "col--comment")
+    bad.foreach { name =>
+      val e = intercept[IllegalArgumentException] {
+        Validator.run(df, Seq(NoNulls(Seq(name))))
+      }
+      assert(e.getMessage.contains("Unsafe table/column name"), name)
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      Validator.suite(Seq(("tbl;--", df, Seq(MinRows(1)))))
+    }
+    assert(e2.getMessage.contains("Unsafe table/column name"))
+    // every Check type routes through the guard
+    Seq[Check](MandatoryColumns(Seq("bad name")),
+      NumericParsable(Seq("bad name")), FlagDomain(Seq("bad name")),
+      PkUnique(Seq("bad name")), Freshness("bad name", "2024-01-01"))
+      .foreach { c =>
+        intercept[IllegalArgumentException](Validator.run(df, Seq(c)))
+      }
+  }
 }
