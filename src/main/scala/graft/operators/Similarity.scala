@@ -101,18 +101,30 @@ object Similarity {
     array((base +: flips): _*)
   }
 
+  /** Rank scored candidates to (qid, rank, id, cosine) via the bounded
+    * topk_by aggregate: map-side partial top-k means at most k rows per
+    * (partition, query) reach the shuffle — the row_number()-window
+    * formulation this replaces gathered EVERY scored row per query.
+    * (ord DESC, id ASC) is a total order, so output is identical to the
+    * window version (rank 1..k by cosine desc, ties to the lower id). */
+  private def rankTopK(scored: DataFrame, qidCol: String, idCol: String,
+      k: Int): DataFrame =
+    scored.groupBy(col(qidCol))
+      .agg(graft.expressions.TopKByExpr.topkBy(
+        col("cosine").cast("double"), col(idCol).cast("long"), k)
+        .as("__tk"))
+      .select(col(qidCol), posexplode(col("__tk")))
+      .select(col(qidCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as(idCol), col("col.ord").as("cosine"))
+
   /** Exact top-k neighbors for each query (queries: (qid, qvec), small →
-    * broadcast; data never shuffles until the per-query window). */
+    * broadcast; only k rows per partition per query ever shuffle). */
   def bruteForceTopK(data: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int): DataFrame = {
     val scored = data.crossJoin(broadcast(queries))
       .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col(qidCol))
-          .orderBy(col("cosine").desc, col(idCol))))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank"), col(idCol), col("cosine"))
+    rankTopK(scored, qidCol, idCol, k)
   }
 
   /** LSH-bucketed top-k — the other sub-linear ANN path. The DATA side is
@@ -133,14 +145,10 @@ object Similarity {
     val qb = queries.select(col(qidCol), col(qvecCol),
       explode(multiProbeBuckets(col(qvecCol), d, planes, seed, probes))
         .as("bucket"))
-    bucketed.join(broadcast(qb), Seq("bucket"))
+    val scored = bucketed.join(broadcast(qb), Seq("bucket"))
       .dropDuplicates(qidCol, idCol)
       .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col(qidCol))
-          .orderBy(col("cosine").desc, col(idCol))))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank"), col(idCol), col("cosine"))
+    rankTopK(scored, qidCol, idCol, k)
   }
 
   // ---- IVF (inverted-file) index ----------------------------------------
@@ -218,12 +226,8 @@ object Similarity {
           .orderBy(cosine(col(qvecCol), col("centroid")).desc, col("cell"))))
       .filter(col("crank") <= nprobe)
       .select(col(qidCol), col(qvecCol), col("cell"))
-    cellRank.join(index.assigned, "cell")
+    val scored = cellRank.join(index.assigned, "cell")
       .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col(qidCol))
-          .orderBy(col("cosine").desc, col(idCol))))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank"), col(idCol), col("cosine"))
+    rankTopK(scored, qidCol, idCol, k)
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
 
-import graft.expressions.{CosineSim, HyperplaneBuckets, MinHashSig, SimHashSig, TextStats}
+import graft.expressions.{CosineSim, HyperplaneBuckets, MinHashSig, PortableSimHashSig, SimHashSig, TextStats, TopKBy}
 
 /** Session-extension entry point — the idiomatic way to ship an engine as
   * a library: users add
@@ -17,9 +17,10 @@ import graft.expressions.{CosineSim, HyperplaneBuckets, MinHashSig, SimHashSig, 
   * which is session-local and imperative).
   *
   * Injects:
-  *  - the five native codegen expressions as SQL functions
-  *    (`minhash_sig`, `simhash_sig`, `cosine_sim`, `text_stats`,
-  *    `hyperplane_buckets`);
+  *  - the native expressions as SQL functions (`minhash_sig`,
+  *    `simhash_sig`, `portable_simhash_sig`, `cosine_sim`,
+  *    `text_stats`, `hyperplane_buckets`, and the bounded `topk_by`
+  *    aggregate);
   *  - [[CollapseRedundantNormalization]], an optimizer rule for the
   *    cleansing-expression library.
   */
@@ -64,6 +65,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "hyperplane_buckets(vec, dim, planes, seed, probes) — config " +
             "args must be integer literals")
+      }))
+    ext.injectFunction((FunctionIdentifier("portable_simhash_sig"),
+      new ExpressionInfo(classOf[PortableSimHashSig].getName,
+        "portable_simhash_sig"),
+      (exprs: Seq[Expression]) => PortableSimHashSig(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(ord, id, Literal(k: Int, _)) =>
+          TopKBy(ord, id, k).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "topk_by(ord, id, k) — k must be an integer literal")
       }))
     ext.injectOptimizerRule(_ => CollapseRedundantNormalization)
     // MERGE INTO for plain parquet tables (see MergeSql): rewrite the

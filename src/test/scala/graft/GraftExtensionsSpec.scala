@@ -39,6 +39,17 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT hyperplane_buckets(array(1.0D, -2.0D, 0.5D, 3.0D), " +
         "4, 6, 42L, 2) AS b").collect().head.getSeq[Long](0)
     assert(hb.size === 3 && hb.distinct.size === 3) // base + 2 distinct flips
+
+    val ps = spark.sql("SELECT portable_simhash_sig('hello world') AS p")
+      .collect().head.getLong(0)
+    assert(ps >= 0L) // 63-bit: the sign bit is never set
+
+    val tk = spark.sql(
+      "SELECT g, topk_by(o, i, 2) AS tk FROM VALUES " +
+        "(1, 0.5D, 10L), (1, 0.9D, 11L), (1, 0.9D, 7L), (1, 0.1D, 2L) " +
+        "AS t(g, o, i) GROUP BY g")
+      .select(expr("tk.id")).collect().head.getSeq[Long](0)
+    assert(tk === Seq(7L, 11L)) // 0.9 twice: lower id wins rank 1
   }
 
   test("redundant normalization chains collapse in the optimized plan") {

@@ -303,6 +303,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(multi >= 0.9, s"multi-probe recall=$multi (single=$single)")
   }
 
+  test("topk_by aggregate matches the window top-k, ties and merges") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.expressions.TopKByExpr
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("v")).repartition(7) // force multi-partition partial merges
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val viaAgg = Similarity.bruteForceTopK(emb, "vec_id", "v",
+      q, "qid", "qv", k = 7)
+      .select(col("qid"), col("rank"),
+        col("vec_id").cast("long").as("vec_id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val viaWin = emb.crossJoin(broadcast(q))
+      .withColumn("cosine", Similarity.cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 7)
+      .select(col("qid"), col("rank"),
+        col("vec_id").cast("long").as("vec_id"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(viaAgg === viaWin)
+    // all-tied ords must resolve to the k smallest ids, ranks 1..k
+    val tied = (1L to 20L).map(i => (0L, 1.0, i)).toDF("g", "o", "i")
+      .repartition(5)
+    val got = tied.groupBy(col("g"))
+      .agg(TopKByExpr.topkBy(col("o"), col("i"), 5).as("tk"))
+      .select(posexplode(col("tk")))
+      .select(col("col.id")).as[Long].collect().toSeq
+    assert(got === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("native PortableSimHashSig matches the composed formulation") {
     import graft.expressions.PortableSimHash
     val SimP = PortableSimHash.P
