@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AnalyticQueries, CleansingQueries, CoreQueries, DateDimQueries, FilterQueries, IoQueries, LlmQueries, OpsQueries, StreamQueries, ValidateQueries, WindowQueries}
+import graft.queries.{AnalyticQueries, CleansingQueries, CoreQueries, CurationQueries, DateDimQueries, FilterQueries, IoQueries, LlmQueries, OpsQueries, StreamQueries, ValidateQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,7 @@ object SparkEntry {
     DateDimQueries.queries -> DateDimQueries.oracles,
     ValidateQueries.queries -> ValidateQueries.oracles,
     LlmQueries.queries -> LlmQueries.oracles,
+    CurationQueries.queries -> CurationQueries.oracles,
     IoQueries.queries -> IoQueries.oracles,
     FilterQueries.queries -> FilterQueries.oracles,
     StreamQueries.queries -> StreamQueries.oracles,

@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.TopKByExpr
+
+/** Training-data curation operators that sit downstream of the Dedup /
+  * TextAnalysis families: duplicate-CLUSTER resolution (connected
+  * components over near-dup pairs), deterministic hash sampling,
+  * per-source quota caps, sequence packing by token budget, PII
+  * redaction, and benchmark decontamination.
+  *
+  * Shared scale contract: no operator here ever moves the document
+  * payload through a shuffle that a narrow (id, smallint) projection
+  * could do instead, none materializes an all-pairs surface, and every
+  * iterative step is bounded and lineage-truncated. All scalar work is
+  * `functions._` / native expressions (codegen'd) — zero UDFs.
+  */
+object Curation {
+
+  // -------------------------------------------------------------------
+  // Duplicate clusters (connected components over near-dup pairs)
+  // -------------------------------------------------------------------
+
+  /** Connected components over an undirected pair list — turns the
+    * pairwise output of [[Dedup.minhashDupPairs]] / simhash / embedding
+    * dup detection into per-document cluster ids (min doc id in the
+    * component), which is what a dedup pipeline actually needs: "keep
+    * one document per near-dup CLUSTER", not "per pair" (pairs are not
+    * transitive-closed: A~B, B~C often arrives without A~C).
+    *
+    * Algorithm: min-label propagation. Every node starts labeled with
+    * itself; each round every node takes the min of its own label and
+    * its neighbors' labels; stop when a round changes nothing. Each
+    * round is ONE shuffle of narrow (id, label) longs — the edge list
+    * is computed once and persisted, payloads never enter the loop —
+    * and converges in O(longest chain) rounds. Near-dup components are
+    * short-diameter in practice (stars around a popular document);
+    * `maxIters` bounds the adversarial long-chain case and the method
+    * THROWS rather than return a partial (wrong) clustering if it is
+    * hit. (For graphs with genuinely long chains, alternating
+    * large-star/small-star [Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"] converges in O(log n) rounds; near-dup
+    * clustering does not need that machinery.)
+    *
+    * Per-round `localCheckpoint` truncates the lineage so round N's
+    * plan does not replay rounds 1..N-1 (the classic iterative-Spark
+    * footgun), and the convergence count reuses that materialization.
+    *
+    * Returns (id: long, cluster_id: long) for every id that appears in
+    * `pairs`. Ids absent from `pairs` are their own cluster — join via
+    * [[clusterAssign]] for the full-universe view.
+    */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 64): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("nid")).agg(min(col("cluster_id")).as("nbr"))
+      val next = labels.join(prop, labels("id") === prop("nid"), "left")
+        .select(labels("id"),
+          least(labels("cluster_id"), coalesce(col("nbr"), labels("cluster_id")))
+            .as("cluster_id"),
+          (col("nbr") < labels("cluster_id")).as("__chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("__chg")).count()
+      labels = next.drop("__chg")
+      it += 1
+    }
+    edges.unpersist()
+    if (changed > 0) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIters rounds — component " +
+        "diameter exceeds the bound; raise maxIters")
+    labels
+  }
+
+  /** Full-universe cluster view: every id in `universe` gets its
+    * component's min id as cluster_id (itself when it is in no pair)
+    * and is_kept = "this is the cluster representative". Downstream
+    * dedup is then `filter(is_kept)` — exactly one survivor per
+    * near-dup cluster, transitively closed. */
+  def clusterAssign(universe: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val labels = dupClusters(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    universe.select(col(idCol).cast("long").as(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("is_kept", col("cluster_id") === col(idCol))
+  }
+
+  // -------------------------------------------------------------------
+  // Deterministic hash sampling
+  // -------------------------------------------------------------------
+
+  /** Deterministic sampling key: lowercase md5 hex of the id's string
+    * form. Portable (identical in DuckDB/Trino/Hive), uniform, and
+    * STABLE — re-running the pipeline, or running it on a different
+    * cluster/partitioning, selects the same rows, which `df.sample()`
+    * (seed + partition dependent) does not guarantee. At 100 TB the
+    * filter evaluates in the scan stage (codegen'd, no shuffle, no
+    * state), and a sample is reproducible from the id alone. */
+  def sampleKey(id: Column): Column = md5(id.cast("string"))
+
+  /** Keep rows whose sample key is lexicographically below `hexBound`
+    * (e.g. "1a" keeps hashes with first byte 0x00..0x19 ≈ 10.16%).
+    * Lexicographic compare on the hex string avoids any integer-parse
+    * portability trap. */
+  def hashSample(df: DataFrame, idCol: String, hexBound: String): DataFrame =
+    df.filter(sampleKey(col(idCol)) < lit(hexBound))
+
+  /** Hex bound for an approximate sampling rate, at 12-bit (1/4096)
+    * resolution: rateBound(0.1) == "19a" → P = 0x19a/0x1000 ≈ 0.1001. */
+  def rateBound(rate: Double): String = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
+    f"${math.round(rate * 4096)}%03x"
+  }
+
+  // -------------------------------------------------------------------
+  // Per-group quota cap
+  // -------------------------------------------------------------------
+
+  /** Keep the k best rows per group (ord DESC, id ASC tie-break) —
+    * the "at most N documents per domain" curation quota. Runs on the
+    * bounded [[graft.expressions.TopKBy]] aggregate, NOT a row_number
+    * window: the window form shuffles every row to its group's reducer
+    * and a heavy-hitter domain (the norm in web data — one domain can
+    * be 1% of 100 TB) becomes a straggler task; the aggregate form
+    * forwards at most k rows per (map task, group) — skew-immune by
+    * construction, map-side combined, no WindowExec anywhere.
+    *
+    * Returns (groupCol, rank: int 1..k, idCol: long, __ord: double);
+    * join back on idCol for payloads (the payload never rides through
+    * the aggregation). */
+  def perGroupCap(df: DataFrame, groupCol: String, idCol: String,
+      ord: Column, k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(TopKByExpr.topkBy(ord.cast("double"), col(idCol).cast("long"), k)
+        .as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as(idCol), col("col.ord").as("__ord"))
+
+  // -------------------------------------------------------------------
+  // Sequence packing (token-budget offsets)
+  // -------------------------------------------------------------------
+
+  /** Packed-pretraining offsets: lay the corpus out as one virtual
+    * token stream in `idCol` order and report, per document, its start
+    * offset and the first/last training sequence (budget-sized slots)
+    * it lands in — exactly the bookkeeping packed-sequence pretraining
+    * needs (documents straddle sequence boundaries; the boundary map
+    * IS the packing).
+    *
+    * The global running sum is a two-phase prefix sum, not a window:
+    * `sum().over(Window.orderBy(id))` funnels the corpus through ONE
+    * reducer (the SURVEY §7.4 scale cliff). Here: range-repartition on
+    * id, per-partition token totals (a `collect()` of one long per
+    * partition), scanLeft those into partition start offsets, then a
+    * second per-partition pass assigns running offsets — same shape as
+    * [[graft.SurrogateKeys.assignSequential]]. Both passes run over
+    * the SAME materialized RDD object, so the (sampled) range
+    * boundaries cannot drift between them.
+    *
+    * Input must carry (idCol, tokCol); tokCol must be non-negative.
+    * Output: input columns + start_off, first_seq, last_seq (longs).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+    val tokIdx = sorted.schema.fieldIndex(tokCol)
+    val rdd = sorted.rdd
+    val sums = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getAs[Number](tokIdx).longValue())
+      Iterator.single(i -> s)
+    }.collect().sortBy(_._1)
+    val offsets = sums.map(_._2).scanLeft(0L)(_ + _)
+    val offsetByPart = sums.map(_._1).zip(offsets).toMap
+    val withOff = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var run = offsetByPart(i)
+      it.map { r =>
+        val t = r.getAs[Number](tokIdx).longValue()
+        require(t >= 0, s"negative token count: $t")
+        val row = Row.fromSeq(r.toSeq :+ run)
+        run += t
+        row
+      }
+    }
+    // `div` (integer floor-division on non-negative longs), not `/`:
+    // double division goes inexact past 2^53 total tokens.
+    spark.createDataFrame(withOff, sorted.schema.add("start_off", "long"))
+      .withColumn("first_seq", expr(s"start_off div ${budget}L"))
+      .withColumn("last_seq", greatest(col("first_seq"),
+        expr(s"(start_off + `$tokCol` - 1) div ${budget}L")))
+  }
+
+  // -------------------------------------------------------------------
+  // PII redaction
+  // -------------------------------------------------------------------
+
+  /** Email / phone patterns. Deliberately restricted to syntax RE2 and
+    * java.util.regex agree on (character classes, bounded quantifiers —
+    * no backrefs or lookaround) so the DuckDB oracle runs the SAME
+    * pattern; at scale they evaluate inside the scan's codegen stage. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "[+(]?[0-9][0-9()\\s.-]{6,}[0-9]"
+
+  def countEmails(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailRe), lit(0)))
+  def countPhones(text: Column): Column =
+    size(regexp_extract_all(text, lit(phoneRe), lit(0)))
+
+  /** Scrub emails then phones (emails first — their local parts contain
+    * digits a phone pattern could half-match once the '@' is gone). */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
+  // -------------------------------------------------------------------
+  // Benchmark decontamination
+  // -------------------------------------------------------------------
+
+  /** Lowercased word n-grams as an array (empty when the text has
+    * fewer than n words). Same tokenization as the Dedup shingles. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1)
+    val words = split(lower(trim(text)), "\\s+")
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Flag corpus documents sharing ≥ minMatches distinct word n-grams
+    * with a held-out benchmark set — the standard train/eval
+    * decontamination pass (eval questions quoted verbatim in web text
+    * leak the benchmark into training data).
+    *
+    * Scale shape: both sides explode to (id, xxhash64(gram)) — 16
+    * bytes/gram through the shuffle, never the gram text — the
+    * benchmark side is distinct-ed (and typically small enough that
+    * AQE broadcasts it), and the join output is immediately re-
+    * aggregated to per-doc counts. Distinct-gram semantics (not
+    * occurrence counts) make the result insensitive to repetition
+    * inside a document. A 64-bit hash collision could miscount; at
+    * corpus scale the expected collision count is n²/2⁶⁵ — for 10¹²
+    * distinct grams that is ~27 grams total, which cannot flip a
+    * ≥ minMatches threshold decision measurably.
+    *
+    * Returns every corpus row's id with (n_contaminated_grams: long,
+    * is_contaminated: boolean). */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int,
+      minMatches: Int): DataFrame = {
+    val bgrams = bench
+      .select(explode(wordNgrams(col(benchTextCol), n)).as("gram"))
+      .distinct()
+      .select(xxhash64(col("gram")).as("gram_hash"))
+    val cgrams = corpus.select(col(idCol),
+        explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gram_hash"))
+    val hits = cgrams.join(bgrams, Seq("gram_hash"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated_grams"))
+    corpus.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_contaminated_grams"))
+      .withColumn("is_contaminated",
+        col("n_contaminated_grams") >= minMatches)
+  }
+}

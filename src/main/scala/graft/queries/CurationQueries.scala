@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Curation, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate coverage for the curation operator family ([[graft.operators.
+  * Curation]]): duplicate-cluster resolution, deterministic sampling,
+  * per-source quota caps, sequence packing, PII redaction, benchmark
+  * decontamination. Every entry is fully oracle-checked — the DuckDB
+  * SQL recomputes the result from first principles (recursive-CTE
+  * transitive closure for the clusters, window cumsum for packing,
+  * the same md5/regex/n-gram math for the rest).
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** d7's corpus: the documents plus, for every 25th doc, one exact
+    * copy and one near-copy (3 appended words keep 3-shingle Jaccard
+    * ≈ 0.95) — guaranteeing clusters of size ≥ 3 whose transitive
+    * closure the clustering must produce. */
+  private def d7Corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val copies = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 30000L).as("doc_id"), col("text"))
+    val nears = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 40000L).as("doc_id"),
+        concat(col("text"), lit(" graft curation tail")).as("text"))
+    docs.unionByName(copies).unionByName(nears)
+  }
+
+  private val d7CorpusSql =
+    """alldocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 30000, text FROM documents WHERE doc_id % 25 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 40000, text || ' graft curation tail'
+      |  FROM documents WHERE doc_id % 25 = 0)""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    // ---- near-dup CLUSTERS (transitive closure over pair output) ------
+    // Pairs come from the d3-proven exact LSH setting (bands=32, r=2:
+    // per-pair miss probability < 1e-9, emitted set == true Jaccard≥0.7
+    // set); dupClusters then min-label-propagates them into components.
+    // The oracle recomputes brute-force Jaccard pairs and closes them
+    // with a recursive CTE — clustering correctness is checked end to
+    // end, not against our own pair output.
+    "d7_dup_clusters" -> ((s, d) => {
+      val all = d7Corpus(s, d)
+      val pairs = Dedup.minhashDupPairs(all, "doc_id", "text",
+        k = 3, numHashes = 64, bands = 32, threshold = 0.7)
+      Curation.clusterAssign(all, "doc_id", pairs, "id_a", "id_b")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic hash sample ------------------------------------
+    "cu1_hash_sample" -> ((s, d) => {
+      Curation.hashSample(Tables.documents(s, d), "doc_id",
+          Curation.rateBound(0.1))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-source quota cap (top-5 by n_chars, skew-free) ------------
+    "cu2_source_cap" -> ((s, d) => {
+      Curation.perGroupCap(Tables.documents(s, d), "source", "doc_id",
+          col("n_chars"), k = 5)
+        .select(col("source"), col("rank"), col("doc_id"),
+          col("__ord").cast("long").as("n_chars"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    // ---- sequence packing (token-budget offsets) ------------------------
+    "cu3_pack_sequences" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("n_tok"))
+      Curation.packSequences(toks, "doc_id", "n_tok", budget = 2048L)
+        .select(col("doc_id"), col("n_tok"), col("start_off"),
+          col("first_seq"), col("last_seq"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- PII redaction (planted emails/phones) --------------------------
+    "cu4_pii_redact" -> ((s, d) => {
+      val withPii = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1-555-01"), col("doc_id") % 100,
+            lit("2 today")))
+          .otherwise(col("text")).as("text"))
+      withPii.select(col("doc_id"),
+          Curation.countEmails(col("text")).as("n_emails"),
+          Curation.countPhones(col("text")).as("n_phones"),
+          Curation.redactPii(col("text")).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- benchmark decontamination (5-gram overlap vs held-out set) -----
+    "cu5_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0).select(col("text"))
+      val planted = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 50000L).as("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text")).unionByName(planted)
+      Curation.decontaminate(corpus, "doc_id", "text", bench, "text",
+          n = 5, minMatches = 3)
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "d7_dup_clusters" ->
+      s"""WITH RECURSIVE $d7CorpusSql,
+         |${LlmQueries.shinglesCte("alldocs")},
+         |pairs AS (
+         |  ${LlmQueries.jaccardPairsSql(0.7)}),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.7
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.7),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |  COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         |  COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS is_kept
+         |FROM alldocs d LEFT JOIN labels l ON l.id = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "cu1_hash_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) < '19a'
+        |ORDER BY doc_id""".stripMargin,
+
+    "cu2_source_cap" ->
+      """SELECT source, rank, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    "cu3_pack_sequences" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_off
+        |  FROM tok)
+        |SELECT doc_id, n_tok, start_off,
+        |  CAST(FLOOR(start_off / 2048) AS BIGINT) AS first_seq,
+        |  GREATEST(CAST(FLOOR(start_off / 2048) AS BIGINT),
+        |    CAST(FLOOR((start_off + n_tok - 1) / 2048) AS BIGINT))
+        |    AS last_seq
+        |FROM off ORDER BY doc_id""".stripMargin,
+
+    "cu4_pii_redact" -> {
+      val em = Curation.emailRe
+      val ph = Curation.phoneRe
+      s"""WITH pii AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |        || '@example.com or +1-555-01'
+         |        || CAST(doc_id % 100 AS VARCHAR) || '2 today'
+         |      ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$em')) AS n_emails,
+         |  len(regexp_extract_all(text, '$ph')) AS n_phones,
+         |  regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
+         |    '$ph', '<PHONE>', 'g') AS clean
+         |FROM pii ORDER BY doc_id""".stripMargin
+    },
+
+    "cu5_decontam" ->
+      """WITH bench AS (
+        |  SELECT text FROM documents WHERE doc_id % 97 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 50000, text FROM documents WHERE doc_id % 97 = 0),
+        |bw AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        |       FROM bench),
+        |bg AS (SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
+        |         i -> array_to_string(w[i:i+4], ' '))) AS g
+        |       FROM bw),
+        |cw AS (SELECT doc_id,
+        |         string_split_regex(lower(trim(text)), '\s+') AS w
+        |       FROM corpus),
+        |cg AS (SELECT DISTINCT doc_id, g FROM (
+        |         SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |           i -> array_to_string(w[i:i+4], ' '))) AS g
+        |         FROM cw) t),
+        |hits AS (SELECT doc_id, count(*) AS n
+        |         FROM cg JOIN bg USING (g) GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  COALESCE(h.n, 0) AS n_contaminated_grams,
+        |  COALESCE(h.n, 0) >= 3 AS is_contaminated
+        |FROM corpus c LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -289,7 +289,7 @@ object LlmQueries {
   }
 
   /** Spark-matching word-3-shingle set in DuckDB (same as d2's oracle). */
-  private def shinglesCte(src: String): String =
+  private[queries] def shinglesCte(src: String): String =
     s"""sh AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(
@@ -302,7 +302,7 @@ object LlmQueries {
 
   /** Brute-force Jaccard pair CTE over `sh` with the sound size-ratio
     * prune (j ≥ t ⟹ min|set|/max|set| ≥ t, truncation keeps it loose). */
-  private def jaccardPairsSql(threshold: Double): String =
+  private[queries] def jaccardPairsSql(threshold: Double): String =
     s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
        |      / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)

@@ -1,0 +1,175 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- dup clusters -----------------------------------------------------
+
+  test("dupClusters: transitive closure over a chain, stars, singletons") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain -> one cluster
+      (10L, 11L), (10L, 12L), (10L, 13L),         // star
+      (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Curation.dupClusters(pairs, "id_a", "id_b")
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dupClusters: long path needs diameter rounds, still converges") {
+    val n = 24
+    val pairs = (1 until n).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val got = Curation.dupClusters(pairs, "id_a", "id_b")
+    assert(got.select("cluster_id").distinct().as[Long].collect()
+      .toSeq === Seq(1L))
+    assert(got.count() === n)
+  }
+
+  test("dupClusters: maxIters guard throws instead of partial clustering") {
+    val pairs = (1 until 10).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Curation.dupClusters(pairs, "id_a", "id_b", maxIters = 2)
+    }
+  }
+
+  test("clusterAssign: universe rows outside any pair keep themselves") {
+    val pairs = Seq((2L, 5L)).toDF("id_a", "id_b")
+    val uni = Seq(1L, 2L, 5L, 9L).toDF("doc_id")
+    val got = Curation.clusterAssign(uni, "doc_id", pairs, "id_a", "id_b")
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq((1L, 1L, true), (2L, 2L, true), (5L, 2L, false),
+      (9L, 9L, true)))
+  }
+
+  // ---- hash sampling ----------------------------------------------------
+
+  test("hashSample: deterministic, subset-stable, near the target rate") {
+    val df = (0L until 4000L).toDF("id")
+    val s1 = Curation.hashSample(df, "id", Curation.rateBound(0.1))
+      .as[Long].collect().toSet
+    val s2 = Curation.hashSample(df, "id", Curation.rateBound(0.1))
+      .as[Long].collect().toSet
+    assert(s1 === s2)                       // rerun-stable
+    assert(math.abs(s1.size - 400) < 80)    // ~10% of 4000
+    // a larger rate strictly contains the smaller one (same key order)
+    val s3 = Curation.hashSample(df, "id", Curation.rateBound(0.25))
+      .as[Long].collect().toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("rateBound endpoints and resolution") {
+    assert(Curation.rateBound(0.0) === "000")
+    assert(Curation.rateBound(1.0) === "1000")
+    intercept[IllegalArgumentException](Curation.rateBound(1.5))
+  }
+
+  // ---- per-group cap ----------------------------------------------------
+
+  test("perGroupCap: equals the row_number window form, skew-free path") {
+    val df = (1L to 200L).map(i => (s"g${i % 7}", i, (i * 37 % 101).toDouble))
+      .toDF("grp", "id", "score")
+    val got = Curation.perGroupCap(df, "grp", "id", col("score"), 5)
+      .select("grp", "rank", "id")
+      .as[(String, Int, Long)].collect().toSet
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("grp", "rank", "id")
+      .as[(String, Int, Long)].collect().toSet
+    assert(got === want)
+    assert(got.size === 35)
+  }
+
+  // ---- sequence packing ---------------------------------------------------
+
+  test("packSequences: offsets are the exclusive prefix sum in id order") {
+    val df = Seq((1L, 100L), (2L, 2000L), (3L, 50L), (4L, 5000L), (5L, 1L))
+      .toDF("id", "n_tok").repartition(3)
+    val got = Curation.packSequences(df, "id", "n_tok", budget = 2048L)
+      .orderBy("id")
+      .select("id", "start_off", "first_seq", "last_seq")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, 0L),        // [0, 100)
+      (2L, 100L, 0L, 1L),      // [100, 2100) straddles seq 0->1
+      (3L, 2100L, 1L, 1L),
+      (4L, 2150L, 1L, 3L),     // [2150, 7150) spans seqs 1..3
+      (5L, 7150L, 3L, 3L)))
+  }
+
+  test("packSequences: matches the single-reducer window form at scale shape") {
+    val df = (1L to 500L).map(i => (i, i % 97 + 1)).toDF("id", "n_tok")
+      .repartition(7)
+    val got = Curation.packSequences(df, "id", "n_tok", 256L)
+      .select("id", "start_off").as[(Long, Long)].collect().toMap
+    val w = Window.orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("start_off",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select("id", "start_off").as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("packSequences: zero-token rows get first_seq == last_seq") {
+    val df = Seq((1L, 10L), (2L, 0L), (3L, 5L)).toDF("id", "n_tok")
+    val got = Curation.packSequences(df, "id", "n_tok", 4L)
+      .orderBy("id").select("id", "first_seq", "last_seq")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 0L, 2L), (2L, 2L, 2L), (3L, 2L, 3L)))
+  }
+
+  // ---- PII redaction ------------------------------------------------------
+
+  test("redactPii: emails and phones scrubbed, counts match") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@corp-mail.example.org thanks"),
+      (2L, "call +1-555-012-3456 or (022) 4567 8901 today"),
+      (3L, "no pii here at all"),
+      (4L, "a@b.io then 555-123-4567 mixed")).toDF("id", "text")
+    val got = df.select(col("id"),
+        Curation.countEmails(col("text")).as("ne"),
+        Curation.countPhones(col("text")).as("np"),
+        Curation.redactPii(col("text")).as("clean"))
+      .orderBy("id").collect()
+    assert(got(0).getAs[Int]("ne") === 1 && got(0).getAs[Int]("np") === 0)
+    assert(got(0).getAs[String]("clean") === "reach me at <EMAIL> thanks")
+    assert(got(1).getAs[Int]("np") >= 1)
+    assert(!got(1).getAs[String]("clean").contains("555"))
+    assert(got(2).getAs[String]("clean") === "no pii here at all")
+    assert(got(3).getAs[Int]("ne") === 1 && got(3).getAs[Int]("np") === 1)
+    assert(got(3).getAs[String]("clean") === "<EMAIL> then <PHONE> mixed")
+  }
+
+  // ---- decontamination -----------------------------------------------------
+
+  test("wordNgrams: boundary sizes") {
+    val df = Seq("one two three four", "one two", "  ").toDF("t")
+    val got = df.select(size(Curation.wordNgrams(col("t"), 3)).as("n"))
+      .as[Int].collect().toSeq
+    assert(got === Seq(2, 0, 0))
+  }
+
+  test("decontaminate: verbatim benchmark quotes are flagged, clean docs are not") {
+    val bench = Seq(
+      "what is the capital of france paris is the answer here",
+      "solve for x when two x plus three equals eleven")
+      .toDF("text")
+    val corpus = Seq(
+      (1L, "totally unrelated words about cooking pasta with garlic and oil"),
+      // quotes benchmark doc 0 verbatim inside other text
+      (2L, "blog post what is the capital of france paris is the answer here end"),
+      // shares fewer than minMatches grams (only a 5-word overlap -> 1 gram)
+      (3L, "what is the capital of germany berlin obviously"))
+      .toDF("doc_id", "text")
+    val got = Curation.decontaminate(corpus, "doc_id", "text",
+        bench, "text", n = 5, minMatches = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got(0) === ((1L, 0L, false)))
+    assert(got(1)._2 >= 3 && got(1)._3)
+    assert(!got(2)._3)
+  }
+}
