@@ -56,12 +56,22 @@ object Curation {
       maxIters: Int = 64): DataFrame = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
-    val edges = pairs.select(a.as("src"), b.as("dst"))
-      .union(pairs.select(b.as("src"), a.as("dst")))
+    // Materialize the (possibly expensive — LSH pipeline) pair plan ONCE
+    // before mirroring it: union(pairs, pairs.reversed) over the raw plan
+    // would execute it twice.
+    val fwd = pairs.select(a.as("src"), b.as("dst")).persist()
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
+    edges.count()
+    fwd.unpersist()
+    // Fuse init+round 1: label(v) = min(v, min neighbor) directly off the
+    // edge list — diameter-1 components (the near-dup norm) then converge
+    // on the loop's first (confirming) pass.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("cluster_id"))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {

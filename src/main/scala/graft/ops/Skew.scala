@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation joins. At 100 TB the single biggest shuffle-join
+  * failure mode is a handful of heavy-hitter keys (one popular order,
+  * one dominant domain) pinning a reducer while 999 executors idle.
+  * AQE's skew-join split handles many cases at runtime; these operators
+  * are the PLAN-level mitigations for when the skew is known or must be
+  * handled deterministically — and both are provably result-identical
+  * to the plain join (the gate hashes them against a plain-SQL oracle).
+  */
+object SkewJoin {
+
+  /** Salted inner equi-join: every dim row is replicated `salt` times,
+    * every fact row is scattered deterministically (hash of
+    * `scatterCol`, NOT rand() — reruns must land identically) into one
+    * of the `salt` buckets, and the join key becomes (key, bucket).
+    * A key with N fact rows now spreads over min(N, salt) reducers
+    * instead of one. Cost: the dim side shuffles salt× its size — use
+    * for medium dims too big to broadcast but far smaller than the
+    * fact. Result set is EXACTLY the plain join's: each fact row meets
+    * exactly the one replica of its dim match that shares its bucket.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      scatterCol: String, salt: Int): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1: $salt")
+    val f = fact.withColumn("__salt",
+      pmod(xxhash64(col(scatterCol)), lit(salt.toLong)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Hot/cold split join: count fact rows per key (safe even on the
+    * skewed key — partial aggregation collapses each hot key to one row
+    * per map task before the shuffle), keep the keys above
+    * `hotThreshold` as a small hot-key table (guarded by `maxHotKeys`:
+    * a "hot" set too large to broadcast means the threshold is wrong),
+    * then broadcast-join the hot slice and shuffle-join the cold slice.
+    * Hot/cold routing is broadcast semi/anti joins — never a literal
+    * IN-list, which stops planning well past a few hundred keys — so
+    * the hot rows never hit a shuffle reducer and the cold shuffle is
+    * skew-free by construction. Union of the two slices is exactly the
+    * plain inner join (every fact row routes to exactly one slice and
+    * meets the full dim row set for its key).
+    */
+  def skewAwareJoin(fact: DataFrame, dim: DataFrame, key: String,
+      hotThreshold: Long, maxHotKeys: Long = 1000000): DataFrame = {
+    val hotKeys = fact.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(col(key))
+      .persist()
+    val nHot = hotKeys.count()
+    require(nHot <= maxHotKeys,
+      s"$nHot hot keys — raise hotThreshold (a 'hot' set this large " +
+        "will not broadcast)")
+    val out = if (nHot == 0) fact.join(dim, Seq(key))
+    else {
+      val hk = broadcast(hotKeys)
+      val hot = fact.join(hk, Seq(key), "left_semi")
+        .join(broadcast(dim.join(hk, Seq(key), "left_semi")), Seq(key))
+      val cold = fact.join(hk, Seq(key), "left_anti")
+        .join(dim.join(hk, Seq(key), "left_anti"), Seq(key))
+      hot.unionByName(cold)
+    }
+    out
+  }
+}

@@ -157,6 +157,31 @@ object OpsQueries {
         .select(col("n_name")).orderBy(col("n_name"))
     }),
 
+    // ---- Skew-mitigation joins (oracle: the PLAIN join — the whole ------
+    // point is that the rewrite is result-identical) -----------------------
+    "sk1_salted_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      SkewJoin.saltedJoin(Tables.lineitem(s, d), o, "l_orderkey",
+          scatterCol = "l_partkey", salt = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          Tables.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "sk2_skew_split_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      // >5 lines/order marks ~the top fifth of orders hot — small enough
+      // to broadcast, big enough that both slices are exercised
+      SkewJoin.skewAwareJoin(Tables.lineitem(s, d), o, "l_orderkey",
+          hotThreshold = 5L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          Tables.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- Lookup-dim upsert (snowflake maintenance) ----------------------
     "lookup_dim_upsert" -> ((s, d) => {
       val p = Tables.part(s, d)
@@ -171,7 +196,20 @@ object OpsQueries {
     }),
   )
 
+  /** Both skew rewrites must hash-match the one plain join. */
+  private val plainJoinAggSql =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "sk1_salted_join" -> plainJoinAggSql,
+    "sk2_skew_split_join" -> plainJoinAggSql,
+
     "d6_fuzzy_pairs" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,
