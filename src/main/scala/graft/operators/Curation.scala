@@ -137,6 +137,37 @@ object Curation {
     f"${math.round(rate * 4096)}%03x"
   }
 
+  /** Deterministic train/val/test (or any k-way) split: consecutive
+    * half-open hash ranges [prev, bound) labeled in order, remainder →
+    * `default`. The same id lands in the same split on every run, on
+    * any cluster, at any partitioning — the property eval hygiene
+    * actually requires (a df.sample-based split reshuffles membership
+    * whenever the partitioning changes). `cuts` are (label,
+    * exclusive-upper-hex-bound) with strictly increasing bounds. */
+  def hashSplit(id: Column, cuts: Seq[(String, String)],
+      default: String): Column = {
+    require(cuts.nonEmpty)
+    require(cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cut bounds must be increasing: ${cuts.map(_._2)}")
+    val key = sampleKey(id)
+    cuts.foldRight(lit(default)) { case ((label, bound), rest) =>
+      when(key < lit(bound), lit(label)).otherwise(rest)
+    }
+  }
+
+  /** Per-group sampling rates (e.g. downsample the dominant language,
+    * keep all of a rare one): rows keep when their hash key falls
+    * under their group's bound; groups absent from `rates` get
+    * `defaultRate`. Same determinism contract as [[hashSample]]. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val bound = rates.foldLeft(lit(rateBound(defaultRate))) {
+      case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit(rateBound(r))).otherwise(acc)
+    }
+    df.filter(sampleKey(col(idCol)) < bound)
+  }
+
   // -------------------------------------------------------------------
   // Per-group quota cap
   // -------------------------------------------------------------------
@@ -240,6 +271,24 @@ object Curation {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
       phoneRe, "<PHONE>")
+
+  // -------------------------------------------------------------------
+  // Intra-document repetition (Gopher-style quality signal)
+  // -------------------------------------------------------------------
+
+  /** Duplicate word-n-gram fraction inside one document:
+    * 1 − |distinct n-grams| / |n-grams| (0.0 when the text has fewer
+    * than n words). Repetitive/boilerplate text — the single strongest
+    * cheap quality signal after length — scores high; natural prose
+    * scores near 0. Pure array expressions over one tokenization, per
+    * row, inside whole-stage codegen; no shuffle, no explode. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val grams = wordNgrams(text, n)
+    when(size(grams) > 0,
+      round(lit(1.0) - size(array_distinct(grams)).cast("double")
+        / size(grams), 6))
+      .otherwise(lit(0.0))
+  }
 
   // -------------------------------------------------------------------
   // Benchmark decontamination

@@ -99,6 +99,40 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- deterministic k-way split (train/val/test) ----------------------
+    "cu6_hash_split" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+          Curation.hashSplit(col("doc_id"),
+            Seq("val" -> Curation.rateBound(0.05),
+              "test" -> Curation.rateBound(0.1)), "train").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- stratified per-language sampling --------------------------------
+    // Downsample dominant en, keep half of de, 20% elsewhere — the
+    // target-mix reweighting step of corpus assembly.
+    "cu7_stratified_sample" -> ((s, d) => {
+      Curation.stratifiedHashSample(Tables.documents(s, d), "doc_id",
+          "lang", Map("en" -> 0.05, "de" -> 0.5), defaultRate = 0.2)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- intra-document repetition (Gopher-style quality signal) ---------
+    // Every 31st doc gets itself appended — a repetitive planted row
+    // whose duplicate-2-gram fraction must land near 0.5.
+    "t3_repetition" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val rep = docs.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 60000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+      docs.unionByName(rep).select(col("doc_id"),
+          Curation.dupNgramFrac(col("text"), 2).as("dup_2gram_frac"),
+          Curation.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"))
+        .withColumn("is_repetitive", col("dup_2gram_frac") > 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- benchmark decontamination (5-gram overlap vs held-out set) -----
     "cu5_decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -185,6 +219,57 @@ object CurationQueries {
          |    '$ph', '<PHONE>', 'g') AS clean
          |FROM pii ORDER BY doc_id""".stripMargin
     },
+
+    "cu6_hash_split" -> {
+      val v = Curation.rateBound(0.05)
+      val t = Curation.rateBound(0.1)
+      s"""SELECT doc_id,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '$v' THEN 'val'
+         |       WHEN md5(CAST(doc_id AS VARCHAR)) < '$t' THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "cu7_stratified_sample" -> {
+      val en = Curation.rateBound(0.05)
+      val de = Curation.rateBound(0.5)
+      val other = Curation.rateBound(0.2)
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE md5(CAST(doc_id AS VARCHAR)) <
+         |  CASE WHEN lang = 'en' THEN '$en'
+         |       WHEN lang = 'de' THEN '$de' ELSE '$other' END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "t3_repetition" ->
+      """WITH rdocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 60000, text || ' ' || text
+        |  FROM documents WHERE doc_id % 31 = 0),
+        |w AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM rdocs),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1]) AS g2,
+        |    list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+        |  FROM w),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(g2) > 0 THEN round(1.0 -
+        |      CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+        |      ELSE 0.0 END AS dup_2gram_frac,
+        |    CASE WHEN len(g3) > 0 THEN round(1.0 -
+        |      CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+        |      ELSE 0.0 END AS dup_3gram_frac
+        |  FROM g)
+        |SELECT doc_id, dup_2gram_frac, dup_3gram_frac,
+        |  dup_2gram_frac > 0.1 AS is_repetitive
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "cu5_decontam" ->
       """WITH bench AS (

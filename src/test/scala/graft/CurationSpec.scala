@@ -67,6 +67,38 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](Curation.rateBound(1.5))
   }
 
+  test("hashSplit: exhaustive, deterministic, rate-proportioned") {
+    val df = (0L until 4000L).toDF("id")
+    val cuts = Seq("val" -> Curation.rateBound(0.05),
+      "test" -> Curation.rateBound(0.1))
+    val got = df.select(col("id"),
+        Curation.hashSplit(col("id"), cuts, "train").as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(got.values.sum === 4000L)
+    assert(math.abs(got("val") - 200) < 60)
+    assert(math.abs(got("test") - 200) < 60)   // [0.05, 0.1) band
+    // split assignment agrees with hashSample membership (same keys)
+    val sampled = Curation.hashSample(df, "id", Curation.rateBound(0.1))
+      .as[Long].collect().toSet
+    val nonTrain = df.select(col("id"),
+        Curation.hashSplit(col("id"), cuts, "train").as("s"))
+      .filter(col("s") =!= "train").select("id").as[Long].collect().toSet
+    assert(nonTrain === sampled)
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(col("id"), Seq("a" -> "800", "b" -> "0cd"), "z")
+    }
+  }
+
+  test("stratifiedHashSample: per-group rates honored") {
+    val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val got = Curation.stratifiedHashSample(df, "id", "lang",
+        Map("en" -> 0.5), defaultRate = 0.05)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(got("en") - 500) < 90)            // 50% of 1000
+    assert(math.abs(got.getOrElse("de", 0L) - 100) < 50) // 5% of 2000
+  }
+
   // ---- per-group cap ----------------------------------------------------
 
   test("perGroupCap: equals the row_number window form, skew-free path") {
@@ -141,6 +173,23 @@ class CurationSpec extends SparkSpec {
     assert(got(2).getAs[String]("clean") === "no pii here at all")
     assert(got(3).getAs[Int]("ne") === 1 && got(3).getAs[Int]("np") === 1)
     assert(got(3).getAs[String]("clean") === "<EMAIL> then <PHONE> mixed")
+  }
+
+  // ---- repetition ---------------------------------------------------------
+
+  test("dupNgramFrac: doubled text scores ~0.5, unique text scores 0") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),                       // all 2-grams unique
+      (2L, "a b c d a b c d"),                       // doubled
+      (3L, "x"),                                     // too short -> 0.0
+      (4L, "w w w w w w")).toDF("id", "text")        // one gram repeated
+    val got = df.select(col("id"),
+        Curation.dupNgramFrac(col("text"), 2).as("f"))
+      .orderBy("id").as[(Long, Double)].collect().toMap
+    assert(got(1L) === 0.0)
+    assert(got(2L) > 0.35 && got(2L) < 0.6)
+    assert(got(3L) === 0.0)
+    assert(got(4L) === 0.8)                          // 5 grams, 1 distinct
   }
 
   // ---- decontamination -----------------------------------------------------
