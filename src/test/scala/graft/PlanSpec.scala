@@ -86,4 +86,41 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("cu2 quota cap runs on the bounded aggregate, not a window") {
+    noAqe {
+      val p = planOf(SparkEntry.queries("cu2_source_cap")(spark, sf))
+      assert(unpartitionedWindows(p).isEmpty)
+      assert(p.collectWithSubqueries { case w: WindowExec => w }.isEmpty,
+        "cu2 plans a WindowExec — the skew-prone row_number form")
+      val oha = p.collectWithSubqueries {
+        case a: org.apache.spark.sql.execution.aggregate
+          .ObjectHashAggregateExec => a }
+      assert(oha.nonEmpty, "cu2 lost the ObjectHashAggregate topk_by path")
+    }
+  }
+
+  test("t3 repetition scoring stays expression-only (no explode)") {
+    noAqe {
+      val p = planOf(SparkEntry.queries("t3_repetition")(spark, sf))
+      val gens = p.collectWithSubqueries {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }
+      assert(gens.isEmpty,
+        "t3 plans a Generate — per-gram explode would shuffle gram rows")
+    }
+  }
+
+  test("decontamination joins on gram hashes, never all-pairs") {
+    noAqe {
+      val p = planOf(SparkEntry.queries("cu5_decontam")(spark, sf))
+      val nested = p.collectWithSubqueries {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => j }
+      assert(nested.isEmpty,
+        "cu5 plans a nested-loop/cartesian join — the n-gram equi-join " +
+          "degenerated")
+    }
+  }
 }
