@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.sources.{CsvIO, Ledger}
+import graft.sources.{CsvIO, JsonlIO, Ledger}
 import graft.operators.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -40,6 +40,20 @@ object IoQueries {
             .as("o_totalprice"),
           col("o_orderdate").cast("date").as("o_orderdate"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- JSONL round-trip (corpus interchange format) --------------------
+    // write → explicit-schema read; the oracle is the source table, so
+    // any serialization loss (escaping, unicode, nulls, int width)
+    // breaks the hash match.
+    "io1_jsonl_roundtrip" -> ((s, d) => {
+      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
+      val path = s"/tmp/graft_jsonl_roundtrip_$sfTag"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      JsonlIO.write(docs, path)
+      JsonlIO.read(s, path, docs.schema).orderBy(col("doc_id"))
     }),
 
     // ---- S5/S6/S7: the incremental file-control loop, end to end --------
@@ -128,6 +142,10 @@ object IoQueries {
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
         |  CAST(o_orderdate AS DATE) AS o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "io1_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "s5_ledger_loop" ->
       """SELECT o_orderkey,
