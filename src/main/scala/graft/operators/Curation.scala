@@ -273,6 +273,33 @@ object Curation {
       phoneRe, "<PHONE>")
 
   // -------------------------------------------------------------------
+  // Token-window chunking (embedding-pipeline prep)
+  // -------------------------------------------------------------------
+
+  /** Split a document into overlapping token windows — the prep step
+    * before embedding long documents (encoder context is bounded;
+    * overlap keeps boundary-straddling phrases findable). Chunk i
+    * starts at token i·(chunkSize−overlap); a final start whose whole
+    * window is already inside the previous chunk (start+overlap ≥ n,
+    * start > 0) is dropped, so every token is covered and no chunk is
+    * a pure suffix of its predecessor. Case is preserved (chunking is
+    * not normalization). Pure array expressions per row — chunks for
+    * a 100 TB corpus cost one codegen'd scan, no shuffle; explode at
+    * the call site only if per-chunk rows are actually needed. */
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap >= 0 && chunkSize > overlap,
+      s"need 0 <= overlap < chunkSize: chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    val words = split(trim(text), "\\s+")
+    val n = size(words)
+    val starts = filter(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
+      st => (st === 0) || (st + overlap < n))
+    transform(starts,
+      st => array_join(slice(words, st + 1, lit(chunkSize)), " "))
+  }
+
+  // -------------------------------------------------------------------
   // Intra-document repetition (Gopher-style quality signal)
   // -------------------------------------------------------------------
 

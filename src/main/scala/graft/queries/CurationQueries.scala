@@ -133,6 +133,27 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- token-window chunking (embedding prep) ---------------------------
+    "cu8_chunking" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(Curation.chunkTokens(col("text"), chunkSize = 32,
+            overlap = 8)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // ---- corpus term statistics (top-k by frequency) ----------------------
+    // Deterministic tie-break (count DESC, term ASC) so the top-20 cut
+    // is unique; TakeOrderedAndProject keeps the global sort bounded.
+    "t4_top_terms" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(20)
+    }),
+
     // ---- benchmark decontamination (5-gram overlap vs held-out set) -----
     "cu5_decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -270,6 +291,28 @@ object CurationQueries {
         |SELECT doc_id, dup_2gram_frac, dup_3gram_frac,
         |  dup_2gram_frac > 0.1 AS is_repetitive
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "cu8_chunking" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    list_filter(range(0, len(ws), 24),
+        |      st -> st = 0 OR st + 8 < len(ws)) AS starts
+        |  FROM w)
+        |SELECT doc_id, i - 1 AS chunk_idx,
+        |  array_to_string(ws[starts[i] + 1 : starts[i] + 32], ' ')
+        |    AS chunk_text
+        |FROM c, unnest(generate_series(1, len(starts))) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "t4_top_terms" ->
+      """SELECT term, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS term
+        |  FROM documents) t
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
 
     "cu5_decontam" ->
       """WITH bench AS (

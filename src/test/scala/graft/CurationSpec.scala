@@ -175,6 +175,30 @@ class CurationSpec extends SparkSpec {
     assert(got(3).getAs[String]("clean") === "<EMAIL> then <PHONE> mixed")
   }
 
+  // ---- chunking -----------------------------------------------------------
+
+  test("chunkTokens: coverage, overlap, and tail-suffix suppression") {
+    val words = (1 to 100).map(i => s"w$i")
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val chunks = df.select(Curation.chunkTokens(col("text"), 32, 8))
+      .as[Seq[String]].collect().head
+    // starts 0,24,48,72 — start 96 would add only already-seen tokens
+    assert(chunks.size === 4)
+    assert(chunks.head === words.take(32).mkString(" "))
+    assert(chunks(1).startsWith("w25 "))            // 8-token overlap
+    // every token appears in some chunk
+    val covered = chunks.flatMap(_.split(" ")).toSet
+    assert(covered === words.toSet)
+    // short doc -> single chunk, verbatim
+    val one = Seq("a b c").toDF("text")
+      .select(Curation.chunkTokens(col("text"), 32, 8))
+      .as[Seq[String]].collect().head
+    assert(one === Seq("a b c"))
+    intercept[IllegalArgumentException] {
+      Curation.chunkTokens(col("text"), 8, 8)
+    }
+  }
+
   // ---- repetition ---------------------------------------------------------
 
   test("dupNgramFrac: doubled text scores ~0.5, unique text scores 0") {
