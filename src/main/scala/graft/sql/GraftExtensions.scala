@@ -78,6 +78,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "topk_by(ord, id, k) — k must be an integer literal")
       }))
+    // Curation library as SQL functions. These are COMPOSED Column
+    // expressions (not custom Catalyst nodes), bridged via
+    // ColumnBridge — SQL users get the same codegen'd trees the Scala
+    // API builds.
+    import org.apache.spark.sql.graft.ColumnBridge.{column => col_, analyzableExpression => expr_}
+    import graft.operators.Curation
+    ext.injectFunction((FunctionIdentifier("sample_key"),
+      new ExpressionInfo(Curation.getClass.getName, "sample_key"),
+      (exprs: Seq[Expression]) => expr_(Curation.sampleKey(col_(exprs.head)))))
+    ext.injectFunction((FunctionIdentifier("redact_pii"),
+      new ExpressionInfo(Curation.getClass.getName, "redact_pii"),
+      (exprs: Seq[Expression]) => expr_(Curation.redactPii(col_(exprs.head)))))
+    ext.injectFunction((FunctionIdentifier("dup_ngram_frac"),
+      new ExpressionInfo(Curation.getClass.getName, "dup_ngram_frac"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t, Literal(n: Int, _)) =>
+          expr_(Curation.dupNgramFrac(col_(t), n))
+        case _ => throw new IllegalArgumentException(
+          "dup_ngram_frac(text, n) — n must be an integer literal")
+      }))
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(Curation.getClass.getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t, Literal(n: Int, _)) =>
+          expr_(Curation.wordNgrams(col_(t), n))
+        case _ => throw new IllegalArgumentException(
+          "word_ngrams(text, n) — n must be an integer literal")
+      }))
+    ext.injectFunction((FunctionIdentifier("chunk_tokens"),
+      new ExpressionInfo(Curation.getClass.getName, "chunk_tokens"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t, Literal(size: Int, _), Literal(ov: Int, _)) =>
+          expr_(Curation.chunkTokens(col_(t), size, ov))
+        case _ => throw new IllegalArgumentException(
+          "chunk_tokens(text, chunkSize, overlap) — sizes must be " +
+            "integer literals")
+      }))
     ext.injectOptimizerRule(_ => CollapseRedundantNormalization)
     // MERGE INTO for plain parquet tables (see MergeSql): rewrite the
     // parsed-but-unresolved MergeIntoTable before the analyzer rejects

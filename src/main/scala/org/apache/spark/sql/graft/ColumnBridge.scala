@@ -14,4 +14,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Deep conversion through the session converter: unlike
+    * [[expression]] (which wraps unresolved ColumnNodes in an opaque,
+    * Unevaluable ColumnNodeExpression), this lowers a COMPOSED Column
+    * tree (functions._ calls, lambdas) into genuine catalyst
+    * UnresolvedFunction/LambdaFunction nodes the analyzer then
+    * resolves — required when splicing composed Columns into an
+    * injected SQL function's expression tree. */
+  def analyzableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -52,6 +52,36 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(tk === Seq(7L, 11L)) // 0.9 twice: lower id wins rank 1
   }
 
+  test("curation SQL functions: bridged Column compositions") {
+    val clean = spark.sql(
+      "SELECT redact_pii('mail a@b.io or +1-555-012-3456') AS c")
+      .collect().head.getString(0)
+    assert(clean === "mail <EMAIL> or <PHONE>")
+
+    val key = spark.sql("SELECT sample_key(42L) AS k")
+      .collect().head.getString(0)
+    assert(key === spark.sql("SELECT md5('42') AS k")
+      .collect().head.getString(0))
+
+    val frac = spark.sql(
+      "SELECT dup_ngram_frac('a b a b a b', 2) AS f")
+      .collect().head.getDouble(0)
+    assert(frac === 0.6)  // 5 grams, 2 distinct
+
+    val grams = spark.sql("SELECT word_ngrams('x y z w', 3) AS g")
+      .collect().head.getSeq[String](0)
+    assert(grams === Seq("x y z", "y z w"))
+
+    val chunks = spark.sql(
+      "SELECT chunk_tokens('a b c d e f', 4, 1) AS ch")
+      .collect().head.getSeq[String](0)
+    assert(chunks === Seq("a b c d", "d e f"))
+
+    intercept[Exception] {
+      spark.sql("SELECT dup_ngram_frac('a b', 1 + 1)").collect()
+    }
+  }
+
   test("redundant normalization chains collapse in the optimized plan") {
     def uppers(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : Int = {
