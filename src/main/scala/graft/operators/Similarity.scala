@@ -230,4 +230,138 @@ object Similarity {
       .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
     rankTopK(scored, qidCol, idCol, k)
   }
+
+  // ---- PQ (product quantization) -----------------------------------------
+
+  /** PQ codebooks: `m` subspaces × `ksub` centroids × dim/m floats.
+    * Vectors compress to m small codes (m bytes at ksub ≤ 256) — the
+    * memory/bandwidth answer for 100 TB ANN: a 64-dim double vector is
+    * 512 bytes; its code is 8. Scans read 64× fewer bytes and the
+    * whole index stays cache-resident per executor. */
+  final case class PqModel(m: Int, ksub: Int, dsub: Int,
+      codebooks: Array[Array[Array[Double]]]) {
+    def flat: Seq[Double] =
+      codebooks.flatMap(_.flatMap(_.toSeq)).toSeq
+  }
+
+  /** Train PQ codebooks: per-subspace Lloyd's k-means on a BOUNDED
+    * sample (lowest-`idCol` rows — deterministic across runs and
+    * partitionings; quantizers are always trained on samples, so the
+    * driver-side collect is O(sampleCap·dim), never O(data)). Empty
+    * clusters keep their previous centroid; init is the first ksub
+    * sample subvectors. */
+  def pqTrain(data: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 8,
+      sampleCap: Int = 10000): PqModel = {
+    val sample: Array[Array[Double]] = data.orderBy(col(idCol))
+      .filter(col(vecCol).isNotNull)
+      .limit(sampleCap)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, s"pqTrain: no non-null '$vecCol' vectors")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      val pts = sample.map(_.slice(j * dsub, (j + 1) * dsub))
+      var cents = Array.tabulate(math.min(ksub, pts.length))(pts(_))
+        .padTo(ksub, pts(0)).map(_.clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0; var t = 0
+            while (t < dsub) {
+              val diff = p(t) - cents(c)(t); d += diff * diff; t += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var t = 0
+          while (t < dsub) { sums(best)(t) += p(t); t += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ksub) { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }
+      }
+      cents
+    }
+    PqModel(m, ksub, dsub, codebooks)
+  }
+
+  /** Per-row PQ codes as a pure array expression (argmin-L2 per
+    * subspace against the broadcast codebook literal): one codegen'd
+    * scan over the data, no shuffle, no UDF. */
+  def pqCodes(vec: Column, mdl: PqModel): Column = {
+    val cb = typedLit(mdl.flat)
+    transform(sequence(lit(0), lit(mdl.m - 1)), j =>
+      aggregate(sequence(lit(0), lit(mdl.ksub - 1)),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+        (acc, c) => {
+          val dist = aggregate(sequence(lit(0), lit(mdl.dsub - 1)),
+            lit(0.0), (s, t) => {
+              val diff =
+                element_at(vec, (j * mdl.dsub + t + 1).cast("int")) -
+                element_at(cb,
+                  ((j * mdl.ksub + c) * mdl.dsub + t + 1).cast("int"))
+              s + diff * diff
+            })
+          when(dist < acc.getField("d"),
+            struct(dist.as("d"), c.as("c"))).otherwise(acc)
+        },
+        acc => acc.getField("c")))
+  }
+
+  /** PQ top-k with exact re-rank — the production two-stage shape:
+    * stage 1 scores EVERY code against the query's lookup table
+    * (lut[j·ksub + code_j] = ⟨q_subj, centroid⟩; an m-add scan over
+    * m-byte codes instead of a dim-multiply scan over full vectors)
+    * and keeps `candidates` per query via the bounded topk_by
+    * aggregate; stage 2 joins the candidates back to their FULL
+    * vectors and re-ranks the pool by exact cosine, so the output is
+    * the exact top-k whenever the true top-k survives stage 1
+    * (candidates ≈ 10k is the standard safety factor). Queries are
+    * few: their LUTs are computed driver-side and broadcast. */
+  def pqTopK(data: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, mdl: PqModel, candidates: Int): DataFrame = {
+    require(candidates >= k)
+    val spark = data.sparkSession
+    import spark.implicits._
+    val coded = data.select(col(idCol),
+      pqCodes(col(vecCol).cast("array<double>"), mdl).as("pq_codes"))
+    val qRows: Seq[(Long, Seq[Double])] = queries
+      .select(col(qidCol).cast("long"),
+        col(qvecCol).cast("array<double>"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val luts = qRows.map { case (qid, qv) =>
+      val lut = for {
+        j <- 0 until mdl.m; c <- 0 until mdl.ksub
+      } yield (0 until mdl.dsub)
+        .map(t => qv(j * mdl.dsub + t) * mdl.codebooks(j)(c)(t)).sum
+      (qid, lut)
+    }.toDF(qidCol, "lut")
+    val scored = coded.crossJoin(broadcast(luts))
+      .withColumn("score",
+        aggregate(sequence(lit(0), lit(mdl.m - 1)), lit(0.0),
+          (s, j) => s + element_at(col("lut"),
+            (j * mdl.ksub +
+              element_at(col("pq_codes"), (j + 1).cast("int")) + 1)
+              .cast("int"))))
+    val cands = scored.groupBy(col(qidCol))
+      .agg(graft.expressions.TopKByExpr.topkBy(
+        col("score"), col(idCol).cast("long"), candidates).as("__tk"))
+      .select(col(qidCol), explode(col("__tk").getField("id")).as(idCol))
+    val reranked = cands
+      .join(data.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))),
+        Seq(qidCol))
+      .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
+    rankTopK(reranked, qidCol, idCol, k)
+  }
 }

@@ -209,6 +209,26 @@ object LlmQueries {
         .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
         .orderBy(col("qid"), col("rank"))
     }),
+
+    // ---- PQ ANN top-k (oracle: the same brute-force top-k) ----------------
+    // Two-stage production shape: LUT scan over 8-byte codes keeps a
+    // 50-candidate pool per query, exact cosine re-ranks the pool. The
+    // planted copies score within quantization error of the query's own
+    // max — far above the random background (cos ≲ 0.35) — so the pool
+    // provably contains the true top-5 and the re-ranked output equals
+    // exact brute force, cosines bit-identical. Pool-recall at thin
+    // settings stays spec-pinned (LlmOpsSpec).
+    "ann4_pq_topk" -> ((s, d) => {
+      val data = annCorpus(s, d)
+      val queries = data.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val mdl = Similarity.pqTrain(data, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 4)
+      Similarity.pqTopK(data, "vec_id", "embedding", queries,
+        "qid", "qv", k = 5, mdl, candidates = 50)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    }),
   )
 
   /** Shared ANN gate corpus: embeddings (as double) plus 5 scaled
@@ -414,6 +434,7 @@ object LlmQueries {
 
     "ann2_ivf_topk" -> annOracleSql,
     "ann3_lsh_topk" -> annOracleSql,
+    "ann4_pq_topk" -> annOracleSql,
 
     "c1_corpus_clean" ->
       s"""$featCtes,

@@ -172,6 +172,54 @@ class LlmOpsSpec extends SparkSpec {
     assert(index.centroids.count() === 8)
   }
 
+  test("PQ: codes well-formed, training deterministic, re-rank exact") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val mdl = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 4)
+    assert(mdl.dsub === 8)
+    val mdl2 = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 4)
+    assert(mdl.flat === mdl2.flat)            // deterministic training
+    val codes = emb.select(
+        Similarity.pqCodes(col("embedding"), mdl).as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.size == 8 && c.forall(x => x >= 0 && x < 16)))
+    // with candidates == |data| stage 1 keeps everything, so the exact
+    // re-rank must reproduce brute force EXACTLY, ranks and cosines
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 10)
+      .select("qid", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val viaPq = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10, mdl, candidates = n)
+      .select("qid", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(viaPq === exact)
+  }
+
+  test("PQ: recall@10 >= 0.6 vs brute force at a 10x candidate pool") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val mdl = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 4)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 10, mdl, candidates = 100)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
   test("LSH top-k finds planted strong neighbors; no duplicate ids") {
     // The synthetic embeddings are near-uniform (top-10 cosine ~0.3), and
     // LSH provably cannot recall weak neighbors sub-linearly: at cos 0.3
