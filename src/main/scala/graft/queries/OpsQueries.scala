@@ -182,6 +182,20 @@ object OpsQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- Bloom-pruned join (selective dim; oracle: plain filtered join) --
+    "sk3_bloom_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+      SkewJoin.bloomPrunedJoin(Tables.lineitem(s, d), urgent,
+          "l_orderkey", expectedDimKeys = 100000L)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_lines"),
+          Tables.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("month"))
+    }),
+
     // ---- Lookup-dim upsert (snowflake maintenance) ----------------------
     "lookup_dim_upsert" -> ((s, d) => {
       val p = Tables.part(s, d)
@@ -209,6 +223,14 @@ object OpsQueries {
   def oracles: Map[String, String] = Map(
     "sk1_salted_join" -> plainJoinAggSql,
     "sk2_skew_split_join" -> plainJoinAggSql,
+    "sk3_bloom_join" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |  count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d6_fuzzy_pairs" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part)

@@ -56,6 +56,38 @@ class SkewJoinSpec extends SparkSpec {
       .collect().toSet)
   }
 
+  test("bloomPrunedJoin: identical to plain join; filter reaches the plan") {
+    val fact = (1L to 1000L).map(k => (k, s"f$k")).toDF("k", "payload")
+    val dim = (1L to 1000L by 100).map(k => (k, s"d$k")).toDF("k", "attr")
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "payload", "attr").as[(Long, String, String)]
+      .collect().toSet
+    val pruned = SkewJoin.bloomPrunedJoin(fact, dim, "k",
+      expectedDimKeys = 100L)
+    val got = pruned.select("k", "payload", "attr")
+      .as[(Long, String, String)].collect().toSet
+    assert(got === plain)
+    assert(plain.size === 10)
+    // plan assert needs a real file scan — over a LocalRelation the
+    // optimizer folds the filter into the local table itself
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val filePlan = SkewJoin.bloomPrunedJoin(li, o, "l_orderkey", 1000L)
+      .queryExecution.executedPlan.toString
+    assert(filePlan.contains("might_contain"),
+      "bloom membership test did not reach the physical plan")
+  }
+
+  test("bloomPrunedJoin: null fact keys are dropped, like the inner join") {
+    val fact = Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c"))
+      .toDF("k", "payload")
+    val dim = Seq((1L, "d1"), (2L, "d2")).toDF("k", "attr")
+    val got = SkewJoin.bloomPrunedJoin(fact, dim, "k", 10L)
+      .select("payload").as[String].collect().toSet
+    assert(got === Set("a", "c"))
+  }
+
   test("skewAwareJoin: maxHotKeys guard rejects an unbroadcastable hot set") {
     intercept[IllegalArgumentException] {
       SkewJoin.skewAwareJoin(skewedFact, dim, "k", hotThreshold = 0L,
