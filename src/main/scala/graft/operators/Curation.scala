@@ -131,10 +131,19 @@ object Curation {
     df.filter(sampleKey(col(idCol)) < lit(hexBound))
 
   /** Hex bound for an approximate sampling rate, at 12-bit (1/4096)
-    * resolution: rateBound(0.1) == "19a" → P = 0x19a/0x1000 ≈ 0.1001. */
+    * resolution: rateBound(0.1) == "19a" → P = 0x19a/0x1000 ≈ 0.1001.
+    *
+    * rate ≈ 1.0 needs a special case: the natural `f"%03x"` of 4096 is
+    * "1000" — FOUR hex chars, and `md5hex < "1000"` lexicographically
+    * only admits hashes starting with '0' (~6.25%), silently turning
+    * "keep everything" into a 16× downsample. "g" sorts above every
+    * hex character, so `hash < "g"` keeps every row; all other bounds
+    * stay exactly 3 hex chars so the lexicographic-prefix compare is a
+    * true 12-bit threshold. */
   def rateBound(rate: Double): String = {
     require(rate >= 0 && rate <= 1, s"rate must be in [0,1]: $rate")
-    f"${math.round(rate * 4096)}%03x"
+    val q = math.round(rate * 4096)
+    if (q >= 4096) "g" else f"$q%03x"
   }
 
   /** Deterministic train/val/test (or any k-way) split: consecutive
@@ -147,8 +156,8 @@ object Curation {
   def hashSplit(id: Column, cuts: Seq[(String, String)],
       default: String): Column = {
     require(cuts.nonEmpty)
-    require(cuts.map(_._2) == cuts.map(_._2).sorted,
-      s"cut bounds must be increasing: ${cuts.map(_._2)}")
+    require(cuts.map(_._2).sliding(2).forall(s => s.length < 2 || s(0) < s(1)),
+      s"cut bounds must be strictly increasing: ${cuts.map(_._2)}")
     val key = sampleKey(id)
     cuts.foldRight(lit(default)) { case ((label, bound), rest) =>
       when(key < lit(bound), lit(label)).otherwise(rest)
@@ -224,7 +233,16 @@ object Curation {
     val sorted = df.repartitionByRange(col(idCol))
       .sortWithinPartitions(col(idCol))
     val tokIdx = sorted.schema.fieldIndex(tokCol)
-    val rdd = sorted.rdd
+    // localCheckpoint pins ONE physical materialization for both passes:
+    // the per-partition sums (pass 1) and the offset assignment (pass 2)
+    // must see identical partition boundaries, and repartitionByRange's
+    // sampled boundaries are only guaranteed identical if the second
+    // pass reads the first's blocks instead of re-planning the exchange.
+    // (Trade-off: checkpointed blocks are not recomputable on executor
+    // loss — acceptable for a two-pass bounded job; the alternative,
+    // boundary drift, silently corrupts every offset after the first
+    // drifted partition.)
+    val rdd = sorted.rdd.localCheckpoint()
     val sums = rdd.mapPartitionsWithIndex { case (i, it) =>
       var s = 0L
       it.foreach(r => s += r.getAs[Number](tokIdx).longValue())

@@ -296,7 +296,11 @@ object Similarity {
 
   /** Per-row PQ codes as a pure array expression (argmin-L2 per
     * subspace against the broadcast codebook literal): one codegen'd
-    * scan over the data, no shuffle, no UDF. */
+    * scan over the data, no shuffle, no UDF.
+    *
+    * Contract: `vec` must be non-null (a null vector yields code -1 in
+    * every subspace — the argmin comparison is null so the init value
+    * survives). [[pqTopK]] and [[pqTrain]] filter nulls before calling. */
   def pqCodes(vec: Column, mdl: PqModel): Column = {
     val cb = typedLit(mdl.flat)
     transform(sequence(lit(0), lit(mdl.m - 1)), j =>
@@ -333,8 +337,14 @@ object Similarity {
     require(candidates >= k)
     val spark = data.sparkSession
     import spark.implicits._
-    val coded = data.select(col(idCol),
-      pqCodes(col(vecCol).cast("array<double>"), mdl).as("pq_codes"))
+    // Null vectors must not enter the coded scan: pqCodes would emit
+    // code -1 for them (the `when(dist < acc.d)` condition is null, so
+    // the -1 init survives) and stage 1 would then read lut[j·ksub − 1]
+    // — an arbitrary score that can crowd real candidates out of the
+    // pool. pqTrain already filters nulls; mirror that here.
+    val coded = data.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        pqCodes(col(vecCol).cast("array<double>"), mdl).as("pq_codes"))
     val qRows: Seq[(Long, Seq[Double])] = queries
       .select(col(qidCol).cast("long"),
         col(qvecCol).cast("array<double>"))

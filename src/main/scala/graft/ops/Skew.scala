@@ -53,24 +53,31 @@ object SkewJoin {
     */
   def skewAwareJoin(fact: DataFrame, dim: DataFrame, key: String,
       hotThreshold: Long, maxHotKeys: Long = 1000000): DataFrame = {
-    val hotKeys = fact.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+    // Hot set is broadcast-sized by contract (maxHotKeys), so collect it
+    // to the driver as a LocalRelation: bounded (limit maxHotKeys+1, so a
+    // wrong threshold fails fast instead of OOMing the driver), one job,
+    // and — unlike persist() — nothing left pinned in executor storage
+    // after the call (a persist here leaks for the application lifetime
+    // since the caller never sees the handle to unpersist).
+    val keyDf = fact.groupBy(col(key)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > hotThreshold)
       .select(col(key))
-      .persist()
-    val nHot = hotKeys.count()
-    require(nHot <= maxHotKeys,
-      s"$nHot hot keys — raise hotThreshold (a 'hot' set this large " +
-        "will not broadcast)")
-    val out = if (nHot == 0) fact.join(dim, Seq(key))
+    val collected = keyDf.limit(math.min(maxHotKeys, Int.MaxValue - 1).toInt + 1)
+      .collect()
+    require(collected.length <= maxHotKeys,
+      s"more than $maxHotKeys hot keys — raise hotThreshold (a 'hot' " +
+        "set this large will not broadcast)")
+    if (collected.isEmpty) fact.join(dim, Seq(key))
     else {
-      val hk = broadcast(hotKeys)
+      import scala.jdk.CollectionConverters._
+      val hk = broadcast(
+        fact.sparkSession.createDataFrame(collected.toSeq.asJava, keyDf.schema))
       val hot = fact.join(hk, Seq(key), "left_semi")
         .join(broadcast(dim.join(hk, Seq(key), "left_semi")), Seq(key))
       val cold = fact.join(hk, Seq(key), "left_anti")
         .join(dim.join(hk, Seq(key), "left_anti"), Seq(key))
       hot.unionByName(cold)
     }
-    out
   }
 
   /** Bloom-pruned join for a SELECTIVE dim side: build a bloom filter

@@ -63,8 +63,26 @@ class CurationSpec extends SparkSpec {
 
   test("rateBound endpoints and resolution") {
     assert(Curation.rateBound(0.0) === "000")
-    assert(Curation.rateBound(1.0) === "1000")
+    // rate 1.0 must sort above EVERY md5 hex string ("1000" would only
+    // admit hashes starting '0' — the 16×-downsample trap)
+    assert(Curation.rateBound(1.0) === "g")
+    assert(Curation.rateBound(0.99999) === "g")
+    assert("ffffffffffffffffffffffffffffffff" < Curation.rateBound(1.0))
     intercept[IllegalArgumentException](Curation.rateBound(1.5))
+  }
+
+  test("rateBound(1.0) keeps every row; strict cut bounds enforced") {
+    val df = (0L until 500L).toDF("id")
+    assert(Curation.hashSample(df, "id", Curation.rateBound(1.0)).count() === 500L)
+    // stratified "keep all of a rare group" actually keeps all of it
+    val strat = (0L until 600L).map(i => (i, if (i % 100 == 0) "rare" else "big"))
+      .toDF("id", "lang")
+    val kept = Curation.stratifiedHashSample(strat, "id", "lang",
+      Map("rare" -> 1.0), 0.2)
+    assert(kept.filter(col("lang") === "rare").count() === 6L)
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(col("id"), Seq("a" -> "100", "b" -> "100"), "z")
+    }
   }
 
   test("hashSplit: exhaustive, deterministic, rate-proportioned") {
@@ -143,6 +161,27 @@ class CurationSpec extends SparkSpec {
         coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .select("id", "start_off").as[(Long, Long)].collect().toMap
     assert(got === want)
+  }
+
+  test("packSequences: identical output across reruns and partitionings") {
+    // The cu3 gate hashes every (id, start_off, first_seq, last_seq)
+    // tuple — any drift between the two internal passes (range-exchange
+    // boundaries re-sampled between the sums pass and the offset pass)
+    // corrupts offsets silently. Run the operator repeatedly, from
+    // differently-partitioned inputs and from a fresh session, and
+    // require byte-identical results each time.
+    def run(s: org.apache.spark.sql.SparkSession, parts: Int): Seq[(Long, Long, Long, Long)] = {
+      import s.implicits._
+      val df = (1L to 800L).map(i => (i, (i * 31) % 113)).toDF("id", "n_tok")
+        .repartition(parts)
+      Curation.packSequences(df, "id", "n_tok", 512L)
+        .select("id", "start_off", "first_seq", "last_seq")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    }
+    val base = run(spark, 1)
+    assert(run(spark, 7) === base)
+    assert(run(spark, 32) === base)
+    assert(run(spark.newSession(), 13) === base)
   }
 
   test("packSequences: zero-token rows get first_seq == last_seq") {
