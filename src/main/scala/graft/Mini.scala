@@ -1,11 +1,11 @@
-package graft.tmp
+package graft
 
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Dev-loop verifier: dump a SUBSET of SparkEntry queries + their oracle
   * SQL so tools/check.py can gate just the queries under iteration.
-  * Usage: runMain graft.tmp.Mini <sfDir> <outDir> <name> [<name> ...]
+  * Usage: runMain graft.Mini <sfDir> <outDir> <name> [<name> ...]
   */
 object Mini {
   def main(args: Array[String]): Unit = {

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.sources.{CsvIO, JsonlIO, Ledger}
+import graft.sources.{CsvIO, FileResolver, JsonlIO, Ledger}
 import graft.operators.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -107,6 +107,51 @@ object IoQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- S6+S8: rotation then dated-glob walk-back, end to end ----------
+    // Two dated extracts (sales_20240101 / sales_20240102) land in
+    // staging/ and rotate into current/ (S6 — the read below only works
+    // if rotation moved BOTH files). Resolution then asks for
+    // 2024-01-05 with a 7-day walk-back (S8): days 05/04/03 match
+    // nothing, so the resolver must substitute back to 20240102 —
+    // picking 20240101 (too far) or failing (no walk-back) changes the
+    // file CONTENTS and the matched-date column, breaking the hash.
+    // Slices are modulo cuts of orders so DuckDB reconstructs the
+    // expected rows AND the expected match date from the table alone.
+    "s6_rotation_walkback" -> ((s, d) => {
+      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
+      val base = s"/tmp/graft_s6_$sfTag"
+      val fs = new Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      val orders = Tables.orders(s, d)
+      Seq(1 -> "20240101", 2 -> "20240102").foreach { case (n, day) =>
+        val slice = orders.filter(col("o_orderkey") % 5 === n)
+          .select(col("o_orderkey").cast("string").as("o_orderkey"),
+            col("o_totalprice").cast("decimal(12,2)").cast("string")
+              .as("o_totalprice"))
+        val tmp = s"$base/tmp_$n"
+        CsvIO.write(slice.coalesce(1), tmp, sep = "|")
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.startsWith("part-")).get
+        fs.mkdirs(new Path(s"$base/staging"))
+        fs.rename(part, new Path(s"$base/staging/sales_$day.csv"))
+        fs.delete(new Path(tmp), true)
+      }
+      val moved = CsvIO.rotate(s, s"$base/staging", s"$base/current")
+      require(moved == 2, s"rotation moved $moved files, expected 2")
+      val (matchedDate, paths) = FileResolver.globWithWalkback(s,
+          s"$base/current/sales_YYYYMMDD.csv",
+          java.time.LocalDate.of(2024, 1, 5), daysBack = 7)
+        .getOrElse(sys.error("walk-back found no file"))
+      require(paths.size == 1, s"expected 1 match, got $paths")
+      CsvIO.readAllString(s, paths.head, sep = "|")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_totalprice").cast("decimal(12,2)").cast("double")
+            .as("o_totalprice"),
+          lit(matchedDate.toString).cast("date").as("matched_date"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- multimodal metadata path (payload bytes untouched) -------------
     "m1_multimodal_meta" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -154,6 +199,14 @@ object IoQueries {
         |  'sales_002.csv' AS processed_file,
         |  'sales_001.csv' AS next_after
         |FROM orders WHERE o_orderkey % 3 = 2
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "s6_rotation_walkback" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+        |    AS o_totalprice,
+        |  CAST('2024-01-02' AS DATE) AS matched_date
+        |FROM orders WHERE o_orderkey % 5 = 2
         |ORDER BY o_orderkey""".stripMargin,
 
     "m1_multimodal_meta" ->
