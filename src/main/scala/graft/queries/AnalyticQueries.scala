@@ -346,13 +346,27 @@ object AnalyticQueries {
     // (no partsupp in the synthetic schema: "value" is shipped revenue)
     "q11_value_share" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
+      // Per-supplier revenue stays DECIMAL through the aggregate; the
+      // grand total is the sum of those per-supplier decimals — exact
+      // and accumulation-order-independent, so it equals the oracle's
+      // direct whole-table decimal sum bit for bit. The tiny aggregate
+      // is materialized ONCE (eager localCheckpoint — O(n_suppliers)
+      // narrow rows) and feeds both the probe side and the total, so
+      // lineitem is scanned exactly once; per-branch column pruning
+      // otherwise de-duplicates the two partial aggregates and defeats
+      // ReuseExchange, silently re-reading the fact table. PlanSpec
+      // pins the single-scan shape.
+      val netDec = sum(dec2(col("l_extendedprice"))
+        * (lit(1).cast("decimal(9,4)") - dec4(col("l_discount"))))
       val rev = li.groupBy(col("l_suppkey"))
-        .agg(net.as("supp_rev"), count(lit(1)).as("n_lines"))
-      // total from an independent exact-decimal aggregate (NOT a sum of
-      // the per-supplier doubles, whose accumulation order differs
-      // between engines and would move the filter boundary)
-      val total = li.agg(net.as("total_rev"))
+        .agg(netDec.as("supp_rev_dec"), count(lit(1)).as("n_lines"))
+        .localCheckpoint(true)
+      val total = rev.agg(
+        sum(col("supp_rev_dec")).cast("double").as("total_rev"))
       rev.crossJoin(broadcast(total))
+        .select(col("l_suppkey"),
+          col("supp_rev_dec").cast("double").as("supp_rev"),
+          col("n_lines"), col("total_rev"))
         .filter(col("supp_rev") > col("total_rev") * 0.011)
         .select(col("l_suppkey"), col("supp_rev"), col("n_lines"))
         .orderBy(col("supp_rev").desc, col("l_suppkey"))

@@ -110,6 +110,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q11 scans lineitem once (total derived from the per-supplier agg)") {
+    noAqe {
+      // The per-supplier aggregate is eagerly checkpointed at build
+      // time (the single lineitem scan); the FINAL plan must therefore
+      // contain NO lineitem file scan at all — both the probe side and
+      // the grand total read the materialized aggregate. A scan here
+      // means the total went back to the fact table (the double-read
+      // regression this test pins).
+      val p = planOf(SparkEntry.queries("q11_value_share")(spark, sf))
+      val liScans = p.collectWithSubqueries {
+        case s: FileSourceScanExec
+          if s.output.exists(_.name.startsWith("l_")) => s }
+      assert(liScans.isEmpty,
+        s"q11 plans ${liScans.size} lineitem scan(s) — the grand total " +
+          "re-reads the fact table instead of the checkpointed " +
+          "per-supplier aggregate")
+    }
+  }
+
   test("decontamination joins on gram hashes, never all-pairs") {
     noAqe {
       val p = planOf(SparkEntry.queries("cu5_decontam")(spark, sf))
