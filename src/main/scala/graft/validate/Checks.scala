@@ -196,13 +196,26 @@ object Validator {
     * rsd is a 1σ figure; 3σ); approx median's exact RANK within
     * quantile 0.5 ± 5/acc (sketch rank error is n/acc — 5× headroom),
     * checked by rank-counting in a second codegen'd pass rather than by
-    * exact percentiles (which sort/collect the whole column). The one
-    * remaining full-shuffle reference is the exact countDistinct, so
-    * prefer [[approxProfile]] for production profiling. */
+    * exact percentiles (which sort/collect the whole column).
+    *
+    * The distinct-bound leg is judged on a deterministic hash-sample of
+    * each column's VALUE DOMAIN (values v with xxhash64(v) ≡ 0 mod
+    * `distinctSampleMod`): HLL++'s relative-error contract holds on any
+    * domain subset, sampling by value hash keeps approx and exact sides
+    * counting the SAME subset on every engine and partitioning, and the
+    * exact countDistinct reference — the one full-shuffle job here —
+    * then shuffles only ~1/mod of the distinct values, with the row
+    * pre-filter evaluated in the scan. Set distinctSampleMod=1 to judge
+    * the full domain. Prefer [[approxProfile]] for production
+    * profiling. */
   def approxProfileChecked(df: DataFrame, cols: Seq[String],
-      rsd: Double = 0.05, pctAccuracy: Int = 1000): DataFrame = {
+      rsd: Double = 0.05, pctAccuracy: Int = 1000,
+      distinctSampleMod: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(distinctSampleMod >= 1)
+    def inSample(c: String): Column =
+      pmod(xxhash64(col(c)), lit(distinctSampleMod.toLong)) === 0L
     // pass 1: sketches + exact scalars. Exact PERCENTILES are
     // deliberately absent — they sort/collect the column (measured 22 s
     // on 600k rows × 3 cols) when the bound can be checked by RANK
@@ -214,13 +227,18 @@ object Validator {
       min(col(c)).cast("double").as(s"${c}__min"),
       max(col(c)).cast("double").as(s"${c}__max"),
       count(col(c)).as(s"${c}__nonnull"),
-      approx_count_distinct(col(c), rsd).as(s"${c}__ad"),
+      approx_count_distinct(when(inSample(c), col(c)), rsd)
+        .as(s"${c}__ad"),
       percentile_approx(col(c).cast("double"), lit(0.5),
         lit(pctAccuracy)).as(s"${c}__am"))
     }
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val edAggs = cols.map(c => countDistinct(col(c)).as(s"${c}__ed"))
-    val er = df.agg(edAggs.head, edAggs.tail: _*).collect()(0)
+    // exact reference: rows contributing to no column's sampled domain
+    // never leave the scan stage
+    val edAggs = cols.map(c =>
+      countDistinct(when(inSample(c), col(c))).as(s"${c}__ed"))
+    val er = df.filter(cols.map(inSample).reduce(_ || _))
+      .agg(edAggs.head, edAggs.tail: _*).collect()(0)
     def d(i: Int): Double = if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
     val ams = cols.zipWithIndex.map { case (c, i) => c -> d(i * 5 + 4) }
     // pass 2: the approx median is an actual data value; its rank
