@@ -35,8 +35,16 @@ object Bench {
       val w = "/root/testdata/sf0.001"
       if (new java.io.File(w).isDirectory) w else sfDir
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+    // name the casualty on failure (stderr — the driver parses only the
+    // stdout tail): an anonymous aborted-job stack in the log otherwise
+    // hides WHICH query can't run at the warm-up scale.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try { fn(spark, warmDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warm-up failed for $name at " +
+            s"$warmDir: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+      }
     }
     // a failed query records -1 (NOT its elapsed time) so the JSON shows
     // the failure instead of counting it as a fast success.
