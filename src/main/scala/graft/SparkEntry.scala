@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AnalyticQueries, CleansingQueries, CoreQueries, CurationQueries, DateDimQueries, FilterQueries, IoQueries, LlmQueries, OpsQueries, StreamQueries, ValidateQueries, WindowQueries}
+import graft.queries.{AnalyticQueries, CleansingQueries, CoreQueries, CurationQueries, DataGenQueries, DateDimQueries, FilterQueries, IoQueries, LlmQueries, OpsQueries, StreamQueries, ValidateQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,6 +45,7 @@ object SparkEntry {
     StreamQueries.queries -> StreamQueries.oracles,
     AnalyticQueries.queries -> AnalyticQueries.oracles,
     WindowQueries.queries -> WindowQueries.oracles,
+    DataGenQueries.queries -> DataGenQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -4,14 +4,38 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.{Cleansing, RefData}
+import graft.ops.SurrogateKeys
 
 /** Seeded synthetic generators (SURVEY §2.7 F27/F28, §7.1 item 6) — the
   * Spark re-expression of the reference's daily data-generation scripts
   * (dim_product_daily.py / dim_store_daily.py / dim_distributor_daily.py /
-  * fact_sales_daily.py): `spark.range` + `rand(seed)`-driven weighted
-  * choices, fully distributed and reproducible (same seed → same rows).
+  * fact_sales_daily.py): `spark.range` + hash-derived uniform draws,
+  * fully distributed and reproducible (same seed → same rows).
+  *
+  * Draws are md5-derived, NOT `rand(seed)`: Spark's rand() seeds per
+  * PARTITION, so the generated values change with the partition layout —
+  * regenerate on a different cluster size (or after an AQE coalesce) and
+  * every row differs. Hashing (tag, seed, row key) makes each draw a
+  * pure function of the row — identical on 1 core or 1000 executors,
+  * and recomputable by any engine with md5 (the gen1 gate recomputes
+  * the full ladder in DuckDB).
   */
 object DataGen {
+
+  /** Raw 32-bit draw: first 8 md5 hex chars of "tag|seed|key" as a
+    * long in [0, 2^32). Portable: DuckDB computes the identical value
+    * via ('0x' || substr(md5(...), 1, 8))::UBIGINT. The tag keeps
+    * generators with overlapping seed ranges (products seed+1 vs
+    * stores seed) from drawing correlated values for equal row keys. */
+  def hashBits(tag: String, seed: Long, key: Column): Column =
+    conv(substring(md5(concat_ws("|", lit(tag), lit(seed),
+      key.cast("string"))), 1, 8), 16, 10).cast("long")
+
+  /** F28 base: portable uniform in [0,1) at 2^-32 resolution — an
+    * exact dyadic rational, so downstream IEEE arithmetic (thresholds,
+    * scaling) is bit-identical across engines. */
+  def hashUniform(tag: String, seed: Long, key: Column): Column =
+    hashBits(tag, seed, key).cast("double") / 4294967296.0
 
   /** F27: weighted categorical choice as a cumulative-probability
     * when-ladder over a uniform draw. */
@@ -21,6 +45,13 @@ object DataGen {
     choices.zip(cum).init.foldLeft(when(lit(false), lit("")): Column) {
       case (acc, ((v, _), c)) => acc.when(u < c, lit(v))
     }.otherwise(lit(choices.last._1))
+  }
+
+  /** Cumulative thresholds for [[weightedChoice]], exposed so the gate
+    * oracle embeds the SAME double literals the ladder compares with. */
+  def cumThresholds(choices: Seq[(String, Double)]): Seq[Double] = {
+    val total = choices.map(_._2).sum
+    choices.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
   }
 
   /** F28: uniform draw in [lo, hi). */
@@ -58,9 +89,9 @@ object DataGen {
       startKey: Long = 0): DataFrame = {
     val base = spark.range(n)
       .withColumn("product_id", col("id") + 1 + startKey)
-      .withColumn("u1", rand(seed))
-      .withColumn("u2", rand(seed + 1))
-      .withColumn("u3", rand(seed + 2))
+      .withColumn("u1", hashUniform("prod", seed, col("product_id")))
+      .withColumn("u2", hashUniform("prod", seed + 1, col("product_id")))
+      .withColumn("u3", hashUniform("prod", seed + 2, col("product_id")))
     val cat = weightedChoice(col("u1"), categoryWeights)
     val withCat = base.withColumn("category", cat)
     val sub = subcategoryByCategory.foldLeft(
@@ -76,8 +107,12 @@ object DataGen {
       .withColumn("product_name",
         concat_ws(" ", col("brand"), col("sub_category"),
           col("product_id").cast("string")))
+      // price in [10.00, 500.00] at whole-cent resolution, derived from
+      // the integer draw (v % 49001 + 1000 cents): exact on every
+      // engine, where round(double, 2) rounding internals differ
       .withColumn("unit_price",
-        round(uniform(col("u2"), 10.0, 500.0), 2).cast(DecimalType(10, 2)))
+        ((hashBits("prod", seed + 1, col("product_id")) % 49001L + 1000L)
+          / 100.0).cast(DecimalType(10, 2)))
       .withColumn("sku", Cleansing.skuCode(lit("SKU"), col("brand"),
         col("sub_category"), col("product_id")))
       .withColumn("manufacturer", RefData.manufacturerFor(col("brand")))
@@ -85,16 +120,18 @@ object DataGen {
         "sub_category", "manufacturer", "sku", "unit_price")
   }
 
+  val cities: Seq[String] = Seq("Mumbai", "Delhi", "Bengaluru", "Chennai",
+    "Kolkata", "Hyderabad", "Pune", "Ahmedabad")
+  val states: Seq[String] = Seq("Maharashtra", "Delhi", "Karnataka",
+    "Tamil Nadu", "West Bengal", "Telangana", "Maharashtra", "Gujarat")
+
   /** Store dimension with volume weights (used for weighted fact picks). */
   def stores(spark: SparkSession, n: Long, seed: Long = 43,
       startKey: Long = 0): DataFrame = {
-    val cities = Seq("Mumbai", "Delhi", "Bengaluru", "Chennai", "Kolkata",
-      "Hyderabad", "Pune", "Ahmedabad")
-    val states = Seq("Maharashtra", "Delhi", "Karnataka", "Tamil Nadu",
-      "West Bengal", "Telangana", "Maharashtra", "Gujarat")
     spark.range(n)
       .withColumn("store_id", col("id") + 1 + startKey)
-      .withColumn("u1", rand(seed)).withColumn("u2", rand(seed + 1))
+      .withColumn("u1", hashUniform("store", seed, col("store_id")))
+      .withColumn("u2", hashUniform("store", seed + 1, col("store_id")))
       .withColumn("class_of_trade",
         weightedChoice(col("u1"), classOfTradeWeights))
       .withColumn("is_chain", when(col("u2") < 0.3, "Y").otherwise("N"))
@@ -116,13 +153,14 @@ object DataGen {
       startKey: Long = 0): DataFrame =
     spark.range(n)
       .withColumn("dist_id", col("id") + 1 + startKey)
-      .withColumn("u1", rand(seed))
+      .withColumn("u1", hashUniform("dist", seed, col("dist_id")))
       .withColumn("dist_name",
         concat(lit("Distributor "), col("dist_id").cast("string")))
       .withColumn("dist_type",
         weightedChoice(col("u1"), distributorTypeWeights))
-      .withColumn("active_flag", when(rand(seed + 1) < 0.9, "Y")
-        .otherwise("N"))
+      .withColumn("active_flag",
+        when(hashUniform("dist", seed + 1, col("dist_id")) < 0.9, "Y")
+          .otherwise("N"))
       .select("dist_id", "dist_name", "dist_type", "active_flag")
 
   /** Fact generator (fact_sales_daily.py:135-200): weighted store pick,
@@ -141,20 +179,22 @@ object DataGen {
     val nDists = distributorsDf.count()
     val base = spark.range(n)
       .withColumn("sales_id", col("id") + 1 + startKey)
-      .withColumn("u_store", rand(seed))
-      .withColumn("u_prod", rand(seed + 1))
-      .withColumn("u_dist", rand(seed + 2))
-      .withColumn("u_qty", rand(seed + 3))
-      .withColumn("u_boost", rand(seed + 4))
-    // weighted store pick: square the uniform to skew toward the
-    // high-weight (low index after desc sort) stores
-    val storesIdx = storesDf
-      .withColumn("sidx", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("volume_weight").desc, col("store_id"))) - 1)
+      .withColumn("u_store", hashUniform("fact", seed, col("sales_id")))
+      .withColumn("u_prod", hashUniform("fact", seed + 1, col("sales_id")))
+      .withColumn("u_dist", hashUniform("fact", seed + 2, col("sales_id")))
+      .withColumn("u_qty", hashUniform("fact", seed + 3, col("sales_id")))
+      .withColumn("u_boost", hashUniform("fact", seed + 4, col("sales_id")))
+    // weighted store pick: square the uniform (u*u, not pow — exact
+    // single IEEE multiply on every engine) to skew toward the
+    // high-weight (low index after desc sort) stores. Dense 0-based
+    // indices come from assignSequential — range-partitioned two-phase,
+    // no single-reducer row_number window — here and for the pools
+    // below.
+    val storesIdx = SurrogateKeys.assignSequential(storesDf, "sidx", -1L,
+      Seq(col("volume_weight").desc, col("store_id")))
     val withStore = base
       .withColumn("sidx",
-        floor(pow(col("u_store"), 2.0) * nStores).cast("int"))
+        floor(col("u_store") * col("u_store") * nStores).cast("int"))
       .join(broadcast(storesIdx), "sidx")
     // category-affinity product pick (P7): Kirana/Convenience draw from
     // their allowed-category product pools, everyone else from the full
@@ -165,11 +205,11 @@ object DataGen {
       "kirana" -> Seq("Grocery", "Beverage", "Dairy"),
       "convenience" -> Seq("Beverage", "Dairy", "Grocery"),
       "all" -> Nil)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("product_id"))
     val pools = affinityGroups.map { case (g, cats) =>
       val pool = if (cats.isEmpty) productsDf
         else productsDf.filter(col("category").isin(cats: _*))
-      g -> pool.withColumn("pidx", row_number().over(w) - 1)
+      g -> SurrogateKeys.assignSequential(pool, "pidx", -1L,
+          Seq(col("product_id")))
         .withColumn("pgroup", lit(g))
     }
     val poolSizes = pools.map { case (g, df) => g -> df.count() }.toMap
@@ -186,9 +226,9 @@ object DataGen {
       .withColumn("pidx", floor(col("u_prod") * sizeCol).cast("int"))
       .withColumnRenamed("pgroup_pick", "pgroup")
       .join(broadcast(poolUnion), Seq("pgroup", "pidx"))
-    val distsIdx = distributorsDf.filter(col("active_flag") === "Y")
-      .withColumn("didx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("dist_id"))) - 1)
+    val distsIdx = SurrogateKeys.assignSequential(
+      distributorsDf.filter(col("active_flag") === "Y"), "didx", -1L,
+      Seq(col("dist_id")))
     val nActive = distsIdx.count()
     val joined = withProd
       .withColumn("didx", floor(col("u_dist") * nActive).cast("int"))
