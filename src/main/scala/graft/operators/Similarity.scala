@@ -107,8 +107,8 @@ object Similarity {
     * formulation this replaces gathered EVERY scored row per query.
     * (ord DESC, id ASC) is a total order, so output is identical to the
     * window version (rank 1..k by cosine desc, ties to the lower id). */
-  private def rankTopK(scored: DataFrame, qidCol: String, idCol: String,
-      k: Int): DataFrame =
+  private[graft] def rankTopK(scored: DataFrame, qidCol: String,
+      idCol: String, k: Int): DataFrame =
     scored.groupBy(col(qidCol))
       .agg(graft.expressions.TopKByExpr.topkBy(
         col("cosine").cast("double"), col(idCol).cast("long"), k)

@@ -210,6 +210,35 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- persisted IVF store, incremental append (oracle: brute force) --
+    // The store is created from HALF the corpus and the other half is
+    // appended with the frozen quantizers — the O(batch) maintenance
+    // path — then queried. Same planted-copy construction as ann2: the
+    // copies share each query's argmax-cosine cell under ANY centroids
+    // (cosine is scale-invariant), that cell is always probed, so the
+    // store's answer is provably the exact top-5; an assignment or
+    // append regression that mis-cells or drops a row loses a planted
+    // neighbor and breaks the hash.
+    "ann5_store_topk" -> ((s, d) => {
+      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
+      val dir = s"/tmp/graft_vstore_$sfTag"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val data = annCorpus(s, d)
+      graft.pipelines.VectorStore.create(s, dir,
+        data.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        nCells = 8, m = 8, ksub = 16)
+      graft.pipelines.VectorStore.append(s, dir,
+        data.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      val queries = data.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.pipelines.VectorStore.topK(s, dir, queries, "qid", "qv",
+        k = 5, nprobe = 3)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---- PQ ANN top-k (oracle: the same brute-force top-k) ----------------
     // Two-stage production shape: LUT scan over 8-byte codes keeps a
     // 50-candidate pool per query, exact cosine re-ranks the pool. The
@@ -435,6 +464,7 @@ object LlmQueries {
     "ann2_ivf_topk" -> annOracleSql,
     "ann3_lsh_topk" -> annOracleSql,
     "ann4_pq_topk" -> annOracleSql,
+    "ann5_store_topk" -> annOracleSql,
 
     "c1_corpus_clean" ->
       s"""$featCtes,

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.pipelines.VectorStore
+
+/** Incremental IVF-PQ store: frozen-quantizer appends must be pure
+  * (same assignment an offline run would produce) and queries over the
+  * store must equal the in-memory index over the full concatenated
+  * data — the invariant that makes O(batch) maintenance sound. */
+class VectorStoreSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding").cast("array<double>")
+      .as("embedding"))
+
+  test("append assigns with frozen quantizers; queries match ivfTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("vstore").toString
+    val batch1 = emb.filter(col("vec_id") % 2 === 0)
+    val batch2 = emb.filter(col("vec_id") % 2 === 1)
+    VectorStore.create(spark, dir, batch1, "vec_id", "embedding",
+      nCells = 8, m = 8, ksub = 16)
+    VectorStore.append(spark, dir, batch2, "vec_id", "embedding")
+
+    // every non-null vector from both batches landed exactly once
+    val stored = spark.read.parquet(s"$dir/vectors")
+    assert(stored.count() === emb.filter(col("embedding").isNotNull).count())
+    assert(stored.select("id").distinct().count() === stored.count())
+
+    // frozen-quantizer purity: batch2's stored cells equal a fresh
+    // assignment under the persisted centroids (pure per-row function)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val fresh = Similarity.assignCells(
+      batch2.filter(col("embedding").isNotNull)
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding").as("vec")),
+      "id", "vec", centroids)
+      .select(col("id"), col("cell"))
+    val mismatches = stored.select(col("id"),
+        col("cell").cast("long").as("cell"))
+      .join(fresh.withColumnRenamed("cell", "cell2"), Seq("id"))
+      .filter(col("cell") =!= col("cell2")).count()
+    assert(mismatches === 0L)
+
+    // store query ≡ in-memory ivfTopK with the SAME centroids over the
+    // full data, regardless of the create/append split
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val full = Similarity.assignCells(
+      emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding")),
+      "vec_id", "embedding", centroids)
+    val want = Similarity.ivfTopK(
+      Similarity.IvfIndex(full, centroids), "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, nprobe = 3)
+      .select("qid", "rank", "vec_id", "cosine")
+      .collect().toSet
+    val got = VectorStore.topK(spark, dir, queries, "qid", "qv",
+      k = 5, nprobe = 3)
+      .select("qid", "rank", "vec_id", "cosine")
+      .collect().toSet
+    assert(got === want)
+
+    // IVF-PQ two-stage with a pool covering the probed cells re-ranks
+    // to the same exact answer
+    val gotPq = VectorStore.topKPq(spark, dir, queries, "qid", "qv",
+      k = 5, nprobe = 3, candidates = 1000)
+      .select("qid", "rank", "vec_id", "cosine")
+      .collect().toSet
+    assert(gotPq === want)
+  }
+
+  test("second append stays consistent (three-batch lineage)") {
+    val dir = java.nio.file.Files.createTempDirectory("vstore3").toString
+    val b1 = emb.filter(col("vec_id") % 3 === 0)
+    val b2 = emb.filter(col("vec_id") % 3 === 1)
+    val b3 = emb.filter(col("vec_id") % 3 === 2)
+    VectorStore.create(spark, dir, b1, "vec_id", "embedding",
+      nCells = 4, m = 4, ksub = 8)
+    VectorStore.append(spark, dir, b2, "vec_id", "embedding")
+    VectorStore.append(spark, dir, b3, "vec_id", "embedding")
+    val stored = spark.read.parquet(s"$dir/vectors")
+    assert(stored.count() === emb.filter(col("embedding").isNotNull).count())
+    // codes are m-wide and every entry is a valid centroid index
+    val bad = stored.filter(size(col("codes")) =!= 4 ||
+      exists(col("codes"), c => c < 0 || c >= 8)).count()
+    assert(bad === 0L)
+  }
+}
