@@ -269,6 +269,96 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // Cross-document boilerplate line removal
+  // -------------------------------------------------------------------
+
+  /** Remove lines that recur (normalized: lower+trim) in more than
+    * `maxDocs` DISTINCT documents — the standard web-curation pass for
+    * nav bars, cookie banners, and footers that survive per-document
+    * quality filters because every individual page looks fine.
+    *
+    * Scale shape: lines travel the counting shuffle as (xxhash64, id)
+    * — 16 bytes/line, never the text; the distinct + count is
+    * partial-aggregated, and the hot-line set (true boilerplate is a
+    * tiny fraction of distinct lines) joins back against the exploded
+    * lines, which AQE broadcasts when it is small. Reassembly is one
+    * groupBy(id) over the kept lines. Lines shorter than `minChars`
+    * (blank lines, list bullets, "yes") are never counted as
+    * boilerplate — dropping every empty line in the corpus is not
+    * cleaning.
+    *
+    * Returns (idCol, textCol, n_removed) for EVERY input document —
+    * one whose every line was boilerplate comes back with empty text,
+    * not silently dropped. */
+  def removeBoilerplate(corpus: DataFrame, idCol: String, textCol: String,
+      maxDocs: Long, minChars: Int = 10): DataFrame = {
+    val lines = corpus.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("norm", lower(trim(col("line"))))
+      .withColumn("lh", xxhash64(col("norm")))
+    val hot = lines.filter(length(col("norm")) >= minChars)
+      .select(col("lh"), col(idCol)).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select(col("lh"))
+    val kept = lines.join(hot, Seq("lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          p => p.getField("line")), "\n").as(textCol),
+        count(lit(1)).as("__kept"))
+    val totals = corpus.select(col(idCol),
+      size(split(col(textCol), "\n")).cast("long").as("__total"))
+    totals.join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        (col("__total") - coalesce(col("__kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+  }
+
+  // -------------------------------------------------------------------
+  // Domain mixture reweighting
+  // -------------------------------------------------------------------
+
+  /** Deterministic domain-mixture downsampling: given relative target
+    * weights per group (they need not sum to 1 — only proportions
+    * matter), find the LARGEST total mass T the corpus can serve at
+    * those proportions without upsampling anyone (water-filling:
+    * T = min over groups of available/target), then hash-sample each
+    * group at rate target·T/available. The binding group keeps
+    * everything; oversupplied groups downsample; groups absent from
+    * `targets` are dropped (weight 0). Expected kept `massCol` per
+    * group then sits at the target proportions (exact in expectation —
+    * membership is by row hash, independent of row mass).
+    *
+    * Driver-side work is one bounded collect (a row per group). The
+    * filter itself is [[stratifiedHashSample]]: scan-stage, stateless,
+    * reproducible on any partitioning — re-running the pipeline keeps
+    * the SAME documents, which row-count-quota approaches do not
+    * guarantee.
+    *
+    * `massCol`: the quantity whose mixture is being balanced — token
+    * count for LLM mixtures, n_chars as a cheap proxy, lit(1) for
+    * row-count balancing. */
+  def mixDomains(df: DataFrame, idCol: String, groupCol: String,
+      massCol: Column, targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty)
+    require(targets.values.forall(_ > 0), s"targets must be > 0: $targets")
+    val inScope = df.filter(col(groupCol).isin(targets.keys.toSeq: _*))
+    val avail: Map[String, Long] = inScope
+      .groupBy(col(groupCol)).agg(sum(massCol.cast("long")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(avail.values.forall(_ > 0),
+      s"every target group needs positive available mass: $avail")
+    val t = avail.map { case (g, a) => a.toDouble / targets(g) }.min
+    val rates = avail.map { case (g, a) =>
+      g -> math.min(1.0, targets(g) * t / a.toDouble)
+    }
+    stratifiedHashSample(inScope, idCol, groupCol, rates, 0.0)
+  }
+
+  // -------------------------------------------------------------------
   // PII redaction
   // -------------------------------------------------------------------
 

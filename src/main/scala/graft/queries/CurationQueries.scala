@@ -154,6 +154,36 @@ object CurationQueries {
         .orderBy(col("n").desc, col("term")).limit(20)
     }),
 
+    // ---- cross-document boilerplate removal ------------------------------
+    // Every even doc gets a shared newsletter footer (corpus-hot: gone),
+    // every 5th doc a 2-char "ok" line (below minChars: stays). The
+    // oracle re-derives hot lines by COUNT(DISTINCT doc) in DuckDB, so
+    // a per-occurrence (vs per-doc) counting bug, a lost short-line
+    // exemption, or a reassembly-order slip breaks the hash.
+    "cu9_boilerplate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("\nsubscribe to our newsletter for updates"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\nok")).otherwise(lit("")))
+          .as("text"))
+      Curation.removeBoilerplate(docs, "doc_id", "text", maxDocs = 50)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- domain mixture reweighting ---------------------------------------
+    // Water-filling to 1:3:2 char-mass proportions over three sources;
+    // the oracle recomputes availability, the feasible total, per-source
+    // rates, and the 12-bit hash bounds from scratch in DuckDB.
+    "cu10_domain_mix" -> ((s, d) => {
+      Curation.mixDomains(Tables.documents(s, d), "doc_id", "source",
+          col("n_chars"),
+          Map("src0" -> 1.0, "src1" -> 3.0, "src2" -> 2.0))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- benchmark decontamination (5-gram overlap vs held-out set) -----
     "cu5_decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -250,6 +280,62 @@ object CurationQueries {
          |       ELSE 'train' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "cu9_boilerplate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN chr(10) || 'subscribe to our newsletter for updates'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'ok' ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(sl) AS line,
+        |    unnest(range(1, len(sl) + 1)) AS pos
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sl
+        |        FROM docs)),
+        |n AS (SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM l),
+        |hot AS (
+        |  SELECT norm FROM (
+        |    SELECT norm, COUNT(DISTINCT doc_id) AS nd FROM n
+        |    WHERE length(norm) >= 10 GROUP BY norm)
+        |  WHERE nd > 50),
+        |kept AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |    COUNT(*) AS k
+        |  FROM n WHERE norm NOT IN (SELECT norm FROM hot)
+        |  GROUP BY doc_id),
+        |tot AS (SELECT doc_id,
+        |  len(string_split(text, chr(10))) AS t FROM docs)
+        |SELECT tot.doc_id, COALESCE(kept.text, '') AS text,
+        |  CAST(tot.t - COALESCE(kept.k, 0) AS BIGINT) AS n_removed
+        |FROM tot LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "cu10_domain_mix" ->
+      """WITH w(source, tw) AS (
+        |  VALUES ('src0', CAST(1.0 AS DOUBLE)),
+        |         ('src1', CAST(3.0 AS DOUBLE)),
+        |         ('src2', CAST(2.0 AS DOUBLE))),
+        |avail AS (
+        |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS a
+        |  FROM documents JOIN w USING (source) GROUP BY source),
+        |tt AS (SELECT MIN(a / tw) AS t FROM avail JOIN w USING (source)),
+        |r AS (
+        |  SELECT w.source,
+        |    LEAST(CAST(1.0 AS DOUBLE), tw * tt.t / a) AS rate
+        |  FROM w JOIN avail USING (source), tt),
+        |b AS (
+        |  SELECT source,
+        |    CASE WHEN round(rate * 4096) >= 4096 THEN 'g'
+        |         ELSE printf('%03x', CAST(round(rate * 4096) AS INT)) END
+        |      AS bound
+        |  FROM r)
+        |SELECT doc_id, source, n_chars
+        |FROM documents JOIN b USING (source)
+        |WHERE md5(CAST(doc_id AS VARCHAR)) < bound
+        |ORDER BY doc_id""".stripMargin,
 
     "cu7_stratified_sample" -> {
       val en = Curation.rateBound(0.05)

@@ -192,6 +192,61 @@ class CurationSpec extends SparkSpec {
     assert(got === Seq((1L, 0L, 2L), (2L, 2L, 2L), (3L, 2L, 3L)))
   }
 
+  // ---- boilerplate line removal -------------------------------------------
+
+  test("removeBoilerplate: hot lines go, short lines and order survive") {
+    val docs = Seq(
+      (1L, "alpha beta gamma\nSHARED FOOTER LINE HERE\nok"),
+      (2L, "delta\nSHARED FOOTER LINE HERE\nok"),
+      (3L, "SHARED FOOTER LINE HERE"),
+      (4L, "unique line that stays\nanother unique one")
+    ).toDF("doc_id", "text")
+    val got = Curation.removeBoilerplate(docs, "doc_id", "text",
+        maxDocs = 2, minChars = 10)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "alpha beta gamma\nok", 1L),   // footer in 3 docs > 2: gone
+      (2L, "delta\nok", 1L),              // "ok" < minChars: never hot
+      (3L, "", 1L),                       // all-boilerplate doc survives
+      (4L, "unique line that stays\nanother unique one", 0L)))
+  }
+
+  test("removeBoilerplate: counting is per-DISTINCT-doc, not per-line") {
+    // one doc repeating a line 10 times must not make it corpus-hot
+    val docs = Seq(
+      (1L, Seq.fill(10)("repeated inside one doc").mkString("\n")),
+      (2L, "something else entirely here")
+    ).toDF("doc_id", "text")
+    val got = Curation.removeBoilerplate(docs, "doc_id", "text",
+        maxDocs = 1, minChars = 10)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got.head._3 === 0L)
+    assert(got.head._2.linesIterator.size === 10)
+  }
+
+  // ---- domain mixture -----------------------------------------------------
+
+  test("mixDomains: water-filling keeps the binding group whole") {
+    val df = ((1L to 200L).map(i => (i, "a", 10L)) ++
+      (201L to 250L).map(i => (i, "b", 10L)) ++
+      (251L to 260L).map(i => (i, "c", 10L)))
+      .toDF("id", "src", "mass")
+    val kept = Curation.mixDomains(df, "id", "src", col("mass"),
+      Map("a" -> 1.0, "b" -> 1.0))
+    val bySrc = kept.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    // T = min(2000/1, 500/1) = 500: b (binding) keeps all 50 rows,
+    // a samples at 500/2000 = 0.25, c (no target) is dropped
+    assert(bySrc.getOrElse("b", 0L) === 50L)
+    assert(!bySrc.contains("c"))
+    assert(math.abs(bySrc("a") - 50L) < 25L)
+    // deterministic: rerun keeps the same rows
+    val k2 = Curation.mixDomains(df, "id", "src", col("mass"),
+      Map("a" -> 1.0, "b" -> 1.0))
+    assert(kept.select("id").as[Long].collect().toSet ===
+      k2.select("id").as[Long].collect().toSet)
+  }
+
   // ---- PII redaction ------------------------------------------------------
 
   test("redactPii: emails and phones scrubbed, counts match") {
