@@ -138,9 +138,17 @@ object VectorStore {
       Similarity.pqCodes(col("vec"), mdl).cast("array<int>").as("codes"),
       col("cell"))
 
+  /** Repartition on the partition column before partitionBy: without
+    * it every task writes a file into every cell directory (tasks ×
+    * cells small files per batch — the classic partitioned-write storm;
+    * on object stores this is also tasks × cells PUTs). With it, a
+    * cell's rows land in one task → one file per cell per batch. A
+    * genuinely hot cell serializes into one task; cap file size with
+    * spark.sql.files.maxRecordsPerFile rather than re-spraying. */
   private def writeVectors(df: DataFrame, dir: String,
       overwrite: Boolean): Unit =
-    df.write.mode(if (overwrite) "overwrite" else "append")
+    df.repartition(col("cell"))
+      .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("cell").parquet(s"$dir/vectors")
 
   /** Per-query probe ranking + the collected probe-cell union (bounded

@@ -226,9 +226,11 @@ object LlmQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       val data = annCorpus(s, d)
+      // light training for the gate (correctness is centroid-agnostic
+      // by the planted-copy construction; production default is 3/8)
       graft.pipelines.VectorStore.create(s, dir,
         data.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-        nCells = 8, m = 8, ksub = 16)
+        nCells = 8, m = 8, ksub = 16, ivfIters = 2, pqIters = 3)
       graft.pipelines.VectorStore.append(s, dir,
         data.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
       val queries = data.filter(col("vec_id") < 3)
