@@ -73,6 +73,31 @@ class VectorStoreSpec extends SparkSpec {
     assert(gotPq === want)
   }
 
+  test("topK's vector scan is partition-pruned to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("vstorep").toString
+    VectorStore.create(spark, dir, emb, "vec_id", "embedding",
+      nCells = 8, m = 4, ksub = 8, ivfIters = 2, pqIters = 2)
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try VectorStore.topK(spark, dir, queries, "qid", "qv",
+        k = 3, nprobe = 2).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val vecScans = plan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.output.exists(_.name == "vec") => s }
+    assert(vecScans.nonEmpty)
+    vecScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        "vectors scan lost its cell partition filter — the query " +
+          "would read the whole store instead of nprobe cells")
+      // nprobe=2 over 2 queries probes at most 4 of the 8 cells
+      assert(s.selectedPartitions.partitionCount <= 4,
+        s"scan reads ${s.selectedPartitions.partitionCount} cell " +
+          "partitions")
+    }
+  }
+
   test("second append stays consistent (three-batch lineage)") {
     val dir = java.nio.file.Files.createTempDirectory("vstore3").toString
     val b1 = emb.filter(col("vec_id") % 3 === 0)
