@@ -18,10 +18,17 @@ import graft.operators.Similarity.PqModel
   * Layout under `dir`:
   *   centroids/  — (cell: long, centroid: array<double>), tiny
   *   codebooks/  — one row: (m, ksub, dsub, flat: array<double>), tiny
-  *   vectors/    — (id: long, vec: array<double>, codes: array<int>),
-  *                 PARTITIONED BY cell: a query probing `nprobe` cells
-  *                 prunes every other partition at the directory level,
-  *                 so scan bytes scale with nprobe/nCells, not corpus.
+  *   vectors/b=<batchTag>/cell=<c>/ —
+  *                 (id: long, vec: array<double>, codes: array<int>).
+  *                 `cell` partitioning: a query probing `nprobe` cells
+  *                 prunes every other cell directory, so scan bytes
+  *                 scale with nprobe/nCells, not corpus. `b` batch
+  *                 partitioning: each batch owns its directory and is
+  *                 written with OVERWRITE, so re-running a batch (a
+  *                 crashed-and-replayed foreachBatch, a backfill retry)
+  *                 REPLACES it instead of double-appending — the
+  *                 idempotence that makes [[ingestStream]] exactly-once
+  *                 across crashes.
   *
   * Frozen-quantizer consequence: query results over the store are
   * IDENTICAL to running [[Similarity.ivfTopK]] with the same centroids
@@ -40,25 +47,57 @@ object VectorStore {
       idCol: String, vecCol: String, nCells: Int, m: Int, ksub: Int,
       ivfIters: Int = 3, pqIters: Int = 8): Unit = {
     val clean = normalize(seed, idCol, vecCol)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/vectors"), true)
     val idx = Similarity.ivfBuild(clean, "id", "vec", nCells, ivfIters)
     idx.centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/centroids")
     val mdl = Similarity.pqTrain(clean, "id", "vec", m, ksub, pqIters)
     saveModel(spark, mdl, s"$dir/codebooks")
-    writeVectors(withCodes(idx.assigned, mdl), dir, overwrite = true)
+    writeVectors(withCodes(idx.assigned, mdl), dir, batchTag = "seed")
   }
 
   /** Append a batch: assign cells + codes with the FROZEN quantizers —
     * per-row expressions against broadcast literals (the centroid
     * collect is O(nCells·dim)); the existing vector table is never
-    * read. Work and bytes are O(batch). */
+    * read. Work and bytes are O(batch).
+    *
+    * `batchTag` names the batch's partition directory: unique per
+    * logical batch; writing the same tag again REPLACES that batch
+    * (idempotent retry / backfill semantics). */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
-      idCol: String, vecCol: String): Unit = {
+      idCol: String, vecCol: String, batchTag: String): Unit = {
+    require(batchTag.nonEmpty && batchTag != "seed" &&
+      batchTag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"batchTag must be a non-'seed' dir-safe token: '$batchTag'")
     val clean = normalize(batch, idCol, vecCol)
     val centroids = spark.read.parquet(s"$dir/centroids")
     val mdl = loadModel(spark, s"$dir/codebooks")
     val assigned = Similarity.assignCells(clean, "id", "vec", centroids)
-    writeVectors(withCodes(assigned, mdl), dir, overwrite = false)
+    writeVectors(withCodes(assigned, mdl), dir, batchTag)
+  }
+
+  /** Continuous ingestion: drain a streaming DataFrame of (id, vec)
+    * into the store, one frozen-quantizer [[append]] per micro-batch,
+    * tagged by the checkpointed batch id. foreachBatch replays a batch
+    * whose checkpoint commit didn't land; the replay overwrites the
+    * SAME b=<id> directory, so the store never double-counts — this is
+    * the exactly-once contract, and it needs no store-side ledger.
+    * Uses Trigger.AvailableNow (drain-and-stop); pass a different
+    * trigger for an always-on ingester. */
+  def ingestStream(spark: SparkSession, dir: String, stream: DataFrame,
+      idCol: String, vecCol: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        append(spark, dir, batch, idCol, vecCol, s"stream-$batchId")
+      }
+      .start()
+    q.awaitTermination()
   }
 
   /** IVF query over the store: rank cells per query by centroid cosine,
@@ -144,12 +183,15 @@ object VectorStore {
     * on object stores this is also tasks × cells PUTs). With it, a
     * cell's rows land in one task → one file per cell per batch. A
     * genuinely hot cell serializes into one task; cap file size with
-    * spark.sql.files.maxRecordsPerFile rather than re-spraying. */
+    * spark.sql.files.maxRecordsPerFile rather than re-spraying.
+    *
+    * Each batch OVERWRITES its own b=<tag> directory — the idempotence
+    * contract [[ingestStream]] relies on. */
   private def writeVectors(df: DataFrame, dir: String,
-      overwrite: Boolean): Unit =
+      batchTag: String): Unit =
     df.repartition(col("cell"))
-      .write.mode(if (overwrite) "overwrite" else "append")
-      .partitionBy("cell").parquet(s"$dir/vectors")
+      .write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/vectors/b=$batchTag")
 
   /** Per-query probe ranking + the collected probe-cell union (bounded
     * by nQueries·nprobe — queries are few by contract). */

@@ -232,7 +232,8 @@ object LlmQueries {
         data.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
         nCells = 8, m = 8, ksub = 16, ivfIters = 2, pqIters = 3)
       graft.pipelines.VectorStore.append(s, dir,
-        data.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        data.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        batchTag = "b1")
       val queries = data.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       graft.pipelines.VectorStore.topK(s, dir, queries, "qid", "qv",

@@ -22,7 +22,7 @@ class VectorStoreSpec extends SparkSpec {
     val batch2 = emb.filter(col("vec_id") % 2 === 1)
     VectorStore.create(spark, dir, batch1, "vec_id", "embedding",
       nCells = 8, m = 8, ksub = 16)
-    VectorStore.append(spark, dir, batch2, "vec_id", "embedding")
+    VectorStore.append(spark, dir, batch2, "vec_id", "embedding", "b1")
 
     // every non-null vector from both batches landed exactly once
     val stored = spark.read.parquet(s"$dir/vectors")
@@ -98,6 +98,44 @@ class VectorStoreSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest drains files; replayed batches don't double-count") {
+    val root = java.nio.file.Files.createTempDirectory("vstream").toString
+    val dir = s"$root/store"
+    val in = s"$root/in"
+    VectorStore.create(spark, dir, emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nCells = 4, m = 4, ksub = 8,
+      ivfIters = 2, pqIters = 2)
+    // two pending files of odd-id vectors
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    odd.filter(col("vec_id") % 4 === 1).coalesce(1)
+      .write.parquet(s"$in/f1")
+    odd.filter(col("vec_id") % 4 === 3).coalesce(1)
+      .write.parquet(s"$in/f2")
+    val schema = odd.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+    VectorStore.ingestStream(spark, dir, stream, "vec_id", "embedding",
+      s"$root/ckpt")
+    val total = emb.filter(col("embedding").isNotNull).count()
+    assert(spark.read.parquet(s"$dir/vectors").count() === total)
+    assert(spark.read.parquet(s"$dir/vectors")
+      .select("id").distinct().count() === total)
+    // replay semantics: re-writing a batch tag REPLACES, never appends
+    // (what a crashed-and-replayed foreachBatch does)
+    val extra = odd.limit(7)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    VectorStore.append(spark, dir, extra, "vec_id", "embedding", "rb")
+    assert(spark.read.parquet(s"$dir/vectors").count() === total + 7)
+    VectorStore.append(spark, dir, extra, "vec_id", "embedding", "rb")
+    assert(spark.read.parquet(s"$dir/vectors").count() === total + 7)
+    // and the queries still see one consistent corpus
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val res = VectorStore.topK(spark, dir, queries, "qid", "qv",
+      k = 5, nprobe = 4)
+    assert(res.count() === queries.count() * 5)
+  }
+
   test("second append stays consistent (three-batch lineage)") {
     val dir = java.nio.file.Files.createTempDirectory("vstore3").toString
     val b1 = emb.filter(col("vec_id") % 3 === 0)
@@ -105,8 +143,8 @@ class VectorStoreSpec extends SparkSpec {
     val b3 = emb.filter(col("vec_id") % 3 === 2)
     VectorStore.create(spark, dir, b1, "vec_id", "embedding",
       nCells = 4, m = 4, ksub = 8)
-    VectorStore.append(spark, dir, b2, "vec_id", "embedding")
-    VectorStore.append(spark, dir, b3, "vec_id", "embedding")
+    VectorStore.append(spark, dir, b2, "vec_id", "embedding", "b1")
+    VectorStore.append(spark, dir, b3, "vec_id", "embedding", "b2")
     val stored = spark.read.parquet(s"$dir/vectors")
     assert(stored.count() === emb.filter(col("embedding").isNotNull).count())
     // codes are m-wide and every entry is a valid centroid index

@@ -25,31 +25,12 @@ object VsProf {
     for (round <- 1 to 2) {
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       println(s"-- round $round");
-      locally {
-        val seedDf = emb.filter(col("vec_id") % 2 === 0)
-          .select(col("vec_id").cast("long").as("id"),
-            col("embedding").as("vec"))
-        val idx = t("create.ivfBuild")(
-          graft.operators.Similarity.ivfBuild(seedDf, "id", "vec", 8, 2))
-        idx.centroids.coalesce(1).write.mode("overwrite")
-          .parquet(s"$dir/centroids")
-        val mdl = t("create.pqTrain")(
-          graft.operators.Similarity.pqTrain(seedDf, "id", "vec", 8, 16, 3))
-        t("create.codesWrite") {
-          idx.assigned.select(col("id"), col("vec"),
-            graft.operators.Similarity.pqCodes(col("vec"), mdl)
-              .cast("array<int>").as("codes"), col("cell"))
-            .write.mode("overwrite").partitionBy("cell")
-            .parquet(s"$dir/vectors")
-        }
-        import org.apache.spark.sql.SparkSession
-        val sp = spark; import sp.implicits._
-        Seq((mdl.m, mdl.ksub, mdl.dsub, mdl.flat))
-          .toDF("m", "ksub", "dsub", "flat")
-          .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-      }
+      t("create")(graft.pipelines.VectorStore.create(spark, dir,
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        nCells = 8, m = 8, ksub = 16, ivfIters = 2, pqIters = 3))
       t("append")(graft.pipelines.VectorStore.append(spark, dir,
-        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding"))
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        batchTag = "b1"))
       val queries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       t("topK")(graft.pipelines.VectorStore.topK(spark, dir, queries,
