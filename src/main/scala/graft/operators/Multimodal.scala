@@ -47,6 +47,64 @@ object Multimodal {
         i => pmod(xxhash64(payload, i), lit(1000000L)).cast("double")
           / 1000000.0)
 
+    /** Batch-decoder stub with the same shape a real codec/model FFI
+      * wrapper has: construction is the expensive part (load the
+      * model / init the codec context), decodeBatch amortizes the call
+      * overhead over a bounded batch. Deterministic in content. */
+    def batchDecoder(dim: Int = 8): () => BatchDecoder = () =>
+      new BatchDecoder {
+        override def decodeBatch(
+            payloads: Array[Array[Byte]]): Array[Array[Double]] =
+          payloads.map { p =>
+            Array.tabulate(dim) { i =>
+              (scala.util.hashing.MurmurHash3.bytesHash(p, i)
+                & 0x7fffffff).toDouble / Int.MaxValue.toDouble
+            }
+          }
+      }
+  }
+
+  /** A real decoder is stateful and expensive to construct (codec
+    * context, ONNX session, JNI handle); implementations are created
+    * once per partition by [[decodeBatched]] and fed bounded batches. */
+  trait BatchDecoder extends Serializable {
+    def decodeBatch(payloads: Array[Array[Byte]]): Array[Array[Double]]
+  }
+
+  /** Batched decode via mapPartitions — the Scala analog of PySpark's
+    * mapInPandas, and the contract a real codec needs:
+    *  - the decoder is constructed ONCE per partition (model load /
+    *    codec init is the dominant fixed cost), not per row;
+    *  - rows stream through in batches of `batchSize`, so peak memory
+    *    is O(batchSize · payload) regardless of partition size — a
+    *    partition of 10k videos never materializes at once;
+    *  - output is (media_id, features), payload bytes are dropped on
+    *    the spot — decoded features, not payloads, ride any downstream
+    *    shuffle.
+    * Results are independent of partitioning and batch size by
+    * construction (each payload is decoded alone within its batch) —
+    * spec-pinned. Swap `mkDecoder` for the FFI-backed implementation in
+    * deployment; [[DecodeStub.batchDecoder]] is the container's fake. */
+  def decodeBatched(media: DataFrame, dim: Int = 8, batchSize: Int = 64,
+      mkDecoder: () => BatchDecoder = null): DataFrame = {
+    require(batchSize > 0)
+    val mk = Option(mkDecoder).getOrElse(DecodeStub.batchDecoder(dim))
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(DoubleType))))
+    val rows = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions { it =>
+        val dec = mk() // once per partition
+        it.grouped(batchSize).flatMap { chunk =>
+          val feats = dec.decodeBatch(
+            chunk.map(_.getAs[Array[Byte]](1)).toArray)
+          chunk.iterator.zip(feats.iterator).map { case (r, f) =>
+            org.apache.spark.sql.Row(r.getLong(0), f.toSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
   }
 
   /** Wrap an id+binary frame into the canonical media schema, deriving

@@ -166,6 +166,26 @@ object IoQueries {
         .orderBy(col("media_id"))
     }),
 
+    // ---- multimodal batched decode (mapPartitions shape) -----------------
+    // The decode values are stub-generated (not oracle-recomputable),
+    // but the PLUMBING contract is: every media row comes back exactly
+    // once with a dim-wide feature vector in [0,1], independent of
+    // batching — which is what the oracle pins (one row per doc, fixed
+    // dim, range flag).
+    "m3_batched_decode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val media = Multimodal.toMedia(
+        docs.withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", "image", "png",
+        width = lit(320), height = lit(240))
+      Multimodal.decodeBatched(media, dim = 8, batchSize = 16)
+        .select(col("media_id"),
+          size(col("features")).as("n_features"),
+          forall(col("features"),
+            v => v >= 0.0 && v <= 1.0).as("in_range"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- multimodal frame-sampling shape (1 video → n frame rows) -------
     "m2_frame_sample" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -217,6 +237,10 @@ object IoQueries {
         |FROM documents
         |WHERE (doc_id % 4 + 1) * 320 >= 640
         |ORDER BY media_id""".stripMargin,
+
+    "m3_batched_decode" ->
+      """SELECT doc_id AS media_id, 8 AS n_features, true AS in_range
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "m2_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx

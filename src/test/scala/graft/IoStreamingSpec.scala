@@ -134,6 +134,41 @@ class IoStreamingSpec extends SparkSpec {
       f2.map(_.getSeq[Double](2)).toSeq)
   }
 
+  test("multimodal: batched decode is batch- and partition-invariant") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(60)
+    val media = Multimodal.toMedia(
+      docs.withColumn("payload", col("text").cast("binary")),
+      "doc_id", "payload", "image", "png",
+      width = lit(320), height = lit(240))
+    def run(parts: Int, batch: Int): Map[Long, Seq[Double]] =
+      Multimodal.decodeBatched(media.repartition(parts), dim = 8,
+          batchSize = batch)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val base = run(1, 64)
+    assert(base.size === 60)
+    assert(base.values.forall(f => f.size == 8 &&
+      f.forall(v => v >= 0.0 && v <= 1.0)))
+    // per-payload decode: results cannot depend on how rows are
+    // batched or partitioned — the invariant that makes the
+    // mapPartitions shape safe to re-tune at scale
+    assert(run(7, 1) === base)
+    assert(run(13, 5) === base)
+    // decoder init is per PARTITION, not per row/batch: the expensive
+    // model-load cost scales with tasks, not data
+    val inits = spark.sparkContext.longAccumulator("decInits")
+    val counting: () => Multimodal.BatchDecoder = () => {
+      inits.add(1)
+      new Multimodal.BatchDecoder {
+        override def decodeBatch(
+            ps: Array[Array[Byte]]): Array[Array[Double]] =
+          ps.map(_ => Array.fill(8)(0.5))
+      }
+    }
+    Multimodal.decodeBatched(media.repartition(4), dim = 8,
+      batchSize = 2, mkDecoder = counting).count()
+    assert(inits.value === 4L)
+  }
+
   test("S8 glob with date walk-back") {
     val dir = tmp()
     new java.io.File(dir).mkdirs()
