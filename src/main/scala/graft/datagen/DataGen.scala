@@ -38,10 +38,11 @@ object DataGen {
     hashBits(tag, seed, key).cast("double") / 4294967296.0
 
   /** F27: weighted categorical choice as a cumulative-probability
-    * when-ladder over a uniform draw. */
+    * when-ladder over a uniform draw. Thresholds come from
+    * [[cumThresholds]] — the same values the gate oracle embeds, by
+    * construction rather than by parallel arithmetic. */
   def weightedChoice(u: Column, choices: Seq[(String, Double)]): Column = {
-    val total = choices.map(_._2).sum
-    val cum = choices.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val cum = cumThresholds(choices)
     choices.zip(cum).init.foldLeft(when(lit(false), lit("")): Column) {
       case (acc, ((v, _), c)) => acc.when(u < c, lit(v))
     }.otherwise(lit(choices.last._1))
@@ -165,8 +166,10 @@ object DataGen {
 
   /** Fact generator (fact_sales_daily.py:135-200): weighted store pick,
     * category-affinity product pick (P7), random active distributor,
-    * qty with wholesale multiplier + weekend/seasonal boost (F28),
-    * tiered discount + decimal money math (F21/F22).
+    * qty with wholesale multiplier and the F28 weekend (sat/sun
+    * 1.2-1.4) and seasonal (Oct-Dec 1.3-1.6, Apr-May 1.1-1.3) boosts —
+    * both derived from `dateId`, each its own draw — plus tiered
+    * discount + decimal money math (F21/F22).
     *
     * Dim picks are broadcast joins on a modular index — the fact side
     * never shuffles; at 1000 executors this is embarrassingly parallel.
@@ -234,11 +237,25 @@ object DataGen {
       .withColumn("didx", floor(col("u_dist") * nActive).cast("int"))
       .join(broadcast(distsIdx), "didx")
     val isWholesale = col("class_of_trade").contains("Wholesale")
-    val qty = greatest(
-      when(isWholesale,
-        floor(uniform(col("u_qty"), 5.0, 20.0) * 10).cast("long"))
-        .otherwise(floor(uniform(col("u_qty"), 1.0, 10.0)).cast("long")),
-      lit(1L))
+    // F28 boosts (fact_sales_daily.py:86-97): weekend 1.2-1.4, seasonal
+    // Oct-Dec 1.3-1.6 / Apr-May 1.1-1.3, each its own draw; off-season /
+    // weekday ranges collapse to exactly 1.0 (u*0+1), so the no-boost
+    // path is bit-identical to an unboosted quantity.
+    val date = java.time.LocalDate.parse(dateId.toString,
+      java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    val weekend = date.getDayOfWeek == java.time.DayOfWeek.SATURDAY ||
+      date.getDayOfWeek == java.time.DayOfWeek.SUNDAY
+    val (wLo, wHi) = if (weekend) (1.2, 1.4) else (1.0, 1.0)
+    val (sLo, sHi) = date.getMonthValue match {
+      case 10 | 11 | 12 => (1.3, 1.6)
+      case 4 | 5 => (1.1, 1.3)
+      case _ => (1.0, 1.0)
+    }
+    val boost = uniform(col("u_boost"), wLo, wHi) *
+      uniform(hashUniform("fact", seed + 5, col("sales_id")), sLo, sHi)
+    val rawQty = when(isWholesale, uniform(col("u_qty"), 5.0, 20.0) * 10)
+      .otherwise(uniform(col("u_qty"), 1.0, 10.0))
+    val qty = greatest(floor(rawQty * boost).cast("long"), lit(1L))
     val gross = Cleansing.grossAmount(qty, col("unit_price"))
     val pct = Cleansing.tieredDiscount(gross, col("class_of_trade"),
       col("is_chain"))

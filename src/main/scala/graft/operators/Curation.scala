@@ -349,6 +349,12 @@ object Curation {
     val avail: Map[String, Long] = inScope
       .groupBy(col(groupCol)).agg(sum(massCol.cast("long")).as("m"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a target group with NO rows must fail loudly, not be silently
+    // excluded from the water-filling min — otherwise the returned
+    // mixture is missing a requested component and nothing says so
+    val missing = targets.keySet -- avail.keySet
+    require(missing.isEmpty,
+      s"target groups absent from the corpus: ${missing.toSeq.sorted}")
     require(avail.values.forall(_ > 0),
       s"every target group needs positive available mass: $avail")
     val t = avail.map { case (g, a) => a.toDouble / targets(g) }.min

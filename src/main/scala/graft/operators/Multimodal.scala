@@ -93,7 +93,11 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("features", ArrayType(DoubleType))))
-    val rows = media.select(col("media_id"), col("payload")).rdd
+    // null payloads never reach the decoder (a real FFI codec crashes
+    // on them, and a crash there kills the whole task) — same null
+    // discipline as the PQ coded scan
+    val rows = media.select(col("media_id"), col("payload"))
+      .filter(col("payload").isNotNull).rdd
       .mapPartitions { it =>
         val dec = mk() // once per partition
         it.grouped(batchSize).flatMap { chunk =>

@@ -50,6 +50,12 @@ object DataGenQueries {
   private def code3(c: String): String =
     s"substr(regexp_replace(upper($c), '[^A-Z]', '', 'g'), 1, 3)"
 
+  /** SQL mirror of [[DataGen.uniform]]: embeds the SAME (hi-lo) double
+    * the Scala side computes (1.4-1.2 is 0.19999999999999996 in IEEE —
+    * writing '0.2' in the oracle would diverge). */
+  private def uniformSql(u: String, lo: Double, hi: Double): String =
+    s"($u * ${hi - lo} + $lo)"
+
   /** Products CTE shared by gen1 and gen3: the full dim_product ladder
     * (category/subcategory/brand/name/sku/price) for ids 1..n, seed s. */
   private def productsCte(n: Long, seed: Long): String = {
@@ -157,12 +163,14 @@ object DataGenQueries {
     }),
 
     // P7: the fact generator's weighted store pick + category-affinity
-    // product pick + active-distributor pick, key columns + quantity
+    // product pick + active-distributor pick, key columns + quantity.
+    // 2024-12-14 is a December Saturday, so BOTH F28 boosts (weekend
+    // 1.2-1.4, seasonal 1.3-1.6) are live and oracle-checked.
     "gen3_fact_affinity" -> ((s, _) => {
       val prod = DataGen.products(s, 300, seed = 42)
       val st = DataGen.stores(s, 40, seed = 43)
       val di = DataGen.distributors(s, 15, seed = 44)
-      DataGen.factSales(s, 3000, 20240115, prod, st, di, seed = 45)
+      DataGen.factSales(s, 3000, 20241214, prod, st, di, seed = 45)
         .select(col("sales_id"), col("date_id"), col("store_id"),
           col("product_id"), col("dist_id"), col("quantity_sold"),
           col("unit_price").cast("double").as("unit_price"))
@@ -224,7 +232,9 @@ object DataGenQueries {
          |    ${uSql("fact", 45, "i")} AS u_store,
          |    ${uSql("fact", 46, "i")} AS u_prod,
          |    ${uSql("fact", 47, "i")} AS u_dist,
-         |    ${uSql("fact", 48, "i")} AS u_qty
+         |    ${uSql("fact", 48, "i")} AS u_qty,
+         |    ${uSql("fact", 49, "i")} AS u_boost,
+         |    ${uSql("fact", 50, "i")} AS u_season
          |  FROM generate_series(1, 3000) t(i)),
          |fs AS (
          |  SELECT f.*, s.store_id, s.class_of_trade
@@ -247,11 +257,14 @@ object DataGenQueries {
          |  SELECT fp.*, d.dist_id
          |  FROM fp JOIN didx d ON d.didx = CAST(floor(
          |    fp.u_dist * (SELECT COUNT(*) FROM didx)) AS INT))
-         |SELECT sales_id, 20240115 AS date_id, store_id, product_id,
+         |SELECT sales_id, 20241214 AS date_id, store_id, product_id,
          |  dist_id,
-         |  greatest(CASE WHEN class_of_trade LIKE '%Wholesale%'
-         |    THEN CAST(floor((u_qty * 15.0 + 5.0) * 10) AS BIGINT)
-         |    ELSE CAST(floor(u_qty * 9.0 + 1.0) AS BIGINT) END,
+         |  greatest(CAST(floor(
+         |    (CASE WHEN class_of_trade LIKE '%Wholesale%'
+         |      THEN ${uniformSql("u_qty", 5.0, 20.0)} * 10
+         |      ELSE ${uniformSql("u_qty", 1.0, 10.0)} END)
+         |    * (${uniformSql("u_boost", 1.2, 1.4)}
+         |       * ${uniformSql("u_season", 1.3, 1.6)})) AS BIGINT),
          |    1) AS quantity_sold,
          |  CAST(unit_price AS DOUBLE) AS unit_price
          |FROM fd ORDER BY sales_id""".stripMargin,

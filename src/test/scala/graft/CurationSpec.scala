@@ -245,6 +245,12 @@ class CurationSpec extends SparkSpec {
       Map("a" -> 1.0, "b" -> 1.0))
     assert(kept.select("id").as[Long].collect().toSet ===
       k2.select("id").as[Long].collect().toSet)
+    // a requested group with no corpus rows must fail loudly — silently
+    // excluding it would return a mixture missing a component
+    intercept[IllegalArgumentException] {
+      Curation.mixDomains(df, "id", "src", col("mass"),
+        Map("a" -> 1.0, "nosuch" -> 1.0))
+    }
   }
 
   // ---- PII redaction ------------------------------------------------------

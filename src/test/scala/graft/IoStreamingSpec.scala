@@ -167,6 +167,11 @@ class IoStreamingSpec extends SparkSpec {
     Multimodal.decodeBatched(media.repartition(4), dim = 8,
       batchSize = 2, mkDecoder = counting).count()
     assert(inits.value === 4L)
+    // null payloads are dropped before the decoder (a real FFI codec
+    // would crash the task on them)
+    val withNull = media.withColumn("payload",
+      when(col("media_id") % 2 === 0, col("payload")))
+    assert(Multimodal.decodeBatched(withNull, dim = 8).count() === 30L)
   }
 
   test("S8 glob with date walk-back") {
