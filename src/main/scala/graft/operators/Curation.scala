@@ -202,6 +202,24 @@ object Curation {
       .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as(idCol), col("col.ord").as("__ord"))
 
+  /** Deterministic uniform sample of EXACTLY min(k, |group|) rows per
+    * group — eval-set construction ("7 examples per domain") where
+    * [[stratifiedHashSample]]'s rate-based form gives only an expected
+    * count. Selection is the k smallest md5-derived draws per group:
+    * uniform, reproducible on any partitioning/engine (the gate oracle
+    * replays it in DuckDB), and skew-immune — it runs on the bounded
+    * [[graft.expressions.TopKBy]] aggregate, so at most k rows per
+    * (map task, group) reach the shuffle even when one group is 1% of
+    * the corpus. Returns (groupCol, rank 1..k, idCol); join back on
+    * idCol for payloads. */
+  def uniformGroupSample(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val draw = conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("long").cast("double")
+    perGroupCap(df, groupCol, idCol, -draw, k)
+      .select(col(groupCol), col("rank"), col(idCol))
+  }
+
   // -------------------------------------------------------------------
   // Sequence packing (token-budget offsets)
   // -------------------------------------------------------------------

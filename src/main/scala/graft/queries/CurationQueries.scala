@@ -154,6 +154,15 @@ object CurationQueries {
         .orderBy(col("n").desc, col("term")).limit(20)
     }),
 
+    // ---- exact-k uniform per-group sample ---------------------------------
+    // 7 docs per source, selected by smallest md5 draw — the oracle
+    // replays the identical draw and ranking in DuckDB.
+    "cu11_group_sample" -> ((s, d) => {
+      Curation.uniformGroupSample(Tables.documents(s, d), "source",
+          "doc_id", k = 7)
+        .orderBy(col("source"), col("rank"))
+    }),
+
     // ---- cross-document boilerplate removal ------------------------------
     // Every even doc gets a shared newsletter footer (corpus-hot: gone),
     // every 5th doc a 2-char "ok" line (below minChars: stays). The
@@ -280,6 +289,16 @@ object CurationQueries {
          |       ELSE 'train' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "cu11_group_sample" ->
+      """SELECT source, rank, doc_id FROM (
+        |  SELECT source, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS UBIGINT), doc_id) AS INT) AS rank
+        |  FROM documents)
+        |WHERE rank <= 7
+        |ORDER BY source, rank""".stripMargin,
 
     "cu9_boilerplate" ->
       """WITH docs AS (

@@ -192,6 +192,28 @@ class CurationSpec extends SparkSpec {
     assert(got === Seq((1L, 0L, 2L), (2L, 2L, 2L), (3L, 2L, 3L)))
   }
 
+  test("uniformGroupSample: exactly k per group, window-form identical") {
+    val df = ((1L to 300L).map(i => (i, "a")) ++
+      (301L to 310L).map(i => (i, "b"))).toDF("id", "grp")
+    val got = Curation.uniformGroupSample(df, "grp", "id", k = 5)
+      .as[(String, Int, Long)].collect().toSet
+    assert(got.count(_._1 == "a") === 5)
+    assert(got.count(_._1 == "b") === 5)
+    // identical to the row_number window form (same draw, same ties)
+    val draw = conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(draw.asc, col("id").asc)
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("grp"), col("rank"), col("id"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got === want)
+    // k larger than the group: the whole group, no padding
+    val all = Curation.uniformGroupSample(df, "grp", "id", k = 50)
+    assert(all.filter(col("grp") === "b").count() === 10L)
+  }
+
   // ---- boilerplate line removal -------------------------------------------
 
   test("removeBoilerplate: hot lines go, short lines and order survive") {
