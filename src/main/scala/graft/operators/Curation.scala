@@ -94,6 +94,77 @@ object Curation {
     labels
   }
 
+  /** Connected components in O(log n)-ish rounds via alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", 2014) — the scale path for graphs whose
+    * component DIAMETER breaks [[dupClusters]]'s per-round label
+    * propagation (a 3000-link chain needs ~3000 propagation rounds but
+    * ~a dozen star rounds). Same contract as [[dupClusters]]: returns
+    * (id, cluster_id = component min) for every id in `pairs`.
+    *
+    * Each round is two narrow (long, long) shuffles; edges only ever
+    * point "down" toward smaller ids, the edge count never grows above
+    * the neighborhood size, and per-round `localCheckpoint` truncates
+    * lineage. Fixed point = the edge set is unchanged by a full
+    * large+small round; at that point the graph is a forest of stars
+    * rooted at component minima. Near-dup graphs (short diameter)
+    * should still prefer [[dupClusters]] — fewer jobs per round. */
+  def dupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val ids = pairs.select(col(aCol).cast("long").as("id"))
+      .union(pairs.select(col(bCol).cast("long").as("id"))).distinct()
+      .persist()
+    ids.count()
+    // canonical (x > y) edge set, self-loops dropped
+    var cur = pairs.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("x"),
+        least(col("a"), col("b")).as("y"))
+      .distinct().localCheckpoint(true)
+    var curCount = cur.count()
+    var it = 0
+    var done = curCount == 0
+    while (!done && it < maxIters) {
+      // large-star: every node links its STRICTLY LARGER neighbors to
+      // the min of its closed neighborhood
+      val nbr = cur.select(col("x").as("n"), col("y").as("v"))
+        .union(cur.select(col("y").as("n"), col("x").as("v")))
+      val mins = nbr.groupBy(col("n"))
+        .agg(least(min(col("v")), first(col("n"))).as("m"))
+      val large = nbr.join(mins, Seq("n"))
+        .filter(col("v") > col("n"))
+        .select(col("v").as("x"), col("m").as("y"))
+        .distinct()
+      // small-star: every node links its (all smaller) neighbors and
+      // itself to the min of that set
+      val sMins = large.groupBy(col("x")).agg(min(col("y")).as("m"))
+      val small = large.join(sMins, Seq("x"))
+        .select(col("y").as("node"), col("m"))
+        .filter(col("node") =!= col("m"))
+        .select(col("node").as("x"), col("m").as("y"))
+        .union(large.join(sMins, Seq("x"))
+          .select(col("x"), col("m").as("y")))
+        .distinct().localCheckpoint(true)
+      // both sides are distinct sets, so equal count + empty one-sided
+      // difference ⇒ equal sets; the cheap count compare short-circuits
+      // the anti-join on every non-converged round
+      val smallCount = small.count()
+      done = smallCount == curCount &&
+        small.join(cur, Seq("x", "y"), "left_anti").isEmpty
+      cur = small
+      curCount = smallCount
+      it += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"dupClustersStar did not converge in $maxIters rounds")
+    val out = ids.join(cur.select(col("x").as("id"), col("y")), Seq("id"),
+        "left")
+      .select(col("id"), coalesce(col("y"), col("id")).as("cluster_id"))
+    ids.unpersist()
+    out
+  }
+
   /** Full-universe cluster view: every id in `universe` gets its
     * component's min id as cluster_id (itself when it is in no pair)
     * and is_kept = "this is the cluster representative". Downstream

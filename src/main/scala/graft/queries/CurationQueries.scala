@@ -154,6 +154,21 @@ object CurationQueries {
         .orderBy(col("n").desc, col("term")).limit(20)
     }),
 
+    // ---- long-diameter components via large-star/small-star --------------
+    // A chain of consecutive doc_ids broken at every multiple of 100 —
+    // diameter ~100 components where per-round label propagation needs
+    // ~100 shuffles but the star alternation converges in ~a dozen.
+    // The oracle is the closed-form component min (floor(id/100)*100).
+    "d8_star_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val pairs = docs.filter((col("doc_id") + 1) % 100 =!= 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1).as("id_b"))
+        .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"))
+      Curation.dupClustersStar(pairs, "id_a", "id_b")
+        .orderBy(col("id"))
+    }),
+
     // ---- exact-k uniform per-group sample ---------------------------------
     // 7 docs per source, selected by smallest md5 draw — the oracle
     // replays the identical draw and ranking in DuckDB.
@@ -289,6 +304,11 @@ object CurationQueries {
          |       ELSE 'train' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "d8_star_clusters" ->
+      """SELECT doc_id AS id,
+        |  CAST((doc_id // 100) * 100 AS BIGINT) AS cluster_id
+        |FROM documents ORDER BY id""".stripMargin,
 
     "cu11_group_sample" ->
       """SELECT source, rank, doc_id FROM (

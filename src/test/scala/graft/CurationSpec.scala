@@ -192,6 +192,29 @@ class CurationSpec extends SparkSpec {
     assert(got === Seq((1L, 0L, 2L), (2L, 2L, 2L), (3L, 2L, 3L)))
   }
 
+  test("dupClustersStar: equals dupClusters on star/chain/singleton mixes") {
+    val pairs = Seq((2L, 5L), (5L, 9L), (9L, 2L), (11L, 12L), (20L, 3L),
+      (3L, 1L), (30L, 31L), (31L, 32L), (32L, 33L)).toDF("a", "b")
+    val want = Curation.dupClusters(pairs, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    val got = Curation.dupClustersStar(pairs, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("dupClustersStar: 300-link chain converges in bounded rounds") {
+    // a diameter-300 component: label propagation needs ~300 rounds
+    // (dupClusters' default bound throws); the star form must converge
+    // inside its 50-round bound and label every node with the chain min
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Curation.dupClustersStar(pairs, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(got === (1L to 300L).map(i => (i, 1L)).toSet)
+    intercept[IllegalStateException] {
+      Curation.dupClusters(pairs, "a", "b", maxIters = 8)
+    }
+  }
+
   test("uniformGroupSample: exactly k per group, window-form identical") {
     val df = ((1L to 300L).map(i => (i, "a")) ++
       (301L to 310L).map(i => (i, "b"))).toDF("id", "grp")
