@@ -28,8 +28,8 @@ object DataGen {
     * generators with overlapping seed ranges (products seed+1 vs
     * stores seed) from drawing correlated values for equal row keys. */
   def hashBits(tag: String, seed: Long, key: Column): Column =
-    conv(substring(md5(concat_ws("|", lit(tag), lit(seed),
-      key.cast("string"))), 1, 8), 16, 10).cast("long")
+    graft.operators.Curation.hashDraw(
+      concat_ws("|", lit(tag), lit(seed), key.cast("string")))
 
   /** F28 base: portable uniform in [0,1) at 2^-32 resolution — an
     * exact dyadic rational, so downstream IEEE arithmetic (thresholds,
@@ -251,8 +251,14 @@ object DataGen {
       case 4 | 5 => (1.1, 1.3)
       case _ => (1.0, 1.0)
     }
-    val boost = uniform(col("u_boost"), wLo, wHi) *
-      uniform(hashUniform("fact", seed + 5, col("sales_id")), sLo, sHi)
+    // fold degenerate ranges to lit(1.0) driver-side: Catalyst cannot
+    // fold u*0.0+1.0 (u may be null/NaN), so without this every
+    // off-season weekday row would pay two md5 draws for a provable
+    // constant; an unreferenced u_boost column is then pruned entirely
+    def boostTerm(u: => Column, lo: Double, hi: Double): Column =
+      if (lo == hi) lit(lo) else uniform(u, lo, hi)
+    val boost = boostTerm(col("u_boost"), wLo, wHi) *
+      boostTerm(hashUniform("fact", seed + 5, col("sales_id")), sLo, sHi)
     val rawQty = when(isWholesale, uniform(col("u_qty"), 5.0, 20.0) * 10)
       .otherwise(uniform(col("u_qty"), 1.0, 10.0))
     val qty = greatest(floor(rawQty * boost).cast("long"), lit(1L))

@@ -137,14 +137,17 @@ object Curation {
         .select(col("v").as("x"), col("m").as("y"))
         .distinct()
       // small-star: every node links its (all smaller) neighbors and
-      // itself to the min of that set
+      // itself to the min of that set. Both output families come from
+      // ONE pass over one join (explode of a 2-element array), not a
+      // union of two copies of the join plan — a union would execute
+      // the join (and `large` feeding it) twice per round.
       val sMins = large.groupBy(col("x")).agg(min(col("y")).as("m"))
       val small = large.join(sMins, Seq("x"))
-        .select(col("y").as("node"), col("m"))
-        .filter(col("node") =!= col("m"))
-        .select(col("node").as("x"), col("m").as("y"))
-        .union(large.join(sMins, Seq("x"))
-          .select(col("x"), col("m").as("y")))
+        .select(explode(array(
+          struct(col("y").as("x"), col("m").as("y")),
+          struct(col("x"), col("m").as("y")))).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"))
+        .filter(col("x") =!= col("y"))
         .distinct().localCheckpoint(true)
       // both sides are distinct sets, so equal count + empty one-sided
       // difference ⇒ equal sets; the cheap count compare short-circuits
@@ -158,9 +161,13 @@ object Curation {
     }
     if (!done) throw new IllegalStateException(
       s"dupClustersStar did not converge in $maxIters rounds")
+    // materialize the result BEFORE unpersisting ids — a lazy return
+    // would re-execute the (possibly expensive LSH) pairs plan when the
+    // caller finally acts on it, after the cache is gone
     val out = ids.join(cur.select(col("x").as("id"), col("y")), Seq("id"),
         "left")
       .select(col("id"), coalesce(col("y"), col("id")).as("cluster_id"))
+      .localCheckpoint(true)
     ids.unpersist()
     out
   }
@@ -193,6 +200,14 @@ object Curation {
     * filter evaluates in the scan stage (codegen'd, no shuffle, no
     * state), and a sample is reproducible from the id alone. */
   def sampleKey(id: Column): Column = md5(id.cast("string"))
+
+  /** Numeric 32-bit form of [[sampleKey]] — first 8 md5 hex chars as a
+    * long in [0, 2^32). The ONE definition of the portable hash draw
+    * (DuckDB mirror: ('0x' || substr(md5(...), 1, 8))::UBIGINT);
+    * [[graft.datagen.DataGen.hashBits]] and [[uniformGroupSample]]
+    * both build on it so the derivation cannot drift per call site. */
+  def hashDraw(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
 
   /** Keep rows whose sample key is lexicographically below `hexBound`
     * (e.g. "1a" keeps hashes with first byte 0x00..0x19 ≈ 10.16%).
@@ -284,12 +299,10 @@ object Curation {
     * the corpus. Returns (groupCol, rank 1..k, idCol); join back on
     * idCol for payloads. */
   def uniformGroupSample(df: DataFrame, groupCol: String, idCol: String,
-      k: Int): DataFrame = {
-    val draw = conv(substring(md5(col(idCol).cast("string")), 1, 8),
-      16, 10).cast("long").cast("double")
-    perGroupCap(df, groupCol, idCol, -draw, k)
+      k: Int): DataFrame =
+    perGroupCap(df, groupCol, idCol,
+      -hashDraw(col(idCol)).cast("double"), k)
       .select(col(groupCol), col("rank"), col(idCol))
-  }
 
   // -------------------------------------------------------------------
   // Sequence packing (token-budget offsets)

@@ -103,6 +103,12 @@ object Multimodal {
         it.grouped(batchSize).flatMap { chunk =>
           val feats = dec.decodeBatch(
             chunk.map(_.getAs[Array[Byte]](1)).toArray)
+          // a short (or long) result would silently misalign every
+          // later row's features with the wrong media_id via zip
+          // truncation — corrupt training data with no error. Fail.
+          require(feats.length == chunk.size,
+            s"decoder returned ${feats.length} results for a " +
+              s"${chunk.size}-payload batch")
           chunk.iterator.zip(feats.iterator).map { case (r, f) =>
             org.apache.spark.sql.Row(r.getLong(0), f.toSeq)
           }

@@ -223,10 +223,8 @@ class CurationSpec extends SparkSpec {
     assert(got.count(_._1 == "a") === 5)
     assert(got.count(_._1 == "b") === 5)
     // identical to the row_number window form (same draw, same ties)
-    val draw = conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
-      .cast("long")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
-      .orderBy(draw.asc, col("id").asc)
+      .orderBy(Curation.hashDraw(col("id")).asc, col("id").asc)
     val want = df.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("grp"), col("rank"), col("id"))

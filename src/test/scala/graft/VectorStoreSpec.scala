@@ -79,10 +79,11 @@ class VectorStoreSpec extends SparkSpec {
       nCells = 8, m = 4, ksub = 8, ivfIters = 2, pqIters = 2)
     val queries = emb.filter(col("vec_id") < 2)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val plan = try VectorStore.topK(spark, dir, queries, "qid", "qv",
         k = 3, nprobe = 2).queryExecution.executedPlan
-      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     val vecScans = plan.collectWithSubqueries {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
         if s.output.exists(_.name == "vec") => s }
