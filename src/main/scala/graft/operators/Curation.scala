@@ -420,6 +420,29 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // Model-assisted curation: broadcast linear scoring
+  // -------------------------------------------------------------------
+
+  /** Linear model over a feature vector — the fastText-/logistic-style
+    * quality classifier applied at corpus scale: weights ride as plan
+    * literals (broadcast by construction), the score is one codegen'd
+    * expression per row, no shuffle, no UDF, no model-serving hop.
+    *
+    * Returns the LOGIT bias + Σ wᵢ·features[i], accumulated in strict
+    * left-to-right order so every engine computes the identical double
+    * (the gate oracle replays it in DuckDB). Deliberately no sigmoid:
+    * curation thresholds on the score, and a monotone transform cannot
+    * change a threshold decision — while exp() ULP differences across
+    * libm implementations would break cross-engine reproducibility. */
+  def linearScore(features: Column, weights: Seq[Double],
+      bias: Double): Column = {
+    require(weights.nonEmpty)
+    weights.zipWithIndex.foldLeft(lit(bias): Column) {
+      case (acc, (w, i)) => acc + element_at(features, i + 1) * lit(w)
+    }
+  }
+
+  // -------------------------------------------------------------------
   // Domain mixture reweighting
   // -------------------------------------------------------------------
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis => TA}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,6 +36,25 @@ object LlmQueries {
           TA.stopwordRatioS(t, col("__st")).as("stopword_ratio"),
           TA.qualityScoreS(t, col("__st")).as("quality"),
           TA.langIdS(t, col("__st")).as("lang_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- broadcast linear-model quality scoring ---------------------------
+    // A fastText-style linear classifier over the t1 feature set, with
+    // weights as plan literals: one codegen'd expression per row. The
+    // oracle re-derives every feature AND replays the left-to-right
+    // logit accumulation, so feature drift, weight-order slips, or an
+    // accumulation-order change all break the hash.
+    "cu12_model_score" -> ((s, d) => {
+      val t = col("text")
+      val feats = array(
+        TA.punctRatio(t), TA.digitRatio(t),
+        TA.meanTokenLen(t) / 10.0, TA.stopwordRatio(t),
+        least(length(t).cast("double") / 1000.0, lit(1.0)))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Curation.linearScore(feats, ModelW, ModelB).as("logit"))
+        .withColumn("is_kept", col("logit") > 0.0)
         .orderBy(col("doc_id"))
     }),
 
@@ -281,6 +300,18 @@ object LlmQueries {
     emb.unionByName(copies)
   }
 
+  /** cu12 linear quality model: weights/bias shared by the Spark query
+    * and the generated oracle so they cannot drift. */
+  private val ModelW = Seq(-2.0, -1.5, 0.8, 1.2, 0.6)
+  private val ModelB = 0.1
+  private def modelLogitSql: String = {
+    val feats = Seq("punct_ratio", "digit_ratio", "(mean_tok_len / 10.0)",
+      "stopword_ratio", "least(length(text) / 1000.0, 1.0)")
+    feats.zip(ModelW).foldLeft(ModelB.toString) {
+      case (acc, (f, w)) => s"($acc + $f * $w)"
+    }
+  }
+
   private val SimP = graft.expressions.PortableSimHash.P
   private def bitConsts(j: Int): (Long, Long) =
     graft.expressions.PortableSimHash.bitConsts(j)
@@ -463,6 +494,12 @@ object LlmQueries {
         |  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "cu12_model_score" ->
+      s"""$featCtes
+         |SELECT doc_id, $modelLogitSql AS logit,
+         |  $modelLogitSql > 0.0 AS is_kept
+         |FROM feat ORDER BY doc_id""".stripMargin,
 
     "ann2_ivf_topk" -> annOracleSql,
     "ann3_lsh_topk" -> annOracleSql,

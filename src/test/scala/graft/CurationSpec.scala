@@ -267,6 +267,26 @@ class CurationSpec extends SparkSpec {
     assert(got.head._2.linesIterator.size === 10)
   }
 
+  // ---- linear model scoring -----------------------------------------------
+
+  test("linearScore: exact left-to-right logit, threshold semantics") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 2.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.5, 0.5, 0.5))).toDF("id", "f")
+    val got = df.select(col("id"),
+        Curation.linearScore(col("f"), Seq(2.0, -1.0, 0.25), 0.5)
+          .as("logit"))
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0.5 + 1.0 * 2.0 + 0.0 * -1.0 + 2.0 * 0.25),
+      (2L, 0.5 + 0.0 * 2.0 + 1.0 * -1.0 + 0.0 * 0.25),
+      (3L, 0.5 + 0.5 * 2.0 + 0.5 * -1.0 + 0.5 * 0.25)))
+    intercept[IllegalArgumentException] {
+      Curation.linearScore(col("f"), Seq.empty, 0.0)
+    }
+  }
+
   // ---- domain mixture -----------------------------------------------------
 
   test("mixDomains: water-filling keeps the binding group whole") {
