@@ -47,11 +47,15 @@ object LlmQueries {
     // accumulation-order change all break the hash.
     "cu12_model_score" -> ((s, d) => {
       val t = col("text")
+      // token-derived features ride the fused TextStats pass (one
+      // tokenization), like t1; the char-class ratios are regex scans
       val feats = array(
         TA.punctRatio(t), TA.digitRatio(t),
-        TA.meanTokenLen(t) / 10.0, TA.stopwordRatio(t),
+        TA.meanTokenLenS(t, col("__st")) / 10.0,
+        TA.stopwordRatioS(t, col("__st")),
         least(length(t).cast("double") / 1000.0, lit(1.0)))
       Tables.documents(s, d)
+        .withColumn("__st", TA.textStats(t))
         .select(col("doc_id"),
           Curation.linearScore(feats, ModelW, ModelB).as("logit"))
         .withColumn("is_kept", col("logit") > 0.0)
