@@ -129,6 +129,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hash-sample and model-score queries stay scan-stage") {
+    // cu10's rates and cu12's weights are driver-computed literals, so
+    // the distributed plan must be scan → filter/project → one final
+    // sort exchange: any join or extra shuffle means per-row work
+    // leaked into the cluster that belongs in the plan literals.
+    noAqe {
+      Seq("cu10_domain_mix", "cu12_model_score").foreach { name =>
+        val p = planOf(SparkEntry.queries(name)(spark, sf))
+        val joins = p.collectWithSubqueries {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+        assert(joins.isEmpty, s"$name plans ${joins.size} join(s)")
+        val exchanges = p.collectWithSubqueries {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+        assert(exchanges.size <= 1,
+          s"$name plans ${exchanges.size} shuffles — expected only the " +
+            "final sort")
+      }
+    }
+  }
+
   test("decontamination joins on gram hashes, never all-pairs") {
     noAqe {
       val p = planOf(SparkEntry.queries("cu5_decontam")(spark, sf))
