@@ -1,5 +1,8 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -177,5 +180,54 @@ object TextAnalysis {
     when(size(t) < k, array(concat_ws(" ", t)))
       .otherwise(transform(sequence(lit(0), size(t) - k),
         i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+  }
+
+  /** Deflate compression ratio per document — the entropy-style quality
+    * signal (Gopher-family filters): machine-generated / repetitive /
+    * low-entropy text compresses far better than natural prose, binary
+    * junk pasted into text barely compresses at all. Ratio =
+    * compressed_bytes / utf8_bytes, 6-dec rounded; null text → null.
+    *
+    * zlib is imperative, so this runs as a mapPartitions pass with one
+    * Deflater per PARTITION (construction is the fixed cost), reset
+    * between rows — the same shape as [[Multimodal.decodeBatched]]: no
+    * UDF-per-row allocation churn, results independent of partitioning
+    * (each row compresses alone), payload never shuffles. Level 6 is
+    * the zlib default — stable across JDKs for a given input, and the
+    * SIGNAL (relative ordering) is what curation thresholds use. */
+  def compressionRatio(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("compression_ratio", DoubleType, nullable = true)))
+    val rows = df.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("t")).rdd
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { r =>
+          val ratio: java.lang.Double =
+            if (r.isNullAt(1)) null
+            else {
+              val bytes = r.getString(1)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              if (bytes.isEmpty) java.lang.Double.valueOf(1.0)
+              else {
+                deflater.reset()
+                deflater.setInput(bytes)
+                deflater.finish()
+                var n = 0L
+                while (!deflater.finished())
+                  n += deflater.deflate(buf)
+                java.lang.Double.valueOf(
+                  math.rint(n.toDouble / bytes.length * 1e6) / 1e6)
+              }
+            }
+          Row(r.getLong(0), ratio)
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+      .withColumnRenamed("id", idCol)
   }
 }

@@ -455,4 +455,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(chain(ex).exists(m =>
       m != null && m.contains("hyperplane_buckets")), chain(ex).toString)
   }
+
+  test("compressionRatio: repetitive text compresses better than prose") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val vocab = Vector("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "while", "seventeen", "astronauts", "discuss",
+      "thermodynamics", "near", "lighthouse", "seven", "green", "rivers",
+      "meander", "through", "ancient", "valleys", "carrying", "stories")
+    val natural = Seq.fill(400)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    val randomChars = Seq.fill(2000)(
+      "abcdefghijklmnopqrstuvwxyz0123456789".charAt(r.nextInt(36))).mkString
+    val docs = Seq(
+      (1L, natural),
+      (2L, Seq.fill(150)("spam spam spam").mkString(" ")),
+      (3L, randomChars),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TA.compressionRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(2).get < got(1).get)       // repetition compresses best
+    assert(got(1).get < got(3).get)       // high-entropy compresses worst
+    assert(got(4) === Some(1.0))          // empty: defined, neutral
+    assert(got(5) === None)               // null text: null signal
+    assert(got.values.flatten.forall(v => v > 0.0 && v < 2.0))
+    // partition-invariant (each row compresses alone)
+    val re = TA.compressionRatio(docs.repartition(5),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(re === got)
+  }
 }
