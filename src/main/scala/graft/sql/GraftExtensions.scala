@@ -106,6 +106,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "word_ngrams(text, n) — n must be an integer literal")
       }))
+    ext.injectFunction((FunctionIdentifier("hash_draw"),
+      new ExpressionInfo(Curation.getClass.getName, "hash_draw"),
+      (exprs: Seq[Expression]) => expr_(Curation.hashDraw(col_(exprs.head)))))
+    ext.injectFunction((FunctionIdentifier("linear_score"),
+      new ExpressionInfo(Curation.getClass.getName, "linear_score"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(f, arr: org.apache.spark.sql.catalyst.expressions
+            .CreateArray, Literal(b, _)) =>
+          val ws = arr.children.map {
+            case Literal(w: Double, _) => w
+            case Literal(w: java.math.BigDecimal, _) => w.doubleValue()
+            case Literal(w: org.apache.spark.sql.types.Decimal, _) =>
+              w.toDouble
+            case Literal(w: Int, _) => w.toDouble
+            case Literal(w: Long, _) => w.toDouble
+            case other => throw new IllegalArgumentException(
+              s"linear_score weights must be numeric literals: $other")
+          }
+          val bias = b match {
+            case d: Double => d
+            case d: java.math.BigDecimal => d.doubleValue()
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case i: Int => i.toDouble
+            case l: Long => l.toDouble
+            case other => throw new IllegalArgumentException(
+              s"linear_score bias must be a numeric literal: $other")
+          }
+          expr_(Curation.linearScore(col_(f), ws, bias))
+        case _ => throw new IllegalArgumentException(
+          "linear_score(features, array(w1, w2, ...), bias) — weights " +
+            "and bias must be numeric literals")
+      }))
     ext.injectFunction((FunctionIdentifier("chunk_tokens"),
       new ExpressionInfo(Curation.getClass.getName, "chunk_tokens"),
       (exprs: Seq[Expression]) => exprs match {

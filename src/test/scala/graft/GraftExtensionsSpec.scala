@@ -80,6 +80,19 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT dup_ngram_frac('a b', 1 + 1)").collect()
     }
+
+    val draw = spark.sql("SELECT hash_draw(42L) AS d")
+      .collect().head.getLong(0)
+    assert(draw >= 0L && draw < (1L << 32))
+
+    val logit = spark.sql(
+      "SELECT linear_score(array(1.0D, 2.0D), array(0.5D, -1.0D), 0.25D)" +
+        " AS s").collect().head.getDouble(0)
+    assert(logit === 0.25 + 1.0 * 0.5 + 2.0 * -1.0)
+    intercept[Exception] {
+      spark.sql("SELECT linear_score(array(1.0D), array(rand()), 0.0D)")
+        .collect()
+    }
   }
 
   test("redundant normalization chains collapse in the optimized plan") {
