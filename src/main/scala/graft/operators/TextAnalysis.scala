@@ -205,8 +205,16 @@ object TextAnalysis {
         col(textCol).cast("string").as("t")).rdd
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
+        // zlib state is NATIVE memory — GC pressure never reclaims it;
+        // release on task completion (also covers early termination,
+        // e.g. a limit() that abandons the iterator mid-partition)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         it.map { r =>
+          require(!r.isNullAt(0),
+            s"compressionRatio: '$idCol' must be non-null and castable " +
+              "to long")
           val ratio: java.lang.Double =
             if (r.isNullAt(1)) null
             else {

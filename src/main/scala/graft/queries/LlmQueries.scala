@@ -48,12 +48,19 @@ object LlmQueries {
     "cu12_model_score" -> ((s, d) => {
       val t = col("text")
       // token-derived features ride the fused TextStats pass (one
-      // tokenization), like t1; the char-class ratios are regex scans
-      val feats = array(
+      // tokenization), like t1; the char-class ratios are regex scans.
+      // EVERY feature is null-coalesced to 0.0 (mirrored in the
+      // oracle): least() SKIPS nulls, so an unguarded length feature
+      // scores a NULL document 1.0 and keeps it — the exact trap
+      // qualityScoreT documents — and ratio features go null on empty
+      // text via 0/0.
+      val feats = array(Seq(
         TA.punctRatio(t), TA.digitRatio(t),
         TA.meanTokenLenS(t, col("__st")) / 10.0,
         TA.stopwordRatioS(t, col("__st")),
-        least(length(t).cast("double") / 1000.0, lit(1.0)))
+        when(t.isNull, lit(0.0))
+          .otherwise(least(length(t).cast("double") / 1000.0, lit(1.0))))
+        .map(f => coalesce(f, lit(0.0))): _*)
       Tables.documents(s, d)
         .withColumn("__st", TA.textStats(t))
         .select(col("doc_id"),
@@ -312,7 +319,7 @@ object LlmQueries {
     val feats = Seq("punct_ratio", "digit_ratio", "(mean_tok_len / 10.0)",
       "stopword_ratio", "least(length(text) / 1000.0, 1.0)")
     feats.zip(ModelW).foldLeft(ModelB.toString) {
-      case (acc, (f, w)) => s"($acc + $f * $w)"
+      case (acc, (f, w)) => s"($acc + coalesce($f, 0.0) * $w)"
     }
   }
 

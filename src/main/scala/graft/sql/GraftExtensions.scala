@@ -108,7 +108,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((FunctionIdentifier("hash_draw"),
       new ExpressionInfo(Curation.getClass.getName, "hash_draw"),
-      (exprs: Seq[Expression]) => expr_(Curation.hashDraw(col_(exprs.head)))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(k) => expr_(Curation.hashDraw(col_(k)))
+        case _ => throw new IllegalArgumentException(
+          "hash_draw(key) takes exactly one argument")
+      }))
     ext.injectFunction((FunctionIdentifier("linear_score"),
       new ExpressionInfo(Curation.getClass.getName, "linear_score"),
       (exprs: Seq[Expression]) => exprs match {
