@@ -27,23 +27,31 @@ object Bench {
     // at the smallest SF so Janino codegen + JIT compile outside the
     // measured window — the measurement below is steady-state plan cost,
     // which is what extrapolates to a long-running cluster.
+    // failures here and in the warm-up loop are collected and written
+    // into bench_full.json (stdout-side artifact): stderr is lost to the
+    // driver's 2000-char stdout tail, so an anonymous aborted-job stack
+    // in the log would otherwise be undiagnosable from the artifacts.
+    val warmupFailures = scala.collection.mutable.LinkedHashMap[String, String]()
     Tables.names.foreach { t =>
       try Tables.load(spark, sfDir, t).limit(1).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        warmupFailures(s"table:$t") = e.getClass.getSimpleName
+        System.err.println(s"[bench] table touch failed for $t: " +
+          s"${e.getClass.getSimpleName}")
+      }
     }
     val warmDir = {
       val w = "/root/testdata/sf0.001"
       if (new java.io.File(w).isDirectory) w else sfDir
     }
-    // name the casualty on failure (stderr — the driver parses only the
-    // stdout tail): an anonymous aborted-job stack in the log otherwise
-    // hides WHICH query can't run at the warm-up scale.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch {
         case e: Throwable =>
+          warmupFailures(name) = s"${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(1).mkString
+              .take(160)
           System.err.println(s"[bench] warm-up failed for $name at " +
-            s"$warmDir: ${e.getClass.getSimpleName}: " +
-            String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+            s"$warmDir: ${warmupFailures(name)}")
       }
     }
     // a failed query records -1 (NOT its elapsed time) so the JSON shows
@@ -71,9 +79,12 @@ object Bench {
     // Full per-query timings for local analysis (not parsed by the driver).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val wf = warmupFailures.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\p{Cntrl}]", " ") + "\""
+    }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$fullQs,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$fullQs,"warmup_failures":$wf,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // The driver keeps only the LAST 2000 chars of stdout and parses the

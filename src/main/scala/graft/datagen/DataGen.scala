@@ -110,9 +110,12 @@ object DataGen {
           col("product_id").cast("string")))
       // price in [10.00, 500.00] at whole-cent resolution, derived from
       // the integer draw (v % 49001 + 1000 cents): exact on every
-      // engine, where round(double, 2) rounding internals differ
+      // engine, where round(double, 2) rounding internals differ.
+      // seed+3 is a FRESH draw — reusing the u2 bits (seed+1) would make
+      // price a deterministic function of the subcategory draw, unlike
+      // the reference's independent random.uniform price
       .withColumn("unit_price",
-        ((hashBits("prod", seed + 1, col("product_id")) % 49001L + 1000L)
+        ((hashBits("prod", seed + 3, col("product_id")) % 49001L + 1000L)
           / 100.0).cast(DecimalType(10, 2)))
       .withColumn("sku", Cleansing.skuCode(lit("SKU"), col("brand"),
         col("sub_category"), col("product_id")))

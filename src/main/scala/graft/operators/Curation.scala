@@ -410,8 +410,13 @@ object Curation {
           array_sort(collect_list(struct(col("pos"), col("line")))),
           p => p.getField("line")), "\n").as(textCol),
         count(lit(1)).as("__kept"))
+    // size(split(NULL)) is -1 (legacy sizeOfNull), which would surface
+    // as n_removed = -1 for a null-text doc — coalesce keeps the
+    // every-document-returns contract honest: null text ⇒ 0 lines,
+    // n_removed = 0
     val totals = corpus.select(col(idCol),
-      size(split(col(textCol), "\n")).cast("long").as("__total"))
+      coalesce(size(split(col(textCol), "\n")), lit(0))
+        .cast("long").as("__total"))
     totals.join(kept, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col(textCol), lit("")).as(textCol),

@@ -265,9 +265,9 @@ object CurationQueries {
         |  FROM documents),
         |off AS (
         |  SELECT doc_id, n_tok,
-        |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS start_off
+        |      AS BIGINT) AS start_off
         |  FROM tok)
         |SELECT doc_id, n_tok, start_off,
         |  CAST(FLOOR(start_off / 2048) AS BIGINT) AS first_seq,

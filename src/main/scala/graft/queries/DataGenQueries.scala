@@ -72,7 +72,7 @@ object DataGenQueries {
        |    ${uSql("prod", seed, "i")} AS u1,
        |    ${uSql("prod", seed + 1, "i")} AS u2,
        |    ${uSql("prod", seed + 2, "i")} AS u3,
-       |    ${bitsSql("prod", seed + 1, "i")} AS pbits
+       |    ${bitsSql("prod", seed + 3, "i")} AS pbits
        |  FROM generate_series(1, $n) t(i)),
        |prod_c AS (
        |  SELECT *, ${choiceSql("u1", DataGen.categoryWeights)} AS category

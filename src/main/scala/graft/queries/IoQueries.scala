@@ -238,9 +238,13 @@ object IoQueries {
         |WHERE (doc_id % 4 + 1) * 320 >= 640
         |ORDER BY media_id""".stripMargin,
 
+    // decodeBatched drops null payloads by contract (a real FFI codec
+    // crashes on them), so the oracle mirrors the filter: one row per
+    // document WITH a payload, not one row per document.
     "m3_batched_decode" ->
       """SELECT doc_id AS media_id, 8 AS n_features, true AS in_range
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY media_id""".stripMargin,
 
     "m2_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx

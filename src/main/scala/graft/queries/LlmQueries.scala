@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
 /** Gate coverage for the LLM-data-pipeline operators (BASELINE.json north
   * star: dedup, similarity search, text analysis at scale).
   *
-  * Oracle-checked where DuckDB can recompute the math independently
-  * (token stats, language id, exact dedup, the Jaccard kernel, exact
-  * brute-force ANN); signature-based ops (MinHash-LSH, SimHash, embedding
-  * LSH) are rows-only here — their correctness evidence is LlmOpsSpec's
-  * planted-duplicate recall tests.
+  * Every query here is hash-oracled: DuckDB recomputes the math
+  * independently (token stats, language id, exact dedup, the Jaccard
+  * kernel, exact brute-force ANN), and since r5 the signature-based ops
+  * too — d3 (MinHash pairs), d4 (SimHash pairs), and d5 (embedding
+  * near-dup) replay the portable signatures in SQL. LlmOpsSpec's
+  * planted-duplicate recall tests pin the semantic layer on top.
   */
 object LlmQueries {
 
@@ -94,6 +95,23 @@ object LlmQueries {
       val fp = aggregate(codes, lit(7L),
         (acc, cd) => (acc * 131 + cd) % 1000000007L)
       docs.select(col("doc_id"), fp.as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deflate compression-ratio quality signal ------------------------
+    // ROWS-ONLY gate (no oracleSql entry): DuckDB has no zlib, so the
+    // ratio values cannot be hash-oracled — TextAnalysisSpec pins the
+    // semantics (repetitive ≪ random, empty = 1.0, null text → null,
+    // partitioning-invariance). This entry puts the mapPartitions path
+    // itself under the driver's eye: schema + row count per document,
+    // including derived rows whose KNOWN structure (one highly
+    // repetitive, one high-entropy per selected doc) the spec checks.
+    "t5_compression_signal" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val repetitive = base.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 30000L).as("doc_id"),
+          lit(Seq.fill(50)("repeat").mkString(" ")).as("text"))
+      TA.compressionRatio(base.unionByName(repetitive), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -316,8 +334,14 @@ object LlmQueries {
   private val ModelW = Seq(-2.0, -1.5, 0.8, 1.2, 0.6)
   private val ModelB = 0.1
   private def modelLogitSql: String = {
+    // The length feature must mirror the Spark side's explicit null-text
+    // guard: DuckDB least() SKIPS nulls (least(NULL, 1.0) = 1.0), so an
+    // unguarded coalesce(least(...), 0.0) would score a null-text doc 1.0
+    // where the Spark query scores it 0.0.
     val feats = Seq("punct_ratio", "digit_ratio", "(mean_tok_len / 10.0)",
-      "stopword_ratio", "least(length(text) / 1000.0, 1.0)")
+      "stopword_ratio",
+      "CASE WHEN text IS NULL THEN 0.0" +
+        " ELSE least(length(text) / 1000.0, 1.0) END")
     feats.zip(ModelW).foldLeft(ModelB.toString) {
       case (acc, (f, w)) => s"($acc + coalesce($f, 0.0) * $w)"
     }

@@ -242,7 +242,8 @@ class CurationSpec extends SparkSpec {
       (1L, "alpha beta gamma\nSHARED FOOTER LINE HERE\nok"),
       (2L, "delta\nSHARED FOOTER LINE HERE\nok"),
       (3L, "SHARED FOOTER LINE HERE"),
-      (4L, "unique line that stays\nanother unique one")
+      (4L, "unique line that stays\nanother unique one"),
+      (5L, null: String)
     ).toDF("doc_id", "text")
     val got = Curation.removeBoilerplate(docs, "doc_id", "text",
         maxDocs = 2, minChars = 10)
@@ -251,7 +252,8 @@ class CurationSpec extends SparkSpec {
       (1L, "alpha beta gamma\nok", 1L),   // footer in 3 docs > 2: gone
       (2L, "delta\nok", 1L),              // "ok" < minChars: never hot
       (3L, "", 1L),                       // all-boilerplate doc survives
-      (4L, "unique line that stays\nanother unique one", 0L)))
+      (4L, "unique line that stays\nanother unique one", 0L),
+      (5L, "", 0L)))                      // null text: 0 lines, not -1
   }
 
   test("removeBoilerplate: counting is per-DISTINCT-doc, not per-line") {
