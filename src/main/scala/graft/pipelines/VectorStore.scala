@@ -164,6 +164,58 @@ object VectorStore {
       .withColumnRenamed("id", "vec_id")
   }
 
+  /** Drift monitor: per-batch recall@k of the FROZEN quantizer against
+    * within-batch exact brute force — the trigger signal for the
+    * documented "re-train deliberately" operation (see the class doc).
+    * A batch whose vectors have drifted away from the frozen centroids
+    * lands in cells the probe ranking no longer finds, and its recall
+    * row decays; the seed batch is the healthy reference point.
+    *
+    * `queries` should be a SMALL representative set — e.g. a
+    * [[graft.operators.Curation.hashSample]] of recent traffic (few
+    * hundred rows, deterministic); the monitor broadcasts it and brute
+    * forces every (query, vector) pair ONCE over the store, so its cost
+    * is one scan of the store per run — a scheduled job, not a per-query
+    * tax. Recall is micro-averaged (Σ hits / Σ truth) from exact long
+    * counts — deterministic, unlike a double mean over per-query
+    * ratios whose accumulation order floats. */
+  def recallAtK(spark: SparkSession, dir: String, queries: DataFrame,
+      qidCol: String, qvecCol: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val qs = queries.select(col(qidCol).cast("long").as("qid"),
+      col(qvecCol).cast("array<double>").as("qvec"))
+    val vecs = spark.read.parquet(s"$dir/vectors")
+      .select(col("b"), col("cell"), col("id"), col("vec"))
+    def topkIds(scored: DataFrame): DataFrame = scored
+      .groupBy(col("b"), col("qid"))
+      .agg(graft.expressions.TopKByExpr.topkBy(
+        col("cosine").cast("double"), col("id").cast("long"), k)
+        .as("__tk"))
+      .select(col("b"), col("qid"),
+        explode(col("__tk").getField("id")).as("id"))
+    // ground truth: exact within-batch top-k (no cell pruning)
+    val exact = topkIds(vecs.crossJoin(broadcast(qs))
+      .withColumn("cosine", Similarity.cosine(col("vec"), col("qvec"))))
+    // frozen-quantizer path: the SAME probe ranking topK uses
+    val (cellRank, probed) = probePlan(spark, dir, qs, "qid", "qvec",
+      nprobe)
+    val approx = topkIds(vecs.filter(col("cell").isin(probed: _*))
+      .join(broadcast(cellRank), Seq("cell"))
+      .withColumn("cosine", Similarity.cosine(col("vec"), col("qvec"))))
+    exact.join(approx.withColumn("__hit", lit(1L)),
+        Seq("b", "qid", "id"), "left")
+      .groupBy(col("b"), col("qid"))
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_true")).cast("long").as("n_true"),
+        sum(col("n_hit")).cast("long").as("n_hit"))
+      .withColumn("recall_at_k",
+        col("n_hit").cast("double") / col("n_true"))
+      .withColumnRenamed("b", "batch")
+  }
+
   // ---- internals --------------------------------------------------------
 
   private def normalize(df: DataFrame, idCol: String,

@@ -405,8 +405,12 @@ object AnalyticQueries {
         .agg(sum(col("l_quantity")).as("ship_qty"))
         .filter(col("ship_qty") > 100)
         .select(col("l_suppkey")).distinct()
+      // broadcast the distinct big-shipper KEY SET: it is bounded by the
+      // supplier dimension's cardinality (keys only — ~8 MB at 100 TB),
+      // and broadcasting turns the semi join into a map-side filter
+      // instead of an Exchange+Sort over the whole supplier table
       su.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(bigShippers, col("s_suppkey") === col("l_suppkey"),
+        .join(broadcast(bigShippers), col("s_suppkey") === col("l_suppkey"),
           "left_semi")
         .select(col("s_suppkey"), col("s_name"))
         .orderBy(col("s_suppkey"))

@@ -290,6 +290,39 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- vector-store drift monitor (rows-only gate) ---------------------
+    // recallAtK compares the frozen quantizer's cell-pruned top-k with
+    // within-batch exact brute force, per batch — the re-train trigger.
+    // ROWS-ONLY (no oracleSql): the approx side depends on the trained
+    // centroids, which DuckDB cannot replay; VectorStoreSpec pins the
+    // semantics (full-probe recall ≡ 1.0, per-batch rows, micro
+    // averaging, and a straddling batch decaying under a starved probe).
+    "ann6_recall_monitor" -> ((s, d) => {
+      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
+      val dir = s"/tmp/graft_vstore_mon_$sfTag"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val data = annCorpus(s, d)
+      // PQ codebooks are trained but unused by the monitor — keep them
+      // minimal; the monitor's own cost model is one store scan per run
+      graft.pipelines.VectorStore.create(s, dir,
+        data.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        nCells = 8, m = 4, ksub = 8, ivfIters = 2, pqIters = 2)
+      graft.pipelines.VectorStore.append(s, dir,
+        data.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        batchTag = "b1")
+      // hash-sampled query set — the cu1 machinery on the vector ids
+      val queries = graft.operators.Curation.hashSample(data, "vec_id",
+          graft.operators.Curation.rateBound(0.1))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.pipelines.VectorStore.recallAtK(s, dir, queries, "qid", "qv",
+        k = 5, nprobe = 4)
+        .select(col("batch"), col("n_queries"), col("n_true"),
+          col("n_hit"), col("recall_at_k"))
+        .orderBy(col("batch"))
+    }),
+
     // ---- PQ ANN top-k (oracle: the same brute-force top-k) ----------------
     // Two-stage production shape: LUT scan over 8-byte codes keeps a
     // 50-candidate pool per query, exact cosine re-ranks the pool. The

@@ -151,6 +151,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "chunk_tokens(text, chunkSize, overlap) — sizes must be " +
             "integer literals")
       }))
+    // Persisted-vector-store ANN as a TABLE function: the store query
+    // is a relation (rank/vec_id/cosine rows), not a scalar, so it
+    // rides injectTableFunction — `SELECT * FROM vector_topk(dir,
+    // array(...), k, nprobe)`. The builder runs VectorStore.topK and
+    // splices its logical plan in; the probe planning (one bounded
+    // centroid job) runs at resolution time, which is the same
+    // control-plane cost the Scala API pays.
+    ext.injectTableFunction((FunctionIdentifier("vector_topk"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "vector_topk"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(Literal(dir, StringType),
+            arr: org.apache.spark.sql.catalyst.expressions.CreateArray,
+            Literal(k: Int, _), Literal(np: Int, _)) =>
+          val vec = arr.children.map {
+            case Literal(v: Double, _) => v
+            case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+            case Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+              v.toDouble
+            case Literal(v: Int, _) => v.toDouble
+            case Literal(v: Long, _) => v.toDouble
+            case other => throw new IllegalArgumentException(
+              s"vector_topk query-vector elements must be numeric " +
+                s"literals: $other")
+          }
+          val spark = org.apache.spark.sql.SparkSession.active
+          import spark.implicits._
+          val queries = Seq((0L, vec)).toDF("qid", "qv")
+          graft.pipelines.VectorStore
+            .topK(spark, String.valueOf(dir), queries, "qid", "qv", k, np)
+            .select("rank", "vec_id", "cosine")
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "vector_topk(dir, array(v1, v2, ...), k, nprobe) — dir, the " +
+            "vector elements, k and nprobe must be literals")
+      }))
     ext.injectOptimizerRule(_ => CollapseRedundantNormalization)
     // MERGE INTO for plain parquet tables (see MergeSql): rewrite the
     // parsed-but-unresolved MergeIntoTable before the analyzer rejects

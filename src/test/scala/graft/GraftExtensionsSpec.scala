@@ -95,6 +95,37 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("vector_topk table function queries a persisted store from SQL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vsql").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    graft.pipelines.VectorStore.create(spark, dir, emb, "vec_id",
+      "embedding", nCells = 4, m = 4, ksub = 8, ivfIters = 2, pqIters = 2)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Double]].head()
+    val vecSql = qv.map(v => s"${v}D").mkString("array(", ", ", ")")
+    val got = spark.sql(
+      s"SELECT rank, vec_id, cosine FROM vector_topk('$dir', $vecSql, 3, 4)")
+      .collect().toSeq
+    // probing every cell makes the SQL result the exact top-3; the
+    // query vector itself must come back at rank 1 with cosine 1
+    assert(got.size === 3)
+    assert(got.head.getInt(0) === 1 && got.head.getLong(1) === 0L &&
+      math.abs(got.head.getDouble(2) - 1.0) < 1e-12)
+    // equivalent Scala-API call returns the identical relation
+    val want = graft.pipelines.VectorStore.topK(spark, dir,
+        Seq((0L, qv)).toDF("qid", "qv"), "qid", "qv", k = 3, nprobe = 4)
+      .select("rank", "vec_id", "cosine").collect().toSeq
+    assert(got === want)
+    // non-literal config args are rejected with the documented message
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM vector_topk('$dir', $vecSql, 3, 1 + 1)")
+        .collect()
+    }
+  }
+
   test("redundant normalization chains collapse in the optimized plan") {
     def uppers(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : Int = {

@@ -137,6 +137,49 @@ class VectorStoreSpec extends SparkSpec {
     assert(res.count() === queries.count() * 5)
   }
 
+  test("recallAtK: full probe is exact; a straddling batch decays under " +
+      "a starved probe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vmon").toString
+    def v(x: Double, y: Double) = Seq(x, y, 0.0, 0.0)
+    // two clean clusters around e1 and e2; ids 1 and 2 sit in SEPARATE
+    // clusters so the lowest-id k-means init starts one centroid in each
+    val seed = (Seq((1L, v(1, 0.05)), (2L, v(0.05, 1))) ++
+      (3L to 10L).map(i => (i, v(1, 0.01 * i))) ++
+      (11L to 20L).map(i => (i, v(0.01 * i, 1))))
+      .toDF("vec_id", "embedding")
+    VectorStore.create(spark, dir, seed, "vec_id", "embedding",
+      nCells = 2, m = 2, ksub = 4, ivfIters = 5, pqIters = 2)
+    // the "drifted" batch straddles both cells: its true neighbor set
+    // for an e1-leaning query spans cells the starved probe won't visit
+    val drift = (Seq((101L, v(1, 0.11)), (102L, v(1, 0.12)),
+      (103L, v(1, 0.13)), (104L, v(0.11, 1)), (105L, v(0.12, 1)),
+      (106L, v(0.13, 1)))).toDF("vec_id", "embedding")
+    VectorStore.append(spark, dir, drift, "vec_id", "embedding", "drift")
+    val queries = Seq((1000L, v(1, 0.3))).toDF("qid", "qv")
+
+    // calibration point: probing EVERY cell must report perfect recall
+    // for every batch — anything else is a bug in the monitor itself
+    val full = VectorStore.recallAtK(spark, dir, queries, "qid", "qv",
+        k = 6, nprobe = 2)
+      .orderBy("batch")
+      .select("batch", "n_queries", "n_true", "n_hit", "recall_at_k")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(full === Seq(("drift", 1L, 6L, 6L, 1.0),
+      ("seed", 1L, 6L, 6L, 1.0)))
+
+    // starved probe (nprobe=1): the healthy seed batch stays at 1.0
+    // (its true top-6 lives entirely in the probed cell), while the
+    // straddling batch loses exactly its 3 other-cell neighbors
+    val starved = VectorStore.recallAtK(spark, dir, queries, "qid", "qv",
+        k = 6, nprobe = 1)
+      .orderBy("batch")
+      .select("batch", "n_true", "n_hit", "recall_at_k")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(starved === Seq(("drift", 6L, 3L, 0.5),
+      ("seed", 6L, 6L, 1.0)))
+  }
+
   test("second append stays consistent (three-batch lineage)") {
     val dir = java.nio.file.Files.createTempDirectory("vstore3").toString
     val b1 = emb.filter(col("vec_id") % 3 === 0)
