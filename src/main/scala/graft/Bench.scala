@@ -33,7 +33,7 @@ object Bench {
     // in the log would otherwise be undiagnosable from the artifacts.
     val warmupFailures = scala.collection.mutable.LinkedHashMap[String, String]()
     Tables.names.foreach { t =>
-      try Tables.load(spark, sfDir, t).limit(1).count()
+      try Tables.table(spark, sfDir, t).limit(1).count()
       catch { case e: Throwable =>
         warmupFailures(s"table:$t") = e.getClass.getSimpleName
         System.err.println(s"[bench] table touch failed for $t: " +

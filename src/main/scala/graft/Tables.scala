@@ -43,6 +43,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Name-dispatched loader that routes through the TYPED readers —
+    * `load("events")` without the nanosAsLong conf throws
+    * PARQUET_TYPE_ILLEGAL (this was the bench warm-up's anonymous
+    * aborted-job stack in rounds 5-6). */
+  def table(s: SparkSession, d: String, name: String): DataFrame =
+    name match {
+      case "events" => events(s, d)
+      case other => load(s, d, other)
+    }
+
   /** Exact (order-independent) sum of a double expression, surfaced as double. */
   def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(18, 4))).cast("double")

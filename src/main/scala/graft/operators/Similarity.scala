@@ -155,39 +155,67 @@ object Similarity {
 
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
 
-  /** Element-wise mean of grouped vectors via posexplode (combiner-
-    * friendly; one shuffle per iteration keyed by (cell, pos)). */
-  private def meanVectors(df: DataFrame, keyCol: String,
-      vecCol: String): DataFrame =
-    df.select(col(keyCol), posexplode(col(vecCol)))
-      .groupBy(col(keyCol), col("pos"))
-      .agg(avg(col("col").cast("double")).as("m"))
-      .groupBy(col(keyCol))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-        .as("pairs"))
-      .select(col(keyCol),
-        transform(col("pairs"), p => p.getField("m")).as("centroid"))
-
-  /** Build an IVF index: k-means with deterministic init (lowest ids) and
-    * a fixed small iteration count. Returns the data with a `cell` column
-    * and the centroid table (tiny, broadcastable). */
+  /** Build an IVF index: k-means trained on a BOUNDED deterministic
+    * sample (the `sampleCap` lowest-id vectors, like [[pqTrain]])
+    * entirely on the driver, then ONE full-data assignment pass.
+    *
+    * The r6 shape ran every k-means iteration as a full-data
+    * assignCells scan plus a two-stage (cell, pos) mean shuffle —
+    * iters full scans of a 100 TB corpus to position centroids whose
+    * quality only ever needed a sample. Sample-training is the
+    * FAISS-standard practice: the distributed work is exactly one
+    * scan (the final assignment), and centroid quality differs only
+    * within sampling error, never query semantics. The driver loop is
+    * O(sampleCap · nCells · dim) flops per iteration — milliseconds
+    * at the 10k default — and deterministic (lowest-id sample, ties
+    * toward the lowest cell, mirroring [[assignCells]]).
+    *
+    * Returns the data with a `cell` column and the centroid table
+    * (tiny, broadcastable). */
   def ivfBuild(data: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int = 3): IvfIndex = {
+      nCells: Int, iters: Int = 3, sampleCap: Int = 10000): IvfIndex = {
     val spark = data.sparkSession
     import spark.implicits._
-    // deterministic init: the nCells lowest-id vectors (tiny collect)
-    val init: Seq[(Long, Seq[Double])] = data.orderBy(col(idCol))
+    val sample: Array[Array[Double]] = data.orderBy(col(idCol))
       .filter(col(vecCol).isNotNull)
-      .limit(nCells).select(col(vecCol).cast("array<double>"))
-      .collect().toSeq.zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
-    require(init.nonEmpty,
+      .limit(math.max(nCells, sampleCap))
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
       s"ivfBuild: no non-null '$vecCol' vectors to seed centroids")
-    var centroids = init.toDF("cell", "centroid")
-    for (_ <- 0 until iters) {
-      val assigned = assignCells(data, idCol, vecCol, centroids)
-      centroids = meanVectors(assigned, "cell", vecCol)
+    val dim = sample(0).length
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var t = 0
+      while (t < dim) {
+        d += a(t) * b(t); na += a(t) * a(t); nb += b(t) * b(t); t += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else d / denom
     }
+    var cents: Array[Array[Double]] =
+      sample.take(nCells).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { p =>
+        var best = 0; var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val s = cos(p, cents(c))
+          if (s > bestS) { bestS = s; best = c } // ties → lowest cell
+          c += 1
+        }
+        var t = 0
+        while (t < dim) { sums(best)(t) += p(t); t += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+      }
+    }
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
     IvfIndex(assignCells(data, idCol, vecCol, centroids), centroids)
   }
 

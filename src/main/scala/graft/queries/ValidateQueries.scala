@@ -67,9 +67,68 @@ object ValidateQueries {
         Seq("l_extendedprice", "l_partkey", "l_quantity"))
         .orderBy(col("column"))
     }),
+
+    // ---- V9: identifier-injection guard ---------------------------------
+    // The guard is construction-time (driver-side), so the gate probes
+    // the REAL Identifiers.isSafe/requireSafe over a fixed candidate
+    // slate (safe, hostile, unicode, over-length, null) and the oracle
+    // recomputes accept/reject with DuckDB's independent regex engine
+    // plus the documented rejection-message format. The slate is shared
+    // with the generated oracle so the two sides cannot drift on INPUTS
+    // while staying independent on the LOGIC.
+    "v9_identifier_guard" -> ((s, _) => {
+      import s.implicits._
+      v9Candidates.map { case (id, nm) =>
+        val safe = Identifiers.isSafe(nm.orNull)
+        val reason =
+          if (safe) None
+          else Some(
+            try { Identifiers.requireSafe(nm.orNull); "unreachable" }
+            catch { case e: IllegalArgumentException => e.getMessage })
+        (id, nm, safe, reason)
+      }.toDF("cand_id", "name", "is_safe", "reason")
+        .orderBy(col("cand_id"))
+    }),
   )
 
+  /** V9 candidate slate: ids are the stable sort key (names contain
+    * nulls and near-duplicates). */
+  private[queries] val v9Candidates: Seq[(Int, Option[String])] = Seq(
+    1 -> Some("sales_fact"),
+    2 -> Some("COL$#_9"),
+    3 -> Some("a" * 128),            // exactly the length cap: safe
+    4 -> Some("a" * 129),            // one over: rejected
+    5 -> Some("drop table x; --"),   // classic injection shape
+    6 -> Some("név"),                // non-ASCII letter
+    7 -> Some(""),
+    8 -> None,                       // null name
+    9 -> Some("o'brien"),            // quote smuggling
+    10 -> Some("bad\tname"))         // control char
+
   def oracles: Map[String, String] = Map(
+    // DuckDB re-decides each candidate with ITS regex engine and
+    // reconstructs the rejection message from the documented format —
+    // independent recompute of the guard's logic over the shared slate.
+    "v9_identifier_guard" -> {
+      val rows = v9Candidates.map { case (id, nm) =>
+        val sqlName = nm.map(n => "'" + n.replace("'", "''") + "'")
+          .getOrElse("CAST(NULL AS VARCHAR)")
+        s"($id, $sqlName)"
+      }.mkString(",\n  ")
+      s"""WITH cand(cand_id, name) AS (VALUES
+         |  $rows)
+         |SELECT cand_id, name,
+         |  coalesce(regexp_matches(name, '^[A-Za-z0-9_$$#]{1,128}$$'),
+         |    false) AS is_safe,
+         |  CASE WHEN NOT coalesce(
+         |      regexp_matches(name, '^[A-Za-z0-9_$$#]{1,128}$$'), false)
+         |    THEN 'requirement failed: Unsafe table/column name ' ||
+         |      'rejected: ''' || coalesce(name, 'null') ||
+         |      '''. Only alphanumeric characters, _, $$, # are allowed.'
+         |  END AS reason
+         |FROM cand ORDER BY cand_id""".stripMargin
+    },
+
     "v1_check_suite" ->
       """WITH ev AS (
         |  SELECT event_id, ts, user_id, event_type, value,
