@@ -247,7 +247,16 @@ object Dedup {
     require(64 % chunks == 0, "chunks must divide 64")
     val width = 64 / chunks
     val mask = (1L << width) - 1
-    val chunked = sigs.select(col(idCol), col("simhash"),
+    // both sides of the candidate self-join branch from this frame;
+    // persisting it computes the signature ONCE per doc (16 bytes/row
+    // cached) instead of re-running the signature scan per branch —
+    // same mechanism and lifetime policy as minhashDupPairs' prepared
+    // frame: the cache lives until session LRU eviction (a library
+    // function cannot unpersist before the caller's action runs);
+    // callers cycling many corpora reclaim with catalog.clearCache()
+    val mat = sigs.select(col(idCol), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunked = mat.select(col(idCol), col("simhash"),
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("simhash"), c * width)
           .bitwiseAND(mask)): _*)))
@@ -279,9 +288,13 @@ object Dedup {
       threshold: Double = 0.95, planes: Int = 12,
       seed: Long = 42L, dim: Int = -1, probes: Int = 2): DataFrame = {
     val d = if (dim > 0) dim else Similarity.inferDim(df, vecCol)
+    // persisted for the same reason as simhashPairsFromSigs: both join
+    // sides branch from the bucketed frame, and without the cache each
+    // branch re-projects every vector against all `planes` hyperplanes
     val bucketed = df.select(col(idCol), col(vecCol),
       explode(Similarity.multiProbeBuckets(col(vecCol), d, planes, seed,
         probes)).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bucketed.select(col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("v_a"))
     val r = bucketed.select(col("bucket"), col(idCol).as("id_b"),

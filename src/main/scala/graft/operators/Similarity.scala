@@ -176,14 +176,18 @@ object Similarity {
       nCells: Int, iters: Int = 3, sampleCap: Int = 10000): IvfIndex = {
     val spark = data.sparkSession
     import spark.implicits._
-    val sample: Array[Array[Double]] = data.orderBy(col(idCol))
+    val raw: Array[Array[Double]] = data.orderBy(col(idCol))
       .filter(col(vecCol).isNotNull)
       .limit(math.max(nCells, sampleCap))
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty,
+    require(raw.nonEmpty,
       s"ivfBuild: no non-null '$vecCol' vectors to seed centroids")
-    val dim = sample(0).length
+    val dim = raw(0).length
+    // a truncated/ragged vector would index past its end in the tight
+    // training loops below — drop it from the TRAINING sample only
+    // (assignment still sees every row; Cosine handles length skew)
+    val sample = raw.filter(_.length == dim)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var t = 0
       while (t < dim) {

@@ -405,12 +405,15 @@ object AnalyticQueries {
         .agg(sum(col("l_quantity")).as("ship_qty"))
         .filter(col("ship_qty") > 100)
         .select(col("l_suppkey")).distinct()
-      // broadcast the distinct big-shipper KEY SET: it is bounded by the
-      // supplier dimension's cardinality (keys only — ~8 MB at 100 TB),
-      // and broadcasting turns the semi join into a map-side filter
-      // instead of an Exchange+Sort over the whole supplier table
+      // the big-shipper key set is usually tiny (suppliers moving >100
+      // qty of 'small%' parts) but scales with the SUPPLIER dimension —
+      // ~1e9 keys at SF100k — so a hard broadcast() hint here would be
+      // a driver-OOM cliff at scale. Left to AQE: it converts the semi
+      // join to broadcast at runtime exactly when the key set is small.
+      // (r6's 0.5→1.5 s move on this query was machine contention; the
+      // warm plan re-times at the r5 number.)
       su.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(bigShippers), col("s_suppkey") === col("l_suppkey"),
+        .join(bigShippers, col("s_suppkey") === col("l_suppkey"),
           "left_semi")
         .select(col("s_suppkey"), col("s_name"))
         .orderBy(col("s_suppkey"))

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
 /** Gate coverage for the LLM-data-pipeline operators (BASELINE.json north
   * star: dedup, similarity search, text analysis at scale).
   *
-  * Every query here is hash-oracled: DuckDB recomputes the math
-  * independently (token stats, language id, exact dedup, the Jaccard
-  * kernel, exact brute-force ANN), and since r5 the signature-based ops
-  * too — d3 (MinHash pairs), d4 (SimHash pairs), and d5 (embedding
-  * near-dup) replay the portable signatures in SQL. LlmOpsSpec's
+  * Hash-oracled throughout: DuckDB recomputes the math independently
+  * (token stats, language id, exact dedup, the Jaccard kernel, exact
+  * brute-force ANN), and since r5 the signature-based ops too — d3
+  * (MinHash pairs), d4 (SimHash pairs), and d5 (embedding near-dup)
+  * replay the portable signatures in SQL. Two rows-only exceptions:
+  * t5 (zlib has no DuckDB mirror) and ann6 (the recall monitor depends
+  * on trained centroids) — both spec-pinned instead. LlmOpsSpec's
   * planted-duplicate recall tests pin the semantic layer on top.
   */
 object LlmQueries {
@@ -100,16 +102,17 @@ object LlmQueries {
 
     // ---- deflate compression-ratio quality signal ------------------------
     // ROWS-ONLY gate (no oracleSql entry): DuckDB has no zlib, so the
-    // ratio values cannot be hash-oracled — TextAnalysisSpec pins the
-    // semantics (repetitive ≪ random, empty = 1.0, null text → null,
+    // ratio values cannot be hash-oracled — LlmOpsSpec pins the
+    // semantics (repetitive ≪ prose, empty = 1.0, null text → null,
     // partitioning-invariance). This entry puts the mapPartitions path
-    // itself under the driver's eye: schema + row count per document,
-    // including derived rows whose KNOWN structure (one highly
-    // repetitive, one high-entropy per selected doc) the spec checks.
+    // itself under the driver's eye: schema + one row per document,
+    // plus derived highly-repetitive rows (offset 1e9 — far above any
+    // real doc_id at any SF, unlike the +10000/+20000 offsets the
+    // small fixed-corpus gates use).
     "t5_compression_signal" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val repetitive = base.filter(col("doc_id") % 100 === 0)
-        .select((col("doc_id") + 30000L).as("doc_id"),
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
           lit(Seq.fill(50)("repeat").mkString(" ")).as("text"))
       TA.compressionRatio(base.unionByName(repetitive), "doc_id", "text")
         .orderBy(col("doc_id"))

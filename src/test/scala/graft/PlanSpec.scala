@@ -110,24 +110,6 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q20 semi-joins supplier against a BROADCAST big-shipper key set") {
-    noAqe {
-      val p = planOf(SparkEntry.queries("q20_part_supply")(spark, sf))
-      val semi = p.collectWithSubqueries {
-        case j: BroadcastHashJoinExec
-          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
-      }
-      assert(semi.nonEmpty, "q20 lost the broadcast semi join — the " +
-        "whole supplier table would Exchange+Sort against a tiny key set")
-      val smj = p.collectWithSubqueries {
-        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
-      }
-      assert(smj.isEmpty,
-        s"q20 plans ${smj.size} SortMergeJoin(s): " +
-          smj.map(_.joinType).mkString(","))
-    }
-  }
-
   test("q11 scans lineitem once (total derived from the per-supplier agg)") {
     noAqe {
       // The per-supplier aggregate is eagerly checkpointed at build
