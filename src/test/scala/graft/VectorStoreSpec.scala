@@ -137,6 +137,38 @@ class VectorStoreSpec extends SparkSpec {
     assert(res.count() === queries.count() * 5)
   }
 
+  test("random corpus: full-probe store query ≡ brute force; full-probe " +
+      "recall ≡ 1.0 — centroid-independent invariants") {
+    import spark.implicits._
+    // seeded random vectors: the invariant must hold for ANY data and
+    // ANY trained centroids, not just the planted-copy fixtures
+    val r = new scala.util.Random(7)
+    val nCells = 4
+    val corpus = (1L to 120L).map(i => (i, Seq.fill(8)(r.nextDouble() - 0.5)))
+    val dir = java.nio.file.Files.createTempDirectory("vrand").toString
+    val df = corpus.toDF("vec_id", "embedding")
+    VectorStore.create(spark, dir, df.filter(col("vec_id") <= 60),
+      "vec_id", "embedding", nCells = nCells, m = 4, ksub = 8,
+      ivfIters = 2, pqIters = 2)
+    VectorStore.append(spark, dir, df.filter(col("vec_id") > 60),
+      "vec_id", "embedding", "b1")
+    val queries = corpus.take(4)
+      .map { case (i, v) => (i + 500L, v.map(_ * 0.7)) }
+      .toDF("qid", "qv")
+    val got = VectorStore.topK(spark, dir, queries, "qid", "qv",
+        k = 7, nprobe = nCells)
+      .select("qid", "rank", "vec_id", "cosine").collect().toSet
+    val want = Similarity.bruteForceTopK(
+        df.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        queries, "qid", "qv", 7)
+      .select("qid", "rank", "vec_id", "cosine").collect().toSet
+    assert(got === want)
+    val rec = VectorStore.recallAtK(spark, dir, queries, "qid", "qv",
+        k = 7, nprobe = nCells)
+      .select("recall_at_k").as[Double].collect().toSeq
+    assert(rec.nonEmpty && rec.forall(_ === 1.0))
+  }
+
   test("recallAtK: full probe is exact; a straddling batch decays under " +
       "a starved probe") {
     import spark.implicits._
