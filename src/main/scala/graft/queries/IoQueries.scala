@@ -42,6 +42,22 @@ object IoQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- ORC round-trip (the other columnar interchange format) ----------
+    // write → read with Spark's built-in ORC source; the oracle is the
+    // source table itself, so type mapping (long/string/double/date),
+    // null preservation, and value fidelity are all under the hash.
+    "io2_orc_roundtrip" -> ((s, d) => {
+      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
+      val path = s"/tmp/graft_orc_roundtrip_$sfTag"
+      Tables.orders(s, d).select(col("o_orderkey"),
+          when(col("o_orderkey") % 9 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path).orderBy(col("o_orderkey"))
+    }),
+
     // ---- JSONL round-trip (corpus interchange format) --------------------
     // write → explicit-schema read; the oracle is the source table, so
     // any serialization loss (escaping, unicode, nulls, int width)
@@ -211,6 +227,14 @@ object IoQueries {
     "io1_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "io2_orc_roundtrip" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 9 = 0 THEN NULL
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "s5_ledger_loop" ->
       """SELECT o_orderkey,

@@ -62,6 +62,48 @@ object WindowQueries {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // ---- ranking family: two windows on purpose -------------------------
+    // rank/dense_rank/percent_rank/cume_dist run over the VALUE order
+    // alone (deterministic under ties by definition); row_number/ntile
+    // need a total order, so they ride a tie-broken window. A unique
+    // tie-break on the rank family would degenerate rank ≡ row_number
+    // and stop exercising tie semantics at all.
+    "w5_rank_funcs" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val wp = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("__p").desc)
+      val wu = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("__p").desc, col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+          dec2(col("o_totalprice")).as("__p"))
+        .withColumn("rn", row_number().over(wu))
+        .withColumn("rk", rank().over(wp))
+        .withColumn("drk", dense_rank().over(wp))
+        .withColumn("pr", percent_rank().over(wp))
+        .withColumn("cd", cume_dist().over(wp))
+        .withColumn("nt", ntile(4).over(wu))
+        .withColumn("price", col("__p").cast("double")).drop("__p")
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // ---- GROUPING SETS with grouping() flags (SQL-text surface) ---------
+    "g3_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_g3")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          |    AS sum_price
+          |FROM orders_g3
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |  (o_orderstatus, o_orderpriority), ())
+          |ORDER BY g_status, g_prio,
+          |  o_orderstatus ASC NULLS FIRST,
+          |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
     // ---- UNPIVOT/stack: wide per-flag sums melted to (metric, value) ----
     "u1_unpivot" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -184,6 +226,37 @@ object WindowQueries {
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "w5_rank_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS price,
+        |  CAST(ROW_NUMBER() OVER wu AS INTEGER) AS rn,
+        |  CAST(RANK() OVER wp AS INTEGER) AS rk,
+        |  CAST(DENSE_RANK() OVER wp AS INTEGER) AS drk,
+        |  PERCENT_RANK() OVER wp AS pr,
+        |  CUME_DIST() OVER wp AS cd,
+        |  CAST(NTILE(4) OVER wu AS INTEGER) AS nt
+        |FROM orders
+        |WINDOW
+        |  wp AS (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_totalprice AS DECIMAL(15,2)) DESC),
+        |  wu AS (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_totalprice AS DECIMAL(15,2)) DESC, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "g3_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "u1_unpivot" ->
       """WITH w AS (
