@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: pair each left POINT with every right
+  * INTERVAL `[lo, hi)` that contains it — price-band tagging, IP-range
+  * lookup, numeric-bucket enrichment.
+  *
+  * Spark plans the theta spelling (`p >= lo AND p < hi`) as a
+  * broadcast-nested-loop when one side is small and a cartesian when
+  * neither is — O(points · intervals) compares either way, which does
+  * not survive 100 TB. The scalable form bins the domain at
+  * `bucketWidth`: every interval explodes to the buckets it covers
+  * (span/width + 1 rows — bounded when spans are bounded), every point
+  * computes its single bucket, and a (point, interval) pair co-occurs
+  * in EXACTLY the point's bucket, so the bucket equi-join has per-pair
+  * multiplicity one — no dedup pass — and the exact containment filter
+  * runs only on co-bucketed candidates. Shuffle is keyed on the bucket;
+  * pick `bucketWidth` near the median interval span so interval
+  * replication stays ≈2×.
+  */
+object RangeJoin {
+
+  /** Inner range join. Null points/bounds and empty intervals
+    * (`lo > hi`) never match, mirroring SQL predicate semantics.
+    * `maxBucketsPerInterval` fails LOUDLY (assert_true) on an interval
+    * that would explode into more buckets than that — a mis-sized
+    * bucketWidth against a wild interval silently becoming a
+    * row-multiplication storm is the failure mode this guards.
+    *
+    * A left-outer variant is `points.join(result, keys, "left_anti")
+    * unioned back` — kept out of the operator so the inner path stays
+    * one join. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Double,
+      maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0: $bucketWidth")
+    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+    val pb = points.filter(col(pointCol).isNotNull)
+      .withColumn("__bucket", bucketOf(col(pointCol)))
+    // the guard rides INSIDE the explode input (a dropped assert column
+    // would be pruned away by the optimizer): intervals within the cap
+    // take the sequence branch; one over it raises before exploding
+    val nb = bucketOf(col(hiCol)) - bucketOf(col(loCol)) + 1L
+    val guarded = when(nb <= maxBucketsPerInterval,
+      sequence(bucketOf(col(loCol)), bucketOf(col(hiCol))))
+      .otherwise(raise_error(concat(
+        lit("rangeJoin: interval explodes into "), nb.cast("string"),
+        lit(s" buckets (> $maxBucketsPerInterval) at bucketWidth=" +
+          s"$bucketWidth — widen bucketWidth or raise the cap"))))
+    val ib = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) <= col(hiCol))
+      .withColumn("__bucket", explode(guarded))
+    pb.join(ib, Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket")
+  }
+}

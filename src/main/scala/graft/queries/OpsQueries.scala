@@ -196,6 +196,24 @@ object OpsQueries {
         .orderBy(col("month"))
     }),
 
+    // ---- Bucketed range join (oracle: the plain theta join) -------------
+    // Overlapping price bands so multi-match multiplicity is exercised;
+    // the oracle spells the O(n·m) predicate DuckDB can afford at gate
+    // scale — the operator's bucket rewrite must be result-identical.
+    "rj1_range_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = (0 until 12).map { i =>
+        (i.toLong, i * 15000.0, i * 15000.0 + 40000.0)
+      }.toDF("band_id", "lo", "hi")
+      val points = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.operators.RangeJoin.rangeJoin(points, bands,
+          "o_totalprice", "lo", "hi", bucketWidth = 20000.0)
+        .select(col("band_id"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("band_id"), col("o_orderkey"))
+    }),
+
     // ---- Lookup-dim upsert (snowflake maintenance) ----------------------
     "lookup_dim_upsert" -> ((s, d) => {
       val p = Tables.part(s, d)
@@ -221,6 +239,17 @@ object OpsQueries {
       |ORDER BY o_orderpriority""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "rj1_range_join" ->
+      """WITH bands AS (
+        |  SELECT CAST(i AS BIGINT) AS band_id,
+        |    CAST(i * 15000 AS DOUBLE) AS lo,
+        |    CAST(i * 15000 + 40000 AS DOUBLE) AS hi
+        |  FROM generate_series(0, 11) t(i))
+        |SELECT band_id, o_orderkey, o_totalprice
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |ORDER BY band_id, o_orderkey""".stripMargin,
+
     "sk1_salted_join" -> plainJoinAggSql,
     "sk2_skew_split_join" -> plainJoinAggSql,
     "sk3_bloom_join" ->

@@ -110,6 +110,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("rj1 range join plans an equi-join, never a nested loop") {
+    noAqe {
+      val p = planOf(SparkEntry.queries("rj1_range_join")(spark, sf))
+      val bad = p.collectWithSubqueries {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => j
+      }
+      assert(bad.isEmpty, "range join degenerated into " +
+        bad.map(_.nodeName).mkString(",") +
+        " — the O(n·m) shape the bucket rewrite exists to avoid")
+    }
+  }
+
   test("q11 scans lineitem once (total derived from the per-supplier agg)") {
     noAqe {
       // The per-supplier aggregate is eagerly checkpointed at build
