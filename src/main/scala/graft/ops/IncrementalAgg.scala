@@ -75,4 +75,35 @@ object IncrementalAgg {
     }
     joined.select((outKeys :+ outN) ++ outMeasures: _*)
   }
+
+  // ---- mergeable DISTINCT via HLL sketches --------------------------------
+
+  /** COUNT(DISTINCT) is the one summary aggregate the exact path cannot
+    * maintain incrementally — it needs the full key domain re-shuffled
+    * every refresh. Its HLL sketch IS decomposable: store one binary
+    * sketch per summary-grain row and union sketches at read/maintain
+    * time, so a rolling "distinct customers this quarter" stays
+    * O(delta) at 100 TB. Estimate error ≈ 1.04/√2^lgK (~1.6% at the
+    * lgK=12 default, 4 KB/row). Sketches over DISJOINT deltas union to
+    * the same registers as one pass over the whole, so incremental ≡
+    * recompute EXACTLY — the same estimate, not merely within error
+    * (spec-pinned in IncrementalAggSpec). */
+  def sketchSummarize(rows: DataFrame, keys: Seq[String],
+      distinctCol: String, lgK: Int = 12): DataFrame =
+    rows.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(distinctCol), lit(lgK))
+        .as(s"${distinctCol}_sketch"))
+
+  /** Union sketch rows up to a coarser grain (`keys` ⊂ the summarize
+    * grain). The output column keeps the sketch name, so rollups chain
+    * (day → month → quarter) without re-touching fact rows. */
+  def sketchRollup(sketches: DataFrame, keys: Seq[String],
+      sketchCol: String): DataFrame =
+    sketches.groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col(sketchCol), lit(false)).as(sketchCol))
+
+  /** Read-time estimate of a sketch column. */
+  def sketchEstimate(df: DataFrame, sketchCol: String,
+      as: String): DataFrame =
+    df.withColumn(as, hll_sketch_estimate(col(sketchCol)))
 }

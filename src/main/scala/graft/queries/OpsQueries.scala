@@ -214,6 +214,34 @@ object OpsQueries {
         .orderBy(col("band_id"), col("o_orderkey"))
     }),
 
+    // ---- Mergeable-distinct sketches (v8b's self-verifying form) --------
+    // Daily HLL sketches of the customer key union up to months; the
+    // gate outputs the EXACT per-month distinct (hash-checked against
+    // DuckDB) plus a boolean pinning the sketch estimate within ±5%+1 —
+    // an estimator drifting out of bound flips the boolean and breaks
+    // the hash. The union-≡-whole exactness is IncrementalAggSpec's.
+    "hll1_sketch_distinct" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd")
+          .as("day"),
+        date_format(col("o_orderdate").cast("date"), "yyyy-MM")
+          .as("month"),
+        col("o_custkey"))
+      val daily = IncrementalAgg.sketchSummarize(o, Seq("day", "month"),
+        "o_custkey")
+      val monthly = IncrementalAgg.sketchEstimate(
+        IncrementalAgg.sketchRollup(daily, Seq("month"),
+          "o_custkey_sketch"),
+        "o_custkey_sketch", "est")
+      val exact = o.groupBy(col("month"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      monthly.join(exact, "month")
+        .select(col("month"), col("n_exact"),
+          (abs(col("est") - col("n_exact")).cast("double") <=
+            col("n_exact") * 0.05 + 1.0).as("in_bound"))
+        .orderBy(col("month"))
+    }),
+
     // ---- Lookup-dim upsert (snowflake maintenance) ----------------------
     "lookup_dim_upsert" -> ((s, d) => {
       val p = Tables.part(s, d)
@@ -249,6 +277,12 @@ object OpsQueries {
         |FROM orders JOIN bands
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |ORDER BY band_id, o_orderkey""".stripMargin,
+
+    "hll1_sketch_distinct" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |  COUNT(DISTINCT o_custkey) AS n_exact,
+        |  true AS in_bound
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
 
     "sk1_salted_join" -> plainJoinAggSql,
     "sk2_skew_split_join" -> plainJoinAggSql,

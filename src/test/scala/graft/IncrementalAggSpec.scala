@@ -51,4 +51,29 @@ class IncrementalAggSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq
     assert(got === Seq(("a", 2L, 3.0), ("b", 2L, 6.0), ("c", 1L, 9.0)))
   }
+
+  test("sketch distinct: union of disjoint deltas ≡ one-pass sketch " +
+      "exactly; estimate lands in bound") {
+    import spark.implicits._
+    val o = Tables.orders(spark, "/root/testdata/sf0.001").select(
+      (col("o_orderkey") % 5).as("batch"), lit("all").as("grain"),
+      col("o_custkey"))
+    // five disjoint "daily" sketches rolled up to one grain
+    val daily = IncrementalAgg.sketchSummarize(o, Seq("batch", "grain"),
+      "o_custkey")
+    val rolled = IncrementalAgg.sketchEstimate(
+      IncrementalAgg.sketchRollup(daily, Seq("grain"), "o_custkey_sketch"),
+      "o_custkey_sketch", "est")
+      .select("est").as[Long].head()
+    // one pass over the whole input — must be the SAME estimate, not
+    // merely close: disjoint-delta union reproduces identical registers
+    val whole = IncrementalAgg.sketchEstimate(
+      IncrementalAgg.sketchSummarize(o, Seq("grain"), "o_custkey"),
+      "o_custkey_sketch", "est")
+      .select("est").as[Long].head()
+    assert(rolled === whole)
+    val exact = o.select("o_custkey").distinct().count()
+    assert(math.abs(rolled - exact) <= exact * 0.05 + 1,
+      s"estimate $rolled vs exact $exact")
+  }
 }
