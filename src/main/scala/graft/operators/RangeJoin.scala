@@ -22,27 +22,46 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Inner range join. Null points/bounds and empty intervals
-    * (`lo > hi`) never match, mirroring SQL predicate semantics.
-    * `maxBucketsPerInterval` fails LOUDLY (assert_true) on an interval
-    * that would explode into more buckets than that — a mis-sized
-    * bucketWidth against a wild interval silently becoming a
-    * row-multiplication storm is the failure mode this guards.
+  /** Inner range join. Never-matching interval rows — null bounds,
+    * empty (`lo > hi`), and NON-FINITE bounds (NaN/±Inf, whose bucket
+    * arithmetic is meaningless: `cast(NaN as long)` is 0 and ±Inf
+    * saturates to Long.Min/MaxValue) — are dropped up front; a NaN/Inf
+    * POINT keeps SQL semantics through the containment filter (it can
+    * satisfy `p < hi` for no finite hi). `maxBucketsPerInterval` fails
+    * LOUDLY (raise_error) on an interval that would explode into more
+    * buckets than that — a mis-sized bucketWidth against a wild
+    * interval silently becoming a row-multiplication storm is the
+    * failure mode this guards.
     *
-    * A left-outer variant is `points.join(result, keys, "left_anti")
-    * unioned back` — kept out of the operator so the inner path stays
-    * one join. */
+    * The two inputs must not share column names (the output carries
+    * both sides' columns), and neither may already contain the
+    * internal `__bucket` column. A left-outer variant is
+    * `points.join(result, keys, "left_anti")` unioned back — kept out
+    * of the operator so the inner path stays one join. */
   def rangeJoin(points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
       bucketWidth: Double,
       maxBucketsPerInterval: Int = 10000): DataFrame = {
-    require(bucketWidth > 0, s"bucketWidth must be > 0: $bucketWidth")
+    require(bucketWidth > 0 && !bucketWidth.isInfinite,
+      s"bucketWidth must be finite and > 0: $bucketWidth")
+    val overlap = points.columns.toSet intersect intervals.columns.toSet
+    require(overlap.isEmpty,
+      s"rangeJoin: both inputs carry ${overlap.mkString(", ")} — the " +
+        "output holds both sides' columns, rename before joining")
+    require(!(points.columns ++ intervals.columns).contains("__bucket"),
+      "rangeJoin: '__bucket' is reserved for the internal bucket key")
     def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+    // between(-MaxValue, MaxValue) is false for NaN and both infinities
+    // under Spark's NaN-largest ordering — one predicate, three holes
+    def finite(c: Column): Column =
+      c.between(-Double.MaxValue, Double.MaxValue)
     val pb = points.filter(col(pointCol).isNotNull)
       .withColumn("__bucket", bucketOf(col(pointCol)))
     // the guard rides INSIDE the explode input (a dropped assert column
     // would be pruned away by the optimizer): intervals within the cap
-    // take the sequence branch; one over it raises before exploding
+    // take the sequence branch; one over it raises before exploding.
+    // Post-filter, lo <= hi and both finite ⇒ nb >= 1, so the cap
+    // check is the only branch condition needed.
     val nb = bucketOf(col(hiCol)) - bucketOf(col(loCol)) + 1L
     val guarded = when(nb <= maxBucketsPerInterval,
       sequence(bucketOf(col(loCol)), bucketOf(col(hiCol))))
@@ -52,6 +71,7 @@ object RangeJoin {
           s"$bucketWidth — widen bucketWidth or raise the cap"))))
     val ib = intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        finite(col(loCol)) && finite(col(hiCol)) &&
         col(loCol) <= col(hiCol))
       .withColumn("__bucket", explode(guarded))
     pb.join(ib, Seq("__bucket"))

@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.RangeJoin
 
-/** Bucketed range join must equal the theta join for EVERY input —
-  * bucketing is an execution strategy, never a semantics change. */
+/** Bucketed range join must equal the theta join for every input with
+  * finite interval bounds — bucketing is an execution strategy, never a
+  * semantics change. (Non-finite bounds are dropped up front as
+  * never-matching: their bucket arithmetic is meaningless.) */
 class RangeJoinSpec extends SparkSpec {
 
   import spark.implicits._
@@ -30,18 +32,38 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
-  test("null and empty intervals never match; boundary is [lo, hi)") {
+  test("null, empty, and non-finite intervals never match; [lo, hi)") {
     val points = Seq((1L, 10.0), (2L, 20.0), (3L, Double.NaN))
       .toDF("pid", "p")
     val intervals = Seq(
-      (1L, Some(10.0), Some(20.0)),  // [10,20): matches p=10 only
-      (2L, Some(30.0), Some(5.0)),   // empty (lo > hi)
-      (3L, None, Some(50.0)),        // null lo
-      (4L, Some(0.0), None)          // null hi
+      (1L, Some(10.0), Some(20.0)),             // [10,20): p=10 only
+      (2L, Some(30.0), Some(5.0)),              // empty (lo > hi)
+      (3L, None, Some(50.0)),                   // null lo
+      (4L, Some(0.0), None),                    // null hi
+      (5L, Some(0.0), Some(Double.NaN)),        // NaN bound: bucket
+      (6L, Some(Double.NegativeInfinity),       //   arithmetic is
+        Some(50.0)),                            //   meaningless —
+      (7L, Some(0.0),                           //   dropped up front,
+        Some(Double.PositiveInfinity))          //   never exploded
     ).toDF("iid", "lo", "hi")
     val got = RangeJoin.rangeJoin(points, intervals, "p", "lo", "hi", 5.0)
       .select("pid", "iid").as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 1L)))
+  }
+
+  test("shared column names and reserved __bucket are rejected up front") {
+    val points = Seq((1L, 5.0)).toDF("id", "p")
+    val sameName = Seq((1L, 0.0, 10.0)).toDF("id", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(points, sameName, "p", "lo", "hi", 5.0)
+    }
+    assert(e.getMessage.contains("rename before joining"))
+    val reserved = Seq((1L, 0.0, 10.0, 0L)).toDF("iid", "lo", "hi",
+      "__bucket")
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(points, reserved, "p", "lo", "hi", 5.0)
+    }
+    assert(e2.getMessage.contains("__bucket"))
   }
 
   test("an interval over the bucket cap fails loudly, not by explosion") {
