@@ -78,4 +78,52 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join: pair every left interval `[aLo, aHi)` with
+    * every right interval `[bLo, bHi)` they intersect — session
+    * overlap, campaign attribution, downtime correlation.
+    *
+    * Both sides explode to their covered buckets like [[rangeJoin]],
+    * but an overlapping pair co-occurs in EVERY shared bucket, so the
+    * naive equi-join multiplies matches. The standard dedup-free trick:
+    * a pair is counted only in the bucket of `max(aLo, bLo)` — the
+    * overlap's left edge, which both sides provably cover — so the
+    * equi-join plus that one extra predicate has multiplicity one and
+    * no distinct pass. Same guards and non-finite semantics as
+    * [[rangeJoin]]; overlap is the half-open `max(lo) < min(hi)`. */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+      aLoCol: String, aHiCol: String, bLoCol: String, bHiCol: String,
+      bucketWidth: Double,
+      maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(bucketWidth > 0 && !bucketWidth.isInfinite,
+      s"bucketWidth must be finite and > 0: $bucketWidth")
+    val overlapCols = left.columns.toSet intersect right.columns.toSet
+    require(overlapCols.isEmpty,
+      s"overlapJoin: both inputs carry ${overlapCols.mkString(", ")} — " +
+        "the output holds both sides' columns, rename before joining")
+    require(!(left.columns ++ right.columns).contains("__bucket"),
+      "overlapJoin: '__bucket' is reserved for the internal bucket key")
+    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+    def finite(c: Column): Column =
+      c.between(-Double.MaxValue, Double.MaxValue)
+    def exploded(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val nb = bucketOf(col(hi)) - bucketOf(col(lo)) + 1L
+      val guarded = when(nb <= maxBucketsPerInterval,
+        sequence(bucketOf(col(lo)), bucketOf(col(hi))))
+        .otherwise(raise_error(concat(
+          lit("overlapJoin: interval explodes into "), nb.cast("string"),
+          lit(s" buckets (> $maxBucketsPerInterval) at bucketWidth=" +
+            s"$bucketWidth — widen bucketWidth or raise the cap"))))
+      df.filter(col(lo).isNotNull && col(hi).isNotNull &&
+          finite(col(lo)) && finite(col(hi)) && col(lo) <= col(hi))
+        .withColumn("__bucket", explode(guarded))
+    }
+    exploded(left, aLoCol, aHiCol)
+      .join(exploded(right, bLoCol, bHiCol), Seq("__bucket"))
+      .filter(greatest(col(aLoCol), col(bLoCol)) <
+        least(col(aHiCol), col(bHiCol)))
+      .filter(col("__bucket") ===
+        bucketOf(greatest(col(aLoCol), col(bLoCol))))
+      .drop("__bucket")
+  }
 }

@@ -214,6 +214,27 @@ object OpsQueries {
         .orderBy(col("band_id"), col("o_orderkey"))
     }),
 
+    // ---- Interval-overlap join (oracle: the plain theta overlap) --------
+    // Order activity windows [day, day + 1 + key%7) against campaign
+    // windows that deliberately overlap EACH OTHER (width 250, spacing
+    // 200), so multi-campaign matches exercise the multiplicity-one
+    // bucket assignment.
+    "oj1_overlap_join" -> ((s, d) => {
+      import s.implicits._
+      val a = Tables.orders(s, d).select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("double").as("alo"))
+        .withColumn("ahi",
+          col("alo") + (col("o_orderkey") % 7 + 1).cast("double"))
+      val b = (0 until 12).map { i =>
+        (i.toLong, 9100.0 + i * 200.0, 9100.0 + i * 200.0 + 250.0)
+      }.toDF("camp_id", "blo", "bhi")
+      graft.operators.RangeJoin.overlapJoin(a, b, "alo", "ahi",
+          "blo", "bhi", bucketWidth = 100.0)
+        .select(col("camp_id"), col("o_orderkey"))
+        .orderBy(col("camp_id"), col("o_orderkey"))
+    }),
+
     // ---- Mergeable-distinct sketches (v8b's self-verifying form) --------
     // Daily HLL sketches of the customer key union up to months; the
     // gate outputs the EXACT per-month distinct (hash-checked against
@@ -277,6 +298,23 @@ object OpsQueries {
         |FROM orders JOIN bands
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |ORDER BY band_id, o_orderkey""".stripMargin,
+
+    "oj1_overlap_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |      AS DOUBLE) AS alo,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |      + (o_orderkey % 7) + 1 AS DOUBLE) AS ahi
+        |  FROM orders),
+        |b AS (
+        |  SELECT CAST(i AS BIGINT) AS camp_id,
+        |    CAST(9100 + i * 200 AS DOUBLE) AS blo,
+        |    CAST(9100 + i * 200 + 250 AS DOUBLE) AS bhi
+        |  FROM generate_series(0, 11) t(i))
+        |SELECT camp_id, o_orderkey
+        |FROM a JOIN b ON greatest(alo, blo) < least(ahi, bhi)
+        |ORDER BY camp_id, o_orderkey""".stripMargin,
 
     "hll1_sketch_distinct" ->
       """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,

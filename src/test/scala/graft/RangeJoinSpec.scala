@@ -51,6 +51,27 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Set((1L, 1L)))
   }
 
+  test("overlapJoin equals the theta overlap join on seeded random " +
+      "intervals — multiset equality (multiplicity one)") {
+    val r = new scala.util.Random(13)
+    def mk(n: Int, prefix: String) = (1L to n.toLong).map { i =>
+      val lo = r.nextDouble() * 800 - 100
+      (i, lo, lo + r.nextDouble() * 90)
+    }.toDF(s"${prefix}id", s"${prefix}lo", s"${prefix}hi")
+    val a = mk(80, "a")
+    val b = mk(60, "b")
+    for (width <- Seq(11.0, 100.0, 2000.0)) {
+      val got = RangeJoin.overlapJoin(a, b, "alo", "ahi", "blo", "bhi",
+          bucketWidth = width)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      val want = a.join(b,
+          greatest(col("alo"), col("blo")) <
+            least(col("ahi"), col("bhi")))
+        .select("aid", "bid").as[(Long, Long)].collect()
+      assert(got.sorted.toSeq === want.sorted.toSeq, s"width=$width")
+    }
+  }
+
   test("shared column names and reserved __bucket are rejected up front") {
     val points = Seq((1L, 5.0)).toDF("id", "p")
     val sameName = Seq((1L, 0.0, 10.0)).toDF("id", "lo", "hi")
