@@ -304,6 +304,32 @@ object Curation {
       -hashDraw(col(idCol)).cast("double"), k)
       .select(col(groupCol), col("rank"), col(idCol))
 
+  /** Weight-proportional sample WITHOUT replacement of exactly
+    * min(k, positive-weight rows) per group — "sample by quality
+    * score" curation, where a doc's chance of selection scales with
+    * `weight` (Efraimidis–Spirakis A-ES: keep the k largest
+    * u^(1/w), ranked here by the monotone-equivalent ln(u)/w).
+    *
+    * Deterministic on any partitioning/engine: u = (draw+0.5)/2^32 is
+    * a dyadic rational of the md5 [[hashDraw]] (exactly representable,
+    * identical in DuckDB), and w should be an integer-valued column
+    * (char counts, token counts) so the division is one exactly-
+    * rounded IEEE op. `ln` is the lone libm call; a cross-engine flip
+    * needs two keys within ~1 ulp, vanishing for continuous draws.
+    * Rows with null/non-positive weight are never sampled (w <= 0 has
+    * no A-ES key). Skew-immune like [[uniformGroupSample]]: rides the
+    * bounded [[graft.expressions.TopKBy]] aggregate, at most k rows
+    * per (map task, group) reach the shuffle. Returns (groupCol,
+    * rank 1..k heaviest-first tendency, idCol); join back on idCol
+    * for payloads. */
+  def weightedGroupSample(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, k: Int): DataFrame = {
+    val u = (hashDraw(col(idCol)).cast("double") + 0.5) / 4294967296.0
+    perGroupCap(df.filter(weight.isNotNull && weight > 0),
+      groupCol, idCol, log(u) / weight.cast("double"), k)
+      .select(col(groupCol), col("rank"), col(idCol))
+  }
+
   // -------------------------------------------------------------------
   // Sequence packing (token-budget offsets)
   // -------------------------------------------------------------------

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.expressions.FreqSketchExpr
 import graft.operators.{Curation, Dedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -154,6 +155,34 @@ object CurationQueries {
         .orderBy(col("n").desc, col("term")).limit(20)
     }),
 
+    // ---- mergeable heavy-hitters sketch (Misra–Gries) ---------------------
+    // Exact top-10 terms (hash-checked vs DuckDB) joined against a
+    // k=64 freq_sketch of the same stream; the booleans assert the MG
+    // bound est <= true <= est + (N - M)/(k+1), which holds under
+    // EVERY partial-merge order — the same self-verifying gate shape
+    // as hll1. A sketch that overcounts, loses a guaranteed heavy
+    // hitter, or mis-merges flips a boolean and breaks the hash.
+    "t6_heavy_hitters" -> ((s, d) => {
+      val terms = Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      val sk = terms.agg(
+        FreqSketchExpr.freqSketch(col("term"), 64).as("sk"),
+        count(lit(1)).as("n_total"))
+      val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term")).limit(10)
+      exact.crossJoin(broadcast(sk))
+        .withColumn("est", coalesce(
+          element_at(map_from_entries(col("sk")), col("term")), lit(0L)))
+        .withColumn("retained", aggregate(col("sk"), lit(0L),
+          (acc, e) => acc + e.getField("est")))
+        .select(col("term"), col("n_exact"),
+          (col("est") <= col("n_exact")).as("under_est"),
+          ((col("n_exact") - col("est")).cast("double") <=
+            (col("n_total") - col("retained")).cast("double") / 65.0)
+            .as("in_bound"))
+        .orderBy(col("n_exact").desc, col("term"))
+    }),
+
     // ---- long-diameter components via large-star/small-star --------------
     // A chain of consecutive doc_ids broken at every multiple of 100 —
     // diameter ~100 components where per-round label propagation needs
@@ -175,6 +204,16 @@ object CurationQueries {
     "cu11_group_sample" -> ((s, d) => {
       Curation.uniformGroupSample(Tables.documents(s, d), "source",
           "doc_id", k = 7)
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    // ---- weighted per-group sample (A-ES) ---------------------------------
+    // 5 docs per source, selection probability ∝ UTF-8 byte length —
+    // the oracle replays the exact A-ES key ln((draw+0.5)/2^32)/w and
+    // ranking in DuckDB (strlen = Spark octet_length = UTF-8 bytes).
+    "cu13_weighted_sample" -> ((s, d) => {
+      Curation.weightedGroupSample(Tables.documents(s, d), "source",
+          "doc_id", octet_length(col("text")), k = 5)
         .orderBy(col("source"), col("rank"))
     }),
 
@@ -320,6 +359,17 @@ object CurationQueries {
         |WHERE rank <= 7
         |ORDER BY source, rank""".stripMargin,
 
+    "cu13_weighted_sample" ->
+      """SELECT source, rank, doc_id FROM (
+        |  SELECT source, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY
+        |      ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS UBIGINT) + 0.5) / 4294967296.0)
+        |      / strlen(text) DESC, doc_id) AS INT) AS rank
+        |  FROM documents WHERE strlen(text) > 0)
+        |WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
+
     "cu9_boilerplate" ->
       """WITH docs AS (
         |  SELECT doc_id, text ||
@@ -438,6 +488,15 @@ object CurationQueries {
         |    AS term
         |  FROM documents) t
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "t6_heavy_hitters" ->
+      """SELECT term, n_exact, true AS under_est, true AS in_bound FROM (
+        |  SELECT term, count(*) AS n_exact FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS term
+        |    FROM documents) t
+        |  GROUP BY term ORDER BY n_exact DESC, term LIMIT 10)
+        |ORDER BY n_exact DESC, term""".stripMargin,
 
     "cu5_decontam" ->
       """WITH bench AS (

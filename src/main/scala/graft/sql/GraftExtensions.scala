@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
 
-import graft.expressions.{CosineSim, HyperplaneBuckets, MinHashSig, PortableSimHashSig, SimHashSig, TextStats, TopKBy}
+import graft.expressions.{CosineSim, FreqSketch, HyperplaneBuckets, MinHashSig, PortableSimHashSig, SimHashSig, TextStats, TopKBy}
 
 /** Session-extension entry point — the idiomatic way to ship an engine as
   * a library: users add
@@ -77,6 +77,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           TopKBy(ord, id, k).toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "topk_by(ord, id, k) — k must be an integer literal")
+      }))
+    ext.injectFunction((FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(item, Literal(k: Int, _)) =>
+          FreqSketch(item, k).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "freq_sketch(item, k) — k must be an integer literal")
       }))
     // Curation library as SQL functions. These are COMPOSED Column
     // expressions (not custom Catalyst nodes), bridged via

@@ -235,6 +235,40 @@ class CurationSpec extends SparkSpec {
     assert(all.filter(col("grp") === "b").count() === 10L)
   }
 
+  test("weightedGroupSample: exact k, window-form identical, " +
+      "non-positive weights excluded, heavy row selected") {
+    val df = ((1L to 200L).map(i => (i, "a", if (i == 7L) 1000000L else 1L))
+      ++ (201L to 210L).map(i => (i, "b", i))
+      ++ Seq((301L, "c", 0L), (302L, "c", -4L), (303L, "c", 9L)))
+      .toDF("id", "grp", "w")
+    // null weight never samples (covered via an expression weight)
+    val weight = when(col("id") === 303L, col("w"))
+      .otherwise(when(col("grp") === "c", lit(null)).otherwise(col("w")))
+    val got = Curation.weightedGroupSample(df, "grp", "id", col("w"), k = 5)
+      .as[(String, Int, Long)].collect().toSet
+    assert(got.count(_._1 == "a") === 5)
+    assert(got.count(_._1 == "b") === 5)
+    // zero/negative weights have no A-ES key: only 303 survives in c
+    assert(got.filter(_._1 == "c").map(_._3) === Set(303L))
+    // the single 10^6-weight row is (deterministically) in the sample
+    assert(got.exists(t => t._1 == "a" && t._3 == 7L))
+    // identical to the row_number window form over the same A-ES key
+    val u = (Curation.hashDraw(col("id")).cast("double") + 0.5) /
+      4294967296.0
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy((log(u) / col("w").cast("double")).desc, col("id").asc)
+    val want = df.filter(col("w") > 0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("grp"), col("rank"), col("id"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got === want)
+    // null-weight rows are dropped, not errored
+    val nulled = Curation.weightedGroupSample(df, "grp", "id", weight, k = 5)
+      .filter(col("grp") === "c").as[(String, Int, Long)].collect().toSet
+    assert(nulled.map(_._3) === Set(303L))
+  }
+
   // ---- boilerplate line removal -------------------------------------------
 
   test("removeBoilerplate: hot lines go, short lines and order survive") {

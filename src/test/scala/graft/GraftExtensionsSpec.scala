@@ -50,6 +50,18 @@ class GraftExtensionsSpec extends SparkSpec {
         "AS t(g, o, i) GROUP BY g")
       .select(expr("tk.id")).collect().head.getSeq[Long](0)
     assert(tk === Seq(7L, 11L)) // 0.9 twice: lower id wins rank 1
+
+    // distinct <= k, so the MG sketch is exact and deterministic
+    val fs = spark.sql(
+      "SELECT freq_sketch(t, 4) AS fs FROM VALUES " +
+        "('a'), ('b'), ('a'), ('a'), ('c'), ('b') AS v(t)")
+      .select(expr("fs.item"), expr("fs.est")).collect().head
+    assert(fs.getSeq[String](0) === Seq("a", "b", "c"))
+    assert(fs.getSeq[Long](1) === Seq(3L, 2L, 1L))
+    intercept[Exception] {
+      spark.sql("SELECT freq_sketch(t, 1 + 1) FROM VALUES ('a') v(t)")
+        .collect()
+    }
   }
 
   test("curation SQL functions: bridged Column compositions") {
