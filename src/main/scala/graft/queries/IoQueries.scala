@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.sources.{CsvIO, FileResolver, JsonlIO, Ledger}
+import graft.sources.{CsvIO, FileResolver, JsonlIO, Layout, Ledger}
 import graft.operators.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -213,9 +213,38 @@ object IoQueries {
         .select(col("media_id"), col("frame_idx"))
         .orderBy(col("media_id"), col("frame_idx"))
     }),
+
+    // ---- Z-order layout: key exactness + clustered-write round-trip ------
+    // The Morton key is computed, written through zorderWrite (range
+    // partition + sort + file split), read back, and hash-compared to
+    // DuckDB's closed-form 16-term bit interleave — a wrong shift, a
+    // lost row in the clustered rewrite, or a bit-order flip breaks it.
+    "z1_zorder_key" -> ((s, d) => {
+      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
+      val path = s"/tmp/graft_zorder_$sfTag"
+      val keyed = Tables.orders(s, d).select(col("o_orderkey"),
+          (col("o_custkey") % 256).cast("long").as("zx"),
+          (col("o_orderkey") % 256).cast("long").as("zy"))
+        .withColumn("zkey",
+          Layout.zorderKey(Seq(col("zx"), col("zy")), bits = 8))
+      Layout.zorderWrite(keyed, path, Seq(col("zx"), col("zy")), bits = 8)
+      s.read.parquet(path).select(col("o_orderkey"), col("zkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
   )
 
+  /** DuckDB replay of the 8-bit two-column Morton interleave: x =
+    * custkey bits at even positions, y = orderkey bits at odd. */
+  private val zTerms = (for { i <- 0 until 8; j <- 0 until 2 } yield {
+    val c = if (j == 0) "(o_custkey % 256)" else "(o_orderkey % 256)"
+    s"((($c >> $i) & 1) << ${i * 2 + j})"
+  }).mkString(" + ")
+
   def oracles: Map[String, String] = Map(
+    "z1_zorder_key" ->
+      s"""SELECT o_orderkey, CAST($zTerms AS BIGINT) AS zkey
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "s2_csv_roundtrip" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 9 = 0 THEN NULL

@@ -39,6 +39,57 @@ object Layout {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** N-column Z-order (Morton) key: interleave the low `bits` bits of
+    * each column so one sort clusters EVERY listed dimension at once.
+    * Month partitioning prunes on date; inside a partition a plain
+    * sort clusters only its leading column — a filter on any other
+    * column still opens every row group. Sorting by the Morton key
+    * gives each written file a narrow min/max envelope on ALL z
+    * columns, so parquet row-group stats prune scans on any of them
+    * (the same trick as Delta/Iceberg Z-ORDER, here as a plain
+    * column expression — codegen'd shifts, no UDF, no shuffle beyond
+    * the range partition the write needs anyway).
+    *
+    * Inputs must already be non-negative integer surrogates below
+    * 2^bits (ranks, bucketed timestamps, `pmod`-hashed ids — the
+    * caller picks the normalization; out-of-range values fail loudly
+    * rather than silently interleaving garbage). n*bits <= 63 keeps
+    * the key in one BIGINT. */
+  def zorderKey(cols: Seq[org.apache.spark.sql.Column], bits: Int)
+      : org.apache.spark.sql.Column = {
+    val n = cols.size
+    require(n >= 1, "zorderKey needs at least one column")
+    require(bits >= 1 && n * bits <= 63,
+      s"n*bits must fit a signed 64-bit key: n=$n bits=$bits")
+    val bound = 1L << bits
+    val checked = cols.map(c => when(c.cast("long").isNull ||
+        c.cast("long") < 0 || c.cast("long") >= bound,
+      raise_error(concat(lit(s"zorderKey: value out of [0, $bound): "),
+        c.cast("string")))).otherwise(c.cast("long")))
+    (for {
+      i <- 0 until bits
+      (c, j) <- checked.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_ + _)
+  }
+
+  /** Write `df` Z-clustered on `zcols` (each paired with its bit
+    * width's normalized expression): range-partition then sort by the
+    * Morton key, so files tile the z-curve — every file's min/max
+    * envelope is narrow on every z column. `maxRecordsPerFile` caps
+    * file size (0 = writer default); at 100 TB the range exchange is
+    * the one shuffle a clustered rewrite fundamentally needs. */
+  def zorderWrite(df: DataFrame, path: String,
+      zcols: Seq[org.apache.spark.sql.Column], bits: Int,
+      maxRecordsPerFile: Long = 0L): Unit =
+    df.withColumn("__z", zorderKey(zcols, bits))
+      .repartitionByRange(col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
   /** Compact one partition's small files — the maintenance job the
     * append-only layout needs: every [[appendMonth]] adds task-count
     * files, and at 100 TB unchecked file counts dominate planning time

@@ -55,6 +55,68 @@ class LayoutSpec extends SparkSpec {
       .contains("PartitionFilters: [isnotnull(p_month"))
   }
 
+  test("zorderKey equals a reference bit-interleave; loud on bad input") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val rows = Seq.fill(200)((r.nextInt(256).toLong, r.nextInt(256).toLong))
+    val got = rows.toDF("x", "y")
+      .select(Layout.zorderKey(Seq(col("x"), col("y")), bits = 8))
+      .collect().map(_.getLong(0)).toSeq
+    def ref(x: Long, y: Long): Long = (0 until 8).map(i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    assert(got === rows.map { case (x, y) => ref(x, y) })
+    // out-of-range value fails loudly instead of interleaving garbage
+    intercept[Exception] {
+      Seq((256L, 0L)).toDF("x", "y")
+        .select(Layout.zorderKey(Seq(col("x"), col("y")), bits = 8))
+        .collect()
+    }
+    // key must fit one signed 64-bit long
+    intercept[IllegalArgumentException] {
+      Layout.zorderKey(Seq(col("x"), col("y")), bits = 32)
+    }
+  }
+
+  test("zorderWrite: row-group stats prune scans on BOTH z dimensions") {
+    val root = Files.createTempDirectory("graft_zorder").toString
+    val n = 40000L
+    // two independent uniform dimensions: a plain linear sort could
+    // cluster only one of them
+    val df = spark.range(n).select(
+      pmod(xxhash64(col("id")), lit(4096L)).as("x"),
+      pmod(xxhash64(col("id") + 1000000L), lit(4096L)).as("y"),
+      col("id"))
+    Layout.zorderWrite(df, s"$root/z", Seq(col("x"), col("y")),
+      bits = 12, maxRecordsPerFile = 1000L)
+    df.repartition(4).write.mode("overwrite")
+      .option("maxRecordsPerFile", 1000L).parquet(s"$root/plain")
+
+    // rows the parquet reader actually surfaces after row-group
+    // (min/max stat) pruning of the pushed predicate
+    def scanRows(path: String, pred: org.apache.spark.sql.Column)
+        : (Long, Set[Long]) = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val q = spark.read.parquet(path).filter(pred).select("id")
+        val ids = q.collect().map(_.getLong(0)).toSet
+        val scanned = q.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.sum
+        (scanned, ids)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    for (dim <- Seq("x", "y")) {
+      val (zScan, zIds) = scanRows(s"$root/z", col(dim) < 128)
+      val (pScan, pIds) = scanRows(s"$root/plain", col(dim) < 128)
+      assert(zIds === pIds, s"result parity broke on $dim")
+      // unclustered layout: every row group straddles the predicate
+      assert(pScan === n, s"plain layout unexpectedly pruned on $dim")
+      assert(zScan < n / 2,
+        s"z layout pruned nothing on $dim: scanned $zScan of $n")
+    }
+  }
+
   test("appendMonth adds one directory and leaves the others untouched") {
     val root = Files.createTempDirectory("graft_layout2").toString
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
