@@ -110,18 +110,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("rj1 range join plans an equi-join, never a nested loop") {
+  test("range and overlap joins plan equi-joins, never a nested loop") {
     noAqe {
-      val p = planOf(SparkEntry.queries("rj1_range_join")(spark, sf))
-      val bad = p.collectWithSubqueries {
-        case j: org.apache.spark.sql.execution.joins
-          .BroadcastNestedLoopJoinExec => j
-        case j: org.apache.spark.sql.execution.joins
-          .CartesianProductExec => j
+      Seq("rj1_range_join", "oj1_overlap_join").foreach { name =>
+        val p = planOf(SparkEntry.queries(name)(spark, sf))
+        val bad = p.collectWithSubqueries {
+          case j: org.apache.spark.sql.execution.joins
+            .BroadcastNestedLoopJoinExec => j
+          case j: org.apache.spark.sql.execution.joins
+            .CartesianProductExec => j
+        }
+        assert(bad.isEmpty, s"$name degenerated into " +
+          bad.map(_.nodeName).mkString(",") +
+          " — the O(n·m) shape the bucket rewrite exists to avoid")
       }
-      assert(bad.isEmpty, "range join degenerated into " +
-        bad.map(_.nodeName).mkString(",") +
-        " — the O(n·m) shape the bucket rewrite exists to avoid")
     }
   }
 
