@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{Cleansing => C, RefData}
+import graft.functions.{Cleansing => C, RefData, UrlOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -211,9 +211,106 @@ object CleansingQueries {
           col("p_partkey")).as("sku"))
         .orderBy(col("p_partkey"))
     }),
+
+    // ---- URL canonicalization / host / registered domain ----------------
+    // Deterministic messy URLs from o_orderkey: mixed-case scheme and
+    // host, default AND mismatched ports, tracking params in every
+    // query position, fragments, trailing slashes, three suffix
+    // classes (com / co.uk / github.io). The oracle rebuilds the same
+    // strings and replays the identical normalization chain in RE2.
+    "url1_canonicalize" -> ((s, d) => {
+      val k = col("o_orderkey")
+      val url = concat(
+        when(k % 4 === 0, lit("HTTP://"))
+          .when(k % 4 === 1, lit("https://"))
+          .when(k % 4 === 2, lit("https://WWW."))
+          .otherwise(lit("http://www.")),
+        lit("Shop-"), (k % 50).cast("string"), lit(".Example."),
+        when(k % 3 === 0, lit("com")).when(k % 3 === 1, lit("co.uk"))
+          .otherwise(lit("github.io")),
+        when(k % 5 === 0, lit(":443")).when(k % 5 === 1, lit(":80"))
+          .otherwise(lit("")),
+        lit("/p/"), (k % 97).cast("string"),
+        when(k % 7 === 0, lit("/")).otherwise(lit("")),
+        when(k % 6 === 0,
+          concat(lit("?utm_source=news&id="), k.cast("string")))
+          .when(k % 6 === 1, concat(lit("?id="), k.cast("string"),
+            lit("&utm_campaign=x&utm_medium=em")))
+          .when(k % 6 === 2, lit("?utm_a=1&utm_b=2"))
+          .otherwise(lit("")),
+        when(k % 2 === 0, lit("#Section-2")).otherwise(lit("")))
+      Tables.orders(s, d).select(k.as("o_orderkey"), url.as("url"))
+        .select(col("o_orderkey"),
+          UrlOps.canonicalizeUrl(col("url")).as("canon_url"),
+          UrlOps.hostOf(col("url")).as("host"),
+          UrlOps.registeredDomain(UrlOps.hostOf(col("url")))
+            .as("reg_domain"))
+        .orderBy(col("o_orderkey"))
+    }),
   )
 
+  /** DuckDB replay of [[graft.functions.UrlOps.registeredDomain]]'s
+    * longest-suffix-wins fold, generated from the SAME suffix list so
+    * the two cannot drift. */
+  private val regDomSql: String = {
+    val ordered = UrlOps.publicSuffixes.sortBy(s => (-s.count(_ == '.'), s))
+    val chain = ordered.foldRight("NULL") { case (sfx, rest) =>
+      val esc = sfx.replace(".", "\\.")
+      s"CASE WHEN host LIKE '%.$sfx' THEN " +
+        s"nullif(regexp_extract(host, '([^.]+\\.$esc)$$', 1), '') " +
+        s"ELSE $rest END"
+    }
+    // mirror the Spark side's bare-public-suffix guard exactly
+    val bare = UrlOps.publicSuffixes.map(s => s"'$s'").mkString(", ")
+    s"CASE WHEN host IN ($bare) THEN NULL ELSE $chain END"
+  }
+
   def oracles: Map[String, String] = Map(
+    "url1_canonicalize" ->
+      s"""WITH u AS (
+        |  SELECT o_orderkey,
+        |    (CASE WHEN o_orderkey % 4 = 0 THEN 'HTTP://'
+        |          WHEN o_orderkey % 4 = 1 THEN 'https://'
+        |          WHEN o_orderkey % 4 = 2 THEN 'https://WWW.'
+        |          ELSE 'http://www.' END
+        |     || 'Shop-' || CAST(o_orderkey % 50 AS VARCHAR) || '.Example.'
+        |     || CASE WHEN o_orderkey % 3 = 0 THEN 'com'
+        |             WHEN o_orderkey % 3 = 1 THEN 'co.uk'
+        |             ELSE 'github.io' END
+        |     || CASE WHEN o_orderkey % 5 = 0 THEN ':443'
+        |             WHEN o_orderkey % 5 = 1 THEN ':80' ELSE '' END
+        |     || '/p/' || CAST(o_orderkey % 97 AS VARCHAR)
+        |     || CASE WHEN o_orderkey % 7 = 0 THEN '/' ELSE '' END
+        |     || CASE WHEN o_orderkey % 6 = 0
+        |          THEN '?utm_source=news&id=' || CAST(o_orderkey AS VARCHAR)
+        |          WHEN o_orderkey % 6 = 1
+        |          THEN '?id=' || CAST(o_orderkey AS VARCHAR)
+        |            || '&utm_campaign=x&utm_medium=em'
+        |          WHEN o_orderkey % 6 = 2 THEN '?utm_a=1&utm_b=2'
+        |          ELSE '' END
+        |     || CASE WHEN o_orderkey % 2 = 0 THEN '#Section-2'
+        |          ELSE '' END) AS url
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey, url,
+        |  regexp_replace(url, '#.*', '', 'g') AS nofrag FROM u),
+        |s2 AS (SELECT *, regexp_extract(nofrag,
+        |  '^([^/?#]*://[^/?#]*)', 1) AS pre FROM s1),
+        |s3 AS (SELECT o_orderkey, url, CASE WHEN pre = '' THEN nofrag
+        |  ELSE lower(pre) ||
+        |    regexp_replace(nofrag, '^[^/?#]*://[^/?#]*', '') END AS c
+        |  FROM s2),
+        |s4 AS (SELECT o_orderkey, url, regexp_replace(regexp_replace(c,
+        |  '^(https://[^/?#:]*):443($$|[/?#].*)', '\\1\\2'),
+        |  '^(http://[^/?#:]*):80($$|[/?#].*)', '\\1\\2') AS c FROM s3),
+        |s5 AS (SELECT o_orderkey, url, regexp_replace(regexp_replace(c,
+        |  '([?&])(utm_[^=&#]*|fbclid|gclid)=[^&#]*&', '\\1', 'g'),
+        |  '[?&](utm_[^=&#]*|fbclid|gclid)=[^&#]*$$', '') AS c FROM s4),
+        |s6 AS (SELECT o_orderkey, url,
+        |  regexp_replace(c, '/$$', '') AS canon_url FROM s5),
+        |h AS (SELECT o_orderkey, canon_url, lower(regexp_extract(url,
+        |  '^[^/?#]*://([^/?#@]*@)?([^/?#:]*)', 2)) AS host FROM s6)
+        |SELECT o_orderkey, canon_url, host, $regDomSql AS reg_domain
+        |FROM h ORDER BY o_orderkey""".stripMargin,
     "f2_text_cleaning" ->
       """WITH messy AS (
         |  SELECT c_custkey,
