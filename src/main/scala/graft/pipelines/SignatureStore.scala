@@ -1,0 +1,145 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Persisted MinHash-LSH signature index with O(batch) incremental
+  * appends — the near-dup leg of the incremental-corpus story
+  * ([[CorpusStore]] = exact content hash, [[VectorStore]] = embedding
+  * ANN, this = textual near-duplicate). Re-sharding 100 TB of shingle
+  * sets per crawl batch is a non-starter; signatures and band hashes
+  * are pure per-row expressions, so ingest signs ONLY the new batch
+  * and near-dup queries join the batch's bands against the persisted
+  * band table — never against raw text.
+  *
+  * Layout under `dir`:
+  *   conf/              — one row (k, num_hashes, bands, n_buckets)
+  *   sigs/b=<tag>/      — (id: long, sig: array<long>)
+  *   bands/b=<tag>/bkt=<b>/ — (id: long, band: int, band_hash: long)
+  *
+  * `bkt = pmod(band_hash, n_buckets)` partitioning is the query-side
+  * pruning lever: a batch's bands land in a bounded set of buckets, so
+  * the candidate join scans only those bucket directories instead of
+  * the whole band table. `b=<tag>` batch partitioning gives the same
+  * overwrite-idempotent replay contract as [[VectorStore]]: re-running
+  * a batch REPLACES its directory, never double-appends.
+  *
+  * The store returns CANDIDATES with the signature-agreement estimate
+  * (exact dyadic arithmetic, deterministic). Callers wanting exact
+  * Jaccard verification join candidates back to their corpus text and
+  * apply [[Dedup.jaccard]] — the same two-stage shape
+  * [[Dedup.minhashDupPairs]] uses internally, with the corpus store
+  * standing in for the in-memory text frame. Batch ids must be
+  * disjoint from store ids (the store does not namespace them).
+  */
+object SignatureStore {
+
+  final case class Conf(k: Int, numHashes: Int, bands: Int,
+    nBuckets: Int)
+
+  /** Lay the store down and sign the seed batch. 32 bands of 2 hashes
+    * (the defaults) put per-pair recall at jaccard 0.7 above
+    * 1 − (1 − 0.49)² ³² ≈ 1 − 1e-9 — the same guarantee the d3 gate
+    * leans on. */
+  def create(spark: SparkSession, dir: String, seed: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, numHashes: Int = 64,
+      bands: Int = 32, nBuckets: Int = 64): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/sigs"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bands"), true)
+    import spark.implicits._
+    Seq((k, numHashes, bands, nBuckets))
+      .toDF("k", "num_hashes", "bands", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/conf")
+    writeBatch(spark, dir, seed, idCol, textCol, loadConf(spark, dir),
+      "seed")
+  }
+
+  /** Sign and persist one batch — work and bytes are O(batch); the
+    * existing store is never read. Same-tag re-append REPLACES the
+    * batch (idempotent retry/backfill). */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: String, batchTag: String): Unit = {
+    require(batchTag.nonEmpty && batchTag != "seed" &&
+      batchTag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"batchTag must be a non-'seed' dir-safe token: '$batchTag'")
+    writeBatch(spark, dir, batch, idCol, textCol, loadConf(spark, dir),
+      batchTag)
+  }
+
+  /** Near-dup candidates of `batch` against everything persisted:
+    * batch bands equi-join the store's band table (scanning ONLY the
+    * batch's own bucket partitions — the bounded collect is ≤
+    * n_buckets longs), candidates verified by signature agreement ≥
+    * `minAgreement`. Returns (store_id, batch_id, agreement) with
+    * agreement the exact matched-hash fraction.
+    *
+    * Recall is PIGEONHOLE-EXACT above 1 − bands/numHashes: a pair
+    * disagreeing on d hashes can break at most d bands, so with
+    * d < bands some band agrees fully and the pair is a candidate —
+    * at the 64/32 defaults, every pair with agreement > 0.5 is
+    * guaranteed returned (no probabilistic misses); below that the
+    * usual 1-(1-j^r)^b LSH curve applies. */
+  def nearDups(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      minAgreement: Double = 0.5): DataFrame = {
+    val conf = loadConf(spark, dir)
+    val bsigs = signed(batch, idCol, textCol, conf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bbands = bucketed(Dedup.lshBands(bsigs, "id", "sig", conf.bands),
+      conf.nBuckets)
+    val buckets = bbands.select(col("bkt")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val sbands = spark.read.parquet(s"$dir/bands")
+      .filter(col("bkt").isin(buckets: _*))
+    val cands = sbands.select(col("band"), col("band_hash"),
+        col("id").as("store_id"))
+      .join(bbands.select(col("band"), col("band_hash"),
+        col("id").as("batch_id")), Seq("band", "band_hash"))
+      .select(col("store_id"), col("batch_id")).distinct()
+    val ssigs = spark.read.parquet(s"$dir/sigs")
+      .select(col("id").as("store_id"), col("sig").as("sig_s"))
+    val agree = size(filter(zip_with(col("sig_s"), col("sig_b"),
+      (x, y) => x === y), p => p)).cast("double") / conf.numHashes
+    cands.join(ssigs, Seq("store_id"))
+      .join(bsigs.select(col("id").as("batch_id"),
+        col("sig").as("sig_b")), Seq("batch_id"))
+      .withColumn("agreement", agree)
+      .filter(col("agreement") >= minAgreement)
+      .select(col("store_id"), col("batch_id"), col("agreement"))
+  }
+
+  // ---- internals --------------------------------------------------------
+
+  private def signed(df: DataFrame, idCol: String, textCol: String,
+      conf: Conf): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      graft.expressions.MinHash.minhashSig(col(textCol), conf.k,
+        conf.numHashes).as("sig"))
+
+  private def bucketed(bandsDf: DataFrame, nBuckets: Int): DataFrame =
+    bandsDf.withColumn("bkt", pmod(col("band_hash"), lit(nBuckets.toLong)))
+
+  /** One file per (bucket, batch) via repartition-before-partitionBy —
+    * the same small-file-storm control as [[VectorStore]]. */
+  private def writeBatch(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String, conf: Conf,
+      tag: String): Unit = {
+    val sigs = signed(batch, idCol, textCol, conf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.write.mode("overwrite").parquet(s"$dir/sigs/b=$tag")
+    bucketed(Dedup.lshBands(sigs, "id", "sig", conf.bands), conf.nBuckets)
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$dir/bands/b=$tag")
+  }
+
+  private def loadConf(spark: SparkSession, dir: String): Conf = {
+    val r = spark.read.parquet(s"$dir/conf").collect()(0)
+    Conf(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Curation, Dedup, Similarity, TextAnalysis => TA}
+import graft.pipelines.SignatureStore
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -156,6 +157,40 @@ object LlmQueries {
       Dedup.minhashDupPairs(Tables.documents(s, d), "doc_id", "text",
         k = 3, numHashes = 64, bands = 32, threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- incremental near-dup via the persisted signature store ----------
+    // The ingest-dedup flow: seed the store with two thirds of the
+    // corpus, then query a batch of planted copies (+50000) and unseen
+    // docs (+90000) against it WITHOUT reading seed text — candidates
+    // come from the persisted bands (bucket-pruned), are prefiltered by
+    // signature agreement (0.45 = threshold − 4σ, d3's bound), and the
+    // gate verifies candidates with exact Jaccard from the corpus. The
+    // oracle brute-forces every cross-set pair, so output ≡ ground
+    // truth by the same recall argument d3 carries.
+    "d9_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = "/tmp/graft_sigstore_" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+      val seed = docs.filter(col("doc_id") % 3 =!= 2)
+        .select(col("doc_id"), col("text"))
+      val batch = docs
+        .filter(col("doc_id") % 3 =!= 2 && col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 50000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 2)
+          .select((col("doc_id") + 90000L).as("doc_id"), col("text")))
+      SignatureStore.create(s, dir, seed, "doc_id", "text")
+      val cands = SignatureStore.nearDups(s, dir, batch, "doc_id", "text",
+        minAgreement = 0.45)
+      cands
+        .join(seed.select(col("doc_id").as("store_id"),
+          col("text").as("text_s")), Seq("store_id"))
+        .join(batch.select(col("doc_id").as("batch_id"),
+          col("text").as("text_b")), Seq("batch_id"))
+        .withColumn("jaccard", Dedup.jaccard(col("text_s"),
+          col("text_b"), 3))
+        .filter(col("jaccard") >= 0.7)
+        .select(col("store_id"), col("batch_id"), col("jaccard"))
+        .orderBy(col("store_id"), col("batch_id"))
     }),
 
     // ---- SimHash near-dup pairs (oracle: DuckDB brute force) -------------
@@ -541,6 +576,25 @@ object LlmQueries {
          |  ${jaccardPairsSql(0.7)})
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.7
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // seed ids are < 50000 and batch ids >= 50000, so the cross-set
+    // near-dups are exactly the combined-corpus pairs straddling 50000
+    "d9_incremental_neardup" ->
+      s"""WITH combined AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2
+         |  UNION ALL
+         |  SELECT doc_id + 50000, text FROM documents
+         |  WHERE doc_id % 3 <> 2 AND doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 90000, text FROM documents
+         |  WHERE doc_id % 3 = 2),
+         |${shinglesCte("combined")},
+         |pairs AS (
+         |  ${jaccardPairsSql(0.7)})
+         |SELECT id_a AS store_id, id_b AS batch_id, jaccard
+         |FROM pairs WHERE jaccard >= 0.7
+         |  AND id_a < 50000 AND id_b >= 50000
+         |ORDER BY store_id, batch_id""".stripMargin,
 
     "d4_simhash_pairs" -> d4OracleSql,
 

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pipelines.SignatureStore
+import org.apache.spark.sql.functions._
+
+class SignatureStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // disjoint-vocabulary docs: cross-doc jaccard is exactly 0
+  private def doc(i: Int, n: Int = 30): String =
+    (0 until n).map(j => s"w${i}_$j").mkString(" ")
+
+  /** doc i with the second half of its tokens replaced — roughly half
+    * the shingles survive. */
+  private def mutated(i: Int): String =
+    ((0 until 15).map(j => s"w${i}_$j") ++
+      (15 until 30).map(j => s"x${i}_$j")).mkString(" ")
+
+  test("planted copy found across batches, unrelated docs are not; " +
+      "re-append with the same tag is idempotent") {
+    val dir = Files.createTempDirectory("graft_sigstore").toString
+    val seed = (1 to 20).map(i => (i.toLong, doc(i))).toDF("id", "text")
+    SignatureStore.create(spark, dir, seed, "id", "text")
+
+    val batch = Seq(
+      (105L, doc(5)),      // exact copy of stored doc 5
+      (107L, mutated(7)),  // half-overlap near-dup of stored doc 7
+      (108L, doc(108))     // genuinely new
+    ).toDF("id", "text")
+
+    val strict = SignatureStore.nearDups(spark, dir, batch, "id", "text",
+      minAgreement = 0.9).collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSet
+    assert(strict === Set((5L, 105L, 1.0)))
+
+    val loose = SignatureStore.nearDups(spark, dir, batch, "id", "text",
+        minAgreement = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((5L, 105L)) && loose.contains((7L, 107L)))
+    assert(!loose.exists(_._2 == 108L), s"false positive in $loose")
+
+    // append the batch twice under one tag: the overwrite keeps the
+    // store single-counted, so a fresh probe sees ONE candidate row
+    SignatureStore.append(spark, dir, batch, "id", "text", "b1")
+    SignatureStore.append(spark, dir, batch, "id", "text", "b1")
+    val probe = Seq((205L, doc(5))).toDF("id", "text")
+    val got = SignatureStore.nearDups(spark, dir, probe, "id", "text",
+        minAgreement = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((5L, 205L), (105L, 205L)))
+  }
+
+  test("candidates are pigeonhole-exact above 1 - bands/numHashes: " +
+      "store output equals the all-pairs agreement filter") {
+    val dir = Files.createTempDirectory("graft_sigstore2").toString
+    val r = new scala.util.Random(11)
+    // mix of unrelated, mutated, and copied docs for a rich agreement
+    // spectrum
+    val seed = (1 to 40).map(i => (i.toLong, doc(i))).toDF("id", "text")
+    val batch = (1 to 40).map { i =>
+      val t = r.nextInt(3) match {
+        case 0 => doc(i)        // copy
+        case 1 => mutated(i)    // partial overlap
+        case _ => doc(100 + i)  // unrelated
+      }
+      (1000L + i, t)
+    }.toDF("id", "text")
+    SignatureStore.create(spark, dir, seed, "id", "text")
+    val got = SignatureStore.nearDups(spark, dir, batch, "id", "text",
+        minAgreement = 0.52)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // reference: agreement over ALL cross pairs, no banding
+    val sig = (df: org.apache.spark.sql.DataFrame) => df.select(col("id"),
+      graft.expressions.MinHash.minhashSig(col("text"), 3, 64).as("sig"))
+    val want = sig(seed).withColumnRenamed("id", "store_id")
+      .withColumnRenamed("sig", "sig_s")
+      .crossJoin(sig(batch).withColumnRenamed("id", "batch_id")
+        .withColumnRenamed("sig", "sig_b"))
+      .withColumn("agreement",
+        size(filter(zip_with(col("sig_s"), col("sig_b"),
+          (x, y) => x === y), p => p)).cast("double") / 64)
+      .filter(col("agreement") >= 0.52)
+      .select("store_id", "batch_id", "agreement")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got === want)
+    assert(want.nonEmpty, "test corpus produced no pairs to compare")
+  }
+
+  test("band scan is partition-pruned to the batch's buckets") {
+    val dir = Files.createTempDirectory("graft_sigstore3").toString
+    val seed = (1 to 20).map(i => (i.toLong, doc(i))).toDF("id", "text")
+    SignatureStore.create(spark, dir, seed, "id", "text")
+    val probe = Seq((105L, doc(5))).toDF("id", "text")
+    val out = SignatureStore.nearDups(spark, dir, probe, "id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bkt"), plan)
+  }
+}
