@@ -77,6 +77,8 @@ object IncrementalAgg {
   }
 
   // ---- mergeable DISTINCT via HLL sketches --------------------------------
+  // (mergeable QUANTILES live in QuantileSketch — same delta-fold
+  // contract, deterministic log-histogram state instead of HLL registers)
 
   /** COUNT(DISTINCT) is the one summary aggregate the exact path cannot
     * maintain incrementally — it needs the full key domain re-shuffled

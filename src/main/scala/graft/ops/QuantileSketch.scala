@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic mergeable quantile summaries on log-scaled integer
+  * buckets — the missing quantile leg of [[IncrementalAgg]]'s
+  * incremental-summary family (COUNT/SUM/MIN/MAX exact, DISTINCT via
+  * HLL, quantiles here). "p99 price per month, maintained O(delta)"
+  * cannot be answered by any exact decomposable aggregate, and the
+  * usual sketches (KLL, t-digest) compact with random coin flips, so
+  * their merged state depends on partitioning — impossible to oracle
+  * hash-exactly and awkward to reconcile across engines.
+  *
+  * This uses the HdrHistogram bucketing scheme (public domain, hdrhistogram
+  * .org): a non-negative long value below 2^m keeps its own exact
+  * bucket; a larger value buckets by (floor(log2 v), top-m mantissa
+  * bits). The mapping is a pure per-row integer expression — NO
+  * randomness, no floating point — so
+  *
+  *  - sketches over disjoint deltas SUM to exactly the one-pass
+  *    sketch (incremental ≡ recompute bit-identically, the same
+  *    guarantee IncrementalAggSpec pins for the HLL path);
+  *  - any engine replays it: the kq1 gate's DuckDB oracle re-derives
+  *    bucket, rollup, and quantile selection from the same integer
+  *    arithmetic and hash-matches;
+  *  - a quantile estimate is the bucket's upper edge, so
+  *    `exact ≤ est ≤ exact + (exact >> m)`: guaranteed relative error
+  *    ≤ 2^-m (0.8% at the m=7 default), one-sided and deterministic.
+  *
+  * Summary rows are plain (keys…, bkt: long, cnt: long) — mergeable by
+  * SUM, rollable day→month→quarter without re-touching fact rows, and
+  * ~64·2^m rows per group worst case (values spanning the full long
+  * range; real money/length columns occupy a few hundred buckets).
+  * Values must be non-negative; scale doubles/decimals to integer
+  * units first (cents, not dollars — `Tables.dec2(x) * 100` is exact).
+  *
+  * Reference summaries this extends: A2 pricing stats
+  * (dynamic_etl/sql/transform.sql:34) keep AVG-family measures only;
+  * the tail-latency/price percentile is the standard DW ask on top.
+  */
+object QuantileSketch {
+
+  /** floor(log2 v) for v ≥ 1, via the minimal binary string — the
+    * exact integer path. log2 on doubles is NOT portable: libm
+    * rounding differs across builds, and ±1 ulp at a power of two
+    * moves a value across buckets (graft memory: keep gated math off
+    * libm). length(bin(v)) is exact in Spark and DuckDB alike. */
+  private def log2floor(v: Column): Column =
+    (length(bin(v)) - 1).cast("long")
+
+  /** Bucket index of non-negative long `v`: monotone in v, identity
+    * below 2^(m+1) (small values stay exact), then (level, sub-bucket)
+    * packed as level·2^m + (v >> (e-m)) − 2^m. */
+  def bucketOf(v: Column, m: Int): Column = {
+    val base = lit(1L << m)
+    val e = log2floor(v)
+    val sub = call_function("shiftright", v, e - lit(m.toLong))
+    when(v < base, v)
+      .otherwise((e - lit(m.toLong) + lit(1L)) * base + (sub - base))
+  }
+
+  /** Upper edge of bucket `b` — the value [[quantiles]] reports. The
+    * edge is the MAX value mapping to b, hence est ≥ exact and
+    * est − exact < bucket width ≤ exact >> m. */
+  def bucketHi(b: Column, m: Int): Column = {
+    val base = lit(1L << m)
+    val level = call_function("shiftright", b, lit(m.toLong))
+    val sub = base + b.bitwiseAND(base - lit(1L))
+    when(b < base, b)
+      .otherwise(call_function("shiftleft", sub + lit(1L),
+        level - lit(1L)) - lit(1L))
+  }
+
+  /** Aggregate `rows` to per-group bucket counts: keys ++ (bkt, cnt).
+    * One narrow shuffle on (keys, bkt); map-side combine does the
+    * heavy lifting because bucket cardinality per group is tiny.
+    * Null values are excluded (SQL aggregate convention); negative
+    * values are a contract violation and fail loudly rather than
+    * corrupting the monotone bucket order. */
+  def summarize(rows: DataFrame, keys: Seq[String], valueCol: String,
+      m: Int = 7): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val guarded = when(v < 0, raise_error(concat(
+        lit(s"QuantileSketch: negative $valueCol: "), v.cast("string"))))
+      .otherwise(bucketOf(v, m))
+    rows.filter(v.isNotNull)
+      .groupBy((keys.map(col) :+ guarded.as("bkt")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketch rows up to a coarser grain (`keys` ⊂ the summarize
+    * grain) — plain SUM, so day→month→quarter rollups chain and
+    * disjoint deltas fold into exactly the one-pass sketch. */
+  def rollup(sketch: DataFrame, keys: Seq[String]): DataFrame =
+    sketch.groupBy((keys.map(col) :+ col("bkt")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Read-time quantile estimates from a sketch: one output row per
+    * group with a column per requested quantile. Quantiles are exact
+    * rationals (name, num, den) — e.g. ("p90", 9, 10) — because a
+    * double 0.9 is not exactly representable and ceil(0.9·n) can land
+    * on either side of the true rank depending on the engine. The
+    * target rank is ceil(num·n/den) in pure integer math; the
+    * estimate is the upper edge of the bucket where the cumulative
+    * count first reaches it. Windows run over summary rows (a few
+    * hundred per group), partitioned by the group keys. */
+  def quantiles(sketch: DataFrame, keys: Seq[String],
+      qs: Seq[(String, Int, Int)], m: Int = 7): DataFrame = {
+    val byGroup = Window.partitionBy(keys.map(col): _*)
+    val cum = sketch
+      .withColumn("__cum", sum(col("cnt")).over(byGroup.orderBy(col("bkt"))))
+      .withColumn("__total", sum(col("cnt")).over(byGroup))
+    val ests = qs.map { case (name, num, den) =>
+      val target = floorDiv(col("__total") * num + (den - 1), den)
+      min(when(col("__cum") >= target, bucketHi(col("bkt"), m))).as(name)
+    }
+    cum.groupBy(keys.map(col): _*).agg(ests.head, ests.tail: _*)
+  }
+
+  /** Integer ceil-division helper: floor((a)/(d)) with a pre-biased
+    * numerator; `div` keeps the arithmetic in longs (Column `/` is
+    * double division, inexact past 2^53). */
+  private def floorDiv(a: Column, d: Int): Column =
+    call_function("div", a, lit(d.toLong))
+}

@@ -263,6 +263,48 @@ object OpsQueries {
         .orderBy(col("month"))
     }),
 
+    // ---- Mergeable quantile sketches (kq1) ------------------------------
+    // Daily log-histogram sketches of lineitem price cents roll up to
+    // months; the gate emits the exact disc quantile (row_number rank
+    // pick, hash-checked) NEXT TO the sketch estimate (hash-checked —
+    // the oracle replays the same integer bucket math, proving the
+    // sketch is engine-portable), plus the one-sided error-bound
+    // boolean exact ≤ est ≤ exact + exact>>7. Rollup-≡-one-pass is
+    // QuantileSketchSpec's.
+    "kq1_log_hist_quantiles" -> ((s, d) => {
+      val qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+      val li = Tables.lineitem(s, d).select(
+        date_format(col("l_shipdate").cast(DateType), "yyyy-MM-dd")
+          .as("day"),
+        date_format(col("l_shipdate").cast(DateType), "yyyy-MM")
+          .as("month"),
+        (Tables.dec2(col("l_extendedprice")) * 100).cast(LongType)
+          .as("cents"))
+      val daily = QuantileSketch.summarize(li, Seq("day", "month"),
+        "cents")
+      val est = QuantileSketch.quantiles(
+        QuantileSketch.rollup(daily, Seq("month")), Seq("month"), qs)
+      val byMonth = Window.partitionBy(col("month"))
+      val ranked = li
+        .withColumn("rn", row_number().over(byMonth.orderBy(col("cents"))))
+        .withColumn("n", count(lit(1)).over(byMonth))
+      val exact = ranked.groupBy(col("month")).agg(
+        first(col("n")).as("n"),
+        qs.map { case (name, num, den) =>
+          min(when(col("rn") ===
+            call_function("div", col("n") * num + (den - 1), lit(den.toLong)),
+            col("cents"))).as(s"${name}_exact")
+        }: _*)
+      exact.join(est, "month")
+        .select(col("month") +: col("n") +: qs.flatMap { case (p, _, _) =>
+          Seq(col(s"${p}_exact"), col(p).as(s"${p}_est"),
+            (col(p) >= col(s"${p}_exact") &&
+              col(p) - col(s"${p}_exact") <=
+                shiftright(col(s"${p}_exact"), 7)).as(s"${p}_in"))
+        }: _*)
+        .orderBy(col("month"))
+    }),
+
     // ---- Lookup-dim upsert (snowflake maintenance) ----------------------
     "lookup_dim_upsert" -> ((s, d) => {
       val p = Tables.part(s, d)
@@ -321,6 +363,70 @@ object OpsQueries {
         |  COUNT(DISTINCT o_custkey) AS n_exact,
         |  true AS in_bound
         |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    // replays the HdrHistogram bucket math (m=7) with the same integer
+    // ops the Spark expression uses: e = length(bin(v))-1 (never libm
+    // log2), bucket = (e-7+1)*128 + (v >> (e-7)) - 128, edge =
+    // ((128 + (bkt&127) + 1) << ((bkt>>7)-1)) - 1; rank targets are
+    // ceil-divisions in pure integer math (num*n + den-1) // den
+    "kq1_log_hist_quantiles" ->
+      """WITH base AS (
+        |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem),
+        |bk AS (
+        |  SELECT month,
+        |    CASE WHEN cents < 128 THEN cents
+        |         ELSE (length(bin(cents)) - 7) * 128
+        |              + (cents >> (length(bin(cents)) - 8)) - 128
+        |    END AS bkt, count(*) AS cnt
+        |  FROM base GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT month, bkt, cnt,
+        |    SUM(cnt) OVER (PARTITION BY month ORDER BY bkt) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY month) AS total,
+        |    CASE WHEN bkt < 128 THEN bkt
+        |         ELSE ((128 + (bkt & 127) + 1)
+        |               << CAST((bkt >> 7) - 1 AS INT)) - 1
+        |    END AS hi
+        |  FROM bk),
+        |est AS (
+        |  SELECT month,
+        |    MIN(CASE WHEN cum >= (total + 1) // 2 THEN hi END) AS p50_est,
+        |    MIN(CASE WHEN cum >= (total * 9 + 9) // 10 THEN hi END)
+        |      AS p90_est,
+        |    MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN hi END)
+        |      AS p99_est
+        |  FROM cum GROUP BY 1),
+        |ranked AS (
+        |  SELECT month, cents,
+        |    row_number() OVER (PARTITION BY month ORDER BY cents) AS rn,
+        |    COUNT(*) OVER (PARTITION BY month) AS n
+        |  FROM base),
+        |exact AS (
+        |  SELECT month, MAX(n) AS n,
+        |    MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_exact,
+        |    MIN(CASE WHEN rn = (n * 9 + 9) // 10 THEN cents END)
+        |      AS p90_exact,
+        |    MIN(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END)
+        |      AS p99_exact
+        |  FROM ranked GROUP BY 1)
+        |SELECT x.month, CAST(x.n AS BIGINT) AS n,
+        |  CAST(p50_exact AS BIGINT) AS p50_exact,
+        |  CAST(p50_est AS BIGINT) AS p50_est,
+        |  p50_est >= p50_exact
+        |    AND p50_est - p50_exact <= p50_exact // 128 AS p50_in,
+        |  CAST(p90_exact AS BIGINT) AS p90_exact,
+        |  CAST(p90_est AS BIGINT) AS p90_est,
+        |  p90_est >= p90_exact
+        |    AND p90_est - p90_exact <= p90_exact // 128 AS p90_in,
+        |  CAST(p99_exact AS BIGINT) AS p99_exact,
+        |  CAST(p99_est AS BIGINT) AS p99_est,
+        |  p99_est >= p99_exact
+        |    AND p99_est - p99_exact <= p99_exact // 128 AS p99_in
+        |FROM exact x JOIN est e ON x.month = e.month
+        |ORDER BY x.month""".stripMargin,
 
     "sk1_salted_join" -> plainJoinAggSql,
     "sk2_skew_split_join" -> plainJoinAggSql,

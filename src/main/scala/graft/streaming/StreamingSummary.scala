@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.hadoop.fs.Path
 
-import graft.ops.IncrementalAgg
+import graft.ops.{IncrementalAgg, QuantileSketch}
 import graft.ops.IncrementalAgg.Measure
 
 /** Streaming incremental view maintenance: a file stream of fact deltas
@@ -44,12 +44,14 @@ object StreamingSummary {
       spark.read.parquet(s"$summaryPath/v=$v"))
 
   /** Drain all pending parquet files under `inDir` (AvailableNow),
-    * folding each batch into the versioned summary at `summaryPath`.
-    * Returns the final summary. */
-  def maintainFromFiles(spark: SparkSession, inDir: String,
+    * folding each batch into the versioned summary at `summaryPath`
+    * with `fold(batch, previousSummary)`. Returns the final summary.
+    * The versioning/replay/prune discipline lives here once; what a
+    * "summary" is (one row per group, sketch rows, …) is the fold's. */
+  def maintainVersioned(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, checkpoint: String,
-      summaryPath: String, keys: Seq[String],
-      measures: Seq[Measure]): DataFrame = {
+      summaryPath: String)(
+      fold: (DataFrame, Option[DataFrame]) => DataFrame): DataFrame = {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val q = stream.writeStream
@@ -59,13 +61,9 @@ object StreamingSummary {
         val fs = fsOf(spark, summaryPath)
         val existing = versions(spark, summaryPath)
         if (!existing.contains(batchId)) { // replay after a crash: skip
-          val delta = IncrementalAgg.summarize(batch, keys, measures)
-          val next = existing.filter(_ < batchId).lastOption match {
-            case Some(prev) => IncrementalAgg.maintain(
-              spark.read.parquet(s"$summaryPath/v=$prev"), delta,
-              keys, measures)
-            case None => delta
-          }
+          val prev = existing.filter(_ < batchId).lastOption.map(v =>
+            spark.read.parquet(s"$summaryPath/v=$v"))
+          val next = fold(batch, prev)
           val tmp = new Path(s"$summaryPath/.v=${batchId}__tmp")
           val dst = new Path(s"$summaryPath/v=$batchId")
           if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -83,4 +81,39 @@ object StreamingSummary {
     current(spark, summaryPath).getOrElse(
       throw new IllegalStateException(s"no summary under $summaryPath"))
   }
+
+  /** Exact-measure maintenance: each batch is summarized to the grain
+    * and folded into the stored summary with one join (O(delta)). */
+  def maintainFromFiles(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpoint: String,
+      summaryPath: String, keys: Seq[String],
+      measures: Seq[Measure]): DataFrame =
+    maintainVersioned(spark, inDir, schema, checkpoint, summaryPath) {
+      (batch, prev) =>
+        val delta = IncrementalAgg.summarize(batch, keys, measures)
+        prev match {
+          case Some(p) => IncrementalAgg.maintain(p, delta, keys, measures)
+          case None => delta
+        }
+    }
+
+  /** Quantile maintenance: the stored summary is the deterministic
+    * log-histogram sketch of [[graft.ops.QuantileSketch]] — rows of
+    * (keys…, bkt, cnt). Each batch's sketch unions in and counts SUM,
+    * so the maintained state is bit-identical to the one-pass sketch
+    * over all data ever streamed (no decay, no randomness) while each
+    * batch costs O(delta + groups·buckets). Read quantiles off the
+    * result with [[graft.ops.QuantileSketch.quantiles]]. */
+  def maintainQuantilesFromFiles(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpoint: String,
+      summaryPath: String, keys: Seq[String], valueCol: String,
+      m: Int = 7): DataFrame =
+    maintainVersioned(spark, inDir, schema, checkpoint, summaryPath) {
+      (batch, prev) =>
+        val delta = QuantileSketch.summarize(batch, keys, valueCol, m)
+        prev match {
+          case Some(p) => QuantileSketch.rollup(p.unionByName(delta), keys)
+          case None => delta
+        }
+    }
 }
