@@ -305,6 +305,28 @@ object OpsQueries {
         .orderBy(col("month"))
     }),
 
+    // ---- Time-series gap fill (ts1) --------------------------------------
+    // Daily order summary per priority regularized onto each priority's
+    // own date spine: additive measures (n, revenue) zero-fill, the
+    // level measure (max order price) carries forward, is_gap marks
+    // synthesized days. Oracle replays the spine with generate_series
+    // and the carry with last_value(... IGNORE NULLS).
+    "ts1_gap_fill_locf" -> ((s, d) => {
+      val daily = Tables.orders(s, d).select(
+          col("o_orderpriority").as("priority"),
+          col("o_orderdate").cast(DateType).as("day"),
+          Tables.dec2(col("o_totalprice")).as("price"))
+        .groupBy(col("priority"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("revenue"),
+          max(col("price")).cast("double").as("max_price"))
+      TimeSeries.gapFill(daily, Seq("priority"), "day",
+          zeroCols = Seq("n", "revenue"), locfCols = Seq("max_price"))
+        .select(col("priority"), col("day"), col("n"), col("revenue"),
+          col("max_price").as("last_max_price"), col("is_gap"))
+        .orderBy(col("priority"), col("day"))
+    }),
+
     // ---- Lookup-dim upsert (snowflake maintenance) ----------------------
     "lookup_dim_upsert" -> ((s, d) => {
       val p = Tables.part(s, d)
@@ -427,6 +449,36 @@ object OpsQueries {
         |    AND p99_est - p99_exact <= p99_exact // 128 AS p99_in
         |FROM exact x JOIN est e ON x.month = e.month
         |ORDER BY x.month""".stripMargin,
+
+    // decimal sums cast to double at scale 2 are single-rounded in both
+    // engines (the a2 pattern); the LOCF mirror is last_value IGNORE
+    // NULLS over the default running frame
+    "ts1_gap_fill_locf" ->
+      """WITH facts AS (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE)
+        |      AS day,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+        |      AS revenue,
+        |    CAST(MAX(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+        |      AS max_price
+        |  FROM orders GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT priority, MIN(day) AS lo, MAX(day) AS hi
+        |  FROM facts GROUP BY 1),
+        |spine AS (
+        |  SELECT priority,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        |  FROM bounds)
+        |SELECT s.priority, s.day,
+        |  CAST(COALESCE(f.n, 0) AS BIGINT) AS n,
+        |  COALESCE(f.revenue, 0.0) AS revenue,
+        |  last_value(f.max_price IGNORE NULLS)
+        |    OVER (PARTITION BY s.priority ORDER BY s.day)
+        |    AS last_max_price,
+        |  f.n IS NULL AS is_gap
+        |FROM spine s LEFT JOIN facts f USING (priority, day)
+        |ORDER BY s.priority, s.day""".stripMargin,
 
     "sk1_salted_join" -> plainJoinAggSql,
     "sk2_skew_split_join" -> plainJoinAggSql,
