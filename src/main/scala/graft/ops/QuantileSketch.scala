@@ -63,19 +63,26 @@ object QuantileSketch {
 
   /** Upper edge of bucket `b` — the value [[quantiles]] reports. The
     * edge is the MAX value mapping to b, hence est ≥ exact and
-    * est − exact < bucket width ≤ exact >> m. */
-  def bucketHi(b: Column, m: Int): Column = {
-    val base = lit(1L << m)
-    val level = call_function("shiftright", b, lit(m.toLong))
+    * est − exact < bucket width ≤ exact >> m. Column-valued `m` so the
+    * decoder reads the resolution off the sketch rows themselves. */
+  def bucketHi(b: Column, m: Column): Column = {
+    val base = call_function("shiftleft", lit(1L), m)
+    val level = call_function("shiftright", b, m)
     val sub = base + b.bitwiseAND(base - lit(1L))
     when(b < base, b)
       .otherwise(call_function("shiftleft", sub + lit(1L),
         level - lit(1L)) - lit(1L))
   }
 
-  /** Aggregate `rows` to per-group bucket counts: keys ++ (bkt, cnt).
+  def bucketHi(b: Column, m: Int): Column = bucketHi(b, lit(m.toLong))
+
+  /** Aggregate `rows` to per-group bucket counts: keys ++ (bkt, cnt, m).
     * One narrow shuffle on (keys, bkt); map-side combine does the
     * heavy lifting because bucket cardinality per group is tiny.
+    * The resolution `m` rides along as a column so downstream readers
+    * decode with the resolution the sketch was BUILT with — two
+    * sketches of different m look bucket-compatible in the raw longs
+    * but are not, so [[rollup]] refuses to merge them.
     * Null values are excluded (SQL aggregate convention); negative
     * values are a contract violation and fail loudly rather than
     * corrupting the monotone bucket order. */
@@ -88,14 +95,22 @@ object QuantileSketch {
     rows.filter(v.isNotNull)
       .groupBy((keys.map(col) :+ guarded.as("bkt")): _*)
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("m", lit(m.toLong))
   }
 
   /** Merge sketch rows up to a coarser grain (`keys` ⊂ the summarize
     * grain) — plain SUM, so day→month→quarter rollups chain and
-    * disjoint deltas fold into exactly the one-pass sketch. */
+    * disjoint deltas fold into exactly the one-pass sketch. Merging
+    * sketches of different resolution would silently combine
+    * incompatible bucket spaces, so it fails loudly instead. */
   def rollup(sketch: DataFrame, keys: Seq[String]): DataFrame =
     sketch.groupBy((keys.map(col) :+ col("bkt")): _*)
-      .agg(sum(col("cnt")).as("cnt"))
+      .agg(sum(col("cnt")).as("cnt"),
+        when(min(col("m")) =!= max(col("m")), raise_error(concat(
+          lit("QuantileSketch: merging sketches of different m: "),
+          min(col("m")).cast("string"), lit(" vs "),
+          max(col("m")).cast("string"))))
+          .otherwise(min(col("m"))).as("m"))
 
   /** Read-time quantile estimates from a sketch: one output row per
     * group with a column per requested quantile. Quantiles are exact
@@ -107,21 +122,33 @@ object QuantileSketch {
     * count first reaches it. Windows run over summary rows (a few
     * hundred per group), partitioned by the group keys. */
   def quantiles(sketch: DataFrame, keys: Seq[String],
-      qs: Seq[(String, Int, Int)], m: Int = 7): DataFrame = {
+      qs: Seq[(String, Int, Int)]): DataFrame = {
     val byGroup = Window.partitionBy(keys.map(col): _*)
+    // decode with the resolution the sketch carries; a group mixing
+    // resolutions (e.g. a streaming fold resumed with a different m)
+    // has no consistent bucket space and fails loudly here, the read
+    // path every consumer goes through
+    val mOk = when(
+      min(col("m")).over(byGroup) =!= max(col("m")).over(byGroup),
+      raise_error(lit("QuantileSketch: group mixes sketch resolutions")))
+      .otherwise(col("m"))
     val cum = sketch
       .withColumn("__cum", sum(col("cnt")).over(byGroup.orderBy(col("bkt"))))
       .withColumn("__total", sum(col("cnt")).over(byGroup))
+      .withColumn("__m", mOk)
     val ests = qs.map { case (name, num, den) =>
-      val target = floorDiv(col("__total") * num + (den - 1), den)
-      min(when(col("__cum") >= target, bucketHi(col("bkt"), m))).as(name)
+      min(when(col("__cum") >= ceilRank(col("__total"), num, den),
+        bucketHi(col("bkt"), col("__m")))).as(name)
     }
     cum.groupBy(keys.map(col): _*).agg(ests.head, ests.tail: _*)
   }
 
-  /** Integer ceil-division helper: floor((a)/(d)) with a pre-biased
-    * numerator; `div` keeps the arithmetic in longs (Column `/` is
-    * double division, inexact past 2^53). */
-  private def floorDiv(a: Column, d: Int): Column =
-    call_function("div", a, lit(d.toLong))
+  /** The rank a quantile num/den targets in a group of `n` rows:
+    * ceil(num·n/den), computed as floor((num·n + den − 1)/den) in pure
+    * long arithmetic — `div` because Column `/` is double division,
+    * inexact past 2^53, and engines disagree on its rounding. Public
+    * so gate oracles rank with LITERALLY the same expression the
+    * sketch uses — a convention change can't drift them apart. */
+  def ceilRank(n: Column, num: Int, den: Int): Column =
+    call_function("div", n * num + (den - 1), lit(den.toLong))
 }

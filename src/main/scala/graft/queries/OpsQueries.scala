@@ -291,8 +291,7 @@ object OpsQueries {
       val exact = ranked.groupBy(col("month")).agg(
         first(col("n")).as("n"),
         qs.map { case (name, num, den) =>
-          min(when(col("rn") ===
-            call_function("div", col("n") * num + (den - 1), lit(den.toLong)),
+          min(when(col("rn") === QuantileSketch.ceilRank(col("n"), num, den),
             col("cents"))).as(s"${name}_exact")
         }: _*)
       exact.join(est, "month")

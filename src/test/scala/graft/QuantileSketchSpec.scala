@@ -43,7 +43,7 @@ class QuantileSketchSpec extends SparkSpec {
     val onePass = QuantileSketch.summarize(whole, Seq("g"), "v", M)
     val deltas = (0 until 4).map(k =>
       QuantileSketch.summarize(
-        whole.filter(abs(hash(col("v"))) % 4 === k), Seq("g"), "v", M))
+        whole.filter(pmod(hash(col("v")), lit(4)) === k), Seq("g"), "v", M))
     val merged = QuantileSketch.rollup(
       deltas.reduce(_ unionByName _), Seq("g"))
     val key = (df: org.apache.spark.sql.DataFrame) =>
@@ -58,7 +58,7 @@ class QuantileSketchSpec extends SparkSpec {
     val df = vs.map(("g", _)).toDF("g", "v")
     val sk = QuantileSketch.summarize(df, Seq("g"), "v", M)
     val est = QuantileSketch.quantiles(sk, Seq("g"),
-      Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)), M)
+      Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
       .collect().head
     val sorted = vs.sorted
     def exactAt(num: Int, den: Int): Long = {
@@ -92,7 +92,7 @@ class QuantileSketchSpec extends SparkSpec {
     }
     val all = values(2000).zipWithIndex
       .map { case (v, i) => (s"g${i % 2}", v) }.toDF("g", "v")
-    (0 to 2).foreach(i => land(all.filter(abs(hash(col("v"))) % 3 === i),
+    (0 to 2).foreach(i => land(all.filter(pmod(hash(col("v")), lit(3)) === i),
       s"b$i"))
     val got = StreamingSummary.maintainQuantilesFromFiles(spark,
       s"$root/deltas", all.schema, s"$root/ckpt", s"$root/sketch",
@@ -110,6 +110,20 @@ class QuantileSketchSpec extends SparkSpec {
     val want2 = QuantileSketch.summarize(all.unionByName(all.limit(100)),
       Seq("g"), "v", M)
     assert(key(got2) === key(want2))
+  }
+
+  test("reading a group that mixes sketch resolutions fails loudly") {
+    val df = values(500).map(("g", _)).toDF("g", "v")
+    val mixed = QuantileSketch.summarize(df, Seq("g"), "v", 7)
+      .unionByName(QuantileSketch.summarize(df, Seq("g"), "v", 9))
+    val ex = intercept[Exception] {
+      QuantileSketch.quantiles(mixed, Seq("g"), Seq(("p50", 1, 2)))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => String.valueOf(e.getMessage) +:
+        msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("mixes sketch resolutions")))
   }
 
   test("null values are excluded; negative values fail loudly") {

@@ -51,6 +51,34 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", "2021-01-03", 1L, Some(7.0), false)))
   }
 
+  test("dateSpine fails loudly when a group's span exceeds maxSpanDays " +
+      "(one corrupt outlier date would explode the group)") {
+    val df = Seq(("a", d("1970-01-01")), ("a", d("2026-01-01")))
+      .toDF("g", "day")
+    val ex = intercept[Exception] {
+      TimeSeries.dateSpine(df, Seq("g"), "day", maxSpanDays = 10000)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => String.valueOf(e.getMessage) +:
+        msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("exceeds maxSpanDays")))
+    // the default century bound admits the same span (~20.5k days)
+    assert(TimeSeries.dateSpine(df, Seq("g"), "day").count() > 20000L)
+  }
+
+  test("gapFill fails loudly on a null day instead of dropping the row") {
+    val df = Seq(("a", Some(d("2021-01-01")), 1L), ("a", None, 2L))
+      .toDF("g", "day", "n")
+    val ex = intercept[Exception] {
+      TimeSeries.gapFill(df, Seq("g"), "day", Seq("n"), Nil).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => String.valueOf(e.getMessage) +:
+        msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("null day")))
+  }
+
   test("gapFill fails loudly on duplicated (keys, day) input grain") {
     val dup = Seq(("a", d("2021-01-01"), 1L), ("a", d("2021-01-01"), 2L))
       .toDF("g", "day", "n")
