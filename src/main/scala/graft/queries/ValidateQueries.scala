@@ -76,6 +76,38 @@ object ValidateQueries {
     // plus the documented rejection-message format. The slate is shared
     // with the generated oracle so the two sides cannot drift on INPUTS
     // while staying independent on the LOGIC.
+    // ---- DQ1: cross-batch stats drift -----------------------------------
+    // baseline = one md5-half of lineitem; current = the other half
+    // with deterministic md5-drawn corruptions (~10% of quantities
+    // doubled, ~5% of discounts nulled). The drift gate must flag the
+    // quantity mean/tail and the discount null rate while staying
+    // quiet on untouched price. The oracle replays the halves, the
+    // draws, the exact integer stats, and the sketch bucket math, so
+    // the VERDICT booleans themselves are hash-checked.
+    "dq1_stats_drift" -> ((s, d) => {
+      val k = concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      val li = Tables.lineitem(s, d).select(k.as("k"),
+        (Tables.dec2(col("l_quantity")) * 100).cast("long").as("qty"),
+        (Tables.dec2(col("l_extendedprice")) * 100).cast("long")
+          .as("price"),
+        (Tables.dec4(col("l_discount")) * 10000).cast("long").as("disc"))
+      val base = li.filter(md5(col("k")) < "8")
+        .select("qty", "price", "disc")
+      val qb = graft.operators.Curation.rateBound(0.1)
+      val db = graft.operators.Curation.rateBound(0.05)
+      val cur = li.filter(md5(col("k")) >= "8").select(
+        when(md5(concat(lit("q-"), col("k"))) < qb, col("qty") * 2)
+          .otherwise(col("qty")).as("qty"),
+        col("price"),
+        when(md5(concat(lit("d-"), col("k"))) < db,
+          lit(null).cast("long")).otherwise(col("disc")).as("disc"))
+      val cols = Seq("qty", "price", "disc")
+      Drift.compare(Drift.profile(cur, cols), Drift.profile(base, cols),
+          relTol = 0.05, nullPpmTol = 10000L)
+        .orderBy(col("column_name"), col("metric"))
+    }),
+
     "v9_identifier_guard" -> ((s, _) => {
       import s.implicits._
       v9Candidates.map { case (id, nm) =>
@@ -214,6 +246,93 @@ object ValidateQueries {
         |  CAST(MAX(l_quantity) AS DOUBLE), COUNT(l_quantity), true, true
         |FROM lineitem
         |ORDER BY "column"""".stripMargin,
+
+    // replays the md5 halves/draws, exact integer ppm arithmetic, the
+    // decimal-sum mean, and the m=7 log-histogram bucket math (the kq1
+    // pattern) so every value AND verdict boolean is hash-compared
+    "dq1_stats_drift" -> {
+      val qb = graft.operators.Curation.rateBound(0.1)
+      val db = graft.operators.Curation.rateBound(0.05)
+      s"""WITH src AS (
+         |  SELECT concat_ws('-', l_orderkey, l_linenumber, l_partkey,
+         |      l_suppkey) AS k,
+         |    CAST(CAST(l_quantity AS DECIMAL(15,2)) * 100 AS BIGINT)
+         |      AS qty,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+         |      AS price,
+         |    CAST(CAST(l_discount AS DECIMAL(9,4)) * 10000 AS BIGINT)
+         |      AS disc
+         |  FROM lineitem),
+         |sides AS (
+         |  SELECT CASE WHEN md5(k) < '8' THEN 'base' ELSE 'cur' END
+         |      AS side,
+         |    CASE WHEN md5(k) >= '8' AND md5('q-' || k) < '$qb'
+         |      THEN qty * 2 ELSE qty END AS qty,
+         |    price,
+         |    CASE WHEN md5(k) >= '8' AND md5('d-' || k) < '$db'
+         |      THEN NULL ELSE disc END AS disc
+         |  FROM src),
+         |unp AS (
+         |  SELECT side, 'qty' AS column_name, qty AS v FROM sides
+         |  UNION ALL SELECT side, 'price', price FROM sides
+         |  UNION ALL SELECT side, 'disc', disc FROM sides),
+         |stats AS (
+         |  SELECT side, column_name, COUNT(*) AS n, COUNT(v) AS nn,
+         |    CAST(SUM(v) AS BIGINT)::DOUBLE / COUNT(v) AS avg
+         |  FROM unp GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT side, column_name,
+         |    CASE WHEN v < 128 THEN v
+         |         ELSE (length(bin(v)) - 7) * 128
+         |              + (v >> (length(bin(v)) - 8)) - 128
+         |    END AS bkt, COUNT(*) AS cnt
+         |  FROM unp WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+         |cum AS (
+         |  SELECT side, column_name, cnt,
+         |    SUM(cnt) OVER (PARTITION BY side, column_name
+         |      ORDER BY bkt) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY side, column_name) AS total,
+         |    CASE WHEN bkt < 128 THEN bkt
+         |         ELSE ((128 + (bkt & 127) + 1)
+         |               << CAST((bkt >> 7) - 1 AS INT)) - 1
+         |    END AS hi
+         |  FROM bk),
+         |est AS (
+         |  SELECT side, column_name,
+         |    MIN(CASE WHEN cum >= (total + 1) // 2 THEN hi END) AS p50,
+         |    MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN hi END)
+         |      AS p99
+         |  FROM cum GROUP BY 1, 2),
+         |prof AS (
+         |  SELECT s.side, s.column_name, n, nn, avg, p50, p99
+         |  FROM stats s JOIN est e
+         |    ON s.side = e.side AND s.column_name = e.column_name),
+         |wide AS (
+         |  SELECT b.column_name,
+         |    b.n AS b_n, b.nn AS b_nn, b.avg AS b_avg,
+         |    b.p50 AS b_p50, b.p99 AS b_p99,
+         |    c.n AS c_n, c.nn AS c_nn, c.avg AS c_avg,
+         |    c.p50 AS c_p50, c.p99 AS c_p99
+         |  FROM prof b JOIN prof c ON b.column_name = c.column_name
+         |    AND b.side = 'base' AND c.side = 'cur')
+         |SELECT column_name, 'null_ppm' AS metric,
+         |  CAST((b_n - b_nn) * 1000000 // b_n AS DOUBLE) AS base_value,
+         |  CAST((c_n - c_nn) * 1000000 // c_n AS DOUBLE) AS cur_value,
+         |  abs((c_n - c_nn) * 1000000 // c_n
+         |      - (b_n - b_nn) * 1000000 // b_n) > 10000 AS drifted
+         |FROM wide
+         |UNION ALL SELECT column_name, 'avg', b_avg, c_avg,
+         |  abs(c_avg - b_avg) > 0.05 * abs(b_avg) FROM wide
+         |UNION ALL SELECT column_name, 'p50',
+         |  CAST(b_p50 AS DOUBLE), CAST(c_p50 AS DOUBLE),
+         |  abs(CAST(c_p50 AS DOUBLE) - CAST(b_p50 AS DOUBLE))
+         |    > 0.05 * abs(CAST(b_p50 AS DOUBLE)) FROM wide
+         |UNION ALL SELECT column_name, 'p99',
+         |  CAST(b_p99 AS DOUBLE), CAST(c_p99 AS DOUBLE),
+         |  abs(CAST(c_p99 AS DOUBLE) - CAST(b_p99 AS DOUBLE))
+         |    > 0.05 * abs(CAST(b_p99 AS DOUBLE)) FROM wide
+         |ORDER BY column_name, metric""".stripMargin
+    },
 
     "v8_numeric_profile" ->
       """WITH ev AS (SELECT value, user_id FROM events)
