@@ -143,6 +143,36 @@ object QuantileSketch {
     cum.groupBy(keys.map(col): _*).agg(ests.head, ests.tail: _*)
   }
 
+  /** Winsorize: clip `valueCol` into its own group's [lo, hi] quantile
+    * band (each a num/den rational, e.g. (1,20)→p5, (19,20)→p95) —
+    * the standard outlier cap before averaging or training on a
+    * heavy-tailed measure (document lengths, token counts, prices).
+    * Because the bounds come from the deterministic sketch, the
+    * clipped output is bit-identical across runs, partitionings, and
+    * engines — no sampled-percentile wobble. Appends `clip_lo` /
+    * `clip_hi` so downstream can tell capped from organic values.
+    *
+    * Scale shape: one narrow sketch aggregation, then the per-group
+    * bounds (one row per group) join back onto the facts — AQE
+    * broadcasts them when the group count is small and falls back to
+    * a key shuffle when it is not (the q20 lesson: a forced broadcast
+    * hint scales with group cardinality, not data size). Null values
+    * pass through unclipped (SQL convention). */
+  def winsorize(rows: DataFrame, keys: Seq[String], valueCol: String,
+      lo: (Int, Int), hi: (Int, Int), m: Int = 7): DataFrame = {
+    val bounds = quantiles(summarize(rows, keys, valueCol, m), keys,
+      Seq(("clip_lo", lo._1, lo._2), ("clip_hi", hi._1, hi._2)))
+    rows.join(bounds, keys)
+      .withColumn(valueCol,
+        // explicit null branch: Spark's least/greatest IGNORE null
+        // arguments (least(null, x) = x), so without it a null value
+        // would silently clip to the lower cap instead of passing
+        // through — the same null-semantics trap as DuckDB's least()
+        when(col(valueCol).isNull, lit(null).cast("long"))
+          .otherwise(least(greatest(col(valueCol).cast("long"),
+            col("clip_lo")), col("clip_hi"))))
+  }
+
   /** The rank a quantile num/den targets in a group of `n` rows:
     * ceil(num·n/den), computed as floor((num·n + den − 1)/den) in pure
     * long arithmetic — `div` because Column `/` is double division,

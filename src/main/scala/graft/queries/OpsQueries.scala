@@ -304,6 +304,29 @@ object OpsQueries {
         .orderBy(col("month"))
     }),
 
+    // ---- Winsorization on sketch bounds (kq2) ---------------------------
+    // Per-month price cents clipped into the sketch's [p5, p95] band;
+    // the gate aggregates the clipped column (exact integer sum/min/
+    // max) so any cap or clip deviation breaks the hash. The oracle
+    // replays the bucket math for both caps and the clip itself.
+    "kq2_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        date_format(col("l_shipdate").cast(DateType), "yyyy-MM")
+          .as("month"),
+        (Tables.dec2(col("l_extendedprice")) * 100).cast(LongType)
+          .as("cents"))
+      QuantileSketch.winsorize(li, Seq("month"), "cents",
+          lo = (1, 20), hi = (19, 20))
+        .groupBy(col("month")).agg(
+          count(lit(1)).as("n"),
+          min(col("clip_lo")).as("clip_lo"),
+          min(col("clip_hi")).as("clip_hi"),
+          sum(col("cents")).as("sum_clipped"),
+          min(col("cents")).as("min_clipped"),
+          max(col("cents")).as("max_clipped"))
+        .orderBy(col("month"))
+    }),
+
     // ---- Time-series gap fill (ts1) --------------------------------------
     // Daily order summary per priority regularized onto each priority's
     // own date spine: additive measures (n, revenue) zero-fill, the
@@ -448,6 +471,48 @@ object OpsQueries {
         |    AND p99_est - p99_exact <= p99_exact // 128 AS p99_in
         |FROM exact x JOIN est e ON x.month = e.month
         |ORDER BY x.month""".stripMargin,
+
+    // same bucket replay as kq1; ceil-ranks (n+19)//20 for p5 and
+    // (19n+19)//20 for p95; the clipped sum is CAST to BIGINT
+    // (DuckDB SUM(BIGINT) returns HUGEINT)
+    "kq2_winsorize" ->
+      """WITH base AS (
+        |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem),
+        |bk AS (
+        |  SELECT month,
+        |    CASE WHEN cents < 128 THEN cents
+        |         ELSE (length(bin(cents)) - 7) * 128
+        |              + (cents >> (length(bin(cents)) - 8)) - 128
+        |    END AS bkt, count(*) AS cnt
+        |  FROM base GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT month, cnt,
+        |    SUM(cnt) OVER (PARTITION BY month ORDER BY bkt) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY month) AS total,
+        |    CASE WHEN bkt < 128 THEN bkt
+        |         ELSE ((128 + (bkt & 127) + 1)
+        |               << CAST((bkt >> 7) - 1 AS INT)) - 1
+        |    END AS hi
+        |  FROM bk),
+        |est AS (
+        |  SELECT month,
+        |    MIN(CASE WHEN cum >= (total + 19) // 20 THEN hi END)
+        |      AS clip_lo,
+        |    MIN(CASE WHEN cum >= (total * 19 + 19) // 20 THEN hi END)
+        |      AS clip_hi
+        |  FROM cum GROUP BY 1),
+        |clipped AS (
+        |  SELECT b.month, e.clip_lo, e.clip_hi,
+        |    least(greatest(b.cents, e.clip_lo), e.clip_hi) AS c
+        |  FROM base b JOIN est e USING (month))
+        |SELECT month, COUNT(*) AS n,
+        |  MIN(clip_lo) AS clip_lo, MIN(clip_hi) AS clip_hi,
+        |  CAST(SUM(c) AS BIGINT) AS sum_clipped,
+        |  MIN(c) AS min_clipped, MAX(c) AS max_clipped
+        |FROM clipped GROUP BY month ORDER BY month""".stripMargin,
 
     // decimal sums cast to double at scale 2 are single-rounded in both
     // engines (the a2 pattern); the LOCF mirror is last_value IGNORE

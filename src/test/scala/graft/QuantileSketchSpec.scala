@@ -112,6 +112,29 @@ class QuantileSketchSpec extends SparkSpec {
     assert(key(got2) === key(want2))
   }
 
+  test("winsorize clips into in-bound quantile caps, keeps every row, " +
+      "and passes nulls through unclipped") {
+    val vs = values(3000)
+    val df = vs.map(v => ("g", Option(v))).toDF("g", "v")
+      .unionByName(Seq(("g", None: Option[Long])).toDF("g", "v"))
+    val rows = QuantileSketch.winsorize(df, Seq("g"), "v",
+      lo = (1, 20), hi = (19, 20)).collect()
+    assert(rows.length === vs.size + 1)
+    val lo = rows.head.getAs[Long]("clip_lo")
+    val hi = rows.head.getAs[Long]("clip_hi")
+    val sorted = vs.sorted
+    def exactAt(num: Int, den: Int): Long =
+      sorted(((sorted.size.toLong * num + den - 1) / den - 1).toInt)
+    val (e5, e95) = (exactAt(1, 20), exactAt(19, 20))
+    assert(lo >= e5 && lo - e5 <= (e5 >> M))
+    assert(hi >= e95 && hi - e95 <= (e95 >> M))
+    val clipped = rows.filter(!_.isNullAt(1)).map(_.getLong(1))
+    assert(clipped.forall(v => v >= lo && v <= hi))
+    assert(clipped.sorted.toSeq ===
+      vs.map(v => math.min(math.max(v, lo), hi)).sorted)
+    assert(rows.count(_.isNullAt(1)) === 1)
+  }
+
   test("reading a group that mixes sketch resolutions fails loudly") {
     val df = values(500).map(("g", _)).toDF("g", "v")
     val mixed = QuantileSketch.summarize(df, Seq("g"), "v", 7)
