@@ -159,6 +159,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "chunk_tokens(text, chunkSize, overlap) — sizes must be " +
             "integer literals")
       }))
+    // Quantile-sketch bucket math as SQL functions: SQL pipelines can
+    // build the deterministic log-histogram sketches of
+    // graft.ops.QuantileSketch with plain aggregates (GROUP BY
+    // log_bucket(v, m) + COUNT, merge by SUM) and decode estimates
+    // with log_bucket_hi — the same integer expressions the Scala API
+    // composes, so SQL- and Scala-built sketches are bit-identical.
+    ext.injectFunction((FunctionIdentifier("log_bucket"),
+      new ExpressionInfo(graft.ops.QuantileSketch.getClass.getName,
+        "log_bucket"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(v, Literal(m: Int, _)) =>
+          expr_(graft.ops.QuantileSketch.bucketOf(col_(v), m))
+        case _ => throw new IllegalArgumentException(
+          "log_bucket(value, m) — m must be an integer literal")
+      }))
+    ext.injectFunction((FunctionIdentifier("log_bucket_hi"),
+      new ExpressionInfo(graft.ops.QuantileSketch.getClass.getName,
+        "log_bucket_hi"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(b, Literal(m: Int, _)) =>
+          expr_(graft.ops.QuantileSketch.bucketHi(col_(b), m))
+        case _ => throw new IllegalArgumentException(
+          "log_bucket_hi(bucket, m) — m must be an integer literal")
+      }))
     // Persisted-vector-store ANN as a TABLE function: the store query
     // is a relation (rank/vec_id/cosine rows), not a scalar, so it
     // rides injectTableFunction — `SELECT * FROM vector_topk(dir,

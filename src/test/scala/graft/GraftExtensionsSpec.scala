@@ -107,6 +107,28 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("log_bucket / log_bucket_hi: SQL-built sketches match the " +
+      "Scala bucket math exactly") {
+    val rows = spark.sql(
+      """SELECT id AS v, log_bucket(id, 7) AS b,
+        |  log_bucket_hi(log_bucket(id, 7), 7) AS hi
+        |FROM range(0, 5000, 37)""".stripMargin).collect()
+    rows.foreach { r =>
+      val (v, b, hi) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (v < 256L) assert(b === v && hi === v)
+      assert(hi >= v && hi - v <= (v >> 7))
+    }
+    // identical to the Column-API expression tree on the same input
+    import graft.ops.QuantileSketch
+    import org.apache.spark.sql.functions.col
+    val api = spark.range(0, 5000, 37)
+      .select(QuantileSketch.bucketOf(col("id"), 7)).collect().map(_.getLong(0))
+    assert(rows.map(_.getLong(1)).toSeq === api.toSeq)
+    intercept[Exception] {
+      spark.sql("SELECT log_bucket(5, 1 + 6)").collect()
+    }
+  }
+
   test("vector_topk table function queries a persisted store from SQL") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("vsql").toString
