@@ -97,6 +97,23 @@ object StreamingSummary {
         }
     }
 
+  /** Drift-baseline maintenance: the stored state is the MERGEABLE
+    * profile of [[graft.validate.Drift]] (moment sums + sketch
+    * buckets, O(columns × buckets) regardless of history size). Each
+    * batch folds in at O(delta); decode the returned state with
+    * `Drift.profileOf` and judge an incoming batch against it with
+    * `Drift.compare` — continuous feed-shape monitoring without ever
+    * re-profiling history. */
+  def maintainProfileFromFiles(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpoint: String,
+      statePath: String, cols: Seq[String], m: Int = 7): DataFrame =
+    maintainVersioned(spark, inDir, schema, checkpoint, statePath) {
+      (batch, prev) =>
+        val delta = graft.validate.Drift.mergeableProfile(batch, cols, m)
+        prev.map(p => graft.validate.Drift.foldProfiles(p, delta))
+          .getOrElse(delta)
+    }
+
   /** Quantile maintenance: the stored summary is the deterministic
     * log-histogram sketch of [[graft.ops.QuantileSketch]] — rows of
     * (keys…, bkt, cnt). Each batch's sketch unions in and counts SUM,

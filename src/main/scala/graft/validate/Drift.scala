@@ -77,6 +77,61 @@ object Drift {
     stats.join(est, Seq("column_name"), "left")
   }
 
+  /** Distributed, MERGEABLE profile state — the continuous-monitoring
+    * form of [[profile]]. Rows are (column_name, bkt, cnt, non_null,
+    * vsum, m): bkt = −1 carries the moment sums (cnt = row count,
+    * vsum = exact decimal sum), bkt ≥ 0 the sketch buckets. Every
+    * piece is a SUM, so disjoint batches fold by [[foldProfiles]]
+    * into exactly the one-pass state — a streaming baseline never
+    * re-touches history — and unlike [[profile]] nothing collects to
+    * the driver, so it composes with foreachBatch maintenance
+    * ([[graft.streaming.StreamingSummary.maintainProfileFromFiles]]). */
+  def mergeableProfile(df: DataFrame, cols: Seq[String], m: Int = 7)
+      : DataFrame = {
+    val pairs = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column_name"), col(c).cast(LongType).as("v"))): _*))
+      .as("e")).select(col("e.column_name").as("column_name"),
+      col("e.v").as("v"))
+    val moments = pairs.groupBy(col("column_name")).agg(
+      count(lit(1)).as("cnt"), count(col("v")).as("non_null"),
+      coalesce(sum(col("v").cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0))).as("vsum"))
+      .select(col("column_name"), lit(-1L).as("bkt"), col("cnt"),
+        col("non_null"), col("vsum"), lit(m.toLong).as("m"))
+    val sketch = QuantileSketch.summarize(pairs, Seq("column_name"), "v", m)
+      .select(col("column_name"), col("bkt"), col("cnt"),
+        lit(0L).as("non_null"), lit(0).cast(DecimalType(38, 0)).as("vsum"),
+        col("m"))
+    moments.unionByName(sketch)
+  }
+
+  /** Merge two mergeable-profile states (disjoint inputs ⇒ exactly the
+    * one-pass state). Mixed sketch resolutions fail loudly — here for
+    * same-bucket collisions, and at [[profileOf]] decode for the rest. */
+  def foldProfiles(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("column_name"), col("bkt")).agg(
+      sum(col("cnt")).as("cnt"), sum(col("non_null")).as("non_null"),
+      sum(col("vsum")).cast(DecimalType(38, 0)).as("vsum"),
+      when(min(col("m")) =!= max(col("m")), raise_error(lit(
+        "Drift: folding profiles of different sketch resolution")))
+        .otherwise(min(col("m"))).as("m"))
+
+  /** Decode a mergeable state to the (column_name, n, non_null, avg,
+    * p50, p99) shape [[compare]] consumes — identical, value for
+    * value, to running [[profile]] over the concatenated data. */
+  def profileOf(state: DataFrame): DataFrame = {
+    val moments = state.filter(col("bkt") === -1L).select(
+      col("column_name"), col("cnt").as("n"), col("non_null"),
+      when(col("non_null") === 0L, lit(null).cast("double"))
+        .otherwise(col("vsum").cast("double") / col("non_null"))
+        .as("avg"))
+    val est = QuantileSketch.quantiles(
+      state.filter(col("bkt") >= 0L)
+        .select("column_name", "bkt", "cnt", "m"),
+      Seq("column_name"), quantileNames)
+    moments.join(est, Seq("column_name"), "left")
+  }
+
   /** Long-format drift report: one row per (column_name, metric) with
     * metric ∈ {null_ppm, avg, p50, p99}, the two values (as doubles —
     * exact for the integer metrics), and the `drifted` verdict.

@@ -26,6 +26,64 @@ class DriftSpec extends SparkSpec {
     assert(pc.isNullAt(3) && pc.isNullAt(4) && pc.isNullAt(5))
   }
 
+  test("mergeable profile: folded disjoint deltas decode to exactly " +
+      "the one-pass profile, including an all-null column") {
+    val df = (1 to 900).map(i =>
+      (i.toLong * 10, if (i % 7 == 0) None else Some(i.toLong),
+        None: Option[Long])).toDF("x", "y", "z")
+    val cols = Seq("x", "y", "z")
+    val deltas = (0 until 3).map(k =>
+      Drift.mergeableProfile(df.filter(pmod(hash(col("x")), lit(3)) === k),
+        cols))
+    val folded = deltas.reduce(Drift.foldProfiles)
+    def rows(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))).toSet
+    assert(rows(Drift.profileOf(folded)) === rows(Drift.profile(df, cols)))
+
+    val quiet = Drift.compare(Drift.profileOf(folded),
+      Drift.profile(df, cols)).collect()
+    assert(quiet.length === 12 && quiet.forall(!_.getBoolean(4)))
+  }
+
+  test("streamed profile maintenance: the versioned state equals the " +
+      "one-pass profile and judges a drifted batch") {
+    import graft.streaming.StreamingSummary
+    val root = java.nio.file.Files.createTempDirectory("graft_sd").toString
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def land(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      df.coalesce(1).write.parquet(s"$root/in/$tag")
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/in/$tag"))
+        .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, j) =>
+          fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(s"$root/deltas/${tag}_$j.parquet"))
+        }
+    }
+    val all = (1 to 600).map(i => (i.toLong * 100, Some(i.toLong)))
+      .toDF("x", "y")
+    (0 until 3).foreach(k =>
+      land(all.filter(pmod(hash(col("y")), lit(3)) === k), s"b$k"))
+    val cols = Seq("x", "y")
+    val state = StreamingSummary.maintainProfileFromFiles(spark,
+      s"$root/deltas", all.schema, s"$root/ckpt", s"$root/state", cols)
+    val decoded = Drift.profileOf(state)
+    val quiet = Drift.compare(decoded, Drift.profile(all, cols)).collect()
+    assert(quiet.length === 8 && quiet.forall(!_.getBoolean(4)))
+
+    val drifted = (1 to 600).map(i =>
+      (i.toLong * 300, if (i % 4 == 0) None else Some(i.toLong)))
+      .toDF("x", "y")
+    val rep = Drift.compare(Drift.profile(drifted, cols), decoded)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getBoolean(4)).toMap
+    assert(rep(("x", "avg")) && rep(("x", "p99")) &&
+      rep(("y", "null_ppm")))
+  }
+
   test("compare: identical batches are quiet; mean/tail shift, " +
       "null-rate jump, and one-sided metrics all flag") {
     val base = (1 to 1000).map(i =>
