@@ -349,6 +349,29 @@ object OpsQueries {
         .orderBy(col("priority"), col("day"))
     }),
 
+    // ---- Day-over-day deltas on the regularized series (ts2) ------------
+    // The composition gap fill exists for: lag() deltas are only
+    // correct on a contiguous series (on the raw summary a gap makes
+    // "yesterday" silently mean "last week"). Zero-filled revenue →
+    // lag delta per priority; first day's delta is null.
+    "ts2_day_over_day" -> ((s, d) => {
+      val daily = Tables.orders(s, d).select(
+          col("o_orderpriority").as("priority"),
+          col("o_orderdate").cast(DateType).as("day"),
+          Tables.dec2(col("o_totalprice")).as("price"))
+        .groupBy(col("priority"), col("day"))
+        .agg(sum(col("price")).cast("double").as("revenue"))
+      val filled = TimeSeries.gapFill(daily, Seq("priority"), "day",
+        zeroCols = Seq("revenue"), locfCols = Nil)
+      val byP = Window.partitionBy(col("priority")).orderBy(col("day"))
+      filled
+        .withColumn("delta_revenue",
+          col("revenue") - lag(col("revenue"), 1).over(byP))
+        .select(col("priority"), col("day"), col("revenue"),
+          col("delta_revenue"), col("is_gap"))
+        .orderBy(col("priority"), col("day"))
+    }),
+
     // ---- Lookup-dim upsert (snowflake maintenance) ----------------------
     "lookup_dim_upsert" -> ((s, d) => {
       val p = Tables.part(s, d)
@@ -543,6 +566,31 @@ object OpsQueries {
         |  f.n IS NULL AS is_gap
         |FROM spine s LEFT JOIN facts f USING (priority, day)
         |ORDER BY s.priority, s.day""".stripMargin,
+
+    "ts2_day_over_day" ->
+      """WITH facts AS (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE)
+        |      AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE)
+        |      AS revenue
+        |  FROM orders GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT priority, MIN(day) AS lo, MAX(day) AS hi
+        |  FROM facts GROUP BY 1),
+        |spine AS (
+        |  SELECT priority,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        |  FROM bounds),
+        |filled AS (
+        |  SELECT s.priority, s.day,
+        |    COALESCE(f.revenue, 0.0) AS revenue,
+        |    f.revenue IS NULL AS is_gap
+        |  FROM spine s LEFT JOIN facts f USING (priority, day))
+        |SELECT priority, day, revenue,
+        |  revenue - lag(revenue)
+        |    OVER (PARTITION BY priority ORDER BY day) AS delta_revenue,
+        |  is_gap
+        |FROM filled ORDER BY priority, day""".stripMargin,
 
     "sk1_salted_join" -> plainJoinAggSql,
     "sk2_skew_split_join" -> plainJoinAggSql,
