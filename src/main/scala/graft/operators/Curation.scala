@@ -188,6 +188,44 @@ object Curation {
       .withColumn("is_kept", col("cluster_id") === col(idCol))
   }
 
+  /** Quality-aware representative selection: per near-dup cluster, keep
+    * the member with the HIGHEST `ord` (ties → smaller id) instead of
+    * [[clusterAssign]]'s min-id survivor. The production dedup move —
+    * "keep the best copy, not the first" — with any quality signal as
+    * `ord` (token count, [[graft.operators.TextAnalysis.qualityScore]],
+    * a model score).
+    *
+    * Output: (id, cluster_id, rep_id, is_rep) for every universe row.
+    *
+    * Scale shape: labels come from the iterative-CC path (narrow
+    * pair-shuffles); the election is the bounded topk_by aggregate with
+    * k = 1 — map-side partial argmax, one row per (partition, cluster)
+    * shuffles. Representatives are cluster-count-sized (≈ doc-count at
+    * 100 TB), so the re-attach is a plain key-shuffle join on
+    * cluster_id, never a broadcast. Null `ord` rows never win an
+    * election; a cluster whose members are ALL null-ord elects
+    * rep_id = null (callers wanting a survivor anyway should coalesce
+    * their quality signal first). */
+  def clusterRepresentatives(universe: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      ord: Column): DataFrame = {
+    val labeled = universe
+      .select(col(idCol).cast("long").as(idCol), ord.cast("double").as("__ord"))
+      .join(dupClusters(pairs, aCol, bCol).withColumnRenamed("id", idCol),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        col("__ord"))
+    val reps = labeled.groupBy(col("cluster_id"))
+      .agg(graft.expressions.TopKByExpr.topkBy(
+        col("__ord"), col(idCol), 1).as("__win"))
+      .select(col("cluster_id"),
+        element_at(col("__win"), 1).getField("id").as("rep_id"))
+    labeled.join(reps, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("rep_id"),
+        (col(idCol) === col("rep_id")).as("is_rep"))
+  }
+
   // -------------------------------------------------------------------
   // Deterministic hash sampling
   // -------------------------------------------------------------------

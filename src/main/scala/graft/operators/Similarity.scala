@@ -127,6 +127,44 @@ object Similarity {
     rankTopK(scored, qidCol, idCol, k)
   }
 
+  /** kNN majority-vote classification: label each query vector by the
+    * most common label among its k nearest (cosine) neighbors, the
+    * query row itself excluded. The standard label-propagation /
+    * quality-tag-transfer move in embedding-space curation (tag a few
+    * seed documents, classify the rest by neighborhood).
+    *
+    * Scale shape rides the existing exact-top-k path: queries broadcast,
+    * scoring is a map-side pass over the data, and the bounded topk_by
+    * aggregate means only k rows per (partition, query) shuffle — never
+    * a full gather. The elected neighbor set (|queries| * k rows) is
+    * then broadcast back against the data to fetch labels (one scan, no
+    * data-side shuffle), and the vote itself reuses topk_by with
+    * ord = votes, id = label, k = 1 — argmax with the (votes DESC,
+    * label ASC) tie-break, partitioning-independent.
+    */
+  def knnClassify(data: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, qidCol: String,
+      qvecCol: String, k: Int): DataFrame = {
+    val scored = data.crossJoin(broadcast(queries))
+      .where(col(idCol) =!= col(qidCol))
+      .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
+    val nn = rankTopK(scored, qidCol, idCol, k)
+      .select(col(qidCol), col(idCol))
+    val votes = data.select(col(idCol), col(labelCol))
+      .join(broadcast(nn), idCol)
+      .groupBy(col(qidCol), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy(col(qidCol))
+      .agg(graft.expressions.TopKByExpr.topkBy(
+        col("votes").cast("double"), col(labelCol).cast("long"), 1)
+        .as("__win"))
+      .select(col(qidCol),
+        element_at(col("__win"), 1).getField("id").cast("int")
+          .as("pred_label"),
+        element_at(col("__win"), 1).getField("ord").cast("long")
+          .as("votes"))
+  }
+
   /** LSH-bucketed top-k — the other sub-linear ANN path. The DATA side is
     * bucketed exactly once (one bucket per row, no multiplication); the
     * QUERY side is multi-probed (queries are few, so (probes+1)× query

@@ -238,4 +238,44 @@ object TextAnalysis {
     spark.createDataFrame(rows, outSchema)
       .withColumnRenamed("id", idCol)
   }
+
+  /** Corpus TF-IDF: the k most distinctive terms per document, scored
+    * `tf * (ln((N+1)/(df+1)) + 1)` (the smoothed sklearn-style idf — never
+    * negative, defined even for df = N). The standard keyword / topic
+    * signal a curation pipeline feeds into domain tagging and
+    * near-topic sampling, complementing [[langId]] (what language) and
+    * the raw frequency top-k (t4: corpus-global terms): tf-idf surfaces
+    * what is distinctive PER DOCUMENT.
+    *
+    * Scale shape: tf is one (doc, term) aggregation — O(corpus tokens)
+    * shuffle, the floor for any term statistic; df re-aggregates the
+    * (doc, term) DISTINCT pairs by term (vocabulary-sized); N is a
+    * broadcast scalar. df joins back on term as a plain shuffle join
+    * (the vocabulary of a 100 TB corpus does not fit a broadcast). The
+    * final per-doc top-k is a row_number window: unlike the ANN case
+    * (where topk_by replaces a |data|x|queries| gather) the windowed
+    * relation here IS the tf relation — O(corpus) rows, one more
+    * key-shuffle of what was already shuffled — and per-group size is
+    * bounded by a single document's vocabulary, so there is no
+    * single-reducer hazard. Ties break (score DESC, term ASC);
+    * round(6) absorbs engine ulp differences in ln. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"tfIdfTopTerms: k must be positive, got $k")
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") *
+        (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) +
+          lit(1.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.expressions.FreqSketchExpr
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,6 +54,20 @@ object CurationQueries {
       val pairs = Dedup.minhashDupPairs(all, "doc_id", "text",
         k = 3, numHashes = 64, bands = 32, threshold = 0.7)
       Curation.clusterAssign(all, "doc_id", pairs, "id_a", "id_b")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- quality-argmax representative per cluster ----------------------
+    // Same corpus/pairs as d7, but the survivor is the member with the
+    // most whitespace tokens (ties → smaller id), not the min id — the
+    // "keep the best copy" dedup. The oracle recomputes closure AND
+    // election independently (recursive CTE + argmax window).
+    "cr1_cluster_reps" -> ((s, d) => {
+      val all = d7Corpus(s, d)
+      val pairs = Dedup.minhashDupPairs(all, "doc_id", "text",
+        k = 3, numHashes = 64, bands = 32, threshold = 0.7)
+      Curation.clusterRepresentatives(all, "doc_id", pairs, "id_a", "id_b",
+          size(split(lower(trim(col("text"))), "\\s+")))
         .orderBy(col("doc_id"))
     }),
 
@@ -153,6 +167,17 @@ object CurationQueries {
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term")).limit(20)
+    }),
+
+    // ---- per-document TF-IDF top-k (oracle recomputes tf/df/ln) -----------
+    // Complements t4: distinctive-per-document terms, not corpus-global
+    // frequency. The oracle rebuilds tf, df, N and the smoothed-idf
+    // score independently; ln is cross-engine hash-validated (cu13
+    // replays the A-ES ln key) and round(6) absorbs ulp drift.
+    "t7_tfidf_terms" -> ((s, d) => {
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text",
+          k = 3)
+        .orderBy(col("doc_id"), col("rank"))
     }),
 
     // ---- mergeable heavy-hitters sketch (Misra–Gries) ---------------------
@@ -281,6 +306,38 @@ object CurationQueries {
          |  COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
          |  COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS is_kept
          |FROM alldocs d LEFT JOIN labels l ON l.id = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "cr1_cluster_reps" ->
+      s"""WITH RECURSIVE $d7CorpusSql,
+         |${LlmQueries.shinglesCte("alldocs")},
+         |pairs AS (
+         |  ${LlmQueries.jaccardPairsSql(0.7)}),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.7
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.7),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |cl AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         |    len(string_split_regex(lower(trim(d.text)), '\\s+')) AS ord
+         |  FROM alldocs d LEFT JOIN labels l ON l.id = d.doc_id),
+         |rep AS (
+         |  SELECT cluster_id, doc_id AS rep_id FROM (
+         |    SELECT cluster_id, doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |        ORDER BY ord DESC, doc_id) AS rk
+         |    FROM cl) t
+         |  WHERE rk = 1)
+         |SELECT cl.doc_id, cl.cluster_id, rep.rep_id,
+         |  cl.doc_id = rep.rep_id AS is_rep
+         |FROM cl JOIN rep USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
 
     "cu1_hash_sample" ->
@@ -488,6 +545,28 @@ object CurationQueries {
         |    AS term
         |  FROM documents) t
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "t7_tfidf_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |    FROM documents) t
+        |  WHERE term <> ''
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+        |      AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score FROM (
+        |  SELECT doc_id, term, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rank
+        |  FROM sc)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "t6_heavy_hitters" ->
       """SELECT term, n_exact, true AS under_est, true AS in_bound FROM (

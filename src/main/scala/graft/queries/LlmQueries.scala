@@ -259,6 +259,22 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- kNN majority-vote label classification (oracle-checked) ---------
+    // Label propagation in embedding space: each of the 10 query vectors
+    // is labeled by majority vote of its 7 nearest cosine neighbors
+    // (self excluded). The oracle recomputes neighbors AND the vote with
+    // its own window/argmax; ties break (votes DESC, label ASC) on both
+    // sides, so the hash pins the full classify path (score → bounded
+    // top-k → label fetch → argmax vote).
+    "knn1_label_vote" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+        queries, "qid", "qv", k = 7)
+        .orderBy(col("qid"))
+    }),
+
     // ---- LSH-bucketed ANN top-k (oracle: DuckDB brute-force top-k) -------
     // The corpus is augmented with 5 scaled copies of each query vector:
     // identical direction ⟹ identical hyperplane signs ⟹ every copy
@@ -735,5 +751,36 @@ object LlmQueries {
         |      ORDER BY cosine DESC, vec_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "knn1_label_vote" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id, e.label,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(e.embedding[i] AS DOUBLE)
+        |           * CAST(e.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+        |      AS cosine
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+        |nn AS (
+        |  SELECT qid, label FROM (
+        |    SELECT qid, label,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY cosine DESC, vec_id) AS rk
+        |    FROM scored)
+        |  WHERE rk <= 7),
+        |v AS (SELECT qid, label, count(*) AS votes FROM nn
+        |      GROUP BY qid, label)
+        |SELECT qid, CAST(label AS INTEGER) AS pred_label, votes FROM (
+        |  SELECT qid, label, votes,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY votes DESC, label) AS rk
+        |  FROM v)
+        |WHERE rk = 1 ORDER BY qid""".stripMargin,
   )
 }

@@ -45,6 +45,27 @@ class CurationSpec extends SparkSpec {
       (9L, 9L, true)))
   }
 
+  test("clusterRepresentatives: argmax election, ties and singletons") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val uni = Seq((1L, 10), (2L, 30), (3L, 20), (4L, 7), (5L, 7), (6L, 1))
+      .toDF("doc_id", "quality")
+    val got = Curation.clusterRepresentatives(uni, "doc_id", pairs,
+        "id_a", "id_b", col("quality"))
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 2L, false),   // cluster {1,2,3}: 2 has the best quality
+      (2L, 1L, 2L, true),
+      (3L, 1L, 2L, false),
+      (4L, 4L, 4L, true),    // tie 4 vs 5 -> smaller id
+      (5L, 4L, 4L, false),
+      (6L, 6L, 6L, true)))   // singleton represents itself
+    // partitioning-independent election
+    val re = Curation.clusterRepresentatives(uni.repartition(5), "doc_id",
+        pairs.repartition(3), "id_a", "id_b", col("quality"))
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(re === got)
+  }
+
   // ---- hash sampling ----------------------------------------------------
 
   test("hashSample: deterministic, subset-stable, near the target rate") {

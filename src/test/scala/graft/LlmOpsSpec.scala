@@ -487,4 +487,63 @@ class LlmOpsSpec extends SparkSpec {
         (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(re === got)
   }
+
+  test("tfIdfTopTerms: smoothed idf, per-doc ranks, tie-break, nulls") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana date"),
+      (3L, "cherry date date fig"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TA.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getDouble(3)))
+    // N = 4 docs; idf(df) = ln(5/(df+1)) + 1
+    def sc(tf: Int, df: Int): Double =
+      math.rint(tf * (math.log(5.0 / (df + 1)) + 1.0) * 1e6) / 1e6
+    assert(got.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 1, "apple", sc(2, 1)),            // unique term, tf 2: top
+      (1L, 2, "banana", sc(1, 2)),           // score tie with cherry:
+      (1L, 3, "cherry", sc(1, 2))))          //   term ASC breaks it
+    assert(got.filter(_._1 == 2L).map(_._3).toSeq === Seq("banana", "date"))
+    assert(got.filter(_._1 == 3L).map(_._3).toSeq ===
+      Seq("date", "fig", "cherry"))          // fig (df 1) beats cherry
+    assert(!got.exists(_._1 == 4L))          // null text: no terms
+    // partitioning-independent (one more shuffle, same keys)
+    val re = TA.tfIdfTopTerms(docs.repartition(7), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getDouble(3)))
+    assert(re.toSeq === got.toSeq)
+  }
+
+  test("knnClassify: majority vote, self-exclusion, vote tie-break") {
+    import spark.implicits._
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(1.0f, 0.1f), 1),
+      (3L, Array(0.95f, 0.05f), 0),
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.1f, 1.0f), 1),
+      (6L, Array(-0.05f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val q = data.filter(col("vec_id").isin(0L, 4L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = Similarity.knnClassify(data, "vec_id", "embedding", "label",
+      q, "qid", "qv", k = 3)
+      .orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // qid 0: nearest are {3, 2, 1} (labels 0, 1, 0) -> label 0, 2 votes;
+    // qid 4: nearest are {6, 5, 1} (labels 1, 1, 0) -> label 1, 2 votes
+    //   (id 1 at cos 0.110 edges out id 2 at 0.0995);
+    // id 0 / id 4 themselves excluded despite cosine 1.0
+    assert(got.toSeq === Seq((0L, 0, 2L), (4L, 1, 2L)))
+    // k = 2 for qid 0: {3, 2} votes 1-1 -> smaller label wins
+    val tied = Similarity.knnClassify(data, "vec_id", "embedding", "label",
+      q.filter(col("qid") === 0L), "qid", "qv", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(tied.toSeq === Seq((0L, 0, 1L)))
+  }
 }
