@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md) plus
   * deterministic-aggregation helpers used by every oracle-checked query.
@@ -20,8 +20,95 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Thrown when a driver-generated table's footer no longer matches the
+    * logical schema the engine was built against. The testdata has drifted
+    * shape once already (events.ts nanos→micros, 2026-08-13); a NAMED
+    * error listing exactly which columns moved beats whatever arbitrary
+    * analysis exception the first downstream expression would throw. */
+  final class SchemaDriftException(table: String, issues: Seq[String])
+    extends IllegalStateException(
+      s"testdata schema drift in table '$table': ${issues.mkString("; ")}" +
+      " — update graft.Tables.expectedSchemas (and any loader conversion)" +
+      " for the new footer shape")
+
+  /** A named family of acceptable Spark types for one logical column —
+    * loose enough to tolerate benign physical drift (int32↔int64 keys,
+    * nanos-as-long↔timestamp), tight enough that a breaking change (string
+    * where a numeric was, dropped column) fails loudly by name. */
+  private final case class TypeFamily(label: String)(ok0: DataType => Boolean) {
+    def ok(dt: DataType): Boolean = ok0(dt)
+  }
+  private val integralT = TypeFamily("integral") {
+    case ByteType | ShortType | IntegerType | LongType => true; case _ => false
+  }
+  private val fractionalT = TypeFamily("fractional") {
+    case FloatType | DoubleType | _: DecimalType => true; case _ => false
+  }
+  private val stringT = TypeFamily("string") { _ == StringType }
+  // LongType admitted: parquet TIMESTAMP(NANOS) arrives as long under the
+  // nanosAsLong conf and the events loader converts it downstream.
+  private val timestampT = TypeFamily("timestamp") {
+    case TimestampType | TimestampNTZType | LongType | DateType => true
+    case _ => false
+  }
+  private val floatVecT = TypeFamily("array<float>") {
+    case ArrayType(FloatType | DoubleType, _) => true; case _ => false
+  }
+
+  /** Required logical columns per driver table (TESTDATA.md). Extra columns
+    * are allowed (additive drift is benign); missing or re-typed ones throw. */
+  private val expectedSchemas: Map[String, Seq[(String, TypeFamily)]] = Map(
+    "region"   -> Seq("r_regionkey" -> integralT, "r_name" -> stringT),
+    "nation"   -> Seq("n_nationkey" -> integralT, "n_name" -> stringT,
+                      "n_regionkey" -> integralT),
+    "customer" -> Seq("c_custkey" -> integralT, "c_name" -> stringT,
+                      "c_nationkey" -> integralT, "c_acctbal" -> fractionalT,
+                      "c_mktsegment" -> stringT),
+    "supplier" -> Seq("s_suppkey" -> integralT, "s_name" -> stringT,
+                      "s_nationkey" -> integralT, "s_acctbal" -> fractionalT),
+    "part"     -> Seq("p_partkey" -> integralT, "p_name" -> stringT,
+                      "p_brand" -> stringT, "p_type" -> stringT,
+                      "p_size" -> integralT, "p_retailprice" -> fractionalT),
+    "orders"   -> Seq("o_orderkey" -> integralT, "o_custkey" -> integralT,
+                      "o_orderstatus" -> stringT, "o_totalprice" -> fractionalT,
+                      "o_orderdate" -> timestampT, "o_orderpriority" -> stringT),
+    "lineitem" -> Seq("l_orderkey" -> integralT, "l_partkey" -> integralT,
+                      "l_suppkey" -> integralT, "l_linenumber" -> integralT,
+                      "l_quantity" -> fractionalT,
+                      "l_extendedprice" -> fractionalT,
+                      "l_discount" -> fractionalT, "l_tax" -> fractionalT,
+                      "l_returnflag" -> stringT, "l_linestatus" -> stringT,
+                      "l_shipdate" -> timestampT),
+    "events"   -> Seq("event_id" -> integralT, "ts" -> timestampT,
+                      "user_id" -> integralT, "event_type" -> stringT,
+                      "value" -> fractionalT, "props" -> stringT),
+    "documents" -> Seq("doc_id" -> integralT, "text" -> stringT,
+                      "lang" -> stringT, "source" -> stringT,
+                      "n_chars" -> integralT),
+    "embeddings" -> Seq("vec_id" -> integralT, "embedding" -> floatVecT,
+                      "label" -> integralT))
+
+  /** Validate a resolved schema against the registry; throws a
+    * [[SchemaDriftException]] naming EVERY drifted column at once. */
+  def validateSchema(name: String, schema: StructType): Unit =
+    expectedSchemas.get(name).foreach { expected =>
+      val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+      val issues = expected.flatMap { case (colName, fam) =>
+        byName.get(colName) match {
+          case None => Some(s"missing column '$colName' (expected ${fam.label})")
+          case Some(dt) if !fam.ok(dt) =>
+            Some(s"column '$colName' expected ${fam.label}, footer has ${dt.simpleString}")
+          case _ => None
+        }
+      }
+      if (issues.nonEmpty) throw new SchemaDriftException(name, issues)
+    }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    validateSchema(name, df.schema)
+    df
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -30,15 +117,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark rejects
-    * (PARQUET_TYPE_ILLEGAL). Read nanos as long and convert to a regular
-    * (microsecond) timestamp with integer division — `div`, not `/`,
-    * because double division loses precision above 2^53 ns. DuckDB's
-    * TIMESTAMP_NS→TIMESTAMP cast truncates identically. */
+  /** events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) and
+    * timestamp[us] across testdata generations, so the loader adapts to
+    * whatever the footer delivers instead of assuming one physical type:
+    *
+    *  - TIMESTAMP(NANOS): Spark rejects it outright (PARQUET_TYPE_ILLEGAL),
+    *    so we read nanos as long (`nanosAsLong` conf) and convert with
+    *    integer division — `div`, not `/`, because double division loses
+    *    precision above 2^53 ns. DuckDB's TIMESTAMP_NS→TIMESTAMP cast
+    *    truncates identically.
+    *  - timestamp[us] with isAdjustedToUTC=false: arrives as TIMESTAMP_NTZ;
+    *    cast to the session-zone TimestampType (identity under the UTC
+    *    session zone every entrypoint sets) so downstream code and the
+    *    written result parquet keep the same type as the nanos path.
+    *  - timestamp[us] adjusted to UTC: already TimestampType, pass through.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — testdata drifted " +
+        "again; extend Tables.events to handle it")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -52,6 +52,37 @@ object Verify {
     (md.digest().map(b => f"$b%02x").mkString, rows.length.toLong)
   }
 
+  /** Dump each query's result to `outDir/<name>` parquet; returns
+    * (digest-json-per-query, first-error-line-per-failed-query). Split out
+    * of main so a spec can induce a failure and prove the errors artifact. */
+  def dumpAll(
+      spark: SparkSession, sfDir: String, outDir: String,
+      queries: Iterable[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)])
+      : (collection.SeqMap[String, String], collection.SeqMap[String, String]) = {
+    val digests = scala.collection.mutable.LinkedHashMap[String, String]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    queries.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // digest what was WRITTEN (post-parquet round-trip), so any
+        // writer-side type narrowing is inside the fingerprint too
+        val (d, n) = digest(spark.read.parquet(s"$outDir/$name"))
+        digests(name) = s"""{"digest":"$d","rows":$n}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        digests(name) = s"""{"digest":null,"rows":-1}"""
+        // First line only: the driver's compare silently drops queries
+        // whose parquet never appeared, so a construction failure must be
+        // visible IN the artifact directory, not only on stderr.
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.nextOption().getOrElse(e.getClass.getName)
+      }
+    }
+    (digests, errors)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -64,20 +95,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val digests = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        // digest what was WRITTEN (post-parquet round-trip), so any
-        // writer-side type narrowing is inside the fingerprint too
-        val (d, n) = digest(spark.read.parquet(s"$outDir/$name"))
-        digests(name) = s"""{"digest":"$d","rows":$n}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        digests(name) = s"""{"digest":null,"rows":-1}"""
-      }
-    }
+    val (digests, errors) = dumpAll(spark, sfDir, outDir, SparkEntry.queries)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -95,6 +113,12 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/digests.json"),
       digests.map { case (k, v) => s"${q(k)}: $v" }
+        .mkString("{", ",", "}"))
+    // Always written (possibly {}): an EMPTY errors.json proves the run
+    // completed with zero construction failures; a missing one would be
+    // ambiguous with an older Verify build.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
         .mkString("{", ",", "}"))
     spark.stop()
   }

@@ -38,4 +38,22 @@ class VerifySpec extends SparkSpec {
     assert(Verify.canon(new java.math.BigDecimal("12.3400")) === "12.3400")
     assert(Verify.canon(Array[Byte](0x0a, 0x7f)) === "0a7f")
   }
+
+  test("dumpAll surfaces construction failures instead of dropping them") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-verify").toFile.getAbsolutePath
+    val queries = Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame)](
+      "ok_query" -> ((s, _) => { import s.implicits._; Seq(1, 2).toDF("n") }),
+      "boom_query" -> ((_, _) =>
+        throw new IllegalStateException("induced: first line\nsecond line")))
+    val (digests, errors) = Verify.dumpAll(spark, "unused", outDir, queries)
+    // the good query dumped and digested; the failure got a sentinel digest
+    assert(spark.read.parquet(s"$outDir/ok_query").count() === 2L)
+    assert(digests("ok_query").contains("\"rows\":2"))
+    assert(digests("boom_query") === """{"digest":null,"rows":-1}""")
+    // and a first-line-only error entry the artifact will carry
+    assert(errors === Map("boom_query" -> "induced: first line"))
+  }
 }
