@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Deterministic lifetime management for the signature/bucket frames the
+  * dedup and text operators persist internally (MinHash signatures, SimHash
+  * signatures, LSH buckets, TF-IDF term frequencies).
+  *
+  * Those persists are load-bearing — both sides of each candidate self-join
+  * branch from the cached frame, and without it the signature scan runs per
+  * branch — but a library function returning a LAZY frame cannot unpersist
+  * before the caller's action runs. The default policy is therefore
+  * session-LRU ([[CacheScope.session]]): caches live until Spark evicts
+  * them. At 100 TB an un-released signature cache per corpus is a real
+  * executor-memory tax, so callers cycling many corpora should bracket each
+  * one instead:
+  *
+  * {{{
+  * val pairs = CacheScope.withScope { implicit scope =>
+  *   Dedup.minhashDupPairs(docs, "doc_id", "text").collect()
+  * } // internal signature caches released here
+  * }}}
+  *
+  * The body must run its ACTIONS inside the bracket (return materialized
+  * results, not lazy frames) — release() drops the caches the returned
+  * plan would otherwise still want.
+  */
+final class CacheScope private[graft] (releaseOnExit: Boolean) {
+  private val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  /** Persist `df` at the operator-standard level and track it for release
+    * (tracking only when this scope releases; the session scope stays
+    * stateless so it never accumulates references). */
+  private[graft] def cache(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if (releaseOnExit) synchronized { frames += p }
+    p
+  }
+
+  private[graft] def registered: Seq[DataFrame] = synchronized(frames.toSeq)
+
+  /** Unpersist every tracked frame (non-blocking) and forget them. */
+  def release(): Unit = synchronized {
+    frames.foreach(_.unpersist(blocking = false))
+    frames.clear()
+  }
+}
+
+object CacheScope {
+  /** Default policy: persist and leave reclamation to session LRU (or an
+    * explicit `spark.catalog.clearCache()`). */
+  implicit val session: CacheScope = new CacheScope(releaseOnExit = false)
+
+  /** Bracket: run `body` with a releasing scope; every frame an operator
+    * cached inside is unpersisted on the way out, exception or not. */
+  def withScope[T](body: CacheScope => T): T = {
+    val scope = new CacheScope(releaseOnExit = true)
+    try body(scope) finally scope.release()
+  }
+}

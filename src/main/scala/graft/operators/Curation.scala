@@ -202,15 +202,20 @@ object Curation {
     * k = 1 — map-side partial argmax, one row per (partition, cluster)
     * shuffles. Representatives are cluster-count-sized (≈ doc-count at
     * 100 TB), so the re-attach is a plain key-shuffle join on
-    * cluster_id, never a broadcast. Null `ord` rows never win an
-    * election; a cluster whose members are ALL null-ord elects
-    * rep_id = null (callers wanting a survivor anyway should coalesce
-    * their quality signal first). */
+    * cluster_id, never a broadcast. Null `ord` coalesces to -Infinity
+    * inside the operator, so null-ord rows lose to every scored row but a
+    * cluster whose members are ALL null still elects a survivor (the
+    * smallest id) — the same election SQL's
+    * `ORDER BY ord DESC NULLS LAST, id` produces, and every row gets a
+    * concrete is_rep boolean. (Only nuance vs SQL: a genuine -Infinity
+    * score ties with null rows instead of beating them.) */
   def clusterRepresentatives(universe: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       ord: Column): DataFrame = {
     val labeled = universe
-      .select(col(idCol).cast("long").as(idCol), ord.cast("double").as("__ord"))
+      .select(col(idCol).cast("long").as(idCol),
+        coalesce(ord.cast("double"), lit(Double.NegativeInfinity))
+          .as("__ord"))
       .join(dupClusters(pairs, aCol, bCol).withColumnRenamed("id", idCol),
         Seq(idCol), "left")
       .select(col(idCol),

@@ -172,12 +172,12 @@ object Dedup {
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7)(
+      implicit scope: graft.CacheScope): DataFrame = {
     // signatures via the native expression: one tight loop per row
-    val prepared = df.select(col(idCol),
+    val prepared = scope.cache(df.select(col(idCol),
       graft.expressions.MinHash.minhashSig(col(textCol), k, numHashes)
-        .as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .as("sig")))
     val cands = lshCandidatePairs(
       lshBands(prepared, idCol, "sig", bands), idCol)
     val a = prepared.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
@@ -230,7 +230,8 @@ object Dedup {
     * More chunks = better recall for a given hamming budget but smaller
     * (hotter) buckets; 8×8-bit is a good default for ≤7-bit drift. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 8): DataFrame =
+      maxHamming: Int = 3, chunks: Int = 8)(
+      implicit scope: graft.CacheScope): DataFrame =
     simhashPairsFromSigs(simhash64(df, idCol, textCol), idCol,
       maxHamming, chunks)
 
@@ -243,19 +244,17 @@ object Dedup {
     * probabilistic: the emitted pairs are precisely all pairs at
     * hamming ≤ maxHamming. */
   def simhashPairsFromSigs(sigs: DataFrame, idCol: String,
-      maxHamming: Int, chunks: Int): DataFrame = {
+      maxHamming: Int, chunks: Int)(
+      implicit scope: graft.CacheScope): DataFrame = {
     require(64 % chunks == 0, "chunks must divide 64")
     val width = 64 / chunks
     val mask = (1L << width) - 1
     // both sides of the candidate self-join branch from this frame;
     // persisting it computes the signature ONCE per doc (16 bytes/row
-    // cached) instead of re-running the signature scan per branch —
-    // same mechanism and lifetime policy as minhashDupPairs' prepared
-    // frame: the cache lives until session LRU eviction (a library
-    // function cannot unpersist before the caller's action runs);
-    // callers cycling many corpora reclaim with catalog.clearCache()
-    val mat = sigs.select(col(idCol), col("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cached) instead of re-running the signature scan per branch.
+    // Lifetime is the caller's CacheScope: session-LRU by default,
+    // deterministic release under CacheScope.withScope.
+    val mat = scope.cache(sigs.select(col(idCol), col("simhash")))
     val chunked = mat.select(col(idCol), col("simhash"),
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("simhash"), c * width)
@@ -286,15 +285,15 @@ object Dedup {
     * (all-pairs!), so it is probed from the data when not supplied. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 12,
-      seed: Long = 42L, dim: Int = -1, probes: Int = 2): DataFrame = {
+      seed: Long = 42L, dim: Int = -1, probes: Int = 2)(
+      implicit scope: graft.CacheScope): DataFrame = {
     val d = if (dim > 0) dim else Similarity.inferDim(df, vecCol)
     // persisted for the same reason as simhashPairsFromSigs: both join
     // sides branch from the bucketed frame, and without the cache each
     // branch re-projects every vector against all `planes` hyperplanes
-    val bucketed = df.select(col(idCol), col(vecCol),
+    val bucketed = scope.cache(df.select(col(idCol), col(vecCol),
       explode(Similarity.multiProbeBuckets(col(vecCol), d, planes, seed,
-        probes)).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        probes)).as("bucket")))
     val l = bucketed.select(col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("v_a"))
     val r = bucketed.select(col("bucket"), col(idCol).as("id_b"),

@@ -133,6 +133,17 @@ object Similarity {
     * quality-tag-transfer move in embedding-space curation (tag a few
     * seed documents, classify the rest by neighborhood).
     *
+    * Contract notes:
+    *  - `labelCol` must be NUMERIC (checked up front): the vote argmax
+    *    rides topk_by over label-as-long, where a non-castable label
+    *    would silently null out and drop the query from the output.
+    *    `pred_label` is emitted as long so no label value truncates.
+    *  - Self-exclusion assumes queries SHARE the data id space
+    *    (`data.idCol =!= query.qid`), the label-propagation case where
+    *    queries are drawn from the corpus itself. For external queries
+    *    pass qids disjoint from data ids (e.g. negative), or any data row
+    *    whose id collides with a qid is silently excluded as a neighbor.
+    *
     * Scale shape rides the existing exact-top-k path: queries broadcast,
     * scoring is a map-side pass over the data, and the bounded topk_by
     * aggregate means only k rows per (partition, query) shuffle — never
@@ -145,6 +156,11 @@ object Similarity {
   def knnClassify(data: DataFrame, idCol: String, vecCol: String,
       labelCol: String, queries: DataFrame, qidCol: String,
       qvecCol: String, k: Int): DataFrame = {
+    require(data.schema(labelCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"knnClassify requires a numeric label column; '$labelCol' is " +
+      s"${data.schema(labelCol).dataType.simpleString} — map labels to " +
+      "codes first (votes over non-numeric labels would vanish silently)")
     val scored = data.crossJoin(broadcast(queries))
       .where(col(idCol) =!= col(qidCol))
       .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
@@ -159,7 +175,7 @@ object Similarity {
         col("votes").cast("double"), col(labelCol).cast("long"), 1)
         .as("__win"))
       .select(col(qidCol),
-        element_at(col("__win"), 1).getField("id").cast("int")
+        element_at(col("__win"), 1).getField("id")
           .as("pred_label"),
         element_at(col("__win"), 1).getField("ord").cast("long")
           .as("votes"))

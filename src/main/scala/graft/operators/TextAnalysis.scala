@@ -258,14 +258,17 @@ object TextAnalysis {
     * key-shuffle of what was already shuffled — and per-group size is
     * bounded by a single document's vocabulary, so there is no
     * single-reducer hazard. Ties break (score DESC, term ASC);
-    * round(6) absorbs engine ulp differences in ln. */
+    * round(6) absorbs engine ulp differences in ln. The tf relation is
+    * persisted (caller's CacheScope): it feeds both the join input and
+    * the df aggregation, and without the persist the tokenize+explode+agg
+    * over the whole corpus executes twice per action. */
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int)(implicit scope: graft.CacheScope): DataFrame = {
     require(k > 0, s"tfIdfTopTerms: k must be positive, got $k")
-    val tf = docs
+    val tf = scope.cache(docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .where(col("term") =!= "")
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

@@ -109,13 +109,24 @@ object LlmQueries {
     // itself under the driver's eye: schema + one row per document,
     // plus derived highly-repetitive rows (offset 1e9 — far above any
     // real doc_id at any SF, unlike the +10000/+20000 offsets the
-    // small fixed-corpus gates use).
+    // small fixed-corpus gates use). The two boolean columns make the
+    // gate self-verifying (GateInvariantsSpec asserts they never go
+    // false): a regression now flips a value captured in digests.json
+    // instead of sliding through a rows-only check.
     "t5_compression_signal" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val repetitive = base.filter(col("doc_id") % 100 === 0)
         .select((col("doc_id") + 1000000000L).as("doc_id"),
           lit(Seq.fill(50)("repeat").mkString(" ")).as("text"))
       TA.compressionRatio(base.unionByName(repetitive), "doc_id", "text")
+        // null text → null ratio; any real ratio is positive and ≤ 2
+        // (deflate overhead on short prose never doubles the input)
+        .withColumn("ratio_in_bounds", col("compression_ratio").isNull ||
+          (col("compression_ratio") > 0 && col("compression_ratio") <= 2))
+        // the planted repetitive rows must compress dramatically
+        .withColumn("repetition_detected",
+          when(col("doc_id") >= 1000000000L, col("compression_ratio") < 0.2)
+            .otherwise(lit(true)))
         .orderBy(col("doc_id"))
     }),
 
@@ -374,6 +385,17 @@ object LlmQueries {
         k = 5, nprobe = 4)
         .select(col("batch"), col("n_queries"), col("n_true"),
           col("n_hit"), col("recall_at_k"))
+        // self-verifying bounds (GateInvariantsSpec asserts all-true):
+        // a monitor regression flips a boolean in the digested output
+        // instead of passing the rows-only check silently
+        .withColumn("counts_consistent",
+          col("n_queries") > 0 && col("n_true") > 0 &&
+          col("n_true") <= col("n_queries") * 5 &&
+          col("n_hit").between(lit(0), col("n_true")))
+        .withColumn("recall_in_bounds",
+          col("recall_at_k").between(0.0, 1.0) &&
+          (col("recall_at_k") === col("n_hit").cast("double") /
+            col("n_true")))
         .orderBy(col("batch"))
     }),
 
@@ -776,7 +798,7 @@ object LlmQueries {
         |  WHERE rk <= 7),
         |v AS (SELECT qid, label, count(*) AS votes FROM nn
         |      GROUP BY qid, label)
-        |SELECT qid, CAST(label AS INTEGER) AS pred_label, votes FROM (
+        |SELECT qid, CAST(label AS BIGINT) AS pred_label, votes FROM (
         |  SELECT qid, label, votes,
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY votes DESC, label) AS rk

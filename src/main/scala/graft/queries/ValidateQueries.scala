@@ -85,25 +85,45 @@ object ValidateQueries {
     // draws, the exact integer stats, and the sketch bucket math, so
     // the VERDICT booleans themselves are hash-checked.
     "dq1_stats_drift" -> ((s, d) => {
-      val k = concat_ws("-", col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_suppkey"))
-      val li = Tables.lineitem(s, d).select(k.as("k"),
-        (Tables.dec2(col("l_quantity")) * 100).cast("long").as("qty"),
-        (Tables.dec2(col("l_extendedprice")) * 100).cast("long")
-          .as("price"),
-        (Tables.dec4(col("l_discount")) * 10000).cast("long").as("disc"))
+      val li = driftSource(s, d)
       val base = li.filter(md5(col("k")) < "8")
         .select("qty", "price", "disc")
-      val qb = graft.operators.Curation.rateBound(0.1)
-      val db = graft.operators.Curation.rateBound(0.05)
-      val cur = li.filter(md5(col("k")) >= "8").select(
-        when(md5(concat(lit("q-"), col("k"))) < qb, col("qty") * 2)
-          .otherwise(col("qty")).as("qty"),
-        col("price"),
-        when(md5(concat(lit("d-"), col("k"))) < db,
-          lit(null).cast("long")).otherwise(col("disc")).as("disc"))
       val cols = Seq("qty", "price", "disc")
-      Drift.compare(Drift.profile(cur, cols), Drift.profile(base, cols),
+      Drift.compare(Drift.profile(driftCurrent(li), cols),
+          Drift.profile(base, cols),
+          relTol = 0.05, nullPpmTol = 10000L)
+        .orderBy(col("column_name"), col("metric"))
+    }),
+
+    // ---- DQ2: the same drift verdicts off an INCREMENTALLY maintained
+    // baseline. The baseline half arrives as two md5-quarter batches on
+    // different "days": day 1 persists batch 1's mergeable state
+    // (O(columns) rows — moment sums + sketch buckets); day 2 folds ONLY
+    // batch 2 into the read-back state and persists v2 — history is
+    // never re-scanned, the maintenance cost is O(delta). The decoded
+    // baseline must equal dq1's one-pass profile value-for-value (every
+    // state component is a sum), so the oracle is dq1's concatenated-
+    // halves replay VERBATIM: a hash match proves persist → fold →
+    // decode ≡ one-pass over all history, end to end through parquet.
+    "dq2_incremental_drift" -> ((s, d) => {
+      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
+      val dir = s"/tmp/graft_drift_state_$sfTag"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val li = driftSource(s, d)
+      val cols = Seq("qty", "price", "disc")
+      val b1 = li.filter(md5(col("k")) < "4")
+        .select("qty", "price", "disc")
+      val b2 = li.filter(md5(col("k")) >= "4" && md5(col("k")) < "8")
+        .select("qty", "price", "disc")
+      Drift.mergeableProfile(b1, cols)
+        .write.parquet(s"$dir/state_v1")
+      Drift.foldProfiles(s.read.parquet(s"$dir/state_v1"),
+          Drift.mergeableProfile(b2, cols))
+        .write.parquet(s"$dir/state_v2")
+      val baseline = Drift.profileOf(s.read.parquet(s"$dir/state_v2"))
+      Drift.compare(Drift.profile(driftCurrent(li), cols), baseline,
           relTol = 0.05, nullPpmTol = 10000L)
         .orderBy(col("column_name"), col("metric"))
     }),
@@ -122,6 +142,31 @@ object ValidateQueries {
         .orderBy(col("cand_id"))
     }),
   )
+
+  /** Shared source frame for the dq gates: integer-scaled lineitem
+    * values keyed by the unique-grain md5 key. */
+  private def driftSource(s: SparkSession, d: String): DataFrame = {
+    val k = concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"))
+    Tables.lineitem(s, d).select(k.as("k"),
+      (Tables.dec2(col("l_quantity")) * 100).cast("long").as("qty"),
+      (Tables.dec2(col("l_extendedprice")) * 100).cast("long")
+        .as("price"),
+      (Tables.dec4(col("l_discount")) * 10000).cast("long").as("disc"))
+  }
+
+  /** The corrupted "current" batch (the md5-upper half): ~10% of
+    * quantities doubled, ~5% of discounts nulled, price untouched. */
+  private def driftCurrent(li: DataFrame): DataFrame = {
+    val qb = graft.operators.Curation.rateBound(0.1)
+    val db = graft.operators.Curation.rateBound(0.05)
+    li.filter(md5(col("k")) >= "8").select(
+      when(md5(concat(lit("q-"), col("k"))) < qb, col("qty") * 2)
+        .otherwise(col("qty")).as("qty"),
+      col("price"),
+      when(md5(concat(lit("d-"), col("k"))) < db,
+        lit(null).cast("long")).otherwise(col("disc")).as("disc"))
+  }
 
   /** V9 candidate slate: ids are the stable sort key (names contain
     * nulls and near-duplicates). */
@@ -250,7 +295,33 @@ object ValidateQueries {
     // replays the md5 halves/draws, exact integer ppm arithmetic, the
     // decimal-sum mean, and the m=7 log-histogram bucket math (the kq1
     // pattern) so every value AND verdict boolean is hash-compared
-    "dq1_stats_drift" -> {
+    "dq1_stats_drift" -> driftOracleSql,
+
+    // dq2's CLAIM is incremental ≡ one-pass: the engine maintains the
+    // baseline via persisted mergeable state (two batches, fold, decode)
+    // while the oracle profiles the concatenated halves in one pass —
+    // the same SQL as dq1 on purpose. A fold/decode/parquet-round-trip
+    // regression would hash-mismatch here while dq1 stays green.
+    "dq2_incremental_drift" -> driftOracleSql,
+
+    "v8_numeric_profile" ->
+      """WITH ev AS (SELECT value, user_id FROM events)
+        |SELECT 'user_id' AS "column",
+        |  CAST(MIN(user_id) AS DOUBLE) AS min,
+        |  CAST(MAX(user_id) AS DOUBLE) AS max,
+        |  CAST(SUM(CAST(user_id AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(user_id) AS avg,
+        |  COUNT(user_id) AS non_null
+        |FROM ev
+        |UNION ALL
+        |SELECT 'value', CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE),
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value),
+        |  COUNT(value)
+        |FROM ev
+        |ORDER BY "column"""".stripMargin,
+  )
+
+  private lazy val driftOracleSql: String = {
       val qb = graft.operators.Curation.rateBound(0.1)
       val db = graft.operators.Curation.rateBound(0.05)
       s"""WITH src AS (
@@ -332,22 +403,5 @@ object ValidateQueries {
          |  abs(CAST(c_p99 AS DOUBLE) - CAST(b_p99 AS DOUBLE))
          |    > 0.05 * abs(CAST(b_p99 AS DOUBLE)) FROM wide
          |ORDER BY column_name, metric""".stripMargin
-    },
-
-    "v8_numeric_profile" ->
-      """WITH ev AS (SELECT value, user_id FROM events)
-        |SELECT 'user_id' AS "column",
-        |  CAST(MIN(user_id) AS DOUBLE) AS min,
-        |  CAST(MAX(user_id) AS DOUBLE) AS max,
-        |  CAST(SUM(CAST(user_id AS DECIMAL(18,4))) AS DOUBLE)
-        |    / COUNT(user_id) AS avg,
-        |  COUNT(user_id) AS non_null
-        |FROM ev
-        |UNION ALL
-        |SELECT 'value', CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE),
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value),
-        |  COUNT(value)
-        |FROM ev
-        |ORDER BY "column"""".stripMargin,
-  )
+  }
 }

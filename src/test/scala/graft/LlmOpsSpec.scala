@@ -534,16 +534,23 @@ class LlmOpsSpec extends SparkSpec {
     val got = Similarity.knnClassify(data, "vec_id", "embedding", "label",
       q, "qid", "qv", k = 3)
       .orderBy("qid").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // qid 0: nearest are {3, 2, 1} (labels 0, 1, 0) -> label 0, 2 votes;
     // qid 4: nearest are {6, 5, 1} (labels 1, 1, 0) -> label 1, 2 votes
     //   (id 1 at cos 0.110 edges out id 2 at 0.0995);
     // id 0 / id 4 themselves excluded despite cosine 1.0
-    assert(got.toSeq === Seq((0L, 0, 2L), (4L, 1, 2L)))
+    assert(got.toSeq === Seq((0L, 0L, 2L), (4L, 1L, 2L)))
     // k = 2 for qid 0: {3, 2} votes 1-1 -> smaller label wins
     val tied = Similarity.knnClassify(data, "vec_id", "embedding", "label",
       q.filter(col("qid") === 0L), "qid", "qv", k = 2)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-    assert(tied.toSeq === Seq((0L, 0, 1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tied.toSeq === Seq((0L, 0L, 1L)))
+    // non-numeric labels are rejected up front, not silently dropped
+    val err = intercept[IllegalArgumentException] {
+      Similarity.knnClassify(
+        data.withColumn("label", concat(lit("L"), col("label"))),
+        "vec_id", "embedding", "label", q, "qid", "qv", k = 3)
+    }
+    assert(err.getMessage.contains("numeric label"))
   }
 }
