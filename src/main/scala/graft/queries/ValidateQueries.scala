@@ -44,6 +44,26 @@ object ValidateQueries {
         .orderBy(col("check"), col("column"))
     }),
 
+    // ---- V1-V7 again, off lineitem: the check algebra's coverage must
+    // not hinge on the schema-volatile events table (the r7 regeneration
+    // took v1_check_suite dark for a round). Same injected-violation
+    // pattern, different base table and columns, plus the two PK grains
+    // lineitem uniquely offers: l_orderkey alone duplicates, the
+    // 5-column grain is unique — one failing and one passing pk_unique.
+    "v1b_check_suite_li" -> ((s, d) => {
+      Validator.run(messyLineitem(s, d), Seq(
+        MandatoryColumns(Seq("L_ORDERKEY", "MISSING_COL")),
+        MinRows(1000),
+        NoNulls(Seq("l_orderkey", "nullable_col")),
+        NumericParsable(Seq("amount_str")),
+        FlagDomain(Seq("flag")),
+        Freshness("l_shipdate", "1995-01-02"),
+        PkUnique(Seq("l_orderkey")),
+        PkUnique(Seq("l_orderkey", "l_linenumber", "l_partkey",
+          "l_suppkey", "l_extendedprice"))))
+        .orderBy(col("check"), col("column"))
+    }),
+
     // ---- V6 evidence: top-N duplicate examples --------------------------
     "v6_dup_examples" -> ((s, d) => {
       Validator.duplicateExamples(Tables.lineitem(s, d),
@@ -142,6 +162,24 @@ object ValidateQueries {
         .orderBy(col("cand_id"))
     }),
   )
+
+  /** lineitem with the same injected violations messyEvents carries —
+    * the check algebra's events-independent gate base. */
+  private def messyLineitem(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"), col("l_extendedprice"), col("l_shipdate"),
+      when(col("l_suppkey") % 97 === 0, "X")
+        .when(col("l_suppkey") % 2 === 0, "Y").otherwise("N").as("flag"),
+      when(col("l_partkey") % 101 === 0, lit("abc"))
+        .when(col("l_partkey") % 3 === 0,
+          concat(lit("₹"),
+            col("l_extendedprice").cast("decimal(10,2)").cast("string")))
+        .otherwise(col("l_extendedprice").cast("decimal(10,2)")
+          .cast("string")).as("amount_str"),
+      when(col("l_orderkey") % 53 === 0, lit(null).cast("string"))
+        .otherwise(lit("x")).as("nullable_col"))
+  }
 
   /** Shared source frame for the dq gates: integer-scaled lineitem
     * values keyed by the unique-grain md5 key. */
@@ -268,6 +306,79 @@ object ValidateQueries {
         |      GROUP BY event_type HAVING COUNT(*) > 1)), 0,
         |    (SELECT COUNT(*) FROM (SELECT event_type FROM ev
         |      GROUP BY event_type HAVING COUNT(*) > 1)) = 0, 'ERROR'
+        |) ORDER BY "check", "column"""".stripMargin,
+
+    "v1b_check_suite_li" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    l_extendedprice, l_shipdate,
+        |    CASE WHEN l_suppkey % 97 = 0 THEN 'X'
+        |         WHEN l_suppkey % 2 = 0 THEN 'Y' ELSE 'N' END AS flag,
+        |    CASE WHEN l_partkey % 101 = 0 THEN 'abc'
+        |         WHEN l_partkey % 3 = 0
+        |           THEN '₹' || CAST(CAST(l_extendedprice AS DECIMAL(10,2))
+        |                AS VARCHAR)
+        |         ELSE CAST(CAST(l_extendedprice AS DECIMAL(10,2))
+        |                AS VARCHAR)
+        |    END AS amount_str,
+        |    CASE WHEN l_orderkey % 53 = 0 THEN NULL ELSE 'x' END
+        |      AS nullable_col
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'mandatory_column' AS "check", 'L_ORDERKEY' AS "column",
+        |    CAST(1 AS BIGINT) AS observed, CAST(1 AS BIGINT) AS threshold,
+        |    true AS passed, 'ERROR' AS severity
+        |  UNION ALL
+        |  SELECT 'mandatory_column', 'MISSING_COL', 0, 1, false, 'ERROR'
+        |  UNION ALL
+        |  SELECT 'min_rows', '*', (SELECT COUNT(*) FROM li), 1000,
+        |    (SELECT COUNT(*) FROM li) >= 1000, 'ERROR'
+        |  UNION ALL
+        |  SELECT 'no_nulls', 'l_orderkey', 0, 0, true, 'ERROR'
+        |  UNION ALL
+        |  SELECT 'no_nulls', 'nullable_col',
+        |    (SELECT COUNT(*) FROM li WHERE nullable_col IS NULL), 0,
+        |    (SELECT COUNT(*) FROM li WHERE nullable_col IS NULL) = 0, 'ERROR'
+        |  UNION ALL
+        |  SELECT 'numeric_parsable', 'amount_str',
+        |    (SELECT COUNT(*) FROM li WHERE amount_str IS NOT NULL AND
+        |      TRY_CAST(trim(regexp_replace(amount_str,
+        |        '(?i)Rs\.?|[₹$,\s]', '', 'g')) AS DECIMAL(18,4)) IS NULL),
+        |    0,
+        |    (SELECT COUNT(*) FROM li WHERE amount_str IS NOT NULL AND
+        |      TRY_CAST(trim(regexp_replace(amount_str,
+        |        '(?i)Rs\.?|[₹$,\s]', '', 'g')) AS DECIMAL(18,4)) IS NULL) = 0,
+        |    'ERROR'
+        |  UNION ALL
+        |  SELECT 'flag_domain', 'flag',
+        |    (SELECT COUNT(*) FROM li
+        |     WHERE flag IS NULL OR flag NOT IN ('Y','N')), 0,
+        |    (SELECT COUNT(*) FROM li
+        |     WHERE flag IS NULL OR flag NOT IN ('Y','N')) = 0, 'ERROR'
+        |  UNION ALL
+        |  SELECT 'freshness', 'l_shipdate',
+        |    (SELECT COUNT(*) FROM li
+        |     WHERE CAST(l_shipdate AS DATE) = DATE '1995-01-02'), 1,
+        |    (SELECT COUNT(*) FROM li
+        |     WHERE CAST(l_shipdate AS DATE) = DATE '1995-01-02') >= 1,
+        |    'ERROR'
+        |  UNION ALL
+        |  SELECT 'pk_unique', 'l_orderkey',
+        |    (SELECT COUNT(*) FROM (SELECT l_orderkey FROM li
+        |      GROUP BY l_orderkey HAVING COUNT(*) > 1)), 0,
+        |    (SELECT COUNT(*) FROM (SELECT l_orderkey FROM li
+        |      GROUP BY l_orderkey HAVING COUNT(*) > 1)) = 0, 'ERROR'
+        |  UNION ALL
+        |  SELECT 'pk_unique',
+        |    'l_orderkey+l_linenumber+l_partkey+l_suppkey+l_extendedprice',
+        |    (SELECT COUNT(*) FROM (
+        |      SELECT 1 FROM li GROUP BY l_orderkey, l_linenumber,
+        |        l_partkey, l_suppkey, l_extendedprice
+        |      HAVING COUNT(*) > 1)), 0,
+        |    (SELECT COUNT(*) FROM (
+        |      SELECT 1 FROM li GROUP BY l_orderkey, l_linenumber,
+        |        l_partkey, l_suppkey, l_extendedprice
+        |      HAVING COUNT(*) > 1)) = 0, 'ERROR'
         |) ORDER BY "check", "column"""".stripMargin,
 
     "v6_dup_examples" ->
