@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) as PLAIN aggregation —
+  * the point-frequency complement to the Misra-Gries heavy-hitters
+  * sketch (`freq_sketch`): MG answers "which items dominate" with
+  * guaranteed-undercount estimates for the retained top-k only; CM
+  * answers "how often does THIS item occur" for ANY item, with
+  * guaranteed-OVERcount estimates (`est >= true` always;
+  * `est <= true + 2N/width` with probability `1 - 2^-depth`). The
+  * curation uses differ: MG drives stop-lists and domain caps, CM drives
+  * per-token/per-URL frequency thresholds when the probe set isn't known
+  * until later.
+  *
+  * Design: no custom aggregate. The sketch IS a DataFrame of at most
+  * `depth * width` rows — (depth, bkt, cnt, width) — produced by one
+  * groupBy over hashed buckets, so it inherits everything Spark gives a
+  * plain aggregation: map-side partial combine (the shuffle carries
+  * ≤ depth×width rows per task, never the term cardinality), pure-SUM
+  * mergeability ([[fold]] unions two states — disjoint batches fold to
+  * exactly the one-pass sketch, the [[graft.ops.QuantileSketch]]
+  * maintenance pattern), parquet persistence, and cross-engine replay
+  * (the bucket hash is md5-derived, so DuckDB recomputes the sketch
+  * bit-identically — the cm1 gate hash-checks estimates end to end).
+  *
+  * The row hashes are the first 60 bits of md5("row|item") reduced
+  * mod width — pairwise-independent enough in practice, portable
+  * everywhere md5 exists, and deterministic across partitionings (the
+  * same reason the sampling family uses md5 keys, Curation.scala).
+  */
+object CountMin {
+
+  /** Bucket of `item` in sketch row `row`: first 15 md5 hex chars
+    * (60 bits, fits a signed long) mod `width`. */
+  def bucket(item: Column, row: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat_ws("|", lit(row), item)), 1, 15),
+      16, 10).cast("long"), lit(width.toLong))
+
+  /** Build the sketch state over `df`'s non-null `itemCol` values:
+    * (depth, bkt, cnt, width), ≤ depth*width rows. One explode (factor
+    * `depth`) + one narrow groupBy; the item payload never shuffles. */
+  def sketch(df: DataFrame, itemCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth > 0 && depth <= 16,
+      s"CountMin: depth must be in [1,16], got $depth")
+    require(width > 0, s"CountMin: width must be positive, got $width")
+    df.filter(col(itemCol).isNotNull)
+      .select(posexplode(array((0 until depth).map(i =>
+        bucket(col(itemCol), i, width)): _*)))
+      .select(col("pos").cast("long").as("depth"), col("col").as("bkt"))
+      .groupBy(col("depth"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("width", lit(width.toLong))
+  }
+
+  /** Merge two sketch states (pure SUM — disjoint inputs fold to exactly
+    * the one-pass state). Mixed widths fail loudly: summing buckets of
+    * different modulus would silently estimate garbage. */
+  def fold(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("depth"), col("bkt")).agg(
+      sum(col("cnt")).as("cnt"),
+      when(min(col("width")) =!= max(col("width")), raise_error(lit(
+        "CountMin: folding sketches of different width")))
+        .otherwise(min(col("width"))).as("width"))
+
+  /** Point-frequency estimates for `probes`: one row per probe item with
+    * `est = min over rows of the item's bucket count` (0 when every
+    * bucket is empty). `depth`/`width` must match the state's build
+    * parameters — a width mismatch raises at execution rather than
+    * estimating against the wrong modulus. Probes are expected to be
+    * small (broadcast side); the state is at most depth*width rows. */
+  def estimate(state: DataFrame, probes: DataFrame, itemCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val wchk = state.agg(min(col("width")).as("w0"), max(col("width"))
+        .as("w1"))
+      .select(when(col("w0") =!= width.toLong || col("w1") =!= width.toLong,
+        raise_error(lit(s"CountMin.estimate: state width differs from " +
+          s"$width"))).otherwise(lit(1L)).as("__wok"))
+    val exploded = probes.filter(col(itemCol).isNotNull)
+      .select(col(itemCol), posexplode(array((0 until depth).map(i =>
+        bucket(col(itemCol), i, width)): _*)))
+      .select(col(itemCol), col("pos").cast("long").as("depth"),
+        col("col").as("bkt"))
+      // filter, not drop: a dropped check column would be pruned as dead
+      // code and the raise_error with it
+      .crossJoin(broadcast(wchk)).where(col("__wok") === 1L).drop("__wok")
+    exploded
+      .join(state.select(col("depth"), col("bkt"), col("cnt")),
+        Seq("depth", "bkt"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.expressions.FreqSketchExpr
 import graft.operators.{Curation, Dedup, TextAnalysis}
+import graft.ops.CountMin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -206,6 +207,29 @@ object CurationQueries {
             (col("n_total") - col("retained")).cast("double") / 65.0)
             .as("in_bound"))
         .orderBy(col("n_exact").desc, col("term"))
+    }),
+
+    // ---- Count-Min point-frequency sketch ---------------------------------
+    // The overcount-only complement to t6's Misra-Gries: the sketch state
+    // is a plain (depth, bkt, cnt) aggregate over md5-derived buckets, so
+    // DuckDB rebuilds the ENTIRE sketch bit-identically and the estimates
+    // (top-10 exact terms + one never-seen probe) hash-compare exactly —
+    // bucket hash, collision pattern, min-over-rows and all. The
+    // overcount_ok booleans additionally pin the CM guarantee est >= true.
+    "cm1_countmin_freq" -> ((s, d) => {
+      import s.implicits._
+      val terms = Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      val state = CountMin.sketch(terms, "term", depth = 4, width = 512)
+      val probes = terms.groupBy(col("term"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term")).limit(10)
+        .unionByName(Seq(("__absent_probe__", 0L)).toDF("term", "n_exact"))
+      CountMin.estimate(state, probes, "term", depth = 4, width = 512)
+        .join(probes, Seq("term"))
+        .select(col("term"), col("n_exact"), col("est"),
+          (col("est") >= col("n_exact")).as("overcount_ok"))
+        .orderBy(col("term"))
     }),
 
     // ---- long-diameter components via large-star/small-star --------------
@@ -567,6 +591,36 @@ object CurationQueries {
         |      ORDER BY score DESC, term) AS rank
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "cm1_countmin_freq" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS term
+        |  FROM documents),
+        |cells AS (
+        |  SELECT r AS depth,
+        |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || term),
+        |      1, 15) AS BIGINT) % 512 AS bkt,
+        |    count(*) AS cnt
+        |  FROM toks, unnest([0, 1, 2, 3]) AS t(r)
+        |  GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT term, n_exact FROM (
+        |    SELECT term, count(*) AS n_exact FROM toks GROUP BY term
+        |    ORDER BY n_exact DESC, term LIMIT 10)
+        |  UNION ALL SELECT '__absent_probe__', 0),
+        |pe AS (
+        |  SELECT p.term, p.n_exact, r AS depth,
+        |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || p.term),
+        |      1, 15) AS BIGINT) % 512 AS bkt
+        |  FROM probes p, unnest([0, 1, 2, 3]) AS t(r)),
+        |est AS (
+        |  SELECT pe.term, pe.n_exact, min(coalesce(c.cnt, 0)) AS est
+        |  FROM pe LEFT JOIN cells c
+        |    ON c.depth = pe.depth AND c.bkt = pe.bkt
+        |  GROUP BY 1, 2)
+        |SELECT term, n_exact, est, est >= n_exact AS overcount_ok
+        |FROM est ORDER BY term""".stripMargin,
 
     "t6_heavy_hitters" ->
       """SELECT term, n_exact, true AS under_est, true AS in_bound FROM (

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.CountMin
+import org.apache.spark.sql.functions._
+
+/** Count-Min invariants: overcount-only estimates, exact values when
+  * width is collision-free, disjoint-batch fold ≡ one-pass state, and
+  * the loud width-mismatch guards. */
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stream = Seq.fill(40)("a") ++ Seq.fill(15)("b") ++
+    Seq.fill(5)("c") ++ Seq("d")
+
+  test("estimates never undercount; generous width is exact") {
+    val df = stream.toDF("item")
+    val state = CountMin.sketch(df, "item", depth = 4, width = 4096)
+    val probes = Seq("a", "b", "c", "d", "never-seen").toDF("item")
+    val got = CountMin.estimate(state, probes, "item",
+      depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 4096 buckets for 4 distinct items: collision-free w.h.p. for this
+    // fixed md5-derived layout — estimates are exact, absent item is 0
+    assert(got === Map("a" -> 40L, "b" -> 15L, "c" -> 5L, "d" -> 1L,
+      "never-seen" -> 0L))
+  }
+
+  test("tiny width still only overcounts") {
+    val df = stream.toDF("item")
+    val state = CountMin.sketch(df, "item", depth = 3, width = 2)
+    val truth = Map("a" -> 40L, "b" -> 15L, "c" -> 5L, "d" -> 1L)
+    val got = CountMin.estimate(state, truth.keys.toSeq.toDF("item"),
+      "item", depth = 3, width = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, t) => assert(got(k) >= t, s"undercount on $k") }
+  }
+
+  test("disjoint-batch fold equals the one-pass sketch exactly") {
+    val (s1, s2) = stream.splitAt(23)
+    val folded = CountMin.fold(
+      CountMin.sketch(s1.toDF("item"), "item", depth = 4, width = 64),
+      CountMin.sketch(s2.toDF("item"), "item", depth = 4, width = 64))
+    val onePass = CountMin.sketch(stream.toDF("item"), "item",
+      depth = 4, width = 64)
+    assert(folded.exceptAll(onePass).isEmpty && onePass.exceptAll(folded)
+      .isEmpty)
+  }
+
+  test("width mismatches fail loudly in fold and estimate") {
+    val a = CountMin.sketch(stream.toDF("item"), "item", width = 64)
+    val b = CountMin.sketch(stream.toDF("item"), "item", width = 128)
+    val e1 = intercept[Exception] { CountMin.fold(a, b).collect() }
+    assert(e1.getMessage.contains("different width"))
+    val e2 = intercept[Exception] {
+      CountMin.estimate(a, Seq("a").toDF("item"), "item", width = 128)
+        .collect()
+    }
+    assert(e2.getMessage.contains("width differs"))
+  }
+}
