@@ -197,6 +197,67 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- asymmetric containment (quote / excerpt detection) ---------------
+
+  /** Containment near-dup: directed pairs where A's shingle set is mostly
+    * inside B's — `containment(A in B) = |S_A ∩ S_B| / |S_A| >= threshold`.
+    * The quote/excerpt/expansion case symmetric Jaccard structurally
+    * misses: a 50-shingle quote inside a 5000-shingle article has
+    * jaccard <= 0.01 at containment 1.0, far below any LSH band's reach.
+    *
+    * Candidates come from an inverted shingle-hash index probed with each
+    * doc's bottom-`probeK` shingle hashes. The bottom-k of a fixed hash
+    * order is a uniform sample of S_A drawn independently of B, so a pair
+    * at containment c >= threshold is missed only when ALL probeK sampled
+    * shingles land in the uncovered (1-c) fraction: P(miss) <=
+    * (1-threshold)^probeK — 1e-8 at 0.9/8 — and exactly 0 for full
+    * containment. Hash collisions on the join key only ADD candidates;
+    * verification computes exact containment on the shingle-string sets.
+    *
+    * Scale shape: the index is the (shingle-hash, doc) explode —
+    * O(corpus shingles) rows, the same floor as any term statistic — and
+    * probes are probeK rows/doc. The join's skew surface is hot shingles'
+    * posting lists; `maxPostings` drops shingles with document frequency
+    * above the cap from the INDEX side (a stop-phrase posting list is
+    * uninformative), at the cost of conditioning the recall bound on at
+    * least one sampled shingle having DF <= maxPostings. Verification
+    * touches candidates only — never all-pairs. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.9, probeK: Int = 8,
+      maxPostings: Int = Int.MaxValue)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containmentPairs: threshold must be in (0,1], got $threshold")
+    require(probeK > 0, s"containmentPairs: probeK must be positive")
+    // both the probe/index sides and the verify join branch from this
+    // frame — one shingle pass per doc, CacheScope lifetime
+    val sh = scope.cache(df
+      .select(col(idCol),
+        array_distinct(TextAnalysis.shingles(col(textCol), k)).as("shs"))
+      .withColumn("shh", array_distinct(transform(col("shs"),
+        s => xxhash64(s)))))
+    val index0 = sh.select(col(idCol).as("id_b"), explode(col("shh")).as("h"))
+    val index =
+      if (maxPostings == Int.MaxValue) index0
+      else index0.join(
+        index0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxPostings).select(col("h")),
+        Seq("h"), "left_anti")
+    val probes = sh.select(col(idCol).as("id_a"),
+      explode(slice(array_sort(col("shh")), 1, probeK)).as("h"))
+    val cands = probes.join(index, Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = sh.select(col(idCol).as("id_a"), col("shs").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("shs").as("sh_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("containment",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(col("sh_a")), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash per document — native expression, zero shuffle

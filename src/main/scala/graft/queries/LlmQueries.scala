@@ -170,6 +170,26 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- asymmetric containment (quote detection) ------------------------
+    // For every 50th doc a 40-token prefix "quote" is planted (+60000):
+    // every quote shingle appears in its base, so containment = 1.0 and
+    // the bottom-k probe CANNOT miss it (recall is exact, not
+    // probabilistic, at full containment). The oracle brute-forces every
+    // DIRECTED pair with the sound size prune, so the gate checks the
+    // full probe → posting-join → exact-verify path against ground
+    // truth — including the corpus's natural mutual-containment dups.
+    "d10_containment_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val quotes = docs
+        .filter(col("doc_id") % 50 === 0 && col("text").isNotNull)
+        .select((col("doc_id") + 60000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 40))
+            .as("text"))
+      Dedup.containmentPairs(docs.unionByName(quotes), "doc_id", "text",
+        k = 3, threshold = 0.9, probeK = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- incremental near-dup via the persisted signature store ----------
     // The ingest-dedup flow: seed the store with two thirds of the
     // corpus, then query a batch of planted copies (+50000) and unseen
@@ -613,6 +633,24 @@ object LlmQueries {
          |pairs AS (
          |  ${jaccardPairsSql(0.7)})
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d10_containment_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 60000,
+         |    array_to_string(string_split_regex(text, '\\s+')[1:40], ' ')
+         |  FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL),
+         |${shinglesCte("corpus")},
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    round(CAST(len(list_intersect(a.shingles, b.shingles))
+         |        AS DOUBLE) / len(a.shingles), 6) AS containment
+         |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         |  WHERE len(b.shingles) >= CAST(0.9 * len(a.shingles) AS BIGINT))
+         |SELECT id_a, id_b, containment FROM pairs
+         |WHERE containment >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
 
     // seed ids are < 50000 and batch ids >= 50000, so the cross-set
