@@ -281,4 +281,66 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
+
+  /** BM25 top-k retrieval: for each query string, the k best-matching
+    * documents under Okapi BM25 with the Lucene-style non-negative idf
+    * `ln((N - df + 0.5)/(df + 0.5) + 1)`. The corpus-exploration
+    * primitive a curation pipeline uses to pull topic exemplars and
+    * audit near-topic contamination — tf-idf ranks terms WITHIN a doc
+    * (t7); BM25 ranks DOCS for a query, with tf saturation (k1) and
+    * length normalization (b).
+    *
+    * Scale shape: scoring rides the inverted index — query terms
+    * (broadcast; queries are few) join the (doc, term, tf) relation, so
+    * only documents containing ≥1 query term are ever touched, never
+    * all (query, doc) pairs. df joins by term (vocabulary-sized, plain
+    * shuffle join — a 100 TB vocabulary doesn't broadcast), doc length
+    * by id, and the final per-query top-k is the bounded topk_by
+    * aggregate (k rows per partition per query reach the shuffle). The
+    * tf relation is computed once and persisted under the caller's
+    * [[graft.CacheScope]] — it feeds tf, df, AND dl.
+    *
+    * Determinism: per-term contributions are identical IEEE expression
+    * trees in any engine; each is rounded to integer MICROS before the
+    * per-document sum, so the sum is exact integer arithmetic —
+    * immune to float summation order across partitions and engines
+    * (ulp differences in ln are absorbed by the micro rounding). Ties
+    * break (score DESC, id ASC). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    require(k > 0, s"bm25TopK: k must be positive, got $k")
+    val tf = scope.cache(docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val global = broadcast(dl.agg(sum(col("dl")).as("dl_sum"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"),
+        (col("dl_sum").cast("double") / col("n_docs")).as("avgdl")))
+    val qt = broadcast(queries
+      .select(col(qidCol),
+        explode(array_distinct(tokens(col(qtextCol)))).as("term"))
+      .where(col("term") =!= ""))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+        col("avgdl")))
+    val scored = qt.join(tf, "term").join(dfT, "term")
+      .join(dl, idCol).crossJoin(global)
+      .withColumn("c_micros", round(contrib * lit(1e6)).cast("long"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("c_micros")).as("score_micros"))
+    scored.groupBy(col(qidCol))
+      .agg(graft.expressions.TopKByExpr.topkBy(
+        col("score_micros").cast("double"), col(idCol).cast("long"), k)
+        .as("__tk"))
+      .select(col(qidCol), posexplode(col("__tk")))
+      .select(col(qidCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as(idCol), (col("col.ord") / lit(1e6)).as("score"))
+  }
 }

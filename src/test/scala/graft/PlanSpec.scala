@@ -179,4 +179,43 @@ class PlanSpec extends SparkSpec {
           "degenerated")
     }
   }
+
+  test("containment candidates ride equi-joins, never all-pairs") {
+    noAqe {
+      val p = planOf(SparkEntry.queries("d10_containment_pairs")(spark, sf))
+      val nested = p.collectWithSubqueries {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => j }
+      assert(nested.isEmpty,
+        "d10 plans a nested-loop/cartesian join — the inverted-index " +
+          "probe degenerated into all-pairs")
+    }
+  }
+
+  test("Count-Min sketch shuffles only (depth, bkt, cnt) — never items") {
+    noAqe {
+      import graft.ops.CountMin
+      val terms = Tables.documents(spark, sf)
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.lower(
+              org.apache.spark.sql.functions.trim(
+                org.apache.spark.sql.functions.col("text"))), "\\s+"))
+          .as("term"))
+      val p = planOf(CountMin.sketch(terms, "term", depth = 4, width = 512))
+      val exchanges = p.collectWithSubqueries {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      // every exchange carries only the narrow sketch-cell schema — the
+      // term strings must be gone before any shuffle (map-side combine)
+      exchanges.foreach { e =>
+        val names = e.child.output.map(_.name).toSet
+        assert(!names.contains("term"),
+          s"CountMin shuffles the item payload: ${names.mkString(",")}")
+      }
+    }
+  }
 }
