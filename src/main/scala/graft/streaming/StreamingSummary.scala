@@ -133,4 +133,20 @@ object StreamingSummary {
           case None => delta
         }
     }
+
+  /** Count-Min maintenance: the stored state is [[graft.ops.CountMin]]'s
+    * (depth, bkt, cnt, width) cell table — bounded by depth×width
+    * regardless of history size. Each batch sketches at O(delta) and
+    * folds by pure SUM, so the maintained state is exactly the one-pass
+    * sketch of everything ever streamed; probe it any time with
+    * `CountMin.estimate` for overcount-only frequency reads. */
+  def maintainCountMinFromFiles(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpoint: String,
+      summaryPath: String, itemCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame =
+    maintainVersioned(spark, inDir, schema, checkpoint, summaryPath) {
+      (batch, prev) =>
+        val delta = graft.ops.CountMin.sketch(batch, itemCol, depth, width)
+        prev.map(p => graft.ops.CountMin.fold(p, delta)).getOrElse(delta)
+    }
 }

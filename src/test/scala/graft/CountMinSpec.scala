@@ -46,6 +46,42 @@ class CountMinSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("streamed maintenance equals the one-pass sketch, incl. a late " +
+      "delta resumed from the checkpoint") {
+    import graft.streaming.StreamingSummary
+    val root = java.nio.file.Files.createTempDirectory("graft_cm").toString
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def land(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      df.coalesce(1).write.parquet(s"$root/in/$tag")
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/in/$tag"))
+        .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, j) =>
+          fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(s"$root/deltas/${tag}_$j.parquet"))
+        }
+    }
+    val all = stream.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("i", "item")
+    (0 to 2).foreach(i => land(all.filter(pmod(col("i"), lit(3)) === i),
+      s"b$i"))
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = StreamingSummary.maintainCountMinFromFiles(spark,
+      s"$root/deltas", all.schema, s"$root/ckpt", s"$root/sketch",
+      "item", depth = 4, width = 64)
+    assert(cells(got) ===
+      cells(CountMin.sketch(all, "item", depth = 4, width = 64)))
+
+    land(all.limit(10), "b3") // late delta: only it folds on resume
+    val got2 = StreamingSummary.maintainCountMinFromFiles(spark,
+      s"$root/deltas", all.schema, s"$root/ckpt", s"$root/sketch",
+      "item", depth = 4, width = 64)
+    assert(cells(got2) === cells(CountMin.sketch(
+      all.unionByName(all.limit(10)), "item", depth = 4, width = 64)))
+  }
+
   test("width mismatches fail loudly in fold and estimate") {
     val a = CountMin.sketch(stream.toDF("item"), "item", width = 64)
     val b = CountMin.sketch(stream.toDF("item"), "item", width = 128)
