@@ -183,6 +183,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "log_bucket_hi(bucket, m) — m must be an integer literal")
       }))
+    // Count-Min bucket math as a SQL function, same contract as
+    // log_bucket: SQL pipelines build the CM cell table with
+    // GROUP BY row, cm_bucket(item, row, width) + COUNT, merge by SUM,
+    // and probe with MIN over the rows — bit-identical to the frames
+    // graft.ops.CountMin composes.
+    ext.injectFunction((FunctionIdentifier("cm_bucket"),
+      new ExpressionInfo(graft.ops.CountMin.getClass.getName, "cm_bucket"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(item, Literal(row: Int, _), Literal(w: Int, _)) =>
+          expr_(graft.ops.CountMin.bucket(col_(item), row, w))
+        case _ => throw new IllegalArgumentException(
+          "cm_bucket(item, row, width) — row and width must be integer " +
+            "literals")
+      }))
     // Persisted-vector-store ANN as a TABLE function: the store query
     // is a relation (rank/vec_id/cosine rows), not a scalar, so it
     // rides injectTableFunction — `SELECT * FROM vector_topk(dir,

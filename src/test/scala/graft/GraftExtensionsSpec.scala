@@ -129,6 +129,27 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("cm_bucket: SQL-built CM sketches match the Scala bucket math") {
+    import spark.implicits._
+    val sql = spark.sql(
+      """SELECT CAST(id AS STRING) AS item,
+        |  cm_bucket(CAST(id AS STRING), 0, 512) AS b0,
+        |  cm_bucket(CAST(id AS STRING), 3, 512) AS b3
+        |FROM range(0, 200)""".stripMargin).collect()
+    sql.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) < 512L)
+      assert(r.getLong(2) >= 0L && r.getLong(2) < 512L)
+    }
+    import org.apache.spark.sql.functions.col
+    val api = spark.range(0, 200)
+      .select(graft.ops.CountMin.bucket(col("id").cast("string"), 0, 512))
+      .collect().map(_.getLong(0))
+    assert(sql.map(_.getLong(1)).toSeq === api.toSeq)
+    intercept[Exception] {
+      spark.sql("SELECT cm_bucket('x', 0, 256 + 256)").collect()
+    }
+  }
+
   test("vector_topk table function queries a persisted store from SQL") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("vsql").toString
