@@ -134,10 +134,12 @@ object Similarity {
     * seed documents, classify the rest by neighborhood).
     *
     * Contract notes:
-    *  - `labelCol` must be NUMERIC (checked up front): the vote argmax
+    *  - `labelCol` must be INTEGRAL (checked up front): the vote argmax
     *    rides topk_by over label-as-long, where a non-castable label
-    *    would silently null out and drop the query from the output.
-    *    `pred_label` is emitted as long so no label value truncates.
+    *    would silently null out and drop the query from the output, and
+    *    a fractional label would truncate — merging distinct labels'
+    *    votes. `pred_label` is emitted as long so no integral label
+    *    value truncates.
     *  - Self-exclusion assumes queries SHARE the data id space
     *    (`data.idCol =!= query.qid`), the label-propagation case where
     *    queries are drawn from the corpus itself. For external queries
@@ -156,11 +158,17 @@ object Similarity {
   def knnClassify(data: DataFrame, idCol: String, vecCol: String,
       labelCol: String, queries: DataFrame, qidCol: String,
       qvecCol: String, k: Int): DataFrame = {
-    require(data.schema(labelCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"knnClassify requires a numeric label column; '$labelCol' is " +
+    require(data.schema(labelCol).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      },
+      s"knnClassify requires an INTEGRAL label column; '$labelCol' is " +
       s"${data.schema(labelCol).dataType.simpleString} — map labels to " +
-      "codes first (votes over non-numeric labels would vanish silently)")
+      "integer codes first (non-numeric labels would vanish from the " +
+      "vote silently; fractional ones would truncate and merge)")
     val scored = data.crossJoin(broadcast(queries))
       .where(col(idCol) =!= col(qidCol))
       .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))

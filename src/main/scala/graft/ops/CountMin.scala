@@ -39,7 +39,11 @@ object CountMin {
       16, 10).cast("long"), lit(width.toLong))
 
   /** Build the sketch state over `df`'s non-null `itemCol` values:
-    * (depth, bkt, cnt, width), ≤ depth*width rows. One explode (factor
+    * (depth, bkt, cnt, width, n_rows), ≤ depth*width rows — `depth` is
+    * the cell's row index, `n_rows` the sketch's build depth (carried so
+    * [[fold]]/[[estimate]] can detect a mismatched-depth state, which
+    * would otherwise estimate 0 for everything: a probe row with no
+    * matching cells coalesces to an empty bucket). One explode (factor
     * `depth`) + one narrow groupBy; the item payload never shuffles. */
   def sketch(df: DataFrame, itemCol: String, depth: Int = 4,
       width: Int = 1024): DataFrame = {
@@ -53,31 +57,55 @@ object CountMin {
       .groupBy(col("depth"), col("bkt"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("width", lit(width.toLong))
+      .withColumn("n_rows", lit(depth.toLong))
   }
 
+  /** One-row frame carrying lit(1) when every row of `state` agrees with
+    * the expected (width, n_rows), raise_error otherwise. Evaluated via a
+    * filter on the consumer side, so it fires regardless of which cells
+    * the inputs populate (a per-group check would miss two sketches
+    * whose cells are disjoint). */
+  private def paramsGuard(state: DataFrame, what: String,
+      width: Option[Long], nRows: Option[Long]): DataFrame =
+    state.agg(min(col("width")).as("w0"), max(col("width")).as("w1"),
+        min(col("n_rows")).as("d0"), max(col("n_rows")).as("d1"))
+      .select(when(
+        col("w0") =!= col("w1") || col("d0") =!= col("d1") ||
+          width.map(w => col("w0") =!= w).getOrElse(lit(false)) ||
+          nRows.map(d => col("d0") =!= d).getOrElse(lit(false)),
+        raise_error(lit(s"CountMin: $what — mixed or unexpected " +
+          s"width/depth (expected width=${width.getOrElse("any")}, " +
+          s"depth=${nRows.getOrElse("any")})")))
+        .otherwise(lit(1L)).as("__ok"))
+
   /** Merge two sketch states (pure SUM — disjoint inputs fold to exactly
-    * the one-pass state). Mixed widths fail loudly: summing buckets of
-    * different modulus would silently estimate garbage. */
-  def fold(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy(col("depth"), col("bkt")).agg(
-      sum(col("cnt")).as("cnt"),
-      when(min(col("width")) =!= max(col("width")), raise_error(lit(
-        "CountMin: folding sketches of different width")))
-        .otherwise(min(col("width"))).as("width"))
+    * the one-pass state). Mixed widths or depths fail loudly AND
+    * globally: summing cells of a different modulus, or estimating
+    * against rows one side never populated, would silently produce
+    * garbage, so the guard aggregates over the whole union rather than
+    * per cell. */
+  def fold(a: DataFrame, b: DataFrame): DataFrame = {
+    val u = a.unionByName(b)
+    u.groupBy(col("depth"), col("bkt")).agg(
+        sum(col("cnt")).as("cnt"),
+        min(col("width")).as("width"), min(col("n_rows")).as("n_rows"))
+      .crossJoin(broadcast(paramsGuard(u,
+        "folding incompatible sketches", None, None)))
+      .where(col("__ok") === 1L).drop("__ok")
+  }
 
   /** Point-frequency estimates for `probes`: one row per probe item with
     * `est = min over rows of the item's bucket count` (0 when every
     * bucket is empty). `depth`/`width` must match the state's build
-    * parameters — a width mismatch raises at execution rather than
-    * estimating against the wrong modulus. Probes are expected to be
-    * small (broadcast side); the state is at most depth*width rows. */
+    * parameters — a mismatch raises at execution rather than estimating
+    * against the wrong modulus (wrong width) or against rows the state
+    * never populated (wrong depth — every estimate would be 0). Probes
+    * are expected to be small (broadcast side); the state is at most
+    * depth*width rows. */
   def estimate(state: DataFrame, probes: DataFrame, itemCol: String,
       depth: Int = 4, width: Int = 1024): DataFrame = {
-    val wchk = state.agg(min(col("width")).as("w0"), max(col("width"))
-        .as("w1"))
-      .select(when(col("w0") =!= width.toLong || col("w1") =!= width.toLong,
-        raise_error(lit(s"CountMin.estimate: state width differs from " +
-          s"$width"))).otherwise(lit(1L)).as("__wok"))
+    val wchk = paramsGuard(state, "estimate against mismatched state",
+      Some(width.toLong), Some(depth.toLong))
     val exploded = probes.filter(col(itemCol).isNotNull)
       .select(col(itemCol), posexplode(array((0 until depth).map(i =>
         bucket(col(itemCol), i, width)): _*)))
@@ -85,7 +113,7 @@ object CountMin {
         col("col").as("bkt"))
       // filter, not drop: a dropped check column would be pruned as dead
       // code and the raise_error with it
-      .crossJoin(broadcast(wchk)).where(col("__wok") === 1L).drop("__wok")
+      .crossJoin(broadcast(wchk)).where(col("__ok") === 1L).drop("__ok")
     exploded
       .join(state.select(col("depth"), col("bkt"), col("cnt")),
         Seq("depth", "bkt"), "left")

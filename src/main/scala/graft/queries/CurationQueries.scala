@@ -235,13 +235,17 @@ object CurationQueries {
     // overcount_ok booleans additionally pin the CM guarantee est >= true.
     "cm1_countmin_freq" -> ((s, d) => {
       import s.implicits._
-      val terms = Tables.documents(s, d)
-        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      // terms feeds the sketch AND the exact counts; probes feed
+      // estimate's explode AND the final join — cache both or the
+      // documents scan+tokenize runs four times per action
+      val terms = graft.CacheScope.session.cache(Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term")))
       val state = CountMin.sketch(terms, "term", depth = 4, width = 512)
-      val probes = terms.groupBy(col("term"))
+      val probes = graft.CacheScope.session.cache(terms
+        .groupBy(col("term"))
         .agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("term")).limit(10)
-        .unionByName(Seq(("__absent_probe__", 0L)).toDF("term", "n_exact"))
+        .unionByName(Seq(("__absent_probe__", 0L)).toDF("term", "n_exact")))
       CountMin.estimate(state, probes, "term", depth = 4, width = 512)
         .join(probes, Seq("term"))
         .select(col("term"), col("n_exact"), col("est"),

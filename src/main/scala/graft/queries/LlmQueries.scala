@@ -118,15 +118,24 @@ object LlmQueries {
       val repetitive = base.filter(col("doc_id") % 100 === 0)
         .select((col("doc_id") + 1000000000L).as("doc_id"),
           lit(Seq.fill(50)("repeat").mkString(" ")).as("text"))
-      TA.compressionRatio(base.unionByName(repetitive), "doc_id", "text")
-        // null text → null ratio; any real ratio is positive and ≤ 2
-        // (deflate overhead on short prose never doubles the input)
+      val input = base.unionByName(repetitive)
+      // zlib's fixed header/trailer (~11 bytes) dominates tiny inputs, so
+      // the upper bound must scale with the document: ratio ≤ 1 + 64/len
+      // holds for ANY input (worst-case stored-block expansion is
+      // len + 5·ceil(len/16383) + 6), where a flat "≤ 2" would
+      // false-alarm on a few-byte doc if the testdata ever grows one
+      val lens = input.select(col("doc_id"),
+        octet_length(col("text")).as("__blen"))
+      TA.compressionRatio(input, "doc_id", "text")
+        .join(lens, Seq("doc_id"), "left")
         .withColumn("ratio_in_bounds", col("compression_ratio").isNull ||
-          (col("compression_ratio") > 0 && col("compression_ratio") <= 2))
+          (col("compression_ratio") > 0 && col("compression_ratio") <=
+            lit(1.0) + lit(64.0) / greatest(col("__blen"), lit(1))))
         // the planted repetitive rows must compress dramatically
         .withColumn("repetition_detected",
           when(col("doc_id") >= 1000000000L, col("compression_ratio") < 0.2)
             .otherwise(lit(true)))
+        .drop("__blen")
         .orderBy(col("doc_id"))
     }),
 

@@ -127,7 +127,11 @@ object ValidateQueries {
     // decode ≡ one-pass over all history, end to end through parquet.
     "dq2_incremental_drift" -> ((s, d) => {
       val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
-      val dir = s"/tmp/graft_drift_state_$sfTag"
+      // applicationId-scoped: two processes verifying the same SF
+      // concurrently must not race on the shared delete/write/read
+      // cycle (the container is ephemeral, so per-app dirs don't pile up)
+      val dir = s"/tmp/graft_drift_state_${sfTag}_" +
+        s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9._-]", "_")
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)

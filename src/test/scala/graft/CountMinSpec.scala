@@ -82,15 +82,33 @@ class CountMinSpec extends SparkSpec {
       all.unionByName(all.limit(10)), "item", depth = 4, width = 64)))
   }
 
-  test("width mismatches fail loudly in fold and estimate") {
+  test("width/depth mismatches fail loudly in fold and estimate") {
     val a = CountMin.sketch(stream.toDF("item"), "item", width = 64)
     val b = CountMin.sketch(stream.toDF("item"), "item", width = 128)
     val e1 = intercept[Exception] { CountMin.fold(a, b).collect() }
-    assert(e1.getMessage.contains("different width"))
+    assert(e1.getMessage.contains("folding incompatible"))
     val e2 = intercept[Exception] {
       CountMin.estimate(a, Seq("a").toDF("item"), "item", width = 128)
         .collect()
     }
-    assert(e2.getMessage.contains("width differs"))
+    assert(e2.getMessage.contains("mismatched state"))
+    // wrong DEPTH would silently estimate 0 for everything without the
+    // n_rows guard (probe rows 4..7 find no cells, min coalesces to 0)
+    val e3 = intercept[Exception] {
+      CountMin.estimate(a, Seq("a").toDF("item"), "item",
+        depth = 8, width = 64).collect()
+    }
+    assert(e3.getMessage.contains("mismatched state"))
+    // the guard is GLOBAL: two sketches whose populated cells are
+    // disjoint still raise (a per-cell check would never see both widths
+    // in one group)
+    val tiny64 = CountMin.sketch(Seq("only-a").toDF("item"), "item",
+      depth = 1, width = 64)
+    val tiny128 = CountMin.sketch(Seq("only-b").toDF("item"), "item",
+      depth = 1, width = 128)
+    val e4 = intercept[Exception] {
+      CountMin.fold(tiny64, tiny128).collect()
+    }
+    assert(e4.getMessage.contains("folding incompatible"))
   }
 }

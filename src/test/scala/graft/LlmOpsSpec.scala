@@ -551,6 +551,13 @@ class LlmOpsSpec extends SparkSpec {
         data.withColumn("label", concat(lit("L"), col("label"))),
         "vec_id", "embedding", "label", q, "qid", "qv", k = 3)
     }
-    assert(err.getMessage.contains("numeric label"))
+    assert(err.getMessage.contains("INTEGRAL label"))
+    // fractional labels would truncate (1.2 and 1.9 merge) — also rejected
+    val err2 = intercept[IllegalArgumentException] {
+      Similarity.knnClassify(
+        data.withColumn("label", col("label").cast("double")),
+        "vec_id", "embedding", "label", q, "qid", "qv", k = 3)
+    }
+    assert(err2.getMessage.contains("INTEGRAL label"))
   }
 }
