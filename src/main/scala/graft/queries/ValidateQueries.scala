@@ -152,6 +152,27 @@ object ValidateQueries {
         .orderBy(col("column_name"), col("metric"))
     }),
 
+    // ---- V10+: PII release gate -----------------------------------------
+    // The post-redaction scan a training-data release runs: planted
+    // emails (every 41st doc) and a planted phone column must be
+    // counted; the redacted text column must come back clean. The
+    // oracle reruns the SAME RE2-compatible regexes in DuckDB — both
+    // the dirty counts and the zero-after-redaction row are hash-checked.
+    "v10_pii_scan" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val messy = docs.select(col("doc_id"),
+        when(col("doc_id") % 41 === 0,
+          concat(col("text"), lit(" contact: user"), col("doc_id"),
+            lit("@example.com"))).otherwise(col("text")).as("text"),
+        when(col("doc_id") % 73 === 0, lit("+1 (555) 123-4567"))
+          .otherwise(lit("clean")).as("note"))
+        .withColumn("text_redacted",
+          graft.operators.Curation.redactPii(col("text")))
+      Validator.run(messy, Seq(
+        PiiFree(Seq("text", "note", "text_redacted")), MinRows(1)))
+        .orderBy(col("check"), col("column"))
+    }),
+
     "v9_identifier_guard" -> ((s, _) => {
       import s.implicits._
       v9Candidates.map { case (id, nm) =>
@@ -311,6 +332,51 @@ object ValidateQueries {
         |    (SELECT COUNT(*) FROM (SELECT event_type FROM ev
         |      GROUP BY event_type HAVING COUNT(*) > 1)) = 0, 'ERROR'
         |) ORDER BY "check", "column"""".stripMargin,
+
+    "v10_pii_scan" -> {
+      val em = graft.operators.Curation.emailRe
+      val ph = graft.operators.Curation.phoneRe
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 41 = 0
+         |      THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+         |        || '@example.com'
+         |      ELSE text END AS text,
+         |    CASE WHEN doc_id % 73 = 0 THEN '+1 (555) 123-4567'
+         |         ELSE 'clean' END AS note
+         |  FROM documents),
+         |m2 AS (
+         |  SELECT doc_id, text, note,
+         |    regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
+         |      '$ph', '<PHONE>', 'g') AS text_redacted
+         |  FROM m),
+         |hits AS (
+         |  SELECT
+         |    (SELECT count(*) FROM m2 WHERE text IS NOT NULL AND
+         |      (regexp_matches(text, '$em') OR regexp_matches(text, '$ph')))
+         |      AS h_text,
+         |    (SELECT count(*) FROM m2 WHERE note IS NOT NULL AND
+         |      (regexp_matches(note, '$em') OR regexp_matches(note, '$ph')))
+         |      AS h_note,
+         |    (SELECT count(*) FROM m2 WHERE text_redacted IS NOT NULL AND
+         |      (regexp_matches(text_redacted, '$em')
+         |        OR regexp_matches(text_redacted, '$ph'))) AS h_red,
+         |    (SELECT count(*) FROM m2) AS n)
+         |SELECT * FROM (
+         |  SELECT 'min_rows' AS "check", '*' AS "column",
+         |    n AS observed, CAST(1 AS BIGINT) AS threshold, n >= 1 AS passed,
+         |    'ERROR' AS severity FROM hits
+         |  UNION ALL
+         |  SELECT 'pii_free', 'note', h_note, 0, h_note = 0, 'ERROR'
+         |    FROM hits
+         |  UNION ALL
+         |  SELECT 'pii_free', 'text', h_text, 0, h_text = 0, 'ERROR'
+         |    FROM hits
+         |  UNION ALL
+         |  SELECT 'pii_free', 'text_redacted', h_red, 0, h_red = 0, 'ERROR'
+         |    FROM hits
+         |) ORDER BY "check", "column"""".stripMargin
+    },
 
     "v1b_check_suite_li" ->
       """WITH li AS (

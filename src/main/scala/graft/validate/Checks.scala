@@ -29,6 +29,11 @@ final case class PkUnique(cols: Seq[String]) extends Check
   * warnOnly replays --skip_freshness_check's downgrade-to-warning. */
 final case class Freshness(dateCol: String, execDate: String,
     warnOnly: Boolean = false) extends Check
+/** Beyond parity: columns must be free of PII patterns (the email/phone
+  * regexes of [[graft.operators.Curation.redactPii]]) — the release
+  * gate a training-data pipeline runs AFTER redaction: observed = rows
+  * still matching, pass only at zero. Rides the shared single-agg pass. */
+final case class PiiFree(cols: Seq[String]) extends Check
 
 final case class CheckResult(check: String, column: String,
     observed: Long, threshold: Long, passed: Boolean, severity: String)
@@ -62,6 +67,7 @@ object Validator {
     case FlagDomain(cols)       => cols
     case PkUnique(cols)         => cols
     case Freshness(dc, _, _)    => Seq(dc)
+    case PiiFree(cols)          => cols
     case MinRows(_)             => Nil
   }
 
@@ -117,6 +123,13 @@ object Validator {
           if (warnOnly) "WARNING" else "ERROR",
           sum(when(col(dateCol).cast("date") === lit(execDate).cast("date"),
             1L).otherwise(0L)))
+      case PiiFree(cols) => cols.foreach { c =>
+        slots += AggSlot("pii_free", c, 0L, passIfAtLeast = false, "ERROR",
+          sum(when(col(c).isNotNull &&
+            (col(c).rlike(graft.operators.Curation.emailRe) ||
+             col(c).rlike(graft.operators.Curation.phoneRe)), 1L)
+            .otherwise(0L)))
+      }
       case _ => ()
     }
     val aggResults: Seq[CheckResult] = if (slots.isEmpty) Nil else {
