@@ -282,6 +282,40 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** Group-level TF-IDF: the k most DISTINCTIVE terms per group (source,
+    * domain, language bucket…), treating each group's pooled text as one
+    * pseudo-document — `tf` is the group's term count, `df` the number
+    * of groups containing the term, `N` the number of groups. The
+    * corpus-composition analysis tool ("what characterizes this
+    * source?") complementing [[tfIdfTopTerms]]'s per-document form.
+    *
+    * No text is ever concatenated: tf aggregates (group, term) counts
+    * straight off the token explode, so the scale shape is identical to
+    * [[tfIdfTopTerms]] — O(corpus tokens) floor, vocabulary-sized df
+    * join, windowed top-k bounded by a group's vocabulary. N rides a
+    * broadcast one-row count-distinct. Same smoothed idf, tie-break,
+    * and round(6) as the per-doc form. */
+  def tfIdfTopTermsByGroup(docs: DataFrame, groupCol: String,
+      textCol: String, k: Int)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    require(k > 0, s"tfIdfTopTermsByGroup: k must be positive, got $k")
+    val tf = scope.cache(docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(groupCol)).as("n_groups"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") *
+        (log((col("n_groups") + lit(1.0)) / (col("df") + lit(1.0))) +
+          lit(1.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("term"), col("score"))
+  }
+
   /** BM25 top-k retrieval: for each query string, the k best-matching
     * documents under Okapi BM25 with the Lucene-style non-negative idf
     * `ln((N - df + 0.5)/(df + 0.5) + 1)`. The corpus-exploration

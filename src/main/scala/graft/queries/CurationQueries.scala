@@ -209,6 +209,17 @@ object CurationQueries {
         .orderBy(col("n_exact").desc, col("term"))
     }),
 
+    // ---- per-source distinctive terms (group-level TF-IDF) ----------------
+    // Each source's pooled text is a pseudo-document: tf by (source,
+    // term), df = sources containing the term, N = source count. The
+    // oracle rebuilds all four from scratch — no text concatenation on
+    // either side.
+    "t9_domain_terms" -> ((s, d) => {
+      TextAnalysis.tfIdfTopTermsByGroup(Tables.documents(s, d), "source",
+        "text", k = 5)
+        .orderBy(col("source"), col("rank"))
+    }),
+
     // ---- BM25 top-k retrieval ---------------------------------------------
     // Queries are the first 5 tokens of docs 0-2; the oracle rebuilds
     // tf/df/dl/avgdl and the full Okapi formula (identical IEEE
@@ -612,6 +623,28 @@ object CurationQueries {
         |      ORDER BY score DESC, term) AS rank
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "t9_domain_terms" ->
+      """WITH tf AS (
+        |  SELECT source, term, count(*) AS tf FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |    FROM documents) t
+        |  WHERE term <> ''
+        |  GROUP BY source, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT source) AS n_groups FROM documents),
+        |sc AS (
+        |  SELECT tf.source, tf.term,
+        |    round(tf.tf * (ln((n.n_groups + 1.0) / (df.df + 1.0)) + 1.0), 6)
+        |      AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT source, CAST(rank AS INTEGER) AS rank, term, score FROM (
+        |  SELECT source, term, score,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score DESC, term) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
     "t8_bm25_search" -> {
       // derived constants interpolated from the SAME Scala doubles the
