@@ -163,6 +163,10 @@ object Similarity {
              org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.LongType => true
+        // scale-0 decimals are integral-valued (a common bigint-backed
+        // encoding from JDBC/parquet) — cast to long cannot truncate
+        case d: org.apache.spark.sql.types.DecimalType if d.scale == 0 &&
+          d.precision <= 18 => true
         case _ => false
       },
       s"knnClassify requires an INTEGRAL label column; '$labelCol' is " +

@@ -263,23 +263,33 @@ object TextAnalysis {
     * the df aggregation, and without the persist the tokenize+explode+agg
     * over the whole corpus executes twice per action. */
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-      k: Int)(implicit scope: graft.CacheScope): DataFrame = {
-    require(k > 0, s"tfIdfTopTerms: k must be positive, got $k")
+      k: Int)(implicit scope: graft.CacheScope): DataFrame =
+    tfIdfTopK(docs, idCol, textCol, k, count(lit(1)), "tfIdfTopTerms")
+
+  /** Shared tf/df/score/rank machinery for the per-document and
+    * per-group TF-IDF forms — they differ only in the key column and in
+    * what N counts (rows vs distinct groups), and their DuckDB oracles
+    * replay the same math, so one copy keeps the two forms (and their
+    * oracles) from diverging. */
+  private def tfIdfTopK(docs: DataFrame, keyCol: String, textCol: String,
+      k: Int, nExpr: Column, caller: String)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    require(k > 0, s"$caller: k must be positive, got $k")
     val tf = scope.cache(docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .select(col(keyCol), explode(tokens(col(textCol))).as("term"))
       .where(col("term") =!= "")
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
+      .groupBy(col(keyCol), col("term")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val n = docs.agg(nExpr.as("__n"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+      .partitionBy(col(keyCol)).orderBy(col("score").desc, col("term"))
     tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") *
-        (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) +
+        (log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))) +
           lit(1.0)), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col(idCol), col("rank"), col("term"), col("score"))
+      .select(col(keyCol), col("rank"), col("term"), col("score"))
   }
 
   /** Group-level TF-IDF: the k most DISTINCTIVE terms per group (source,
@@ -297,24 +307,9 @@ object TextAnalysis {
     * and round(6) as the per-doc form. */
   def tfIdfTopTermsByGroup(docs: DataFrame, groupCol: String,
       textCol: String, k: Int)(
-      implicit scope: graft.CacheScope): DataFrame = {
-    require(k > 0, s"tfIdfTopTermsByGroup: k must be positive, got $k")
-    val tf = scope.cache(docs
-      .select(col(groupCol), explode(tokens(col(textCol))).as("term"))
-      .where(col("term") =!= "")
-      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("tf")))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(countDistinct(col(groupCol)).as("n_groups"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col("score").desc, col("term"))
-    tf.join(df, "term").crossJoin(broadcast(n))
-      .withColumn("score", round(col("tf") *
-        (log((col("n_groups") + lit(1.0)) / (col("df") + lit(1.0))) +
-          lit(1.0)), 6))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(groupCol), col("rank"), col("term"), col("score"))
-  }
+      implicit scope: graft.CacheScope): DataFrame =
+    tfIdfTopK(docs, groupCol, textCol, k, countDistinct(col(groupCol)),
+      "tfIdfTopTermsByGroup")
 
   /** BM25 top-k retrieval: for each query string, the k best-matching
     * documents under Okapi BM25 with the Lucene-style non-negative idf

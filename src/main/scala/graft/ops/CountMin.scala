@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Count-Min sketch (Cormode & Muthukrishnan 2005) as PLAIN aggregation —
@@ -60,11 +61,25 @@ object CountMin {
       .withColumn("n_rows", lit(depth.toLong))
   }
 
+  /** A state written by a pre-depth-tracking build has no n_rows column;
+    * fail with a named error instead of an unresolved-column analysis
+    * exception deep inside fold/estimate. */
+  private def requireStateSchema(state: DataFrame, what: String): Unit = {
+    val missing = Seq("depth", "bkt", "cnt", "width", "n_rows")
+      .filterNot(state.columns.contains)
+    require(missing.isEmpty,
+      s"CountMin.$what: state is missing column(s) ${missing.mkString(",")}" +
+      " — persisted by an older build without depth tracking? Re-sketch" +
+      " the source data to migrate.")
+  }
+
   /** One-row frame carrying lit(1) when every row of `state` agrees with
     * the expected (width, n_rows), raise_error otherwise. Evaluated via a
     * filter on the consumer side, so it fires regardless of which cells
     * the inputs populate (a per-group check would miss two sketches
-    * whose cells are disjoint). */
+    * whose cells are disjoint). Costs one extra traversal of `state` —
+    * cheap for a materialized state (≤ depth×width rows), but persist
+    * first when passing a freshly COMPOSED sketch plan. */
   private def paramsGuard(state: DataFrame, what: String,
       width: Option[Long], nRows: Option[Long]): DataFrame =
     state.agg(min(col("width")).as("w0"), max(col("width")).as("w1"),
@@ -82,16 +97,27 @@ object CountMin {
     * the one-pass state). Mixed widths or depths fail loudly AND
     * globally: summing cells of a different modulus, or estimating
     * against rows one side never populated, would silently produce
-    * garbage, so the guard aggregates over the whole union rather than
-    * per cell. */
+    * garbage. The global check rides a whole-frame window over the
+    * GROUPED cells — ≤ depth×width rows by construction, so the
+    * single-partition window is bounded — rather than a second
+    * aggregate over the union, which would recompute both input
+    * subtrees (and any scan beneath a freshly built sketch) per action. */
   def fold(a: DataFrame, b: DataFrame): DataFrame = {
-    val u = a.unionByName(b)
-    u.groupBy(col("depth"), col("bkt")).agg(
-        sum(col("cnt")).as("cnt"),
-        min(col("width")).as("width"), min(col("n_rows")).as("n_rows"))
-      .crossJoin(broadcast(paramsGuard(u,
-        "folding incompatible sketches", None, None)))
-      .where(col("__ok") === 1L).drop("__ok")
+    requireStateSchema(a, "fold"); requireStateSchema(b, "fold")
+    val g = a.unionByName(b).groupBy(col("depth"), col("bkt")).agg(
+      sum(col("cnt")).as("cnt"),
+      min(col("width")).as("w0"), max(col("width")).as("w1"),
+      min(col("n_rows")).as("d0"), max(col("n_rows")).as("d1"))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.withColumn("__bad",
+        min(col("w0")).over(all) =!= max(col("w1")).over(all) ||
+        min(col("d0")).over(all) =!= max(col("d1")).over(all))
+      .select(col("depth"), col("bkt"),
+        when(col("__bad"), raise_error(lit(
+          "CountMin: folding incompatible sketches — mixed width/depth")))
+          .otherwise(col("cnt")).as("cnt"),
+        col("w0").as("width"), col("d0").as("n_rows"))
   }
 
   /** Point-frequency estimates for `probes`: one row per probe item with
@@ -104,6 +130,7 @@ object CountMin {
     * depth*width rows. */
   def estimate(state: DataFrame, probes: DataFrame, itemCol: String,
       depth: Int = 4, width: Int = 1024): DataFrame = {
+    requireStateSchema(state, "estimate")
     val wchk = paramsGuard(state, "estimate against mismatched state",
       Some(width.toLong), Some(depth.toLong))
     val exploded = probes.filter(col(itemCol).isNotNull)

@@ -118,19 +118,23 @@ object LlmQueries {
       val repetitive = base.filter(col("doc_id") % 100 === 0)
         .select((col("doc_id") + 1000000000L).as("doc_id"),
           lit(Seq.fill(50)("repeat").mkString(" ")).as("text"))
-      val input = base.unionByName(repetitive)
-      // zlib's fixed header/trailer (~11 bytes) dominates tiny inputs, so
-      // the upper bound must scale with the document: ratio ≤ 1 + 64/len
-      // holds for ANY input (worst-case stored-block expansion is
-      // len + 5·ceil(len/16383) + 6), where a flat "≤ 2" would
-      // false-alarm on a few-byte doc if the testdata ever grows one
+      // cached: both the ratio pass (mapPartitions over .rdd) and the
+      // length frame branch from this union
+      val input = graft.CacheScope.session.cache(
+        base.unionByName(repetitive))
+      // zlib's worst case is stored-block expansion, len + 5·ceil(len/
+      // 16383) + 6: a fixed ~11-byte floor that dominates tiny inputs
+      // PLUS a 5/16383 proportional term that dominates huge ones. The
+      // bound 1.01 + 64/len covers both with margin — a flat "≤ 2"
+      // would false-alarm on a few-byte doc, and 1 + 64/len on a
+      // multi-hundred-KB incompressible one
       val lens = input.select(col("doc_id"),
         octet_length(col("text")).as("__blen"))
       TA.compressionRatio(input, "doc_id", "text")
         .join(lens, Seq("doc_id"), "left")
         .withColumn("ratio_in_bounds", col("compression_ratio").isNull ||
           (col("compression_ratio") > 0 && col("compression_ratio") <=
-            lit(1.0) + lit(64.0) / greatest(col("__blen"), lit(1))))
+            lit(1.01) + lit(64.0) / greatest(col("__blen"), lit(1))))
         // the planted repetitive rows must compress dramatically
         .withColumn("repetition_detected",
           when(col("doc_id") >= 1000000000L, col("compression_ratio") < 0.2)
