@@ -48,14 +48,35 @@ final class CacheScope private[graft] (releaseOnExit: Boolean) {
 }
 
 object CacheScope {
-  /** Default policy: persist and leave reclamation to session LRU (or an
-    * explicit `spark.catalog.clearCache()`). */
-  implicit val session: CacheScope = new CacheScope(releaseOnExit = false)
+  private val lru = new CacheScope(releaseOnExit = false)
+  // Implicit-resolution happens at the OPERATOR call site, which for a
+  // library caller is usually code that never mentions scopes — so the
+  // default implicit delegates to a thread-local "current" scope. Inside
+  // a withScope bracket the current scope is the releasing one, which
+  // means the bracket also captures caches made by operators that were
+  // called WITHOUT an explicit scope argument (e.g. a query lambda built
+  // long before the bracket existed). Plan construction is driver-side
+  // and single-threaded per caller, so a thread-local is the right
+  // granularity; threads outside any bracket get the LRU scope.
+  private val current: ThreadLocal[CacheScope] =
+    ThreadLocal.withInitial(() => lru)
+
+  /** Default policy: the thread's active scope — the enclosing
+    * [[withScope]] bracket if one is live on this thread, else
+    * session-LRU (reclamation via eviction or an explicit
+    * `spark.catalog.clearCache()`). */
+  implicit def session: CacheScope = current.get()
 
   /** Bracket: run `body` with a releasing scope; every frame an operator
-    * cached inside is unpersisted on the way out, exception or not. */
+    * cached inside is unpersisted on the way out, exception or not.
+    * The scope is also installed as the thread's current scope, so
+    * operators invoked inside the bracket without an explicit scope
+    * argument are captured too. */
   def withScope[T](body: CacheScope => T): T = {
     val scope = new CacheScope(releaseOnExit = true)
-    try body(scope) finally scope.release()
+    val prev = current.get()
+    current.set(scope)
+    try body(scope)
+    finally { current.set(prev); scope.release() }
   }
 }

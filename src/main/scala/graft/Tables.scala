@@ -47,8 +47,18 @@ object Tables {
   private val stringT = TypeFamily("string") { _ == StringType }
   // LongType admitted: parquet TIMESTAMP(NANOS) arrives as long under the
   // nanosAsLong conf and the events loader converts it downstream.
+  // DateType deliberately NOT admitted: events.ts carries time-of-day that
+  // sessionization depends on, so a date-typed footer is breaking drift and
+  // must raise the NAMED SchemaDriftException (admitting it here would
+  // instead hit the loader's generic unsupported-type fallback).
   private val timestampT = TypeFamily("timestamp") {
-    case TimestampType | TimestampNTZType | LongType | DateType => true
+    case TimestampType | TimestampNTZType | LongType => true
+    case _ => false
+  }
+  // Date-grain columns (o_orderdate, l_shipdate): day precision is the
+  // logical grain, so a DateType footer is benign physical drift.
+  private val dateT = TypeFamily("date") {
+    case DateType | TimestampType | TimestampNTZType | LongType => true
     case _ => false
   }
   private val floatVecT = TypeFamily("array<float>") {
@@ -71,14 +81,14 @@ object Tables {
                       "p_size" -> integralT, "p_retailprice" -> fractionalT),
     "orders"   -> Seq("o_orderkey" -> integralT, "o_custkey" -> integralT,
                       "o_orderstatus" -> stringT, "o_totalprice" -> fractionalT,
-                      "o_orderdate" -> timestampT, "o_orderpriority" -> stringT),
+                      "o_orderdate" -> dateT, "o_orderpriority" -> stringT),
     "lineitem" -> Seq("l_orderkey" -> integralT, "l_partkey" -> integralT,
                       "l_suppkey" -> integralT, "l_linenumber" -> integralT,
                       "l_quantity" -> fractionalT,
                       "l_extendedprice" -> fractionalT,
                       "l_discount" -> fractionalT, "l_tax" -> fractionalT,
                       "l_returnflag" -> stringT, "l_linestatus" -> stringT,
-                      "l_shipdate" -> timestampT),
+                      "l_shipdate" -> dateT),
     "events"   -> Seq("event_id" -> integralT, "ts" -> timestampT,
                       "user_id" -> integralT, "event_type" -> stringT,
                       "value" -> fractionalT, "props" -> stringT),

@@ -570,9 +570,13 @@ object Curation {
   /** Email / phone patterns. Deliberately restricted to syntax RE2 and
     * java.util.regex agree on (character classes, bounded quantifiers —
     * no backrefs or lookaround) so the DuckDB oracle runs the SAME
-    * pattern; at scale they evaluate inside the scan's codegen stage. */
+    * pattern; at scale they evaluate inside the scan's codegen stage.
+    * The whitespace class is spelled out explicitly instead of \s:
+    * java.util.regex's \s includes vertical tab (\x0B) while RE2's does
+    * not, so the shorthand would make the two engines disagree on a
+    * phone-like run containing a vertical tab. */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val phoneRe = "[+(]?[0-9][0-9()\\s.-]{6,}[0-9]"
+  val phoneRe = "[+(]?[0-9][0-9() \\t\\n\\r\\f.-]{6,}[0-9]"
 
   def countEmails(text: Column): Column =
     size(regexp_extract_all(text, lit(emailRe), lit(0)))

@@ -217,45 +217,107 @@ object Dedup {
     * Scale shape: the index is the (shingle-hash, doc) explode —
     * O(corpus shingles) rows, the same floor as any term statistic — and
     * probes are probeK rows/doc. The join's skew surface is hot shingles'
-    * posting lists; `maxPostings` drops shingles with document frequency
-    * above the cap from the INDEX side (a stop-phrase posting list is
-    * uninformative), at the cost of conditioning the recall bound on at
-    * least one sampled shingle having DF <= maxPostings. Verification
-    * touches candidates only — never all-pairs. */
+    * posting lists: on a web corpus the top boilerplate shingles have DF
+    * in the millions, and an uncapped index emits probeK × DF candidate
+    * rows per hot shingle — so the cap defaults ON (`maxPostings` =
+    * 10000, sized from the stress run in StressSpec/README §scale where
+    * planted DF≈corpus shingles produced exactly the hot×probe blow-up).
+    * Shingles with DF > maxPostings are dropped from BOTH sides: from
+    * the index (a stop-phrase posting list is uninformative) and from
+    * probe SAMPLING — probes are the bottom-probeK of each doc's
+    * NON-HOT shingle hashes, so the recall bound survives the cap
+    * whenever the doc has ≥ 1 non-hot shingle (the sampled set stays a
+    * uniform hash-order sample, now of the non-hot subset; for full
+    * containment every non-hot probe of A is still in B's index).
+    * A doc with ≥ 1 shingle but ZERO non-hot shingles (pure boilerplate
+    * — every shingle is a stop phrase) would silently lose all recall
+    * as an id_a, so it RAISES by name instead, naming the doc and the
+    * lever; pass `skipAllHotDocs = true` to accept dropping such docs
+    * from the probe side (they can still appear as id_b containers).
+    * Verification computes exact containment on the full shingle-string
+    * sets of candidates only — never all-pairs, and never capped (the
+    * cap shapes candidate generation, not the reported score).
+    *
+    * `shingleHash` is the hash that orders probe sampling and keys the
+    * index — xxhash64 by default; the recall-monitor gate swaps in an
+    * md5-derived hash so DuckDB can replay the whole candidate path. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.9, probeK: Int = 8,
-      maxPostings: Int = Int.MaxValue)(
+      maxPostings: Int = 10000, skipAllHotDocs: Boolean = false,
+      shingleHash: Column => Column = xxhash64(_))(
       implicit scope: graft.CacheScope): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"containmentPairs: threshold must be in (0,1], got $threshold")
     require(probeK > 0, s"containmentPairs: probeK must be positive")
+    require(maxPostings > 0,
+      s"containmentPairs: maxPostings must be positive, got $maxPostings")
     // both the probe/index sides and the verify join branch from this
     // frame — one shingle pass per doc, CacheScope lifetime
     val sh = scope.cache(df
       .select(col(idCol),
         array_distinct(TextAnalysis.shingles(col(textCol), k)).as("shs"))
       .withColumn("shh", array_distinct(transform(col("shs"),
-        s => xxhash64(s)))))
-    val index0 = sh.select(col(idCol).as("id_b"), explode(col("shh")).as("h"))
-    val index =
-      if (maxPostings == Int.MaxValue) index0
-      else index0.join(
-        index0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxPostings).select(col("h")),
-        Seq("h"), "left_anti")
-    val probes = sh.select(col(idCol).as("id_a"),
-      explode(slice(array_sort(col("shh")), 1, probeK)).as("h"))
+        s => shingleHash(s)))))
+    val (index, probes, guarded) =
+      if (maxPostings == Int.MaxValue) {
+        // uncapped opt-out: no DF pass, array-level bottom-k probes
+        val idx = sh.select(col(idCol).as("id_b"),
+          explode(col("shh")).as("h"))
+        val prb = sh.select(col(idCol).as("id_a"),
+          explode(slice(array_sort(col("shh")), 1, probeK)).as("h"))
+        (idx, prb, (d: DataFrame) => d)
+      } else {
+        val postings = sh.select(col(idCol), explode(col("shh")).as("h"))
+        // DF via groupBy (map-side partial combine: the shuffle carries
+        // distinct shingles per task, never a hot key's full posting
+        // list), NOT a count-over-window (which would materialize every
+        // hot posting in one task — the exact skew being removed)
+        val hot = postings.groupBy(col("h"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxPostings).select(col("h"))
+        // index AND probe sampling both branch from the non-hot
+        // postings; cached so guard/index/probes share one DF pass
+        val nonHot = scope.cache(
+          postings.join(hot, Seq("h"), "left_anti"))
+        val idx = nonHot.select(col(idCol).as("id_b"), col("h"))
+        val prb = nonHot
+          .withColumn("__rk", row_number().over(Window
+            .partitionBy(col(idCol)).orderBy(col("h"))))
+          .filter(col("__rk") <= probeK)
+          .select(col(idCol).as("id_a"), col("h"))
+        // loud path: a non-empty doc with zero non-hot shingles gets no
+        // probes and would silently never match as id_a
+        val allHot = sh.filter(size(col("shh")) > 0)
+          .join(nonHot.select(col(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+        val guard = allHot
+          .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__id"))
+          .select(when(col("__n") > 0 && lit(!skipAllHotDocs),
+            raise_error(concat(lit("containmentPairs: "), col("__n"),
+              lit(" doc(s) (e.g. id="), col("__id"),
+              lit(s") have no shingle with DF <= maxPostings=" +
+                s"$maxPostings — pure stop-phrase text would silently " +
+                "lose all probe recall; raise maxPostings or set " +
+                "skipAllHotDocs=true to drop such docs from the probe " +
+                "side"))))
+            .otherwise(lit(1L)).as("__ok"))
+        // filter, not drop: a dropped check column would be pruned as
+        // dead code and the raise_error with it (CountMin pattern)
+        val g = (d: DataFrame) => d.crossJoin(broadcast(guard))
+          .where(col("__ok") === 1L).drop("__ok")
+        (idx, prb, g)
+      }
     val cands = probes.join(index, Seq("h"))
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
     val a = sh.select(col(idCol).as("id_a"), col("shs").as("sh_a"))
     val b = sh.select(col(idCol).as("id_b"), col("shs").as("sh_b"))
-    cands.join(a, "id_a").join(b, "id_b")
+    guarded(cands.join(a, "id_a").join(b, "id_b")
       .withColumn("containment",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(col("sh_a")), 6))
       .filter(col("containment") >= threshold)
-      .select("id_a", "id_b", "containment")
+      .select("id_a", "id_b", "containment"))
   }
 
   // ---- SimHash ----------------------------------------------------------

@@ -77,14 +77,24 @@ object CountMin {
     * the expected (width, n_rows), raise_error otherwise. Evaluated via a
     * filter on the consumer side, so it fires regardless of which cells
     * the inputs populate (a per-group check would miss two sketches
-    * whose cells are disjoint). Costs one extra traversal of `state` —
-    * cheap for a materialized state (≤ depth×width rows), but persist
-    * first when passing a freshly COMPOSED sketch plan. */
+    * whose cells are disjoint). An EMPTY state raises too — min/max over
+    * zero rows are null, which would otherwise null the whole condition
+    * and slide through the otherwise() branch with __ok=1, making every
+    * estimate silently 0 (the exact failure mode this guard exists to
+    * prevent); a legitimate sketch always has ≥1 cell because building
+    * over zero input rows is a caller bug, not a probe-miss. Costs one
+    * extra traversal of `state` — cheap for a materialized state
+    * (≤ depth×width rows), but persist first when passing a freshly
+    * COMPOSED sketch plan. */
   private def paramsGuard(state: DataFrame, what: String,
       width: Option[Long], nRows: Option[Long]): DataFrame =
     state.agg(min(col("width")).as("w0"), max(col("width")).as("w1"),
         min(col("n_rows")).as("d0"), max(col("n_rows")).as("d1"))
-      .select(when(
+      .select(when(col("w0").isNull,
+        raise_error(lit(s"CountMin: $what — state has no rows; a sketch " +
+          "built over an empty input has no cells, so width/depth cannot " +
+          "be verified and every estimate would silently be 0")))
+        .when(
         col("w0") =!= col("w1") || col("d0") =!= col("d1") ||
           width.map(w => col("w0") =!= w).getOrElse(lit(false)) ||
           nRows.map(d => col("d0") =!= d).getOrElse(lit(false)),

@@ -191,6 +191,12 @@ object LlmQueries {
     // DIRECTED pair with the sound size prune, so the gate checks the
     // full probe → posting-join → exact-verify path against ground
     // truth — including the corpus's natural mutual-containment dups.
+    // RE-TUNING NOTE: natural pairs at containment in [0.9, 1.0) are
+    // found with P(miss) <= 0.1^probeK = 1e-8 per pair; the md5/xxhash64
+    // sampling is deterministic, so if a REGENERATED corpus ever lands a
+    // pair in the miss set the mismatch is permanent, not flaky — raise
+    // probeK here and re-verify. The finite default maxPostings (10000)
+    // never engages on this corpus (max shingle DF is 25 at sf0.1).
     "d10_containment_pairs" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val quotes = docs

@@ -111,4 +111,18 @@ class CountMinSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("folding incompatible"))
   }
+
+  test("estimate against an EMPTY state raises instead of all-zero") {
+    // min/max over zero rows are null; without the explicit isNull arm
+    // the guard's when() condition nulls out and every estimate is
+    // silently 0 — the exact failure mode the guard documents preventing
+    val empty = CountMin.sketch(
+      Seq.empty[String].toDF("item").filter(col("item").isNotNull),
+      "item", depth = 4, width = 64)
+    val e = intercept[Exception] {
+      CountMin.estimate(empty, Seq("a").toDF("item"), "item",
+        depth = 4, width = 64).collect()
+    }
+    assert(e.getMessage.contains("state has no rows"))
+  }
 }
