@@ -143,7 +143,13 @@ object Tables {
     *  - timestamp[us] adjusted to UTC: already TimestampType, pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // entrypoints set this at session build; only fall back to a session
+    // mutation when a caller-supplied session lacks it (check-first so a
+    // long-lived session isn't re-mutated on every call — a concurrent
+    // reader of the conf should never observe churn)
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    if (s.conf.getOption(nanosKey).forall(_ != "true"))
+      s.conf.set(nanosKey, "true")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>

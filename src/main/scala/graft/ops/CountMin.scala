@@ -137,7 +137,11 @@ object CountMin {
     * against the wrong modulus (wrong width) or against rows the state
     * never populated (wrong depth — every estimate would be 0). Probes
     * are expected to be small (broadcast side); the state is at most
-    * depth*width rows. */
+    * depth*width rows. The guard costs one extra traversal of `state`
+    * per action — negligible for a persisted/materialized state, but
+    * callers estimating in a hot loop against a freshly COMPOSED sketch
+    * plan should persist the state first so the guard pass doesn't
+    * re-run the scan beneath it. */
   def estimate(state: DataFrame, probes: DataFrame, itemCol: String,
       depth: Int = 4, width: Int = 1024): DataFrame = {
     requireStateSchema(state, "estimate")

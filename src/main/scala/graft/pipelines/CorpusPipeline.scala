@@ -78,10 +78,20 @@ object CorpusPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDups = exactLosers.count()
     val survivors = kept.join(exactLosers, Seq(idCol), "left_anti")
-    val dupPairs = Dedup.minhashDupPairs(survivors, idCol, textCol,
-      k = cfg.shingleK, bands = cfg.lshBands,
-      threshold = cfg.minhashThreshold)
-    val losers = dupPairs.select(col("id_b").as(idCol)).distinct()
+    // the near-dup loser set is materialized EAGERLY inside its own
+    // CacheScope bracket: (a) the MinHash signature cache the pair
+    // pipeline persists internally is released the moment the (small)
+    // loser-id set exists, instead of lingering in session LRU across
+    // calls; (b) the final anti-join's plan references a checkpointed
+    // id set, so no later action can ever re-run the LSH pass — each
+    // stage of the clean executes exactly once per call, eviction or not
+    val losers = graft.CacheScope.withScope { implicit scope =>
+      Dedup.minhashDupPairs(survivors, idCol, textCol,
+        k = cfg.shingleK, bands = cfg.lshBands,
+        threshold = cfg.minhashThreshold)
+        .select(col("id_b").as(idCol)).distinct()
+        .localCheckpoint(eager = true)
+    }
     // localCheckpoint severs lineage to the cached frame so it can be
     // released here instead of leaking across calls; lazy so the
     // materialization and the count share one action

@@ -237,6 +237,21 @@ object CurationQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- SQL surface: retrieval through SQL TEXT --------------------------
+    // The bm25_topk TABLE function injected by GraftExtensions, driven
+    // end-to-end as SQL: parse → TVF resolution (splices the operator's
+    // logical plan) → Catalyst → the same integer-micros scores. The
+    // DuckDB oracle replays the full Okapi math for the literal query,
+    // so the SQL surface is hash-checked exactly like the Scala API
+    // (t8), not just smoke-tested.
+    "sql2_sql_retrieval" -> ((s, d) => {
+      s.sql(s"""
+        SELECT rank, doc_id, score
+        FROM bm25_topk('$d/documents.parquet', 'doc_id', 'text',
+          'spark hash join window', 10)
+        ORDER BY rank""")
+    }),
+
     // ---- Count-Min point-frequency sketch ---------------------------------
     // The overcount-only complement to t6's Misra-Gries: the sketch state
     // is a plain (depth, bkt, cnt) aggregate over md5-derived buckets, so
@@ -695,6 +710,49 @@ object CurationQueries {
          |  ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY score_micros DESC, doc_id) AS rank FROM sc)
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    "sql2_sql_retrieval" -> {
+      // same derived-constant discipline as t8: interpolate the exact
+      // Scala doubles the engine folds
+      val k1 = 1.2; val b = 0.75
+      val c1 = (k1 + 1.0).toString; val c2 = k1.toString
+      val c3 = (1.0 - b).toString; val c4 = b.toString
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |    FROM documents) t
+         |  WHERE term <> '' GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |g AS (SELECT
+         |  (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+         |    / (SELECT count(*) FROM documents) AS avgdl,
+         |  (SELECT count(*) FROM documents) AS n_docs),
+         |qt AS (
+         |  SELECT DISTINCT term FROM (
+         |    SELECT unnest(string_split_regex(
+         |      'spark hash join window', '\\s+')) AS term) t
+         |  WHERE term <> ''),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    SUM(CAST(round(
+         |      ln((g.n_docs - dfx.df + CAST(0.5 AS DOUBLE))
+         |         / (dfx.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+         |      * (tf.tf * CAST($c1 AS DOUBLE))
+         |      / (tf.tf + CAST($c2 AS DOUBLE) * (CAST($c3 AS DOUBLE)
+         |         + CAST($c4 AS DOUBLE) * dl.dl / g.avgdl))
+         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS score_micros
+         |  FROM qt JOIN tf USING (term) JOIN dfx USING (term)
+         |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN g
+         |  GROUP BY 1)
+         |SELECT CAST(rank AS INTEGER) AS rank, doc_id,
+         |  score_micros / CAST(1000000.0 AS DOUBLE) AS score
+         |FROM (SELECT doc_id, score_micros,
+         |  ROW_NUMBER() OVER (
+         |    ORDER BY score_micros DESC, doc_id) AS rank FROM sc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin
     },
 
     "cm1_countmin_freq" ->

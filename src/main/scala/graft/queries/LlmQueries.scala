@@ -209,6 +209,50 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- containment recall monitor (production drift telemetry) ---------
+    // d10 proves exact containment on candidates; this gate measures the
+    // candidate path's RECALL against brute-force ground truth on a
+    // bounded stratum (id_a % 7 — production samples a fixed-k stratum),
+    // the ann6 pattern but fully oracle-replayable: the index path runs
+    // with the PORTABLE md5-derived shingle hash, so DuckDB recomputes
+    // the probe ordering, posting lists, candidate join and verify
+    // bit-identically and the recall numbers hash-compare — a recall
+    // regression flips both the boolean AND the oracle hash. The truth
+    // side's nested-loop join broadcasts the bounded stratum only.
+    "d10b_containment_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val quotes = docs
+        .filter(col("doc_id") % 50 === 0 && col("text").isNotNull)
+        .select((col("doc_id") + 60000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 40))
+            .as("text"))
+      val corpus = docs.unionByName(quotes)
+      val md5Hash = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val idxP = Dedup.containmentPairs(corpus, "doc_id", "text",
+        k = 3, threshold = 0.9, probeK = 8, shingleHash = md5Hash)
+        .filter(col("id_a") % 7 === 0)
+        .select(col("id_a"), col("id_b")).withColumn("__found", lit(1))
+      val sh = corpus.select(col("doc_id"),
+        array_distinct(graft.operators.TextAnalysis.shingles(col("text"), 3))
+          .as("shs"))
+      val a = sh.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id_a"), col("shs").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("shs").as("sh_b"))
+      val truth = b.join(broadcast(a), col("id_a") =!= col("id_b"))
+        .withColumn("containment",
+          round(size(array_intersect(col("sh_a"), col("sh_b")))
+            .cast("double") / size(col("sh_a")), 6))
+        .filter(col("containment") >= 0.9)
+        .select(col("id_a"), col("id_b"))
+      truth.join(idxP, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__found"), lit(0))).as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          (col("n_true") - col("n_found")).as("n_missed"),
+          (col("n_found") === col("n_true")).as("recall_exact_ok"))
+    }),
+
     // ---- incremental near-dup via the persisted signature store ----------
     // The ingest-dedup flow: seed the store with two thirds of the
     // corpus, then query a batch of planted copies (+50000) and unseen
@@ -671,6 +715,60 @@ object LlmQueries {
          |SELECT id_a, id_b, containment FROM pairs
          |WHERE containment >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // full replay of the index path: md5-60bit shingle hashes, posting
+    // lists with the DF cap, bottom-8 probe sampling via ROW_NUMBER
+    // over hash order, candidate join, exact verify — then recall vs
+    // the brute-force truth on the id_a % 7 stratum
+    "d10b_containment_recall" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 60000,
+         |    array_to_string(string_split_regex(text, '\\s+')[1:40], ' ')
+         |  FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL),
+         |${shinglesCte("corpus")},
+         |shh AS (
+         |  SELECT doc_id, list_distinct(list_transform(shingles,
+         |    s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs
+         |  FROM sh),
+         |post AS (SELECT doc_id, unnest(hs) AS h FROM shh),
+         |dfh AS (SELECT h, count(*) AS df FROM post GROUP BY h),
+         |nonhot AS (
+         |  SELECT p.doc_id, p.h FROM post p JOIN dfh USING (h)
+         |  WHERE dfh.df <= 10000),
+         |probes AS (
+         |  SELECT doc_id AS id_a, h FROM (
+         |    SELECT doc_id, h,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+         |    FROM nonhot)
+         |  WHERE rk <= 8),
+         |cands AS (
+         |  SELECT DISTINCT p.id_a, n.doc_id AS id_b
+         |  FROM probes p JOIN nonhot n USING (h)
+         |  WHERE p.id_a <> n.doc_id),
+         |verified AS (
+         |  SELECT c.id_a, c.id_b,
+         |    round(CAST(len(list_intersect(a.shingles, b.shingles))
+         |      AS DOUBLE) / len(a.shingles), 6) AS containment
+         |  FROM cands c JOIN sh a ON a.doc_id = c.id_a
+         |    JOIN sh b ON b.doc_id = c.id_b),
+         |idxp AS (
+         |  SELECT id_a, id_b FROM verified
+         |  WHERE containment >= 0.9 AND id_a % 7 = 0),
+         |tpairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    round(CAST(len(list_intersect(a.shingles, b.shingles))
+         |      AS DOUBLE) / len(a.shingles), 6) AS containment
+         |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         |  WHERE a.doc_id % 7 = 0),
+         |truth AS (
+         |  SELECT id_a, id_b FROM tpairs WHERE containment >= 0.9)
+         |SELECT count(*) AS n_true, count(f.id_a) AS n_found,
+         |  count(*) - count(f.id_a) AS n_missed,
+         |  count(*) = count(f.id_a) AS recall_exact_ok
+         |FROM truth t LEFT JOIN idxp f
+         |  ON t.id_a = f.id_a AND t.id_b = f.id_b""".stripMargin,
 
     // seed ids are < 50000 and batch ids >= 50000, so the cross-set
     // near-dups are exactly the combined-corpus pairs straddling 50000

@@ -232,6 +232,82 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "vector_topk(dir, array(v1, v2, ...), k, nprobe) — dir, the " +
             "vector elements, k and nprobe must be literals")
       }))
+    // Text-retrieval relations as TABLE functions (vector_topk
+    // precedent): BM25 search, asymmetric containment, and group-level
+    // TF-IDF each return a relation, so a SQL-only user of the injected
+    // surface can retrieve and audit a corpus, not just sketch and
+    // MERGE. Each takes a parquet PATH literal (a table argument would
+    // need polymorphic TVF support) plus column-name literals, builds
+    // the same operator plan the Scala API composes, and splices in its
+    // logical plan; the sql2 gate replays bm25_topk's math in DuckDB.
+    def strLit(e: Expression, what: String): String = e match {
+      case Literal(s, StringType) => String.valueOf(s)
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+    def numLit(e: Expression, what: String): Double = e match {
+      case Literal(v: Double, _) => v
+      case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case Literal(v: Int, _) => v.toDouble
+      case Literal(v: Long, _) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got $other")
+    }
+    ext.injectTableFunction((FunctionIdentifier("bm25_topk"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "bm25_topk"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, idc, tc, q, Literal(k: Int, _)) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          import spark.implicits._
+          val docs = spark.read.parquet(strLit(p, "bm25_topk path"))
+          val queries = Seq((0L, strLit(q, "bm25_topk query")))
+            .toDF("__qid", "__qtext")
+          graft.operators.TextAnalysis.bm25TopK(docs,
+            strLit(idc, "bm25_topk idCol"), strLit(tc, "bm25_topk textCol"),
+            queries, "__qid", "__qtext", k)
+            .drop("__qid")
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "bm25_topk(path, idCol, textCol, queryText, k) — all arguments " +
+            "must be literals (k an integer)")
+      }))
+    ext.injectTableFunction((FunctionIdentifier("containment_pairs"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "containment_pairs"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, idc, tc, Literal(k: Int, _), t, Literal(pk: Int, _),
+            rest @ _*) if rest.size <= 1 =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val docs = spark.read.parquet(strLit(p, "containment_pairs path"))
+          val maxPostings = rest.headOption
+            .map(numLit(_, "containment_pairs maxPostings").toInt)
+            .getOrElse(10000)
+          graft.operators.Dedup.containmentPairs(docs,
+            strLit(idc, "containment_pairs idCol"),
+            strLit(tc, "containment_pairs textCol"),
+            k = k, threshold = numLit(t, "containment_pairs threshold"),
+            probeK = pk, maxPostings = maxPostings)
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "containment_pairs(path, idCol, textCol, k, threshold, probeK" +
+            "[, maxPostings]) — all arguments must be literals")
+      }))
+    ext.injectTableFunction((FunctionIdentifier("tfidf_by_group"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "tfidf_by_group"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, gc, tc, Literal(k: Int, _)) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val docs = spark.read.parquet(strLit(p, "tfidf_by_group path"))
+          graft.operators.TextAnalysis.tfIdfTopTermsByGroup(docs,
+            strLit(gc, "tfidf_by_group groupCol"),
+            strLit(tc, "tfidf_by_group textCol"), k)
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "tfidf_by_group(path, groupCol, textCol, k) — all arguments " +
+            "must be literals (k an integer)")
+      }))
     ext.injectOptimizerRule(_ => CollapseRedundantNormalization)
     // MERGE INTO for plain parquet tables (see MergeSql): rewrite the
     // parsed-but-unresolved MergeIntoTable before the analyzer rejects

@@ -43,4 +43,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(stats2("input") === stats2("after_near_dedup"))
     assert(again.count() === cleaned.count())
   }
+
+  test("clean releases every cache it creates and severs loser lineage") {
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang")
+    val (cleaned, stats) = CorpusPipeline.clean(docs, "doc_id", "text",
+      CorpusPipeline.Config(langs = Seq("en", "und"), minQuality = 0.3))
+    assert(stats("after_near_dedup") === cleaned.count())
+    // no internal frame (kept corpus, exact-loser set, MinHash
+    // signatures) may outlive the call — at 148 bench gates the
+    // accumulated MEMORY_AND_DISK frames are real eviction pressure
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "clean leaked cached frames into the session")
+    // the returned frame's plan is a checkpointed RDD scan: later
+    // actions can never re-run the annotation or LSH stages
+    val planStr = cleaned.queryExecution.optimizedPlan.toString
+    assert(!planStr.contains("Join"),
+      s"cleaned plan still carries pipeline stages:\n$planStr")
+  }
 }

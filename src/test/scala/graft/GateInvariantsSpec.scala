@@ -18,6 +18,19 @@ class GateInvariantsSpec extends SparkSpec {
     assert(out.count() > 0L)
   }
 
+  test("d10b_containment_recall: exact recall on the monitored stratum") {
+    // unlike t5/ann6 this gate IS oracle-replayed (portable md5 probe
+    // hash), but the boolean is also asserted here so a recall
+    // regression fails the suite even without the driver's compare
+    val row = SparkEntry.queries("d10b_containment_recall")(spark, sf)
+      .collect().head
+    assert(row.getAs[Boolean]("recall_exact_ok"),
+      s"index path missed ${row.getAs[Long]("n_missed")} of " +
+        s"${row.getAs[Long]("n_true")} true pairs")
+    assert(row.getAs[Long]("n_true") > 0L,
+      "monitored stratum has no true pairs — the gate checks nothing")
+  }
+
   test("ann6_recall_monitor booleans hold on sf0.001") {
     val out = SparkEntry.queries("ann6_recall_monitor")(spark, sf)
       .cache()

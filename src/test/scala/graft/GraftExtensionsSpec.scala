@@ -181,6 +181,46 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("text-retrieval table functions: bm25_topk / containment_pairs / " +
+      "tfidf_by_group from SQL text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tretr").toString
+    Seq(
+      (1L, "spark joins hash tables fast", "a"),
+      (2L, "spark joins hash tables fast today always", "a"),
+      (3L, "window functions rank rows", "b"),
+      (4L, "unrelated prose about gardens and rain", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(dir)
+    // BM25: doc 1 contains every query term and is shorter than doc 2
+    val bm = spark.sql(s"SELECT rank, doc_id, score FROM bm25_topk(" +
+      s"'$dir', 'doc_id', 'text', 'spark hash joins', 2) ORDER BY rank")
+      .collect()
+    assert(bm.length === 2)
+    assert(bm(0).getLong(1) === 1L && bm(1).getLong(1) === 2L)
+    // the SQL relation must equal the Scala-API relation exactly
+    val want = graft.operators.TextAnalysis.bm25TopK(
+      spark.read.parquet(dir), "doc_id", "text",
+      Seq((0L, "spark hash joins")).toDF("qid", "qtext"), "qid", "qtext",
+      k = 2).select("rank", "doc_id", "score").orderBy("rank").collect()
+    assert(bm.toSeq === want.toSeq)
+    // containment: doc 1's shingles are all inside doc 2
+    val cp = spark.sql(s"SELECT id_a, id_b, containment FROM " +
+      s"containment_pairs('$dir', 'doc_id', 'text', 3, 0.9, 8)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cp === Set((1L, 2L)))
+    // group TF-IDF: each source's most distinctive term
+    val tg = spark.sql(s"SELECT source, rank, term, score FROM " +
+      s"tfidf_by_group('$dir', 'source', 'text', 1) ORDER BY source")
+      .collect()
+    assert(tg.map(_.getString(0)).toSeq === Seq("a", "b"))
+    // non-literal arguments are rejected with the documented message
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM bm25_topk('$dir', 'doc_id', 'text', " +
+        "'q', 1 + 1)").collect()
+    }
+  }
+
   test("redundant normalization chains collapse in the optimized plan") {
     def uppers(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : Int = {

@@ -183,12 +183,22 @@ class PlanSpec extends SparkSpec {
   test("containment candidates ride equi-joins, never all-pairs") {
     noAqe {
       val p = planOf(SparkEntry.queries("d10_containment_pairs")(spark, sf))
-      val nested = p.collectWithSubqueries {
+      // the all-hot-doc guard legitimately crossJoins a ONE-ROW global
+      // aggregate (the raise_error check frame); any other nested-loop
+      // or cartesian join means the inverted-index probe degenerated
+      // into all-pairs
+      def isOneRowGuard(side: org.apache.spark.sql.execution.SparkPlan) =
+        side.collect {
+          case a: org.apache.spark.sql.execution.aggregate
+            .BaseAggregateExec if a.groupingExpressions.isEmpty => a
+        }.nonEmpty
+      val unbounded = p.collectWithSubqueries {
         case j: org.apache.spark.sql.execution.joins
-          .BroadcastNestedLoopJoinExec => j
+          .BroadcastNestedLoopJoinExec
+          if !j.children.exists(isOneRowGuard) => j
         case j: org.apache.spark.sql.execution.joins
           .CartesianProductExec => j }
-      assert(nested.isEmpty,
+      assert(unbounded.isEmpty,
         "d10 plans a nested-loop/cartesian join — the inverted-index " +
           "probe degenerated into all-pairs")
     }
