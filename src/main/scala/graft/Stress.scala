@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness for the near-dup / ANN candidate paths: the
+  * correctness gates prove the math at sf0.1 (~5k docs); this main
+  * MEASURES peak-memory and skew behavior at 10–1000× that, under the
+  * same capped heap a production executor would get (the forked JVM's
+  * -Xmx, default 8g — override with SPARK_DRIVER_MEM).
+  *
+  * The synthetic corpus is deliberately web-shaped where the gate corpus
+  * is not:
+  *  - 20 boilerplate templates shared by nDocs/20 docs each → the
+  *    template shingles have DF ≈ nDocs/20 (250k at 5M docs), far above
+  *    `maxPostings` — the hot-posting-list skew surface containmentPairs'
+  *    cap exists for, and the minhash-LSH hot-bucket surface;
+  *  - Zipf(1)-distributed sources over 1000 hosts (source telemetry);
+  *  - planted near-dups: id % 97 == 0 copies id+1's text plus one token
+  *    (jaccard 21/23 ≈ 0.91, mutual containment ≥ 0.91);
+  *  - planted quotes: id % 101 == 0 is an 8-token excerpt of id+1
+  *    (containment 1.0 directed, jaccard ≈ 0.3 — invisible to minhash).
+  *
+  * Every operator run is bracketed in CacheScope.withScope and reports
+  * wall seconds, output counts, the CANDIDATE counts that bound the
+  * quadratic risk, and planted-pair recall. Output: one JSON line per
+  * step on stdout (grep ^STRESS), summary JSON at the end.
+  *
+  * Usage: SPARK_DRIVER_MEM=8g sbt "runMain graft.Stress [nDocs]"
+  */
+object Stress {
+
+  private def j(kv: (String, Any)*): String =
+    kv.map {
+      case (k, v: String) => "\"" + k + "\":\"" + v + "\""
+      case (k, v: Double) => "\"" + k + "\":" + f"$v%.4f"
+      case (k, v) => "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+
+  private def heapMb(): Long = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val dir = sys.env.getOrElse("STRESS_DIR", "/tmp/graft_stress")
+    // Shuffle partitions scale with the DATA, not the core count: at 5M
+    // docs the posting explode is ~105M rows, and 32 partitions put
+    // ~3.3M aggregation rows in each task — measured OOM at the default
+    // 8g heap (0.25 GB/core). 4x cores keeps per-task state inside the
+    // execution-memory slice at the same heap; a real cluster tunes
+    // this via AQE coalescing from an over-partitioned start, which is
+    // exactly what this emulates.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shufflePartitions = sys.env.getOrElse("STRESS_SHUFFLE",
+      (cpus.toInt * 4).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", dir + "/spill")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // STRESS_ONLY=minhash,ann re-runs selected steps against the
+    // already-generated corpus (generate always runs; it is a no-op
+    // when the parquet exists)
+    val only = sys.env.get("STRESS_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = scala.collection.mutable.LinkedHashMap[String, String]()
+    def step(name: String)(body: => Seq[(String, Any)]): Unit = {
+      if (name != "generate" && !only.forall(_.contains(name))) return
+      val t0 = System.nanoTime()
+      val kv = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      val line = j((Seq("step" -> name, "secs" -> secs,
+        "heap_mb" -> heapMb()) ++ kv): _*)
+      results(name) = line
+      println(s"STRESS $line")
+    }
+
+    // ---- corpus synthesis (written to parquet: a real scan base, and
+    // regen-free across steps) --------------------------------------------
+    val docsPath = s"$dir/docs_$nDocs.parquet"
+    step("generate") {
+      if (!new java.io.File(docsPath).isDirectory) {
+        corpus(spark, nDocs).write.mode("overwrite").parquet(docsPath)
+      }
+      val n = spark.read.parquet(docsPath).count()
+      Seq("n_docs" -> n)
+    }
+    val docs = spark.read.parquet(docsPath)
+
+    // source skew telemetry: Zipf head must be hot (the corpus really is
+    // skewed) and the groupBy must still be a bounded partial-agg shuffle
+    step("source_skew") {
+      val top = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc).limit(1).collect().head
+      Seq("top_source" -> top.getString(0), "top_source_docs" -> top.getLong(1))
+    }
+
+    // ---- containment: candidate counts + planted-quote recall ------------
+    step("containment") {
+      // telemetry first, in its own bracket (the hash-only layout the
+      // operator itself uses — caching shingle STRINGS alongside was
+      // the measured 8 GB OOM): posting/hot counts bound the
+      // quadratic risk
+      val (nPostings, nHot) = CacheScope.withScope { implicit scope =>
+        val sh = scope.cache(docs.select(col("doc_id"),
+          array_distinct(transform(
+            array_distinct(graft.operators.TextAnalysis
+              .shingles(col("text"), 3)), s => xxhash64(s))).as("shh")))
+        val postings = sh.select(col("doc_id"), explode(col("shh")).as("h"))
+        val dfh = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        (postings.count(), dfh.filter(col("df") > 10000).count())
+      }
+      CacheScope.withScope { implicit scope =>
+        val pairs = graft.operators.Dedup.containmentPairs(
+          docs, "doc_id", "text", k = 3, threshold = 0.9, probeK = 8,
+          maxPostings = 10000)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nPairs = pairs.count()
+        // planted quotes: id % 101 == 0 is an excerpt of id+1 →
+        // (id, id+1) must be found at containment 1.0
+        // targets that are themselves quote docs or near-dup copiers
+        // have different text than the quote sampled — exclude them
+        // from the recall denominator (they are not true pairs)
+        val planted = docs.filter(col("doc_id") % 101 === 0 &&
+          col("doc_id") + 1 < nDocs && (col("doc_id") + 1) % 101 =!= 0 &&
+          (col("doc_id") + 1) % 97 =!= 0)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 1).as("id_b"))
+        val nPlanted = planted.count()
+        val nFound = planted.join(pairs, Seq("id_a", "id_b"), "left_semi")
+          .count()
+        pairs.unpersist()
+        Seq("n_postings" -> nPostings, "n_hot_shingles" -> nHot,
+          "n_pairs" -> nPairs, "planted_quotes" -> nPlanted,
+          "planted_found" -> nFound,
+          "quote_recall" -> nFound.toDouble / math.max(1, nPlanted))
+      }
+    }
+
+    // ---- minhash LSH: candidate volume + planted-dup recall --------------
+    step("minhash") {
+      CacheScope.withScope { implicit scope =>
+        val prepared = scope.cache(docs.select(col("doc_id"),
+          graft.expressions.MinHash.minhashSig(col("text"), 3, 64)
+            .as("sig")))
+        val nCands = graft.operators.Dedup.lshCandidatePairs(
+          graft.operators.Dedup.lshBands(prepared, "doc_id", "sig", 16),
+          "doc_id").count()
+        val pairs = graft.operators.Dedup.minhashDupPairs(
+          docs, "doc_id", "text", k = 3, numHashes = 64, bands = 16,
+          threshold = 0.7)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nPairs = pairs.count()
+        val planted = docs.filter(col("doc_id") % 97 === 0 &&
+          col("doc_id") + 1 < nDocs && col("doc_id") % 101 =!= 0 &&
+          (col("doc_id") + 1) % 101 =!= 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        val nPlanted = planted.count()
+        // pair output is (min,max)-ordered: id < id+1 always
+        val nFound = planted.join(pairs, Seq("id_a", "id_b"), "left_semi")
+          .count()
+        val out = Seq("n_candidates" -> nCands, "n_pairs" -> nPairs,
+          "planted_dups" -> nPlanted, "planted_found" -> nFound,
+          "dup_recall" -> nFound.toDouble / math.max(1, nPlanted))
+        // clusters ride the found pairs while they're still persisted
+        val t0 = System.nanoTime()
+        val nClusters = graft.operators.Curation.dupClusters(
+          pairs.select("id_a", "id_b"), "id_a", "id_b")
+          .select(col("cluster_id")).distinct().count()
+        val clSecs = (System.nanoTime() - t0) / 1e9
+        pairs.unpersist()
+        out ++ Seq("n_clusters" -> nClusters,
+          "cluster_secs" -> clSecs)
+      }
+    }
+
+    // ---- persisted signature store: O(batch) incremental dedup -----------
+    step("sigstore") {
+      val storeDir = s"$dir/sigstore_$nDocs"
+      val seed = docs.filter(col("doc_id") % 100 =!= 0)
+      val batch = docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + nDocs).as("doc_id"), col("text"))
+      val t0 = System.nanoTime()
+      graft.pipelines.SignatureStore.create(spark, storeDir, seed,
+        "doc_id", "text")
+      val seedSecs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nCands = graft.pipelines.SignatureStore.nearDups(spark,
+        storeDir, batch, "doc_id", "text").count()
+      val qSecs = (System.nanoTime() - t1) / 1e9
+      Seq("seed_secs" -> seedSecs, "batch_query_secs" -> qSecs,
+        "n_store_neardups" -> nCands,
+        "n_batch" -> batch.count())
+    }
+
+    // ---- ANN: IVF+PQ store over nDocs/5 synthetic 64-dim vectors ---------
+    step("ann") {
+      val nVecs = math.max(100000L, nDocs / 5)
+      val vecsPath = s"$dir/vecs_$nVecs.parquet"
+      if (!new java.io.File(vecsPath).isDirectory)
+        vectors(spark, nVecs).write.mode("overwrite").parquet(vecsPath)
+      val vecs = spark.read.parquet(vecsPath)
+      val storeDir = s"$dir/vstore_$nVecs"
+      val t0 = System.nanoTime()
+      graft.pipelines.VectorStore.create(spark, storeDir, vecs,
+        "vec_id", "embedding", nCells = 256, m = 8, ksub = 16,
+        ivfIters = 2, pqIters = 2)
+      val createSecs = (System.nanoTime() - t0) / 1e9
+      // 100 queries drawn from the corpus itself
+      val queries = vecs.filter(col("vec_id") % (nVecs / 100) === 0)
+        .limit(100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nQ = queries.count()
+      val t1 = System.nanoTime()
+      val ivf = graft.pipelines.VectorStore.topK(spark, storeDir,
+        queries, "qid", "qv", k = 10, nprobe = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nIvf = ivf.count()
+      val ivfSecs = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val brute = graft.operators.Similarity.bruteForceTopK(
+        vecs, "vec_id", "embedding", queries, "qid", "qv", k = 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBrute = brute.count()
+      val bruteSecs = (System.nanoTime() - t2) / 1e9
+      val hits = brute.select(col("qid"), col("vec_id"))
+        .join(ivf.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"),
+          "left_semi").count()
+      ivf.unpersist(); brute.unpersist(); queries.unpersist()
+      Seq("n_vectors" -> nVecs, "n_queries" -> nQ,
+        "create_secs" -> createSecs, "ivf_query_secs" -> ivfSecs,
+        "brute_query_secs" -> bruteSecs, "ivf_rows" -> nIvf,
+        "recall_at_10" -> hits.toDouble / math.max(1, nBrute))
+    }
+
+    println("STRESS_SUMMARY {" +
+      results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(",") + "}")
+    spark.stop()
+  }
+
+  /** Deterministic web-shaped corpus: boilerplate templates (each
+    * shared by nDocs/nTemplates docs — its shingles' DF is the hot
+    * posting-list surface), Zipfian sources, planted near-dups (mod 97)
+    * and quotes (mod 101). All token material derives from xxhash64(id)
+    * — no RNG, so every run and every engine sees the same corpus. */
+  def corpus(spark: SparkSession, nDocs: Long,
+      nTemplates: Int = 20): DataFrame = {
+    val ids = spark.range(nDocs).toDF("doc_id")
+    // near-dups copy their neighbor's template+tail and append a token
+    val tailSeed = when(col("doc_id") % 97 === 0 &&
+      col("doc_id") % 101 =!= 0, col("doc_id") + 1)
+      .otherwise(col("doc_id"))
+    val template = concat_ws(" ", (1 to 5).map(t =>
+      concat(lit(s"bp"), pmod(tailSeed, lit(nTemplates)), lit(s"x$t"))): _*)
+    def tailTok(seed: org.apache.spark.sql.Column, i: Int) =
+      concat(lit("w"), pmod(xxhash64(lit("t"), seed, lit(i)), lit(300000)))
+    val tail = concat_ws(" ", (1 to 18).map(i => tailTok(tailSeed, i)): _*)
+    val fullText = concat_ws(" ", template, tail,
+      when(col("doc_id") % 97 === 0 && col("doc_id") % 101 =!= 0,
+        lit("xdup")).otherwise(lit("")))
+    // quotes: an 8-token excerpt of id+1's TAIL (contiguous, so every
+    // quote shingle is inside the target's shingle set)
+    val quoteText = concat_ws(" ",
+      (3 to 10).map(i => tailTok(col("doc_id") + 1, i)): _*)
+    // Zipf(1) over 1000 sources via inverse-CDF on a uniform md5 draw:
+    // source k gets ~1/k of the mass (harmonic-normalized)
+    val u = conv(substring(md5(concat(lit("s"), col("doc_id"))), 1, 12),
+      16, 10).cast("double") / lit(math.pow(16.0, 12))
+    val zipfRank = least(floor(exp(u * log(lit(1000.0)))), lit(999.0))
+    ids.select(col("doc_id"),
+      when(col("doc_id") % 101 === 0 && col("doc_id") + 1 < nDocs,
+        quoteText).otherwise(fullText).as("text"),
+      concat(lit("host"), zipfRank.cast("long")).as("source"))
+  }
+
+  /** Deterministic clustered 64-dim vectors: 1024 latent centers plus
+    * small per-vector jitter, so IVF cells have real structure to find
+    * (uniform vectors would make every cell equidistant and nprobe
+    * recall meaningless). */
+  def vectors(spark: SparkSession, nVecs: Long): DataFrame = {
+    def u(tag: String, seed: org.apache.spark.sql.Column, i: Int) =
+      pmod(xxhash64(lit(tag), seed, lit(i)), lit(10000)).cast("double") /
+        lit(10000.0) - lit(0.5)
+    val ids = spark.range(nVecs).toDF("vec_id")
+    val center = pmod(col("vec_id"), lit(1024))
+    ids.select(col("vec_id"),
+      array((0 until 64).map(j =>
+        u("c", center, j) + u("v", col("vec_id"), j) * lit(0.15)): _*)
+        .as("embedding"))
+  }
+}

@@ -132,13 +132,36 @@ object Dedup {
       ).withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
   }
 
-  /** Candidate pairs from banding (a < b, distinct). The groupBy keeps
-    * bucket explosion bounded; within-bucket pairing is the only
-    * quadratic step and is bounded by bucket size. */
-  def lshCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val l = bandsDf.select(col("band"), col("band_hash"),
+  /** Candidate pairs from banding (a < b, distinct). Within-bucket
+    * pairing is the only quadratic step, so bucket SIZE is the entire
+    * scale risk — and on a boilerplate-heavy corpus it is real, not
+    * hypothetical: when a template's shared shingles happen to hash
+    * small under all r functions of a band, most of that template's
+    * docs emit the SAME band value, and the join builds |bucket|²/2
+    * pairs inside one task (measured on the 5M-doc stress corpus: one
+    * unlucky (template, band) bucket single-handedly spilled >10 GB at
+    * 1 core while 31 idled). `maxBucket` drops band values whose bucket
+    * exceeds the cap. Recall cost is negligible for REAL near-dups: a
+    * pair at jaccard j loses one of its `bands` chances, moving the
+    * miss bound from (1-j^r)^b to (1-j^r)^(b-1) — mega-buckets are
+    * boilerplate-driven, and pairs whose similarity lives in unique
+    * content keep hashing into small buckets. Pairs that agree on
+    * EVERYTHING (exact dups en masse) can exceed the cap on every
+    * band — run exact dedup first, as CorpusPipeline does. */
+  def lshCandidatePairs(bandsDf: DataFrame, idCol: String,
+      maxBucket: Int = 5000): DataFrame = {
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    val pruned =
+      if (maxBucket == Int.MaxValue) bandsDf
+      else bandsDf.join(
+        broadcast(bandsDf.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket)
+          .select(col("band"), col("band_hash"))),
+        Seq("band", "band_hash"), "left_anti")
+    val l = pruned.select(col("band"), col("band_hash"),
       col(idCol).as("id_a"))
-    val r = bandsDf.select(col("band"), col("band_hash"),
+    val r = pruned.select(col("band"), col("band_hash"),
       col(idCol).as("id_b"))
     l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
@@ -172,14 +195,14 @@ object Dedup {
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7)(
+      threshold: Double = 0.7, maxBucket: Int = 5000)(
       implicit scope: graft.CacheScope): DataFrame = {
     // signatures via the native expression: one tight loop per row
     val prepared = scope.cache(df.select(col(idCol),
       graft.expressions.MinHash.minhashSig(col(textCol), k, numHashes)
         .as("sig")))
     val cands = lshCandidatePairs(
-      lshBands(prepared, idCol, "sig", bands), idCol)
+      lshBands(prepared, idCol, "sig", bands), idCol, maxBucket)
     val a = prepared.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = prepared.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"),
@@ -251,13 +274,17 @@ object Dedup {
     require(probeK > 0, s"containmentPairs: probeK must be positive")
     require(maxPostings > 0,
       s"containmentPairs: maxPostings must be positive, got $maxPostings")
-    // both the probe/index sides and the verify join branch from this
-    // frame — one shingle pass per doc, CacheScope lifetime
-    val sh = scope.cache(df
-      .select(col(idCol),
-        array_distinct(TextAnalysis.shingles(col(textCol), k)).as("shs"))
-      .withColumn("shh", array_distinct(transform(col("shs"),
-        s => shingleHash(s)))))
+    // Only the HASH arrays are ever cached (~8 bytes/shingle): the
+    // candidate machinery needs nothing else, and caching the shingle
+    // STRING arrays alongside (the obvious one-frame layout) was
+    // measured OOMing a 5M-doc corpus on an 8 GB / 32-core JVM — the
+    // payload-shaped cache crowded execution memory out during the DF
+    // aggregation. Exact shingle sets are recomputed from raw text for
+    // the (few) verified candidates only, the minhashDupPairs pattern.
+    val sh = scope.cache(df.select(col(idCol),
+      array_distinct(transform(
+        array_distinct(TextAnalysis.shingles(col(textCol), k)),
+        s => shingleHash(s))).as("shh")))
     val (index, probes, guarded) =
       if (maxPostings == Int.MaxValue) {
         // uncapped opt-out: no DF pass, array-level bottom-k probes
@@ -272,23 +299,32 @@ object Dedup {
         // distinct shingles per task, never a hot key's full posting
         // list), NOT a count-over-window (which would materialize every
         // hot posting in one task — the exact skew being removed)
-        val hot = postings.groupBy(col("h"))
+        // The hot set (stop phrases over the cap) is tiny — cached and
+        // broadcast into the anti-joins, so re-deriving the non-hot
+        // postings per consumer is a NARROW pass over the hash cache,
+        // never a repeat of the DF shuffle.
+        val hot = scope.cache(postings.groupBy(col("h"))
           .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxPostings).select(col("h"))
-        // index AND probe sampling both branch from the non-hot
-        // postings; cached so guard/index/probes share one DF pass
-        val nonHot = scope.cache(
-          postings.join(hot, Seq("h"), "left_anti"))
+          .filter(col("__df") > maxPostings).select(col("h")))
+        val nonHot = postings.join(broadcast(hot), Seq("h"), "left_anti")
         val idx = nonHot.select(col(idCol).as("id_b"), col("h"))
-        val prb = nonHot
+        // probes: bottom-probeK of the NON-HOT hashes per doc via a
+        // row_number window — a bounded topk aggregate would avoid the
+        // id-keyed shuffle but orders by a double-cast hash; the recall
+        // monitor's DuckDB oracle replays this ordering exactly, so the
+        // window's exact 64-bit order wins. Cached (bounded at probeK
+        // rows/doc): the candidate join AND the guard both consume it.
+        val prb = scope.cache(nonHot
           .withColumn("__rk", row_number().over(Window
             .partitionBy(col(idCol)).orderBy(col("h"))))
           .filter(col("__rk") <= probeK)
-          .select(col(idCol).as("id_a"), col("h"))
+          .select(col(idCol).as("id_a"), col("h")))
         // loud path: a non-empty doc with zero non-hot shingles gets no
-        // probes and would silently never match as id_a
+        // probes and would silently never match as id_a (every doc with
+        // >= 1 non-hot posting emits >= 1 probe row, so probe ids ARE
+        // the non-hot doc set)
         val allHot = sh.filter(size(col("shh")) > 0)
-          .join(nonHot.select(col(idCol)).distinct(),
+          .join(prb.select(col("id_a").as(idCol)).distinct(),
             Seq(idCol), "left_anti")
         val guard = allHot
           .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__id"))
@@ -301,18 +337,32 @@ object Dedup {
                 "skipAllHotDocs=true to drop such docs from the probe " +
                 "side"))))
             .otherwise(lit(1L)).as("__ok"))
-        // filter, not drop: a dropped check column would be pruned as
-        // dead code and the raise_error with it (CountMin pattern)
-        val g = (d: DataFrame) => d.crossJoin(broadcast(guard))
-          .where(col("__ok") === 1L).drop("__ok")
+        // The guard is attached as a UNION of a guard-derived (normally
+        // empty) frame, NOT the crossJoin(broadcast(guard)) pattern:
+        // AQE's empty-relation propagation would skip a broadcast side
+        // entirely when the pair output is empty — and an empty output
+        // is EXACTLY the silent-recall-loss case this guard exists to
+        // make loud. A union child filtered on a computed column cannot
+        // be statically pruned, so the raise always evaluates.
+        val idT = df.schema(idCol).dataType
+        val g = (d: DataFrame) => d.unionByName(
+          guard.where(col("__ok") =!= 1L)
+            .select(lit(null).cast(idT).as("id_a"),
+              lit(null).cast(idT).as("id_b"),
+              lit(null).cast("double").as("containment")))
         (idx, prb, g)
       }
     val cands = probes.join(index, Seq("h"))
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
-    val a = sh.select(col(idCol).as("id_a"), col("shs").as("sh_a"))
-    val b = sh.select(col(idCol).as("id_b"), col("shs").as("sh_b"))
-    guarded(cands.join(a, "id_a").join(b, "id_b")
+    // exact shingle sets from raw text, candidates only — never cached
+    val ta = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val tb = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+    guarded(cands.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("sh_a",
+        array_distinct(TextAnalysis.shingles(col("text_a"), k)))
+      .withColumn("sh_b",
+        array_distinct(TextAnalysis.shingles(col("text_b"), k)))
       .withColumn("containment",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(col("sh_a")), 6))
@@ -365,7 +415,18 @@ object Dedup {
     * native xxhash64 signature via [[simhashDupPairs]]). With
     * maxHamming < chunks the pigeonhole makes recall EXACT, not
     * probabilistic: the emitted pairs are precisely all pairs at
-    * hamming ≤ maxHamming. */
+    * hamming ≤ maxHamming.
+    *
+    * DENSITY SIZING: a chunk has 64/chunks bits, so there are only
+    * 2^(64/chunks) distinct values per chunk position — at the 8-chunk
+    * default that is 256 buckets, and an n-doc corpus puts ~n/256 docs
+    * in EACH, making the candidate join inherently O(n²/2^width).
+    * The default is sized for corpora up to ~10^5 docs per run (dedup
+    * shards, gate corpora); beyond that use fewer chunks (16-bit
+    * chunks ⟹ 65k buckets, maxHamming ≤ 3) or pre-shard the corpus —
+    * SimHash chunk-banding cannot be bucket-capped the way MinHash
+    * banding can, because a chunk value is not boilerplate-specific:
+    * dropping it drops a uniform slice of ALL pairs. */
   def simhashPairsFromSigs(sigs: DataFrame, idCol: String,
       maxHamming: Int, chunks: Int)(
       implicit scope: graft.CacheScope): DataFrame = {
@@ -405,7 +466,15 @@ object Dedup {
     * lowest-margin flips recovers those pairs.
     * `dim` must match the embedding dimension — a mismatched hyperplane
     * would null every projection and collapse all rows into one bucket
-    * (all-pairs!), so it is probed from the data when not supplied. */
+    * (all-pairs!), so it is probed from the data when not supplied.
+    *
+    * DENSITY SIZING: `planes` sign bits give 2^planes buckets; expected
+    * bucket size is n/2^planes (times `probes` for multi-probe), and
+    * the within-bucket join is quadratic in it — scale planes with
+    * log2(n) (the 12-plane default targets ~10^5-10^6 rows; 5M rows
+    * wants ≥ 16, with `probes` raised to hold recall). Embedding
+    * buckets cannot be size-capped like MinHash bands: a dense bucket
+    * is a REAL dense region and dropping it drops its genuine dups. */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 12,
       seed: Long = 42L, dim: Int = -1, probes: Int = 2)(

@@ -86,7 +86,7 @@ object SignatureStore {
     * usual 1-(1-j^r)^b LSH curve applies. */
   def nearDups(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String,
-      minAgreement: Double = 0.5): DataFrame = {
+      minAgreement: Double = 0.5, maxBucket: Int = 5000): DataFrame = {
     val conf = loadConf(spark, dir)
     val bsigs = signed(batch, idCol, textCol, conf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -94,8 +94,24 @@ object SignatureStore {
       conf.nBuckets)
     val buckets = bbands.select(col("bkt")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val sbands = spark.read.parquet(s"$dir/bands")
+    val sbands0 = spark.read.parquet(s"$dir/bands")
       .filter(col("bkt").isin(buckets: _*))
+    // mega-bucket cap, store side (Dedup.lshCandidatePairs rationale):
+    // a boilerplate-driven band value shared by B store docs emits
+    // B × |batch bucket| candidate rows through ONE join key — which is
+    // also one downstream partition, so a surviving mega-bucket
+    // serializes the whole query (measured on the 5M-doc stress store:
+    // a sub-cap bucket at a looser 100k default put ~1e8 rows in one
+    // task for 18+ min). Dropping it costs a real near-dup pair one of
+    // its `bands` chances only, so the cap matches lshCandidatePairs'.
+    val sbands =
+      if (maxBucket == Int.MaxValue) sbands0
+      else sbands0.join(
+        broadcast(sbands0.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket)
+          .select(col("band"), col("band_hash"))),
+        Seq("band", "band_hash"), "left_anti")
     val cands = sbands.select(col("band"), col("band_hash"),
         col("id").as("store_id"))
       .join(bbands.select(col("band"), col("band_hash"),

@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.{Curation, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Scale-shape stress at 16x the sf0.1 gate corpus, with the skew the
+  * gate corpus lacks: 4 boilerplate templates shared by 20k docs each
+  * put every template shingle's DF (20000) ABOVE the containment cap
+  * (maxPostings=10000) — the hot-posting-list regime a web corpus lives
+  * in (at 200k docs/20 templates the DF sits exactly AT the cap and the
+  * uncapped join was measured producing ~2.3e9 candidate rows; the cap
+  * is what keeps candidates linear). Asserts the operators COMPLETE
+  * under the forked JVM's capped heap with linear candidate volume and
+  * full planted-pair recall. The 5M-doc run of the same harness
+  * (graft.Stress) is recorded in README §scale.
+  */
+class ScaleStressSpec extends SparkSpec {
+
+  private val n = 80000L
+  private lazy val docs = {
+    val d = Stress.corpus(spark, n, nTemplates = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count()
+    d
+  }
+
+  test("containment at 80k docs: cap engages, candidates linear, " +
+      "planted quotes all recovered") {
+    CacheScope.withScope { implicit scope =>
+      // telemetry join mirrors the operator's candidate construction
+      val sh = scope.cache(docs.select(col("doc_id"),
+        array_distinct(graft.operators.TextAnalysis
+          .shingles(col("text"), 3)).as("shs"))
+        .withColumn("shh", array_distinct(transform(col("shs"),
+          s => xxhash64(s)))))
+      val postings = sh.select(col("doc_id"), explode(col("shh")).as("h"))
+      val dfh = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val nHot = dfh.filter(col("df") > 10000).count()
+      // the 4 templates x 3 pure-template shingles must be hot — if not,
+      // this spec is no longer exercising the capped regime
+      assert(nHot >= 12L, s"expected >=12 hot shingles, got $nHot")
+
+      val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.9, probeK = 8, maxPostings = 10000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPairs = pairs.count()
+      // linear candidate volume: with hot postings dropped, pairs come
+      // from tails (near-unique) — a quadratic blow-up would be O(n^2/4)
+      assert(nPairs < 10L * n, s"containment pairs super-linear: $nPairs")
+
+      val planted = docs.filter(col("doc_id") % 101 === 0 &&
+        col("doc_id") + 1 < n && (col("doc_id") + 1) % 101 =!= 0 &&
+        (col("doc_id") + 1) % 97 =!= 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val nPlanted = planted.count()
+      val nFound = planted.join(pairs, Seq("id_a", "id_b"), "left_semi")
+        .count()
+      // containment 1.0 → bottom-k probes cannot miss (exact recall)
+      assert(nPlanted > 700L)
+      assert(nFound === nPlanted,
+        s"quote recall ${nFound}/$nPlanted — index path lost full-" +
+          "containment pairs")
+      pairs.unpersist()
+    }
+  }
+
+  test("minhash LSH at 80k docs: hot-bucket candidates stay linear, " +
+      "planted dups all recovered, clusters complete") {
+    CacheScope.withScope { implicit scope =>
+      val prepared = scope.cache(docs.select(col("doc_id"),
+        graft.expressions.MinHash.minhashSig(col("text"), 3, 64)
+          .as("sig")))
+      val nCands = Dedup.lshCandidatePairs(
+        Dedup.lshBands(prepared, "doc_id", "sig", 16), "doc_id").count()
+      // shared-template docs agree on a band only when all 4 of its
+      // minhashes land on the 3 shared template shingles (~(3/21)^4) —
+      // buckets stay ~10 docs, candidates linear, never template^2/2
+      assert(nCands < 10L * n, s"LSH candidates super-linear: $nCands")
+
+      val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.7)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPairs = pairs.count()
+      val planted = docs.filter(col("doc_id") % 97 === 0 &&
+        col("doc_id") + 1 < n && col("doc_id") % 101 =!= 0 &&
+        (col("doc_id") + 1) % 101 =!= 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val nPlanted = planted.count()
+      val nFound = planted.join(pairs, Seq("id_a", "id_b"), "left_semi")
+        .count()
+      // planted jaccard = 21/23 ≈ 0.913: per-pair band-miss probability
+      // is (1-0.913^4)^16 ≈ 5.6e-9 — deterministic hashes, so this
+      // either always holds or names a permanent tuning problem
+      assert(nPlanted > 700L)
+      assert(nFound === nPlanted,
+        s"dup recall ${nFound}/$nPlanted at jaccard 0.913")
+
+      // connected components over the found pairs complete and every
+      // pair member lands in a cluster
+      val nInClusters = Curation.dupClusters(
+        pairs.select("id_a", "id_b"), "id_a", "id_b")
+        .select(col("id")).distinct().count()
+      val nMembers = pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+        .count()
+      assert(nInClusters === nMembers)
+      pairs.unpersist()
+    }
+  }
+
+  test("mega-bucket cap: mass-identical docs cannot detonate the band " +
+      "join; unique near-dups are unaffected") {
+    import spark.implicits._
+    // 300 exact copies share EVERY band value → one 300-doc bucket per
+    // band → 300²/2 pairs per band uncapped (the 5M stress corpus hit
+    // this shape through one unlucky template band: >10 GB spill in a
+    // single task). With the cap the bucket is dropped entirely —
+    // mass-identical text is exact-dedup's job, which CorpusPipeline
+    // runs first.
+    CacheScope.withScope { implicit scope =>
+      val copies = (1 to 300).map(i =>
+        (i.toLong, "the same boilerplate text repeated in every doc " +
+          "of this synthetic shard"))
+      val unique = Seq(
+        (900L, "genuinely distinctive content about catalyst planning"),
+        (901L, "genuinely distinctive content about catalyst planning " +
+          "extra"))
+      val df = (copies ++ unique).toDF("doc_id", "text")
+      val capped = Dedup.minhashDupPairs(df, "doc_id", "text",
+        threshold = 0.7, maxBucket = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the identical-copy pairs are gone (their buckets exceed the
+      // cap on every band) but the unique near-dup pair survives —
+      // its band values come from its own content
+      assert(capped === Set((900L, 901L)))
+      // uncapped opt-out still returns the full quadratic pair set
+      val uncapped = Dedup.minhashDupPairs(df, "doc_id", "text",
+        threshold = 0.7, maxBucket = Int.MaxValue).count()
+      assert(uncapped === 300L * 299 / 2 + 1)
+    }
+  }
+}
