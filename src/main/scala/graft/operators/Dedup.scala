@@ -355,14 +355,24 @@ object Dedup {
     val cands = probes.join(index, Seq("h"))
       .filter(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()
-    // exact shingle sets from raw text, candidates only — never cached
-    val ta = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
-    val tb = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
-    guarded(cands.join(ta, "id_a").join(tb, "id_b")
-      .withColumn("sh_a",
-        array_distinct(TextAnalysis.shingles(col("text_a"), k)))
-      .withColumn("sh_b",
-        array_distinct(TextAnalysis.shingles(col("text_b"), k)))
+    // Exact shingle sets are computed from raw text ONCE PER
+    // CANDIDATE-PARTICIPATING DOC (semi-join + cache, bounded by the
+    // candidate set), never corpus-wide: shingling is an interpreted
+    // higher-order expression, and attaching it per candidate PAIR was
+    // measured at 100x the verify cost on a dense-candidate corpus
+    // (sf0.1's 40-word vocabulary: ~600k candidates over 5k docs),
+    // while caching it for the WHOLE corpus was the 5M-doc OOM. The
+    // cached frame is scope-lifetime like every signature frame.
+    val candPersist = scope.cache(cands)
+    val candIds = candPersist.select(col("id_a").as(idCol))
+      .unionByName(candPersist.select(col("id_b").as(idCol))).distinct()
+    val exact = scope.cache(df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        array_distinct(TextAnalysis.shingles(col(textCol), k))
+          .as("shx")))
+    val a = exact.select(col(idCol).as("id_a"), col("shx").as("sh_a"))
+    val b = exact.select(col(idCol).as("id_b"), col("shx").as("sh_b"))
+    guarded(candPersist.join(a, "id_a").join(b, "id_b")
       .withColumn("containment",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(col("sh_a")), 6))

@@ -212,7 +212,10 @@ object LlmQueries {
     // ---- containment recall monitor (production drift telemetry) ---------
     // d10 proves exact containment on candidates; this gate measures the
     // candidate path's RECALL against brute-force ground truth on a
-    // bounded stratum (id_a % 7 — production samples a fixed-k stratum),
+    // bounded stratum — id_a % 7 within a FIXED id range (all planted
+    // quotes plus the first 1000 base docs), so the brute-force side is
+    // O(stratum x corpus) with a CONSTANT stratum as SF grows, the way
+    // a production monitor samples a fixed-k stratum per batch. It is
     // the ann6 pattern but fully oracle-replayable: the index path runs
     // with the PORTABLE md5-derived shingle hash, so DuckDB recomputes
     // the probe ordering, posting lists, candidate join and verify
@@ -229,14 +232,16 @@ object LlmQueries {
       val corpus = docs.unionByName(quotes)
       val md5Hash = (c: org.apache.spark.sql.Column) =>
         conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      def inStratum(c: org.apache.spark.sql.Column) =
+        c % 7 === 0 && (c < 1000 || c >= 60000)
       val idxP = Dedup.containmentPairs(corpus, "doc_id", "text",
         k = 3, threshold = 0.9, probeK = 8, shingleHash = md5Hash)
-        .filter(col("id_a") % 7 === 0)
+        .filter(inStratum(col("id_a")))
         .select(col("id_a"), col("id_b")).withColumn("__found", lit(1))
       val sh = corpus.select(col("doc_id"),
         array_distinct(graft.operators.TextAnalysis.shingles(col("text"), 3))
           .as("shs"))
-      val a = sh.filter(col("doc_id") % 7 === 0)
+      val a = sh.filter(inStratum(col("doc_id")))
         .select(col("doc_id").as("id_a"), col("shs").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("shs").as("sh_b"))
       val truth = b.join(broadcast(a), col("id_a") =!= col("id_b"))
@@ -755,13 +760,15 @@ object LlmQueries {
          |    JOIN sh b ON b.doc_id = c.id_b),
          |idxp AS (
          |  SELECT id_a, id_b FROM verified
-         |  WHERE containment >= 0.9 AND id_a % 7 = 0),
+         |  WHERE containment >= 0.9 AND id_a % 7 = 0
+         |    AND (id_a < 1000 OR id_a >= 60000)),
          |tpairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    round(CAST(len(list_intersect(a.shingles, b.shingles))
          |      AS DOUBLE) / len(a.shingles), 6) AS containment
          |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-         |  WHERE a.doc_id % 7 = 0),
+         |  WHERE a.doc_id % 7 = 0
+         |    AND (a.doc_id < 1000 OR a.doc_id >= 60000)),
          |truth AS (
          |  SELECT id_a, id_b FROM tpairs WHERE containment >= 0.9)
          |SELECT count(*) AS n_true, count(f.id_a) AS n_found,
