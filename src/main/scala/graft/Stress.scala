@@ -200,6 +200,63 @@ object Stress {
         "n_batch" -> batch.count())
     }
 
+    // ---- SimHash at nDocs/5, sized per the density note: 16-bit chunks
+    // (2^16 buckets) for a ~1M-doc shard; the 8-chunk default's 256
+    // buckets would be O(n²/256) here ----------------------------------
+    step("simhash") {
+      val n1 = math.max(100000L, nDocs / 5)
+      val sdocs = docs.filter(col("doc_id") < n1)
+      CacheScope.withScope { implicit scope =>
+        val pairs = graft.operators.Dedup.simhashDupPairs(sdocs,
+          "doc_id", "text", maxHamming = 3, chunks = 4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nPairs = pairs.count()
+        // planted near-dups (jaccard 0.91) TELEMETRY: SimHash hamming
+        // for one appended token is usually but not provably <= 3, so
+        // this is a measured rate, not an assert
+        val planted = sdocs.filter(col("doc_id") % 97 === 0 &&
+          col("doc_id") + 1 < n1 && col("doc_id") % 101 =!= 0 &&
+          (col("doc_id") + 1) % 101 =!= 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        val nPlanted = planted.count()
+        val nFound = planted.join(pairs, Seq("id_a", "id_b"), "left_semi")
+          .count()
+        pairs.unpersist()
+        Seq("n_docs_shard" -> n1, "n_pairs" -> nPairs,
+          "planted_dups" -> nPlanted, "planted_within_h3" -> nFound,
+          "h3_capture_rate" -> nFound.toDouble / math.max(1, nPlanted))
+      }
+    }
+
+    // ---- embedding-cosine near-dup at nDocs/5 vectors, planes sized
+    // with log2(n) per the density note (16 planes -> 65k buckets) ------
+    step("embdup") {
+      val nVecs = math.max(100000L, nDocs / 5)
+      val vecsPath = s"$dir/vecs_$nVecs.parquet"
+      if (!new java.io.File(vecsPath).isDirectory)
+        vectors(spark, nVecs).write.mode("overwrite").parquet(vecsPath)
+      val vecs = spark.read.parquet(vecsPath)
+      CacheScope.withScope { implicit scope =>
+        val pairs = graft.operators.Dedup.embeddingDupPairs(vecs,
+          "vec_id", "embedding", threshold = 0.999, planes = 16,
+          probes = 2, dim = 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nPairs = pairs.count()
+        // planted rescaled copies are cosine 1.0 and share every bucket
+        // (identical direction): recall must be exact
+        val planted = vecs.filter(col("vec_id") % 89 === 0 &&
+          col("vec_id") + 1 < nVecs)
+          .select(col("vec_id").as("id_a"), (col("vec_id") + 1).as("id_b"))
+        val nPlanted = planted.count()
+        val nFound = planted.join(pairs, Seq("id_a", "id_b"), "left_semi")
+          .count()
+        pairs.unpersist()
+        Seq("n_vectors" -> nVecs, "n_pairs" -> nPairs,
+          "planted_dups" -> nPlanted, "planted_found" -> nFound,
+          "dup_recall" -> nFound.toDouble / math.max(1, nPlanted))
+      }
+    }
+
     // ---- ANN: IVF+PQ store over nDocs/5 synthetic 64-dim vectors ---------
     step("ann") {
       val nVecs = math.max(100000L, nDocs / 5)
@@ -285,16 +342,22 @@ object Stress {
   /** Deterministic clustered 64-dim vectors: 1024 latent centers plus
     * small per-vector jitter, so IVF cells have real structure to find
     * (uniform vectors would make every cell equidistant and nprobe
-    * recall meaningless). */
+    * recall meaningless). Every 89th vector is a planted near-dup: the
+    * same DIRECTION as its neighbor scaled by 1.0005 (cosine 1.0 — the
+    * rescaled-copy shape embedding dedup hunts). */
   def vectors(spark: SparkSession, nVecs: Long): DataFrame = {
     def u(tag: String, seed: org.apache.spark.sql.Column, i: Int) =
       pmod(xxhash64(lit(tag), seed, lit(i)), lit(10000)).cast("double") /
         lit(10000.0) - lit(0.5)
     val ids = spark.range(nVecs).toDF("vec_id")
-    val center = pmod(col("vec_id"), lit(1024))
+    val seed = when(col("vec_id") % 89 === 0 &&
+      col("vec_id") + 1 < nVecs, col("vec_id") + 1).otherwise(col("vec_id"))
+    val center = pmod(seed, lit(1024))
+    val scale = when(col("vec_id") % 89 === 0, lit(1.0005))
+      .otherwise(lit(1.0))
     ids.select(col("vec_id"),
       array((0 until 64).map(j =>
-        u("c", center, j) + u("v", col("vec_id"), j) * lit(0.15)): _*)
+        (u("c", center, j) + u("v", seed, j) * lit(0.15)) * scale): _*)
         .as("embedding"))
   }
 }

@@ -108,6 +108,48 @@ class ScaleStressSpec extends SparkSpec {
     }
   }
 
+  test("simhash at 80k docs with density-sized chunks completes with " +
+      "bounded candidates") {
+    // 16-bit chunks (2^16 buckets) per the Dedup density note — the
+    // 8-chunk default's 256 buckets would be O(n²/256) at this n
+    CacheScope.withScope { implicit scope =>
+      val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text",
+        maxHamming = 3, chunks = 4)
+      val n = pairs.count()
+      // pigeonhole-exact: every returned pair really is hamming <= 3;
+      // volume must stay far below quadratic
+      assert(n < 100000L, s"simhash pairs super-linear: $n")
+    }
+  }
+
+  test("embedding near-dup at 80k vectors: planted rescaled copies all " +
+      "recovered, candidates bounded") {
+    val vecs = {
+      val v = Stress.vectors(spark, 80000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      v.count(); v
+    }
+    CacheScope.withScope { implicit scope =>
+      val pairs = Dedup.embeddingDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.999, planes = 12, probes = 2, dim = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPairs = pairs.count()
+      assert(nPairs < 10L * 80000L, s"embedding pairs super-linear: $nPairs")
+      val planted = vecs.filter(col("vec_id") % 89 === 0 &&
+        col("vec_id") + 1 < 80000L)
+        .select(col("vec_id").as("id_a"), (col("vec_id") + 1).as("id_b"))
+      val nPlanted = planted.count()
+      // a rescaled copy has the identical direction: same buckets, so
+      // recall is structural, not probabilistic
+      val nFound = planted.join(pairs, Seq("id_a", "id_b"), "left_semi")
+        .count()
+      assert(nPlanted > 800L)
+      assert(nFound === nPlanted, s"embedding recall $nFound/$nPlanted")
+      pairs.unpersist()
+    }
+    vecs.unpersist()
+  }
+
   test("mega-bucket cap: mass-identical docs cannot detonate the band " +
       "join; unique near-dups are unaffected") {
     import spark.implicits._
