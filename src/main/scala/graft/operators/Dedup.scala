@@ -148,17 +148,29 @@ object Dedup {
     * content keep hashing into small buckets. Pairs that agree on
     * EVERYTHING (exact dups en masse) can exceed the cap on every
     * band — run exact dedup first, as CorpusPipeline does. */
+  /** (pruned bands, dropped bucket keys) under the mega-bucket cap —
+    * shared by [[lshCandidatePairs]] and the signature store's query
+    * join so a tuning change to the cap semantics cannot drift between
+    * the one-shot and incremental paths. The dropped-keys frame is
+    * small (stop-phrase buckets) and broadcastable. */
+  private[graft] def splitMegaBuckets(bandsDf: DataFrame,
+      maxBucket: Int): (DataFrame, DataFrame) = {
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    if (maxBucket == Int.MaxValue)
+      (bandsDf, bandsDf.select(col("band"), col("band_hash")).limit(0))
+    else {
+      val dropped = bandsDf.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket)
+        .select(col("band"), col("band_hash"))
+      (bandsDf.join(broadcast(dropped), Seq("band", "band_hash"),
+        "left_anti"), dropped)
+    }
+  }
+
   def lshCandidatePairs(bandsDf: DataFrame, idCol: String,
       maxBucket: Int = 5000): DataFrame = {
-    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
-    val pruned =
-      if (maxBucket == Int.MaxValue) bandsDf
-      else bandsDf.join(
-        broadcast(bandsDf.groupBy(col("band"), col("band_hash"))
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > maxBucket)
-          .select(col("band"), col("band_hash"))),
-        Seq("band", "band_hash"), "left_anti")
+    val (pruned, _) = splitMegaBuckets(bandsDf, maxBucket)
     val l = pruned.select(col("band"), col("band_hash"),
       col(idCol).as("id_a"))
     val r = pruned.select(col("band"), col("band_hash"),

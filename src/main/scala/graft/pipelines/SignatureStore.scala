@@ -78,15 +78,30 @@ object SignatureStore {
     * `minAgreement`. Returns (store_id, batch_id, agreement) with
     * agreement the exact matched-hash fraction.
     *
-    * Recall is PIGEONHOLE-EXACT above 1 − bands/numHashes: a pair
+    * Recall is PIGEONHOLE-EXACT above 1 − bands/numHashes FOR pairs
+    * whose shared band buckets survive the mega-bucket cap: a pair
     * disagreeing on d hashes can break at most d bands, so with
     * d < bands some band agrees fully and the pair is a candidate —
     * at the 64/32 defaults, every pair with agreement > 0.5 is
-    * guaranteed returned (no probabilistic misses); below that the
-    * usual 1-(1-j^r)^b LSH curve applies. */
+    * returned with no probabilistic misses; below that the usual
+    * 1-(1-j^r)^b LSH curve applies. `maxBucket` drops store band
+    * values shared by more docs than the cap (a boilerplate-driven
+    * mega-bucket emits B × |batch bucket| candidate rows through ONE
+    * join key — which is also one downstream partition, so a surviving
+    * mega-bucket serializes the whole query; measured on the 5M-doc
+    * stress store, a sub-cap bucket at a looser 100k default put ~1e8
+    * rows in one task for 18+ min). A dropped bucket costs a pair one
+    * of its `bands` chances — negligible for pairs whose similarity
+    * lives in their own content — but a batch doc duplicating a
+    * MASS-REPLICATED store family (> maxBucket near-identical copies)
+    * can lose EVERY band, so that case RAISES by name rather than
+    * silently returning no match; pass `skipFullyCapped = true` to
+    * accept dropping such docs (appropriate when the store is
+    * exact-deduped upstream, e.g. behind [[CorpusStore]]). */
   def nearDups(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String,
-      minAgreement: Double = 0.5, maxBucket: Int = 5000): DataFrame = {
+      minAgreement: Double = 0.5, maxBucket: Int = 5000,
+      skipFullyCapped: Boolean = false): DataFrame = {
     val conf = loadConf(spark, dir)
     val bsigs = signed(batch, idCol, textCol, conf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -96,22 +111,12 @@ object SignatureStore {
       .collect().map(_.getLong(0)).toSeq
     val sbands0 = spark.read.parquet(s"$dir/bands")
       .filter(col("bkt").isin(buckets: _*))
-    // mega-bucket cap, store side (Dedup.lshCandidatePairs rationale):
-    // a boilerplate-driven band value shared by B store docs emits
-    // B × |batch bucket| candidate rows through ONE join key — which is
-    // also one downstream partition, so a surviving mega-bucket
-    // serializes the whole query (measured on the 5M-doc stress store:
-    // a sub-cap bucket at a looser 100k default put ~1e8 rows in one
-    // task for 18+ min). Dropping it costs a real near-dup pair one of
-    // its `bands` chances only, so the cap matches lshCandidatePairs'.
-    val sbands =
-      if (maxBucket == Int.MaxValue) sbands0
-      else sbands0.join(
-        broadcast(sbands0.groupBy(col("band"), col("band_hash"))
-          .agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > maxBucket)
-          .select(col("band"), col("band_hash"))),
-        Seq("band", "band_hash"), "left_anti")
+    // shared cap machinery (Dedup.splitMegaBuckets) so the one-shot and
+    // incremental paths cannot drift; the dropped-keys frame is small
+    // and feeds both the prune and the fully-capped guard, so persist it
+    val (sbands, dropped0) = Dedup.splitMegaBuckets(sbands0, maxBucket)
+    val dropped = dropped0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = sbands.select(col("band"), col("band_hash"),
         col("id").as("store_id"))
       .join(bbands.select(col("band"), col("band_hash"),
@@ -121,12 +126,36 @@ object SignatureStore {
       .select(col("id").as("store_id"), col("sig").as("sig_s"))
     val agree = size(filter(zip_with(col("sig_s"), col("sig_b"),
       (x, y) => x === y), p => p)).cast("double") / conf.numHashes
-    cands.join(ssigs, Seq("store_id"))
+    val out = cands.join(ssigs, Seq("store_id"))
       .join(bsigs.select(col("id").as("batch_id"),
         col("sig").as("sig_b")), Seq("batch_id"))
       .withColumn("agreement", agree)
       .filter(col("agreement") >= minAgreement)
       .select(col("store_id"), col("batch_id"), col("agreement"))
+    // loud path: a batch doc whose EVERY band bucket was capped has
+    // zero store recall — silent-miss, the containmentPairs guard case.
+    // Union attachment (not crossJoin(broadcast)): AQE empty-relation
+    // propagation would skip a broadcast guard exactly when the output
+    // is empty, which is the case that matters.
+    val fullyCapped = bbands
+      .join(broadcast(dropped), Seq("band", "band_hash"))
+      .groupBy(col("id")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= conf.bands)
+    val guard = fullyCapped
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__id"))
+      .select(when(col("__n") > 0 && lit(!skipFullyCapped),
+        raise_error(concat(lit("SignatureStore.nearDups: "), col("__n"),
+          lit(" batch doc(s) (e.g. id="), col("__id"),
+          lit(s") lost EVERY band to the mega-bucket cap (maxBucket=" +
+            s"$maxBucket) — the store holds a mass-replicated family " +
+            "this doc duplicates; exact-dedup the store/batch first, " +
+            "raise maxBucket, or set skipFullyCapped=true to accept " +
+            "the silent miss"))))
+        .otherwise(lit(1L)).as("__ok"))
+    out.unionByName(guard.where(col("__ok") =!= 1L)
+      .select(lit(null).cast("long").as("store_id"),
+        lit(null).cast("long").as("batch_id"),
+        lit(null).cast("double").as("agreement")))
   }
 
   // ---- internals --------------------------------------------------------

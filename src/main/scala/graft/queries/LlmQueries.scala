@@ -250,9 +250,13 @@ object LlmQueries {
             .cast("double") / size(col("sh_a")), 6))
         .filter(col("containment") >= 0.9)
         .select(col("id_a"), col("id_b"))
+      // outer coalesce: sum over ZERO truth rows is null, which would
+      // make recall_exact_ok null instead of true and diverge from the
+      // oracle's count(*)-based replay on an empty stratum
       truth.join(idxP, Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_true"),
-          sum(coalesce(col("__found"), lit(0))).as("n_found"))
+          coalesce(sum(coalesce(col("__found"), lit(0))), lit(0L))
+            .as("n_found"))
         .select(col("n_true"), col("n_found"),
           (col("n_true") - col("n_found")).as("n_missed"),
           (col("n_found") === col("n_true")).as("recall_exact_ok"))

@@ -277,21 +277,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "containment_pairs"),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(p, idc, tc, Literal(k: Int, _), t, Literal(pk: Int, _),
-            rest @ _*) if rest.size <= 1 =>
+            rest @ _*) if rest.size <= 2 =>
           val spark = org.apache.spark.sql.SparkSession.active
           val docs = spark.read.parquet(strLit(p, "containment_pairs path"))
           val maxPostings = rest.headOption
             .map(numLit(_, "containment_pairs maxPostings").toInt)
             .getOrElse(10000)
+          // the all-hot-doc raise_error's own advice ("set
+          // skipAllHotDocs=true") must be reachable from SQL too
+          val skipAllHot = rest.drop(1).headOption.map {
+            case Literal(b: Boolean, _) => b
+            case other => throw new IllegalArgumentException(
+              "containment_pairs skipAllHotDocs must be a boolean " +
+                s"literal, got $other")
+          }.getOrElse(false)
           graft.operators.Dedup.containmentPairs(docs,
             strLit(idc, "containment_pairs idCol"),
             strLit(tc, "containment_pairs textCol"),
             k = k, threshold = numLit(t, "containment_pairs threshold"),
-            probeK = pk, maxPostings = maxPostings)
+            probeK = pk, maxPostings = maxPostings,
+            skipAllHotDocs = skipAllHot)
             .queryExecution.logical
         case _ => throw new IllegalArgumentException(
           "containment_pairs(path, idCol, textCol, k, threshold, probeK" +
-            "[, maxPostings]) — all arguments must be literals")
+            "[, maxPostings[, skipAllHotDocs]]) — all arguments must " +
+            "be literals")
       }))
     ext.injectTableFunction((FunctionIdentifier("tfidf_by_group"),
       new ExpressionInfo(classOf[GraftExtensions].getName,

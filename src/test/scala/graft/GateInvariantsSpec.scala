@@ -24,11 +24,13 @@ class GateInvariantsSpec extends SparkSpec {
     // regression fails the suite even without the driver's compare
     val row = SparkEntry.queries("d10b_containment_recall")(spark, sf)
       .collect().head
+    // n_true first: on an empty stratum the recall boolean is the less
+    // informative failure
+    assert(row.getAs[Long]("n_true") > 0L,
+      "monitored stratum has no true pairs — the gate checks nothing")
     assert(row.getAs[Boolean]("recall_exact_ok"),
       s"index path missed ${row.getAs[Long]("n_missed")} of " +
         s"${row.getAs[Long]("n_true")} true pairs")
-    assert(row.getAs[Long]("n_true") > 0L,
-      "monitored stratum has no true pairs — the gate checks nothing")
   }
 
   test("ann6_recall_monitor booleans hold on sf0.001") {

@@ -219,6 +219,21 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM bm25_topk('$dir', 'doc_id', 'text', " +
         "'q', 1 + 1)").collect()
     }
+    // the all-hot-doc raise's advice (skipAllHotDocs=true) is reachable
+    // from the SQL surface as the optional 8th argument
+    val hotDir = java.nio.file.Files.createTempDirectory("tretrh").toString
+    val hot = "the quick brown fox jumps"
+    ((1 to 30).map(i => (i.toLong, s"$hot body$i word$i")) :+
+      (50L, hot)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(hotDir)
+    val eh = intercept[Exception] {
+      spark.sql(s"SELECT * FROM containment_pairs('$hotDir', 'doc_id', " +
+        "'text', 3, 0.9, 8, 5)").collect()
+    }
+    assert(eh.getMessage.contains("skipAllHotDocs"))
+    val skipped = spark.sql(s"SELECT * FROM containment_pairs(" +
+      s"'$hotDir', 'doc_id', 'text', 3, 0.9, 8, 5, true)").collect()
+    assert(skipped.isEmpty)
   }
 
   test("redundant normalization chains collapse in the optimized plan") {

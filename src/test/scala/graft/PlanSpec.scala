@@ -183,22 +183,16 @@ class PlanSpec extends SparkSpec {
   test("containment candidates ride equi-joins, never all-pairs") {
     noAqe {
       val p = planOf(SparkEntry.queries("d10_containment_pairs")(spark, sf))
-      // the all-hot-doc guard legitimately crossJoins a ONE-ROW global
-      // aggregate (the raise_error check frame); any other nested-loop
-      // or cartesian join means the inverted-index probe degenerated
-      // into all-pairs
-      def isOneRowGuard(side: org.apache.spark.sql.execution.SparkPlan) =
-        side.collect {
-          case a: org.apache.spark.sql.execution.aggregate
-            .BaseAggregateExec if a.groupingExpressions.isEmpty => a
-        }.nonEmpty
-      val unbounded = p.collectWithSubqueries {
+      // the all-hot-doc guard attaches as a UNION branch (not a join),
+      // so the strict invariant holds: NO nested-loop or cartesian
+      // join anywhere, or the inverted-index probe degenerated into
+      // all-pairs
+      val nested = p.collectWithSubqueries {
         case j: org.apache.spark.sql.execution.joins
-          .BroadcastNestedLoopJoinExec
-          if !j.children.exists(isOneRowGuard) => j
+          .BroadcastNestedLoopJoinExec => j
         case j: org.apache.spark.sql.execution.joins
           .CartesianProductExec => j }
-      assert(unbounded.isEmpty,
+      assert(nested.isEmpty,
         "d10 plans a nested-loop/cartesian join — the inverted-index " +
           "probe degenerated into all-pairs")
     }

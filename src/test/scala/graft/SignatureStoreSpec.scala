@@ -90,6 +90,34 @@ class SignatureStoreSpec extends SparkSpec {
     assert(want.nonEmpty, "test corpus produced no pairs to compare")
   }
 
+  test("a batch doc duplicating a mass-replicated store family raises " +
+      "instead of silently missing; opt-in skip completes") {
+    val dir = Files.createTempDirectory("graft_sigstore4").toString
+    // 10 identical store docs: every band bucket of that family has 10
+    // members, over a maxBucket of 5
+    val seed = ((1 to 10).map(i => (i.toLong, doc(42))) ++
+      (20 to 25).map(i => (i.toLong, doc(i)))).toDF("id", "text")
+    SignatureStore.create(spark, dir, seed, "id", "text")
+    val batch = Seq((105L, doc(42))).toDF("id", "text")
+    val e = intercept[Exception] {
+      SignatureStore.nearDups(spark, dir, batch, "id", "text",
+        maxBucket = 5).collect()
+    }
+    assert(e.getMessage.contains("lost EVERY band"))
+    assert(e.getMessage.contains("id=105"))
+    // opt-in: completes with the documented silent miss
+    val skipped = SignatureStore.nearDups(spark, dir, batch, "id", "text",
+      maxBucket = 5, skipFullyCapped = true).collect()
+    assert(skipped.isEmpty)
+    // a batch doc matching an UN-replicated store doc is unaffected by
+    // the cap (its buckets are small)
+    val ok = SignatureStore.nearDups(spark, dir,
+      Seq((205L, doc(22))).toDF("id", "text"), "id", "text",
+      maxBucket = 5, minAgreement = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok === Set((22L, 205L)))
+  }
+
   test("band scan is partition-pruned to the batch's buckets") {
     val dir = Files.createTempDirectory("graft_sigstore3").toString
     val seed = (1 to 20).map(i => (i.toLong, doc(i))).toDF("id", "text")
