@@ -20,8 +20,10 @@ object Mini {
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      graft.CacheScope.withScope { _ =>
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       println(f"[mini] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     def q(s: String): String = "\"" + s.flatMap {

@@ -64,8 +64,13 @@ object Verify {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     queries.foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // per-query CacheScope bracket (same reason as Bench): 150
+        // queries' internal signature/tf caches must not accumulate
+        // MEMORY_AND_DISK frames across the whole dump
+        CacheScope.withScope { _ =>
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
         // digest what was WRITTEN (post-parquet round-trip), so any
         // writer-side type narrowing is inside the fingerprint too
         val (d, n) = digest(spark.read.parquet(s"$outDir/$name"))

@@ -101,10 +101,13 @@ object SignatureStore {
   def nearDups(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String,
       minAgreement: Double = 0.5, maxBucket: Int = 5000,
-      skipFullyCapped: Boolean = false): DataFrame = {
+      skipFullyCapped: Boolean = false)(
+      implicit scope: graft.CacheScope): DataFrame = {
     val conf = loadConf(spark, dir)
-    val bsigs = signed(batch, idCol, textCol, conf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // batch signatures feed the band probe AND the agreement verify;
+    // CacheScope lifetime (session-LRU default, released by a caller's
+    // withScope bracket) like every operator-internal signature frame
+    val bsigs = scope.cache(signed(batch, idCol, textCol, conf))
     val bbands = bucketed(Dedup.lshBands(bsigs, "id", "sig", conf.bands),
       conf.nBuckets)
     val buckets = bbands.select(col("bkt")).distinct()
@@ -115,8 +118,7 @@ object SignatureStore {
     // incremental paths cannot drift; the dropped-keys frame is small
     // and feeds both the prune and the fully-capped guard, so persist it
     val (sbands, dropped0) = Dedup.splitMegaBuckets(sbands0, maxBucket)
-    val dropped = dropped0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = scope.cache(dropped0)
     val cands = sbands.select(col("band"), col("band_hash"),
         col("id").as("store_id"))
       .join(bbands.select(col("band"), col("band_hash"),
@@ -176,11 +178,16 @@ object SignatureStore {
       tag: String): Unit = {
     val sigs = signed(batch, idCol, textCol, conf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.write.mode("overwrite").parquet(s"$dir/sigs/b=$tag")
-    bucketed(Dedup.lshBands(sigs, "id", "sig", conf.bands), conf.nBuckets)
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt")
-      .parquet(s"$dir/bands/b=$tag")
+    // both writes are actions inside this function, so the cache can be
+    // released before returning — no cross-call accumulation
+    try {
+      sigs.write.mode("overwrite").parquet(s"$dir/sigs/b=$tag")
+      bucketed(Dedup.lshBands(sigs, "id", "sig", conf.bands),
+          conf.nBuckets)
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$dir/bands/b=$tag")
+    } finally sigs.unpersist(blocking = false)
   }
 
   private def loadConf(spark: SparkSession, dir: String): Conf = {
