@@ -684,4 +684,92 @@ object Curation {
       .withColumn("is_contaminated",
         col("n_contaminated_grams") >= minMatches)
   }
+
+  // -------------------------------------------------------------------
+  // DSIR importance weights (target-distribution data selection)
+  // -------------------------------------------------------------------
+
+  /** Hashed n-gram feature buckets of one document: lowercased unigrams
+    * + bigrams (the DSIR paper's feature space), each hashed into
+    * `buckets` cells via the md5-portable bucket hash (the
+    * [[graft.ops.CountMin]] discipline — DuckDB recomputes the same
+    * cell from the same hex prefix, so the whole weight path is
+    * oracle-replayable). Returns array<long> of bucket ids, one per
+    * feature OCCURRENCE (counts matter — bag-of-ngrams, not a set). */
+  def ngramBuckets(text: Column, buckets: Int): Column = {
+    require(buckets > 0, s"ngramBuckets: buckets must be positive")
+    val feats = concat(wordNgrams(text, 1), wordNgrams(text, 2))
+    transform(filter(feats, f => f =!= ""),
+      f => pmod(conv(substring(md5(f), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169 —
+    * public literature; no reference-repo counterpart): score every raw
+    * document by how target-like it is under hashed-n-gram bag-of-words
+    * language models,
+    *
+    *   w(doc) = Σ_f n_f(doc) · (ln p̂_target(f) − ln p̂_raw(f))
+    *
+    * with add-1 smoothing over the `buckets`-cell hashed feature space
+    * (p̂(b) = (count(b)+1)/(N+buckets)). High weight = looks like the
+    * target distribution (curated corpus, reference domain), low =
+    * looks like generic raw text; downstream selection is top-k or
+    * weighted sampling over the weight column ([[weightedSample]]).
+    *
+    * Scale shape: the target pass and ONE featurization pass over raw
+    * (cached as narrow (id, bucket) pairs, never the text) produce two
+    * ≤`buckets`-row count tables; the per-bucket log-ratio table is
+    * built over a `range(buckets)` spine (so unseen buckets carry their
+    * smoothed value — no per-row special case) and BROADCAST into the
+    * scoring join. Per-bucket ratios are rounded to integer MICROS
+    * before the per-document sum, so the sum is exact integer
+    * arithmetic — partition-order- and engine-independent (ulp
+    * differences in ln are absorbed by the rounding; the
+    * [[graft.operators.TextAnalysis.bm25TopK]] determinism argument).
+    *
+    * Returns (idCol, n_feats: long, weight: double) for every raw row;
+    * featureless docs (null/blank text) score 0.0. */
+  def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, buckets: Int = 4096)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    val spark = raw.sparkSession
+    val b = buckets.toLong
+    // narrow (id, bucket) occurrence pairs — 16 bytes/feature through
+    // the explode; the raw side feeds BOTH the raw count table and the
+    // scoring join, so it is cached (the t7 tf-frame precedent). At
+    // corpus scale the cache spills but stays payload-free.
+    val rawFeats = scope.cache(raw.select(col(idCol),
+      explode(ngramBuckets(col(textCol), buckets)).as("b")))
+    val tgtCounts = target
+      .select(explode(ngramBuckets(col(targetTextCol), buckets)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("t_ct"))
+    val rawCounts = rawFeats.groupBy(col("b")).agg(count(lit(1)).as("r_ct"))
+    // totals as 1-row frames; crossJoin(broadcast) keeps them literal-like
+    val totals = broadcast(
+      tgtCounts.agg(coalesce(sum(col("t_ct")), lit(0L)).as("t_n"))
+        .crossJoin(rawCounts.agg(coalesce(sum(col("r_ct")), lit(0L))
+          .as("r_n"))))
+    // full bucket spine: every cell 0..buckets-1 gets its smoothed
+    // log-ratio, so the scoring join never misses
+    val ratios = broadcast(spark.range(b).select(col("id").as("b"))
+      .join(tgtCounts, Seq("b"), "left")
+      .join(rawCounts, Seq("b"), "left")
+      .crossJoin(totals)
+      .select(col("b"),
+        round((log((coalesce(col("t_ct"), lit(0L)) + lit(1.0))
+            / (col("t_n") + lit(b.toDouble)))
+          - log((coalesce(col("r_ct"), lit(0L)) + lit(1.0))
+            / (col("r_n") + lit(b.toDouble)))) * lit(1e6))
+          .cast("long").as("lr_micros")))
+    val scored = rawFeats.join(ratios, Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("lr_micros")).as("w_micros"))
+    raw.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        (coalesce(col("w_micros"), lit(0L)) / lit(1e6)).as("weight"))
+  }
 }

@@ -518,4 +518,84 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .distinct()
   }
+
+  // ---- semantic dedup (cluster-then-dedup) -------------------------------
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540 — public literature; the reference repo has no
+    * embedding operators): partition the corpus into clusters by
+    * max-cosine centroid, then within each cluster drop every vector
+    * that has a LOWER-id cluster-mate with cosine >= `threshold`
+    * (keep-first — the deterministic analogue of the paper's
+    * keep-one-per-dup-group rule, and the same tie discipline as
+    * [[exactDedup]]/`a8`).
+    *
+    * This is the published scale path for semantic dedup at web scale:
+    * [[embeddingDupPairs]]' hyperplane LSH finds NEAR-DUPLICATE pairs
+    * (cosine ~0.95+, where sign-bit agreement is likely), but semantic
+    * dedup wants a lower threshold (the paper uses ~0.5-0.9 in CLIP
+    * space) where LSH bucket recall collapses — clustering first makes
+    * the quadratic verify tractable by bounding it per cluster.
+    *
+    * Scale shape: cluster assignment is [[Similarity.assignCells]]'
+    * MAP-SIDE argmax against the broadcast centroid table (zero
+    * shuffle, zero row multiplication); the pairwise verify shuffles
+    * narrow (cell, id, vec) rows ONCE keyed by cell and is quadratic
+    * only within a cell — size centroid count k so clusters average
+    * n/k (the paper uses k ~ sqrt(n)). A cell above `maxClusterSize`
+    * raises LOUDLY rather than silently absorbing a quadratic blowup
+    * (the [[containmentPairs]]/rangeJoin guard discipline): an
+    * oversized cell means the centroids under-fit the data and the
+    * caller must retrain with larger k, not eat an O(cell^2) join.
+    *
+    * Returns (idCol, cell, keep): every input row annotated, keep =
+    * false iff a lower-id same-cell row is cosine-`threshold`-close.
+    * Centroids: (cell: long, centroid: array<double>), tiny. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double = 0.9,
+      maxClusterSize: Int = 100000)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    require(threshold > -1 && threshold <= 1,
+      s"semanticDedup: threshold must be in (-1,1], got $threshold")
+    require(maxClusterSize > 1,
+      s"semanticDedup: maxClusterSize must be > 1, got $maxClusterSize")
+    // cached: feeds the guard aggregate, both pair sides, and the output
+    val assigned = scope.cache(
+      Similarity.assignCells(df.select(col(idCol), col(vecCol)),
+        idCol, vecCol, centroids))
+    // loud path: a cell whose size makes the within-cell verify
+    // quadratic-hostile. Attached as a union child (the containmentPairs
+    // pattern) so it cannot be pruned even when the output is consumed
+    // lazily or comes back empty.
+    val guard = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__n"))
+      .select(when(col("__n") > maxClusterSize,
+        raise_error(concat(lit("semanticDedup: cluster "), col("cell"),
+          lit(" has "), col("__n"),
+          lit(s" vectors > maxClusterSize=$maxClusterSize — the " +
+            "within-cluster verify is quadratic in cluster size; " +
+            "retrain centroids with more cells or raise the cap " +
+            "explicitly"))))
+        .otherwise(lit(1L)).as("__ok"))
+    val l = assigned.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"))
+    val r = assigned.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"))
+    // losers: ids with ANY lower-id close cluster-mate. Narrow projection
+    // (the duplicate-id column only) leaves the join; the EXISTS shape
+    // (distinct, not the mate list) keeps it one row per loser.
+    val losers = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__dup", lit(true))
+    val idT = df.schema(idCol).dataType
+    assigned.join(losers, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("__dup").isNull.as("keep"))
+      .unionByName(guard.where(col("__ok") =!= 1L)
+        .select(lit(null).cast(idT).as(idCol),
+          lit(null).cast("long").as("cell"),
+          lit(null).cast("boolean").as("keep")))
+  }
 }

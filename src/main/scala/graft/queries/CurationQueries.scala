@@ -209,6 +209,20 @@ object CurationQueries {
         .orderBy(col("n_exact").desc, col("term"))
     }),
 
+    // ---- DSIR importance weights (oracle: full replay) --------------------
+    // Target distribution = the English docs; every doc in the corpus is
+    // scored by the hashed-uni+bigram log-likelihood ratio. The md5
+    // bucket hash and the integer-micros per-bucket ratios are DuckDB-
+    // replayable end to end (the cm1/t8 disciplines), so the hash pins
+    // featurization, both count tables, the smoothed ratio table, and
+    // every per-doc sum.
+    "dsir1_importance_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text", buckets = 1024)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- per-source distinctive terms (group-level TF-IDF) ----------------
     // Each source's pooled text is a pseudo-document: tf by (source,
     // term), df = sources containing the term, N = source count. The
@@ -638,6 +652,45 @@ object CurationQueries {
         |      ORDER BY score DESC, term) AS rank
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "dsir1_importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |feats AS (
+        |  SELECT doc_id, f FROM (
+        |    SELECT doc_id, unnest(ws) AS f FROM toks
+        |    UNION ALL
+        |    SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS f
+        |    FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)) u
+        |  WHERE f <> ''),
+        |fb AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 1024 AS b
+        |  FROM feats),
+        |tc AS (
+        |  SELECT b, count(*) AS t_ct FROM fb
+        |  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
+        |rc AS (SELECT b, count(*) AS r_ct FROM fb GROUP BY b),
+        |tot AS (
+        |  SELECT (SELECT COALESCE(SUM(t_ct), 0) FROM tc) AS t_n,
+        |         (SELECT COALESCE(SUM(r_ct), 0) FROM rc) AS r_n),
+        |ratios AS (
+        |  SELECT sp.b,
+        |    CAST(round((ln((COALESCE(tc.t_ct, 0) + 1.0)
+        |        / (tot.t_n + 1024.0))
+        |      - ln((COALESCE(rc.r_ct, 0) + 1.0) / (tot.r_n + 1024.0)))
+        |      * 1000000.0) AS BIGINT) AS lr_micros
+        |  FROM range(0, 1024) sp(b)
+        |  LEFT JOIN tc ON sp.b = tc.b LEFT JOIN rc ON sp.b = rc.b
+        |  CROSS JOIN tot),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_feats, SUM(lr_micros) AS w_micros
+        |  FROM fb JOIN ratios ON fb.b = ratios.b GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(sc.n_feats, 0) AS n_feats,
+        |  COALESCE(sc.w_micros, 0) / 1000000.0 AS weight
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "t9_domain_terms" ->
       """WITH tf AS (

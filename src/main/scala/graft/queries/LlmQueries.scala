@@ -331,6 +331,31 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- SemDeDup cluster-then-dedup (oracle: full replay) ---------------
+    // Centroids are the 4 lowest-id embeddings (deterministic, no
+    // k-means — DuckDB replays the argmax-cosine assignment exactly);
+    // planted half-scale copies share their original's direction, hence
+    // its cell, and sit at cosine 1.0 ≥ 0.99 — provably dropped by
+    // keep-first while the originals survive. The oracle recomputes
+    // assignment AND the within-cell pairwise decisions; the output is
+    // all integer/boolean, so the hash pins cluster ids and every
+    // keep/drop decision. Threshold compares and argmax ordering use
+    // the sequentially-accumulated engine-identical cosine (ann1).
+    "d11_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"))
+      val copies = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"), x => x * 0.5).as("embedding"))
+      val cents = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("long").as("cell"),
+          col("embedding").as("centroid"))
+      Dedup.semanticDedup(emb.unionByName(copies), "vec_id", "embedding",
+        cents, threshold = 0.99)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- composed corpus-clean pipeline (oracle: staged recompute) -------
     // DuckDB re-derives every stage count from first principles: the
     // t1 lang/quality features, md5 exact-dedup winners, then brute-
@@ -823,6 +848,45 @@ object LlmQueries {
         |  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d11_semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.5)
+        |  FROM embeddings WHERE vec_id < 10),
+        |nrm AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+        |      AS nv
+        |  FROM base),
+        |cents AS (
+        |  SELECT vec_id AS cell,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings WHERE vec_id < 4),
+        |cnrm AS (
+        |  SELECT cell, cv,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))
+        |      AS nc
+        |  FROM cents),
+        |asg AS (
+        |  SELECT vec_id, v, nv, cell FROM (
+        |    SELECT b.vec_id, b.v, b.nv, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> b.v[i] * c.cv[i]))
+        |          / (b.nv * c.nc) DESC, c.cell) AS rn
+        |    FROM nrm b CROSS JOIN cnrm c) t WHERE rn = 1),
+        |losers AS (
+        |  SELECT DISTINCT y.vec_id FROM asg x JOIN asg y
+        |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i]))
+        |    / (x.nv * y.nv) >= 0.99)
+        |SELECT a.vec_id, a.cell, (l.vec_id IS NULL) AS keep
+        |FROM asg a LEFT JOIN losers l ON a.vec_id = l.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
 
     "cu12_model_score" ->
       s"""$featCtes
