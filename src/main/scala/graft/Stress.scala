@@ -200,6 +200,34 @@ object Stress {
         "n_batch" -> batch.count())
     }
 
+    // ---- DSIR importance weights over the FULL corpus: two explode
+    // passes (~47 features/doc -> ~235M md5 buckets at 5M docs) and a
+    // broadcast ratio join; the telemetry checks the weights actually
+    // separate the target templates from the rest -----------------------
+    step("dsir") {
+      CacheScope.withScope { implicit scope =>
+        // target distribution: docs built from templates bp0..bp4 (25%
+        // of the template space — their template tokens are 5 of ~24
+        // tokens per doc, so target docs are separable by weight)
+        val target = docs.filter(pmod(col("doc_id"), lit(20)) < 5)
+        val w = graft.operators.Curation.dsirWeights(docs, "doc_id",
+          "text", target, "text", buckets = 4096)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = w.count()
+        val sep = w.join(docs.select(col("doc_id"),
+            (pmod(col("doc_id"), lit(20)) < 5).as("in_target")), "doc_id")
+          .groupBy(col("in_target"))
+          .agg(avg(col("weight")).as("mean_w"))
+          .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+        w.unpersist()
+        Seq("n_scored" -> n,
+          "mean_w_target" -> sep.getOrElse(true, Double.NaN),
+          "mean_w_rest" -> sep.getOrElse(false, Double.NaN),
+          "separated" -> (sep.getOrElse(true, 0.0) >
+            sep.getOrElse(false, 0.0)))
+      }
+    }
+
     // ---- SimHash at nDocs/5, sized per the density note: 16-bit chunks
     // (2^16 buckets) for a ~1M-doc shard; the 8-chunk default's 256
     // buckets would be O(n²/256) here ----------------------------------
@@ -254,6 +282,50 @@ object Stress {
         Seq("n_vectors" -> nVecs, "n_pairs" -> nPairs,
           "planted_dups" -> nPlanted, "planted_found" -> nFound,
           "dup_recall" -> nFound.toDouble / math.max(1, nPlanted))
+      }
+    }
+
+    // ---- SemDeDup over nDocs/5 vectors: k-means centroids sized to the
+    // corpus's 1024 latent centers, map-side assignment, within-cell
+    // quadratic verify bounded by maxClusterSize; planted rescaled
+    // copies share their original's direction hence its cell — recall
+    // for them must be exact -------------------------------------------
+    step("semdedup") {
+      val nVecs = math.max(100000L, nDocs / 5)
+      val vecsPath = s"$dir/vecs_$nVecs.parquet"
+      if (!new java.io.File(vecsPath).isDirectory)
+        vectors(spark, nVecs).write.mode("overwrite").parquet(vecsPath)
+      val vecs = spark.read.parquet(vecsPath)
+      val t0 = System.nanoTime()
+      val index = graft.operators.Similarity.ivfBuild(vecs, "vec_id",
+        "embedding", nCells = 1024, iters = 2)
+      val trainSecs = (System.nanoTime() - t0) / 1e9
+      CacheScope.withScope { implicit scope =>
+        val out = graft.operators.Dedup.semanticDedup(vecs, "vec_id",
+          "embedding", index.centroids, threshold = 0.999,
+          maxClusterSize = 100000)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nKept = out.filter(col("keep")).count()
+        val nDropped = out.filter(!col("keep")).count()
+        // cell-size skew telemetry: the quadratic bound the guard caps
+        val maxCell = out.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).collect().head.getLong(0)
+        // planted copies (id % 89 == 0 carries id+1's direction): the
+        // higher id of each pair must be the dropped one (keep-first)
+        val planted = vecs.filter(col("vec_id") % 89 === 0 &&
+          col("vec_id") + 1 < nVecs)
+          .select(col("vec_id").as("id_lo"), (col("vec_id") + 1).as("id_hi"))
+        val nPlanted = planted.count()
+        // keep-first drops the HIGHER id of each cosine-1.0 pair
+        val nCaught = planted.select(col("id_hi").as("vec_id"))
+          .join(out.filter(!col("keep")).select(col("vec_id")),
+            Seq("vec_id"), "left_semi").count()
+        out.unpersist()
+        Seq("n_vectors" -> nVecs, "train_secs" -> trainSecs,
+          "n_kept" -> nKept, "n_dropped" -> nDropped,
+          "max_cell" -> maxCell, "planted_pairs" -> nPlanted,
+          "planted_collapsed" -> nCaught,
+          "collapse_recall" -> nCaught.toDouble / math.max(1, nPlanted))
       }
     }
 

@@ -290,11 +290,15 @@ object Similarity {
   }
 
   /** Assign each vector to its max-cosine centroid — MAP-SIDE argmax:
-    * the (tiny) centroid table is collected into a literal and the
-    * argmax runs as a per-row expression. Zero shuffle, zero
+    * the (tiny) centroid table is collected into the fused
+    * [[graft.expressions.ArgmaxCell]] expression's matrix and the
+    * argmax runs as one per-row loop. Zero shuffle, zero
     * row-multiplication; the crossJoin+window alternative multiplied the
-    * data ×nCells and shuffled it for the per-id window. Ties break
-    * toward the lowest cell id. */
+    * data ×nCells and shuffled it for the per-id window, and the earlier
+    * greatest(struct(cosine…)) literal tree broke janino past ~100
+    * cells, silently de-codegen-ing the whole stage. Ties break toward
+    * the lowest cell id; degenerate vectors (null, zero-norm, dimension
+    * matching no centroid) get a null cell. */
   def assignCells(data: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
     val cents: Seq[(Long, Seq[Double])] = centroids
@@ -302,15 +306,8 @@ object Similarity {
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    val best = cents.map { case (cellId, c) =>
-      struct(cosine(col(vecCol), typedLit(c)).as("sim"),
-        lit(-cellId).as("negcell"))
-    }
-    // greatest(struct(sim, -cell)) = max sim, ties -> lowest cell
-    val cell =
-      if (best.size == 1) lit(cents.head._1)
-      else greatest(best: _*).getField("negcell") * lit(-1L)
-    data.withColumn("cell", cell)
+    data.withColumn("cell", graft.expressions.ArgmaxCell(
+      col(vecCol), cents.map(_._1), cents.map(_._2)))
   }
 
   /** IVF query: rank cells per query by centroid cosine, search the top

@@ -198,6 +198,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: map-side assignment, equi-join verify, no all-pairs") {
+    noAqe {
+      val p = planOf(SparkEntry.queries("d11_semantic_dedup")(spark, sf))
+      // assignCells is a per-row argmax against literal centroids and
+      // the within-cell verify is an equi-join keyed by cell; if either
+      // degenerates (e.g. a crossJoin+window assignment, or the cell
+      // key lost from the join) a nested-loop/cartesian appears
+      val nested = p.collectWithSubqueries {
+        case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => j }
+      assert(nested.isEmpty,
+        "d11 plans a nested-loop/cartesian join — cluster assignment " +
+          "or the within-cell verify degenerated into all-pairs")
+    }
+  }
+
+  test("DSIR: text never shuffles; the ratio table is broadcast") {
+    noAqe {
+      val p = planOf(
+        SparkEntry.queries("dsir1_importance_weights")(spark, sf))
+      // the corpus payload must leave the plan at featurization: every
+      // shuffle carries narrow (id, bucket) or count rows only
+      val exchanges = p.collectWithSubqueries {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e }
+      exchanges.foreach { e =>
+        val names = e.child.output.map(_.name).toSet
+        assert(!names.contains("text"),
+          s"dsir shuffles the document payload: ${names.mkString(",")}")
+      }
+      // the ≤buckets-row log-ratio table rides a broadcast hash join
+      // into the scoring pass — a sort-merge there would shuffle the
+      // whole feature stream by bucket for a 4k-row dimension
+      val bhj = p.collectWithSubqueries {
+        case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty,
+        "dsir plans no broadcast hash join — the ratio table " +
+          "de-broadcast into a shuffle join")
+    }
+  }
+
   test("Count-Min sketch shuffles only (depth, bkt, cnt) — never items") {
     noAqe {
       import graft.ops.CountMin
