@@ -519,6 +519,104 @@ object Dedup {
       .distinct()
   }
 
+  // ---- exact substring dedup (repeated-span removal) ---------------------
+
+  /** Repeated verbatim spans (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499 — the
+    * EXACTSUBSTR notion, public literature): a k-token window whose
+    * text occurs `minOcc`+ times ANYWHERE in the corpus (other docs or
+    * the same doc) is repeated; overlapping/abutting repeated windows
+    * merge into maximal spans. Doc-level dedup ([[minhashDupPairs]],
+    * [[exactDedup]]) misses this entirely: a unique article quoting a
+    * boilerplate license paragraph is no doc-level duplicate of
+    * anything, but the paragraph still trains the model on the same
+    * bytes thousands of times.
+    *
+    * The paper builds a corpus-wide suffix array — inherently
+    * single-machine. The distributed re-expression: explode k-token
+    * windows to narrow (id, pos, hash64) rows (16 bytes/window through
+    * the shuffle, never gram text — the [[graft.operators.Curation
+    * .decontaminate]] hashing argument: 2^-64 collisions cannot move a
+    * >= minOcc decision measurably), count occurrences per hash with
+    * map-side combine, keep windows at >= minOcc, and merge each doc's
+    * surviving positions into runs with the lag/cumsum session trick —
+    * one narrow id-keyed window. A k-token repeat produces exactly one
+    * length-k span; longer shared passages chain overlapping windows
+    * into one long span.
+    *
+    * Returns (idCol, span_start, span_end, n_windows): INCLUSIVE
+    * 0-based token indexes of each maximal repeated span and the
+    * repeated-window count inside it. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minOcc: Int = 2)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    require(k >= 1, s"repeatedSpans: k must be >= 1, got $k")
+    require(minOcc >= 2, s"repeatedSpans: minOcc must be >= 2, got $minOcc")
+    // window hash = xxhash64 over the k token VALUES (length-framed per
+    // column — no join-string ambiguity and, measured, ~3x cheaper than
+    // hashing an array_join'd gram string: no per-window string
+    // allocation inside the interpreted lambda). Cached narrow
+    // (id, pos, h): the DF count and the join-back both consume it, and
+    // re-deriving it would re-run the per-window lambda corpus-wide.
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = scope.cache(df
+      .select(col(idCol), toks.as("__t"))
+      .select(col(idCol), posexplode(
+        when(size(col("__t")) >= k,
+          transform(sequence(lit(0), size(col("__t")) - k),
+            i => xxhash64((0 until k).map(j =>
+              element_at(col("__t"), i + j + 1)): _*)))
+          .otherwise(array().cast("array<long>"))))
+      .select(col(idCol), col("pos"), col("col").as("h")))
+    val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc)
+    // shuffle join, deliberately not broadcast: on a boilerplate-heavy
+    // corpus the repeated-hash set is corpus-sized
+    val rep = grams.join(counts, Seq("h")).select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // windows at p and p' (p < p') overlap or abut iff p' <= p + k
+    rep.withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("__run", sum(col("__new")).over(w))
+      .groupBy(col(idCol), col("__run"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** Remove every repeated span's tokens from each document — the
+    * EXACTSUBSTR cut. Returns the input ids with (clean_text,
+    * n_removed_tokens); docs with no repeated span pass through
+    * verbatim (original whitespace and case), spanned docs are rebuilt
+    * from their ORIGINAL-CASE tokens (matching is case-folded via
+    * [[repeatedSpans]]' grams, but whitespace splitting is
+    * case-independent, so the span token indexes align). The per-doc
+    * cut is one higher-order filter over the token array against the
+    * doc's (collected, bounded by tokens/k) span list — row-local, no
+    * extra shuffle beyond [[repeatedSpans]]' own. */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minOcc: Int = 2)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, k, minOcc)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val toks = split(trim(col(textCol)), "\\s+")
+    val keptToks = filter(toks, (t, i) =>
+      !exists(col("__spans"), s =>
+        i >= s.getField("span_start") && i <= s.getField("span_end")))
+    df.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(array_join(keptToks, " ")).as("clean_text"),
+        when(col("__spans").isNull, lit(0L))
+          .otherwise(size(toks) - size(keptToks)).cast("long")
+          .as("n_removed_tokens"))
+  }
+
   // ---- semantic dedup (cluster-then-dedup) -------------------------------
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-

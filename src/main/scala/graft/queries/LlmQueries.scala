@@ -356,6 +356,21 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- exact substring dedup: repeated-span discovery ------------------
+    // Lee et al. EXACTSUBSTR re-expressed distributed: 8-token windows
+    // occurring >= 2 times anywhere, merged to maximal spans. The
+    // oracle regroups the gram STRINGS (no hash) — a Spark-side
+    // xxhash64 collision, dropped probe, or run-merge off-by-one moves
+    // a span boundary and breaks the all-integer hash.
+    "d12_repeated_spans" -> ((s, d) => {
+      Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 8, minOcc = 2)
+        .select(col("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"), col("n_windows"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // ---- composed corpus-clean pipeline (oracle: staged recompute) -------
     // DuckDB re-derives every stage count from first principles: the
     // t1 lang/quality features, md5 exact-dedup winners, then brute-
@@ -887,6 +902,34 @@ object LlmQueries {
         |SELECT a.vec_id, a.cell, (l.vec_id IS NULL) AS keep
         |FROM asg a LEFT JOIN losers l ON a.vec_id = l.vec_id
         |ORDER BY a.vec_id""".stripMargin,
+
+    "d12_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(ws[i : i + 7], ' ') AS gram
+        |  FROM toks, unnest(generate_series(1, len(ws) - 7)) AS t(i)),
+        |rep AS (
+        |  SELECT doc_id, pos FROM grams
+        |  WHERE gram IN (
+        |    SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2)),
+        |flags AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (
+        |        PARTITION BY doc_id ORDER BY pos) <= 8
+        |      THEN 0 ELSE 1 END AS is_new
+        |  FROM rep),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |    SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM flags)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+        |  count(*) AS n_windows
+        |FROM runs GROUP BY doc_id, run
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "cu12_model_score" ->
       s"""$featCtes

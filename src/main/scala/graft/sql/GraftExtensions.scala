@@ -318,6 +318,63 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "tfidf_by_group(path, groupCol, textCol, k) — all arguments " +
             "must be literals (k an integer)")
       }))
+    ext.injectTableFunction((FunctionIdentifier("repeated_spans"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "repeated_spans"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, idc, tc, Literal(k: Int, _), Literal(mo: Int, _)) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          graft.operators.Dedup.repeatedSpans(
+            spark.read.parquet(strLit(p, "repeated_spans path")),
+            strLit(idc, "repeated_spans idCol"),
+            strLit(tc, "repeated_spans textCol"), k, mo)
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "repeated_spans(path, idCol, textCol, k, minOcc) — all " +
+            "arguments must be literals (k and minOcc integers)")
+      }))
+    ext.injectTableFunction((FunctionIdentifier("dsir_weights"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "dsir_weights"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, idc, tc, tp, ttc, Literal(b: Int, _)) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val raw = spark.read.parquet(strLit(p, "dsir_weights path"))
+          val target = spark.read.parquet(
+            strLit(tp, "dsir_weights targetPath"))
+          graft.operators.Curation.dsirWeights(raw,
+            strLit(idc, "dsir_weights idCol"),
+            strLit(tc, "dsir_weights textCol"), target,
+            strLit(ttc, "dsir_weights targetTextCol"), b)(
+            graft.CacheScope.session)
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "dsir_weights(path, idCol, textCol, targetPath, targetTextCol" +
+            ", buckets) — all arguments must be literals (buckets an " +
+            "integer)")
+      }))
+    ext.injectTableFunction((FunctionIdentifier("semantic_dedup"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "semantic_dedup"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, idc, vc, cp, t, rest @ _*) if rest.size <= 1 =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val data = spark.read.parquet(strLit(p, "semantic_dedup path"))
+          val cents = spark.read.parquet(
+            strLit(cp, "semantic_dedup centroidsPath"))
+          val cap = rest.headOption
+            .map(numLit(_, "semantic_dedup maxClusterSize").toInt)
+            .getOrElse(100000)
+          graft.operators.Dedup.semanticDedup(data,
+            strLit(idc, "semantic_dedup idCol"),
+            strLit(vc, "semantic_dedup vecCol"), cents,
+            threshold = numLit(t, "semantic_dedup threshold"),
+            maxClusterSize = cap)(graft.CacheScope.session)
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "semantic_dedup(path, idCol, vecCol, centroidsPath, threshold" +
+            "[, maxClusterSize]) — all arguments must be literals")
+      }))
     ext.injectOptimizerRule(_ => CollapseRedundantNormalization)
     // MERGE INTO for plain parquet tables (see MergeSql): rewrite the
     // parsed-but-unresolved MergeIntoTable before the analyzer rejects

@@ -236,6 +236,59 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(skipped.isEmpty)
   }
 
+  test("curation table functions: dsir_weights / semantic_dedup from SQL") {
+    import spark.implicits._
+    // dsir: target corpus is the alpha-family docs; the alpha doc in raw
+    // must outscore the zebra doc
+    val rawDir = java.nio.file.Files.createTempDirectory("dsirr").toString
+    val tgtDir = java.nio.file.Files.createTempDirectory("dsirt").toString
+    Seq((1L, "alpha beta gamma"), (2L, "zebra yankee xray"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(rawDir)
+    Seq((9L, "alpha beta delta"), (10L, "beta alpha"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(tgtDir)
+    val w = spark.sql("SELECT doc_id, weight FROM dsir_weights(" +
+      s"'$rawDir', 'doc_id', 'text', '$tgtDir', 'text', 256) " +
+      "ORDER BY doc_id").collect()
+    assert(w.length === 2)
+    assert(w(0).getDouble(1) > w(1).getDouble(1))
+    val want = graft.operators.Curation.dsirWeights(
+      spark.read.parquet(rawDir), "doc_id", "text",
+      spark.read.parquet(tgtDir), "text", buckets = 256)
+      .select("doc_id", "weight").orderBy("doc_id").collect()
+    assert(w.toSeq === want.toSeq)
+    // semantic dedup: two colinear vectors in cell 0 collapse keep-first
+    val vecDir = java.nio.file.Files.createTempDirectory("sdv").toString
+    val cenDir = java.nio.file.Files.createTempDirectory("sdc").toString
+    Seq((1L, Seq(1.0, 0.0)), (2L, Seq(2.0, 0.0)), (3L, Seq(3.0, 0.0)),
+      (4L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(vecDir)
+    Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cell", "centroid").write.mode("overwrite").parquet(cenDir)
+    val sd = spark.sql("SELECT vec_id, cell, keep FROM semantic_dedup(" +
+      s"'$vecDir', 'vec_id', 'embedding', '$cenDir', 0.9) " +
+      "ORDER BY vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(sd === Seq((1L, 0L, true), (2L, 0L, false), (3L, 0L, false),
+      (4L, 1L, true)))
+    // the loud maxClusterSize guard (cell 0 holds 3 > 2) is reachable
+    // as the optional 6th argument
+    val eh = intercept[Exception] {
+      spark.sql("SELECT * FROM semantic_dedup(" +
+        s"'$vecDir', 'vec_id', 'embedding', '$cenDir', 0.9, 2)").collect()
+    }
+    assert(eh.getMessage.contains("maxClusterSize"))
+    // repeated_spans: the shared 8-token passage surfaces from SQL text
+    val spDir = java.nio.file.Files.createTempDirectory("rsp").toString
+    val pass = (1 to 10).map(i => s"p$i").mkString(" ")
+    Seq((1L, s"one two three $pass"), (2L, s"alpha $pass omega"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(spDir)
+    val sp = spark.sql("SELECT doc_id, span_start, span_end FROM " +
+      s"repeated_spans('$spDir', 'doc_id', 'text', 8, 2) " +
+      "ORDER BY doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(sp === Seq((1L, 3, 12), (2L, 1, 10)))
+  }
+
   test("redundant normalization chains collapse in the optimized plan") {
     def uppers(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : Int = {
