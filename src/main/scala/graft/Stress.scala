@@ -228,6 +228,36 @@ object Stress {
       }
     }
 
+    // ---- exact substring dedup over the FULL corpus: ~17 windows/doc
+    // -> ~85M narrow gram tuples cached + DF-counted; only the planted
+    // structures repeat (template prefixes mix with unique tails inside
+    // every window), so spans are a sharp recall signal ------------------
+    step("spans") {
+      CacheScope.withScope { implicit scope =>
+        val spans = graft.operators.Dedup.repeatedSpans(docs, "doc_id",
+          "text", k = 8, minOcc = 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nSpans = spans.count()
+        val nDocs97 = spans.select(col("doc_id")).distinct().count()
+        // planted quotes are EXACTLY one 8-token window repeated inside
+        // their target: the quote doc must come back fully spanned.
+        // Same denominator rule as the containment step: a target that
+        // is itself a quote/near-dup doc carries different text than
+        // the window sampled, so those quotes genuinely occur once.
+        val quotes = docs.filter(col("doc_id") % 101 === 0 &&
+          col("doc_id") + 1 < nDocs && (col("doc_id") + 1) % 101 =!= 0 &&
+          (col("doc_id") + 1) % 97 =!= 0)
+          .select(col("doc_id"))
+        val nQuotes = quotes.count()
+        val covered = quotes.join(spans.filter(col("span_start") === 0),
+          Seq("doc_id"), "left_semi").count()
+        spans.unpersist()
+        Seq("n_spans" -> nSpans, "n_spanned_docs" -> nDocs97,
+          "planted_quotes" -> nQuotes, "quotes_fully_spanned" -> covered,
+          "span_recall" -> covered.toDouble / math.max(1, nQuotes))
+      }
+    }
+
     // ---- SimHash at nDocs/5, sized per the density note: 16-bit chunks
     // (2^16 buckets) for a ~1M-doc shard; the 8-chunk default's 256
     // buckets would be O(n²/256) here ----------------------------------
