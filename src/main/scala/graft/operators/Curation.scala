@@ -734,28 +734,63 @@ object Curation {
   def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String, buckets: Int = 4096)(
       implicit scope: graft.CacheScope): DataFrame = {
-    val spark = raw.sparkSession
-    val b = buckets.toLong
     // narrow (id, bucket) occurrence pairs — 16 bytes/feature through
     // the explode; the raw side feeds BOTH the raw count table and the
     // scoring join, so it is cached (the t7 tf-frame precedent). At
     // corpus scale the cache spills but stays payload-free.
     val rawFeats = scope.cache(raw.select(col(idCol),
       explode(ngramBuckets(col(textCol), buckets)).as("b")))
-    val tgtCounts = target
-      .select(explode(ngramBuckets(col(targetTextCol), buckets)).as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("t_ct"))
-    val rawCounts = rawFeats.groupBy(col("b")).agg(count(lit(1)).as("r_ct"))
+    scoreAgainstCounts(raw, idCol, rawFeats,
+      ngramBucketCounts(target, targetTextCol, buckets),
+      rawFeats.groupBy(col("b")).agg(count(lit(1)).as("ct")), buckets)
+  }
+
+  /** The hashed-n-gram bucket count table of one corpus: (b, ct),
+    * ≤ `buckets` rows. This IS the DSIR language-model state — additive
+    * under [[foldBucketCounts]], so a streamed corpus maintains it at
+    * O(delta)/batch ([[graft.streaming.StreamingSummary
+    * .maintainNgramCountsFromFiles]]) and the maintained table is
+    * bit-identical to the one-pass count of everything ever seen. */
+  def ngramBucketCounts(df: DataFrame, textCol: String,
+      buckets: Int): DataFrame =
+    df.select(explode(ngramBuckets(col(textCol), buckets)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+
+  /** Merge two bucket count tables — pure SUM, associative and
+    * commutative, so incremental folds equal the one-shot count. */
+  def foldBucketCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("b")).agg(sum(col("ct")).as("ct"))
+
+  /** Score docs against PRECOMPUTED target/raw bucket-count tables —
+    * the incremental path: counts maintained elsewhere (streaming, a
+    * persisted state, a fold of batch counts), scoring O(docs) per
+    * call. Identical math to [[dsirWeights]] (which delegates here);
+    * because the counts are additive integers, scoring against folded
+    * batch counts is bit-identical to the one-shot weights. */
+  def dsirWeightsFromCounts(raw: DataFrame, idCol: String,
+      textCol: String, tgtCounts: DataFrame, rawCounts: DataFrame,
+      buckets: Int)(implicit scope: graft.CacheScope): DataFrame = {
+    val rawFeats = scope.cache(raw.select(col(idCol),
+      explode(ngramBuckets(col(textCol), buckets)).as("b")))
+    scoreAgainstCounts(raw, idCol, rawFeats, tgtCounts, rawCounts, buckets)
+  }
+
+  private def scoreAgainstCounts(raw: DataFrame, idCol: String,
+      rawFeats: DataFrame, tgtCounts: DataFrame, rawCounts: DataFrame,
+      buckets: Int): DataFrame = {
+    val spark = raw.sparkSession
+    val b = buckets.toLong
+    val tc = tgtCounts.select(col("b"), col("ct").cast("long").as("t_ct"))
+    val rc = rawCounts.select(col("b"), col("ct").cast("long").as("r_ct"))
     // totals as 1-row frames; crossJoin(broadcast) keeps them literal-like
     val totals = broadcast(
-      tgtCounts.agg(coalesce(sum(col("t_ct")), lit(0L)).as("t_n"))
-        .crossJoin(rawCounts.agg(coalesce(sum(col("r_ct")), lit(0L))
-          .as("r_n"))))
+      tc.agg(coalesce(sum(col("t_ct")), lit(0L)).as("t_n"))
+        .crossJoin(rc.agg(coalesce(sum(col("r_ct")), lit(0L)).as("r_n"))))
     // full bucket spine: every cell 0..buckets-1 gets its smoothed
     // log-ratio, so the scoring join never misses
     val ratios = broadcast(spark.range(b).select(col("id").as("b"))
-      .join(tgtCounts, Seq("b"), "left")
-      .join(rawCounts, Seq("b"), "left")
+      .join(tc, Seq("b"), "left")
+      .join(rc, Seq("b"), "left")
       .crossJoin(totals)
       .select(col("b"),
         round((log((coalesce(col("t_ct"), lit(0L)) + lit(1.0))

@@ -223,6 +223,27 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- incremental DSIR: folded batch counts ≡ one-shot weights ---------
+    // The corpus arrives as two halves; their bucket-count tables fold
+    // by SUM and every doc is scored against the maintained state. The
+    // oracle is the SAME full-recompute SQL as dsir1: integer counts
+    // are associative, so the incremental path must reproduce the
+    // one-shot weights bit for bit — a fold or state-naming regression
+    // breaks the hash.
+    "dsir2_incremental_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val rawCounts = Curation.foldBucketCounts(
+        Curation.ngramBucketCounts(
+          docs.filter(col("doc_id") % 2 === 0), "text", 1024),
+        Curation.ngramBucketCounts(
+          docs.filter(col("doc_id") % 2 === 1), "text", 1024))
+      Curation.dsirWeightsFromCounts(docs, "doc_id", "text",
+        Curation.ngramBucketCounts(
+          docs.filter(col("lang") === "en"), "text", 1024),
+        rawCounts, 1024)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- per-source distinctive terms (group-level TF-IDF) ----------------
     // Each source's pooled text is a pseudo-document: tf by (source,
     // term), df = sources containing the term, N = source count. The
@@ -370,6 +391,50 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
   )
+
+  /** dsir1/dsir2 oracle: full-recompute of the DSIR weight path —
+    * featurization, both bucket-count tables, smoothed integer-micros
+    * ratios, per-doc sums. dsir2 scores against FOLDED incremental
+    * counts; additive integers make that bit-identical to this one-shot
+    * expectation. */
+  private def dsirOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |feats AS (
+      |  SELECT doc_id, f FROM (
+      |    SELECT doc_id, unnest(ws) AS f FROM toks
+      |    UNION ALL
+      |    SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS f
+      |    FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)) u
+      |  WHERE f <> ''),
+      |fb AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 1024 AS b
+      |  FROM feats),
+      |tc AS (
+      |  SELECT b, count(*) AS t_ct FROM fb
+      |  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
+      |rc AS (SELECT b, count(*) AS r_ct FROM fb GROUP BY b),
+      |tot AS (
+      |  SELECT (SELECT COALESCE(SUM(t_ct), 0) FROM tc) AS t_n,
+      |         (SELECT COALESCE(SUM(r_ct), 0) FROM rc) AS r_n),
+      |ratios AS (
+      |  SELECT sp.b,
+      |    CAST(round((ln((COALESCE(tc.t_ct, 0) + 1.0)
+      |        / (tot.t_n + 1024.0))
+      |      - ln((COALESCE(rc.r_ct, 0) + 1.0) / (tot.r_n + 1024.0)))
+      |      * 1000000.0) AS BIGINT) AS lr_micros
+      |  FROM range(0, 1024) sp(b)
+      |  LEFT JOIN tc ON sp.b = tc.b LEFT JOIN rc ON sp.b = rc.b
+      |  CROSS JOIN tot),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_feats, SUM(lr_micros) AS w_micros
+      |  FROM fb JOIN ratios ON fb.b = ratios.b GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(sc.n_feats, 0) AS n_feats,
+      |  COALESCE(sc.w_micros, 0) / 1000000.0 AS weight
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "d7_dup_clusters" ->
@@ -653,44 +718,10 @@ object CurationQueries {
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
-    "dsir1_importance_weights" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
-        |  FROM documents WHERE text IS NOT NULL),
-        |feats AS (
-        |  SELECT doc_id, f FROM (
-        |    SELECT doc_id, unnest(ws) AS f FROM toks
-        |    UNION ALL
-        |    SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS f
-        |    FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)) u
-        |  WHERE f <> ''),
-        |fb AS (
-        |  SELECT doc_id,
-        |    CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 1024 AS b
-        |  FROM feats),
-        |tc AS (
-        |  SELECT b, count(*) AS t_ct FROM fb
-        |  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
-        |rc AS (SELECT b, count(*) AS r_ct FROM fb GROUP BY b),
-        |tot AS (
-        |  SELECT (SELECT COALESCE(SUM(t_ct), 0) FROM tc) AS t_n,
-        |         (SELECT COALESCE(SUM(r_ct), 0) FROM rc) AS r_n),
-        |ratios AS (
-        |  SELECT sp.b,
-        |    CAST(round((ln((COALESCE(tc.t_ct, 0) + 1.0)
-        |        / (tot.t_n + 1024.0))
-        |      - ln((COALESCE(rc.r_ct, 0) + 1.0) / (tot.r_n + 1024.0)))
-        |      * 1000000.0) AS BIGINT) AS lr_micros
-        |  FROM range(0, 1024) sp(b)
-        |  LEFT JOIN tc ON sp.b = tc.b LEFT JOIN rc ON sp.b = rc.b
-        |  CROSS JOIN tot),
-        |sc AS (
-        |  SELECT doc_id, count(*) AS n_feats, SUM(lr_micros) AS w_micros
-        |  FROM fb JOIN ratios ON fb.b = ratios.b GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(sc.n_feats, 0) AS n_feats,
-        |  COALESCE(sc.w_micros, 0) / 1000000.0 AS weight
-        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "dsir1_importance_weights" -> dsirOracleSql,
+    // identical full-recompute expectation: folded incremental counts
+    // must reproduce the one-shot weights exactly
+    "dsir2_incremental_weights" -> dsirOracleSql,
 
     "t9_domain_terms" ->
       """WITH tf AS (

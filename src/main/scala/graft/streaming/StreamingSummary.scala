@@ -140,6 +140,27 @@ object StreamingSummary {
     * folds by pure SUM, so the maintained state is exactly the one-pass
     * sketch of everything ever streamed; probe it any time with
     * `CountMin.estimate` for overcount-only frequency reads. */
+  /** DSIR raw-distribution maintenance: the stored state is the
+    * (b, ct) hashed-n-gram bucket count table of
+    * [[graft.operators.Curation.dsirWeights]]' RAW side — ≤ `buckets`
+    * rows regardless of history size. Each batch counts at O(delta) and
+    * folds by pure SUM, so the maintained table is bit-identical to the
+    * one-pass count of everything ever streamed; score any doc set
+    * against it any time with
+    * [[graft.operators.Curation.dsirWeightsFromCounts]] (target counts
+    * typically from a small fixed curated corpus). */
+  def maintainNgramCountsFromFiles(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpoint: String,
+      summaryPath: String, textCol: String,
+      buckets: Int = 4096): DataFrame =
+    maintainVersioned(spark, inDir, schema, checkpoint, summaryPath) {
+      (batch, prev) =>
+        val delta = graft.operators.Curation.ngramBucketCounts(
+          batch, textCol, buckets)
+        prev.map(p => graft.operators.Curation.foldBucketCounts(p, delta))
+          .getOrElse(delta)
+    }
+
   def maintainCountMinFromFiles(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, checkpoint: String,
       summaryPath: String, itemCol: String, depth: Int = 4,

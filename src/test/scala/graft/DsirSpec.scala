@@ -58,6 +58,41 @@ class DsirSpec extends SparkSpec {
     assert(shuffled === base)
   }
 
+  test("folded incremental counts reproduce the one-shot weights exactly") {
+    val rawCounts = Curation.foldBucketCounts(
+      Curation.ngramBucketCounts(raw.filter(col("doc_id") % 2 === 0),
+        "text", 512),
+      Curation.ngramBucketCounts(raw.filter(col("doc_id") % 2 === 1),
+        "text", 512))
+    val inc = Curation.dsirWeightsFromCounts(raw, "doc_id", "text",
+      Curation.ngramBucketCounts(target, "text", 512), rawCounts, 512)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(inc === weights())
+  }
+
+  test("streamed ngram-count state equals the one-shot count table") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    Seq(0, 1).foreach { i =>
+      raw.filter(col("doc_id") % 2 === i)
+        .coalesce(1).write.parquet(s"$root/in/batch_$i")
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/in/batch_$i"))
+        .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, j) =>
+          fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(s"$root/deltas/b${i}_$j.parquet"))
+        }
+    }
+    val state = graft.streaming.StreamingSummary.maintainNgramCountsFromFiles(
+      spark, s"$root/deltas", raw.schema, s"$root/ckpt", s"$root/state",
+      "text", buckets = 512)
+    val full = Curation.ngramBucketCounts(raw, "text", 512)
+    assert(state.orderBy("b").collect().toSeq ===
+      full.orderBy("b").collect().toSeq)
+  }
+
   test("ngramBuckets stays in [0, buckets) and hashes deterministically") {
     val got = Seq(("a b c d e f g h i j k l m n o p q r s t u v w x y z"))
       .toDF("text")
