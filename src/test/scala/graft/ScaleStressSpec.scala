@@ -150,6 +150,59 @@ class ScaleStressSpec extends SparkSpec {
     vecs.unpersist()
   }
 
+  test("repeated spans at 80k docs: planted quotes fully spanned, span " +
+      "volume linear") {
+    CacheScope.withScope { implicit scope =>
+      val spans = Dedup.repeatedSpans(docs, "doc_id", "text",
+        k = 8, minOcc = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSpans = spans.count()
+      // only the planted structures repeat (template prefixes mix with
+      // unique tails inside every window): span count stays linear in
+      // the planted count, never corpus-quadratic
+      assert(nSpans < n / 10, s"span volume super-linear: $nSpans")
+      val quotes = docs.filter(col("doc_id") % 101 === 0 &&
+        col("doc_id") + 1 < n && (col("doc_id") + 1) % 101 =!= 0 &&
+        (col("doc_id") + 1) % 97 =!= 0)
+        .select(col("doc_id"))
+      val nQuotes = quotes.count()
+      val covered = quotes.join(spans.filter(col("span_start") === 0),
+        Seq("doc_id"), "left_semi").count()
+      assert(nQuotes > 700L)
+      assert(covered === nQuotes, s"span recall $covered/$nQuotes")
+      spans.unpersist()
+    }
+  }
+
+  test("semantic dedup at 80k vectors / 256 cells: planted copies " +
+      "collapse keep-first, cells bounded") {
+    val vecs = {
+      val v = Stress.vectors(spark, 80000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      v.count(); v
+    }
+    CacheScope.withScope { implicit scope =>
+      val index = graft.operators.Similarity.ivfBuild(vecs, "vec_id",
+        "embedding", nCells = 256, iters = 2)
+      val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        index.centroids, threshold = 0.999, maxClusterSize = 10000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val planted = vecs.filter(col("vec_id") % 89 === 0 &&
+        col("vec_id") + 1 < 80000L)
+        .select((col("vec_id") + 1).as("vec_id"))
+      val nPlanted = planted.count()
+      // identical direction ⟹ same argmax cell ⟹ the higher id of
+      // each planted pair is provably dropped
+      val nCaught = planted.join(
+        out.filter(!col("keep")).select(col("vec_id")),
+        Seq("vec_id"), "left_semi").count()
+      assert(nPlanted > 800L)
+      assert(nCaught === nPlanted, s"collapse recall $nCaught/$nPlanted")
+      out.unpersist()
+    }
+    vecs.unpersist()
+  }
+
   test("mega-bucket cap: mass-identical docs cannot detonate the band " +
       "join; unique near-dups are unaffected") {
     import spark.implicits._
