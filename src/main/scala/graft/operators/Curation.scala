@@ -635,14 +635,181 @@ object Curation {
   }
 
   // -------------------------------------------------------------------
+  // Gopher document-quality rules
+  // -------------------------------------------------------------------
+
+  /** The Gopher rule set's stop-word list (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1): a document is expected to contain at
+    * least 2 of these 8 — word soup and non-English fragments fail. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** One-pass run statistics over a SORTED string array:
+    * struct<dup_chars — Σ over items occurring ≥ 2×: count·len(item),
+    * top_cnt, top_item — the most frequent item, count ties broken to
+    * the lexicographically SMALLEST (sorted input makes "first run
+    * wins" exactly that)>. A single `aggregate` fold per row — the
+    * linear-time alternative to the O(m²) `filter`-count-per-distinct
+    * shape, and the per-row alternative to an explode + groupBy shuffle
+    * that a 100 TB corpus cannot afford for a per-document metric. */
+  private def sortedRunStats(sorted: Column): Column = {
+    // close the open run: fold its count into dup_chars / the argmax
+    def closed(acc: Column): (Column, Column, Column) = {
+      val run = acc.getField("run"); val prev = acc.getField("prev")
+      val dup = acc.getField("dup") +
+        when(run >= 2L, run * length(prev).cast("long")).otherwise(0L)
+      val better = run > acc.getField("bcnt")
+      (dup,
+        when(better, run).otherwise(acc.getField("bcnt")),
+        when(better, prev).otherwise(acc.getField("bgram")))
+    }
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup"),
+        lit(0L).as("bcnt"), lit("").as("bgram")),
+      (acc, x) => {
+        val (d, c, g) = closed(acc)
+        when(x === acc.getField("prev"),
+          struct(x.as("prev"), (acc.getField("run") + 1L).as("run"),
+            acc.getField("dup").as("dup"),
+            acc.getField("bcnt").as("bcnt"),
+            acc.getField("bgram").as("bgram")))
+        .otherwise(
+          struct(x.as("prev"), lit(1L).as("run"), d.as("dup"),
+            c.as("bcnt"), g.as("bgram")))
+      },
+      acc => {
+        val (d, c, g) = closed(acc)
+        struct(d.as("dup_chars"), c.as("top_cnt"), g.as("top_item"))
+      })
+  }
+
+  /** The full Gopher quality-rule report (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1 — public literature; the de-facto standard
+    * heuristic filter set for web-scale pretraining corpora), as ONE
+    * struct computed per row from ONE tokenization and ONE line split:
+    *
+    *  - word_count, mean_word_len
+    *  - symbol_word_ratio: ('#' + '...' + '…' occurrences) / words
+    *  - bullet_line_frac / ellipsis_line_frac over trimmed non-empty
+    *    lines (bullets: '-' '*' '•' starts; ellipsis: '...' '…' ends)
+    *  - alpha_word_frac: words containing ≥ 1 [A-Za-z]
+    *  - stopword_hits: how many DISTINCT [[gopherStopwords]] appear
+    *  - dup_line_frac (1 − distinct/total) and dup_line_char_frac
+    *    (chars inside lines occurring ≥ 2×, over total line chars)
+    *  - top_{2,3,4}gram_char_frac: count(top gram)·len(top gram) over
+    *    the single-spaced text length; count ties break to the
+    *    lexicographically smallest gram (pinned in both engines)
+    *  - dup_{5,10}gram_char_frac: Σ count·len over grams occurring
+    *    ≥ 2×, same denominator (overlapping windows can exceed 1.0 —
+    *    threshold semantics only, as in the paper)
+    *
+    * All fractions are round(·, 6); every metric is 0 (not null) on
+    * empty/null text so downstream thresholds never null-propagate.
+    * Scale shape: pure array expressions + linear `aggregate` folds per
+    * row — no explode, no shuffle, no UDF; the n-gram folds sort m-gram
+    * arrays per row (m log m on in-memory arrays), which at 100 TB is
+    * still a map-only scan. Materialize the struct ONCE per row (its
+    * own projection, like [[graft.operators.TextAnalysis.textStats]])
+    * and derive columns via getField. */
+  def gopherReport(text: Column,
+      stopwords: Seq[String] = gopherStopwords): Column = {
+    val t = coalesce(text, lit(""))
+    val wsr = filter(split(trim(t), "\\s+"), w => w =!= "")
+    val ws = transform(wsr, w => lower(w))
+    val wc = size(wsr).cast("long")
+    val sumLen = aggregate(wsr, lit(0L), (a, w) => a + length(w).cast("long"))
+    val meanLen = when(wc === 0L, lit(0.0))
+      .otherwise(round(sumLen.cast("double") / wc, 6))
+    val nHash = (length(t) - length(replace(t, lit("#")))).cast("long")
+    val nEll3 = ((length(t) - length(replace(t, lit("...")))) / 3).cast("long")
+    val nEllU = (length(t) - length(replace(t, lit("…")))).cast("long")
+    val symbolRatio = when(wc === 0L, lit(0.0))
+      .otherwise(round((nHash + nEll3 + nEllU).cast("double") / wc, 6))
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => l =!= "")
+    val nl = size(lines).cast("long")
+    val bulletFrac = when(nl === 0L, lit(0.0)).otherwise(round(
+      size(filter(lines, l => l.startsWith("-") || l.startsWith("*") ||
+        l.startsWith("•"))).cast("double") / nl, 6))
+    val ellipsisFrac = when(nl === 0L, lit(0.0)).otherwise(round(
+      size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+        .cast("double") / nl, 6))
+    val alphaFrac = when(wc === 0L, lit(0.0)).otherwise(round(
+      size(filter(wsr, w => w.rlike("[A-Za-z]"))).cast("double") / wc, 6))
+    val stopHits = stopwords.map(s =>
+      when(array_contains(ws, s), 1L).otherwise(0L)).reduce(_ + _)
+    val dupLineFrac = when(nl === 0L, lit(0.0)).otherwise(round(
+      lit(1.0) - size(array_distinct(lines)).cast("double") / nl, 6))
+    val lineChars = aggregate(lines, lit(0L),
+      (a, l) => a + length(l).cast("long"))
+    val lineStats = sortedRunStats(array_sort(lines))
+    val dupLineCharFrac = when(lineChars === 0L, lit(0.0)).otherwise(round(
+      lineStats.getField("dup_chars").cast("double") / lineChars, 6))
+    // single-spaced length of the lowercased token join — the exact
+    // character mass the gram strings are built from
+    val denomG = when(wc === 0L, lit(0L))
+      .otherwise(length(array_join(ws, " ")).cast("long"))
+    def topFrac(n: Int): Column = {
+      val st = sortedRunStats(array_sort(ngramsFromWords(ws, n)))
+      when(denomG === 0L, lit(0.0)).otherwise(round(
+        (st.getField("top_cnt") * length(st.getField("top_item"))
+          .cast("long")).cast("double") / denomG, 6))
+    }
+    def dupFrac(n: Int): Column = {
+      val st = sortedRunStats(array_sort(ngramsFromWords(ws, n)))
+      when(denomG === 0L, lit(0.0)).otherwise(round(
+        st.getField("dup_chars").cast("double") / denomG, 6))
+    }
+    struct(
+      wc.as("word_count"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_word_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"), stopHits.as("stopword_hits"),
+      dupLineFrac.as("dup_line_frac"),
+      dupLineCharFrac.as("dup_line_char_frac"),
+      topFrac(2).as("top_2gram_char_frac"),
+      topFrac(3).as("top_3gram_char_frac"),
+      topFrac(4).as("top_4gram_char_frac"),
+      dupFrac(5).as("dup_5gram_char_frac"),
+      dupFrac(10).as("dup_10gram_char_frac"))
+  }
+
+  /** The paper's keep/drop decision over a [[gopherReport]] struct —
+    * thresholds exactly as published (word count 50..100k, mean word
+    * length 3..10, symbol ratio ≤ 0.1, bullet lines ≤ 90%, ellipsis
+    * lines ≤ 30%, alpha words ≥ 80%, ≥ 2 stop words, dup lines ≤ 30%
+    * by count / ≤ 20% by chars, top-{2,3,4}-gram chars ≤ {20,18,16}%,
+    * dup-{5,10}-gram chars ≤ {15,10}%). */
+  def gopherPass(r: Column): Column =
+    r.getField("word_count").between(50L, 100000L) &&
+    r.getField("mean_word_len").between(3.0, 10.0) &&
+    r.getField("symbol_word_ratio") <= 0.1 &&
+    r.getField("bullet_line_frac") <= 0.9 &&
+    r.getField("ellipsis_line_frac") <= 0.3 &&
+    r.getField("alpha_word_frac") >= 0.8 &&
+    r.getField("stopword_hits") >= 2L &&
+    r.getField("dup_line_frac") <= 0.3 &&
+    r.getField("dup_line_char_frac") <= 0.2 &&
+    r.getField("top_2gram_char_frac") <= 0.2 &&
+    r.getField("top_3gram_char_frac") <= 0.18 &&
+    r.getField("top_4gram_char_frac") <= 0.16 &&
+    r.getField("dup_5gram_char_frac") <= 0.15 &&
+    r.getField("dup_10gram_char_frac") <= 0.10
+
+  // -------------------------------------------------------------------
   // Benchmark decontamination
   // -------------------------------------------------------------------
 
   /** Lowercased word n-grams as an array (empty when the text has
     * fewer than n words). Same tokenization as the Dedup shingles. */
-  def wordNgrams(text: Column, n: Int): Column = {
+  def wordNgrams(text: Column, n: Int): Column =
+    ngramsFromWords(split(lower(trim(text)), "\\s+"), n)
+
+  /** N-grams from an already-tokenized word array — the shared core of
+    * [[wordNgrams]] and [[gopherReport]] (which tokenizes ONCE and
+    * derives five gram sizes from the same array). */
+  def ngramsFromWords(words: Column, n: Int): Column = {
     require(n >= 1)
-    val words = split(lower(trim(text)), "\\s+")
     when(size(words) >= n,
       transform(sequence(lit(1), size(words) - (n - 1)),
         i => array_join(slice(words, i, lit(n)), " ")))

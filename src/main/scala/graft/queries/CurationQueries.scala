@@ -390,6 +390,38 @@ object CurationQueries {
           n = 5, minMatches = 3)
         .orderBy(col("doc_id"))
     }),
+
+    // ---- Gopher quality-rule report (Rae et al. 2021 §A1.1) ---------------
+    // Three planted variants stress rule families the word-soup corpus
+    // cannot: doubled text (dup-gram char fractions), bullet multi-line
+    // docs (line rules), symbol-spiked docs (symbol ratio). The oracle
+    // recomputes every metric via unnest + GROUP BY — a completely
+    // different shape from the engine's per-row sorted run folds, so a
+    // fold bug cannot self-confirm.
+    "t10_gopher_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val doubled = docs.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 60000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+      val bulleted = docs.filter(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 70000L).as("doc_id"),
+          replace(col("text"), lit(" table "), lit("\n- ")).as("text"))
+      val spiked = docs.filter(col("doc_id") % 53 === 0)
+        .select((col("doc_id") + 80000L).as("doc_id"),
+          concat(col("text"), lit(" # # # # # # # #")).as("text"))
+      val fields = Seq("word_count", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "stopword_hits", "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac", "dup_5gram_char_frac",
+        "dup_10gram_char_frac")
+      docs.unionByName(doubled).unionByName(bulleted).unionByName(spiked)
+        .withColumn("__g", Curation.gopherReport(col("text")))
+        .select(col("doc_id") +:
+          fields.map(f => col("__g").getField(f).as(f)) :+
+          Curation.gopherPass(col("__g")).as("gopher_pass"): _*)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** dsir1/dsir2 oracle: full-recompute of the DSIR weight path —
@@ -904,5 +936,129 @@ object CurationQueries {
         |  COALESCE(h.n, 0) >= 3 AS is_contaminated
         |FROM corpus c LEFT JOIN hits h USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Full first-principles recompute of the Gopher report: per-doc
+    // scalars from list lambdas, line/gram duplicate-char masses from
+    // unnest + GROUP BY (the engine uses per-row sorted run folds —
+    // deliberately different shape), top-gram argmax pinned to the same
+    // (count DESC, gram ASC) tie-break the fold's sorted-first-wins
+    // implements.
+    "t10_gopher_quality" ->
+      """WITH rdocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 60000, text || ' ' || text
+        |  FROM documents WHERE doc_id % 31 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 70000, replace(text, ' table ', chr(10) || '- ')
+        |  FROM documents WHERE doc_id % 41 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 80000, text || ' # # # # # # # #'
+        |  FROM documents WHERE doc_id % 53 = 0),
+        |tok AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |    list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+        |      x -> x <> '') AS wsr
+        |  FROM rdocs),
+        |tok2 AS (
+        |  SELECT doc_id, t, wsr,
+        |    list_transform(wsr, x -> lower(x)) AS ws,
+        |    len(wsr) AS wc,
+        |    list_filter(list_transform(string_split(t, chr(10)),
+        |      x -> trim(x)), x -> x <> '') AS ls
+        |  FROM tok),
+        |scal AS (
+        |  SELECT doc_id, ws, wc, ls,
+        |    CASE WHEN wc = 0 THEN 0
+        |      ELSE length(array_to_string(ws, ' ')) END AS dg,
+        |    CASE WHEN wc = 0 THEN 0.0 ELSE round(CAST(
+        |      coalesce(list_sum(list_transform(wsr, x -> length(x))), 0)
+        |      AS DOUBLE) / wc, 6) END AS mean_word_len,
+        |    CASE WHEN wc = 0 THEN 0.0 ELSE round(CAST(
+        |      (length(t) - length(replace(t, '#', '')))
+        |      + CAST((length(t) - length(replace(t, '...', ''))) / 3
+        |          AS BIGINT)
+        |      + (length(t) - length(replace(t, '…', '')))
+        |      AS DOUBLE) / wc, 6) END AS symbol_word_ratio,
+        |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(CAST(
+        |      len(list_filter(ls, x -> x LIKE '-%' OR x LIKE '*%'
+        |        OR x LIKE '•%')) AS DOUBLE) / len(ls), 6)
+        |      END AS bullet_line_frac,
+        |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(CAST(
+        |      len(list_filter(ls, x -> x LIKE '%...' OR x LIKE '%…'))
+        |      AS DOUBLE) / len(ls), 6) END AS ellipsis_line_frac,
+        |    CASE WHEN wc = 0 THEN 0.0 ELSE round(CAST(
+        |      len(list_filter(wsr, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS DOUBLE) / wc, 6) END AS alpha_word_frac,
+        |    CAST(len(list_filter(
+        |      ['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(ws, s))) AS BIGINT) AS stopword_hits,
+        |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(1.0 -
+        |      CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
+        |      END AS dup_line_frac
+        |  FROM tok2),
+        |lx AS (SELECT doc_id, unnest(ls) AS line FROM tok2),
+        |lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS ll
+        |       FROM lx GROUP BY 1, 2),
+        |lm AS (SELECT doc_id, sum(c * ll) AS lchars,
+        |         sum(CASE WHEN c >= 2 THEN c * ll ELSE 0 END) AS dchars
+        |       FROM lc GROUP BY 1),
+        |ns AS (SELECT unnest([2, 3, 4, 5, 10]) AS n),
+        |gx AS (SELECT doc_id, n,
+        |    unnest(list_transform(range(1, len(ws) - n + 2),
+        |      i -> array_to_string(ws[i:i+n-1], ' '))) AS gram
+        |  FROM tok2 CROSS JOIN ns WHERE len(ws) >= n),
+        |gc AS (SELECT doc_id, n, gram, count(*) AS c, length(gram) AS gl
+        |       FROM gx GROUP BY 1, 2, 3),
+        |gtop AS (SELECT doc_id, n, c * gl AS top_chars FROM (
+        |    SELECT doc_id, n, c, gl, row_number() OVER (
+        |      PARTITION BY doc_id, n ORDER BY c DESC, gram) AS rn
+        |    FROM gc) WHERE rn = 1),
+        |gdup AS (SELECT doc_id, n,
+        |    sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS dup_chars
+        |  FROM gc GROUP BY 1, 2),
+        |gm AS (SELECT doc_id,
+        |    max(CASE WHEN n = 2 THEN top_chars END) AS t2,
+        |    max(CASE WHEN n = 3 THEN top_chars END) AS t3,
+        |    max(CASE WHEN n = 4 THEN top_chars END) AS t4,
+        |    max(CASE WHEN n = 5 THEN dup_chars END) AS d5,
+        |    max(CASE WHEN n = 10 THEN dup_chars END) AS d10
+        |  FROM gtop FULL JOIN gdup USING (doc_id, n) GROUP BY 1),
+        |f AS (
+        |  SELECT s.doc_id, CAST(s.wc AS BIGINT) AS word_count,
+        |    s.mean_word_len, s.symbol_word_ratio, s.bullet_line_frac,
+        |    s.ellipsis_line_frac, s.alpha_word_frac, s.stopword_hits,
+        |    s.dup_line_frac,
+        |    CASE WHEN coalesce(lm.lchars, 0) = 0 THEN 0.0 ELSE
+        |      round(CAST(lm.dchars AS DOUBLE) / lm.lchars, 6)
+        |      END AS dup_line_char_frac,
+        |    CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
+        |      CAST(coalesce(gm.t2, 0) AS DOUBLE) / s.dg, 6)
+        |      END AS top_2gram_char_frac,
+        |    CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
+        |      CAST(coalesce(gm.t3, 0) AS DOUBLE) / s.dg, 6)
+        |      END AS top_3gram_char_frac,
+        |    CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
+        |      CAST(coalesce(gm.t4, 0) AS DOUBLE) / s.dg, 6)
+        |      END AS top_4gram_char_frac,
+        |    CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
+        |      CAST(coalesce(gm.d5, 0) AS DOUBLE) / s.dg, 6)
+        |      END AS dup_5gram_char_frac,
+        |    CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
+        |      CAST(coalesce(gm.d10, 0) AS DOUBLE) / s.dg, 6)
+        |      END AS dup_10gram_char_frac
+        |  FROM scal s LEFT JOIN lm USING (doc_id)
+        |    LEFT JOIN gm USING (doc_id))
+        |SELECT *,
+        |  word_count BETWEEN 50 AND 100000
+        |  AND mean_word_len BETWEEN 3.0 AND 10.0
+        |  AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |  AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |  AND stopword_hits >= 2 AND dup_line_frac <= 0.3
+        |  AND dup_line_char_frac <= 0.2 AND top_2gram_char_frac <= 0.2
+        |  AND top_3gram_char_frac <= 0.18 AND top_4gram_char_frac <= 0.16
+        |  AND dup_5gram_char_frac <= 0.15 AND dup_10gram_char_frac <= 0.10
+        |  AS gopher_pass
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }
