@@ -797,6 +797,50 @@ object Curation {
     r.getField("dup_10gram_char_frac") <= 0.10
 
   // -------------------------------------------------------------------
+  // C4 line-level cleaning
+  // -------------------------------------------------------------------
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — public literature): split a page into lines, keep only
+    * lines that (a) end in a terminal punctuation mark (`. ! ? "`),
+    * (b) contain ≥ `minLineWords` words, and (c) do not mention
+    * "javascript" (case-insensitive); then decide the PAGE: kept iff
+    * ≥ `minLines` lines survive AND the raw text contains neither
+    * "lorem ipsum" (case-insensitive) nor a curly brace. (The paper's
+    * remaining steps live elsewhere in this engine: the bad-words list
+    * is deployment-specific — pass extra phrases via `badLinePhrases` —
+    * and the three-sentence-span corpus dedup is
+    * [[graft.operators.Dedup.repeatedSpans]].)
+    *
+    * Returns struct<clean_text — surviving lines joined by '\n',
+    * n_lines_kept, n_lines_dropped, is_kept>. `clean_text` is returned
+    * even when `is_kept` is false so callers can inspect or re-gate.
+    * Pure per-row array expressions — one line split, no explode, no
+    * shuffle, no UDF: a map-only scan at 100 TB. */
+  def c4LineClean(text: Column, minLineWords: Int = 3, minLines: Int = 5,
+      badLinePhrases: Seq[String] = Seq("javascript")): Column = {
+    val t = coalesce(text, lit(""))
+    val lines = filter(transform(split(t, "\n"), l => trim(l)),
+      l => l =!= "")
+    val kept = filter(lines, l => {
+      val terminal = l.endsWith(".") || l.endsWith("!") ||
+        l.endsWith("?") || l.endsWith("\"")
+      val words = size(filter(split(l, "\\s+"), w => w =!= ""))
+      val clean = badLinePhrases.map(p => !lower(l).contains(p))
+        .reduce(_ && _)
+      terminal && words >= minLineWords && clean
+    })
+    val nKept = size(kept).cast("long")
+    val nDropped = (size(lines) - size(kept)).cast("long")
+    val pageOk = nKept >= minLines.toLong &&
+      !lower(t).contains("lorem ipsum") && !t.contains("{")
+    struct(
+      array_join(kept, "\n").as("clean_text"),
+      nKept.as("n_lines_kept"), nDropped.as("n_lines_dropped"),
+      pageOk.as("is_kept"))
+  }
+
+  // -------------------------------------------------------------------
   // Benchmark decontamination
   // -------------------------------------------------------------------
 

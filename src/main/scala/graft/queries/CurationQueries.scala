@@ -422,6 +422,40 @@ object CurationQueries {
           Curation.gopherPass(col("__g")).as("gopher_pass"): _*)
         .orderBy(col("doc_id"))
     }),
+
+    // ---- C4 line-level cleaning (Raffel et al. 2020 §2.2) -----------------
+    // The base corpus (no newlines, no punctuation) exercises the
+    // drop-everything path; planted variants exercise each rule: docs
+    // sentence-ized by replacing ' value ' with '.\n' (kept lines), a
+    // javascript line (line dropped), a lorem-ipsum line (page
+    // dropped), a curly-brace suffix (page dropped).
+    "cu14_line_clean" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      def sentenceized = replace(col("text"), lit(" value "), lit(".\n"))
+      val sent = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 90000L).as("doc_id"),
+          concat(sentenceized, lit(".")).as("text"))
+      val js = docs.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 95000L).as("doc_id"),
+          concat(sentenceized,
+            lit(".\nenable javascript to continue.")).as("text"))
+      val lorem = docs.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 97000L).as("doc_id"),
+          concat(sentenceized,
+            lit(".\nlorem ipsum dolor sit amet.")).as("text"))
+      val brace = docs.filter(col("doc_id") % 43 === 0)
+        .select((col("doc_id") + 98000L).as("doc_id"),
+          concat(sentenceized, lit(". {")).as("text"))
+      docs.unionByName(sent).unionByName(js).unionByName(lorem)
+        .unionByName(brace)
+        .withColumn("__c", Curation.c4LineClean(col("text")))
+        .select(col("doc_id"),
+          col("__c").getField("clean_text").as("clean_text"),
+          col("__c").getField("n_lines_kept").as("n_lines_kept"),
+          col("__c").getField("n_lines_dropped").as("n_lines_dropped"),
+          col("__c").getField("is_kept").as("is_kept"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** dsir1/dsir2 oracle: full-recompute of the DSIR weight path —
@@ -1060,5 +1094,51 @@ object CurationQueries {
         |  AND dup_5gram_char_frac <= 0.15 AND dup_10gram_char_frac <= 0.10
         |  AS gopher_pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Line-rule recompute: same list-lambda split/trim/filter chain,
+    // page rules from the raw text.
+    "cu14_line_clean" ->
+      """WITH rdocs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 90000,
+        |    replace(text, ' value ', '.' || chr(10)) || '.'
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 95000,
+        |    replace(text, ' value ', '.' || chr(10)) || '.' || chr(10)
+        |      || 'enable javascript to continue.'
+        |  FROM documents WHERE doc_id % 29 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 97000,
+        |    replace(text, ' value ', '.' || chr(10)) || '.' || chr(10)
+        |      || 'lorem ipsum dolor sit amet.'
+        |  FROM documents WHERE doc_id % 37 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 98000,
+        |    replace(text, ' value ', '.' || chr(10)) || '. {'
+        |  FROM documents WHERE doc_id % 43 = 0),
+        |l AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |    list_filter(list_transform(
+        |      string_split(coalesce(text, ''), chr(10)), x -> trim(x)),
+        |      x -> x <> '') AS ls
+        |  FROM rdocs),
+        |k AS (
+        |  SELECT doc_id, t, ls,
+        |    list_filter(ls, x ->
+        |      (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?'
+        |        OR x LIKE '%"')
+        |      AND len(list_filter(string_split_regex(x, '\s+'),
+        |        w -> w <> '')) >= 3
+        |      AND NOT contains(lower(x), 'javascript')) AS ks
+        |  FROM l)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(ks, chr(10)), '') AS clean_text,
+        |  CAST(len(ks) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(ls) - len(ks) AS BIGINT) AS n_lines_dropped,
+        |  len(ks) >= 5 AND NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(t, '{') AS is_kept
+        |FROM k ORDER BY doc_id""".stripMargin,
   )
 }
