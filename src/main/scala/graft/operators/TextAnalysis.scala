@@ -372,4 +372,87 @@ object TextAnalysis {
       .select(col(qidCol), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as(idCol), (col("col.ord") / lit(1e6)).as("score"))
   }
+
+  // ---- bigram language-model scoring (CCNet-style fluency filter) -------
+
+  /** Per-document (prev, cur) bigram pairs as narrow rows — the shared
+    * explode of [[bigramLm]] (training) and [[bigramLogProb]]
+    * (scoring). The pair array is built per row from one tokenization
+    * (no self-join on position), then exploded. */
+  private def bigramPairs(docs: DataFrame, keep: Seq[Column],
+      textCol: String): DataFrame = {
+    val ws = filter(tokens(col(textCol)), w => w =!= "")
+    val prs = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => struct(element_at(ws, i).as("prev"),
+          element_at(ws, i + 1).as("cur"))))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+    docs.select(keep :+ explode(prs).as("b"): _*)
+      .select(keep :+ col("b.prev") :+ col("b.cur"): _*)
+  }
+
+  /** Train a bigram language model: the (prev, cur, c) count table over
+    * the lowercased whitespace tokens of `docs`. This IS the model —
+    * a mergeable DataFrame state (pure additive counts: maintain
+    * incrementally by unioning batch counts and re-summing, the same
+    * contract as the Count-Min and HLL states). Context totals and the
+    * vocabulary are DERIVED from it at scoring time, so nothing else
+    * needs persisting. O(corpus tokens) explode, one narrow
+    * (prev, cur) shuffle with map-side combine. */
+  def bigramLm(docs: DataFrame, textCol: String): DataFrame =
+    bigramPairs(docs, Seq.empty, textCol)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c"))
+
+  /** Score documents under a [[bigramLm]] model — the CCNet-style
+    * fluency/quality signal (Wenzek et al. 2019, arXiv:1911.00359,
+    * public literature: rank web text by LM perplexity against a clean
+    * reference corpus; low perplexity ≈ fluent prose, high ≈ soup).
+    *
+    * Per transition: add-alpha smoothed conditional
+    * `ln((c(prev,cur) + a) / (ctx(prev) + a·V))` with `ctx(prev)` the
+    * model's context total (Σ over cur) and `V` its distinct-target
+    * vocabulary — both derived from the count table. Returns per doc:
+    * n_transitions, nll_micros (negated integer-micros sum — exact
+    * integer arithmetic, so partition- and engine-order immune, the
+    * BM25 pattern), and avg_nll (nll_micros / 1e6 / n_transitions; the
+    * monotone stand-in for perplexity — `exp` of it would add libm
+    * ULP drift and cannot change a threshold decision). Docs with < 2
+    * tokens score (0, 0, 0.0), never null.
+    *
+    * Scale shape: the doc side collapses to per-doc (prev, cur, nk)
+    * counts before joining; the model joins by (prev, cur) then prev —
+    * vocabulary-sized shuffle joins (a 100 TB vocabulary doesn't
+    * broadcast); V rides a broadcast one-row aggregate. O(corpus
+    * tokens) floor, no all-pairs, no collect. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      lmCounts: DataFrame, alpha: Double = 0.5)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    require(alpha > 0, s"bigramLogProb: alpha must be > 0, got $alpha")
+    // three consumers (ctx, vocab, the pair join) — cache or the
+    // training explode re-runs per consumer
+    val lm = scope.cache(lmCounts)
+    val ctx = lm.groupBy(col("prev")).agg(sum(col("c")).as("ctx"))
+    val vocab = broadcast(lm.agg(countDistinct(col("cur")).as("v")))
+    val dp = bigramPairs(docs, Seq(col(idCol)), textCol)
+      .groupBy(col(idCol), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("nk"))
+    val lp = log((coalesce(col("c"), lit(0L)) + lit(alpha)) /
+      (coalesce(col("ctx"), lit(0L)) + lit(alpha) * col("v")))
+    val scored = dp
+      .join(lm, Seq("prev", "cur"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .crossJoin(vocab)
+      .withColumn("lp_micros",
+        round(lp * lit(1e6)).cast("long") * col("nk"))
+      .groupBy(col(idCol))
+      .agg(sum(col("nk")).as("n_transitions"),
+        (-sum(col("lp_micros"))).as("nll_micros"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        coalesce(col("nll_micros"), lit(0L)).as("nll_micros"),
+        when(coalesce(col("n_transitions"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("nll_micros") / lit(1e6) /
+            col("n_transitions")).as("avg_nll"))
+  }
 }

@@ -456,6 +456,20 @@ object CurationQueries {
           col("__c").getField("is_kept").as("is_kept"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- bigram LM fluency scoring (CCNet-style) --------------------------
+    // Train on the src0 slice, score every document. The oracle
+    // rebuilds the whole model (bigram counts, context totals, V) and
+    // replays the smoothed ln to the same integer micros, so training,
+    // smoothing, OOV handling, and the per-doc fold all hash-compare.
+    "t11_bigram_lm" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), col("text"))
+      val lm = TextAnalysis.bigramLm(
+        docs.filter(col("source") === "src0"), "text")
+      TextAnalysis.bigramLogProb(docs, "doc_id", "text", lm, alpha = 0.5)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** dsir1/dsir2 oracle: full-recompute of the DSIR weight path —
@@ -1140,5 +1154,46 @@ object CurationQueries {
         |  len(ks) >= 5 AND NOT contains(lower(t), 'lorem ipsum')
         |    AND NOT contains(t, '{') AS is_kept
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // Full LM rebuild: bigram counts from the src0 slice, context
+    // totals, distinct-target vocabulary, then the same add-alpha
+    // smoothed ln per transition rounded to integer micros before the
+    // per-doc sum (the t8 determinism pattern).
+    "t11_bigram_lm" -> {
+      val a = 0.5
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> x <> '') AS ws
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, source, ws[i] AS prev, ws[i+1] AS cur
+         |  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+         |  WHERE len(ws) >= 2),
+         |lm AS (SELECT prev, cur, count(*) AS c FROM p
+         |       WHERE source = 'src0' GROUP BY 1, 2),
+         |ctx AS (SELECT prev, sum(c) AS ctx FROM lm GROUP BY 1),
+         |v AS (SELECT count(DISTINCT cur) AS v FROM lm),
+         |dp AS (SELECT doc_id, prev, cur, count(*) AS nk
+         |       FROM p GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT dp.doc_id, SUM(dp.nk) AS n_transitions,
+         |    -SUM(CAST(round(ln(
+         |        (coalesce(lm.c, 0) + CAST($a AS DOUBLE))
+         |        / (coalesce(ctx.ctx, 0) + CAST($a AS DOUBLE) * v.v))
+         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) * dp.nk)
+         |      AS nll_micros
+         |  FROM dp LEFT JOIN lm USING (prev, cur)
+         |    LEFT JOIN ctx USING (prev) CROSS JOIN v
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(sc.n_transitions, 0) AS n_transitions,
+         |  coalesce(sc.nll_micros, 0) AS nll_micros,
+         |  CASE WHEN coalesce(sc.n_transitions, 0) = 0 THEN 0.0
+         |    ELSE sc.nll_micros / CAST(1000000.0 AS DOUBLE)
+         |      / sc.n_transitions END AS avg_nll
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

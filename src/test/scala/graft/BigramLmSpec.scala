@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Hand-computed cases for the bigram LM trainer and scorer. */
+class BigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // training corpus: "a b a b" -> (a,b),(b,a),(a,b); "a c" -> (a,c)
+  private def lm = TextAnalysis.bigramLm(
+    Seq("a b a b", "a c").toDF("text"), "text")
+
+  test("bigramLm: counts per (prev, cur) pair") {
+    val got = lm.as[(String, String, Long)].collect().toSet
+    assert(got === Set(("a", "b", 2L), ("b", "a", 1L), ("a", "c", 1L)))
+  }
+
+  test("bigramLogProb: smoothed transition math to the micro") {
+    // model: c(a,b)=2, c(b,a)=1, c(a,c)=1; ctx(a)=3, ctx(b)=1; V=3
+    val docs = Seq((1L, "a b"), (2L, "z q"), (3L, "a"), (4L, "b a b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis
+      .bigramLogProb(docs, "doc_id", "text", lm, alpha = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    // doc 1: ln((2+.5)/(3+.5*3)) = ln(2.5/4.5) -> micros -587787
+    val m1 = math.rint(math.log(2.5 / 4.5) * 1e6).toLong
+    assert(got(0) === ((1L, 1L, -m1, -m1 / 1e6 / 1)))
+    // doc 2: both words unseen: ln(.5/(0+1.5)) = ln(1/3) -> -1098612
+    val m2 = math.rint(math.log(0.5 / 1.5) * 1e6).toLong
+    assert(got(1) === ((2L, 1L, -m2, -m2 / 1e6 / 1)))
+    // doc 3: single token -> no transitions, all-zero not null
+    assert(got(2) === ((3L, 0L, 0L, 0.0)))
+    // doc 4: (b,a): ln((1+.5)/(1+1.5)); (a,b): ln(2.5/4.5)
+    val m4 = math.rint(math.log(1.5 / 2.5) * 1e6).toLong + m1
+    assert(got(3) === ((4L, 2L, -m4, -m4 / 1e6 / 2)))
+  }
+
+  test("bigramLogProb: counts are mergeable (additive union rebuild)") {
+    val half1 = TextAnalysis.bigramLm(Seq("a b a b").toDF("text"), "text")
+    val half2 = TextAnalysis.bigramLm(Seq("a c").toDF("text"), "text")
+    val merged = half1.unionByName(half2)
+      .groupBy("prev", "cur").agg(sum("c").as("c"))
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val a = TextAnalysis.bigramLogProb(docs, "doc_id", "text", lm)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val b = TextAnalysis.bigramLogProb(docs, "doc_id", "text", merged)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(a === b)
+  }
+}
