@@ -403,6 +403,16 @@ object TextAnalysis {
     bigramPairs(docs, Seq.empty, textCol)
       .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c"))
 
+  /** Fold two [[bigramLm]] count tables (pure SUM — associative and
+    * commutative, so a streamed corpus maintains the model at
+    * O(delta)/batch via
+    * [[graft.streaming.StreamingSummary.maintainBigramLmFromFiles]]
+    * and the folded table is bit-identical to the one-shot count of
+    * the union — integer counts, no float drift). */
+  def foldBigramLm(prev: DataFrame, delta: DataFrame): DataFrame =
+    prev.unionByName(delta).groupBy(col("prev"), col("cur"))
+      .agg(sum(col("c")).as("c"))
+
   /** Score documents under a [[bigramLm]] model — the CCNet-style
     * fluency/quality signal (Wenzek et al. 2019, arXiv:1911.00359,
     * public literature: rank web text by LM perplexity against a clean

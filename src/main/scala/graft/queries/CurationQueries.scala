@@ -470,6 +470,23 @@ object CurationQueries {
       TextAnalysis.bigramLogProb(docs, "doc_id", "text", lm, alpha = 0.5)
         .orderBy(col("doc_id"))
     }),
+
+    // ---- incremental bigram LM: folded batch counts ≡ one-shot model ------
+    // The training slice arrives as two halves; their count tables fold
+    // by SUM and every doc is scored against the maintained state. The
+    // oracle is the SAME full-recompute SQL as t11: integer counts are
+    // associative, so the incremental path must reproduce the one-shot
+    // scores bit for bit (the dsir2 discipline).
+    "t11b_incremental_lm" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), col("text"))
+      val train = docs.filter(col("source") === "src0")
+      val lm = TextAnalysis.foldBigramLm(
+        TextAnalysis.bigramLm(train.filter(col("doc_id") % 2 === 0), "text"),
+        TextAnalysis.bigramLm(train.filter(col("doc_id") % 2 === 1), "text"))
+      TextAnalysis.bigramLogProb(docs, "doc_id", "text", lm, alpha = 0.5)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** dsir1/dsir2 oracle: full-recompute of the DSIR weight path —
@@ -1158,8 +1175,14 @@ object CurationQueries {
     // Full LM rebuild: bigram counts from the src0 slice, context
     // totals, distinct-target vocabulary, then the same add-alpha
     // smoothed ln per transition rounded to integer micros before the
-    // per-doc sum (the t8 determinism pattern).
-    "t11_bigram_lm" -> {
+    // per-doc sum (the t8 determinism pattern). t11b scores against
+    // FOLDED incremental counts; additive integers make that
+    // bit-identical to this one-shot expectation.
+    "t11_bigram_lm" -> bigramLmOracleSql,
+    "t11b_incremental_lm" -> bigramLmOracleSql,
+  )
+
+  private def bigramLmOracleSql: String = {
       val a = 0.5
       s"""WITH w AS (
          |  SELECT doc_id, source,
@@ -1194,6 +1217,5 @@ object CurationQueries {
          |      / sc.n_transitions END AS avg_nll
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin
-    },
-  )
+  }
 }

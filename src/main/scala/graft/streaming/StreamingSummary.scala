@@ -161,6 +161,23 @@ object StreamingSummary {
           .getOrElse(delta)
     }
 
+  /** Bigram-LM maintenance: the stored state is the (prev, cur, c)
+    * count table of [[graft.operators.TextAnalysis.bigramLm]] —
+    * vocabulary²-bounded, independent of history size. Each batch
+    * counts at O(delta) and folds by pure SUM, so the maintained model
+    * is bit-identical to the one-shot count of everything ever
+    * streamed; score any doc set against it any time with
+    * [[graft.operators.TextAnalysis.bigramLogProb]]. */
+  def maintainBigramLmFromFiles(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpoint: String,
+      summaryPath: String, textCol: String): DataFrame =
+    maintainVersioned(spark, inDir, schema, checkpoint, summaryPath) {
+      (batch, prev) =>
+        val delta = graft.operators.TextAnalysis.bigramLm(batch, textCol)
+        prev.map(p => graft.operators.TextAnalysis.foldBigramLm(p, delta))
+          .getOrElse(delta)
+    }
+
   def maintainCountMinFromFiles(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, checkpoint: String,
       summaryPath: String, itemCol: String, depth: Int = 4,

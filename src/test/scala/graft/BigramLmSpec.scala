@@ -49,4 +49,28 @@ class BigramLmSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(a === b)
   }
+
+  test("streamed LM state equals the one-shot model over all deltas") {
+    val raw = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_blm").toString
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    Seq(0, 1).foreach { i =>
+      raw.filter(col("doc_id") % 2 === i)
+        .coalesce(1).write.parquet(s"$root/in/batch_$i")
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/in/batch_$i"))
+        .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, j) =>
+          fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(s"$root/deltas/b${i}_$j.parquet"))
+        }
+    }
+    val state = graft.streaming.StreamingSummary.maintainBigramLmFromFiles(
+      spark, s"$root/deltas", raw.schema, s"$root/ckpt", s"$root/state",
+      "text")
+    val full = TextAnalysis.bigramLm(raw, "text")
+    assert(state.orderBy("prev", "cur").collect().toSeq ===
+      full.orderBy("prev", "cur").collect().toSeq)
+  }
 }

@@ -265,4 +265,42 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("gopher report / c4 clean stay map-only (one ORDER BY exchange)") {
+    // Both operators are per-row folds: the ONLY exchange the gate may
+    // plan is its own deterministic ORDER BY. A second exchange means
+    // a fold regressed into an explode + groupBy.
+    noAqe {
+      Seq("t10_gopher_quality", "cu14_line_clean").foreach { name =>
+        val p = planOf(SparkEntry.queries(name)(spark, sf))
+        val exchanges = p.collectWithSubqueries {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }
+        assert(exchanges.size <= 1,
+          s"$name plans ${exchanges.size} shuffles — per-row fold " +
+            "regressed into a shuffling shape")
+        val gens = p.collectWithSubqueries {
+          case g: org.apache.spark.sql.execution.GenerateExec => g }
+        assert(gens.isEmpty,
+          s"$name plans a Generate — per-doc metrics must not explode")
+      }
+    }
+  }
+
+  test("bigram LM: only narrow count rows shuffle, never document text") {
+    noAqe {
+      val p = planOf(SparkEntry.queries("t11_bigram_lm")(spark, sf))
+      val exchanges = p.collectWithSubqueries {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        val names = e.child.output.map(_.name).toSet
+        assert(!names.contains("text"),
+          s"t11 shuffles the document payload: ${names.mkString(",")}")
+      }
+    }
+  }
 }
