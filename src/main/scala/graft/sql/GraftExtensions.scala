@@ -114,6 +114,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "word_ngrams(text, n) — n must be an integer literal")
       }))
+    ext.injectFunction((FunctionIdentifier("gopher_report"),
+      new ExpressionInfo(Curation.getClass.getName, "gopher_report"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t) => expr_(Curation.gopherReport(col_(t)))
+        case _ => throw new IllegalArgumentException(
+          "gopher_report(text) takes exactly one argument")
+      }))
+    ext.injectFunction((FunctionIdentifier("gopher_pass"),
+      new ExpressionInfo(Curation.getClass.getName, "gopher_pass"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t) =>
+          expr_(Curation.gopherPass(Curation.gopherReport(col_(t))))
+        case _ => throw new IllegalArgumentException(
+          "gopher_pass(text) takes exactly one argument")
+      }))
+    ext.injectFunction((FunctionIdentifier("c4_line_clean"),
+      new ExpressionInfo(Curation.getClass.getName, "c4_line_clean"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t) => expr_(Curation.c4LineClean(col_(t)))
+        case Seq(t, Literal(mw: Int, _), Literal(ml: Int, _)) =>
+          expr_(Curation.c4LineClean(col_(t), mw, ml))
+        case _ => throw new IllegalArgumentException(
+          "c4_line_clean(text[, min_line_words, min_lines]) — bounds " +
+            "must be integer literals")
+      }))
     ext.injectFunction((FunctionIdentifier("hash_draw"),
       new ExpressionInfo(Curation.getClass.getName, "hash_draw"),
       (exprs: Seq[Expression]) => exprs match {
@@ -271,6 +296,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "bm25_topk(path, idCol, textCol, queryText, k) — all arguments " +
             "must be literals (k an integer)")
+      }))
+    ext.injectTableFunction((FunctionIdentifier("bigram_lm_score"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "bigram_lm_score"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, idc, tc, tp, ttc, rest @ _*) if rest.size <= 1 =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val docs = spark.read.parquet(strLit(p, "bigram_lm_score path"))
+          val train = spark.read.parquet(
+            strLit(tp, "bigram_lm_score trainPath"))
+          val alpha = rest.headOption
+            .map(numLit(_, "bigram_lm_score alpha")).getOrElse(0.5)
+          val lm = graft.operators.TextAnalysis.bigramLm(train,
+            strLit(ttc, "bigram_lm_score trainTextCol"))
+          graft.operators.TextAnalysis.bigramLogProb(docs,
+            strLit(idc, "bigram_lm_score idCol"),
+            strLit(tc, "bigram_lm_score textCol"), lm, alpha)
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "bigram_lm_score(path, idCol, textCol, trainPath, " +
+            "trainTextCol[, alpha]) — all arguments must be literals")
       }))
     ext.injectTableFunction((FunctionIdentifier("containment_pairs"),
       new ExpressionInfo(classOf[GraftExtensions].getName,

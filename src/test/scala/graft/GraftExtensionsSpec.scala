@@ -105,6 +105,24 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT linear_score(array(1.0D), array(rand()), 0.0D)")
         .collect()
     }
+
+    // quality-rule functions: struct report, boolean decision, line clean
+    val gr = spark.sql(
+      "SELECT gopher_report('p q r p q r').word_count AS wc, " +
+        "gopher_report('p q r p q r').top_2gram_char_frac AS t2")
+      .collect().head
+    assert(gr.getLong(0) === 6L)
+    assert(gr.getDouble(1) === 0.545455) // "p q"=2, len 3, denom 11
+    assert(spark.sql("SELECT gopher_pass('a b c') AS p")
+      .collect().head.getBoolean(0) === false) // fails word count
+    val c4 = spark.sql(
+      "SELECT c4_line_clean('keep this line here.\nno punct').n_lines_kept" +
+        " AS k").collect().head.getLong(0)
+    assert(c4 === 1L)
+    val c4b = spark.sql(
+      "SELECT c4_line_clean('one two.\nthree four.', 2, 2).is_kept AS k")
+      .collect().head.getBoolean(0)
+    assert(c4b === true)
   }
 
   test("log_bucket / log_bucket_hi: SQL-built sketches match the " +
@@ -214,6 +232,16 @@ class GraftExtensionsSpec extends SparkSpec {
       s"tfidf_by_group('$dir', 'source', 'text', 1) ORDER BY source")
       .collect()
     assert(tg.map(_.getString(0)).toSeq === Seq("a", "b"))
+    // bigram LM scoring: train on the same corpus, score it; the SQL
+    // relation must equal the Scala-API relation exactly
+    val lmGot = spark.sql(s"SELECT doc_id, n_transitions, nll_micros, " +
+      s"avg_nll FROM bigram_lm_score('$dir', 'doc_id', 'text', '$dir', " +
+      "'text') ORDER BY doc_id").collect()
+    val lmWant = graft.operators.TextAnalysis.bigramLogProb(
+      spark.read.parquet(dir), "doc_id", "text",
+      graft.operators.TextAnalysis.bigramLm(spark.read.parquet(dir),
+        "text")).orderBy("doc_id").collect()
+    assert(lmGot.toSeq === lmWant.toSeq)
     // non-literal arguments are rejected with the documented message
     intercept[Exception] {
       spark.sql(s"SELECT * FROM bm25_topk('$dir', 'doc_id', 'text', " +
