@@ -228,6 +228,50 @@ object Stress {
       }
     }
 
+    // ---- bigram LM: ~23 transitions/doc -> ~115M narrow pair rows
+    // through the (id, prev, cur) partial-agg shuffle; the model table
+    // is vocabulary²-bounded. Separation telemetry: docs drawn from the
+    // training templates must score lower NLL than the rest ------------
+    step("bigramlm") {
+      CacheScope.withScope { implicit scope =>
+        val train = docs.filter(pmod(col("doc_id"), lit(20)) < 5)
+        val lm = graft.operators.TextAnalysis.bigramLm(train, "text")
+        val scored = graft.operators.TextAnalysis.bigramLogProb(
+          docs, "doc_id", "text", lm)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = scored.count()
+        val sep = scored.join(docs.select(col("doc_id"),
+            (pmod(col("doc_id"), lit(20)) < 5).as("in_target")), "doc_id")
+          .groupBy(col("in_target"))
+          .agg(avg(col("avg_nll")).as("mean_nll"))
+          .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+        scored.unpersist()
+        Seq("n_scored" -> n,
+          "mean_nll_target" -> sep.getOrElse(true, Double.NaN),
+          "mean_nll_rest" -> sep.getOrElse(false, Double.NaN),
+          "separated" -> (sep.getOrElse(true, Double.MaxValue) <
+            sep.getOrElse(false, 0.0)))
+      }
+    }
+
+    // ---- per-row quality reports over the FULL corpus: gopher (five
+    // sorted gram folds/row) + c4 line clean in ONE map-only pass — the
+    // telemetry is pure scan throughput, there is nothing to shuffle ----
+    step("quality") {
+      val r = docs
+        .withColumn("__g", graft.operators.Curation.gopherReport(col("text")))
+        .withColumn("__c", graft.operators.Curation.c4LineClean(col("text")))
+        .agg(count(lit(1)).as("n"),
+          sum(when(graft.operators.Curation.gopherPass(col("__g")), 1L)
+            .otherwise(0L)).as("n_gopher_pass"),
+          sum(when(col("__c").getField("is_kept"), 1L).otherwise(0L))
+            .as("n_c4_kept"),
+          sum(col("__g").getField("word_count")).as("n_words"))
+        .collect().head
+      Seq("n_docs" -> r.getLong(0), "n_gopher_pass" -> r.getLong(1),
+        "n_c4_kept" -> r.getLong(2), "n_words" -> r.getLong(3))
+    }
+
     // ---- exact substring dedup over the FULL corpus: ~17 windows/doc
     // -> ~85M narrow gram tuples cached + DF-counted; only the planted
     // structures repeat (template prefixes mix with unique tails inside

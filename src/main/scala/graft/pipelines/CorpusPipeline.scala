@@ -2,7 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis => TA}
+import graft.operators.{Curation, Dedup, TextAnalysis => TA}
 
 /** Composed training-data preparation pipeline — the end-to-end shape a
   * 100 TB corpus clean actually runs, built from the engine's operators:
@@ -103,5 +103,57 @@ object CorpusPipeline {
     (cleaned, Map(
       "input" -> n0, "after_lang_quality" -> n1,
       "after_exact_dedup" -> (n1 - nDups), "after_near_dedup" -> n3))
+  }
+
+  /** The modern heuristic quality stack, composed from the engine's
+    * per-row operators plus one LM scoring join — the pre-dedup filter
+    * sequence of the C4/Gopher/CCNet lineage:
+    *
+    *   C4 line clean (page keep + text replaced by surviving lines)
+    *     → Gopher rule set on the CLEANED text
+    *     → bigram-LM fluency threshold against a reference corpus
+    *       (CCNet's "perplexity vs a clean LM" — `lmRef` plays the
+    *       Wikipedia role; docs with avg NLL above `maxAvgNll`, or with
+    *       no transitions at all, drop).
+    *
+    * Returns (survivors with `textCol` replaced by the cleaned text,
+    * plus n_transitions / avg_nll, ordered by nothing), and per-stage
+    * counts. Scale shape: the first two stages are map-only per-row
+    * expressions; only the LM stage shuffles, and it moves narrow
+    * (id, prev, cur) count rows — never the document payload (the
+    * scored ids semi-join back to the cached survivor frame). The
+    * gopher survivors are cached under the caller's scope: they feed
+    * the LM doc side AND the final join. Per-stage counts ride
+    * Observation metrics on the frames that already flow, so the
+    * C4 scan is never re-run for counting. */
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String,
+      lmRef: DataFrame, refTextCol: String, maxAvgNll: Double = 20.0,
+      minLineWords: Int = 3, minLines: Int = 5, alpha: Double = 0.5)(
+      implicit scope: graft.CacheScope): (DataFrame, Map[String, Long]) = {
+    val obs0 = org.apache.spark.sql.Observation()
+    val obs1 = org.apache.spark.sql.Observation()
+    val c4 = docs.observe(obs0, count(lit(1)).as("n0"))
+      .withColumn("__c",
+        Curation.c4LineClean(col(textCol), minLineWords, minLines))
+    val afterC4 = c4.filter(col("__c").getField("is_kept"))
+      .withColumn(textCol, col("__c").getField("clean_text"))
+      .drop("__c")
+      .observe(obs1, count(lit(1)).as("n1"))
+    val afterGopher = scope.cache(afterC4.filter(
+      Curation.gopherPass(Curation.gopherReport(col(textCol)))))
+    val n2 = afterGopher.count()
+    val n0 = obs0.get("n0").asInstanceOf[Long]
+    val n1 = obs1.get("n1").asInstanceOf[Long]
+    val lm = TA.bigramLm(lmRef, refTextCol)
+    // lazy localCheckpoint: the LM pass runs ONCE (materialized by the
+    // n3 count below); the caller's final action re-reads the
+    // checkpointed narrow score set instead of re-training the model
+    val scored = TA.bigramLogProb(afterGopher, idCol, textCol, lm, alpha)
+      .filter(col("n_transitions") > 0L && col("avg_nll") <= maxAvgNll)
+      .localCheckpoint(eager = false)
+    val survivors = afterGopher.join(scored, Seq(idCol))
+    val n3 = survivors.count()
+    (survivors, Map("input" -> n0, "after_c4" -> n1,
+      "after_gopher" -> n2, "after_lm" -> n3))
   }
 }

@@ -203,6 +203,38 @@ class ScaleStressSpec extends SparkSpec {
     vecs.unpersist()
   }
 
+  test("bigram LM at 80k docs: NLL separates training templates from " +
+      "the rest under the capped heap") {
+    CacheScope.withScope { implicit scope =>
+      val train = docs.filter(pmod(col("doc_id"), lit(20)) < 5)
+      val lm = graft.operators.TextAnalysis.bigramLm(train, "text")
+      val scored = graft.operators.TextAnalysis.bigramLogProb(
+        docs, "doc_id", "text", lm)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assert(scored.count() === n)
+      val sep = scored.join(docs.select(col("doc_id"),
+          (pmod(col("doc_id"), lit(20)) < 5).as("t")), "doc_id")
+        .groupBy(col("t")).agg(avg(col("avg_nll")).as("m"))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      assert(sep(true) < sep(false),
+        s"LM does not separate: target ${sep(true)} vs rest ${sep(false)}")
+      scored.unpersist()
+    }
+  }
+
+  test("quality reports at 80k docs: one map-only pass covers every doc") {
+    val r = docs
+      .withColumn("__g", Curation.gopherReport(col("text")))
+      .withColumn("__c", Curation.c4LineClean(col("text")))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__g").getField("word_count")).as("n_words"),
+        sum(col("__c").getField("n_lines_dropped")).as("n_dropped"))
+      .collect().head
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) > n * 10) // every doc tokenized, not nulled out
+    assert(r.getLong(2) === n)    // one unpunctuated line per doc dropped
+  }
+
   test("mega-bucket cap: mass-identical docs cannot detonate the band " +
       "join; unique near-dups are unaffected") {
     import spark.implicits._
