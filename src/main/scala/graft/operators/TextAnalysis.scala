@@ -465,4 +465,44 @@ object TextAnalysis {
           .otherwise(col("nll_micros") / lit(1e6) /
             col("n_transitions")).as("avg_nll"))
   }
+
+  /** CCNet-style head/middle/tail assignment (Wenzek et al. 2019 §4.3:
+    * split each language's corpus into thirds by LM perplexity; train
+    * preferentially on the head). Ranks the scored docs within each
+    * `groupCol` partition by (nll_micros·n⁻¹ order ≡ avg_nll, id
+    * tie-break) and assigns `bucket = (rank−1)·nBuckets div n` — pure
+    * integer arithmetic, so the split is exact, deterministic, and
+    * engine-portable (no interpolated quantiles, whose float math
+    * differs between engines). Labels: bucket 0 = "head",
+    * last = "tail", everything between = "middle".
+    *
+    * Scale shape: one narrow (id, group, score) shuffle per group for
+    * the ranking window — the document payload must NOT be in `scored`
+    * (project it away first; [[bigramLogProb]]'s output already is).
+    * Ranking is exact order statistics; at 100 TB prefer the
+    * [[graft.ops.QuantileSketch]] thresholds and a broadcast-join
+    * assignment if a per-group sort is too hot — the bucket SEMANTICS
+    * here are the exact ground truth that path approximates. */
+  def nllRankBuckets(scored: DataFrame, idCol: String, groupCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nllRankBuckets: need >= 2 buckets, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    // avg_nll derives from integer micros by IEEE divisions, which are
+    // exactly specified — every engine computes the identical double,
+    // so the (avg_nll, id) order is engine-exact. Docs with no
+    // transitions (avg_nll 0.0) sort into the head by construction.
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("avg_nll"), col(idCol))
+    val wn = Window.partitionBy(col(groupCol))
+    scored
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("bucket",
+        expr(s"CAST((__r - 1) * $nBuckets DIV __n AS INT)"))
+      .withColumn("bucket_label",
+        when(col("bucket") === 0, "head")
+          .when(col("bucket") === nBuckets - 1, "tail")
+          .otherwise("middle"))
+      .drop("__r", "__n")
+  }
 }

@@ -487,6 +487,53 @@ object CurationQueries {
       TextAnalysis.bigramLogProb(docs, "doc_id", "text", lm, alpha = 0.5)
         .orderBy(col("doc_id"))
     }),
+
+    // ---- CCNet head/middle/tail perplexity buckets -------------------------
+    // Integer rank-split per language over the t11 scores; the oracle
+    // replays the same ROW_NUMBER + integer-division split, so the rank
+    // order, tie-break, and bucket boundaries are all hash-pinned.
+    "t12_ccnet_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("lang"), col("source"), col("text"))
+      val lm = TextAnalysis.bigramLm(
+        docs.filter(col("source") === "src0"), "text")
+      val scored = TextAnalysis
+        .bigramLogProb(docs, "doc_id", "text", lm, alpha = 0.5)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      TextAnalysis.nllRankBuckets(scored, "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("avg_nll"),
+          col("bucket"), col("bucket_label"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-source quality report (corpus health by domain) --------------
+    // Gopher metrics aggregated per source as INTEGER sums and ratios
+    // of integer sums — immune to float summation order on both
+    // engines. A planted 'srcq' slice (sentence-ized + stopword-rich
+    // suffix) makes pass_rate vary across sources.
+    "t13_source_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), col("text"))
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 85000L).as("doc_id"),
+          lit("srcq").as("source"),
+          concat(replace(col("text"), lit(" value "), lit(".\n")),
+            lit(".\nof the data and that batch have with be to end."))
+            .as("text"))
+      docs.unionByName(planted)
+        .withColumn("__g", Curation.gopherReport(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(Curation.gopherPass(col("__g")), 1L).otherwise(0L))
+            .as("n_pass"),
+          sum(col("__g").getField("word_count")).as("n_words"),
+          sum(col("__g").getField("stopword_hits")).as("n_stop_hits"),
+          sum(when(col("__g").getField("dup_5gram_char_frac") > 0.15, 1L)
+            .otherwise(0L)).as("n_repetitive"))
+        .withColumn("pass_rate",
+          round(col("n_pass").cast("double") / col("n_docs"), 6))
+        .orderBy(col("source"))
+    }),
   )
 
   /** dsir1/dsir2 oracle: full-recompute of the DSIR weight path —
@@ -1007,124 +1054,22 @@ object CurationQueries {
     // unnest + GROUP BY (the engine uses per-row sorted run folds —
     // deliberately different shape), top-gram argmax pinned to the same
     // (count DESC, gram ASC) tie-break the fold's sorted-first-wins
-    // implements.
+    // implements. The metric chain is the shared OracleFragments copy
+    // (also gating t13 and c2).
     "t10_gopher_quality" ->
-      """WITH rdocs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 60000, text || ' ' || text
-        |  FROM documents WHERE doc_id % 31 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 70000, replace(text, ' table ', chr(10) || '- ')
-        |  FROM documents WHERE doc_id % 41 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 80000, text || ' # # # # # # # #'
-        |  FROM documents WHERE doc_id % 53 = 0),
-        |tok AS (
-        |  SELECT doc_id, coalesce(text, '') AS t,
-        |    list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
-        |      x -> x <> '') AS wsr
-        |  FROM rdocs),
-        |tok2 AS (
-        |  SELECT doc_id, t, wsr,
-        |    list_transform(wsr, x -> lower(x)) AS ws,
-        |    len(wsr) AS wc,
-        |    list_filter(list_transform(string_split(t, chr(10)),
-        |      x -> trim(x)), x -> x <> '') AS ls
-        |  FROM tok),
-        |scal AS (
-        |  SELECT doc_id, ws, wc, ls,
-        |    CASE WHEN wc = 0 THEN 0
-        |      ELSE length(array_to_string(ws, ' ')) END AS dg,
-        |    CASE WHEN wc = 0 THEN 0.0 ELSE round(CAST(
-        |      coalesce(list_sum(list_transform(wsr, x -> length(x))), 0)
-        |      AS DOUBLE) / wc, 6) END AS mean_word_len,
-        |    CASE WHEN wc = 0 THEN 0.0 ELSE round(CAST(
-        |      (length(t) - length(replace(t, '#', '')))
-        |      + CAST((length(t) - length(replace(t, '...', ''))) / 3
-        |          AS BIGINT)
-        |      + (length(t) - length(replace(t, '…', '')))
-        |      AS DOUBLE) / wc, 6) END AS symbol_word_ratio,
-        |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(CAST(
-        |      len(list_filter(ls, x -> x LIKE '-%' OR x LIKE '*%'
-        |        OR x LIKE '•%')) AS DOUBLE) / len(ls), 6)
-        |      END AS bullet_line_frac,
-        |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(CAST(
-        |      len(list_filter(ls, x -> x LIKE '%...' OR x LIKE '%…'))
-        |      AS DOUBLE) / len(ls), 6) END AS ellipsis_line_frac,
-        |    CASE WHEN wc = 0 THEN 0.0 ELSE round(CAST(
-        |      len(list_filter(wsr, x -> regexp_matches(x, '[A-Za-z]')))
-        |      AS DOUBLE) / wc, 6) END AS alpha_word_frac,
-        |    CAST(len(list_filter(
-        |      ['the','be','to','of','and','that','have','with'],
-        |      s -> list_contains(ws, s))) AS BIGINT) AS stopword_hits,
-        |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(1.0 -
-        |      CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
-        |      END AS dup_line_frac
-        |  FROM tok2),
-        |lx AS (SELECT doc_id, unnest(ls) AS line FROM tok2),
-        |lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS ll
-        |       FROM lx GROUP BY 1, 2),
-        |lm AS (SELECT doc_id, sum(c * ll) AS lchars,
-        |         sum(CASE WHEN c >= 2 THEN c * ll ELSE 0 END) AS dchars
-        |       FROM lc GROUP BY 1),
-        |ns AS (SELECT unnest([2, 3, 4, 5, 10]) AS n),
-        |gx AS (SELECT doc_id, n,
-        |    unnest(list_transform(range(1, len(ws) - n + 2),
-        |      i -> array_to_string(ws[i:i+n-1], ' '))) AS gram
-        |  FROM tok2 CROSS JOIN ns WHERE len(ws) >= n),
-        |gc AS (SELECT doc_id, n, gram, count(*) AS c, length(gram) AS gl
-        |       FROM gx GROUP BY 1, 2, 3),
-        |gtop AS (SELECT doc_id, n, c * gl AS top_chars FROM (
-        |    SELECT doc_id, n, c, gl, row_number() OVER (
-        |      PARTITION BY doc_id, n ORDER BY c DESC, gram) AS rn
-        |    FROM gc) WHERE rn = 1),
-        |gdup AS (SELECT doc_id, n,
-        |    sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS dup_chars
-        |  FROM gc GROUP BY 1, 2),
-        |gm AS (SELECT doc_id,
-        |    max(CASE WHEN n = 2 THEN top_chars END) AS t2,
-        |    max(CASE WHEN n = 3 THEN top_chars END) AS t3,
-        |    max(CASE WHEN n = 4 THEN top_chars END) AS t4,
-        |    max(CASE WHEN n = 5 THEN dup_chars END) AS d5,
-        |    max(CASE WHEN n = 10 THEN dup_chars END) AS d10
-        |  FROM gtop FULL JOIN gdup USING (doc_id, n) GROUP BY 1),
-        |f AS (
-        |  SELECT s.doc_id, CAST(s.wc AS BIGINT) AS word_count,
-        |    s.mean_word_len, s.symbol_word_ratio, s.bullet_line_frac,
-        |    s.ellipsis_line_frac, s.alpha_word_frac, s.stopword_hits,
-        |    s.dup_line_frac,
-        |    CASE WHEN coalesce(lm.lchars, 0) = 0 THEN 0.0 ELSE
-        |      round(CAST(lm.dchars AS DOUBLE) / lm.lchars, 6)
-        |      END AS dup_line_char_frac,
-        |    CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
-        |      CAST(coalesce(gm.t2, 0) AS DOUBLE) / s.dg, 6)
-        |      END AS top_2gram_char_frac,
-        |    CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
-        |      CAST(coalesce(gm.t3, 0) AS DOUBLE) / s.dg, 6)
-        |      END AS top_3gram_char_frac,
-        |    CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
-        |      CAST(coalesce(gm.t4, 0) AS DOUBLE) / s.dg, 6)
-        |      END AS top_4gram_char_frac,
-        |    CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
-        |      CAST(coalesce(gm.d5, 0) AS DOUBLE) / s.dg, 6)
-        |      END AS dup_5gram_char_frac,
-        |    CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
-        |      CAST(coalesce(gm.d10, 0) AS DOUBLE) / s.dg, 6)
-        |      END AS dup_10gram_char_frac
-        |  FROM scal s LEFT JOIN lm USING (doc_id)
-        |    LEFT JOIN gm USING (doc_id))
-        |SELECT *,
-        |  word_count BETWEEN 50 AND 100000
-        |  AND mean_word_len BETWEEN 3.0 AND 10.0
-        |  AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
-        |  AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
-        |  AND stopword_hits >= 2 AND dup_line_frac <= 0.3
-        |  AND dup_line_char_frac <= 0.2 AND top_2gram_char_frac <= 0.2
-        |  AND top_3gram_char_frac <= 0.18 AND top_4gram_char_frac <= 0.16
-        |  AND dup_5gram_char_frac <= 0.15 AND dup_10gram_char_frac <= 0.10
-        |  AS gopher_pass
-        |FROM f ORDER BY doc_id""".stripMargin,
+      s"""WITH rdocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 60000, text || ' ' || text
+         |  FROM documents WHERE doc_id % 31 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 70000, replace(text, ' table ', chr(10) || '- ')
+         |  FROM documents WHERE doc_id % 41 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 80000, text || ' # # # # # # # #'
+         |  FROM documents WHERE doc_id % 53 = 0),
+         |${OracleFragments.gopherCtes("rdocs", "text")}
+         |SELECT * FROM gfp ORDER BY doc_id""".stripMargin,
 
     // Line-rule recompute: same list-lambda split/trim/filter chain,
     // page rules from the raw text.
@@ -1180,42 +1125,65 @@ object CurationQueries {
     // bit-identical to this one-shot expectation.
     "t11_bigram_lm" -> bigramLmOracleSql,
     "t11b_incremental_lm" -> bigramLmOracleSql,
+
+    // Same LM rebuild, then the same rank arithmetic: ROW_NUMBER per
+    // language over (avg_nll, doc_id), bucket = (r-1)*3 // n.
+    "t12_ccnet_buckets" ->
+      s"""WITH ${OracleFragments.lmTrainCtes("documents", "text",
+              "source = 'src0'")},
+         |${OracleFragments.lmScoreCtes("documents", "text", 0.5)},
+         |sc2 AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CASE WHEN coalesce(s.n_transitions, 0) = 0 THEN 0.0
+         |      ELSE s.nll_micros / CAST(1000000.0 AS DOUBLE)
+         |        / s.n_transitions END AS avg_nll
+         |  FROM documents d LEFT JOIN lmsc s USING (doc_id)),
+         |rk AS (
+         |  SELECT doc_id, lang, avg_nll,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY avg_nll, doc_id) AS r,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM sc2)
+         |SELECT doc_id, lang, avg_nll,
+         |  CAST(((r - 1) * 3) // n AS INT) AS bucket,
+         |  CASE WHEN ((r - 1) * 3) // n = 0 THEN 'head'
+         |    WHEN ((r - 1) * 3) // n = 2 THEN 'tail'
+         |    ELSE 'middle' END AS bucket_label
+         |FROM rk ORDER BY doc_id""".stripMargin,
+
+    // Gopher chain over base + planted srcq, aggregated per source with
+    // integer sums only.
+    "t13_source_quality" ->
+      s"""WITH rdocs AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 85000, 'srcq',
+         |    replace(text, ' value ', '.' || chr(10)) || '.' || chr(10)
+         |      || 'of the data and that batch have with be to end.'
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |${OracleFragments.gopherCtes("rdocs", "text")}
+         |SELECT r.source, count(*) AS n_docs,
+         |  sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS n_pass,
+         |  sum(g.word_count) AS n_words,
+         |  sum(g.stopword_hits) AS n_stop_hits,
+         |  sum(CASE WHEN g.dup_5gram_char_frac > 0.15 THEN 1 ELSE 0 END)
+         |    AS n_repetitive,
+         |  round(CAST(sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS pass_rate
+         |FROM gfp g JOIN rdocs r USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
-  private def bigramLmOracleSql: String = {
-      val a = 0.5
-      s"""WITH w AS (
-         |  SELECT doc_id, source,
-         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-         |      x -> x <> '') AS ws
-         |  FROM documents),
-         |p AS (
-         |  SELECT doc_id, source, ws[i] AS prev, ws[i+1] AS cur
-         |  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
-         |  WHERE len(ws) >= 2),
-         |lm AS (SELECT prev, cur, count(*) AS c FROM p
-         |       WHERE source = 'src0' GROUP BY 1, 2),
-         |ctx AS (SELECT prev, sum(c) AS ctx FROM lm GROUP BY 1),
-         |v AS (SELECT count(DISTINCT cur) AS v FROM lm),
-         |dp AS (SELECT doc_id, prev, cur, count(*) AS nk
-         |       FROM p GROUP BY 1, 2, 3),
-         |sc AS (
-         |  SELECT dp.doc_id, SUM(dp.nk) AS n_transitions,
-         |    -SUM(CAST(round(ln(
-         |        (coalesce(lm.c, 0) + CAST($a AS DOUBLE))
-         |        / (coalesce(ctx.ctx, 0) + CAST($a AS DOUBLE) * v.v))
-         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) * dp.nk)
-         |      AS nll_micros
-         |  FROM dp LEFT JOIN lm USING (prev, cur)
-         |    LEFT JOIN ctx USING (prev) CROSS JOIN v
-         |  GROUP BY 1)
-         |SELECT d.doc_id,
-         |  coalesce(sc.n_transitions, 0) AS n_transitions,
-         |  coalesce(sc.nll_micros, 0) AS nll_micros,
-         |  CASE WHEN coalesce(sc.n_transitions, 0) = 0 THEN 0.0
-         |    ELSE sc.nll_micros / CAST(1000000.0 AS DOUBLE)
-         |      / sc.n_transitions END AS avg_nll
-         |FROM documents d LEFT JOIN sc USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-  }
+  private def bigramLmOracleSql: String =
+    s"""WITH ${OracleFragments.lmTrainCtes("documents", "text",
+            "source = 'src0'")},
+       |${OracleFragments.lmScoreCtes("documents", "text", 0.5)}
+       |SELECT d.doc_id,
+       |  coalesce(s.n_transitions, 0) AS n_transitions,
+       |  coalesce(s.nll_micros, 0) AS nll_micros,
+       |  CASE WHEN coalesce(s.n_transitions, 0) = 0 THEN 0.0
+       |    ELSE s.nll_micros / CAST(1000000.0 AS DOUBLE)
+       |      / s.n_transitions END AS avg_nll
+       |FROM documents d LEFT JOIN lmsc s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -995,10 +995,11 @@ object LlmQueries {
     // c2: the cu14 (C4), t10 (Gopher), and t11 (bigram LM) recomputes
     // chained over the planted corpus — C4's clean text feeds Gopher's
     // metrics, Gopher's pass set feeds the LM doc side, the LM trains
-    // on the raw planted src0 slice. The smoothed-ln micros discipline
-    // is t11's; the interpolated constants are the gate's Scala doubles.
+    // on the raw planted src0 slice. The gopher/LM chains are the
+    // shared OracleFragments copies; the interpolated constants are
+    // the gate's Scala doubles.
     "c2_quality_gate" -> {
-      val a = 0.5; val thr = 12.0
+      val thr = 12.0
       s"""WITH rdocs AS (
          |  SELECT doc_id, source,
          |    replace(text, ' value ', '.' || chr(10)) || '.' || chr(10)
@@ -1025,140 +1026,21 @@ object LlmQueries {
          |  FROM c4k
          |  WHERE len(ks) >= 5 AND NOT contains(lower(t), 'lorem ipsum')
          |    AND NOT contains(t, '{')),
-         |gt AS (
-         |  SELECT doc_id, ct AS t,
-         |    list_filter(string_split_regex(trim(ct), '\\s+'),
-         |      x -> x <> '') AS wsr
-         |  FROM kept1),
-         |gt2 AS (
-         |  SELECT doc_id, t, wsr,
-         |    list_transform(wsr, x -> lower(x)) AS ws,
-         |    len(wsr) AS wc,
-         |    list_filter(list_transform(string_split(t, chr(10)),
-         |      x -> trim(x)), x -> x <> '') AS ls
-         |  FROM gt),
-         |gscal AS (
-         |  SELECT doc_id, ws, wc, ls,
-         |    CASE WHEN wc = 0 THEN 0
-         |      ELSE length(array_to_string(ws, ' ')) END AS dg,
-         |    CASE WHEN wc = 0 THEN 0.0 ELSE round(CAST(
-         |      coalesce(list_sum(list_transform(wsr, x -> length(x))), 0)
-         |      AS DOUBLE) / wc, 6) END AS mean_word_len,
-         |    CASE WHEN wc = 0 THEN 0.0 ELSE round(CAST(
-         |      (length(t) - length(replace(t, '#', '')))
-         |      + CAST((length(t) - length(replace(t, '...', ''))) / 3
-         |          AS BIGINT)
-         |      + (length(t) - length(replace(t, '…', '')))
-         |      AS DOUBLE) / wc, 6) END AS symbol_word_ratio,
-         |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(CAST(
-         |      len(list_filter(ls, x -> x LIKE '-%' OR x LIKE '*%'
-         |        OR x LIKE '•%')) AS DOUBLE) / len(ls), 6)
-         |      END AS bullet_line_frac,
-         |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(CAST(
-         |      len(list_filter(ls, x -> x LIKE '%...' OR x LIKE '%…'))
-         |      AS DOUBLE) / len(ls), 6) END AS ellipsis_line_frac,
-         |    CASE WHEN wc = 0 THEN 0.0 ELSE round(CAST(
-         |      len(list_filter(wsr, x -> regexp_matches(x, '[A-Za-z]')))
-         |      AS DOUBLE) / wc, 6) END AS alpha_word_frac,
-         |    CAST(len(list_filter(
-         |      ['the','be','to','of','and','that','have','with'],
-         |      s -> list_contains(ws, s))) AS BIGINT) AS stopword_hits,
-         |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(1.0 -
-         |      CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
-         |      END AS dup_line_frac
-         |  FROM gt2),
-         |glx AS (SELECT doc_id, unnest(ls) AS line FROM gt2),
-         |glc AS (SELECT doc_id, line, count(*) AS c, length(line) AS ll
-         |        FROM glx GROUP BY 1, 2),
-         |glm AS (SELECT doc_id, sum(c * ll) AS lchars,
-         |          sum(CASE WHEN c >= 2 THEN c * ll ELSE 0 END) AS dchars
-         |        FROM glc GROUP BY 1),
-         |gns AS (SELECT unnest([2, 3, 4, 5, 10]) AS n),
-         |ggx AS (SELECT doc_id, n,
-         |    unnest(list_transform(range(1, len(ws) - n + 2),
-         |      i -> array_to_string(ws[i:i+n-1], ' '))) AS gram
-         |  FROM gt2 CROSS JOIN gns WHERE len(ws) >= n),
-         |ggc AS (SELECT doc_id, n, gram, count(*) AS c,
-         |          length(gram) AS gl
-         |        FROM ggx GROUP BY 1, 2, 3),
-         |ggtop AS (SELECT doc_id, n, c * gl AS top_chars FROM (
-         |    SELECT doc_id, n, c, gl, row_number() OVER (
-         |      PARTITION BY doc_id, n ORDER BY c DESC, gram) AS rn
-         |    FROM ggc) WHERE rn = 1),
-         |ggdup AS (SELECT doc_id, n,
-         |    sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS dup_chars
-         |  FROM ggc GROUP BY 1, 2),
-         |ggm AS (SELECT doc_id,
-         |    max(CASE WHEN n = 2 THEN top_chars END) AS t2,
-         |    max(CASE WHEN n = 3 THEN top_chars END) AS t3,
-         |    max(CASE WHEN n = 4 THEN top_chars END) AS t4,
-         |    max(CASE WHEN n = 5 THEN dup_chars END) AS d5,
-         |    max(CASE WHEN n = 10 THEN dup_chars END) AS d10
-         |  FROM ggtop FULL JOIN ggdup USING (doc_id, n) GROUP BY 1),
-         |kept2 AS (
-         |  SELECT s.doc_id
-         |  FROM gscal s LEFT JOIN glm USING (doc_id)
-         |    LEFT JOIN ggm USING (doc_id)
-         |  WHERE s.wc BETWEEN 50 AND 100000
-         |    AND s.mean_word_len BETWEEN 3.0 AND 10.0
-         |    AND s.symbol_word_ratio <= 0.1 AND s.bullet_line_frac <= 0.9
-         |    AND s.ellipsis_line_frac <= 0.3 AND s.alpha_word_frac >= 0.8
-         |    AND s.stopword_hits >= 2 AND s.dup_line_frac <= 0.3
-         |    AND (CASE WHEN coalesce(glm.lchars, 0) = 0 THEN 0.0 ELSE
-         |      round(CAST(glm.dchars AS DOUBLE) / glm.lchars, 6) END)
-         |      <= 0.2
-         |    AND (CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
-         |      CAST(coalesce(ggm.t2, 0) AS DOUBLE) / s.dg, 6) END) <= 0.2
-         |    AND (CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
-         |      CAST(coalesce(ggm.t3, 0) AS DOUBLE) / s.dg, 6) END) <= 0.18
-         |    AND (CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
-         |      CAST(coalesce(ggm.t4, 0) AS DOUBLE) / s.dg, 6) END) <= 0.16
-         |    AND (CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
-         |      CAST(coalesce(ggm.d5, 0) AS DOUBLE) / s.dg, 6) END) <= 0.15
-         |    AND (CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
-         |      CAST(coalesce(ggm.d10, 0) AS DOUBLE) / s.dg, 6) END)
-         |      <= 0.10),
-         |lw AS (
-         |  SELECT doc_id, source,
-         |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-         |      x -> x <> '') AS ws
-         |  FROM rdocs),
-         |lp0 AS (
-         |  SELECT doc_id, source, ws[i] AS prev, ws[i+1] AS cur
-         |  FROM lw, unnest(generate_series(1, len(ws) - 1)) AS t(i)
-         |  WHERE len(ws) >= 2),
-         |lmc AS (SELECT prev, cur, count(*) AS c FROM lp0
-         |        WHERE source = 'src0' GROUP BY 1, 2),
-         |lctx AS (SELECT prev, sum(c) AS ctx FROM lmc GROUP BY 1),
-         |lv AS (SELECT count(DISTINCT cur) AS v FROM lmc),
-         |dw AS (
-         |  SELECT k.doc_id,
-         |    list_filter(string_split_regex(lower(trim(kept1.ct)),
-         |      '\\s+'), x -> x <> '') AS ws
-         |  FROM kept2 k JOIN kept1 USING (doc_id)),
-         |dp AS (
-         |  SELECT doc_id, ws[i] AS prev, ws[i+1] AS cur
-         |  FROM dw, unnest(generate_series(1, len(ws) - 1)) AS t(i)
-         |  WHERE len(ws) >= 2),
-         |dpc AS (SELECT doc_id, prev, cur, count(*) AS nk
-         |        FROM dp GROUP BY 1, 2, 3),
-         |sc AS (
-         |  SELECT dpc.doc_id, SUM(dpc.nk) AS n_transitions,
-         |    -SUM(CAST(round(ln(
-         |        (coalesce(lmc.c, 0) + CAST($a AS DOUBLE))
-         |        / (coalesce(lctx.ctx, 0) + CAST($a AS DOUBLE) * lv.v))
-         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) * dpc.nk)
-         |      AS nll_micros
-         |  FROM dpc LEFT JOIN lmc USING (prev, cur)
-         |    LEFT JOIN lctx USING (prev) CROSS JOIN lv
-         |  GROUP BY 1)
-         |SELECT k.doc_id, kept1.ct AS text, sc.n_transitions,
-         |  sc.nll_micros / CAST(1000000.0 AS DOUBLE) / sc.n_transitions
+         |${OracleFragments.gopherCtes("kept1", "ct")},
+         |kept2 AS (SELECT doc_id FROM gfp WHERE gopher_pass),
+         |${OracleFragments.lmTrainCtes("rdocs", "text",
+              "source = 'src0'")},
+         |lmdocs AS (
+         |  SELECT k.doc_id, kept1.ct FROM kept2 k
+         |  JOIN kept1 USING (doc_id)),
+         |${OracleFragments.lmScoreCtes("lmdocs", "ct", 0.5)}
+         |SELECT k.doc_id, kept1.ct AS text, s.n_transitions,
+         |  s.nll_micros / CAST(1000000.0 AS DOUBLE) / s.n_transitions
          |    AS avg_nll
-         |FROM kept2 k JOIN kept1 USING (doc_id) JOIN sc USING (doc_id)
-         |WHERE sc.n_transitions > 0
-         |  AND sc.nll_micros / CAST(1000000.0 AS DOUBLE)
-         |    / sc.n_transitions <= CAST($thr AS DOUBLE)
+         |FROM kept2 k JOIN kept1 USING (doc_id) JOIN lmsc s USING (doc_id)
+         |WHERE s.n_transitions > 0
+         |  AND s.nll_micros / CAST(1000000.0 AS DOUBLE)
+         |    / s.n_transitions <= CAST($thr AS DOUBLE)
          |ORDER BY k.doc_id""".stripMargin
     },
 

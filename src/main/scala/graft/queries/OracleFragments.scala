@@ -1,0 +1,175 @@
+package graft.queries
+
+/** Shared DuckDB-oracle CTE fragments. The Gopher metric chain and the
+  * bigram-LM rebuild each gate several queries (t10/t13/c2 and
+  * t11/t11b/t12/c2 respectively); one literal copy per oracle was the
+  * divergence risk — a threshold fixed in one copy and not the others
+  * would silently weaken a gate. Each fragment is a comma-terminated
+  * run of CTEs with a documented output contract; callers splice them
+  * after their own input CTEs.
+  *
+  * Naming: gopher CTEs are g-prefixed (gtok…gf), LM CTEs lm-prefixed
+  * (lmw…lmsc) — disjoint by construction so one oracle can splice both.
+  */
+object OracleFragments {
+
+  /** Gopher metric chain over CTE `input(doc_id, <textCol>)`.
+    * Emits CTEs `gtok…ggm` and the terminal `gf` with one row per input
+    * doc: doc_id, the 14 metrics (word_count … dup_10gram_char_frac),
+    * and the `gopher_pass` boolean at the published thresholds. */
+  def gopherCtes(input: String, textCol: String): String =
+    s"""gtok AS (
+       |  SELECT doc_id, coalesce($textCol, '') AS t,
+       |    list_filter(string_split_regex(trim(coalesce($textCol, '')),
+       |      '\\s+'), x -> x <> '') AS wsr
+       |  FROM $input),
+       |gtok2 AS (
+       |  SELECT doc_id, t, wsr,
+       |    list_transform(wsr, x -> lower(x)) AS ws,
+       |    len(wsr) AS wc,
+       |    list_filter(list_transform(string_split(t, chr(10)),
+       |      x -> trim(x)), x -> x <> '') AS ls
+       |  FROM gtok),
+       |gscal AS (
+       |  SELECT doc_id, ws, wc, ls,
+       |    CASE WHEN wc = 0 THEN 0
+       |      ELSE length(array_to_string(ws, ' ')) END AS dg,
+       |    CASE WHEN wc = 0 THEN 0.0 ELSE round(CAST(
+       |      coalesce(list_sum(list_transform(wsr, x -> length(x))), 0)
+       |      AS DOUBLE) / wc, 6) END AS mean_word_len,
+       |    CASE WHEN wc = 0 THEN 0.0 ELSE round(CAST(
+       |      (length(t) - length(replace(t, '#', '')))
+       |      + CAST((length(t) - length(replace(t, '...', ''))) / 3
+       |          AS BIGINT)
+       |      + (length(t) - length(replace(t, '…', '')))
+       |      AS DOUBLE) / wc, 6) END AS symbol_word_ratio,
+       |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(CAST(
+       |      len(list_filter(ls, x -> x LIKE '-%' OR x LIKE '*%'
+       |        OR x LIKE '•%')) AS DOUBLE) / len(ls), 6)
+       |      END AS bullet_line_frac,
+       |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(CAST(
+       |      len(list_filter(ls, x -> x LIKE '%...' OR x LIKE '%…'))
+       |      AS DOUBLE) / len(ls), 6) END AS ellipsis_line_frac,
+       |    CASE WHEN wc = 0 THEN 0.0 ELSE round(CAST(
+       |      len(list_filter(wsr, x -> regexp_matches(x, '[A-Za-z]')))
+       |      AS DOUBLE) / wc, 6) END AS alpha_word_frac,
+       |    CAST(len(list_filter(
+       |      ['the','be','to','of','and','that','have','with'],
+       |      s -> list_contains(ws, s))) AS BIGINT) AS stopword_hits,
+       |    CASE WHEN len(ls) = 0 THEN 0.0 ELSE round(1.0 -
+       |      CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
+       |      END AS dup_line_frac
+       |  FROM gtok2),
+       |glx AS (SELECT doc_id, unnest(ls) AS line FROM gtok2),
+       |glc AS (SELECT doc_id, line, count(*) AS c, length(line) AS ll
+       |        FROM glx GROUP BY 1, 2),
+       |glm AS (SELECT doc_id, sum(c * ll) AS lchars,
+       |          sum(CASE WHEN c >= 2 THEN c * ll ELSE 0 END) AS dchars
+       |        FROM glc GROUP BY 1),
+       |gns AS (SELECT unnest([2, 3, 4, 5, 10]) AS n),
+       |ggx AS (SELECT doc_id, n,
+       |    unnest(list_transform(range(1, len(ws) - n + 2),
+       |      i -> array_to_string(ws[i:i+n-1], ' '))) AS gram
+       |  FROM gtok2 CROSS JOIN gns WHERE len(ws) >= n),
+       |ggc AS (SELECT doc_id, n, gram, count(*) AS c, length(gram) AS gl
+       |        FROM ggx GROUP BY 1, 2, 3),
+       |ggtop AS (SELECT doc_id, n, c * gl AS top_chars FROM (
+       |    SELECT doc_id, n, c, gl, row_number() OVER (
+       |      PARTITION BY doc_id, n ORDER BY c DESC, gram) AS rn
+       |    FROM ggc) WHERE rn = 1),
+       |ggdup AS (SELECT doc_id, n,
+       |    sum(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS dup_chars
+       |  FROM ggc GROUP BY 1, 2),
+       |ggm AS (SELECT doc_id,
+       |    max(CASE WHEN n = 2 THEN top_chars END) AS t2,
+       |    max(CASE WHEN n = 3 THEN top_chars END) AS t3,
+       |    max(CASE WHEN n = 4 THEN top_chars END) AS t4,
+       |    max(CASE WHEN n = 5 THEN dup_chars END) AS d5,
+       |    max(CASE WHEN n = 10 THEN dup_chars END) AS d10
+       |  FROM ggtop FULL JOIN ggdup USING (doc_id, n) GROUP BY 1),
+       |gf AS (
+       |  SELECT s.doc_id, CAST(s.wc AS BIGINT) AS word_count,
+       |    s.mean_word_len, s.symbol_word_ratio, s.bullet_line_frac,
+       |    s.ellipsis_line_frac, s.alpha_word_frac, s.stopword_hits,
+       |    s.dup_line_frac,
+       |    CASE WHEN coalesce(glm.lchars, 0) = 0 THEN 0.0 ELSE
+       |      round(CAST(glm.dchars AS DOUBLE) / glm.lchars, 6)
+       |      END AS dup_line_char_frac,
+       |    CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
+       |      CAST(coalesce(ggm.t2, 0) AS DOUBLE) / s.dg, 6)
+       |      END AS top_2gram_char_frac,
+       |    CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
+       |      CAST(coalesce(ggm.t3, 0) AS DOUBLE) / s.dg, 6)
+       |      END AS top_3gram_char_frac,
+       |    CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
+       |      CAST(coalesce(ggm.t4, 0) AS DOUBLE) / s.dg, 6)
+       |      END AS top_4gram_char_frac,
+       |    CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
+       |      CAST(coalesce(ggm.d5, 0) AS DOUBLE) / s.dg, 6)
+       |      END AS dup_5gram_char_frac,
+       |    CASE WHEN s.dg = 0 THEN 0.0 ELSE round(
+       |      CAST(coalesce(ggm.d10, 0) AS DOUBLE) / s.dg, 6)
+       |      END AS dup_10gram_char_frac
+       |  FROM gscal s LEFT JOIN glm USING (doc_id)
+       |    LEFT JOIN ggm USING (doc_id)),
+       |gfp AS (
+       |  SELECT *,
+       |    word_count BETWEEN 50 AND 100000
+       |    AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+       |    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+       |    AND stopword_hits >= 2 AND dup_line_frac <= 0.3
+       |    AND dup_line_char_frac <= 0.2 AND top_2gram_char_frac <= 0.2
+       |    AND top_3gram_char_frac <= 0.18
+       |    AND top_4gram_char_frac <= 0.16
+       |    AND dup_5gram_char_frac <= 0.15
+       |    AND dup_10gram_char_frac <= 0.10 AS gopher_pass
+       |  FROM gf)""".stripMargin
+
+  /** Bigram-LM rebuild over CTE `corpus(doc_id, <textCol>, …)` with the
+    * training slice selected by `trainPred`. Emits `lmw/lmp/lmc/lctx/
+    * lv`: the (prev, cur, c) counts, context totals, and vocabulary. */
+  def lmTrainCtes(corpus: String, textCol: String,
+      trainPred: String): String =
+    s"""lmw AS (
+       |  SELECT *,
+       |    list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
+       |      x -> x <> '') AS __ws
+       |  FROM $corpus),
+       |lmp AS (
+       |  SELECT doc_id, __ws[i] AS prev, __ws[i+1] AS cur
+       |  FROM lmw, unnest(generate_series(1, len(__ws) - 1)) AS t(i)
+       |  WHERE len(__ws) >= 2 AND ($trainPred)),
+       |lmc AS (SELECT prev, cur, count(*) AS c FROM lmp GROUP BY 1, 2),
+       |lctx AS (SELECT prev, sum(c) AS ctx FROM lmc GROUP BY 1),
+       |lv AS (SELECT count(DISTINCT cur) AS v FROM lmc)""".stripMargin
+
+  /** Add-alpha scoring of CTE `docs(doc_id, <textCol>)` against the
+    * `lmc/lctx/lv` model CTEs (from [[lmTrainCtes]]). Emits `lmdw/lmdp/
+    * lmdpc` and the terminal `lmsc(doc_id, n_transitions, nll_micros)`
+    * — docs with < 2 tokens are ABSENT (callers LEFT JOIN + coalesce,
+    * mirroring the engine). `alpha` must be the same Scala double the
+    * engine folds. */
+  def lmScoreCtes(docs: String, textCol: String, alpha: Double): String =
+    s"""lmdw AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
+       |      x -> x <> '') AS __ws
+       |  FROM $docs),
+       |lmdp AS (
+       |  SELECT doc_id, __ws[i] AS prev, __ws[i+1] AS cur
+       |  FROM lmdw, unnest(generate_series(1, len(__ws) - 1)) AS t(i)
+       |  WHERE len(__ws) >= 2),
+       |lmdpc AS (SELECT doc_id, prev, cur, count(*) AS nk
+       |          FROM lmdp GROUP BY 1, 2, 3),
+       |lmsc AS (
+       |  SELECT lmdpc.doc_id, SUM(lmdpc.nk) AS n_transitions,
+       |    -SUM(CAST(round(ln(
+       |        (coalesce(lmc.c, 0) + CAST($alpha AS DOUBLE))
+       |        / (coalesce(lctx.ctx, 0) + CAST($alpha AS DOUBLE) * lv.v))
+       |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) * lmdpc.nk)
+       |      AS nll_micros
+       |  FROM lmdpc LEFT JOIN lmc USING (prev, cur)
+       |    LEFT JOIN lctx USING (prev) CROSS JOIN lv
+       |  GROUP BY 1)""".stripMargin
+}

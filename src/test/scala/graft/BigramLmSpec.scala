@@ -50,6 +50,28 @@ class BigramLmSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("nllRankBuckets: exact integer split, id tie-break, labels") {
+    // 7 docs in one group: ranks 1..7 -> buckets 0,0,0,1,1,2,2
+    val scored = Seq(
+      (1L, "en", 5L, 5000000L, 1.0), (2L, "en", 5L, 5000000L, 1.0),
+      (3L, "en", 5L, 10000000L, 2.0), (4L, "en", 5L, 15000000L, 3.0),
+      (5L, "en", 5L, 20000000L, 4.0), (6L, "en", 5L, 25000000L, 5.0),
+      (7L, "en", 5L, 30000000L, 6.0),
+      (10L, "de", 1L, 3000000L, 3.0), (11L, "de", 1L, 1000000L, 1.0))
+      .toDF("doc_id", "lang", "n_transitions", "nll_micros", "avg_nll")
+    val got = TextAnalysis.nllRankBuckets(scored, "doc_id", "lang")
+      .select("doc_id", "bucket", "bucket_label")
+      .as[(Long, Int, String)].collect()
+      .map { case (k, b, l) => k -> ((b, l)) }.toMap
+    // ties on avg_nll (docs 1, 2) break by doc_id: 1 before 2
+    assert(got(1L) === ((0, "head")) && got(2L) === ((0, "head")))
+    assert(got(3L) === ((0, "head")))
+    assert(got(4L) === ((1, "middle")) && got(5L) === ((1, "middle")))
+    assert(got(6L) === ((2, "tail")) && got(7L) === ((2, "tail")))
+    // 2-doc group: rank 1 -> bucket 0, rank 2 -> bucket (1*3)//2 = 1
+    assert(got(11L) === ((0, "head")) && got(10L) === ((1, "middle")))
+  }
+
   test("streamed LM state equals the one-shot model over all deltas") {
     val raw = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
