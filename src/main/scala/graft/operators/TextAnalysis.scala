@@ -354,16 +354,35 @@ object TextAnalysis {
       .select(col(qidCol),
         explode(array_distinct(tokens(col(qtextCol)))).as("term"))
       .where(col("term") =!= ""))
-    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
-      (col("df") + lit(0.5)) + lit(1.0))
-    val contrib = idf * (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
-        col("avgdl")))
     val scored = qt.join(tf, "term").join(dfT, "term")
       .join(dl, idCol).crossJoin(global)
-      .withColumn("c_micros", round(contrib * lit(1e6)).cast("long"))
+      .withColumn("c_micros", bm25ContribMicros(col("tf"), col("df"),
+        col("dl"), col("n_docs"), col("avgdl"), k1, b))
       .groupBy(col(qidCol), col(idCol))
       .agg(sum(col("c_micros")).as("score_micros"))
+    bm25Rank(scored, qidCol, idCol, k)
+  }
+
+  /** The Okapi per-(query-term, doc) contribution, rounded to integer
+    * MICROS — the single definition both the one-shot [[bm25TopK]] and
+    * the persisted [[graft.pipelines.IndexStore]] score with, so the
+    * two retrieval paths cannot drift mathematically. Identical IEEE
+    * expression tree in any engine; micro rounding absorbs libm ln ulp
+    * differences and makes the per-document sum exact integer
+    * arithmetic (partition-order-immune). */
+  private[graft] def bm25ContribMicros(tf: Column, df: Column,
+      dl: Column, nDocs: Column, avgdl: Column, k1: Double,
+      b: Double): Column = {
+    val idf = log((nDocs - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    val contrib = idf * (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+    round(contrib * lit(1e6)).cast("long")
+  }
+
+  /** Shared final ranking: bounded topk_by per query over integer-micro
+    * scores, ties (score DESC, id ASC), rank 1-based. */
+  private[graft] def bm25Rank(scored: DataFrame, qidCol: String,
+      idCol: String, k: Int): DataFrame =
     scored.groupBy(col(qidCol))
       .agg(graft.expressions.TopKByExpr.topkBy(
         col("score_micros").cast("double"), col(idCol).cast("long"), k)
@@ -371,7 +390,6 @@ object TextAnalysis {
       .select(col(qidCol), posexplode(col("__tk")))
       .select(col(qidCol), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as(idCol), (col("col.ord") / lit(1e6)).as("score"))
-  }
 
   // ---- bigram language-model scoring (CCNet-style fluency filter) -------
 

@@ -1,0 +1,165 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Persisted inverted index with O(batch) incremental appends — the
+  * RETRIEVAL leg of the incremental-corpus story ([[CorpusStore]] =
+  * exact content hash, [[SignatureStore]] = textual near-dup,
+  * [[VectorStore]] = embedding ANN, this = term search). Re-tokenizing
+  * 100 TB of corpus per crawl batch to answer "which documents match
+  * this query" is a non-starter; postings are pure per-row/groupBy
+  * products of the NEW batch only, so ingest indexes O(batch) and BM25
+  * queries join broadcast query terms against the persisted postings,
+  * scanning ONLY the buckets the query's terms hash into — never raw
+  * text, never foreign buckets.
+  *
+  * Layout under `dir`:
+  *   conf/                    — one row (n_buckets)
+  *   postings/b=<tag>/bkt=<b>/ — (term, id, tf, dl)
+  *   stats/b=<tag>/           — one row (n_docs, dl_sum)
+  *
+  * `bkt = pmod(xxhash64(term), n_buckets)` is the pruning lever: all
+  * postings of a term land in ONE bucket regardless of batch, so a
+  * query's scan touches ≤ |query terms| bucket directories AND the
+  * per-term document frequency read from that pruned scan is EXACT
+  * (no separate df table to keep in sync). `dl` (doc token length) is
+  * denormalized into the posting row — 8 bytes/posting buys back the
+  * per-query join against a corpus-sized doc-length table. Per-batch
+  * one-row `stats` keep n_docs/avgdl maintenance O(1) per batch and
+  * query-side global stats O(#batches).
+  *
+  * `b=<tag>` batch partitioning gives the same overwrite-idempotent
+  * replay contract as the sibling stores: re-running a batch REPLACES
+  * its directory, never double-appends. Batch ids must be disjoint
+  * from store ids (the store does not namespace them; a re-indexed id
+  * in a DIFFERENT tag double-counts its df).
+  *
+  * Scoring is [[TextAnalysis.bm25ContribMicros]] — the same integer-
+  * micros expression tree as the one-shot [[TextAnalysis.bm25TopK]],
+  * so store-backed and from-scratch retrieval agree bit-for-bit (the
+  * ir1 gate's DuckDB oracle replays the from-scratch math over the
+  * union of all batches and hash-compares).
+  */
+object IndexStore {
+
+  final case class Conf(nBuckets: Int)
+
+  /** Lay the store down and index the seed batch. */
+  def create(spark: SparkSession, dir: String, seed: DataFrame,
+      idCol: String, textCol: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/stats"), true)
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/conf")
+    writeBatch(spark, dir, seed, idCol, textCol, nBuckets, "seed")
+  }
+
+  /** Tokenize and persist one batch — work and bytes are O(batch); the
+    * existing store is never read. Same-tag re-append REPLACES the
+    * batch (idempotent retry/backfill). */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: String, batchTag: String): Unit = {
+    require(batchTag.nonEmpty && batchTag != "seed" &&
+      batchTag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"batchTag must be a non-'seed' dir-safe token: '$batchTag'")
+    writeBatch(spark, dir, batch, idCol, textCol,
+      loadConf(spark, dir).nBuckets, batchTag)
+  }
+
+  /** BM25 top-k over everything persisted. Query terms broadcast
+    * (queries are few); the postings scan is pruned to the ≤ |terms|
+    * buckets they hash into (the bounded collect is ≤ |terms| longs —
+    * control plane, same discipline as [[SignatureStore.nearDups]]);
+    * df comes exactly from that pruned scan; global n_docs/avgdl fold
+    * the per-batch stats rows. Returns (qid, rank, id, score) with
+    * ties (score DESC, id ASC) — identical output contract and math
+    * as [[TextAnalysis.bm25TopK]] over the concatenated batches.
+    *
+    * `maxDfFrac` < 1.0 opts into stop-term pruning: query terms whose
+    * df exceeds maxDfFrac × n_docs are EXCLUDED from scoring. On a web
+    * corpus a query containing "the" otherwise drags a posting list of
+    * nearly every document through the join for a near-zero idf
+    * contribution — classic impact pruning. It CHANGES scores (each
+    * skipped term forfeits its small contribution), so it is off by
+    * default and the caller opts in per query. */
+  def bm25TopK(spark: SparkSession, dir: String, queries: DataFrame,
+      qidCol: String, qtextCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, maxDfFrac: Double = 1.0)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    require(k > 0, s"bm25TopK: k must be positive, got $k")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    val conf = loadConf(spark, dir)
+    val qt = scope.cache(queries
+      .select(col(qidCol),
+        explode(array_distinct(TextAnalysis.tokens(col(qtextCol))))
+          .as("term"))
+      .where(col("term") =!= ""))
+    val buckets = qt
+      .select(pmod(xxhash64(col("term")), lit(conf.nBuckets.toLong))
+        .as("bkt")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val posts = scope.cache(spark.read.parquet(s"$dir/postings")
+      .filter(col("bkt").isin(buckets: _*))
+      .join(broadcast(qt.select(col("term")).distinct()), Seq("term")))
+    // one posting row per (term, id) per batch and batch ids are
+    // disjoint → count(*) per term IS the corpus-wide df
+    val dfT = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val global = broadcast(spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("dl_sum")).as("dl_sum"))
+      .select(col("n_docs"),
+        (col("dl_sum").cast("double") / col("n_docs")).as("avgdl")))
+    val scored = qt.join(posts, "term").join(dfT, "term")
+      .crossJoin(global)
+      .filter(col("df").cast("double") <=
+        lit(maxDfFrac) * col("n_docs").cast("double"))
+      .withColumn("c_micros", TextAnalysis.bm25ContribMicros(col("tf"),
+        col("df"), col("dl"), col("n_docs"), col("avgdl"), k1, b))
+      .groupBy(col(qidCol), col("id"))
+      .agg(sum(col("c_micros")).as("score_micros"))
+    TextAnalysis.bm25Rank(scored, qidCol, "id", k)
+  }
+
+  // ---- internals --------------------------------------------------------
+
+  /** One file per (bucket, batch) via repartition-before-partitionBy —
+    * the same small-file-storm control as the sibling stores. The tf
+    * relation is persisted inside the call (it feeds postings AND the
+    * stats row) and released before returning. */
+  private def writeBatch(spark: SparkSession, dir: String,
+      batch: DataFrame, idCol: String, textCol: String, nBuckets: Int,
+      tag: String): Unit = {
+    val tf = batch
+      .select(col(idCol).cast("long").as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+      tf.join(dl, Seq("id"))
+        .withColumn("bkt", pmod(xxhash64(col("term")),
+          lit(nBuckets.toLong)))
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$dir/postings/b=$tag")
+      // n_docs counts EVERY batch doc (token-free docs too — they are
+      // part of the collection BM25 normalizes over, matching the
+      // one-shot path's docs.count); dl_sum only tokened docs
+      batch.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(dl.agg(coalesce(sum(col("dl")), lit(0L))
+          .as("dl_sum")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats/b=$tag")
+    } finally tf.unpersist(blocking = false)
+  }
+
+  private def loadConf(spark: SparkSession, dir: String): Conf =
+    Conf(spark.read.parquet(s"$dir/conf").collect()(0).getInt(0))
+}

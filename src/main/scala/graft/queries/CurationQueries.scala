@@ -287,6 +287,33 @@ object CurationQueries {
         ORDER BY rank""")
     }),
 
+    // ---- persisted inverted-index store (incremental BM25) ----------------
+    // The retrieval leg of the incremental-corpus story: index even
+    // doc_ids as the seed, append odd doc_ids as batch b1 WITHOUT
+    // re-reading the seed, then answer t8's exact queries from the
+    // persisted postings (bucket-pruned, df read exactly from the
+    // pruned scan). Scoring shares bm25ContribMicros with the one-shot
+    // path, so the oracle — the SAME from-scratch DuckDB replay t8
+    // uses, over the union of both batches — hash-checks that
+    // incremental index ≡ full rebuild, rank for rank, micro for micro.
+    "ir1_index_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dir = "/tmp/graft_idxstore_" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+      graft.pipelines.IndexStore.create(s, dir,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.pipelines.IndexStore.append(s, dir,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "b1")
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"),
+            1, 5)).as("qtext"))
+      graft.pipelines.IndexStore.bm25TopK(s, dir, queries, "qid",
+        "qtext", k = 5)
+        .select(col("qid"), col("rank"), col("id").as("doc_id"),
+          col("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---- Count-Min point-frequency sketch ---------------------------------
     // The overcount-only complement to t6's Misra-Gries: the sketch state
     // is a plain (depth, bkt, cnt) aggregate over md5-derived buckets, so
@@ -893,6 +920,57 @@ object CurationQueries {
       // derived constants interpolated from the SAME Scala doubles the
       // engine folds into its plan — "k1 + 1.0" re-typed in SQL could
       // parse to a different double than the computed sum
+      val k1 = 1.2; val b = 0.75
+      val c1 = (k1 + 1.0).toString; val c2 = k1.toString
+      val c3 = (1.0 - b).toString; val c4 = b.toString
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |    FROM documents) t
+         |  WHERE term <> '' GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |g AS (SELECT
+         |  (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+         |    / (SELECT count(*) FROM documents) AS avgdl,
+         |  (SELECT count(*) FROM documents) AS n_docs),
+         |q AS (
+         |  SELECT doc_id AS qid,
+         |    array_to_string(
+         |      string_split_regex(lower(trim(text)), '\\s+')[1:5], ' ')
+         |      AS qtext
+         |  FROM documents WHERE doc_id < 3),
+         |qt AS (
+         |  SELECT DISTINCT qid, term FROM (
+         |    SELECT qid,
+         |      unnest(string_split_regex(lower(trim(qtext)), '\\s+')) AS term
+         |    FROM q) t
+         |  WHERE term <> ''),
+         |sc AS (
+         |  SELECT qt.qid, tf.doc_id,
+         |    SUM(CAST(round(
+         |      ln((g.n_docs - dfx.df + CAST(0.5 AS DOUBLE))
+         |         / (dfx.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+         |      * (tf.tf * CAST($c1 AS DOUBLE))
+         |      / (tf.tf + CAST($c2 AS DOUBLE) * (CAST($c3 AS DOUBLE)
+         |         + CAST($c4 AS DOUBLE) * dl.dl / g.avgdl))
+         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS score_micros
+         |  FROM qt JOIN tf USING (term) JOIN dfx USING (term)
+         |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN g
+         |  GROUP BY 1, 2)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id,
+         |  score_micros / CAST(1000000.0 AS DOUBLE) AS score
+         |FROM (SELECT qid, doc_id, score_micros,
+         |  ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY score_micros DESC, doc_id) AS rank FROM sc)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    // identical replay: the store answers t8's queries from persisted
+    // postings; ground truth is the same from-scratch BM25 over ALL
+    // documents (seed ∪ b1 = the whole table)
+    "ir1_index_store" -> {
       val k1 = 1.2; val b = 0.75
       val c1 = (k1 + 1.0).toString; val c2 = k1.toString
       val c3 = (1.0 - b).toString; val c4 = b.toString

@@ -440,6 +440,32 @@ object LlmQueries {
         .orderBy(col("qid"))
     }),
 
+    // ---- hybrid retrieval: BM25 + cosine, reciprocal-rank fusion ---------
+    // The RAG-corpus ranker: docs 0-2 query as BOTH text (their first 5
+    // tokens, t8's queries) and vector (their own embedding — doc_id ≡
+    // vec_id in the testdata). Each leg is cut at depth 10, fused as
+    // Σ round(1e6/(60+rank)) — exact integer arithmetic over two ranks
+    // that are themselves hash-verified paths (t8's BM25 replay, ann1's
+    // cosine replay), so the oracle re-derives both rankings AND the
+    // fusion and the final (score DESC, id ASC) order hash-compares.
+    "hy1_hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"),
+            1, 5)).as("qtext"))
+        .join(emb.select(col("doc_id").as("qid"),
+          col("embedding").as("qv")), Seq("qid"))
+      graft.operators.HybridRetrieval.hybridTopK(docs, emb, "doc_id",
+        "text", "embedding", queries, "qid", "qtext", "qv", k = 5,
+        depth = 10)
+        .select(col("qid"), col("rank"), col("id").as("doc_id"),
+          col("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---- LSH-bucketed ANN top-k (oracle: DuckDB brute-force top-k) -------
     // The corpus is augmented with 5 scaled copies of each query vector:
     // identical direction ⟹ identical hyperplane signs ⟹ every copy
@@ -1120,6 +1146,87 @@ object LlmQueries {
         |      ORDER BY cosine DESC, vec_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // full independent replay of BOTH legs and the fusion: BM25 CTEs as
+    // in t8 (depth 10), cosine CTEs as in ann1 (depth 10), RRF as exact
+    // integer micros, final (score DESC, id ASC) window
+    "hy1_hybrid_rrf" -> {
+      val k1 = 1.2; val b = 0.75
+      val c1 = (k1 + 1.0).toString; val c2 = k1.toString
+      val c3 = (1.0 - b).toString; val c4 = b.toString
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |    FROM documents) t
+         |  WHERE term <> '' GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |g AS (SELECT
+         |  (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+         |    / (SELECT count(*) FROM documents) AS avgdl,
+         |  (SELECT count(*) FROM documents) AS n_docs),
+         |q AS (
+         |  SELECT doc_id AS qid,
+         |    array_to_string(
+         |      string_split_regex(lower(trim(text)), '\\s+')[1:5], ' ')
+         |      AS qtext
+         |  FROM documents WHERE doc_id < 3),
+         |qt AS (
+         |  SELECT DISTINCT qid, term FROM (
+         |    SELECT qid,
+         |      unnest(string_split_regex(lower(trim(qtext)), '\\s+')) AS term
+         |    FROM q) t
+         |  WHERE term <> ''),
+         |sc_lex AS (
+         |  SELECT qt.qid, tf.doc_id,
+         |    SUM(CAST(round(
+         |      ln((g.n_docs - dfx.df + CAST(0.5 AS DOUBLE))
+         |         / (dfx.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+         |      * (tf.tf * CAST($c1 AS DOUBLE))
+         |      / (tf.tf + CAST($c2 AS DOUBLE) * (CAST($c3 AS DOUBLE)
+         |         + CAST($c4 AS DOUBLE) * dl.dl / g.avgdl))
+         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS sm
+         |  FROM qt JOIN tf USING (term) JOIN dfx USING (term)
+         |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN g
+         |  GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT qid, doc_id, rank FROM (
+         |    SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sm DESC, doc_id) AS rank FROM sc_lex)
+         |  WHERE rank <= 10),
+         |qv AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 3),
+         |sc_sem AS (
+         |  SELECT qv.qid, e.vec_id,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.qv[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform(range(1, 65),
+         |        i -> CAST(e.embedding[i] AS DOUBLE)
+         |           * CAST(e.embedding[i] AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(range(1, 65),
+         |        i -> CAST(qv.qv[i] AS DOUBLE) * CAST(qv.qv[i] AS DOUBLE)))))
+         |      AS cosine
+         |  FROM embeddings e, qv),
+         |sem AS (
+         |  SELECT qid, vec_id AS doc_id, rank FROM (
+         |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, vec_id) AS rank FROM sc_sem)
+         |  WHERE rank <= 10),
+         |fused AS (
+         |  SELECT qid, doc_id,
+         |    SUM(CAST(round(CAST(1000000.0 AS DOUBLE) / (60 + rank))
+         |      AS BIGINT)) AS score_micros
+         |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+         |  GROUP BY 1, 2)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id,
+         |  score_micros / CAST(1000000.0 AS DOUBLE) AS score
+         |FROM (SELECT qid, doc_id, score_micros,
+         |  ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY score_micros DESC, doc_id) AS rank FROM fused)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
 
     "knn1_label_vote" ->
       """WITH q AS (

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.TextAnalysis
+import graft.pipelines.IndexStore
+import org.apache.spark.sql.functions._
+
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // small vocabulary with deliberate overlap so df/idf/dl all vary
+  private val corpus = Seq(
+    (1L, "spark shuffles data between stages"),
+    (2L, "spark broadcasts small tables"),
+    (3L, "duckdb vectorizes scans"),
+    (4L, "spark spark spark everywhere spark"),
+    (5L, "broadcast joins avoid shuffles in spark"),
+    (6L, "scans and joins and scans"),
+    (7L, ""),                                  // token-free doc: counts
+    (8L, "stages of a shuffle join")           //   in n_docs, not dl
+  )
+
+  private def queriesDf = Seq(
+    (100L, "spark shuffles"),
+    (101L, "scans joins")
+  ).toDF("qid", "qtext")
+
+  test("store-backed bm25 equals the one-shot bm25TopK over the " +
+      "union of batches, rank for rank and micro for micro") {
+    val dir = Files.createTempDirectory("graft_idx").toString
+    val docs = corpus.toDF("id", "text")
+    IndexStore.create(spark, dir, docs.filter($"id" <= 4), "id", "text")
+    IndexStore.append(spark, dir, docs.filter($"id" > 4), "id", "text",
+      "b1")
+    val fromStore = IndexStore.bm25TopK(spark, dir, queriesDf, "qid",
+        "qtext", k = 4)
+      .orderBy($"qid", $"rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val oneShot = TextAnalysis.bm25TopK(docs, "id", "text", queriesDf,
+        "qid", "qtext", k = 4)
+      .orderBy($"qid", $"rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(fromStore.nonEmpty && fromStore.sameElements(oneShot),
+      s"store=${fromStore.toSeq} oneShot=${oneShot.toSeq}")
+  }
+
+  test("same-tag re-append replaces (idempotent retry): df and scores " +
+      "stay single-counted") {
+    val dir = Files.createTempDirectory("graft_idx").toString
+    val docs = corpus.toDF("id", "text")
+    IndexStore.create(spark, dir, docs.filter($"id" <= 4), "id", "text")
+    IndexStore.append(spark, dir, docs.filter($"id" > 4), "id", "text",
+      "b1")
+    val once = IndexStore.bm25TopK(spark, dir, queriesDf, "qid",
+      "qtext", k = 4).orderBy($"qid", $"rank").collect().toSeq
+    IndexStore.append(spark, dir, docs.filter($"id" > 4), "id", "text",
+      "b1")
+    val twice = IndexStore.bm25TopK(spark, dir, queriesDf, "qid",
+      "qtext", k = 4).orderBy($"qid", $"rank").collect().toSeq
+    assert(once === twice)
+  }
+
+  test("maxDfFrac prunes stop terms: a term in every doc stops " +
+      "contributing, content terms still score") {
+    val dir = Files.createTempDirectory("graft_idx").toString
+    // "the" appears in all 4 docs; "falcon" in one
+    val docs = Seq(
+      (1L, "the falcon dives"), (2L, "the owl waits"),
+      (3L, "the crow calls"), (4L, "the wren sings"))
+      .toDF("id", "text")
+    IndexStore.create(spark, dir, docs, "id", "text")
+    val q = Seq((1L, "the falcon")).toDF("qid", "qtext")
+    val full = IndexStore.bm25TopK(spark, dir, q, "qid", "qtext", k = 4)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    val pruned = IndexStore.bm25TopK(spark, dir, q, "qid", "qtext",
+        k = 4, maxDfFrac = 0.5)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    // with "the" pruned only doc 1 (falcon) scores at all
+    assert(pruned.keySet === Set(1L), s"pruned=$pruned")
+    // and its score dropped by exactly "the"'s contribution
+    assert(pruned(1L) < full(1L))
+    assert(full.keySet === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("bucket pruning: a query's postings scan reads only the " +
+      "buckets its terms hash into") {
+    val dir = Files.createTempDirectory("graft_idx").toString
+    IndexStore.create(spark, dir, corpus.toDF("id", "text"), "id",
+      "text", nBuckets = 64)
+    val q = Seq((1L, "falconless")).toDF("qid", "qtext") // unseen term
+    // unseen term: its bucket exists or not, but no foreign bucket may
+    // contribute — result must be empty, not low-scored noise
+    val got = IndexStore.bm25TopK(spark, dir, q, "qid", "qtext", k = 3)
+    assert(got.count() === 0L)
+    // and a real query touches at most one bucket dir per distinct term
+    val q2 = Seq((2L, "spark shuffles")).toDF("qid", "qtext")
+    val n = IndexStore.bm25TopK(spark, dir, q2, "qid", "qtext", k = 3)
+      .queryExecution.executedPlan.toString()
+    // partition filter must be present on the postings scan
+    assert(n.contains("bkt"), "expected a bkt partition filter in plan")
+  }
+}
