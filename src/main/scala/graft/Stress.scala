@@ -444,6 +444,60 @@ object Stress {
         "recall_at_10" -> hits.toDouble / math.max(1, nBrute))
     }
 
+    // ---- inverted-index store: full-corpus postings build (~105M
+    // posting rows at 5M docs through the (id, term) partial-agg
+    // shuffle), then batched BM25 queries that must stay bucket-pruned.
+    // Template tokens are mass-shared (df ~ nDocs/20), so the same 100
+    // queries run both unpruned and with stop-term pruning engaged —
+    // the delta IS the hot-posting-list tax the maxDfFrac lever buys
+    // back -----------------------------------------------------------
+    step("index") {
+      val storeDir = s"$dir/idxstore_$nDocs"
+      val seed = docs.filter(col("doc_id") % 100 =!= 0)
+      val batch = docs.filter(col("doc_id") % 100 === 0)
+      val t0 = System.nanoTime()
+      graft.pipelines.IndexStore.create(spark, storeDir, seed,
+        "doc_id", "text")
+      val seedSecs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      graft.pipelines.IndexStore.append(spark, storeDir, batch,
+        "doc_id", "text", "b1")
+      val appendSecs = (System.nanoTime() - t1) / 1e9
+      val nPostings = spark.read.parquet(s"$storeDir/postings").count()
+      // 100 queries: tokens 3-10 of each doc — 3 template tokens (hot,
+      // df ≈ nDocs/20: the stop-term surface) + 5 tail tokens (df ≈
+      // 300: the distinctive content), the realistic mixed-query shape
+      val queries = docs.filter(col("doc_id") % (nDocs / 100) === 0)
+        .limit(100)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"),
+            3, 8)).as("qtext"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nQ = queries.count()
+      val run = (frac: Double) => CacheScope.withScope { implicit scope =>
+        val t = System.nanoTime()
+        val res = graft.pipelines.IndexStore.bm25TopK(spark, storeDir,
+          queries, "qid", "qtext", k = 10, maxDfFrac = frac)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = res.count()
+        // self-retrieval: the query IS doc qid's own prefix, so qid
+        // must appear in its own top-10 (prefix tokens are 5 of ~24)
+        val selfHits = res.filter(col("id") === col("qid")).count()
+        res.unpersist()
+        ((System.nanoTime() - t) / 1e9, n, selfHits)
+      }
+      // 0.01 · 5M = 50k: template tokens (df ≈ 250k) are pruned, tail
+      // tokens (df ≈ 300) survive — self-retrieval must hold either way
+      val (fullSecs, nFull, selfFull) = run(1.0)
+      val (prunedSecs, nPruned, selfPruned) = run(0.01)
+      queries.unpersist()
+      Seq("n_postings" -> nPostings, "seed_secs" -> seedSecs,
+        "append_secs" -> appendSecs, "n_queries" -> nQ,
+        "query_secs" -> fullSecs, "query_pruned_secs" -> prunedSecs,
+        "rows_full" -> nFull, "rows_pruned" -> nPruned,
+        "self_hits_full" -> selfFull, "self_hits_pruned" -> selfPruned)
+    }
+
     println("STRESS_SUMMARY {" +
       results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(",") + "}")

@@ -127,6 +127,29 @@ object IndexStore {
     TextAnalysis.bm25Rank(scored, qidCol, "id", k)
   }
 
+  /** Continuous ingestion: drain a streaming DataFrame of (id, text)
+    * into the index, one [[append]] per micro-batch tagged by the
+    * checkpointed batch id. foreachBatch replays a batch whose
+    * checkpoint commit didn't land; the replay overwrites the SAME
+    * b=stream-<id> directory, so postings and stats never double-count
+    * — the same exactly-once contract as [[VectorStore.ingestStream]],
+    * no store-side ledger needed. Trigger.AvailableNow by default
+    * (drain-and-stop); pass a different trigger for an always-on
+    * indexer. */
+  def ingestStream(spark: SparkSession, dir: String, stream: DataFrame,
+      idCol: String, textCol: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        append(spark, dir, batch, idCol, textCol, s"stream-$batchId")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   // ---- internals --------------------------------------------------------
 
   /** One file per (bucket, batch) via repartition-before-partitionBy —

@@ -297,6 +297,72 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bm25_topk(path, idCol, textCol, queryText, k) — all arguments " +
             "must be literals (k an integer)")
       }))
+    // store-backed variant: same scoring expression, but the relation
+    // comes from a persisted IndexStore directory (bucket-pruned
+    // postings), so a SQL user can query a corpus index maintained
+    // incrementally by another job
+    ext.injectTableFunction((FunctionIdentifier("bm25_store_topk"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "bm25_store_topk"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(dir, q, Literal(k: Int, _)) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          import spark.implicits._
+          val queries = Seq((0L, strLit(q, "bm25_store_topk query")))
+            .toDF("__qid", "__qtext")
+          graft.pipelines.IndexStore.bm25TopK(spark,
+            strLit(dir, "bm25_store_topk dir"), queries, "__qid",
+            "__qtext", k)
+            .drop("__qid")
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "bm25_store_topk(storeDir, queryText, k) — all arguments " +
+            "must be literals (k an integer)")
+      }))
+    // hybrid lexical+semantic retrieval as a TABLE function: BM25 over
+    // a parquet corpus fused (reciprocal-rank) with exact cosine over a
+    // parquet vector table whose id space coincides — the query arrives
+    // as text AND an array literal (vector_topk precedent)
+    ext.injectTableFunction((FunctionIdentifier("hybrid_topk"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "hybrid_topk"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(dp, idc, tc, vp, vidc, vc, q,
+            arr: org.apache.spark.sql.catalyst.expressions.CreateArray,
+            Literal(k: Int, _), Literal(depth: Int, _)) =>
+          // CreateArray coerces elements to a common type by WRAPPING
+          // literals in Cast, so match foldability and evaluate rather
+          // than pattern-match bare Literals
+          val vec = arr.children.map { e =>
+            if (!e.foldable) throw new IllegalArgumentException(
+              s"hybrid_topk query-vector elements must be numeric " +
+                s"literals: $e")
+            e.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+              case v: org.apache.spark.sql.types.Decimal => v.toFloat
+              case v: java.lang.Number => v.floatValue()
+              case other => throw new IllegalArgumentException(
+                s"hybrid_topk query-vector elements must be numeric " +
+                  s"literals: $other")
+            }
+          }
+          val spark = org.apache.spark.sql.SparkSession.active
+          import spark.implicits._
+          val idCol = strLit(idc, "hybrid_topk idCol")
+          val docs = spark.read.parquet(strLit(dp, "hybrid_topk docsPath"))
+          val vecs = spark.read.parquet(strLit(vp, "hybrid_topk vecsPath"))
+            .withColumnRenamed(strLit(vidc, "hybrid_topk vecIdCol"), idCol)
+          val queries = Seq((0L, strLit(q, "hybrid_topk query"), vec))
+            .toDF("__qid", "__qtext", "__qv")
+          graft.operators.HybridRetrieval.hybridTopK(docs, vecs, idCol,
+            strLit(tc, "hybrid_topk textCol"),
+            strLit(vc, "hybrid_topk vecCol"), queries, "__qid",
+            "__qtext", "__qv", k, depth)
+            .drop("__qid")
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "hybrid_topk(docsPath, idCol, textCol, vecsPath, vecIdCol, " +
+            "vecCol, queryText, array(v1, ...), k, depth) — all " +
+            "arguments must be literals (k, depth integers)")
+      }))
     ext.injectTableFunction((FunctionIdentifier("bigram_lm_score"),
       new ExpressionInfo(classOf[GraftExtensions].getName,
         "bigram_lm_score"),

@@ -60,6 +60,32 @@ class HybridRetrievalSpec extends SparkSpec {
     assert(got.toSet.contains(3L) && got.toSet.contains(2L))
   }
 
+  test("hybrid_topk TVF: SQL text equals the Scala API") {
+    val root = java.nio.file.Files.createTempDirectory("hytvf").toString
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha delta"),
+      (3L, "zeta eta")).toDF("id", "text")
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f))).toDF("vid", "emb")
+    docs.write.mode("overwrite").parquet(s"$root/docs")
+    vecs.write.mode("overwrite").parquet(s"$root/vecs")
+    val got = spark.sql("SELECT rank, id, score FROM hybrid_topk(" +
+      s"'$root/docs', 'id', 'text', '$root/vecs', 'vid', 'emb', " +
+      "'alpha beta', array(1.0, 0.0), 3, 3) ORDER BY rank")
+      .collect().toSeq
+    val q = Seq((0L, "alpha beta", Array(1.0f, 0.0f)))
+      .toDF("qid", "qtext", "qv")
+    val want = HybridRetrieval.hybridTopK(docs,
+        vecs.withColumnRenamed("vid", "id"), "id", "text", "emb", q,
+        "qid", "qtext", "qv", k = 3, depth = 3)
+      .select($"rank", $"id", $"score").orderBy($"rank").collect().toSeq
+    assert(got === want && got.nonEmpty)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM hybrid_topk('$root/docs', 'id', 'text'," +
+        s" '$root/vecs', 'vid', 'emb', 'q', array(1.0, 0.0), 3, 1 + 2)")
+        .collect()
+    }
+  }
+
   test("depth < k is rejected loudly") {
     val docs = Seq((1L, "a")).toDF("id", "text")
     val vecs = Seq((1L, Array(1.0f))).toDF("id", "embedding")

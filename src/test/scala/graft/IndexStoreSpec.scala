@@ -83,6 +83,48 @@ class IndexStoreSpec extends SparkSpec {
     assert(full.keySet === Set(1L, 2L, 3L, 4L))
   }
 
+  test("streaming ingest drains files; store answers match a " +
+      "from-scratch index over everything ingested") {
+    val root = Files.createTempDirectory("graft_idxstream").toString
+    val dir = s"$root/store"
+    val in = s"$root/in"
+    val docs = corpus.toDF("id", "text")
+    IndexStore.create(spark, dir, docs.filter($"id" <= 4), "id", "text")
+    // two pending files of the remaining docs, drained one per batch
+    docs.filter($"id" === 5 || $"id" === 6).coalesce(1)
+      .write.parquet(s"$in/f1")
+    docs.filter($"id" === 7 || $"id" === 8).coalesce(1)
+      .write.parquet(s"$in/f2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+    IndexStore.ingestStream(spark, dir, stream, "id", "text",
+      s"$root/ckpt")
+    val fromStore = IndexStore.bm25TopK(spark, dir, queriesDf, "qid",
+      "qtext", k = 4).orderBy($"qid", $"rank").collect().toSeq
+    val oneShot = graft.operators.TextAnalysis.bm25TopK(docs, "id",
+      "text", queriesDf, "qid", "qtext", k = 4)
+      .orderBy($"qid", $"rank").collect().toSeq
+    assert(fromStore === oneShot)
+  }
+
+  test("bm25_store_topk TVF: SQL text answers from the persisted " +
+      "index, equal to the Scala API") {
+    val dir = Files.createTempDirectory("graft_idxsql").toString
+    val docs = corpus.toDF("id", "text")
+    IndexStore.create(spark, dir, docs, "id", "text")
+    val got = spark.sql(s"SELECT rank, id, score FROM bm25_store_topk(" +
+      s"'$dir', 'spark shuffles', 3) ORDER BY rank").collect().toSeq
+    val want = IndexStore.bm25TopK(spark, dir,
+        Seq((0L, "spark shuffles")).toDF("qid", "qtext"), "qid",
+        "qtext", k = 3)
+      .select($"rank", $"id", $"score").orderBy($"rank").collect().toSeq
+    assert(got === want && got.nonEmpty)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM bm25_store_topk('$dir', 'q', 1 + 1)")
+        .collect()
+    }
+  }
+
   test("bucket pruning: a query's postings scan reads only the " +
       "buckets its terms hash into") {
     val dir = Files.createTempDirectory("graft_idx").toString

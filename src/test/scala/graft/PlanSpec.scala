@@ -288,6 +288,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IndexStore bm25: the postings scan carries a bkt partition " +
+      "filter and query terms ride a broadcast join") {
+    noAqe {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("planidx").toString
+      graft.pipelines.IndexStore.create(spark, dir,
+        Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "delta"))
+          .toDF("id", "text"), "id", "text")
+      val q = Seq((0L, "alpha gamma")).toDF("qid", "qtext")
+      val p = planOf(graft.pipelines.IndexStore.bm25TopK(spark, dir, q,
+        "qid", "qtext", k = 2))
+      // the postings scan sits INSIDE the operator's internal cache
+      // (scope.cache of the pruned+term-joined frame), so look through
+      // InMemoryRelation boundaries as well as the outer plan
+      val allScans = p.collectWithSubqueries {
+          case s: FileSourceScanExec => s } ++
+        p.collectWithSubqueries {
+          case m: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec => m }
+          .flatMap(_.relation.cachedPlan.collectWithSubqueries {
+            case s: FileSourceScanExec => s })
+      val postScans = allScans.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("postings")))
+      assert(postScans.nonEmpty, "no postings scan found in plan")
+      postScans.foreach { s =>
+        assert(s.partitionFilters.exists(_.references.exists(
+            _.name == "bkt")),
+          "postings scan lost its bkt partition filter — query would " +
+            s"read EVERY bucket: ${s.simpleStringWithNodeId()}")
+      }
+      val bhj = p.collectWithSubqueries {
+        case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty, "query-term join de-broadcast")
+    }
+  }
+
   test("bigram LM: only narrow count rows shuffle, never document text") {
     noAqe {
       val p = planOf(SparkEntry.queries("t11_bigram_lm")(spark, sf))
