@@ -96,6 +96,17 @@ object IndexStore {
     require(k > 0, s"bm25TopK: k must be positive, got $k")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    // a missing live dir with a complete temp copy means a compact()
+    // crashed between its commit renames — name the recovery instead
+    // of failing with a bare path-not-found (one listing call)
+    val fsq = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fsq.exists(new org.apache.hadoop.fs.Path(s"$dir/postings")) ||
+        !fsq.exists(new org.apache.hadoop.fs.Path(
+          s"$dir/postings_compacting")),
+      s"IndexStore at $dir is mid-compaction (crashed between commit " +
+        "renames) — re-run compact() to roll the swap forward, then " +
+        "query")
     val conf = loadConf(spark, dir)
     val qt = scope.cache(queries
       .select(col(qidCol),
@@ -148,6 +159,77 @@ object IndexStore {
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** Merge every persisted batch into ONE batch directory — the
+    * operational counterweight to fine-grained streaming appends: a
+    * long-running ingester leaves thousands of b=stream-* directories,
+    * and at some point the per-directory listing cost (and the
+    * per-batch stats rows) outweighs the append savings. Compaction
+    * rewrites postings bucket-by-bucket (the repartition(bkt) write
+    * parallelizes over buckets — no global sort, no skew point) and
+    * folds the stats rows into one.
+    *
+    * Crash safety: the merged copy is written OUTSIDE the read roots
+    * (postings_compacting / stats_compacting), so a reader never sees
+    * a partial or double-counted state; the commit is a directory swap
+    * (live → _old, temp → live) and a crash between the two renames
+    * leaves the complete temp copy plus a missing live dir — re-running
+    * compact() ROLLS FORWARD (renames the temp into place) before doing
+    * anything else, and [[bm25TopK]] names that recovery in its error.
+    * A stats/postings swap interleaving is harmless: the per-batch
+    * stats rows and the folded row SUM to identical global totals.
+    *
+    * df correctness is unaffected: one posting row per (term, id)
+    * before = one after; queries see identical results
+    * ([[IndexStoreSpec]] pins this). Not concurrency-safe with appends
+    * — quiesce ingestion first (same contract as every sibling store's
+    * maintenance). */
+  def compact(spark: SparkSession, dir: String,
+      intoTag: String = "compacted"): Unit = {
+    require(intoTag.nonEmpty &&
+      intoTag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"intoTag must be a dir-safe token: '$intoTag'")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    rollForward(fs, p)
+    // leftovers from an earlier crash BEFORE its commit point: the live
+    // dirs are intact, so the temp/old copies are redundant
+    Seq("postings_old", "stats_old", "postings_compacting",
+      "stats_compacting").foreach(s => fs.delete(p(s), true))
+    require(fs.exists(p("postings")),
+      s"IndexStore.compact: no postings at $dir")
+    // full merged copy outside the read roots (the read's file listing
+    // is fixed before the write starts)
+    spark.read.parquet(s"$dir/postings")
+      .select(col("term"), col("id"), col("tf"), col("dl"), col("bkt"))
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$dir/postings_compacting/b=$intoTag")
+    spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("dl_sum")).as("dl_sum"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/stats_compacting/b=$intoTag")
+    // commit: swap live for merged, then drop the old copies
+    fs.rename(p("postings"), p("postings_old"))
+    fs.rename(p("postings_compacting"), p("postings"))
+    fs.rename(p("stats"), p("stats_old"))
+    fs.rename(p("stats_compacting"), p("stats"))
+    fs.delete(p("postings_old"), true)
+    fs.delete(p("stats_old"), true)
+  }
+
+  /** Complete a compact() that crashed between its commit renames: the
+    * temp copy is complete by construction (written before the swap
+    * begins), so when the live dir is missing the temp IS the store. */
+  private def rollForward(fs: org.apache.hadoop.fs.FileSystem,
+      p: String => org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(p("postings")) && fs.exists(p("postings_compacting")))
+      fs.rename(p("postings_compacting"), p("postings"))
+    if (!fs.exists(p("stats")) && fs.exists(p("stats_compacting")))
+      fs.rename(p("stats_compacting"), p("stats"))
   }
 
   // ---- internals --------------------------------------------------------

@@ -125,6 +125,41 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("compact merges every batch into one dir; queries are " +
+      "unchanged; a crashed swap rolls forward") {
+    val dir = Files.createTempDirectory("graft_idxcomp").toString
+    val docs = corpus.toDF("id", "text")
+    IndexStore.create(spark, dir, docs.filter($"id" <= 3), "id", "text")
+    IndexStore.append(spark, dir, docs.filter($"id" === 4 || $"id" === 5),
+      "id", "text", "b1")
+    IndexStore.append(spark, dir, docs.filter($"id" > 5), "id", "text",
+      "b2")
+    val before = IndexStore.bm25TopK(spark, dir, queriesDf, "qid",
+      "qtext", k = 4).orderBy($"qid", $"rank").collect().toSeq
+    IndexStore.compact(spark, dir)
+    val batchDirs = new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("b=")).toSeq
+    assert(batchDirs === Seq("b=compacted"))
+    assert(spark.read.parquet(s"$dir/stats").count() === 1L)
+    val after = IndexStore.bm25TopK(spark, dir, queriesDf, "qid",
+      "qtext", k = 4).orderBy($"qid", $"rank").collect().toSeq
+    assert(after === before)
+    // simulate a crash between the commit renames: live postings gone,
+    // complete temp copy present
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/postings"),
+      new org.apache.hadoop.fs.Path(s"$dir/postings_compacting"))
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.bm25TopK(spark, dir, queriesDf, "qid", "qtext", k = 4)
+    }
+    assert(e.getMessage.contains("mid-compaction"))
+    IndexStore.compact(spark, dir) // rolls forward, then re-compacts
+    val recovered = IndexStore.bm25TopK(spark, dir, queriesDf, "qid",
+      "qtext", k = 4).orderBy($"qid", $"rank").collect().toSeq
+    assert(recovered === before)
+  }
+
   test("bucket pruning: a query's postings scan reads only the " +
       "buckets its terms hash into") {
     val dir = Files.createTempDirectory("graft_idx").toString
