@@ -259,7 +259,7 @@ object Stress {
     // telemetry is pure scan throughput, there is nothing to shuffle ----
     step("quality") {
       val r = docs
-        .withColumn("__g", graft.operators.Curation.gopherReport(col("text")))
+        .withColumn("__g", graft.operators.Curation.gopherReportFused(col("text")))
         .withColumn("__c", graft.operators.Curation.c4LineClean(col("text")))
         .agg(count(lit(1)).as("n"),
           sum(when(graft.operators.Curation.gopherPass(col("__g")), 1L)

@@ -710,7 +710,16 @@ object Curation {
     * arrays per row (m log m on in-memory arrays), which at 100 TB is
     * still a map-only scan. Materialize the struct ONCE per row (its
     * own projection, like [[graft.operators.TextAnalysis.textStats]])
-    * and derive columns via getField. */
+    * and derive columns via getField.
+    *
+    * CAUTION — derived input columns: higher-order functions evaluate
+    * INTERPRETED (no codegen, no common-subexpression reuse), and
+    * Catalyst's CollapseProject will inline an upstream computed text
+    * column into every one of this struct's ~90 references — a cleaning
+    * expression upstream then re-evaluates ~90× per row (measured 38×
+    * wall on the c2 corpus). Cache or checkpoint the projection that
+    * computes the text first; [[graft.pipelines.CorpusPipeline.qualityGate]]
+    * shows the pattern. */
   def gopherReport(text: Column,
       stopwords: Seq[String] = gopherStopwords): Column = {
     val t = coalesce(text, lit(""))
@@ -774,27 +783,47 @@ object Curation {
       dupFrac(10).as("dup_10gram_char_frac"))
   }
 
+  /** Compiled one-pass form of [[gopherReport]] — identical 14-field
+    * struct from the native [[graft.expressions.GopherStats]]
+    * expression (primitive counters + hash-map run counting instead of
+    * nine interpreted `aggregate` folds; ~50× per row on multi-line
+    * docs, measured on the c2 corpus). GopherSpec pins fused ≡ composed
+    * field-for-field, including the UTF-8 tie-break and rounding. The
+    * composed form stays as the executable specification. */
+  def gopherReportFused(text: Column): Column =
+    graft.expressions.GopherStatsExpr.gopherStats(text)
+
   /** The paper's keep/drop decision over a [[gopherReport]] struct —
     * thresholds exactly as published (word count 50..100k, mean word
     * length 3..10, symbol ratio ≤ 0.1, bullet lines ≤ 90%, ellipsis
     * lines ≤ 30%, alpha words ≥ 80%, ≥ 2 stop words, dup lines ≤ 30%
     * by count / ≤ 20% by chars, top-{2,3,4}-gram chars ≤ {20,18,16}%,
-    * dup-{5,10}-gram chars ≤ {15,10}%). */
+    * dup-{5,10}-gram chars ≤ {15,10}%).
+    *
+    * The 14 field reads bind `r` through a single-element lambda
+    * (`exists(array(r), ...)`) rather than 14 direct getFields: a
+    * pushed-down interpreted predicate has NO common-subexpression
+    * reuse, so 14 getFields over the report EXPRESSION re-evaluate all
+    * nine sorted folds 14× per row — measured 19.1 s → 1.4 s on the c2
+    * corpus. The lambda variable evaluates its argument exactly once;
+    * the checks then read struct fields. Semantically identical for a
+    * materialized struct column, 14× cheaper for an inline expression. */
   def gopherPass(r: Column): Column =
-    r.getField("word_count").between(50L, 100000L) &&
-    r.getField("mean_word_len").between(3.0, 10.0) &&
-    r.getField("symbol_word_ratio") <= 0.1 &&
-    r.getField("bullet_line_frac") <= 0.9 &&
-    r.getField("ellipsis_line_frac") <= 0.3 &&
-    r.getField("alpha_word_frac") >= 0.8 &&
-    r.getField("stopword_hits") >= 2L &&
-    r.getField("dup_line_frac") <= 0.3 &&
-    r.getField("dup_line_char_frac") <= 0.2 &&
-    r.getField("top_2gram_char_frac") <= 0.2 &&
-    r.getField("top_3gram_char_frac") <= 0.18 &&
-    r.getField("top_4gram_char_frac") <= 0.16 &&
-    r.getField("dup_5gram_char_frac") <= 0.15 &&
-    r.getField("dup_10gram_char_frac") <= 0.10
+    exists(array(r), x =>
+      x.getField("word_count").between(50L, 100000L) &&
+      x.getField("mean_word_len").between(3.0, 10.0) &&
+      x.getField("symbol_word_ratio") <= 0.1 &&
+      x.getField("bullet_line_frac") <= 0.9 &&
+      x.getField("ellipsis_line_frac") <= 0.3 &&
+      x.getField("alpha_word_frac") >= 0.8 &&
+      x.getField("stopword_hits") >= 2L &&
+      x.getField("dup_line_frac") <= 0.3 &&
+      x.getField("dup_line_char_frac") <= 0.2 &&
+      x.getField("top_2gram_char_frac") <= 0.2 &&
+      x.getField("top_3gram_char_frac") <= 0.18 &&
+      x.getField("top_4gram_char_frac") <= 0.16 &&
+      x.getField("dup_5gram_char_frac") <= 0.15 &&
+      x.getField("dup_10gram_char_frac") <= 0.10)
 
   // -------------------------------------------------------------------
   // C4 line-level cleaning

@@ -135,12 +135,19 @@ object CorpusPipeline {
     val c4 = docs.observe(obs0, count(lit(1)).as("n0"))
       .withColumn("__c",
         Curation.c4LineClean(col(textCol), minLineWords, minLines))
-    val afterC4 = c4.filter(col("__c").getField("is_kept"))
+    // CACHE the c4 projection before the gopher filter: gopherReport is
+    // interpreted higher-order functions (no codegen, no common-subexpr
+    // reuse), and CollapseProject would inline the whole c4 expression
+    // into EVERY one of its ~90 references to the text column — measured
+    // 34 s vs 0.9 s on the c2 corpus. The cache is a projection barrier:
+    // clean_text evaluates once per row, the folds read the materialized
+    // value.
+    val afterC4 = scope.cache(c4.filter(col("__c").getField("is_kept"))
       .withColumn(textCol, col("__c").getField("clean_text"))
       .drop("__c")
-      .observe(obs1, count(lit(1)).as("n1"))
+      .observe(obs1, count(lit(1)).as("n1")))
     val afterGopher = scope.cache(afterC4.filter(
-      Curation.gopherPass(Curation.gopherReport(col(textCol)))))
+      Curation.gopherPass(Curation.gopherReportFused(col(textCol)))))
     val n2 = afterGopher.count()
     val n0 = obs0.get("n0").asInstanceOf[Long]
     val n1 = obs1.get("n1").asInstanceOf[Long]

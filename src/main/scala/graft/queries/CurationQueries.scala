@@ -443,7 +443,7 @@ object CurationQueries {
         "top_4gram_char_frac", "dup_5gram_char_frac",
         "dup_10gram_char_frac")
       docs.unionByName(doubled).unionByName(bulleted).unionByName(spiked)
-        .withColumn("__g", Curation.gopherReport(col("text")))
+        .withColumn("__g", Curation.gopherReportFused(col("text")))
         .select(col("doc_id") +:
           fields.map(f => col("__g").getField(f).as(f)) :+
           Curation.gopherPass(col("__g")).as("gopher_pass"): _*)
@@ -548,7 +548,7 @@ object CurationQueries {
             lit(".\nof the data and that batch have with be to end."))
             .as("text"))
       docs.unionByName(planted)
-        .withColumn("__g", Curation.gopherReport(col("text")))
+        .withColumn("__g", Curation.gopherReportFused(col("text")))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(Curation.gopherPass(col("__g")), 1L).otherwise(0L))

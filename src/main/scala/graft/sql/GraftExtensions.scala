@@ -117,7 +117,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("gopher_report"),
       new ExpressionInfo(Curation.getClass.getName, "gopher_report"),
       (exprs: Seq[Expression]) => exprs match {
-        case Seq(t) => expr_(Curation.gopherReport(col_(t)))
+        case Seq(t) => expr_(Curation.gopherReportFused(col_(t)))
         case _ => throw new IllegalArgumentException(
           "gopher_report(text) takes exactly one argument")
       }))
@@ -125,7 +125,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(Curation.getClass.getName, "gopher_pass"),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(t) =>
-          expr_(Curation.gopherPass(Curation.gopherReport(col_(t))))
+          expr_(Curation.gopherPass(Curation.gopherReportFused(col_(t))))
         case _ => throw new IllegalArgumentException(
           "gopher_pass(text) takes exactly one argument")
       }))

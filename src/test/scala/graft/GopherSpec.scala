@@ -90,6 +90,48 @@ class GopherSpec extends SparkSpec {
     assert(report("q w e r t y u i o p").getAs[Double]("dup_5gram_char_frac") === 0.0)
   }
 
+  test("fused gopherReportFused equals the composed report " +
+      "field-for-field on adversarial inputs") {
+    val cases: Seq[String] = Seq(
+      null,
+      "",
+      "   ",
+      "\n\n\n",
+      "the be... #hello …",
+      "- a\n* b\nhello...\nx\n  \nx",
+      // tie-break: two grams at equal count — binary-smallest must win
+      "b a b a c a b a",
+      // multi-line with dup lines and bullets, unicode bullet
+      "• uni bullet\n- dash\nsame line\nsame line\nsame line\nend...",
+      // unicode: Kelvin sign (lowercases to ASCII k), Turkish dotted
+      // capital İ (lowercase adds a combining mark → length changes),
+      // supplementary plane chars (UTF-8 vs UTF-16 sort order differs)
+      "K elvin the İstanbul 😀gram 😀gram zz zz",
+      // tabs/CR whitespace runs, '#' density, overlapping dots "....",
+      "a\tb\r\nc....d ## the of and that",
+      // long repetitive doc exercising every fold
+      (1 to 40).map(i => s"tok${i % 7}").mkString(" ") + "\n" +
+        (1 to 40).map(i => s"tok${i % 5}").mkString(" "))
+    val df = cases.zipWithIndex
+      .map { case (t, i) => (i, t) }.toDF("i", "text")
+    val both = df.select(col("i"),
+        Curation.gopherReport(col("text")).as("c"),
+        Curation.gopherReportFused(col("text")).as("f"))
+      .orderBy(col("i")).collect()
+    both.foreach { r =>
+      val c = r.getStruct(1); val f = r.getStruct(2)
+      assert(c === f, s"case ${r.getInt(0)}: composed=$c fused=$f " +
+        s"(input=${cases(r.getInt(0))})")
+    }
+    // and the pass decision agrees everywhere
+    val passes = df.select(
+        Curation.gopherPass(Curation.gopherReport(col("text"))).as("c"),
+        Curation.gopherPass(Curation.gopherReportFused(col("text")))
+          .as("f"))
+      .collect()
+    passes.foreach(r => assert(r.get(0) === r.get(1)))
+  }
+
   test("gopherPass: a clean passing doc and each failing rule") {
     // passing doc: 60 distinct-ish words with stopwords, reasonable lens
     val good = (1 to 52).map(i => s"word${i}xx").mkString(
