@@ -607,13 +607,17 @@ object Curation {
     require(overlap >= 0 && chunkSize > overlap,
       s"need 0 <= overlap < chunkSize: chunkSize=$chunkSize overlap=$overlap")
     val step = chunkSize - overlap
-    val words = split(trim(text), "\\s+")
-    val n = size(words)
-    val starts = filter(
-      sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
-      st => (st === 0) || (st + overlap < n))
-    transform(starts,
-      st => array_join(slice(words, st + 1, lit(chunkSize)), " "))
+    // lambda-bound once: the starts filter and the chunk transform both
+    // reference the token array per element — inlined, each chunk would
+    // re-split the document (O(n²/step) per doc)
+    TextAnalysis.bindOnce(split(trim(text), "\\s+")) { words =>
+      val n = size(words)
+      val starts = filter(
+        sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
+        st => (st === 0) || (st + overlap < n))
+      transform(starts,
+        st => array_join(slice(words, st + 1, lit(chunkSize)), " "))
+    }
   }
 
   // -------------------------------------------------------------------
@@ -626,13 +630,15 @@ object Curation {
     * cheap quality signal after length — scores high; natural prose
     * scores near 0. Pure array expressions over one tokenization, per
     * row, inside whole-stage codegen; no shuffle, no explode. */
-  def dupNgramFrac(text: Column, n: Int): Column = {
-    val grams = wordNgrams(text, n)
-    when(size(grams) > 0,
-      round(lit(1.0) - size(array_distinct(grams)).cast("double")
-        / size(grams), 6))
-      .otherwise(lit(0.0))
-  }
+  def dupNgramFrac(text: Column, n: Int): Column =
+    // three references (two sizes + distinct) — bound once so the gram
+    // construction runs once per row in the interpreted HOF path
+    TextAnalysis.bindOnce(wordNgrams(text, n)) { grams =>
+      when(size(grams) > 0,
+        round(lit(1.0) - size(array_distinct(grams)).cast("double")
+          / size(grams), 6))
+        .otherwise(lit(0.0))
+    }
 
   // -------------------------------------------------------------------
   // Gopher document-quality rules
@@ -849,24 +855,29 @@ object Curation {
   def c4LineClean(text: Column, minLineWords: Int = 3, minLines: Int = 5,
       badLinePhrases: Seq[String] = Seq("javascript")): Column = {
     val t = coalesce(text, lit(""))
-    val lines = filter(transform(split(t, "\n"), l => trim(l)),
-      l => l =!= "")
-    val kept = filter(lines, l => {
-      val terminal = l.endsWith(".") || l.endsWith("!") ||
-        l.endsWith("?") || l.endsWith("\"")
-      val words = size(filter(split(l, "\\s+"), w => w =!= ""))
-      val clean = badLinePhrases.map(p => !lower(l).contains(p))
-        .reduce(_ && _)
-      terminal && words >= minLineWords && clean
-    })
-    val nKept = size(kept).cast("long")
-    val nDropped = (size(lines) - size(kept)).cast("long")
-    val pageOk = nKept >= minLines.toLong &&
-      !lower(t).contains("lorem ipsum") && !t.contains("{")
-    struct(
-      array_join(kept, "\n").as("clean_text"),
-      nKept.as("n_lines_kept"), nDropped.as("n_lines_dropped"),
-      pageOk.as("is_kept"))
+    // nested bindOnce: `lines` is referenced twice and `kept` three
+    // times — inlined, each reference would re-run the full line
+    // split + per-line word-count filter in the interpreted HOF path
+    TextAnalysis.bindOnce(filter(transform(split(t, "\n"), l => trim(l)),
+        l => l =!= "")) { lines =>
+      TextAnalysis.bindOnce(filter(lines, l => {
+        val terminal = l.endsWith(".") || l.endsWith("!") ||
+          l.endsWith("?") || l.endsWith("\"")
+        val words = size(filter(split(l, "\\s+"), w => w =!= ""))
+        val clean = badLinePhrases.map(p => !lower(l).contains(p))
+          .reduce(_ && _)
+        terminal && words >= minLineWords && clean
+      })) { kept =>
+        val nKept = size(kept).cast("long")
+        val nDropped = (size(lines) - size(kept)).cast("long")
+        val pageOk = nKept >= minLines.toLong &&
+          !lower(t).contains("lorem ipsum") && !t.contains("{")
+        struct(
+          array_join(kept, "\n").as("clean_text"),
+          nKept.as("n_lines_kept"), nDropped.as("n_lines_dropped"),
+          pageOk.as("is_kept"))
+      }
+    }
   }
 
   // -------------------------------------------------------------------
@@ -880,13 +891,17 @@ object Curation {
 
   /** N-grams from an already-tokenized word array — the shared core of
     * [[wordNgrams]] and [[gopherReport]] (which tokenizes ONCE and
-    * derives five gram sizes from the same array). */
+    * derives five gram sizes from the same array). The word array is
+    * lambda-bound once ([[TextAnalysis.bindOnce]]) so a composite
+    * `words` expression does not re-evaluate per window. */
   def ngramsFromWords(words: Column, n: Int): Column = {
     require(n >= 1)
-    when(size(words) >= n,
-      transform(sequence(lit(1), size(words) - (n - 1)),
-        i => array_join(slice(words, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    TextAnalysis.bindOnce(words) { ws =>
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => array_join(slice(ws, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
   }
 
   /** Flag corpus documents sharing ≥ minMatches distinct word n-grams

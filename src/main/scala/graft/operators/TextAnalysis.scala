@@ -174,13 +174,27 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     xxhash64(regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  /** Evaluate `arr` ONCE and hand it to `f` as a lambda-bound value.
+    *
+    * Higher-order-function lambdas evaluate INTERPRETED, and an outer
+    * expression referenced inside the lambda body re-evaluates on
+    * EVERY element — `slice(tokens(c), i, k)` inside a transform
+    * re-tokenizes the document once per window, O(n²) per doc
+    * (measured as the dominant cost of the LM scoring stage before
+    * [[bigramPairs]] got its projection fix). A single-element
+    * transform binds the value to a lambda variable instead: the
+    * argument array evaluates once, every inner reference is a cheap
+    * bound read. */
+  private[graft] def bindOnce(arr: Column)(f: Column => Column): Column =
+    element_at(transform(array(arr), f), 1)
+
   /** Word k-shingles (the unit for MinHash / Jaccard). */
-  def shingles(c: Column, k: Int): Column = {
-    val t = tokens(c)
-    when(size(t) < k, array(concat_ws(" ", t)))
-      .otherwise(transform(sequence(lit(0), size(t) - k),
-        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
-  }
+  def shingles(c: Column, k: Int): Column =
+    bindOnce(tokens(c)) { t =>
+      when(size(t) < k, array(concat_ws(" ", t)))
+        .otherwise(transform(sequence(lit(0), size(t) - k),
+          i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+    }
 
   /** Deflate compression ratio per document — the entropy-style quality
     * signal (Gopher-family filters): machine-generated / repetitive /
@@ -396,16 +410,27 @@ object TextAnalysis {
   /** Per-document (prev, cur) bigram pairs as narrow rows — the shared
     * explode of [[bigramLm]] (training) and [[bigramLogProb]]
     * (scoring). The pair array is built per row from one tokenization
-    * (no self-join on position), then exploded. */
+    * (no self-join on position), then exploded.
+    *
+    * The token array is projected as its OWN column first: the
+    * transform lambda's `element_at(ws, i)` references evaluate
+    * interpreted, and with `ws` inlined as the full
+    * filter(split(lower(trim))) expression each of the 2(n−1) element
+    * reads would RE-TOKENIZE the document — O(n²) per doc, measured as
+    * the dominant cost of the LM stage. As a multi-referenced
+    * non-cheap alias the projection survives CollapseProject, so the
+    * lambda reads a per-row attribute instead. */
   private def bigramPairs(docs: DataFrame, keep: Seq[Column],
       textCol: String): DataFrame = {
-    val ws = filter(tokens(col(textCol)), w => w =!= "")
+    val withWs = docs.select(
+      keep :+ filter(tokens(col(textCol)), w => w =!= "").as("__ws"): _*)
+    val ws = col("__ws")
     val prs = when(size(ws) >= 2,
       transform(sequence(lit(1), size(ws) - 1),
         i => struct(element_at(ws, i).as("prev"),
           element_at(ws, i + 1).as("cur"))))
       .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
-    docs.select(keep :+ explode(prs).as("b"): _*)
+    withWs.select(keep :+ explode(prs).as("b"): _*)
       .select(keep :+ col("b.prev") :+ col("b.cur"): _*)
   }
 
