@@ -904,6 +904,54 @@ object Curation {
     }
   }
 
+  /** Embedding-space decontamination — the semantic complement to the
+    * n-gram [[decontaminate]]: an eval question PARAPHRASED in web text
+    * shares no 8-gram but sits at high cosine to the benchmark's
+    * embedding. Flags every corpus row whose vector has cosine ≥
+    * `threshold` to ANY benchmark vector.
+    *
+    * Scale shape: both sides bucket under the SAME hyperplane family
+    * (shared seed/planes), the corpus side with its single base bucket
+    * (one row per vector — the 100 TB side must not multiply), the
+    * benchmark side multi-probed (eval sets are small; probes × |bench|
+    * rows is control-plane sized, and AQE broadcasts it). Candidates
+    * equi-join by bucket, verify by exact cosine, distinct per
+    * (corpus, bench) pair (multi-probe can surface one pair through
+    * several buckets), then aggregate per corpus row. Recall follows
+    * the hyperplane-LSH curve; near-verbatim leaks (cosine → 1) have
+    * near-identical sign patterns and are found with probability → 1.
+    *
+    * Returns EVERY corpus row: (cIdCol, n_benchmark_matches,
+    * max_cosine — null when clean, is_contaminated). */
+  def semanticDecontaminate(corpus: DataFrame, cIdCol: String,
+      cVecCol: String, bench: DataFrame, bIdCol: String,
+      bVecCol: String, threshold: Double = 0.95, planes: Int = 12,
+      seed: Long = 42L, dim: Int = -1, probes: Int = 2): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val d = if (dim > 0) dim else Similarity.inferDim(corpus, cVecCol)
+    val cb = corpus.select(col(cIdCol), col(cVecCol).as("__cv"),
+      Similarity.hyperplaneBucket(col(cVecCol), d, planes, seed)
+        .as("bucket"))
+    val bb = bench.select(col(bIdCol).as("__bid"), col(bVecCol).as("__bv"),
+        explode(Similarity.multiProbeBuckets(col(bVecCol), d, planes,
+          seed, probes)).as("bucket"))
+    val hits = cb.join(bb, Seq("bucket"))
+      .withColumn("cosine", Similarity.cosine(col("__cv"), col("__bv")))
+      .filter(col("cosine") >= threshold)
+      .select(col(cIdCol), col("__bid"), col("cosine")).distinct()
+      .groupBy(col(cIdCol))
+      .agg(count(lit(1)).as("n_benchmark_matches"),
+        max(col("cosine")).as("max_cosine"))
+    corpus.select(col(cIdCol)).join(hits, Seq(cIdCol), "left")
+      .select(col(cIdCol),
+        coalesce(col("n_benchmark_matches"), lit(0L))
+          .as("n_benchmark_matches"),
+        col("max_cosine"),
+        (coalesce(col("n_benchmark_matches"), lit(0L)) > 0L)
+          .as("is_contaminated"))
+  }
+
   /** Flag corpus documents sharing ≥ minMatches distinct word n-grams
     * with a held-out benchmark set — the standard train/eval
     * decontamination pass (eval questions quoted verbatim in web text

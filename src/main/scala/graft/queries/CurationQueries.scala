@@ -418,6 +418,25 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- semantic decontamination (embedding-space benchmark leaks) ------
+    // The paraphrase leg of cu5: a benchmark of 20 SCALED copies of every
+    // 25th corpus vector (identical direction ⟹ identical hyperplane
+    // signs ⟹ deterministic LSH recall, the d5 argument) at cosine ~1.0;
+    // random 64-dim pairs never reach 0.999, so the LSH output equals
+    // the brute-force truth and the DuckDB oracle recomputes every
+    // (match-count, max-cosine, flag) row from all 500×20 exact cosines.
+    "cu15_semantic_decontam" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"))
+      val bench = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 20000L).as("bench_id"),
+          transform(col("embedding"), x => x * 1.001).as("embedding"))
+      Curation.semanticDecontaminate(emb, "vec_id", "embedding",
+          bench, "bench_id", "embedding", threshold = 0.999, planes = 8)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- Gopher quality-rule report (Rae et al. 2021 §A1.1) ---------------
     // Three planted variants stress rule families the word-soup corpus
     // cannot: doubled text (dup-gram char fractions), bullet multi-line
@@ -1126,6 +1145,42 @@ object CurationQueries {
         |  COALESCE(h.n, 0) >= 3 AS is_contaminated
         |FROM corpus c LEFT JOIN hits h USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // brute-force replay: every corpus×bench cosine in doubles (the d5
+    // sequential list_sum pattern), thresholded, aggregated per row
+    "cu15_semantic_decontam" ->
+      """WITH corp AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings),
+        |bench AS (
+        |  SELECT vec_id + 20000 AS bench_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001) AS v
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |cn AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+        |      AS nv
+        |  FROM corp),
+        |bn AS (
+        |  SELECT bench_id, v,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+        |      AS nv
+        |  FROM bench),
+        |hits AS (
+        |  SELECT c.vec_id, count(*) AS n_benchmark_matches,
+        |    max(list_sum(list_transform(range(1, 65),
+        |      i -> c.v[i] * b.v[i])) / (c.nv * b.nv)) AS max_cosine
+        |  FROM cn c, bn b
+        |  WHERE list_sum(list_transform(range(1, 65),
+        |      i -> c.v[i] * b.v[i])) / (c.nv * b.nv) >= 0.999
+        |  GROUP BY c.vec_id)
+        |SELECT c.vec_id,
+        |  COALESCE(h.n_benchmark_matches, 0) AS n_benchmark_matches,
+        |  h.max_cosine,
+        |  COALESCE(h.n_benchmark_matches, 0) > 0 AS is_contaminated
+        |FROM corp c LEFT JOIN hits h USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
 
     // Full first-principles recompute of the Gopher report: per-doc
     // scalars from list lambdas, line/gram duplicate-char masses from

@@ -465,4 +465,36 @@ class CurationSpec extends SparkSpec {
     assert(got(1)._2 >= 3 && got(1)._3)
     assert(!got(2)._3)
   }
+
+  test("semanticDecontaminate: scaled leak flagged once (multi-probe " +
+      "dedup), orthogonal vector clean, every corpus row returned") {
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0, 0.0)),
+      (3L, Array(0.0, 0.0, 1.0, 0.0)))
+      .toDF("id", "vec")
+    // bench: a scaled copy of corpus vec 1 (cosine 1.0) + an unrelated
+    // direction far from every corpus vector
+    val bench = Seq(
+      (100L, Array(2.5, 0.0, 0.0, 0.0)),
+      (101L, Array(0.0, 0.0, 0.0, 1.0)))
+      .toDF("bid", "vec")
+    val got = Curation.semanticDecontaminate(corpus, "id", "vec",
+        bench, "bid", "vec", threshold = 0.99, planes = 6, probes = 4)
+      .orderBy(col("id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(got.length === 3, "every corpus row must come back")
+    // vec 1 matches bench 100 exactly ONCE despite 4 probe buckets
+    assert(got(0) === ((1L, 1L, true)), s"got ${got.toSeq}")
+    assert(got(1) === ((2L, 0L, false)))
+    assert(got(2) === ((3L, 0L, false)))
+    // max_cosine is null for clean rows, ~1.0 for the leak
+    val mc = Curation.semanticDecontaminate(corpus, "id", "vec",
+        bench, "bid", "vec", threshold = 0.99, planes = 6, probes = 4)
+      .orderBy(col("id")).collect()
+    assert(math.abs(mc(0).getDouble(2) - 1.0) < 1e-9)
+    assert(mc(1).isNullAt(2) && mc(2).isNullAt(2))
+  }
 }
