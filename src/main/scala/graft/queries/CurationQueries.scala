@@ -686,7 +686,8 @@ object CurationQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "cu2_source_cap" ->
-      """SELECT source, rank, doc_id, n_chars FROM (
+      """SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, n_chars
+        |FROM (
         |  SELECT source, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY n_chars DESC, doc_id) AS rank
@@ -724,8 +725,10 @@ object CurationQueries {
          |      ELSE text END AS text
          |  FROM documents)
          |SELECT doc_id,
-         |  len(regexp_extract_all(text, '$em')) AS n_emails,
-         |  len(regexp_extract_all(text, '$ph')) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS INTEGER)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ph')) AS INTEGER)
+         |    AS n_phones,
          |  regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'),
          |    '$ph', '<PHONE>', 'g') AS clean
          |FROM pii ORDER BY doc_id""".stripMargin
@@ -1296,11 +1299,12 @@ object CurationQueries {
          |  FROM documents WHERE doc_id % 7 = 0),
          |${OracleFragments.gopherCtes("rdocs", "text")}
          |SELECT r.source, count(*) AS n_docs,
-         |  sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS n_pass,
-         |  sum(g.word_count) AS n_words,
-         |  sum(g.stopword_hits) AS n_stop_hits,
-         |  sum(CASE WHEN g.dup_5gram_char_frac > 0.15 THEN 1 ELSE 0 END)
-         |    AS n_repetitive,
+         |  CAST(sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_pass,
+         |  CAST(sum(g.word_count) AS BIGINT) AS n_words,
+         |  CAST(sum(g.stopword_hits) AS BIGINT) AS n_stop_hits,
+         |  CAST(sum(CASE WHEN g.dup_5gram_char_frac > 0.15 THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_repetitive,
          |  round(CAST(sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END)
          |    AS DOUBLE) / count(*), 6) AS pass_rate
          |FROM gfp g JOIN rdocs r USING (doc_id)

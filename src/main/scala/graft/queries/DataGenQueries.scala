@@ -191,7 +191,8 @@ object DataGenQueries {
          |SELECT * FROM (
          |  SELECT 'store' AS kind, store_id AS id, store_name AS name,
          |    class_of_trade AS attr1, is_chain AS attr2,
-         |    city || '/' || state AS attr3, volume_weight
+         |    city || '/' || state AS attr3,
+         |    CAST(volume_weight AS DOUBLE) AS volume_weight
          |  FROM store_full
          |  UNION ALL
          |  SELECT 'dist', dist_id, dist_name, dist_type, active_flag,

@@ -163,11 +163,12 @@ object OracleFragments {
        |lmdpc AS (SELECT doc_id, prev, cur, count(*) AS nk
        |          FROM lmdp GROUP BY 1, 2, 3),
        |lmsc AS (
-       |  SELECT lmdpc.doc_id, SUM(lmdpc.nk) AS n_transitions,
-       |    -SUM(CAST(round(ln(
+       |  SELECT lmdpc.doc_id,
+       |    CAST(SUM(lmdpc.nk) AS BIGINT) AS n_transitions,
+       |    CAST(-SUM(CAST(round(ln(
        |        (coalesce(lmc.c, 0) + CAST($alpha AS DOUBLE))
        |        / (coalesce(lctx.ctx, 0) + CAST($alpha AS DOUBLE) * lv.v))
-       |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) * lmdpc.nk)
+       |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) * lmdpc.nk) AS BIGINT)
        |      AS nll_micros
        |  FROM lmdpc LEFT JOIN lmc USING (prev, cur)
        |    LEFT JOIN lctx USING (prev) CROSS JOIN lv
