@@ -30,6 +30,18 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  /** Nullable even when both children are non-nullable: length
+    * mismatch, a null element, and a zero-norm side all yield null.
+    * Without this override, non-nullable inputs route nullSafeCodeGen
+    * through its never-null branch, which drops ev.isNull's
+    * DECLARATION while the fused loop below still assigns it — janino
+    * rejects the stage ("isNull_N is not an rvalue") and every plan
+    * containing the expression silently falls back to interpreted
+    * execution (r9's 14 compile failures in the vector-path stress
+    * tests). It is also the truthful null contract for the optimizer:
+    * IsNotNull(cosine_sim(..)) must not constant-fold away. */
+  override def nullable: Boolean = true
+
   /** Fully inlined doGenCode: emits the fused loop directly into the
     * whole-stage-codegen function — no reference-object call, no Double
     * boxing per row. This is the hot path of brute-force/IVF ANN where

@@ -324,6 +324,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(diff === 0) // bit-identical, not just approximately equal
   }
 
+  test("CosineSim codegen COMPILES over non-nullable inputs (no " +
+      "interpreted fallback)") {
+    // r9 regression: without a nullable=true override, non-nullable
+    // children routed nullSafeCodeGen through its never-null branch,
+    // which drops ev.isNull's declaration while the fused loop still
+    // assigns it — janino rejected every stage containing the
+    // expression ("isNull_N is not an rvalue") and the vector path ran
+    // interpreted corpus-wide. fallback=false + CODEGEN_ONLY turn that
+    // silent fallback into a test failure.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = spark.range(100).select(col("id"),
+        array(col("id").cast("double"), lit(1.0), lit(2.0)).as("va"),
+        array(lit(3.0), col("id").cast("double"), lit(1.0)).as("vb"))
+      assert(!df.schema("va").nullable && !df.schema("vb").nullable,
+        "precondition lost: inputs must be NON-nullable to exercise " +
+          "the regression")
+      val out = df.select(col("id"),
+        Similarity.cosine(col("va"), col("vb")).as("c"))
+      assert(out.schema("c").nullable,
+        "cosine must declare nullable (zero-norm/length-mismatch null)")
+      assert(out.collect().length === 100)
+      // and the null contract survives optimization: a zero-norm side
+      // yields null, never NaN, even from non-nullable inputs
+      val z = spark.range(3).select(
+        array(lit(0.0), lit(0.0)).as("va"), array(lit(1.0), lit(1.0)).as("vb"))
+        .select(Similarity.cosine(col("va"), col("vb")).as("c"))
+        .filter(col("c").isNull).count()
+      assert(z === 3)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("multi-probe LSH recovers additively-perturbed near-dups") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>")
