@@ -466,6 +466,53 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- hybrid retrieval, production-shaped: BM25 + persisted IVF -------
+    // Same fusion as hy1, but the semantic leg is the full ann5 store
+    // lifecycle — create from half the corpus, frozen-quantizer append
+    // of the other half, cell-pruned query — cut at k=5, the depth at
+    // which the planted-copy construction makes the IVF answer PROVABLY
+    // the exact top-5 (each query's 5 scaled copies + the query itself
+    // share its argmax-cosine cell under ANY centroids, and that cell
+    // is always probed). The lexical leg stays depth 10. The oracle
+    // replays the lex CTEs, a brute-force cosine top-5 over the
+    // augmented corpus (≡ the store's provable answer), and the
+    // integer-micros RRF — hash-pinning the production-shaped hybrid
+    // path (store-backed ANN leg) end to end. Ids the corpus planted
+    // beyond the doc space fuse with one leg's contribution only, as a
+    // real mixed-id deployment would.
+    "hy2_hybrid_ivf" -> ((s, d) => {
+      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
+      val dir = s"/tmp/graft_vstore_hy2_$sfTag"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val data = annCorpus(s, d)
+      graft.pipelines.VectorStore.create(s, dir,
+        data.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        nCells = 8, m = 8, ksub = 16, ivfIters = 2, pqIters = 3)
+      graft.pipelines.VectorStore.append(s, dir,
+        data.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        batchTag = "b1")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"),
+            1, 5)).as("qtext"))
+      val qvec = data.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val lex = TA.bm25TopK(docs, "doc_id", "text", queries,
+        "qid", "qtext", k = 10)
+      val sem = graft.pipelines.VectorStore.topK(s, dir, qvec,
+        "qid", "qv", k = 5, nprobe = 3)
+      graft.operators.HybridRetrieval.rrfFuse(Seq(
+          lex.select(col("qid"), col("rank"), col("doc_id").as("id")),
+          sem.select(col("qid"), col("rank"), col("vec_id").as("id"))),
+        "qid", "id", k = 5)
+        .select(col("qid"), col("rank"), col("id").as("doc_id"),
+          col("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---- LSH-bucketed ANN top-k (oracle: DuckDB brute-force top-k) -------
     // The corpus is augmented with 5 scaled copies of each query vector:
     // identical direction ⟹ identical hyperplane signs ⟹ every copy
@@ -1214,6 +1261,96 @@ object LlmQueries {
          |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
          |      ORDER BY cosine DESC, vec_id) AS rank FROM sc_sem)
          |  WHERE rank <= 10),
+         |fused AS (
+         |  SELECT qid, doc_id,
+         |    SUM(CAST(round(CAST(1000000.0 AS DOUBLE) / (60 + rank))
+         |      AS BIGINT)) AS score_micros
+         |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+         |  GROUP BY 1, 2)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id,
+         |  score_micros / CAST(1000000.0 AS DOUBLE) AS score
+         |FROM (SELECT qid, doc_id, score_micros,
+         |  ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY score_micros DESC, doc_id) AS rank FROM fused)
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    // hy2: lexical CTEs identical to hy1 (depth 10); semantic leg is
+    // brute-force cosine top-5 over the AUGMENTED corpus (embeddings +
+    // 5 scaled copies of each query vector) — provably what the IVF
+    // store returns, per the ann2/ann5 planted-copy argument; fusion is
+    // the same exact-integer RRF
+    "hy2_hybrid_ivf" -> {
+      val k1 = 1.2; val b = 0.75
+      val c1 = (k1 + 1.0).toString; val c2 = k1.toString
+      val c3 = (1.0 - b).toString; val c4 = b.toString
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |    FROM documents) t
+         |  WHERE term <> '' GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |g AS (SELECT
+         |  (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+         |    / (SELECT count(*) FROM documents) AS avgdl,
+         |  (SELECT count(*) FROM documents) AS n_docs),
+         |q AS (
+         |  SELECT doc_id AS qid,
+         |    array_to_string(
+         |      string_split_regex(lower(trim(text)), '\\s+')[1:5], ' ')
+         |      AS qtext
+         |  FROM documents WHERE doc_id < 3),
+         |qt AS (
+         |  SELECT DISTINCT qid, term FROM (
+         |    SELECT qid,
+         |      unnest(string_split_regex(lower(trim(qtext)), '\\s+')) AS term
+         |    FROM q) t
+         |  WHERE term <> ''),
+         |sc_lex AS (
+         |  SELECT qt.qid, tf.doc_id,
+         |    SUM(CAST(round(
+         |      ln((g.n_docs - dfx.df + CAST(0.5 AS DOUBLE))
+         |         / (dfx.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+         |      * (tf.tf * CAST($c1 AS DOUBLE))
+         |      / (tf.tf + CAST($c2 AS DOUBLE) * (CAST($c3 AS DOUBLE)
+         |         + CAST($c4 AS DOUBLE) * dl.dl / g.avgdl))
+         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS sm
+         |  FROM qt JOIN tf USING (term) JOIN dfx USING (term)
+         |    JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN g
+         |  GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT qid, doc_id, rank FROM (
+         |    SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sm DESC, doc_id) AS rank FROM sc_lex)
+         |  WHERE rank <= 10),
+         |base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |    AS v
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT 10000 + vec_id * 5 + c,
+         |    list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * (1.0 + 0.001 * (c + 1)))
+         |  FROM embeddings, range(0, 5) t(c) WHERE vec_id < 3),
+         |nrm AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+         |      AS nv
+         |  FROM base),
+         |qv AS (SELECT vec_id AS qid, v AS qvec, nv AS nq FROM nrm
+         |  WHERE vec_id < 3),
+         |sc_sem AS (
+         |  SELECT qv.qid, e.vec_id,
+         |    list_sum(list_transform(range(1, 65), i -> e.v[i] * qv.qvec[i]))
+         |      / (e.nv * qv.nq) AS cosine
+         |  FROM nrm e, qv),
+         |sem AS (
+         |  SELECT qid, vec_id AS doc_id, rank FROM (
+         |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, vec_id) AS rank FROM sc_sem)
+         |  WHERE rank <= 5),
          |fused AS (
          |  SELECT qid, doc_id,
          |    SUM(CAST(round(CAST(1000000.0 AS DOUBLE) / (60 + rank))

@@ -282,20 +282,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("bm25_topk"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "bm25_topk"),
       (exprs: Seq[Expression]) => exprs match {
-        case Seq(p, idc, tc, q, Literal(k: Int, _)) =>
+        case Seq(p, idc, tc, q, Literal(k: Int, _), rest @ _*)
+            if rest.length <= 1 =>
           val spark = org.apache.spark.sql.SparkSession.active
           import spark.implicits._
           val docs = spark.read.parquet(strLit(p, "bm25_topk path"))
           val queries = Seq((0L, strLit(q, "bm25_topk query")))
             .toDF("__qid", "__qtext")
+          val maxDfFrac = rest.headOption
+            .map(numLit(_, "bm25_topk maxDfFrac")).getOrElse(1.0)
           graft.operators.TextAnalysis.bm25TopK(docs,
             strLit(idc, "bm25_topk idCol"), strLit(tc, "bm25_topk textCol"),
-            queries, "__qid", "__qtext", k)
+            queries, "__qid", "__qtext", k, maxDfFrac = maxDfFrac)
             .drop("__qid")
             .queryExecution.logical
         case _ => throw new IllegalArgumentException(
-          "bm25_topk(path, idCol, textCol, queryText, k) — all arguments " +
-            "must be literals (k an integer)")
+          "bm25_topk(path, idCol, textCol, queryText, k[, maxDfFrac]) — " +
+            "all arguments must be literals (k an integer)")
       }))
     // store-backed variant: same scoring expression, but the relation
     // comes from a persisted IndexStore directory (bucket-pruned
@@ -305,19 +308,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName,
         "bm25_store_topk"),
       (exprs: Seq[Expression]) => exprs match {
-        case Seq(dir, q, Literal(k: Int, _)) =>
+        case Seq(dir, q, Literal(k: Int, _), rest @ _*)
+            if rest.length <= 1 =>
           val spark = org.apache.spark.sql.SparkSession.active
           import spark.implicits._
           val queries = Seq((0L, strLit(q, "bm25_store_topk query")))
             .toDF("__qid", "__qtext")
+          val maxDfFrac = rest.headOption
+            .map(numLit(_, "bm25_store_topk maxDfFrac")).getOrElse(1.0)
           graft.pipelines.IndexStore.bm25TopK(spark,
             strLit(dir, "bm25_store_topk dir"), queries, "__qid",
-            "__qtext", k)
+            "__qtext", k, maxDfFrac = maxDfFrac)
             .drop("__qid")
             .queryExecution.logical
         case _ => throw new IllegalArgumentException(
-          "bm25_store_topk(storeDir, queryText, k) — all arguments " +
-            "must be literals (k an integer)")
+          "bm25_store_topk(storeDir, queryText, k[, maxDfFrac]) — all " +
+            "arguments must be literals (k an integer)")
       }))
     // hybrid lexical+semantic retrieval as a TABLE function: BM25 over
     // a parquet corpus fused (reciprocal-rank) with exact cosine over a

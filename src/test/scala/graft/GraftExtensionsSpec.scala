@@ -222,6 +222,17 @@ class GraftExtensionsSpec extends SparkSpec {
       Seq((0L, "spark hash joins")).toDF("qid", "qtext"), "qid", "qtext",
       k = 2).select("rank", "doc_id", "score").orderBy("rank").collect()
     assert(bm.toSeq === want.toSeq)
+    // maxDfFrac (optional 6th argument) drops query terms by document
+    // frequency BEFORE scoring: every query term here has df=2 of
+    // N=4 docs, so 0.5 keeps them all (identical result) and 0.4
+    // drops them all (empty result)
+    val bmKeep = spark.sql(s"SELECT rank, doc_id, score FROM bm25_topk(" +
+      s"'$dir', 'doc_id', 'text', 'spark hash joins', 2, 0.5) " +
+      "ORDER BY rank").collect()
+    assert(bmKeep.toSeq === bm.toSeq)
+    val bmCut = spark.sql(s"SELECT * FROM bm25_topk(" +
+      s"'$dir', 'doc_id', 'text', 'spark hash joins', 2, 0.4)").collect()
+    assert(bmCut.isEmpty)
     // containment: doc 1's shingles are all inside doc 2
     val cp = spark.sql(s"SELECT id_a, id_b, containment FROM " +
       s"containment_pairs('$dir', 'doc_id', 'text', 3, 0.9, 8)")

@@ -119,6 +119,18 @@ class IndexStoreSpec extends SparkSpec {
         "qtext", k = 3)
       .select($"rank", $"id", $"score").orderBy($"rank").collect().toSeq
     assert(got === want && got.nonEmpty)
+    // the stop-term cap is reachable from SQL as the optional 4th
+    // argument — same lever the Scala API exposes (the 5M stress
+    // showed 104 s → 27.8 s at 0.01); equal to the Scala call with
+    // the same cap
+    val gotCap = spark.sql(s"SELECT rank, id, score FROM " +
+      s"bm25_store_topk('$dir', 'spark shuffles', 3, 0.5) " +
+      "ORDER BY rank").collect().toSeq
+    val wantCap = IndexStore.bm25TopK(spark, dir,
+        Seq((0L, "spark shuffles")).toDF("qid", "qtext"), "qid",
+        "qtext", k = 3, maxDfFrac = 0.5)
+      .select($"rank", $"id", $"score").orderBy($"rank").collect().toSeq
+    assert(gotCap === wantCap)
     intercept[Exception] {
       spark.sql(s"SELECT * FROM bm25_store_topk('$dir', 'q', 1 + 1)")
         .collect()

@@ -72,6 +72,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q8 plan pin: six hinted broadcasts, SMJ fact join, pushed " +
+      "filters — official-bench drift must be environmental") {
+    // q8_market_share moved >3x official-to-official twice with no code
+    // change; this pins its entire plan shape so any future timing move
+    // is provably not a plan regression. Auto-broadcast is disabled so
+    // the pin holds at any data scale: only the six HINTED dimension
+    // sides may broadcast, and li-join-o must stay a shuffle join.
+    noAqe {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = SparkEntry.queries("q8_market_share")(spark, sf)
+        val p = planOf(df)
+        val bhj = p.collectWithSubqueries {
+          case j: BroadcastHashJoinExec => j }
+        assert(bhj.size === 6,
+          s"q8 must broadcast exactly its 6 hinted dimensions, got " +
+            s"${bhj.size}:\n$p")
+        val smj = p.collectWithSubqueries {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            => j }
+        assert(smj.size === 1 &&
+          smj.head.leftKeys.map(_.sql).mkString.contains("l_orderkey"),
+          s"q8's lineitem-orders join must be the single SMJ:\n$p")
+        val ex = p.collectWithSubqueries {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e }
+        assert(ex.size === 4,
+          s"q8 must shuffle exactly 4 times (2 SMJ sides + final agg " +
+            s"+ ORDER BY), got ${ex.size}:\n$p")
+        val txt = df.queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        assert(txt.contains("EqualTo(p_type,PROMO)"),
+          "q8 lost the p_type pushdown to the part scan")
+        assert(txt.contains("EqualTo(r_name,ASIA)"),
+          "q8 lost the r_name pushdown to the region scan")
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("aggregation queries prune the lineitem scan columns") {
     noAqe {
       val scans = planOf(
