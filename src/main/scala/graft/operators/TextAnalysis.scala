@@ -567,4 +567,118 @@ object TextAnalysis {
           .otherwise("middle"))
       .drop("__r", "__n")
   }
+
+  // ---- multinomial Naive Bayes text classifier ---------------------------
+
+  /** A trained [[nbTrain]] model: two pure-count DataFrames, both
+    * mergeable states (associative/commutative integer SUMs, the same
+    * contract as [[bigramLm]]/Count-Min/HLL — maintain incrementally
+    * with [[nbFold]], bit-identical to retraining on the union).
+    *
+    * `termCounts`: (label, term, c) token counts. `docCounts`:
+    * (label, n_docs) — the prior's numerator. Everything else a scorer
+    * needs (per-label token totals, vocabulary size, priors) derives
+    * from these at scoring time, so nothing derived is persisted to go
+    * stale. */
+  final case class NbModel(termCounts: DataFrame, docCounts: DataFrame)
+
+  /** Train a multinomial Naive Bayes classifier over the lowercased
+    * whitespace tokens of `docs` — the fastText-style corpus-quality /
+    * source classifier of the LLM-data stack (public technique: count
+    * per-class token frequencies, score by summed log-likelihoods; the
+    * GPT-3 and LLaMA pipelines both filter CommonCrawl with exactly
+    * such a linear classifier trained on a trusted-reference positive
+    * class). One O(corpus tokens) explode, one narrow (label, term)
+    * shuffle with map-side combine, one (label) shuffle for the doc
+    * counts. */
+  def nbTrain(docs: DataFrame, labelCol: String, textCol: String)
+      : NbModel = {
+    val toks = docs.select(col(labelCol).as("label"),
+      explode(filter(tokens(col(textCol)), w => w =!= "")).as("term"))
+    NbModel(
+      toks.groupBy(col("label"), col("term")).agg(count(lit(1)).as("c")),
+      docs.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("n_docs")))
+  }
+
+  /** Fold a delta model into an existing one (pure SUMs — a streamed
+    * corpus maintains the classifier at O(delta)/batch, and the folded
+    * model is bit-identical to the one-shot train over the union:
+    * integer counts, no float drift). */
+  def nbFold(prev: NbModel, delta: NbModel): NbModel = NbModel(
+    prev.termCounts.unionByName(delta.termCounts)
+      .groupBy(col("label"), col("term")).agg(sum(col("c")).as("c")),
+    prev.docCounts.unionByName(delta.docCounts)
+      .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs")))
+
+  /** Score documents under an [[NbModel]]: per (doc, label),
+    * `ln P(label) + Σ_term n(term)·ln P(term|label)` with add-alpha
+    * smoothing `P(term|label) = (c + α) / (tot_label + α·V)` (V = the
+    * model's distinct-term vocabulary; a term unseen for EVERY label
+    * still discriminates through the per-label denominators). Returns
+    * one row per doc: `pred` (argmax label), `score_micros` (winning
+    * log-score) and `margin_micros` (winner minus runner-up — the
+    * confidence signal a downstream quality gate thresholds on; 0 when
+    * the model has one label).
+    *
+    * Determinism: each log term is rounded to integer micros BEFORE
+    * the per-document sum (the BM25/bigram-LM pattern), so scores are
+    * exact integer arithmetic — partition- and engine-order immune —
+    * and the argmax ties break (score DESC, label ASC).
+    *
+    * Scale shape: the doc side collapses to per-doc (term, nk) counts
+    * before anything multiplies; the ×L label expansion rides a
+    * broadcast of the label set (labels are few; the VOCABULARY is the
+    * big side and joins by (term, label) — a vocabulary-sized shuffle,
+    * never a broadcast). Priors and V are broadcast one-row/L-row
+    * aggregates. The final argmax is a per-doc window over L rows.
+    * O(corpus tokens · L) floor, no collect. */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+      model: NbModel, alpha: Double = 1.0)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    require(alpha > 0, s"nbScore: alpha must be > 0, got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    // three consumers (label totals, vocabulary, the term join)
+    val tc = scope.cache(model.termCounts)
+    val ltot = tc.groupBy(col("label")).agg(sum(col("c")).as("tot"))
+    val vocab = broadcast(tc.agg(countDistinct(col("term")).as("v")))
+    val nTotal = broadcast(model.docCounts
+      .agg(sum(col("n_docs")).as("n_total")))
+    val pri = broadcast(model.docCounts.crossJoin(nTotal)
+      .select(col("label"),
+        round(log(col("n_docs").cast("double") / col("n_total")) *
+          lit(1e6)).cast("long").as("prior_micros")))
+    val dt = docs
+      .select(col(idCol),
+        explode(filter(tokens(col(textCol)), w => w =!= "")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("nk"))
+    val lp = log((coalesce(col("c"), lit(0L)) + lit(alpha)) /
+      (col("tot") + lit(alpha) * col("v")))
+    val ll = dt
+      .crossJoin(broadcast(pri.select(col("label"))))
+      .join(tc, Seq("term", "label"), "left")
+      .join(ltot, Seq("label"))
+      .crossJoin(vocab)
+      .withColumn("lp_micros",
+        round(lp * lit(1e6)).cast("long") * col("nk"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("lp_micros")).as("ll_micros"))
+    // empty/null-text docs score prior-only: seed every (doc, label)
+    // from the doc list × the L-row broadcast prior, then left-join
+    // the token likelihoods
+    val all = docs.select(col(idCol)).crossJoin(pri)
+      .join(ll, Seq(idCol, "label"), "left")
+      .withColumn("score_micros",
+        coalesce(col("ll_micros"), lit(0L)) + col("prior_micros"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_micros").desc, col("label"))
+    all
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__runner", lead(col("score_micros"), 1).over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("label").as("pred"), col("score_micros"),
+        (col("score_micros") -
+          coalesce(col("__runner"), col("score_micros")))
+          .as("margin_micros"))
+  }
 }

@@ -360,6 +360,35 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("Naive Bayes classifies held-out docs; fold == one-shot train " +
+      "bit-identically; empty doc scores prior-only") {
+    val train = Seq(
+      (1L, "spam", "buy cheap pills now buy now"),
+      (2L, "spam", "cheap pills cheap deal"),
+      (3L, "ham", "meeting notes for the quarterly review"),
+      (4L, "ham", "please review the meeting agenda"))
+      .toDF("id", "label", "text")
+    val mdl = TA.nbTrain(train, "label", "text")
+    val held = Seq((10L, "cheap pills now"),
+      (11L, "quarterly meeting review"), (12L, ""))
+      .toDF("id", "text")
+    val out = TA.nbScore(held, "id", "text", mdl).orderBy("id").collect()
+    assert(out(0).getString(1) === "spam")
+    assert(out(1).getString(1) === "ham")
+    // decisive docs carry positive confidence margins
+    assert(out(0).getLong(3) > 0 && out(1).getLong(3) > 0)
+    // empty doc: prior-only; equal doc counts => equal priors => the
+    // (score DESC, label ASC) tie-break picks "ham" with margin 0
+    assert(out(2).getString(1) === "ham" && out(2).getLong(3) === 0L)
+    // fold two half-models == the one-shot model, score for score
+    val folded = TA.nbFold(
+      TA.nbTrain(train.filter($"id" <= 2), "label", "text"),
+      TA.nbTrain(train.filter($"id" > 2), "label", "text"))
+    val ref = TA.nbScore(held, "id", "text", folded)
+      .orderBy("id").collect()
+    assert(ref.toSeq === out.toSeq)
+  }
+
   test("multi-probe LSH recovers additively-perturbed near-dups") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>")
