@@ -568,6 +568,101 @@ object TextAnalysis {
       .drop("__r", "__n")
   }
 
+  // ---- BPE tokenizer training (byte-pair-encoding merges) ---------------
+
+  /** Corpus word-frequency table — the ONLY corpus-sized step of BPE
+    * training (one O(corpus tokens) explode + one narrow word
+    * shuffle). Every merge iteration after it works on this
+    * vocabulary-sized table, which is the property that makes BPE
+    * trainable at 100 TB: the corpus is scanned once, the iterations
+    * never touch it again. */
+  def bpeWordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(
+      explode(filter(tokens(col(textCol)), w => w =!= "")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Character symbols of a word. The between-chars lookahead split
+    * also matches at end-of-string (Spark's split keeps trailing
+    * empties, limit = -1), so the empty tail is filtered. */
+  private def charSyms(word: Column): Column =
+    filter(split(word, "(?!^)"), s => s =!= "")
+
+  /** One greedy left-to-right merge pass of pair (lhs, rhs) over a
+    * symbol array — the BPE apply step. The fold either fuses `x`
+    * into the accumulator's last element (when that element is `lhs`
+    * and `x` is `rhs`) or appends; because a fused element equals
+    * `lhs+rhs` ≠ `lhs` (rhs is non-empty), a freshly fused element
+    * can never fuse again, which is exactly greedy left-to-right
+    * semantics — including the overlapping-run case (lhs == rhs in
+    * "aaaa" gives [aa, aa], not [aa, a, a]). */
+  private def mergeOnce(syms: Column, lhs: String, rhs: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(lhs) && x === lit(rhs),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Train `nMerges` BPE merges (Sennrich/Haddow/Birch 2016,
+    * arXiv:1508.07909, public literature: start from characters,
+    * repeatedly fuse the most frequent adjacent symbol pair): returns
+    * (iter, lhs, rhs, cnt) — the ordered merge table that IS the
+    * tokenizer model. Ties break (cnt DESC, lhs ASC, rhs ASC), so
+    * training is deterministic and engine-replayable.
+    *
+    * Scale shape: every iteration is a pair-explode + narrow
+    * (lhs, rhs) count shuffle over the VOCABULARY table (not the
+    * corpus), one single-row collect (the argmax — bounded
+    * control-plane), and one per-row merge fold. Real tokenizer
+    * trainers run thousands of merges; each added merge is O(vocab)
+    * here, the same asymptotic contract. */
+  def bpeTrain(wordFreq: DataFrame, nMerges: Int)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    require(nMerges >= 1, s"bpeTrain: nMerges must be >= 1, got $nMerges")
+    val spark = wordFreq.sparkSession
+    var vocab = scope.cache(wordFreq.select(col("word"), col("freq"),
+      charSyms(col("word")).as("syms")))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= nMerges && !exhausted) {
+      val pairs = vocab.select(col("freq"), explode(
+        when(size(col("syms")) >= 2,
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("lhs"),
+              element_at(col("syms"), i + 1).as("rhs"))))
+          .otherwise(array()
+            .cast("array<struct<lhs:string,rhs:string>>"))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+      val top = pairs
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val lhs = top(0).getString(0); val rhs = top(0).getString(1)
+        merges += ((k, lhs, rhs, top(0).getLong(2)))
+        vocab = scope.cache(vocab.select(col("word"), col("freq"),
+          mergeOnce(col("syms"), lhs, rhs).as("syms")))
+        k += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("iter", "lhs", "rhs", "cnt")
+  }
+
+  /** Segment words with a trained merge list (the encode step):
+    * applies each merge in training order — the standard BPE encoder
+    * contract — and returns (`wordCol`, syms). Encode a corpus by
+    * segmenting its VOCABULARY (this) and joining counts back by
+    * word; never re-segment per occurrence. */
+  def bpeSegmentWords(words: DataFrame, wordCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    words.select(col(wordCol), merges.foldLeft(
+      charSyms(col(wordCol))) {
+        case (c, (l, r)) => mergeOnce(c, l, r)
+      }.as("syms"))
+
   // ---- multinomial Naive Bayes text classifier ---------------------------
 
   /** A trained [[nbTrain]] model: two pure-count DataFrames, both

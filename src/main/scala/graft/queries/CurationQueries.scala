@@ -580,6 +580,39 @@ object CurationQueries {
           round(col("n_pass").cast("double") / col("n_docs"), 6))
         .orderBy(col("source"))
     }),
+
+    // ---- BPE tokenizer training: 5 merges over the corpus vocab ----------
+    // The corpus collapses to a word-frequency table once; each merge
+    // iteration counts adjacent symbol pairs weighted by word freq,
+    // fuses the (cnt DESC, lhs, rhs) argmax greedily left-to-right, and
+    // recounts. The oracle replays all 5 iterations in pure SQL — the
+    // greedy apply via the run-parity window rule — so pair counting,
+    // tie-breaks, and the overlap semantics of repeated symbols are
+    // hash-pinned iteration by iteration.
+    "t14_bpe_merges" -> ((s, d) => {
+      val wf = TextAnalysis.bpeWordFreq(
+        Tables.documents(s, d).select(col("text")), "text")
+      TextAnalysis.bpeTrain(wf, nMerges = 5)(graft.CacheScope.session)
+        .orderBy(col("iter"))
+    }),
+
+    // ---- BPE encode: segment the vocabulary with the trained merges ------
+    // The encoder contract: apply merges in training order. Exported as
+    // each word's segmentation + symbol count; the oracle's syms5 CTE
+    // (the same chain that trained the merges) IS the expectation, so
+    // train→encode consistency is pinned, not just train.
+    "t14b_bpe_encode" -> ((s, d) => {
+      val wf = TextAnalysis.bpeWordFreq(
+        Tables.documents(s, d).select(col("text")), "text")
+      val merges = TextAnalysis.bpeTrain(wf, nMerges = 5)(
+          graft.CacheScope.session)
+        .orderBy(col("iter")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeSegmentWords(wf.select(col("word")), "word", merges)
+        .select(col("word"), size(col("syms")).as("n_syms"),
+          array_join(col("syms"), " ").as("segmented"))
+        .orderBy(col("word"))
+    }),
   )
 
   /** dsir1/dsir2 oracle: full-recompute of the DSIR weight path —
@@ -1309,6 +1342,28 @@ object CurationQueries {
          |    AS DOUBLE) / count(*), 6) AS pass_rate
          |FROM gfp g JOIN rdocs r USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full 5-iteration training replay: pair counts, argmax with the
+    // (cnt DESC, lhs, rhs) tie-break, greedy apply via the run-parity
+    // window rule
+    "t14_bpe_merges" ->
+      s"""WITH ${OracleFragments.bpeCtes("documents", "text", 5)}
+         |SELECT * FROM (
+         |  SELECT 1 AS iter, lhs, rhs, CAST(cnt AS BIGINT) AS cnt
+         |  FROM mg_1
+         |  UNION ALL SELECT 2, lhs, rhs, CAST(cnt AS BIGINT) FROM mg_2
+         |  UNION ALL SELECT 3, lhs, rhs, CAST(cnt AS BIGINT) FROM mg_3
+         |  UNION ALL SELECT 4, lhs, rhs, CAST(cnt AS BIGINT) FROM mg_4
+         |  UNION ALL SELECT 5, lhs, rhs, CAST(cnt AS BIGINT) FROM mg_5)
+         |ORDER BY iter""".stripMargin,
+
+    // the post-merge vocabulary segmentation IS syms5 — the chain that
+    // trained the merges doubles as the encode expectation
+    "t14b_bpe_encode" ->
+      s"""WITH ${OracleFragments.bpeCtes("documents", "text", 5)}
+         |SELECT word, CAST(count(*) AS INTEGER) AS n_syms,
+         |  string_agg(sym, ' ' ORDER BY pos) AS segmented
+         |FROM syms5 GROUP BY word ORDER BY word""".stripMargin,
   )
 
   private def bigramLmOracleSql: String =

@@ -173,4 +173,69 @@ object OracleFragments {
        |  FROM lmdpc LEFT JOIN lmc USING (prev, cur)
        |    LEFT JOIN lctx USING (prev) CROSS JOIN lv
        |  GROUP BY 1)""".stripMargin
+
+  /** BPE training replay (t14/t14b): word-frequency table, character
+    * symbol rows, then `n` merge iterations. Each iteration k defines
+    * `mg_k` (the argmax pair with count, ties (cnt DESC, lhs, rhs))
+    * and `syms{k}` (the vocabulary re-segmented after applying that
+    * merge greedily left-to-right).
+    *
+    * Greedy-apply is replayed WITHOUT a sequential fold: a matching
+    * position is applied iff no overlapping match to its left was
+    * applied. Overlapping matches only arise in runs of a repeated
+    * symbol (lhs == rhs), where greedy keeps every other match — so
+    * "applied" = even offset from its contiguous-run start, which is
+    * pure window SQL (`ap_k`). */
+  def bpeCtes(rel: String, textCol: String, n: Int): String = {
+    val base =
+      s"""wfreq AS MATERIALIZED (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(string_split_regex(lower(trim($textCol)),
+         |      '\\s+')) AS word
+         |    FROM $rel) t
+         |  WHERE word <> '' GROUP BY 1),
+         |syms0 AS MATERIALIZED (
+         |  SELECT word, freq, pos, word[pos] AS sym FROM (
+         |    SELECT word, freq,
+         |      unnest(generate_series(1, len(word))) AS pos
+         |    FROM wfreq) t)""".stripMargin
+    val iters = (1 to n).map { k =>
+      val p = s"syms${k - 1}"
+      s"""pc_$k AS MATERIALIZED (
+         |  SELECT a.sym AS lhs, b.sym AS rhs, SUM(a.freq) AS cnt
+         |  FROM $p a JOIN $p b ON a.word = b.word AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2),
+         |mg_$k AS MATERIALIZED (
+         |  SELECT lhs, rhs, cnt FROM pc_$k
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |mt_$k AS MATERIALIZED (
+         |  SELECT a.word, a.pos
+         |  FROM $p a JOIN $p b ON a.word = b.word AND b.pos = a.pos + 1
+         |    CROSS JOIN mg_$k m
+         |  WHERE a.sym = m.lhs AND b.sym = m.rhs),
+         |ap_$k AS MATERIALIZED (
+         |  SELECT word, pos FROM (
+         |    SELECT word, pos,
+         |      MIN(pos) OVER (PARTITION BY word, grp) AS rstart
+         |    FROM (SELECT word, pos,
+         |        pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+         |          AS grp
+         |      FROM mt_$k) g) h
+         |  WHERE (pos - rstart) % 2 = 0),
+         |syms$k AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         |    sym
+         |  FROM (
+         |    SELECT s.word, s.freq, s.pos,
+         |      CASE WHEN a1.pos IS NOT NULL THEN s.sym || m.rhs
+         |           ELSE s.sym END AS sym
+         |    FROM $p s CROSS JOIN mg_$k m
+         |      LEFT JOIN ap_$k a1 ON a1.word = s.word AND a1.pos = s.pos
+         |      LEFT JOIN ap_$k a2
+         |        ON a2.word = s.word AND a2.pos = s.pos - 1
+         |    WHERE a2.pos IS NULL) t)""".stripMargin
+    }
+    (base +: iters).mkString(",\n")
+  }
 }
