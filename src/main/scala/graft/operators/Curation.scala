@@ -852,6 +852,76 @@ object Curation {
     * even when `is_kept` is false so callers can inspect or re-gate.
     * Pure per-row array expressions — one line split, no explode, no
     * shuffle, no UDF: a map-only scan at 100 TB. */
+  /** HTML → text extraction — the step that turns a raw-web crawl into
+    * the input every text-quality operator here expects (C4 / Raffel
+    * et al. 2020 and RefinedWeb / Penedo et al. 2023 both extract
+    * before filtering). Drops script/style blocks and comments, turns
+    * block-closing tags into newlines (so [[c4LineClean]]'s line rules
+    * see real lines), strips remaining tags, decodes the six common
+    * entities (&amp; last, so "&amp;lt;" decodes once, not twice), and
+    * normalizes whitespace. Pure per-row RE2-safe regexps — codegen'd,
+    * shuffle-free, runs at parquet-scan speed at any scale. */
+  def htmlToText(html: Column): Column = {
+    val s0 = coalesce(html, lit(""))
+    val s1 = regexp_replace(s0,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val s2 = regexp_replace(s1, "(?s)<!--.*?-->", " ")
+    val s3 = regexp_replace(s2,
+      "(?i)<(br|hr)[^>]*>|</(p|div|li|tr|h[1-6]|title)>", "\n")
+    val s4 = regexp_replace(s3, "<[^>]*>", " ")
+    val s5 = replace(replace(replace(replace(replace(replace(s4,
+      lit("&nbsp;"), lit(" ")),
+      lit("&lt;"), lit("<")),
+      lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")),
+      lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    val s6 = regexp_replace(s5, "[ \\t]+", " ")
+    val s7 = regexp_replace(s6, " ?\\n ?", "\n")
+    val s8 = regexp_replace(s7, "\\n{3,}", "\n\n")
+    // trim() strips spaces only; block tags leave edge NEWLINES too
+    regexp_replace(s8, "^\\s+|\\s+$", "")
+  }
+
+  /** URL-domain + lexicon blocklist report — the C4/RefinedWeb front
+    * gate: a document is `blocked` when its registered domain (via
+    * [[graft.functions.UrlOps]]'s canonical host chain) is on the
+    * blocklist, or when the fraction of its tokens that hit the
+    * flagged-word lexicon exceeds `maxBadFrac`. Pure per-row
+    * expressions: token membership tests against literal arrays (the
+    * lexicon and blocklist ship inside the plan — list-sized, never a
+    * join), so the report is map-only at any scale. Emits the
+    * evidence columns (domain, bad_hits, word_count, bad_frac), not
+    * just the verdict — the audit trail a corpus release needs. */
+  def blocklistReport(docs: DataFrame, urlCol: String, textCol: String,
+      blockedDomains: Seq[String], lexicon: Seq[String],
+      maxBadFrac: Double): DataFrame = {
+    require(maxBadFrac >= 0.0 && maxBadFrac <= 1.0,
+      s"blocklistReport: maxBadFrac must be in [0, 1], got $maxBadFrac")
+    require(lexicon.nonEmpty || blockedDomains.nonEmpty,
+      "blocklistReport: need a lexicon or a domain blocklist")
+    val lexArr = array(lexicon.map(lit): _*)
+    val blockArr = array(blockedDomains.map(lit): _*)
+    val dom = graft.functions.UrlOps.registeredDomain(
+      graft.functions.UrlOps.hostOf(col(urlCol)))
+    docs
+      .withColumn("__ws", filter(
+        TextAnalysis.tokens(coalesce(col(textCol), lit(""))),
+        w => w =!= ""))
+      .withColumn("domain", coalesce(dom, lit("")))
+      .withColumn("domain_blocked",
+        array_contains(blockArr, col("domain")))
+      .withColumn("word_count", size(col("__ws")))
+      .withColumn("bad_hits",
+        size(filter(col("__ws"), w => array_contains(lexArr, w))))
+      .withColumn("bad_frac", when(col("word_count") === 0, lit(0.0))
+        .otherwise(round(
+          col("bad_hits").cast("double") / col("word_count"), 6)))
+      .withColumn("blocked",
+        col("domain_blocked") || col("bad_frac") > lit(maxBadFrac))
+      .drop("__ws")
+  }
+
   def c4LineClean(text: Column, minLineWords: Int = 3, minLines: Int = 5,
       badLinePhrases: Seq[String] = Seq("javascript")): Column = {
     val t = coalesce(text, lit(""))

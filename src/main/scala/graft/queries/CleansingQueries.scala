@@ -247,6 +247,28 @@ object CleansingQueries {
             .as("reg_domain"))
         .orderBy(col("o_orderkey"))
     }),
+
+    // ---- URL-domain + lexicon blocklist (C4/RefinedWeb front gate) -------
+    // Each doc gets a deterministic source-derived URL; the report runs
+    // the REAL host/registered-domain chain on the engine side while
+    // the oracle derives the domain independently from the construction
+    // — so a regression anywhere in hostOf/registeredDomain flips the
+    // domain (and the hash), and the lexicon fraction, both verdict
+    // legs, and the OR are replayed token for token.
+    "url2_blocklist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("url", concat(lit("https://www."), col("source"),
+          (col("doc_id") % 7).cast("string"), lit(".com/p/"),
+          col("doc_id").cast("string")))
+      graft.operators.Curation.blocklistReport(docs, "url", "text",
+        blockedDomains = Seq("src03.com", "src12.com", "src155.com"),
+        lexicon = Seq("slow", "big", "merge"), maxBadFrac = 0.08)
+        .select(col("doc_id"), col("domain"), col("domain_blocked"),
+          col("bad_hits"), col("word_count"), col("bad_frac"),
+          col("blocked"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB replay of [[graft.functions.UrlOps.registeredDomain]]'s
@@ -311,6 +333,37 @@ object CleansingQueries {
         |  '^[^/?#]*://([^/?#@]*@)?([^/?#:]*)', 2)) AS host FROM s6)
         |SELECT o_orderkey, canon_url, host, $regDomSql AS reg_domain
         |FROM h ORDER BY o_orderkey""".stripMargin,
+
+    // domain derived independently from the URL construction (the
+    // engine side must reproduce it through the real
+    // hostOf/registeredDomain chain); lexicon fraction and both
+    // verdict legs replayed
+    "url2_blocklist" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    source || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+        |    list_filter(string_split_regex(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, domain,
+        |    domain IN ('src03.com', 'src12.com', 'src155.com')
+        |      AS domain_blocked,
+        |    len(list_filter(ws,
+        |      w -> list_contains(['slow', 'big', 'merge'], w))) AS bh,
+        |    len(ws) AS wc
+        |  FROM base),
+        |f AS (
+        |  SELECT doc_id, domain, domain_blocked,
+        |    CAST(bh AS INTEGER) AS bad_hits,
+        |    CAST(wc AS INTEGER) AS word_count,
+        |    CASE WHEN wc = 0 THEN 0.0
+        |      ELSE round(CAST(bh AS DOUBLE) / wc, 6) END AS bad_frac
+        |  FROM m)
+        |SELECT doc_id, domain, domain_blocked, bad_hits, word_count,
+        |  bad_frac, domain_blocked OR bad_frac > 0.08 AS blocked
+        |FROM f ORDER BY doc_id""".stripMargin,
     "f2_text_cleaning" ->
       """WITH messy AS (
         |  SELECT c_custkey,

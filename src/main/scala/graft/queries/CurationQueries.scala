@@ -613,6 +613,30 @@ object CurationQueries {
           array_join(col("syms"), " ").as("segmented"))
         .orderBy(col("word"))
     }),
+
+    // ---- HTML → text extraction (the raw-web front step) -----------------
+    // Each doc is wrapped in deterministic HTML (title/style/script
+    // head, entity-encoded body, conditional comment block, footer
+    // div) and extracted back. The oracle rebuilds the same HTML and
+    // replays the strip chain regex by regex, so tag stripping, block
+    // newlines, entity decode ORDER (&amp; last), and whitespace
+    // normalization are all hash-pinned.
+    "cu16_html_extract" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p{color:red}</style>" +
+          "<script>var x = 1 < 2;</script></head><body>"),
+        when(col("doc_id") % 5 === 0,
+          lit("<!-- hidden --><p>&quot;quoted&#39; start</p>"))
+          .otherwise(lit("")),
+        lit("<p>"),
+        replace(coalesce(col("text"), lit("")), lit(" value "),
+          lit(" &amp; value &lt;tag&gt; ")),
+        lit("</p><div>footer &nbsp;menu</div></body></html>"))
+      docs.select(col("doc_id"), Curation.htmlToText(html).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** dsir1/dsir2 oracle: full-recompute of the DSIR weight path —
@@ -1356,6 +1380,47 @@ object CurationQueries {
          |  UNION ALL SELECT 4, lhs, rhs, CAST(cnt AS BIGINT) FROM mg_4
          |  UNION ALL SELECT 5, lhs, rhs, CAST(cnt AS BIGINT) FROM mg_5)
          |ORDER BY iter""".stripMargin,
+
+    // the same HTML construction, then the strip chain replayed regex
+    // by regex in the same order
+    "cu16_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</title><style>p{color:red}</style>'
+        |    || '<script>var x = 1 < 2;</script></head><body>'
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN '<!-- hidden --><p>&quot;quoted&#39; start</p>'
+        |         ELSE '' END
+        |    || '<p>'
+        |    || replace(coalesce(text, ''), ' value ',
+        |         ' &amp; value &lt;tag&gt; ')
+        |    || '</p><div>footer &nbsp;menu</div></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')
+        |  AS t FROM h),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?i)<(br|hr)[^>]*>|</(p|div|li|tr|h[1-6]|title)>', chr(10),
+        |  'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
+        |  FROM s4),
+        |s6 AS (SELECT doc_id,
+        |  regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s5),
+        |s7 AS (SELECT doc_id,
+        |  regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s6),
+        |s8 AS (SELECT doc_id, regexp_replace(t, '\n{3,}',
+        |  chr(10) || chr(10), 'g') AS t FROM s7)
+        |SELECT doc_id,
+        |  regexp_replace(t, '^\s+|\s+$', '', 'g') AS clean
+        |FROM s8 ORDER BY doc_id""".stripMargin,
 
     // the post-merge vocabulary segmentation IS syms5 — the chain that
     // trained the merges doubles as the encode expectation

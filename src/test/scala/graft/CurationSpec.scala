@@ -497,4 +497,49 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(mc(0).getDouble(2) - 1.0) < 1e-9)
     assert(mc(1).isNullAt(2) && mc(2).isNullAt(2))
   }
+
+  test("htmlToText: strips blocks/tags, decodes entities once, " +
+      "normalizes whitespace, nulls clean to empty") {
+    import spark.implicits._
+    val got = Seq(
+      "<html><head><style a=b>x{}</style><SCRIPT>if (1<2) alert('&')" +
+        "</SCRIPT></head><body><p>Hello  <b>world</b></p>" +
+        "<p>line two</p></body></html>",
+      "pre &amp;lt; mid &lt;b&gt; &quot;q&quot; &#39;s&#39; &nbsp;end",
+      "a<br>b<BR/>c<!-- zap\nmultiline -->d",
+      null.asInstanceOf[String])
+      .toDF("h").select(Curation.htmlToText(col("h")).as("t"))
+      .collect().map(_.getString(0))
+    assert(got(0) === "Hello world\nline two")
+    // &amp;lt; decodes ONCE to &lt; (amp is decoded last), not to <
+    assert(got(1) === "pre &lt; mid <b> \"q\" 's' end")
+    assert(got(2) === "a\nb\nc d")
+    assert(got(3) === "")
+  }
+
+  test("blocklistReport: domain leg via the real host chain, lexicon " +
+      "fraction leg, OR verdict") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://www.Bad.example.com:443/p/1", "fine text here"),
+      (2L, "https://ok.org/x", "spam spam spam one"),
+      (3L, "https://ok.org/y", "one spam in eight ordinary words here"),
+      (4L, "https://ok.org/z", ""))
+      .toDF("id", "url", "text")
+    val r = Curation.blocklistReport(docs, "url", "text",
+        blockedDomains = Seq("example.com"), lexicon = Seq("spam"),
+        maxBadFrac = 0.5)
+      .orderBy("id").collect()
+    // host chain lowercases + strips www/port before the PSL fold
+    assert(r(0).getAs[String]("domain") === "example.com" &&
+      r(0).getAs[Boolean]("blocked"))
+    assert(r(1).getAs[Double]("bad_frac") === 0.75 &&
+      r(1).getAs[Boolean]("blocked"))
+    assert(r(2).getAs[Int]("bad_hits") === 1 &&
+      !r(2).getAs[Boolean]("blocked"))
+    // empty text: zero words, zero frac, clean
+    assert(r(3).getAs[Int]("word_count") === 0 &&
+      r(3).getAs[Double]("bad_frac") === 0.0 &&
+      !r(3).getAs[Boolean]("blocked"))
+  }
 }
