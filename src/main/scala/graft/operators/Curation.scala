@@ -563,6 +563,28 @@ object Curation {
     stratifiedHashSample(inScope, idCol, groupCol, rates, 0.0)
   }
 
+  /** Temperature-derived mixture targets — temperature sampling for
+    * multi-domain/multilingual corpora (Arivazhagan et al. 2019 §4.2,
+    * arXiv:1907.05019, public literature; the UniMax paper's baseline):
+    * target_i ∝ m_i^(1/T). T = 1 keeps natural proportions; larger T
+    * flattens toward uniform, raising tail domains' RELATIVE share.
+    * Feed the result to [[mixDomains]], which water-fills DOWN (never
+    * upsamples), so the flattened mixture is served by downsampling
+    * the head domains — the no-repeat regime. One bounded collect
+    * (a row per group); T = 2 makes the exponent a square root, which
+    * IEEE rounds correctly on every engine (pow in general does not —
+    * prefer T = 2 when the mixture must be bit-replayable). */
+  def temperatureTargets(df: DataFrame, groupCol: String,
+      massCol: Column, temperature: Double): Map[String, Double] = {
+    require(temperature >= 1.0,
+      s"temperatureTargets: temperature must be >= 1, got $temperature")
+    df.groupBy(col(groupCol)).agg(sum(massCol.cast("long")).as("m"))
+      .collect()
+      .map(r => r.getString(0) ->
+        math.pow(r.getLong(1).toDouble, 1.0 / temperature))
+      .toMap
+  }
+
   // -------------------------------------------------------------------
   // PII redaction
   // -------------------------------------------------------------------

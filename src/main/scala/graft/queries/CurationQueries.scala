@@ -405,6 +405,23 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- temperature-flattened domain mixture ----------------------------
+    // Targets derived from the corpus itself at T=2 (∝ sqrt(mass) —
+    // exactly IEEE-replayable, unlike general pow), then the same
+    // water-filling downsample as cu10. The oracle recomputes per-source
+    // mass, the sqrt targets, the binding group, every keep-rate, and
+    // the 4096-bucket md5 bounds — so the whole derive→mix composition
+    // is hash-pinned, not just the mix step.
+    "cu17_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val targets = Curation.temperatureTargets(docs, "source",
+        col("n_chars"), temperature = 2.0)
+      Curation.mixDomains(docs, "doc_id", "source", col("n_chars"),
+          targets)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- benchmark decontamination (5-gram overlap vs held-out set) -----
     "cu5_decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -872,6 +889,29 @@ object CurationQueries {
         |  SELECT w.source,
         |    LEAST(CAST(1.0 AS DOUBLE), tw * tt.t / a) AS rate
         |  FROM w JOIN avail USING (source), tt),
+        |b AS (
+        |  SELECT source,
+        |    CASE WHEN round(rate * 4096) >= 4096 THEN 'g'
+        |         ELSE printf('%03x', CAST(round(rate * 4096) AS INT)) END
+        |      AS bound
+        |  FROM r)
+        |SELECT doc_id, source, n_chars
+        |FROM documents JOIN b USING (source)
+        |WHERE md5(CAST(doc_id AS VARCHAR)) < bound
+        |ORDER BY doc_id""".stripMargin,
+
+    // cu10's water-filling replay with the targets themselves derived
+    // in SQL: tw = sqrt(per-source mass), T = 2
+    "cu17_temperature_mix" ->
+      """WITH avail AS (
+        |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS a
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, sqrt(a) AS tw, a FROM avail),
+        |tt AS (SELECT MIN(a / tw) AS t FROM w),
+        |r AS (
+        |  SELECT source,
+        |    LEAST(CAST(1.0 AS DOUBLE), tw * tt.t / a) AS rate
+        |  FROM w, tt),
         |b AS (
         |  SELECT source,
         |    CASE WHEN round(rate * 4096) >= 4096 THEN 'g'

@@ -129,6 +129,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "gopher_pass(text) takes exactly one argument")
       }))
+    ext.injectFunction((FunctionIdentifier("html_to_text"),
+      new ExpressionInfo(Curation.getClass.getName, "html_to_text"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t) => expr_(Curation.htmlToText(col_(t)))
+        case _ => throw new IllegalArgumentException(
+          "html_to_text(html) takes exactly one argument")
+      }))
     ext.injectFunction((FunctionIdentifier("c4_line_clean"),
       new ExpressionInfo(Curation.getClass.getName, "c4_line_clean"),
       (exprs: Seq[Expression]) => exprs match {

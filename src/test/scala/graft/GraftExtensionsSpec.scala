@@ -123,6 +123,10 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT c4_line_clean('one two.\nthree four.', 2, 2).is_kept AS k")
       .collect().head.getBoolean(0)
     assert(c4b === true)
+    val ht = spark.sql("SELECT html_to_text(" +
+      "'<p>Hi <b>there</b></p><script>x<1</script>&amp; done') AS t")
+      .collect().head.getString(0)
+    assert(ht === "Hi there\n& done")
   }
 
   test("log_bucket / log_bucket_hi: SQL-built sketches match the " +
