@@ -254,6 +254,57 @@ object Stress {
       }
     }
 
+    // ---- Naive Bayes classifier: train on 30%, score the held-out 70%
+    // at 4 classes. Labels derive from the template id (mod 4), which
+    // IS a token of the document ("bp<k>x1"), so the classifier has
+    // real signal: accuracy must clear 0.9 (the ~1% near-dups carry a
+    // copied template under their own label — the noise floor). The
+    // scoring explode is corpus tokens x 4 labels — the x L lever this
+    // step sizes. --------------------------------------------------------
+    step("nb") {
+      CacheScope.withScope { implicit scope =>
+        val labeled = docs.withColumn("label",
+          concat(lit("c"), pmod(pmod(col("doc_id"), lit(20)), lit(4))))
+        // the split must be INDEPENDENT of the label: a modulus split
+        // correlates with the template id (both ride doc_id), which
+        // holds 14 of 20 templates out of training entirely — hash it
+        val isTrain = pmod(xxhash64(lit("nbsplit"), col("doc_id")),
+          lit(10)) < 3
+        val mdl = graft.operators.TextAnalysis.nbTrain(
+          labeled.filter(isTrain), "label", "text")
+        val scored = graft.operators.TextAnalysis.nbScore(
+          labeled.filter(!isTrain), "doc_id", "text", mdl)
+        val acc = scored
+          .join(labeled.select(col("doc_id"), col("label")), "doc_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+              .as("ok"))
+          .collect().head
+        Seq("n_scored" -> acc.getLong(0), "n_correct" -> acc.getLong(1),
+          "accuracy" -> math.round(10000.0 * acc.getLong(1) /
+            acc.getLong(0)) / 10000.0,
+          "accuracy_ok" -> (acc.getLong(1).toDouble / acc.getLong(0) > 0.9))
+      }
+    }
+
+    // ---- BPE training: the corpus collapses to the word-frequency
+    // table ONCE (the only corpus-sized step), then 10 merge iterations
+    // run over the ~300k-word vocabulary — per-iteration cost must be
+    // vocabulary-sized, independent of nDocs ----------------------------
+    step("bpe") {
+      CacheScope.withScope { implicit scope =>
+        val wf = scope.cache(graft.operators.TextAnalysis
+          .bpeWordFreq(docs, "text"))
+        val vocab = wf.count()
+        val t0 = System.nanoTime()
+        val merges = graft.operators.TextAnalysis.bpeTrain(wf, nMerges = 10)
+        val n = merges.count()
+        val iterSecs = (System.nanoTime() - t0) / 1e9 / math.max(n, 1)
+        Seq("vocab" -> vocab, "n_merges" -> n,
+          "secs_per_merge" -> math.round(iterSecs * 1000.0) / 1000.0)
+      }
+    }
+
     // ---- per-row quality reports over the FULL corpus: gopher (five
     // sorted gram folds/row) + c4 line clean in ONE map-only pass — the
     // telemetry is pure scan throughput, there is nothing to shuffle ----

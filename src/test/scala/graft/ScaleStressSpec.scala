@@ -222,6 +222,47 @@ class ScaleStressSpec extends SparkSpec {
     }
   }
 
+  test("Naive Bayes at 80k docs: template-derived labels classified " +
+      ">0.9 under a label-independent hash split") {
+    CacheScope.withScope { implicit scope =>
+      val labeled = docs.withColumn("label",
+        concat(lit("c"), pmod(pmod(col("doc_id"), lit(20)), lit(4))))
+      // the split must be independent of the label: a modulus split
+      // correlates with the template id (both ride doc_id) and starves
+      // training of most templates — the 5M-run lesson, now pinned
+      val isTrain = pmod(xxhash64(lit("nbsplit"), col("doc_id")),
+        lit(10)) < 3
+      val mdl = graft.operators.TextAnalysis.nbTrain(
+        labeled.filter(isTrain), "label", "text")
+      val acc = graft.operators.TextAnalysis.nbScore(
+          labeled.filter(!isTrain), "doc_id", "text", mdl)
+        .join(labeled.select(col("doc_id"), col("label")), "doc_id")
+        .agg(avg(when(col("pred") === col("label"), 1.0).otherwise(0.0)))
+        .collect().head.getDouble(0)
+      assert(acc > 0.9, s"NB accuracy $acc; the ~1% near-dups carry a " +
+        "copied template under their own label (noise floor), the " +
+        "quote docs have no template — anything near chance means a " +
+        "confounded split or a scoring regression")
+    }
+  }
+
+  test("BPE at 80k docs: merges come from template/tail char mass, " +
+      "per-iteration work is vocabulary-sized") {
+    CacheScope.withScope { implicit scope =>
+      val wf = scope.cache(graft.operators.TextAnalysis
+        .bpeWordFreq(docs, "text"))
+      val merges = graft.operators.TextAnalysis.bpeTrain(wf, nMerges = 5)
+        .collect()
+      assert(merges.length === 5)
+      // every tail token is "w<digits>" over 300k values and every
+      // template token starts "bp" — the first merges must fuse the
+      // hottest character pairs, which both families seed with digits
+      // or the bp/w prefixes; all five merge counts are corpus-scale
+      assert(merges.forall(_.getLong(3) > n),
+        s"merge counts must be corpus-scale: ${merges.mkString(";")}")
+    }
+  }
+
   test("quality reports at 80k docs: one map-only pass covers every doc") {
     val r = docs
       .withColumn("__g", Curation.gopherReport(col("text")))
