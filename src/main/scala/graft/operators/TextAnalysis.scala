@@ -706,6 +706,22 @@ object TextAnalysis {
     prev.docCounts.unionByName(delta.docCounts)
       .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs")))
 
+  /** Single-frame encoding of an [[NbModel]] — what a persisted or
+    * streamed state store holds: the term rows plus one reserved
+    * `term = ""` row per label carrying its doc count. The empty term
+    * cannot collide with a real count (the tokenizer filters empties),
+    * and the encoded frame folds by the SAME (label, term) SUM as the
+    * term table itself — one versioned state, one fold rule. */
+  def nbModelToCounts(m: NbModel): DataFrame =
+    m.termCounts.unionByName(m.docCounts.select(col("label"),
+      lit("").as("term"), col("n_docs").as("c")))
+
+  /** Inverse of [[nbModelToCounts]]. */
+  def nbModelFromCounts(counts: DataFrame): NbModel = NbModel(
+    counts.filter(col("term") =!= ""),
+    counts.filter(col("term") === "")
+      .select(col("label"), col("c").as("n_docs")))
+
   /** Score documents under an [[NbModel]]: per (doc, label),
     * `ln P(label) + Σ_term n(term)·ln P(term|label)` with add-alpha
     * smoothing `P(term|label) = (c + α) / (tot_label + α·V)` (V = the

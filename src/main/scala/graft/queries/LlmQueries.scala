@@ -533,6 +533,28 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- incremental NB: folded batch models ≡ one-shot train ------------
+    // The train slice arrives as two halves; their count tables fold by
+    // SUM (through the single-frame encode/decode round trip the
+    // streamed state store uses) and the held-out third is scored
+    // against the maintained state. The oracle is the SAME
+    // full-recompute SQL as nb1 — integer counts are associative, so
+    // the incremental path must reproduce the one-shot scores bit for
+    // bit (the t11b/dsir2 discipline).
+    "nb2_incremental_nb" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+      val folded = TA.nbModelFromCounts(TA.nbModelToCounts(TA.nbFold(
+        TA.nbTrain(train.filter(col("doc_id") % 2 === 0),
+          "source", "text"),
+        TA.nbTrain(train.filter(col("doc_id") % 2 === 1),
+          "source", "text"))))
+      TA.nbScore(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        folded, alpha = 1.0)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LSH-bucketed ANN top-k (oracle: DuckDB brute-force top-k) -------
     // The corpus is augmented with 5 scaled copies of each query vector:
     // identical direction ⟹ identical hyperplane signs ⟹ every copy
@@ -817,6 +839,68 @@ object LlmQueries {
 
   /** ann2/ann3 oracle: independent brute-force top-5 over the planted
     * corpus (mirrors annCorpus; knows nothing about LSH/IVF). */
+
+  /** nb1/nb2 oracle: one-shot Naive Bayes recompute (see the
+    * oracles-map comment). */
+  private def nbOracleSql: String =
+    """WITH train AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 3 <> 0),
+        |test AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |tc AS (
+        |  SELECT label, term, count(*) AS c FROM (
+        |    SELECT source AS label,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |    FROM train) t
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |ltot AS (
+        |  SELECT label, CAST(SUM(c) AS BIGINT) AS tot FROM tc
+        |  GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT term) AS v FROM tc),
+        |dc AS (SELECT source AS label, count(*) AS n_docs FROM train
+        |  GROUP BY 1),
+        |ndt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM dc),
+        |pri AS (
+        |  SELECT label,
+        |    CAST(round(ln(CAST(n_docs AS DOUBLE) / n_total)
+        |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS prior_micros
+        |  FROM dc, ndt),
+        |dt AS (
+        |  SELECT doc_id, term, count(*) AS nk FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |    FROM test) t
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |ll AS (
+        |  SELECT dt.doc_id, l.label,
+        |    CAST(SUM(CAST(round(ln(
+        |        (coalesce(tc.c, 0) + CAST(1.0 AS DOUBLE))
+        |        / (ltot.tot + CAST(1.0 AS DOUBLE) * voc.v))
+        |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) * dt.nk) AS BIGINT)
+        |      AS ll_micros
+        |  FROM dt CROSS JOIN (SELECT label FROM dc) l
+        |    LEFT JOIN tc ON tc.term = dt.term AND tc.label = l.label
+        |    JOIN ltot ON ltot.label = l.label CROSS JOIN voc
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT t.doc_id, p.label,
+        |    coalesce(ll.ll_micros, 0) + p.prior_micros AS score_micros
+        |  FROM test t CROSS JOIN pri p
+        |    LEFT JOIN ll ON ll.doc_id = t.doc_id AND ll.label = p.label),
+        |rk AS (
+        |  SELECT doc_id, label, score_micros,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score_micros DESC, label) AS rn,
+        |    lead(score_micros, 1) OVER (PARTITION BY doc_id
+        |      ORDER BY score_micros DESC, label) AS runner
+        |  FROM sc)
+        |SELECT doc_id, label AS pred,
+        |  CAST(score_micros AS BIGINT) AS score_micros,
+        |  CAST(score_micros - coalesce(runner, score_micros) AS BIGINT)
+        |    AS margin_micros
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   private def annOracleSql: String =
     """WITH base AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
@@ -1295,68 +1379,14 @@ object LlmQueries {
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
 
-    // nb1: full independent replay — recount the model, re-derive
+    // nb1/nb2: full independent replay — recount the model, re-derive
     // priors/totals/vocabulary, replay the add-alpha smoothed log
     // probabilities at integer-micro precision, re-run the argmax
-    // window with the (score DESC, label ASC) tie-break
-    "nb1_source_classifier" ->
-      """WITH train AS (
-        |  SELECT doc_id, source, text FROM documents
-        |  WHERE doc_id % 3 <> 0),
-        |test AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
-        |tc AS (
-        |  SELECT label, term, count(*) AS c FROM (
-        |    SELECT source AS label,
-        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |    FROM train) t
-        |  WHERE term <> '' GROUP BY 1, 2),
-        |ltot AS (
-        |  SELECT label, CAST(SUM(c) AS BIGINT) AS tot FROM tc
-        |  GROUP BY 1),
-        |voc AS (SELECT count(DISTINCT term) AS v FROM tc),
-        |dc AS (SELECT source AS label, count(*) AS n_docs FROM train
-        |  GROUP BY 1),
-        |ndt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM dc),
-        |pri AS (
-        |  SELECT label,
-        |    CAST(round(ln(CAST(n_docs AS DOUBLE) / n_total)
-        |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS prior_micros
-        |  FROM dc, ndt),
-        |dt AS (
-        |  SELECT doc_id, term, count(*) AS nk FROM (
-        |    SELECT doc_id,
-        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-        |    FROM test) t
-        |  WHERE term <> '' GROUP BY 1, 2),
-        |ll AS (
-        |  SELECT dt.doc_id, l.label,
-        |    CAST(SUM(CAST(round(ln(
-        |        (coalesce(tc.c, 0) + CAST(1.0 AS DOUBLE))
-        |        / (ltot.tot + CAST(1.0 AS DOUBLE) * voc.v))
-        |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) * dt.nk) AS BIGINT)
-        |      AS ll_micros
-        |  FROM dt CROSS JOIN (SELECT label FROM dc) l
-        |    LEFT JOIN tc ON tc.term = dt.term AND tc.label = l.label
-        |    JOIN ltot ON ltot.label = l.label CROSS JOIN voc
-        |  GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT t.doc_id, p.label,
-        |    coalesce(ll.ll_micros, 0) + p.prior_micros AS score_micros
-        |  FROM test t CROSS JOIN pri p
-        |    LEFT JOIN ll ON ll.doc_id = t.doc_id AND ll.label = p.label),
-        |rk AS (
-        |  SELECT doc_id, label, score_micros,
-        |    ROW_NUMBER() OVER (PARTITION BY doc_id
-        |      ORDER BY score_micros DESC, label) AS rn,
-        |    lead(score_micros, 1) OVER (PARTITION BY doc_id
-        |      ORDER BY score_micros DESC, label) AS runner
-        |  FROM sc)
-        |SELECT doc_id, label AS pred,
-        |  CAST(score_micros AS BIGINT) AS score_micros,
-        |  CAST(score_micros - coalesce(runner, score_micros) AS BIGINT)
-        |    AS margin_micros
-        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // window with the (score DESC, label ASC) tie-break. nb2 scores
+    // against FOLDED incremental counts; additive integers make that
+    // bit-identical to this one-shot expectation.
+    "nb1_source_classifier" -> nbOracleSql,
+    "nb2_incremental_nb" -> nbOracleSql,
 
     // hy2: lexical CTEs identical to hy1 (depth 10); semantic leg is
     // brute-force cosine top-5 over the AUGMENTED corpus (embeddings +

@@ -397,6 +397,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bigram_lm_score(path, idCol, textCol, trainPath, " +
             "trainTextCol[, alpha]) — all arguments must be literals")
       }))
+    // Naive Bayes classify as a TABLE function: train on a labeled
+    // parquet corpus, score another — the bigram_lm_score shape
+    ext.injectTableFunction((FunctionIdentifier("nb_classify"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "nb_classify"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, idc, tc, lp, lc, ltc, rest @ _*) if rest.size <= 1 =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val docs = spark.read.parquet(strLit(p, "nb_classify path"))
+          val labeled = spark.read.parquet(
+            strLit(lp, "nb_classify labeledPath"))
+          val alpha = rest.headOption
+            .map(numLit(_, "nb_classify alpha")).getOrElse(1.0)
+          val mdl = graft.operators.TextAnalysis.nbTrain(labeled,
+            strLit(lc, "nb_classify labelCol"),
+            strLit(ltc, "nb_classify labeledTextCol"))
+          graft.operators.TextAnalysis.nbScore(docs,
+            strLit(idc, "nb_classify idCol"),
+            strLit(tc, "nb_classify textCol"), mdl, alpha)(
+            graft.CacheScope.session)
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "nb_classify(path, idCol, textCol, labeledPath, labelCol, " +
+            "labeledTextCol[, alpha]) — all arguments must be literals")
+      }))
     ext.injectTableFunction((FunctionIdentifier("containment_pairs"),
       new ExpressionInfo(classOf[GraftExtensions].getName,
         "containment_pairs"),

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.hadoop.fs.Path
 
@@ -175,6 +176,24 @@ object StreamingSummary {
       (batch, prev) =>
         val delta = graft.operators.TextAnalysis.bigramLm(batch, textCol)
         prev.map(p => graft.operators.TextAnalysis.foldBigramLm(p, delta))
+          .getOrElse(delta)
+    }
+
+  /** Maintain a Naive Bayes classifier over a streamed labeled corpus:
+    * one [[graft.operators.TextAnalysis.nbModelToCounts]]-encoded state,
+    * folded by pure (label, term) SUM per batch — O(delta) work, and
+    * the maintained model scores bit-identically to a one-shot
+    * retrain over the union (integer counts). Decode with
+    * [[graft.operators.TextAnalysis.nbModelFromCounts]]. */
+  def maintainNbFromFiles(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpoint: String,
+      summaryPath: String, labelCol: String, textCol: String): DataFrame =
+    maintainVersioned(spark, inDir, schema, checkpoint, summaryPath) {
+      (batch, prev) =>
+        val delta = graft.operators.TextAnalysis.nbModelToCounts(
+          graft.operators.TextAnalysis.nbTrain(batch, labelCol, textCol))
+        prev.map(_.unionByName(delta)
+            .groupBy(col("label"), col("term")).agg(sum(col("c")).as("c")))
           .getOrElse(delta)
     }
 

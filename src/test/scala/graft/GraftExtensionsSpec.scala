@@ -257,6 +257,16 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.operators.TextAnalysis.bigramLm(spark.read.parquet(dir),
         "text")).orderBy("doc_id").collect()
     assert(lmGot.toSeq === lmWant.toSeq)
+    // NB classify: train on the corpus labeled by source, score it;
+    // the SQL relation must equal the Scala-API relation exactly
+    val nbGot = spark.sql(s"SELECT doc_id, pred, score_micros, " +
+      s"margin_micros FROM nb_classify('$dir', 'doc_id', 'text', " +
+      s"'$dir', 'source', 'text') ORDER BY doc_id").collect()
+    val nbWant = graft.operators.TextAnalysis.nbScore(
+      spark.read.parquet(dir), "doc_id", "text",
+      graft.operators.TextAnalysis.nbTrain(spark.read.parquet(dir),
+        "source", "text")).orderBy("doc_id").collect()
+    assert(nbGot.toSeq === nbWant.toSeq && nbGot.nonEmpty)
     // non-literal arguments are rejected with the documented message
     intercept[Exception] {
       spark.sql(s"SELECT * FROM bm25_topk('$dir', 'doc_id', 'text', " +

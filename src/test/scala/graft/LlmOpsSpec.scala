@@ -387,6 +387,40 @@ class LlmOpsSpec extends SparkSpec {
     val ref = TA.nbScore(held, "id", "text", folded)
       .orderBy("id").collect()
     assert(ref.toSeq === out.toSeq)
+    // the single-frame encode/decode round trip loses nothing: doc
+    // counts ride the reserved empty term, which no tokenizer output
+    // can collide with
+    val rt = TA.nbModelFromCounts(TA.nbModelToCounts(folded))
+    assert(TA.nbScore(held, "id", "text", rt)
+      .orderBy("id").collect().toSeq === out.toSeq)
+  }
+
+  test("streamed NB state equals the one-shot model over all deltas") {
+    val raw = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_nb").toString
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    Seq(0, 1).foreach { i =>
+      raw.filter(col("doc_id") % 2 === i)
+        .coalesce(1).write.parquet(s"$root/in/batch_$i")
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/in/batch_$i"))
+        .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, j) =>
+          fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(s"$root/deltas/b${i}_$j.parquet"))
+        }
+    }
+    val state = graft.streaming.StreamingSummary.maintainNbFromFiles(
+      spark, s"$root/deltas", raw.schema, s"$root/ckpt", s"$root/state",
+      "source", "text")
+    val streamed = TA.nbModelFromCounts(state)
+    val oneShot = TA.nbTrain(raw, "source", "text")
+    val q = raw.select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    assert(TA.nbScore(q, "doc_id", "text", streamed)
+        .orderBy("doc_id").collect().toSeq ===
+      TA.nbScore(q, "doc_id", "text", oneShot)
+        .orderBy("doc_id").collect().toSeq)
   }
 
   test("multi-probe LSH recovers additively-perturbed near-dups") {
