@@ -487,9 +487,12 @@ object LlmQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       val data = annCorpus(s, d)
+      // PQ codebooks are trained but unused by topK (exact cosine) —
+      // keep them minimal here, as ann6 does; ann5 pins the full-size
+      // store lifecycle
       graft.pipelines.VectorStore.create(s, dir,
         data.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-        nCells = 8, m = 8, ksub = 16, ivfIters = 2, pqIters = 3)
+        nCells = 8, m = 4, ksub = 8, ivfIters = 2, pqIters = 2)
       graft.pipelines.VectorStore.append(s, dir,
         data.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
         batchTag = "b1")
