@@ -397,6 +397,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bigram_lm_score(path, idCol, textCol, trainPath, " +
             "trainTextCol[, alpha]) — all arguments must be literals")
       }))
+    // BPE tokenizer training as a TABLE function: (iter, lhs, rhs, cnt)
+    // merges learned from a parquet corpus's word-frequency table
+    ext.injectTableFunction((FunctionIdentifier("bpe_merges"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "bpe_merges"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, tc, Literal(n: Int, _)) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val docs = spark.read.parquet(strLit(p, "bpe_merges path"))
+          graft.operators.TextAnalysis.bpeTrain(
+            graft.operators.TextAnalysis.bpeWordFreq(docs,
+              strLit(tc, "bpe_merges textCol")), n)(
+            graft.CacheScope.session)
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "bpe_merges(path, textCol, nMerges) — all arguments must be " +
+            "literals (nMerges an integer)")
+      }))
     // Naive Bayes classify as a TABLE function: train on a labeled
     // parquet corpus, score another — the bigram_lm_score shape
     ext.injectTableFunction((FunctionIdentifier("nb_classify"),

@@ -267,6 +267,14 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.operators.TextAnalysis.nbTrain(spark.read.parquet(dir),
         "source", "text")).orderBy("doc_id").collect()
     assert(nbGot.toSeq === nbWant.toSeq && nbGot.nonEmpty)
+    // BPE training: the SQL relation must equal the Scala API's merges
+    val bpeGot = spark.sql(s"SELECT iter, lhs, rhs, cnt FROM " +
+      s"bpe_merges('$dir', 'text', 3) ORDER BY iter").collect()
+    val bpeWant = graft.operators.TextAnalysis.bpeTrain(
+        graft.operators.TextAnalysis.bpeWordFreq(
+          spark.read.parquet(dir), "text"), 3)(CacheScope.session)
+      .orderBy("iter").collect()
+    assert(bpeGot.toSeq === bpeWant.toSeq && bpeGot.length === 3)
     // non-literal arguments are rejected with the documented message
     intercept[Exception] {
       spark.sql(s"SELECT * FROM bm25_topk('$dir', 'doc_id', 'text', " +

@@ -380,4 +380,40 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("Naive Bayes scoring: only narrow count/score rows shuffle, " +
+      "never document text") {
+    noAqe {
+      val p = planOf(SparkEntry.queries("nb1_source_classifier")(spark, sf))
+      val exchanges = p.collectWithSubqueries {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        val names = e.child.output.map(_.name).toSet
+        assert(!names.contains("text"),
+          s"nb1 shuffles the document payload: ${names.mkString(",")}")
+      }
+    }
+  }
+
+  test("map-only curation gates: html extraction and blocklist plans " +
+      "shuffle exactly once (the final ORDER BY)") {
+    noAqe {
+      Seq("cu16_html_extract", "url2_blocklist").foreach { q =>
+        val p = planOf(SparkEntry.queries(q)(spark, sf))
+        val exchanges = p.collectWithSubqueries {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }
+        assert(exchanges.size === 1,
+          s"$q must be map-only up to its ORDER BY, got " +
+            s"${exchanges.size} exchanges:\n$p")
+        assert(exchanges.head.outputPartitioning.toString
+            .contains("range"),
+          s"$q's single exchange must be the sort's range partitioning")
+      }
+    }
+  }
 }
