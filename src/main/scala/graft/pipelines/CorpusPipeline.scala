@@ -126,6 +126,39 @@ object CorpusPipeline {
     * the LM doc side AND the final join. Per-stage counts ride
     * Observation metrics on the frames that already flow, so the
     * C4 scan is never re-run for counting. */
+  /** Raw-web front: HTML → text extraction plus the URL/lexicon
+    * blocklist — the two steps that turn a crawl into [[qualityGate]]
+    * input. Both are map-only (per-row regexps and literal-array
+    * membership), so the front adds NO shuffle to the pipeline; at
+    * 100 TB it runs at parquet-scan speed ahead of the first exchange.
+    * Returns the surviving docs with the extracted text as `textCol`
+    * and the blocklist evidence columns dropped; funnel counts ride an
+    * `observe` on the verdict column (read them from the returned
+    * Observation after the caller's first action — no extra pass).
+    * Caveat: read the counts after a single-pass action (a count, an
+    * unsorted write); a global sort's range-partition SAMPLING pass
+    * evaluates the observe again and doubles them (spec-pinned). */
+  def webFront(raw: DataFrame, idCol: String, htmlCol: String,
+      urlCol: String, textCol: String, blockedDomains: Seq[String],
+      lexicon: Seq[String], maxBadFrac: Double)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val extracted = raw
+      .withColumn(textCol, Curation.htmlToText(col(htmlCol)))
+      .drop(htmlCol)
+    val kept = Curation.blocklistReport(extracted, urlCol, textCol,
+        blockedDomains, lexicon, maxBadFrac)
+      .observe(obs, count(lit(1)).as("n_in"),
+        sum(when(col("domain_blocked"), 1L).otherwise(0L))
+          .as("n_domain_blocked"),
+        sum(when(col("blocked") && !col("domain_blocked"), 1L)
+          .otherwise(0L)).as("n_lexicon_blocked"))
+      .filter(!col("blocked"))
+      .drop("domain", "domain_blocked", "bad_hits", "word_count",
+        "bad_frac", "blocked")
+    (kept, obs)
+  }
+
   def qualityGate(docs: DataFrame, idCol: String, textCol: String,
       lmRef: DataFrame, refTextCol: String, maxAvgNll: Double = 20.0,
       minLineWords: Int = 3, minLines: Int = 5, alpha: Double = 0.5)(

@@ -1422,45 +1422,23 @@ object CurationQueries {
          |ORDER BY iter""".stripMargin,
 
     // the same HTML construction, then the strip chain replayed regex
-    // by regex in the same order
+    // by regex in the same order (the shared htmlStripCtes fragment)
     "cu16_html_extract" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-        |    || '</title><style>p{color:red}</style>'
-        |    || '<script>var x = 1 < 2;</script></head><body>'
-        |    || CASE WHEN doc_id % 5 = 0
-        |         THEN '<!-- hidden --><p>&quot;quoted&#39; start</p>'
-        |         ELSE '' END
-        |    || '<p>'
-        |    || replace(coalesce(text, ''), ' value ',
-        |         ' &amp; value &lt;tag&gt; ')
-        |    || '</p><div>footer &nbsp;menu</div></body></html>' AS html
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(html,
-        |  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')
-        |  AS t FROM h),
-        |s2 AS (SELECT doc_id,
-        |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(t,
-        |  '(?i)<(br|hr)[^>]*>|</(p|div|li|tr|h[1-6]|title)>', chr(10),
-        |  'g') AS t FROM s2),
-        |s4 AS (SELECT doc_id,
-        |  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
-        |s5 AS (SELECT doc_id,
-        |  replace(replace(replace(replace(replace(replace(t,
-        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-        |    '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
-        |  FROM s4),
-        |s6 AS (SELECT doc_id,
-        |  regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s5),
-        |s7 AS (SELECT doc_id,
-        |  regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s6),
-        |s8 AS (SELECT doc_id, regexp_replace(t, '\n{3,}',
-        |  chr(10) || chr(10), 'g') AS t FROM s7)
-        |SELECT doc_id,
-        |  regexp_replace(t, '^\s+|\s+$', '', 'g') AS clean
-        |FROM s8 ORDER BY doc_id""".stripMargin,
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         |    || '</title><style>p{color:red}</style>'
+         |    || '<script>var x = 1 < 2;</script></head><body>'
+         |    || CASE WHEN doc_id % 5 = 0
+         |         THEN '<!-- hidden --><p>&quot;quoted&#39; start</p>'
+         |         ELSE '' END
+         |    || '<p>'
+         |    || replace(coalesce(text, ''), ' value ',
+         |         ' &amp; value &lt;tag&gt; ')
+         |    || '</p><div>footer &nbsp;menu</div></body></html>' AS html
+         |  FROM documents),
+         |${OracleFragments.htmlStripCtes("h", "html")}
+         |SELECT doc_id, clean FROM hclean ORDER BY doc_id""".stripMargin,
 
     // the post-merge vocabulary segmentation IS syms5 — the chain that
     // trained the merges doubles as the encode expectation

@@ -413,6 +413,39 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- full raw-web pipeline: extract → blocklist → C4 → Gopher → LM ---
+    // The c2 composition with the raw-web FRONT bolted on: each doc
+    // arrives as HTML (built so extraction produces c2's planted
+    // sentence structure) with a source-derived URL; webFront extracts
+    // and blocklists (both map-only — no shuffle enters the pipeline
+    // before C4), the LM trains on the SURVIVING src0 slice, and the
+    // oracle replays strip chain, both blocklist legs, and the shared
+    // c2 quality chain end to end.
+    "c3_web_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val raw = docs.select(col("doc_id"), col("source"),
+        concat(lit("https://www."), col("source"),
+          (col("doc_id") % 7).cast("string"), lit(".com/p/"),
+          col("doc_id").cast("string")).as("url"),
+        concat(lit("<html><body><p>"),
+          replace(coalesce(col("text"), lit("")), lit(" value "),
+            lit(".</p><p>")),
+          lit(".</p><p>of the data and that batch have with be to " +
+            "end.</p></body></html>")).as("html"))
+      val (front, _) = graft.pipelines.CorpusPipeline.webFront(raw,
+        "doc_id", "html", "url", "text",
+        blockedDomains = Seq("src03.com", "src12.com"),
+        lexicon = Seq("slow", "big", "merge"), maxBadFrac = 0.08)
+      val (out, _) = graft.pipelines.CorpusPipeline.qualityGate(
+        front, "doc_id", "text",
+        front.filter(col("source") === "src0"), "text",
+        maxAvgNll = 12.0)
+      out.select(col("doc_id"), col("text"), col("n_transitions"),
+          col("avg_nll"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- exact brute-force ANN top-k (oracle-checked) --------------------
     "ann1_bruteforce_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -843,6 +876,52 @@ object LlmQueries {
   /** ann2/ann3 oracle: independent brute-force top-5 over the planted
     * corpus (mirrors annCorpus; knows nothing about LSH/IVF). */
 
+  /** c2/c3 oracle: the C4 → Gopher → bigram-LM quality chain over a
+    * caller-supplied CTE `rdocs(doc_id, source, text)` — shared so the
+    * two composed gates replay IDENTICAL rules (one fixed threshold
+    * drifting between copies was the OracleFragments lesson). LM trains
+    * on rdocs' src0 slice; survivors filter at avg_nll ≤ 12.0. */
+  private def qualityGateChainSql: String = {
+    val thr = 12.0
+    s"""c4l AS (
+       |  SELECT doc_id, source, coalesce(text, '') AS t,
+       |    list_filter(list_transform(
+       |      string_split(coalesce(text, ''), chr(10)), x -> trim(x)),
+       |      x -> x <> '') AS ls
+       |  FROM rdocs),
+       |c4k AS (
+       |  SELECT doc_id, source, t, ls,
+       |    list_filter(ls, x ->
+       |      (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?'
+       |        OR x LIKE '%"')
+       |      AND len(list_filter(string_split_regex(x, '\\s+'),
+       |        w -> w <> '')) >= 3
+       |      AND NOT contains(lower(x), 'javascript')) AS ks
+       |  FROM c4l),
+       |kept1 AS (
+       |  SELECT doc_id, source,
+       |    coalesce(array_to_string(ks, chr(10)), '') AS ct
+       |  FROM c4k
+       |  WHERE len(ks) >= 5 AND NOT contains(lower(t), 'lorem ipsum')
+       |    AND NOT contains(t, '{')),
+       |${OracleFragments.gopherCtes("kept1", "ct")},
+       |kept2 AS (SELECT doc_id FROM gfp WHERE gopher_pass),
+       |${OracleFragments.lmTrainCtes("rdocs", "text",
+            "source = 'src0'")},
+       |lmdocs AS (
+       |  SELECT k.doc_id, kept1.ct FROM kept2 k
+       |  JOIN kept1 USING (doc_id)),
+       |${OracleFragments.lmScoreCtes("lmdocs", "ct", 0.5)}
+       |SELECT k.doc_id, kept1.ct AS text, s.n_transitions,
+       |  s.nll_micros / CAST(1000000.0 AS DOUBLE) / s.n_transitions
+       |    AS avg_nll
+       |FROM kept2 k JOIN kept1 USING (doc_id) JOIN lmsc s USING (doc_id)
+       |WHERE s.n_transitions > 0
+       |  AND s.nll_micros / CAST(1000000.0 AS DOUBLE)
+       |    / s.n_transitions <= CAST($thr AS DOUBLE)
+       |ORDER BY k.doc_id""".stripMargin
+  }
+
   /** nb1/nb2 oracle: one-shot Naive Bayes recompute (see the
     * oracles-map comment). */
   private def nbOracleSql: String =
@@ -1178,50 +1257,47 @@ object LlmQueries {
     // on the raw planted src0 slice. The gopher/LM chains are the
     // shared OracleFragments copies; the interpolated constants are
     // the gate's Scala doubles.
-    "c2_quality_gate" -> {
-      val thr = 12.0
+    "c2_quality_gate" ->
       s"""WITH rdocs AS (
          |  SELECT doc_id, source,
          |    replace(text, ' value ', '.' || chr(10)) || '.' || chr(10)
          |      || 'of the data and that batch have with be to end.' AS text
          |  FROM documents),
-         |c4l AS (
-         |  SELECT doc_id, source, coalesce(text, '') AS t,
-         |    list_filter(list_transform(
-         |      string_split(coalesce(text, ''), chr(10)), x -> trim(x)),
-         |      x -> x <> '') AS ls
-         |  FROM rdocs),
-         |c4k AS (
-         |  SELECT doc_id, source, t, ls,
-         |    list_filter(ls, x ->
-         |      (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?'
-         |        OR x LIKE '%"')
-         |      AND len(list_filter(string_split_regex(x, '\\s+'),
-         |        w -> w <> '')) >= 3
-         |      AND NOT contains(lower(x), 'javascript')) AS ks
-         |  FROM c4l),
-         |kept1 AS (
+         |$qualityGateChainSql""".stripMargin,
+
+    // c3: the c2 quality chain fed by the raw-web FRONT — the HTML wrap
+    // is built so extraction PRODUCES c2's planted sentence structure
+    // (" value " → ".</p><p>" → ".\n" lines), then the blocklist legs
+    // (domain derived independently from the construction; lexicon
+    // fraction over the EXTRACTED tokens) gate what reaches C4. The
+    // shared chain fragment means c2 and c3 cannot drift.
+    "c3_web_pipeline" -> {
+      s"""WITH h AS (
          |  SELECT doc_id, source,
-         |    coalesce(array_to_string(ks, chr(10)), '') AS ct
-         |  FROM c4k
-         |  WHERE len(ks) >= 5 AND NOT contains(lower(t), 'lorem ipsum')
-         |    AND NOT contains(t, '{')),
-         |${OracleFragments.gopherCtes("kept1", "ct")},
-         |kept2 AS (SELECT doc_id FROM gfp WHERE gopher_pass),
-         |${OracleFragments.lmTrainCtes("rdocs", "text",
-              "source = 'src0'")},
-         |lmdocs AS (
-         |  SELECT k.doc_id, kept1.ct FROM kept2 k
-         |  JOIN kept1 USING (doc_id)),
-         |${OracleFragments.lmScoreCtes("lmdocs", "ct", 0.5)}
-         |SELECT k.doc_id, kept1.ct AS text, s.n_transitions,
-         |  s.nll_micros / CAST(1000000.0 AS DOUBLE) / s.n_transitions
-         |    AS avg_nll
-         |FROM kept2 k JOIN kept1 USING (doc_id) JOIN lmsc s USING (doc_id)
-         |WHERE s.n_transitions > 0
-         |  AND s.nll_micros / CAST(1000000.0 AS DOUBLE)
-         |    / s.n_transitions <= CAST($thr AS DOUBLE)
-         |ORDER BY k.doc_id""".stripMargin
+         |    source || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+         |    '<html><body><p>'
+         |    || replace(coalesce(text, ''), ' value ', '.</p><p>')
+         |    || '.</p><p>of the data and that batch have with be to '
+         |    || 'end.</p></body></html>' AS html
+         |  FROM documents),
+         |${OracleFragments.htmlStripCtes("h", "html",
+              Seq("source", "domain"))},
+         |blkm AS (
+         |  SELECT doc_id, source, domain, clean,
+         |    list_filter(string_split_regex(lower(trim(clean)), '\\s+'),
+         |      x -> x <> '') AS ws
+         |  FROM hclean),
+         |rdocs AS (
+         |  SELECT doc_id, source, clean AS text FROM (
+         |    SELECT doc_id, source, clean,
+         |      domain IN ('src03.com', 'src12.com') AS db,
+         |      len(list_filter(ws,
+         |        w -> list_contains(['slow', 'big', 'merge'], w))) AS bh,
+         |      len(ws) AS wc
+         |    FROM blkm) t
+         |  WHERE NOT (db OR (CASE WHEN wc = 0 THEN 0.0
+         |    ELSE round(CAST(bh AS DOUBLE) / wc, 6) END) > 0.08)),
+         |$qualityGateChainSql""".stripMargin
     },
 
     "t2_fingerprint" ->

@@ -174,6 +174,40 @@ object OracleFragments {
        |    LEFT JOIN lctx USING (prev) CROSS JOIN lv
        |  GROUP BY 1)""".stripMargin
 
+  /** HTML→text strip-chain replay (cu16/c3): mirrors
+    * [[graft.operators.Curation.htmlToText]] regex by regex, in the
+    * same order, over CTE `input(doc_id, <extras...>, <htmlCol>)`.
+    * Emits CTEs `hs1…hs8` and the terminal
+    * `hclean(doc_id, <extras...>, clean)`. */
+  def htmlStripCtes(input: String, htmlCol: String,
+      extras: Seq[String] = Seq.empty): String = {
+    val ex = extras.map(_ + ", ").mkString
+    s"""hs1 AS (SELECT doc_id, $ex regexp_replace($htmlCol,
+       |  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')
+       |  AS t FROM $input),
+       |hs2 AS (SELECT doc_id, $ex
+       |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM hs1),
+       |hs3 AS (SELECT doc_id, $ex regexp_replace(t,
+       |  '(?i)<(br|hr)[^>]*>|</(p|div|li|tr|h[1-6]|title)>', chr(10),
+       |  'g') AS t FROM hs2),
+       |hs4 AS (SELECT doc_id, $ex
+       |  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM hs3),
+       |hs5 AS (SELECT doc_id, $ex
+       |  replace(replace(replace(replace(replace(replace(t,
+       |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+       |    '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
+       |  FROM hs4),
+       |hs6 AS (SELECT doc_id, $ex
+       |  regexp_replace(t, '[ \\t]+', ' ', 'g') AS t FROM hs5),
+       |hs7 AS (SELECT doc_id, $ex
+       |  regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM hs6),
+       |hs8 AS (SELECT doc_id, $ex regexp_replace(t, '\\n{3,}',
+       |  chr(10) || chr(10), 'g') AS t FROM hs7),
+       |hclean AS (SELECT doc_id, $ex
+       |  regexp_replace(t, '^\\s+|\\s+$$', '', 'g') AS clean FROM hs8)"""
+      .stripMargin
+  }
+
   /** BPE training replay (t14/t14b): word-frequency table, character
     * symbol rows, then `n` merge iterations. Each iteration k defines
     * `mg_k` (the argmax pair with count, ties (cnt DESC, lhs, rhs))

@@ -62,4 +62,30 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(!planStr.contains("Join"),
       s"cleaned plan still carries pipeline stages:\n$planStr")
   }
+
+  test("webFront: extracts, blocklists by domain and lexicon, counts " +
+      "each drop reason once, adds no shuffle") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "https://ok.org/a", "<p>fine text entirely here.</p>"),
+      (2L, "https://www.Bad.example.com/x", "<p>fine text too.</p>"),
+      (3L, "https://ok.org/b", "<p>spam spam spam word.</p>"))
+      .toDF("doc_id", "url", "html")
+    val (kept, obs) = CorpusPipeline.webFront(raw, "doc_id", "html",
+      "url", "text", blockedDomains = Seq("example.com"),
+      lexicon = Seq("spam"), maxBadFrac = 0.5)
+    // collect UNSORTED: an orderBy's range-partition sampling pass
+    // would evaluate the observe a second time and double the counts
+    val rows = kept.collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(rows.head.getAs[String]("text") === "fine text entirely here.")
+    val m = obs.get
+    assert(m("n_in") === 3L && m("n_domain_blocked") === 1L &&
+      m("n_lexicon_blocked") === 1L)
+    // map-only: the front contributes zero exchanges
+    val exchanges = kept.queryExecution.executedPlan.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        => e }
+    assert(exchanges.isEmpty, s"webFront must not shuffle:\n$exchanges")
+  }
 }
