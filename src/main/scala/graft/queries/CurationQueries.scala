@@ -631,6 +631,36 @@ object CurationQueries {
         .orderBy(col("word"))
     }),
 
+    // ---- tokenizer-aware packing: pack by BPE token counts ---------------
+    // The real training-prep composition: train the tokenizer (t14),
+    // segment the VOCABULARY once, join per-word symbol counts back to
+    // the corpus word occurrences (never re-segment per occurrence),
+    // and pack the per-doc BPE token totals into 2048-token sequences
+    // with cu3's two-pass offset machinery. The oracle re-derives the
+    // merges, the segmentation, every per-doc count, and the global
+    // running offsets.
+    "cu18_bpe_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val wf = TextAnalysis.bpeWordFreq(docs, "text")
+      val merges = TextAnalysis.bpeTrain(wf, nMerges = 5)(
+          graft.CacheScope.session)
+        .orderBy(col("iter")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val seg = TextAnalysis.bpeSegmentWords(wf.select(col("word")),
+          "word", merges)
+        .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+      val docTok = docs
+        .select(col("doc_id"), explode_outer(filter(TextAnalysis.tokens(
+          coalesce(col("text"), lit(""))), w => w =!= "")).as("word"))
+        .join(seg, Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(coalesce(sum(col("n_syms")), lit(0L)).as("n_tok"))
+      Curation.packSequences(docTok, "doc_id", "n_tok", budget = 2048L)
+        .select(col("doc_id"), col("n_tok"), col("start_off"),
+          col("first_seq"), col("last_seq"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- HTML → text extraction (the raw-web front step) -----------------
     // Each doc is wrapped in deterministic HTML (title/style/script
     // head, entity-encoded body, conditional comment block, footer
@@ -1420,6 +1450,39 @@ object CurationQueries {
          |  UNION ALL SELECT 4, lhs, rhs, CAST(cnt AS BIGINT) FROM mg_4
          |  UNION ALL SELECT 5, lhs, rhs, CAST(cnt AS BIGINT) FROM mg_5)
          |ORDER BY iter""".stripMargin,
+
+    // the t14 merge chain, the syms5 segmentation, per-doc counts via
+    // the word join, then cu3's running-offset window
+    "cu18_bpe_pack" ->
+      s"""WITH ${OracleFragments.bpeCtes("documents", "text", 5)},
+         |ns AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n_syms
+         |  FROM syms5 GROUP BY word),
+         |dw AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split_regex(
+         |      lower(trim(coalesce(text, ''))), '\\s+')) AS word
+         |    FROM documents) t
+         |  WHERE word <> ''),
+         |dt AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(SUM(ns.n_syms), 0) AS BIGINT) AS n_tok
+         |  FROM documents d
+         |    LEFT JOIN dw ON dw.doc_id = d.doc_id
+         |    LEFT JOIN ns ON ns.word = dw.word
+         |  GROUP BY d.doc_id),
+         |off AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start_off
+         |  FROM dt)
+         |SELECT doc_id, n_tok, start_off,
+         |  CAST(FLOOR(start_off / 2048) AS BIGINT) AS first_seq,
+         |  GREATEST(CAST(FLOOR(start_off / 2048) AS BIGINT),
+         |    CAST(FLOOR((start_off + n_tok - 1) / 2048) AS BIGINT))
+         |    AS last_seq
+         |FROM off ORDER BY doc_id""".stripMargin,
 
     // the same HTML construction, then the strip chain replayed regex
     // by regex in the same order (the shared htmlStripCtes fragment)
