@@ -500,17 +500,33 @@ object TextAnalysis {
       lmCounts: DataFrame, alpha: Double = 0.5)(
       implicit scope: graft.CacheScope): DataFrame = {
     require(alpha > 0, s"bigramLogProb: alpha must be > 0, got $alpha")
+    val dp = bigramPairs(docs, Seq(col(idCol)), textCol)
+      .groupBy(col(idCol), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("nk"))
+    val scored = scoreDp(dp, idCol, lmCounts, alpha)
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        coalesce(col("nll_micros"), lit(0L)).as("nll_micros"),
+        when(coalesce(col("n_transitions"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("nll_micros") / lit(1e6) /
+            col("n_transitions")).as("avg_nll"))
+  }
+
+  /** Score a per-doc (id, prev, cur, nk) transition-count frame against
+    * one [[bigramLm]] model: (id, n_transitions, nll_micros). Factored
+    * out so two-model scorers ([[crossEntropyDiff]]) tokenize the
+    * corpus ONCE and reuse the same dp frame per model. */
+  private def scoreDp(dp: DataFrame, idCol: String, lmCounts: DataFrame,
+      alpha: Double)(implicit scope: graft.CacheScope): DataFrame = {
     // three consumers (ctx, vocab, the pair join) — cache or the
     // training explode re-runs per consumer
     val lm = scope.cache(lmCounts)
     val ctx = lm.groupBy(col("prev")).agg(sum(col("c")).as("ctx"))
     val vocab = broadcast(lm.agg(countDistinct(col("cur")).as("v")))
-    val dp = bigramPairs(docs, Seq(col(idCol)), textCol)
-      .groupBy(col(idCol), col("prev"), col("cur"))
-      .agg(count(lit(1)).as("nk"))
     val lp = log((coalesce(col("c"), lit(0L)) + lit(alpha)) /
       (coalesce(col("ctx"), lit(0L)) + lit(alpha) * col("v")))
-    val scored = dp
+    dp
       .join(lm, Seq("prev", "cur"), "left")
       .join(ctx, Seq("prev"), "left")
       .crossJoin(vocab)
@@ -519,13 +535,58 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum(col("nk")).as("n_transitions"),
         (-sum(col("lp_micros"))).as("nll_micros"))
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+  }
+
+  /** Moore-Lewis cross-entropy difference data selection (Moore &
+    * Lewis 2010, ACL, public literature: score each candidate sentence
+    * by `H_in(s) − H_gen(s)` — its cross-entropy under an in-domain LM
+    * minus under a general-corpus LM — and keep the lowest-scoring
+    * candidates; a document that an in-domain model finds easier than
+    * a general model reads like the target domain).
+    *
+    * Both cross-entropies come from the SAME add-alpha bigram machinery
+    * as [[bigramLogProb]], in the same exact integer micros, and the
+    * difference stays in integer micros — so the score, and therefore
+    * the selection decision, is partition- and engine-order immune.
+    * Per doc: n_transitions, nll_in_micros, nll_gen_micros,
+    * ced_micros (= in − gen; negative ⇒ more in-domain-like),
+    * avg_ced (ced_micros / 1e6 / n — exact IEEE from exact integers),
+    * and selected (avg_ced < maxAvgCed over docs WITH transitions;
+    * token-poor docs carry no evidence and are not selected).
+    *
+    * Scale shape: the corpus tokenizes ONCE into per-doc (prev, cur,
+    * nk) counts; each model joins by (prev, cur) then prev —
+    * vocabulary-sized shuffle joins, V on a broadcast one-row
+    * aggregate. O(corpus tokens) floor, no all-pairs, no collect. */
+  def crossEntropyDiff(docs: DataFrame, idCol: String, textCol: String,
+      inDomainLm: DataFrame, generalLm: DataFrame, alpha: Double = 0.5,
+      maxAvgCed: Double = 0.0)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    require(alpha > 0, s"crossEntropyDiff: alpha must be > 0, got $alpha")
+    // two consumers (one score pass per model) — cache or the corpus
+    // tokenize-explode runs twice
+    val dp = scope.cache(
+      bigramPairs(docs, Seq(col(idCol)), textCol)
+        .groupBy(col(idCol), col("prev"), col("cur"))
+        .agg(count(lit(1)).as("nk")))
+    val sIn = scoreDp(dp, idCol, inDomainLm, alpha)
+      .withColumnRenamed("nll_micros", "nll_in_micros")
+    val sGen = scoreDp(dp, idCol, generalLm, alpha)
+      .select(col(idCol), col("nll_micros").as("nll_gen_micros"))
+    docs.select(col(idCol))
+      .join(sIn, Seq(idCol), "left")
+      .join(sGen, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
-        coalesce(col("nll_micros"), lit(0L)).as("nll_micros"),
-        when(coalesce(col("n_transitions"), lit(0L)) === 0L, lit(0.0))
-          .otherwise(col("nll_micros") / lit(1e6) /
-            col("n_transitions")).as("avg_nll"))
+        coalesce(col("nll_in_micros"), lit(0L)).as("nll_in_micros"),
+        coalesce(col("nll_gen_micros"), lit(0L)).as("nll_gen_micros"))
+      .withColumn("ced_micros",
+        col("nll_in_micros") - col("nll_gen_micros"))
+      .withColumn("avg_ced",
+        when(col("n_transitions") === 0L, lit(0.0))
+          .otherwise(col("ced_micros") / lit(1e6) / col("n_transitions")))
+      .withColumn("selected",
+        col("n_transitions") > 0L && col("avg_ced") < lit(maxAvgCed))
   }
 
   /** CCNet-style head/middle/tail assignment (Wenzek et al. 2019 §4.3:

@@ -684,6 +684,24 @@ object CurationQueries {
       docs.select(col("doc_id"), Curation.htmlToText(html).as("clean"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- Moore-Lewis cross-entropy difference selection -------------------
+    // In-domain LM on the src0 slice, general LM on everything else;
+    // every doc scored under both via ONE tokenize pass. The oracle
+    // trains both models and replays both smoothed-ln folds to the
+    // same integer micros, so the difference — and the selection
+    // decision itself — is hash-pinned.
+    "t15_moore_lewis" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), col("text"))
+      val inLm = TextAnalysis.bigramLm(
+        docs.filter(col("source") === "src0"), "text")
+      val genLm = TextAnalysis.bigramLm(
+        docs.filter(col("source") =!= "src0"), "text")
+      TextAnalysis.crossEntropyDiff(docs, "doc_id", "text",
+          inLm, genLm, alpha = 0.5)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** dsir1/dsir2 oracle: full-recompute of the DSIR weight path —
@@ -1388,6 +1406,40 @@ object CurationQueries {
     // bit-identical to this one-shot expectation.
     "t11_bigram_lm" -> bigramLmOracleSql,
     "t11b_incremental_lm" -> bigramLmOracleSql,
+
+    // Two full LM rebuilds (in-domain = src0, general = the rest) and
+    // two smoothed-ln score folds in the same integer micros; the
+    // difference, the per-token average, and the selection boolean
+    // are all pure arithmetic on those exact integers.
+    "t15_moore_lewis" ->
+      s"""WITH ${OracleFragments.lmTrainCtes("documents", "text",
+              "source = 'src0'", "i")},
+         |${OracleFragments.lmTrainCtes("documents", "text",
+              "source <> 'src0'", "g")},
+         |${OracleFragments.lmScoreCtes("documents", "text", 0.5,
+              "i", "i")},
+         |${OracleFragments.lmScoreCtes("documents", "text", 0.5,
+              "g", "g")},
+         |ced AS (
+         |  SELECT d.doc_id,
+         |    coalesce(si.n_transitions, 0) AS n_transitions,
+         |    coalesce(si.nll_micros, 0) AS nll_in_micros,
+         |    coalesce(sg.nll_micros, 0) AS nll_gen_micros,
+         |    coalesce(si.nll_micros, 0) - coalesce(sg.nll_micros, 0)
+         |      AS ced_micros
+         |  FROM documents d
+         |    LEFT JOIN ilmsc si USING (doc_id)
+         |    LEFT JOIN glmsc sg USING (doc_id)),
+         |avgd AS (
+         |  SELECT *,
+         |    CASE WHEN n_transitions = 0 THEN 0.0
+         |      ELSE ced_micros / CAST(1000000.0 AS DOUBLE)
+         |        / n_transitions END AS avg_ced
+         |  FROM ced)
+         |SELECT doc_id, n_transitions, nll_in_micros, nll_gen_micros,
+         |  ced_micros, avg_ced,
+         |  n_transitions > 0 AND avg_ced < 0.0 AS selected
+         |FROM avgd ORDER BY doc_id""".stripMargin,
 
     // Same LM rebuild, then the same rank arithmetic: ROW_NUMBER per
     // language over (avg_nll, doc_id), bucket = (r-1)*3 // n.

@@ -128,51 +128,64 @@ object OracleFragments {
 
   /** Bigram-LM rebuild over CTE `corpus(doc_id, <textCol>, …)` with the
     * training slice selected by `trainPred`. Emits `lmw/lmp/lmc/lctx/
-    * lv`: the (prev, cur, c) counts, context totals, and vocabulary. */
+    * lv`: the (prev, cur, c) counts, context totals, and vocabulary.
+    * `prefix` renames every emitted CTE (`<p>lmc` …) so two models can
+    * coexist in one query (the Moore-Lewis oracle trains two). */
   def lmTrainCtes(corpus: String, textCol: String,
-      trainPred: String): String =
-    s"""lmw AS (
+      trainPred: String, prefix: String = ""): String =
+    s"""${prefix}lmw AS (
        |  SELECT *,
        |    list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
        |      x -> x <> '') AS __ws
        |  FROM $corpus),
-       |lmp AS (
+       |${prefix}lmp AS (
        |  SELECT doc_id, __ws[i] AS prev, __ws[i+1] AS cur
-       |  FROM lmw, unnest(generate_series(1, len(__ws) - 1)) AS t(i)
+       |  FROM ${prefix}lmw, unnest(generate_series(1, len(__ws) - 1)) AS t(i)
        |  WHERE len(__ws) >= 2 AND ($trainPred)),
-       |lmc AS (SELECT prev, cur, count(*) AS c FROM lmp GROUP BY 1, 2),
-       |lctx AS (SELECT prev, sum(c) AS ctx FROM lmc GROUP BY 1),
-       |lv AS (SELECT count(DISTINCT cur) AS v FROM lmc)""".stripMargin
+       |${prefix}lmc AS (SELECT prev, cur, count(*) AS c
+       |  FROM ${prefix}lmp GROUP BY 1, 2),
+       |${prefix}lctx AS (SELECT prev, sum(c) AS ctx
+       |  FROM ${prefix}lmc GROUP BY 1),
+       |${prefix}lv AS (SELECT count(DISTINCT cur) AS v
+       |  FROM ${prefix}lmc)""".stripMargin
 
   /** Add-alpha scoring of CTE `docs(doc_id, <textCol>)` against the
     * `lmc/lctx/lv` model CTEs (from [[lmTrainCtes]]). Emits `lmdw/lmdp/
     * lmdpc` and the terminal `lmsc(doc_id, n_transitions, nll_micros)`
     * — docs with < 2 tokens are ABSENT (callers LEFT JOIN + coalesce,
     * mirroring the engine). `alpha` must be the same Scala double the
-    * engine folds. */
-  def lmScoreCtes(docs: String, textCol: String, alpha: Double): String =
-    s"""lmdw AS (
+    * engine folds. `prefix` renames the emitted CTEs (`<p>lmsc` …);
+    * `modelPrefix` points the joins at a [[lmTrainCtes]] emitted with
+    * that prefix — so one doc tokenization can't be shared across
+    * models in SQL, but two (model, score) pairs can coexist. */
+  def lmScoreCtes(docs: String, textCol: String, alpha: Double,
+      prefix: String = "", modelPrefix: String = ""): String = {
+    val m = modelPrefix
+    s"""${prefix}lmdw AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
        |      x -> x <> '') AS __ws
        |  FROM $docs),
-       |lmdp AS (
+       |${prefix}lmdp AS (
        |  SELECT doc_id, __ws[i] AS prev, __ws[i+1] AS cur
-       |  FROM lmdw, unnest(generate_series(1, len(__ws) - 1)) AS t(i)
+       |  FROM ${prefix}lmdw, unnest(generate_series(1, len(__ws) - 1)) AS t(i)
        |  WHERE len(__ws) >= 2),
-       |lmdpc AS (SELECT doc_id, prev, cur, count(*) AS nk
-       |          FROM lmdp GROUP BY 1, 2, 3),
-       |lmsc AS (
-       |  SELECT lmdpc.doc_id,
-       |    CAST(SUM(lmdpc.nk) AS BIGINT) AS n_transitions,
+       |${prefix}lmdpc AS (SELECT doc_id, prev, cur, count(*) AS nk
+       |          FROM ${prefix}lmdp GROUP BY 1, 2, 3),
+       |${prefix}lmsc AS (
+       |  SELECT ${prefix}lmdpc.doc_id,
+       |    CAST(SUM(${prefix}lmdpc.nk) AS BIGINT) AS n_transitions,
        |    CAST(-SUM(CAST(round(ln(
-       |        (coalesce(lmc.c, 0) + CAST($alpha AS DOUBLE))
-       |        / (coalesce(lctx.ctx, 0) + CAST($alpha AS DOUBLE) * lv.v))
-       |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) * lmdpc.nk) AS BIGINT)
+       |        (coalesce(${m}lmc.c, 0) + CAST($alpha AS DOUBLE))
+       |        / (coalesce(${m}lctx.ctx, 0)
+       |           + CAST($alpha AS DOUBLE) * ${m}lv.v))
+       |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) * ${prefix}lmdpc.nk)
+       |      AS BIGINT)
        |      AS nll_micros
-       |  FROM lmdpc LEFT JOIN lmc USING (prev, cur)
-       |    LEFT JOIN lctx USING (prev) CROSS JOIN lv
+       |  FROM ${prefix}lmdpc LEFT JOIN ${m}lmc USING (prev, cur)
+       |    LEFT JOIN ${m}lctx USING (prev) CROSS JOIN ${m}lv
        |  GROUP BY 1)""".stripMargin
+  }
 
   /** HTML→text strip-chain replay (cu16/c3): mirrors
     * [[graft.operators.Curation.htmlToText]] regex by regex, in the

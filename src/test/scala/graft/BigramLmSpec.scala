@@ -72,6 +72,31 @@ class BigramLmSpec extends SparkSpec {
     assert(got(11L) === ((0, "head")) && got(10L) === ((1, "middle")))
   }
 
+  test("crossEntropyDiff: two-model micros and the selection decision") {
+    // in-domain: "x y x y x y" -> c(x,y)=3, c(y,x)=2; ctx(x)=3, ctx(y)=2; V=2
+    // general:   "p q r s"     -> three pairs, ctx each 1; V=3
+    val inLm = TextAnalysis.bigramLm(Seq("x y x y x y").toDF("text"), "text")
+    val genLm = TextAnalysis.bigramLm(Seq("p q r s").toDF("text"), "text")
+    val docs = Seq((1L, "x y"), (2L, "p q"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis
+      .crossEntropyDiff(docs, "doc_id", "text", inLm, genLm, alpha = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Double, Boolean)].collect()
+    // doc 1 "x y": in ln(3.5/4.0); gen unseen ln(0.5/1.5) -> in < gen
+    val in1 = -math.rint(math.log(3.5 / 4.0) * 1e6).toLong
+    val gen1 = -math.rint(math.log(0.5 / 1.5) * 1e6).toLong
+    assert(got(0) === ((1L, 1L, in1, gen1, in1 - gen1,
+      (in1 - gen1) / 1e6 / 1, true)))
+    // doc 2 "p q": in unseen ln(0.5/1.0); gen ln(1.5/2.5) -> in > gen
+    val in2 = -math.rint(math.log(0.5 / 1.0) * 1e6).toLong
+    val gen2 = -math.rint(math.log(1.5 / 2.5) * 1e6).toLong
+    assert(got(1) === ((2L, 1L, in2, gen2, in2 - gen2,
+      (in2 - gen2) / 1e6 / 1, false)))
+    // doc 3: single token -> no transitions, no evidence, not selected
+    assert(got(2) === ((3L, 0L, 0L, 0L, 0L, 0.0, false)))
+  }
+
   test("streamed LM state equals the one-shot model over all deltas") {
     val raw = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
