@@ -33,7 +33,17 @@ final class CacheScope private[graft] (releaseOnExit: Boolean) {
     * (tracking only when this scope releases; the session scope stays
     * stateless so it never accumulates references). */
   private[graft] def cache(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    // idempotent: composed operators re-cache shared frames (a pipeline
+    // caches the survivor frame, then hands it to a scorer that caches
+    // its model input — same normalized plan). A second persist() of an
+    // already-cached plan is a CacheManager WARN and wasted plan
+    // normalization, never a second copy; skip it. The frame is still
+    // TRACKED so a releasing scope drops it — release() on a shared
+    // plan is correct (unpersist is by plan, refcount-free) and matches
+    // the previous behavior.
+    val p =
+      if (org.apache.spark.sql.graft.ColumnBridge.isCached(df)) df
+      else df.persist(StorageLevel.MEMORY_AND_DISK)
     if (releaseOnExit) synchronized { frames += p }
     p
   }

@@ -15,6 +15,18 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** True when `df`'s normalized plan is already in the session cache —
+    * the exact predicate CacheManager.cacheQuery uses before logging
+    * "Asked to cache already cached data". Lets [[graft.CacheScope]]
+    * make persist() idempotent: operators compose (an LM scorer caches
+    * the model frame a pipeline already cached) and a second persist of
+    * the same plan is a WARN plus wasted analysis, never a second copy. */
+  def isCached(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    ds.sparkSession.sharedState.cacheManager
+      .lookupCachedData(ds).isDefined
+  }
+
   /** Deep conversion through the session converter: unlike
     * [[expression]] (which wraps unresolved ColumnNodes in an opaque,
     * Unevaluable ColumnNodeExpression), this lowers a COMPOSED Column
