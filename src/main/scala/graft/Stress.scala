@@ -305,6 +305,45 @@ object Stress {
       }
     }
 
+    // ---- production BPE: bpeTrainLocal at production merge counts.
+    // The corpus-sized step is the word-freq collapse (one distributed
+    // explode + narrow shuffle); training then runs the classic
+    // incremental algorithm on the collapsed vocabulary with ZERO Spark
+    // jobs per merge — the path to 32k merges. Encode segments the
+    // VOCABULARY imperatively (rank-heap candidates, cost per word
+    // proportional to merges that APPLY, not the merge-table length)
+    // and per-doc token counts would join back by word (cu18's shape).
+    step("bpe_prod") {
+      CacheScope.withScope { implicit scope =>
+        val wf = scope.cache(graft.operators.TextAnalysis
+          .bpeWordFreq(docs, "text"))
+        val vocab = wf.count()
+        val nMerges = sys.env.get("STRESS_BPE_MERGES")
+          .map(_.toInt).getOrElse(2000)
+        val t0 = System.nanoTime()
+        val mergeTable = graft.operators.TextAnalysis
+          .bpeTrainLocal(wf, nMerges = nMerges)
+        val mergeRows = mergeTable.orderBy(col("iter")).collect()
+        val trainSecs = (System.nanoTime() - t0) / 1e9
+        val merges = mergeRows
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val t1 = System.nanoTime()
+        val enc = graft.operators.TextAnalysis
+          .bpeEncodeWords(wf.select(col("word")), "word", merges)
+          .agg(count(lit(1)).as("n_words"),
+            sum(size(col("syms"))).as("n_syms"))
+          .collect().head
+        val encSecs = (System.nanoTime() - t1) / 1e9
+        Seq("vocab" -> vocab, "n_merges" -> merges.size,
+          "train_secs" -> math.round(trainSecs * 100.0) / 100.0,
+          "ms_per_merge" -> math.round(
+            trainSecs * 1e5 / math.max(merges.size, 1)) / 100.0,
+          "encode_secs" -> math.round(encSecs * 100.0) / 100.0,
+          "n_words_encoded" -> enc.getLong(0),
+          "n_syms_total" -> enc.getLong(1))
+      }
+    }
+
     // ---- per-row quality reports over the FULL corpus: gopher (five
     // sorted gram folds/row) + c4 line clean in ONE map-only pass — the
     // telemetry is pure scan throughput, there is nothing to shuffle ----

@@ -174,6 +174,28 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     xxhash64(regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  /** Character n-grams (n in [nMin, nMax]) of the whitespace-normalized
+    * lowercase text — the fastText-style feature set for learned
+    * language ID (character statistics discriminate languages far more
+    * robustly than word lists: they fire on inflected forms, partial
+    * words, and scripts alike). Null → empty-string normalization →
+    * only grams from the literal text. The normalized string binds
+    * ONCE per row (the [[bindOnce]] discipline — a lambda referencing
+    * the regexp_replace directly would re-normalize per gram). */
+  def charNgrams(c: Column, nMin: Int, nMax: Int): Column = {
+    require(nMin >= 1 && nMax >= nMin,
+      s"charNgrams: need 1 <= nMin <= nMax, got ($nMin, $nMax)")
+    bindOnce(regexp_replace(lower(trim(coalesce(c, lit("")))),
+        "\\s+", " ")) { s =>
+      concat((nMin to nMax).map { n =>
+        when(length(s) >= n,
+          transform(sequence(lit(1), length(s) - (n - 1)),
+            i => s.substr(i, lit(n))))
+          .otherwise(array().cast("array<string>"))
+      }: _*)
+    }
+  }
+
   /** Evaluate `arr` ONCE and hand it to `f` as a lambda-bound value.
     *
     * Higher-order-function lambdas evaluate INTERPRETED, and an outer
@@ -537,6 +559,124 @@ object TextAnalysis {
         (-sum(col("lp_micros"))).as("nll_micros"))
   }
 
+  // ---- trigram language model (interpolated, CCNet-grade) ---------------
+
+  /** Per-document (w1, w2, w3) trigram rows — the shared explode of
+    * [[trigramLm]] and [[trigramLogProb]]. Same projection discipline
+    * as [[bigramPairs]]: the token array materializes once as its own
+    * column, the transform lambda reads the per-row attribute. */
+  private def trigramTriples(docs: DataFrame, keep: Seq[Column],
+      textCol: String): DataFrame = {
+    val withWs = docs.select(
+      keep :+ filter(tokens(col(textCol)), w => w =!= "").as("__ws"): _*)
+    val ws = col("__ws")
+    val trs = when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2),
+        i => struct(element_at(ws, i).as("w1"),
+          element_at(ws, i + 1).as("w2"),
+          element_at(ws, i + 2).as("w3"))))
+      .otherwise(array()
+        .cast("array<struct<w1:string,w2:string,w3:string>>"))
+    withWs.select(keep :+ explode(trs).as("t"): _*)
+      .select(keep :+ col("t.w1") :+ col("t.w2") :+ col("t.w3"): _*)
+  }
+
+  /** Train a trigram language model: the (w1, w2, w3, c) count table
+    * over the lowercased whitespace tokens of `docs`. Like
+    * [[bigramLm]], this single additive count table IS the model —
+    * every lower-order statistic the interpolated scorer needs
+    * (bigram/unigram marginals, context totals, vocabulary, corpus
+    * total) is DERIVED from it at scoring time, so one mergeable state
+    * maintains incrementally via [[foldTrigramLm]] with nothing
+    * derived to go stale. O(corpus tokens) explode, one narrow
+    * (w1, w2, w3) shuffle with map-side combine. */
+  def trigramLm(docs: DataFrame, textCol: String): DataFrame =
+    trigramTriples(docs, Seq.empty, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Fold two [[trigramLm]] count tables (pure SUM — associative and
+    * commutative; the folded table is bit-identical to the one-shot
+    * count of the union: integer counts, no float drift). */
+  def foldTrigramLm(prev: DataFrame, delta: DataFrame): DataFrame =
+    prev.unionByName(delta).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("c")).as("c"))
+
+  /** Score documents under a [[trigramLm]] model with Jelinek-Mercer
+    * interpolation (Jelinek & Mercer 1980; the standard fixed-weight
+    * smoothing, and the shape of CCNet's KenLM-backed fluency signal —
+    * Wenzek et al. 2019 filter by a 5-gram LM; trigram-with-backoff is
+    * the same machinery one order up from [[bigramLogProb]]'s bigram):
+    *
+    *   p(w3 | w1 w2) = λ3·(c123+α)/(c12+αV) + λ2·(c23+α)/(c2+αV)
+    *                 + λ1·(c3+α)/(T+αV)
+    *
+    * with every count a MARGINAL of the trigram table (c12 = Σ_w3 c123,
+    * c23 = Σ_w1 c123, c2 = Σ_{w1,w3}, c3 = Σ_{w1,w2}, T = Σ all) and V
+    * its distinct-w3 vocabulary. Interpolation (not stupid backoff)
+    * keeps the scorer a single smooth expression: no zero-probability
+    * branches, one ln per transition. ln rounds to integer MICROS
+    * before the per-document sum (the BM25/bigram pattern) — exact
+    * integer arithmetic, partition- and engine-order immune. Returns
+    * per doc: n_transitions, nll_micros, avg_nll; docs with < 3 tokens
+    * score (0, 0, 0.0), never null.
+    *
+    * Scale shape: the doc side collapses to per-doc (w1, w2, w3, nk)
+    * counts; the model and its four marginals join by their n-gram
+    * keys — vocabulary-sized shuffle joins, never broadcast; T and V
+    * ride a broadcast one-row aggregate. O(corpus tokens) floor, no
+    * collect. */
+  def trigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      lmCounts: DataFrame, alpha: Double = 0.5, lambda3: Double = 0.6,
+      lambda2: Double = 0.3, lambda1: Double = 0.1)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    require(alpha > 0, s"trigramLogProb: alpha must be > 0, got $alpha")
+    require(lambda3 > 0 && lambda2 >= 0 && lambda1 >= 0,
+      s"trigramLogProb: weights must be non-negative (lambda3 > 0), " +
+        s"got ($lambda3, $lambda2, $lambda1)")
+    // five consumers (four marginals + the trigram join) — cache or the
+    // training explode re-runs per consumer
+    val lm = scope.cache(lmCounts)
+    val ctx12 = lm.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).as("c12"))
+    val m23 = lm.groupBy(col("w2"), col("w3"))
+      .agg(sum(col("c")).as("c23"))
+    val m2 = lm.groupBy(col("w2")).agg(sum(col("c")).as("c2"))
+    val m3 = lm.groupBy(col("w3")).agg(sum(col("c")).as("c3"))
+    val glob = broadcast(lm.agg(sum(col("c")).as("t_all"),
+      countDistinct(col("w3")).as("v")))
+    val dp = trigramTriples(docs, Seq(col(idCol)), textCol)
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("nk"))
+    val p3 = (coalesce(col("c"), lit(0L)) + lit(alpha)) /
+      (coalesce(col("c12"), lit(0L)) + lit(alpha) * col("v"))
+    val p2 = (coalesce(col("c23"), lit(0L)) + lit(alpha)) /
+      (coalesce(col("c2"), lit(0L)) + lit(alpha) * col("v"))
+    val p1 = (coalesce(col("c3"), lit(0L)) + lit(alpha)) /
+      (col("t_all") + lit(alpha) * col("v"))
+    val lp = log(lit(lambda3) * p3 + lit(lambda2) * p2 +
+      lit(lambda1) * p1)
+    val scored = dp
+      .join(lm, Seq("w1", "w2", "w3"), "left")
+      .join(ctx12, Seq("w1", "w2"), "left")
+      .join(m23, Seq("w2", "w3"), "left")
+      .join(m2, Seq("w2"), "left")
+      .join(m3, Seq("w3"), "left")
+      .crossJoin(glob)
+      .withColumn("lp_micros",
+        round(lp * lit(1e6)).cast("long") * col("nk"))
+      .groupBy(col(idCol))
+      .agg(sum(col("nk")).as("n_transitions"),
+        (-sum(col("lp_micros"))).as("nll_micros"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        coalesce(col("nll_micros"), lit(0L)).as("nll_micros"),
+        when(coalesce(col("n_transitions"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("nll_micros") / lit(1e6) /
+            col("n_transitions")).as("avg_nll"))
+  }
+
   /** Moore-Lewis cross-entropy difference data selection (Moore &
     * Lewis 2010, ACL, public literature: score each candidate sentence
     * by `H_in(s) − H_gen(s)` — its cross-entropy under an in-domain LM
@@ -680,14 +820,31 @@ object TextAnalysis {
       implicit scope: graft.CacheScope): DataFrame = {
     require(nMerges >= 1, s"bpeTrain: nMerges must be >= 1, got $nMerges")
     val spark = wordFreq.sparkSession
-    var vocab = scope.cache(wordFreq.select(col("word"), col("freq"),
-      charSyms(col("word")).as("syms")))
+    var vocab = wordFreq.select(col("word"), col("freq"),
+      charSyms(col("word")).as("syms"))
+    // Each iteration materializes the vocab state behind a persisted-RDD
+    // boundary (LogicalRDD) and releases the PREDECESSOR's blocks once
+    // the current state is computed. Two reasons this is an RDD persist
+    // and not scope.cache: (1) holding every iteration's frame leaked
+    // one MEMORY_AND_DISK copy per merge — a memory tax shaped like the
+    // merge count; (2) unpersisting a SQL-cache entry mid-loop triggers
+    // CacheManager's dependent-cache recompile, which re-plans every
+    // later iteration's entry WITHOUT the predecessor's InMemoryRelation
+    // — inlining the whole merge chain into one Catalyst tree (measured:
+    // an 8 GB heap OOM at 25 merges, in plan-string generation). The
+    // RDD boundary keeps each iteration's plan two nodes deep forever.
+    var prevRdd: org.apache.spark.rdd.RDD[Row] = null
+    var rdd: org.apache.spark.rdd.RDD[Row] = null
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var k = 1
     var exhausted = false
     while (k <= nMerges && !exhausted) {
-      val pairs = vocab.select(col("freq"), explode(
+      val schema = vocab.schema
+      rdd = vocab.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val frame = spark.createDataFrame(rdd, schema)
+      val pairs = frame.select(col("freq"), explode(
         when(size(col("syms")) >= 2,
           transform(sequence(lit(1), size(col("syms")) - 1),
             i => struct(element_at(col("syms"), i).as("lhs"),
@@ -699,15 +856,20 @@ object TextAnalysis {
       val top = pairs
         .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
         .limit(1).collect()
+      // the collect computed (and persisted) the current state — the
+      // predecessor's blocks are no longer reachable from any plan
+      if (prevRdd ne null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
       if (top.isEmpty) exhausted = true // every word is one symbol
       else {
         val lhs = top(0).getString(0); val rhs = top(0).getString(1)
         merges += ((k, lhs, rhs, top(0).getLong(2)))
-        vocab = scope.cache(vocab.select(col("word"), col("freq"),
-          mergeOnce(col("syms"), lhs, rhs).as("syms")))
+        vocab = frame.select(col("word"), col("freq"),
+          mergeOnce(col("syms"), lhs, rhs).as("syms"))
         k += 1
       }
     }
+    if (rdd ne null) rdd.unpersist(blocking = false)
     import spark.implicits._
     merges.toSeq.toDF("iter", "lhs", "rhs", "cnt")
   }
@@ -716,13 +878,305 @@ object TextAnalysis {
     * applies each merge in training order — the standard BPE encoder
     * contract — and returns (`wordCol`, syms). Encode a corpus by
     * segmenting its VOCABULARY (this) and joining counts back by
-    * word; never re-segment per occurrence. */
+    * word; never re-segment per occurrence.
+    *
+    * Two physical plans, one semantics (equivalence spec-pinned):
+    * short merge lists fold into a Catalyst expression (codegen'd,
+    * DuckDB-replayable — the gate path); past `exprMax` merges that
+    * single-expression fold is a Catalyst-tree cliff (analysis and
+    * codegen scale with the fold depth, and a 32k-merge production
+    * tokenizer would blow both long before data size matters), so the
+    * encode switches to [[bpeEncodeWords]] — an imperative
+    * rank-ordered encoder over a broadcast merge table whose per-word
+    * cost scales with the merges that APPLY to that word, not the
+    * merge-table length. */
   def bpeSegmentWords(words: DataFrame, wordCol: String,
-      merges: Seq[(String, String)]): DataFrame =
-    words.select(col(wordCol), merges.foldLeft(
+      merges: Seq[(String, String)], exprMax: Int = 64): DataFrame =
+    if (merges.size > exprMax) bpeEncodeWords(words, wordCol, merges)
+    else words.select(col(wordCol), merges.foldLeft(
       charSyms(col(wordCol))) {
         case (c, (l, r)) => mergeOnce(c, l, r)
       }.as("syms"))
+
+  // ---- production-scale BPE: local trainer + imperative encoder ---------
+
+  /** Unsigned byte-wise UTF-8 comparison — the ONE string order every
+    * BPE tie-break uses: it is exactly Spark's UTF8String binary
+    * ordering (what `orderBy(col("lhs"))` compares in [[bpeTrain]]) and
+    * DuckDB's string ordering, so the local trainer, the distributed
+    * trainer, and the SQL oracle all rank ties identically. Java's
+    * `String.compareTo` (UTF-16 code-unit order) differs for
+    * supplementary characters and must not leak in here. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Code-point symbols of a word — the imperative mirror of
+    * [[charSyms]] (Java regex split at `(?!^)` advances by code point,
+    * so both produce whole characters, never surrogate halves). */
+  private def charSymsLocal(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** One greedy left-to-right merge pass — the imperative mirror of
+    * [[mergeOnce]] (a freshly fused element never fuses again within
+    * the pass; lhs==rhs runs keep every other match). */
+  private def mergePass(syms: Array[String], lhs: String,
+      rhs: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (out.nonEmpty && out(out.length - 1) == lhs && x == rhs)
+        out(out.length - 1) = lhs + rhs
+      else out += x
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Train BPE merges at production merge counts (thousands), exactly
+    * reproducing [[bpeTrain]]'s sequential merge table (same counts,
+    * same (cnt DESC, lhs, rhs) byte-order tie-break — spec-pinned and
+    * oracle-gated).
+    *
+    * The 100 TB shape: the corpus-sized work is [[bpeWordFreq]] — one
+    * distributed explode + narrow word shuffle, done BEFORE this call.
+    * Training then runs on the collapsed vocabulary, which is how
+    * production tokenizer trainers work (HuggingFace/SentencePiece
+    * train single-node over word counts): the classic incremental
+    * algorithm — an inverted pair→words index plus delta-maintained
+    * pair counts in a tie-ordered TreeSet — makes each merge cost
+    * O(words containing the merged pair), NOT O(vocab), and needs
+    * zero Spark jobs per merge. [[bpeTrain]]'s one-job-per-merge loop
+    * (5.8 s/merge measured) is the unbounded-vocab fallback; this is
+    * the path that reaches 32k merges (measured in `Stress`: >1000
+    * merges, per-merge cost microseconds-to-milliseconds).
+    *
+    * `maxVocab` bounds the driver collect (the d10 postings-cap
+    * discipline: bounded default, loud raise): the top `maxVocab`
+    * words by (freq DESC, word) are kept — at 1M words ≈ tens of MB,
+    * control-plane sized. A capped train is a deliberately coarser
+    * model (the dropped tail is the rare-word fringe whose pair mass
+    * is negligible), not an error — but it is reported loudly because
+    * the merge table can differ from the uncapped one. */
+  def bpeTrainLocal(wordFreq: DataFrame, nMerges: Int,
+      maxVocab: Int = 1 << 20): DataFrame = {
+    require(nMerges >= 1,
+      s"bpeTrainLocal: nMerges must be >= 1, got $nMerges")
+    require(maxVocab >= 1,
+      s"bpeTrainLocal: maxVocab must be >= 1, got $maxVocab")
+    val spark = wordFreq.sparkSession
+    val collected = wordFreq
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(maxVocab + 1).collect()
+    if (collected.length > maxVocab)
+      System.err.println(s"[graft] bpeTrainLocal: vocabulary exceeds " +
+        s"maxVocab=$maxVocab — training on the top $maxVocab words by " +
+        "(freq DESC, word); the merge table may differ from an " +
+        "uncapped train. Raise maxVocab to train on the full " +
+        "vocabulary.")
+    val words: Array[Array[String]] = new Array(
+      math.min(collected.length, maxVocab))
+    val freqs: Array[Long] = new Array(words.length)
+    var wi = 0
+    while (wi < words.length) {
+      words(wi) = charSymsLocal(collected(wi).getString(0))
+      freqs(wi) = collected(wi).getLong(1)
+      wi += 1
+    }
+
+    type Pair = (String, String)
+    val counts = new scala.collection.mutable.HashMap[Pair, Long]()
+    val occ = new scala.collection.mutable
+      .HashMap[Pair, scala.collection.mutable.HashSet[Int]]()
+    // (cnt DESC, lhs, rhs) — the sequential argmax order, kept sorted
+    // so each merge's argmax is an O(log P) peek instead of an
+    // O(P) scan per iteration
+    val order = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(a: (Long, String, String),
+            b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) return c
+          val l = utf8Compare(a._2, b._2)
+          if (l != 0) return l
+          utf8Compare(a._3, b._3)
+        }
+      })
+
+    def wordPairs(syms: Array[String]): scala.collection.mutable
+        .HashMap[Pair, Int] = {
+      val m = new scala.collection.mutable.HashMap[Pair, Int]()
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        m.update(p, m.getOrElse(p, 0) + 1)
+        i += 1
+      }
+      m
+    }
+    def bump(p: Pair, delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) order.remove((old, p._1, p._2))
+      val nu = old + delta
+      if (nu != 0L) {
+        counts(p) = nu
+        order.add((nu, p._1, p._2))
+      } else counts.remove(p)
+    }
+
+    wi = 0
+    while (wi < words.length) {
+      wordPairs(words(wi)).foreach { case (p, n) =>
+        bump(p, n.toLong * freqs(wi))
+        occ.getOrElseUpdate(p,
+          new scala.collection.mutable.HashSet[Int]()) += wi
+      }
+      wi += 1
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var k = 1
+    while (k <= nMerges && !order.isEmpty) {
+      val best = order.first()
+      val (cnt, lhs, rhs) = best
+      merges += ((k, lhs, rhs, cnt))
+      val affected = occ.getOrElse((lhs, rhs),
+        scala.collection.mutable.HashSet.empty[Int]).toArray
+      var a = 0
+      while (a < affected.length) {
+        val w = affected(a)
+        val oldPairs = wordPairs(words(w))
+        words(w) = mergePass(words(w), lhs, rhs)
+        val newPairs = wordPairs(words(w))
+        oldPairs.foreach { case (p, n) =>
+          val nn = newPairs.getOrElse(p, 0)
+          if (nn != n) bump(p, (nn - n).toLong * freqs(w))
+          if (nn == 0) occ.get(p).foreach(_ -= w)
+        }
+        newPairs.foreach { case (p, n) =>
+          if (!oldPairs.contains(p)) {
+            bump(p, n.toLong * freqs(w))
+            occ.getOrElseUpdate(p,
+              new scala.collection.mutable.HashSet[Int]()) += w
+          }
+        }
+        a += 1
+      }
+      occ.remove((lhs, rhs))
+      k += 1
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("iter", "lhs", "rhs", "cnt")
+  }
+
+  /** Imperative BPE encode: segment `wordCol` with a trained merge
+    * list of ANY length — bit-identical to the [[bpeSegmentWords]]
+    * expression fold (apply each merge in training order, one greedy
+    * left-to-right pass each; spec-pinned equivalence), but with cost
+    * per word proportional to the merges that actually APPLY to it.
+    *
+    * How: the merge table broadcasts once with a symbol→ranks index.
+    * Per word, a min-rank heap holds candidate merges whose symbols
+    * are currently present; candidates enter at initialization and
+    * whenever a fusion creates their missing symbol (only ranks ABOVE
+    * the fusing rank — training order is never revisited, exactly the
+    * fold's semantics), each rank at most once, re-validated at pop.
+    * Since pops are rank-ordered, the word's state at a merge's pop
+    * equals its state at that merge's position in the sequential fold,
+    * so the segmentation is identical. A raw word of L characters
+    * applies at most L−1 merges, so the per-word cost is O(applied ×
+    * (wordLen + log candidates)) — independent of the 32k-row merge
+    * table.
+    *
+    * mapPartitions (not a UDF): one broadcast deref per partition, no
+    * per-row closure allocation; each row segments alone, so results
+    * are partitioning-independent. */
+  def bpeEncodeWords(words: DataFrame, wordCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StringType,
+      StructField, StructType}
+    val spark = words.sparkSession
+    val mArr = merges.toArray
+    val symIdx: Map[String, Array[Int]] = mArr.zipWithIndex
+      .flatMap { case ((l, r), i) => Seq(l -> i, r -> i) }
+      .groupBy(_._1).map { case (s, xs) =>
+        s -> xs.map(_._2).distinct.sorted
+      }
+    val bc = spark.sparkContext.broadcast((mArr, symIdx))
+    val outSchema = StructType(Seq(
+      StructField(wordCol, StringType, nullable = true),
+      StructField("syms", ArrayType(StringType, containsNull = true),
+        nullable = true)))
+    val rows = words.select(col(wordCol).cast("string")).rdd
+      .mapPartitions { it =>
+        val (m, idx) = bc.value
+        it.map { r =>
+          if (r.isNullAt(0)) Row(null, null)
+          else {
+            val w = r.getString(0)
+            Row(w, encodeOne(w, m, idx))
+          }
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Per-word rank-ordered encode (see [[bpeEncodeWords]]). */
+  private def encodeOne(w: String, merges: Array[(String, String)],
+      idx: Map[String, Array[Int]]): Array[String] = {
+    var syms = charSymsLocal(w)
+    if (syms.length < 2) return syms
+    val present = new scala.collection.mutable.HashSet[String]()
+    syms.foreach(present += _)
+    val enq = new java.util.BitSet(merges.length)
+    val pq = new scala.collection.mutable.PriorityQueue[Int]()(
+      Ordering.Int.reverse)
+    def tryEnq(r: Int): Unit = if (!enq.get(r)) {
+      val (l, rr) = merges(r)
+      if (present.contains(l) && present.contains(rr)) {
+        enq.set(r); pq += r
+      }
+    }
+    present.foreach(s => idx.getOrElse(s, Array.empty).foreach(tryEnq))
+    while (pq.nonEmpty) {
+      val r = pq.dequeue()
+      val (l, rr) = merges(r)
+      // re-validate: symbols may have been consumed since enqueue
+      if (present.contains(l) && present.contains(rr)) {
+        val ns = mergePass(syms, l, rr)
+        if (ns.length != syms.length) {
+          syms = ns
+          present.clear()
+          syms.foreach(present += _)
+          val fused = l + rr
+          idx.getOrElse(fused, Array.empty)
+            .foreach(r2 => if (r2 > r) tryEnq(r2))
+        }
+      }
+    }
+    syms
+  }
 
   // ---- multinomial Naive Bayes text classifier ---------------------------
 
@@ -748,9 +1202,18 @@ object TextAnalysis {
     * shuffle with map-side combine, one (label) shuffle for the doc
     * counts. */
   def nbTrain(docs: DataFrame, labelCol: String, textCol: String)
-      : NbModel = {
+      : NbModel =
+    nbTrainFeats(docs, labelCol,
+      filter(tokens(col(textCol)), w => w =!= ""))
+
+  /** [[nbTrain]] over an arbitrary feature-array Column (word tokens,
+    * [[charNgrams]], shingles …) — the classifier machinery is
+    * feature-agnostic; only the extractor varies. `feats` must never
+    * produce the empty string (reserved by [[nbModelToCounts]]). */
+  def nbTrainFeats(docs: DataFrame, labelCol: String,
+      feats: Column): NbModel = {
     val toks = docs.select(col(labelCol).as("label"),
-      explode(filter(tokens(col(textCol)), w => w =!= "")).as("term"))
+      explode(feats).as("term"))
     NbModel(
       toks.groupBy(col("label"), col("term")).agg(count(lit(1)).as("c")),
       docs.groupBy(col(labelCol).as("label"))
@@ -807,8 +1270,17 @@ object TextAnalysis {
     * O(corpus tokens · L) floor, no collect. */
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
       model: NbModel, alpha: Double = 1.0)(
+      implicit scope: graft.CacheScope): DataFrame =
+    nbScoreFeats(docs, idCol,
+      filter(tokens(col(textCol)), w => w =!= ""), model, alpha)
+
+  /** [[nbScore]] over an arbitrary feature-array Column — pairs with
+    * [[nbTrainFeats]]; the extractor must match the one the model was
+    * trained with. */
+  def nbScoreFeats(docs: DataFrame, idCol: String, feats: Column,
+      model: NbModel, alpha: Double = 1.0)(
       implicit scope: graft.CacheScope): DataFrame = {
-    require(alpha > 0, s"nbScore: alpha must be > 0, got $alpha")
+    require(alpha > 0, s"nbScoreFeats: alpha must be > 0, got $alpha")
     import org.apache.spark.sql.expressions.Window
     // three consumers (label totals, vocabulary, the term join)
     val tc = scope.cache(model.termCounts)
@@ -821,8 +1293,7 @@ object TextAnalysis {
         round(log(col("n_docs").cast("double") / col("n_total")) *
           lit(1e6)).cast("long").as("prior_micros")))
     val dt = docs
-      .select(col(idCol),
-        explode(filter(tokens(col(textCol)), w => w =!= "")).as("term"))
+      .select(col(idCol), explode(feats).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("nk"))
     val lp = log((coalesce(col("c"), lit(0L)) + lit(alpha)) /
       (col("tot") + lit(alpha) * col("v")))

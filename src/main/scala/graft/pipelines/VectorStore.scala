@@ -58,6 +58,54 @@ object VectorStore {
     writeVectors(withCodes(idx.assigned, mdl), dir, batchTag = "seed")
   }
 
+  /** Lay the store down with a DETERMINISTICALLY SEEDED coarse
+    * quantizer instead of a k-means-trained one: the `nCells` seed
+    * vectors with the smallest (md5(id), id) draw become the cell
+    * centroids, in that order. Random data points are a valid coarse
+    * quantizer (they are exactly k-means' standard init — k-means
+    * iterations only sharpen cell balance, not correctness; every
+    * query/append path is identical), and the hash-ordered choice
+    * makes the ENTIRE index replayable by an independent engine:
+    * centroid selection, cell assignment, probe ranking, and recall
+    * monitoring are all pure functions of the data — which is what
+    * lets the ann6 drift-monitor gate run against a full DuckDB
+    * oracle instead of a rows-only check. The selection rides a
+    * distributed (md5, id) top-nCells — no global sort, no driver
+    * pass over the batch. PQ codebooks still train as in [[create]]
+    * (they are k-means over subspaces and stay engine-private; paths
+    * that need replayability don't read them). */
+  def createSeeded(spark: SparkSession, dir: String, seed: DataFrame,
+      idCol: String, vecCol: String, nCells: Int, m: Int, ksub: Int,
+      pqIters: Int = 8): Unit = {
+    require(nCells >= 1, s"createSeeded: nCells must be >= 1: $nCells")
+    val clean = normalize(seed, idCol, vecCol)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/vectors"), true)
+    val picked = clean
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(nCells).collect()
+    require(picked.nonEmpty, "createSeeded: empty seed batch")
+    import scala.jdk.CollectionConverters._
+    val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = false)))
+    val centroids = spark.createDataFrame(
+      picked.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i.toLong, r.getSeq[Double](1))
+      }.toSeq.asJava, centroidSchema)
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    val mdl = Similarity.pqTrain(clean, "id", "vec", m, ksub, pqIters)
+    saveModel(spark, mdl, s"$dir/codebooks")
+    val assigned = Similarity.assignCells(clean, "id", "vec",
+      spark.read.parquet(s"$dir/centroids"))
+    writeVectors(withCodes(assigned, mdl), dir, batchTag = "seed")
+  }
+
   /** Append a batch: assign cells + codes with the FROZEN quantizers —
     * per-row expressions against broadcast literals (the centroid
     * collect is O(nCells·dim)); the existing vector table is never

@@ -551,6 +551,45 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- trigram LM fluency scoring (interpolated, CCNet-grade) ----------
+    // CCNet's published filter is a 5-gram KenLM; this is the same
+    // machinery one order up from t11's bigram: train the (w1,w2,w3)
+    // count table on the src0 slice, score every document with
+    // Jelinek-Mercer interpolation over trigram/bigram/unigram levels
+    // — all marginals derived from the ONE count table. The oracle
+    // rebuilds the model and replays the interpolated ln to the same
+    // integer micros, so training, every marginal, the interpolation
+    // weights, OOV handling, and the per-doc fold all hash-compare.
+    "t16_trigram_lm" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), col("text"))
+      val lm = TextAnalysis.trigramLm(
+        docs.filter(col("source") === "src0"), "text")
+      TextAnalysis.trigramLogProb(docs, "doc_id", "text", lm,
+        alpha = 0.5, lambda3 = 0.6, lambda2 = 0.3, lambda1 = 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- incremental trigram LM: folded batch counts ≡ one-shot model ----
+    // Same discipline as t11b/nb2: the training slice arrives as two
+    // halves, their count tables fold by SUM, and the oracle is the
+    // SAME full-recompute SQL as t16 — integer counts are associative,
+    // so the incremental path must reproduce the one-shot scores bit
+    // for bit.
+    "t16b_incremental_lm3" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), col("text"))
+      val train = docs.filter(col("source") === "src0")
+      val lm = TextAnalysis.foldTrigramLm(
+        TextAnalysis.trigramLm(
+          train.filter(col("doc_id") % 2 === 0), "text"),
+        TextAnalysis.trigramLm(
+          train.filter(col("doc_id") % 2 === 1), "text"))
+      TextAnalysis.trigramLogProb(docs, "doc_id", "text", lm,
+        alpha = 0.5, lambda3 = 0.6, lambda2 = 0.3, lambda1 = 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- CCNet head/middle/tail perplexity buckets -------------------------
     // Integer rank-split per language over the t11 scores; the oracle
     // replays the same ROW_NUMBER + integer-division split, so the rank
@@ -629,6 +668,46 @@ object CurationQueries {
         .select(col("word"), size(col("syms")).as("n_syms"),
           array_join(col("syms"), " ").as("segmented"))
         .orderBy(col("word"))
+    }),
+
+    // ---- production BPE trainer: 30 merges, zero Spark jobs per merge ----
+    // bpeTrainLocal is the path that reaches production merge counts:
+    // the corpus collapses to the word-frequency table (the only
+    // distributed step), then the classic incremental algorithm
+    // (inverted pair index + delta-maintained counts) trains on the
+    // collapsed vocabulary driver-side. The oracle replays all 30
+    // sequential iterations in pure SQL — the same CTE chain as t14 —
+    // so the local trainer's counts, argmax order, byte-order
+    // tie-breaks, and greedy-apply semantics are hash-pinned at 6x the
+    // merge depth of t14.
+    "t14c_bpe_train_local" -> ((s, d) => {
+      val wf = TextAnalysis.bpeWordFreq(
+        Tables.documents(s, d).select(col("text")), "text")
+      TextAnalysis.bpeTrainLocal(wf, nMerges = 30)
+        .orderBy(col("iter"))
+    }),
+
+    // ---- production BPE encoder: imperative rank-ordered segmentation ----
+    // bpeEncodeWords (the mapPartitions path bpeSegmentWords dispatches
+    // to past 64 merges) segments the corpus vocabulary with the 30
+    // local-trained merges. The oracle's syms30 — the same chain that
+    // trained the merges — is the expectation, so the rank-heap
+    // candidate machinery is hash-pinned against the sequential fold
+    // semantics it must reproduce.
+    "t14d_bpe_encode_prod" -> ((s, d) => {
+      val wf = TextAnalysis.bpeWordFreq(
+        Tables.documents(s, d).select(col("text")), "text")
+      wf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val merges = TextAnalysis.bpeTrainLocal(wf, nMerges = 30)
+        .orderBy(col("iter")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val out = TextAnalysis.bpeEncodeWords(wf.select(col("word")),
+          "word", merges)
+        .select(col("word"), size(col("syms")).as("n_syms"),
+          array_join(col("syms"), " ").as("segmented"))
+        .orderBy(col("word"))
+      wf.unpersist(blocking = false)
+      out
     }),
 
     // ---- tokenizer-aware packing: pack by BPE token counts ---------------
@@ -1406,6 +1485,8 @@ object CurationQueries {
     // bit-identical to this one-shot expectation.
     "t11_bigram_lm" -> bigramLmOracleSql,
     "t11b_incremental_lm" -> bigramLmOracleSql,
+    "t16_trigram_lm" -> trigramLmOracleSql,
+    "t16b_incremental_lm3" -> trigramLmOracleSql,
 
     // Two full LM rebuilds (in-domain = src0, general = the rest) and
     // two smoothed-ln score folds in the same integer micros; the
@@ -1555,6 +1636,24 @@ object CurationQueries {
          |${OracleFragments.htmlStripCtes("h", "html")}
          |SELECT doc_id, clean FROM hclean ORDER BY doc_id""".stripMargin,
 
+    // full 30-iteration replay of the LOCAL trainer — the same CTE
+    // chain as t14, 6x deeper
+    "t14c_bpe_train_local" ->
+      s"""WITH ${OracleFragments.bpeCtes("documents", "text", 30)}
+         |SELECT * FROM (
+         |${(1 to 30).map(k =>
+              s"  SELECT $k AS iter, lhs, rhs, CAST(cnt AS BIGINT) " +
+                s"AS cnt FROM mg_$k").mkString("\n  UNION ALL\n")})
+         |ORDER BY iter""".stripMargin,
+
+    // the 30-merge vocabulary segmentation IS syms30 — pins the
+    // imperative rank-ordered encoder against the sequential chain
+    "t14d_bpe_encode_prod" ->
+      s"""WITH ${OracleFragments.bpeCtes("documents", "text", 30)}
+         |SELECT word, CAST(count(*) AS INTEGER) AS n_syms,
+         |  string_agg(sym, ' ' ORDER BY pos) AS segmented
+         |FROM syms30 GROUP BY word ORDER BY word""".stripMargin,
+
     // the post-merge vocabulary segmentation IS syms5 — the chain that
     // trained the merges doubles as the encode expectation
     "t14b_bpe_encode" ->
@@ -1563,6 +1662,20 @@ object CurationQueries {
          |  string_agg(sym, ' ' ORDER BY pos) AS segmented
          |FROM syms5 GROUP BY word ORDER BY word""".stripMargin,
   )
+
+  private def trigramLmOracleSql: String =
+    s"""WITH ${OracleFragments.tgTrainCtes("documents", "text",
+            "source = 'src0'")},
+       |${OracleFragments.tgScoreCtes("documents", "text", 0.5,
+            0.6, 0.3, 0.1)}
+       |SELECT d.doc_id,
+       |  coalesce(s.n_transitions, 0) AS n_transitions,
+       |  coalesce(s.nll_micros, 0) AS nll_micros,
+       |  CASE WHEN coalesce(s.n_transitions, 0) = 0 THEN 0.0
+       |    ELSE s.nll_micros / CAST(1000000.0 AS DOUBLE)
+       |      / s.n_transitions END AS avg_nll
+       |FROM documents d LEFT JOIN tgsc s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   private def bigramLmOracleSql: String =
     s"""WITH ${OracleFragments.lmTrainCtes("documents", "text",

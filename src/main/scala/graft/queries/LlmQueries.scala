@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * (token stats, language id, exact dedup, the Jaccard kernel, exact
   * brute-force ANN), and since r5 the signature-based ops too — d3
   * (MinHash pairs), d4 (SimHash pairs), and d5 (embedding near-dup)
-  * replay the portable signatures in SQL. Two rows-only exceptions:
-  * t5 (zlib has no DuckDB mirror) and ann6 (the recall monitor depends
-  * on trained centroids) — both spec-pinned instead. LlmOpsSpec's
+  * replay the portable signatures in SQL, and since r11 ann6 as well
+  * (createSeeded's md5-ordered centroids make the whole monitor a pure
+  * function of the data). One rows-only exception remains: t5 (zlib
+  * has no DuckDB mirror) — spec-pinned instead. LlmOpsSpec's
   * planted-duplicate recall tests pin the semantic layer on top.
   */
 object LlmQueries {
@@ -591,6 +592,43 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- learned language ID: NB over char 2-4-grams (fastText-style) ----
+    // The heuristic langId (t1) counts marker words; this is the
+    // learned upgrade: multinomial NB over character n-gram features
+    // (the fastText recipe — char statistics fire on inflected forms
+    // and scripts, not just exact stopwords). The testdata's text is
+    // language-independent, so each doc gets a deterministic per-lang
+    // marker suffix planted (replayed by the oracle) — giving the
+    // classifier real signal; train on 2/3, score the held-out 1/3.
+    // The oracle re-plants, re-extracts every n-gram, rebuilds the
+    // model, and replays the micro-exact scoring + argmax, so feature
+    // extraction (normalization, gram windows), training, smoothing,
+    // and the tie-break are all hash-pinned. LlmOpsSpec compares the
+    // learned classifier against the marker-word heuristic on planted
+    // multilingual docs.
+    "lang1_learned_langid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val marker = langMarkers.tail.foldLeft(
+        when(col("lang") === langMarkers.head._1,
+          langMarkers.head._2)) { case (acc, (l, m)) =>
+        acc.when(col("lang") === l, m)
+      }.otherwise(langMarkers.head._2)
+      val planted = docs.select(col("doc_id"), col("lang"),
+        concat_ws(" ", coalesce(col("text"), lit("")), marker)
+          .as("ptext"))
+      val feats = TA.charNgrams(col("ptext"), 2, 4)
+      val mdl = TA.nbTrainFeats(
+        planted.filter(col("doc_id") % 3 =!= 0), "lang", feats)
+      TA.nbScoreFeats(planted.filter(col("doc_id") % 3 === 0),
+          "doc_id", feats, mdl, alpha = 1.0)
+        .join(planted.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("pred"),
+          (col("pred") === col("lang")).as("correct"),
+          col("score_micros"), col("margin_micros"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LSH-bucketed ANN top-k (oracle: DuckDB brute-force top-k) -------
     // The corpus is augmented with 5 scaled copies of each query vector:
     // identical direction ⟹ identical hyperplane signs ⟹ every copy
@@ -660,13 +698,17 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // ---- vector-store drift monitor (rows-only gate) ---------------------
+    // ---- vector-store drift monitor (FULL-oracle gate since r11) ---------
     // recallAtK compares the frozen quantizer's cell-pruned top-k with
     // within-batch exact brute force, per batch — the re-train trigger.
-    // ROWS-ONLY (no oracleSql): the approx side depends on the trained
-    // centroids, which DuckDB cannot replay; VectorStoreSpec pins the
-    // semantics (full-probe recall ≡ 1.0, per-batch rows, micro
-    // averaging, and a straddling batch decaying under a starved probe).
+    // The store is laid down with createSeeded: centroids are the 8
+    // seed vectors with the smallest (md5(id), id) draw — a valid
+    // coarse quantizer (k-means' own init) that is a pure function of
+    // the data, so DuckDB independently replays centroid selection,
+    // every cell assignment, the per-query probe ranking, BOTH top-k
+    // sides, and the micro-averaged recall. The r10 self-verifying
+    // booleans stay in the output (GateInvariantsSpec) and are now
+    // hash-pinned too.
     "ann6_recall_monitor" -> ((s, d) => {
       val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
       val dir = s"/tmp/graft_vstore_mon_$sfTag"
@@ -676,9 +718,9 @@ object LlmQueries {
       val data = annCorpus(s, d)
       // PQ codebooks are trained but unused by the monitor — keep them
       // minimal; the monitor's own cost model is one store scan per run
-      graft.pipelines.VectorStore.create(s, dir,
+      graft.pipelines.VectorStore.createSeeded(s, dir,
         data.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-        nCells = 8, m = 4, ksub = 8, ivfIters = 2, pqIters = 2)
+        nCells = 8, m = 4, ksub = 8, pqIters = 2)
       graft.pipelines.VectorStore.append(s, dir,
         data.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
         batchTag = "b1")
@@ -924,6 +966,83 @@ object LlmQueries {
 
   /** nb1/nb2 oracle: one-shot Naive Bayes recompute (see the
     * oracles-map comment). */
+  /** lang1's planted per-language marker suffixes — ONE definition
+    * spliced into both the Spark query and the oracle so they cannot
+    * drift. "en" first: it doubles as the fallback for unlisted langs. */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the and of to is in that it with",
+    "de" -> "der die und das ist von den mit ein",
+    "es" -> "el la de que y en los del una",
+    "fr" -> "le la et les des est une dans au",
+    "zh" -> "的 是 在 了 我 有 和 就")
+
+  private def lang1OracleSql: String = {
+    val caseSql = langMarkers.tail
+      .map { case (l, m) => s"WHEN lang = '$l' THEN '$m'" }
+      .mkString("CASE ", " ", s" ELSE '${langMarkers.head._2}' END")
+    s"""WITH planted AS (
+       |  SELECT doc_id, lang,
+       |    concat_ws(' ', coalesce(text, ''), $caseSql) AS ptext
+       |  FROM documents),
+       |norm AS (
+       |  SELECT doc_id, lang,
+       |    regexp_replace(lower(trim(ptext)), '\\s+', ' ', 'g') AS s
+       |  FROM planted),
+       |grams AS (
+       |  SELECT doc_id, lang, substr(s, i, n) AS term
+       |  FROM norm CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) ns,
+       |    unnest(generate_series(1, len(s) - n + 1)) AS t(i)
+       |  WHERE len(s) >= n),
+       |tc AS (
+       |  SELECT lang AS label, term, count(*) AS c FROM grams
+       |  WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+       |ltot AS (
+       |  SELECT label, CAST(SUM(c) AS BIGINT) AS tot FROM tc
+       |  GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT term) AS v FROM tc),
+       |dc AS (SELECT lang AS label, count(*) AS n_docs FROM planted
+       |  WHERE doc_id % 3 <> 0 GROUP BY 1),
+       |ndt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM dc),
+       |pri AS (
+       |  SELECT label,
+       |    CAST(round(ln(CAST(n_docs AS DOUBLE) / n_total)
+       |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS prior_micros
+       |  FROM dc, ndt),
+       |dt AS (
+       |  SELECT doc_id, term, count(*) AS nk FROM grams
+       |  WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+       |ll AS (
+       |  SELECT dt.doc_id, l.label,
+       |    CAST(SUM(CAST(round(ln(
+       |        (coalesce(tc.c, 0) + CAST(1.0 AS DOUBLE))
+       |        / (ltot.tot + CAST(1.0 AS DOUBLE) * voc.v))
+       |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) * dt.nk) AS BIGINT)
+       |      AS ll_micros
+       |  FROM dt CROSS JOIN (SELECT label FROM dc) l
+       |    LEFT JOIN tc ON tc.term = dt.term AND tc.label = l.label
+       |    JOIN ltot ON ltot.label = l.label CROSS JOIN voc
+       |  GROUP BY 1, 2),
+       |test AS (
+       |  SELECT doc_id, lang FROM planted WHERE doc_id % 3 = 0),
+       |sc AS (
+       |  SELECT t.doc_id, t.lang, p.label,
+       |    coalesce(ll.ll_micros, 0) + p.prior_micros AS score_micros
+       |  FROM test t CROSS JOIN pri p
+       |    LEFT JOIN ll ON ll.doc_id = t.doc_id AND ll.label = p.label),
+       |rk AS (
+       |  SELECT doc_id, lang, label, score_micros,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score_micros DESC, label) AS rn,
+       |    lead(score_micros, 1) OVER (PARTITION BY doc_id
+       |      ORDER BY score_micros DESC, label) AS runner
+       |  FROM sc)
+       |SELECT doc_id, lang, label AS pred, (label = lang) AS correct,
+       |  CAST(score_micros AS BIGINT) AS score_micros,
+       |  CAST(score_micros - coalesce(runner, score_micros) AS BIGINT)
+       |    AS margin_micros
+       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   private def nbOracleSql: String =
     """WITH train AS (
         |  SELECT doc_id, source, text FROM documents
@@ -1223,6 +1342,93 @@ object LlmQueries {
     "ann4_pq_topk" -> annOracleSql,
     "ann5_store_topk" -> annOracleSql,
 
+    // ann6: full replay of the seeded-store drift monitor — centroid
+    // selection by (md5(id), id), argmax-cosine cell assignment, the
+    // (cosine DESC, cell) probe ranking at nprobe=4, exact and
+    // cell-pruned within-batch top-5, and the micro-averaged per-batch
+    // recall with the r10 invariant booleans. Cosines use the
+    // bit-exact recipe every ann oracle shares.
+    "ann6_recall_monitor" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT 10000 + vec_id * 5 + c,
+        |    list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * (1.0 + 0.001 * (c + 1)))
+        |  FROM embeddings, range(0, 5) t(c) WHERE vec_id < 3),
+        |wb AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+        |      AS nv,
+        |    CASE WHEN vec_id % 2 = 0 THEN 'seed' ELSE 'b1' END AS b
+        |  FROM base),
+        |cent AS (
+        |  SELECT rn - 1 AS cell, v AS cv, nv AS ncv FROM (
+        |    SELECT vec_id, v, nv, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM wb WHERE b = 'seed')
+        |  WHERE rn <= 8),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT w.vec_id, c.cell, row_number() OVER (
+        |      PARTITION BY w.vec_id ORDER BY
+        |        (list_sum(list_transform(range(1, 65),
+        |           i -> w.v[i] * c.cv[i])) / (w.nv * c.ncv)) DESC,
+        |        c.cell) AS rn
+        |    FROM wb w CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |q AS (
+        |  SELECT vec_id AS qid, v AS qv, nv AS nq FROM wb
+        |  WHERE md5(CAST(vec_id AS VARCHAR)) < '19a'),
+        |pr AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT q.qid, c.cell, row_number() OVER (
+        |      PARTITION BY q.qid ORDER BY
+        |        (list_sum(list_transform(range(1, 65),
+        |           i -> q.qv[i] * c.cv[i])) / (q.nq * c.ncv)) DESC,
+        |        c.cell) AS crank
+        |    FROM q CROSS JOIN cent c)
+        |  WHERE crank <= 4),
+        |sc AS (
+        |  SELECT w.b, q.qid, w.vec_id, a.cell,
+        |    list_sum(list_transform(range(1, 65), i -> w.v[i] * q.qv[i]))
+        |      / (w.nv * q.nq) AS cosine
+        |  FROM wb w JOIN asg a USING (vec_id) CROSS JOIN q),
+        |ex AS (
+        |  SELECT b, qid, vec_id FROM (
+        |    SELECT b, qid, vec_id, row_number() OVER (
+        |      PARTITION BY b, qid ORDER BY cosine DESC, vec_id) AS rn
+        |    FROM sc)
+        |  WHERE rn <= 5),
+        |ap AS (
+        |  SELECT b, qid, vec_id FROM (
+        |    SELECT s.b, s.qid, s.vec_id, row_number() OVER (
+        |      PARTITION BY s.b, s.qid ORDER BY s.cosine DESC, s.vec_id)
+        |      AS rn
+        |    FROM sc s JOIN pr ON pr.qid = s.qid AND pr.cell = s.cell)
+        |  WHERE rn <= 5),
+        |pq AS (
+        |  SELECT ex.b, ex.qid, count(*) AS n_true,
+        |    CAST(coalesce(sum(CASE WHEN ap.vec_id IS NOT NULL
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+        |  FROM ex LEFT JOIN ap USING (b, qid, vec_id)
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT b AS batch, CAST(count(*) AS BIGINT) AS n_queries,
+        |    CAST(sum(n_true) AS BIGINT) AS n_true,
+        |    CAST(sum(n_hit) AS BIGINT) AS n_hit
+        |  FROM pq GROUP BY 1)
+        |SELECT batch, n_queries, n_true, n_hit,
+        |  CAST(n_hit AS DOUBLE) / n_true AS recall_at_k,
+        |  (n_queries > 0 AND n_true > 0 AND n_true <= n_queries * 5
+        |    AND n_hit BETWEEN 0 AND n_true) AS counts_consistent,
+        |  ((CAST(n_hit AS DOUBLE) / n_true) BETWEEN 0.0 AND 1.0
+        |    AND (CAST(n_hit AS DOUBLE) / n_true)
+        |      = CAST(n_hit AS DOUBLE) / n_true) AS recall_in_bounds
+        |FROM agg ORDER BY batch""".stripMargin,
+
     "c1_corpus_clean" ->
       s"""$featCtes,
          |ann AS (
@@ -1466,6 +1672,7 @@ object LlmQueries {
     // bit-identical to this one-shot expectation.
     "nb1_source_classifier" -> nbOracleSql,
     "nb2_incremental_nb" -> nbOracleSql,
+    "lang1_learned_langid" -> lang1OracleSql,
 
     // hy2: lexical CTEs identical to hy1 (depth 10); semantic leg is
     // brute-force cosine top-5 over the AUGMENTED corpus (embeddings +

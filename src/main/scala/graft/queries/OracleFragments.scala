@@ -187,6 +187,80 @@ object OracleFragments {
        |  GROUP BY 1)""".stripMargin
   }
 
+  /** Trigram-LM rebuild over CTE `corpus(doc_id, <textCol>, …)` with
+    * the training slice selected by `trainPred`. Emits `tgc` (the
+    * (w1, w2, w3, c) counts), the four marginals `tg12/tg23/tg2/tg3`,
+    * and `tgv` (corpus total + distinct-w3 vocabulary) — every derived
+    * statistic recomputed from the ONE count table, exactly like the
+    * engine's scorer. */
+  def tgTrainCtes(corpus: String, textCol: String,
+      trainPred: String): String =
+    s"""tgw AS (
+       |  SELECT *,
+       |    list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
+       |      x -> x <> '') AS __ws
+       |  FROM $corpus),
+       |tgp AS (
+       |  SELECT doc_id, __ws[i] AS w1, __ws[i+1] AS w2, __ws[i+2] AS w3
+       |  FROM tgw, unnest(generate_series(1, len(__ws) - 2)) AS t(i)
+       |  WHERE len(__ws) >= 3 AND ($trainPred)),
+       |tgc AS (SELECT w1, w2, w3, count(*) AS c
+       |  FROM tgp GROUP BY 1, 2, 3),
+       |tg12 AS (SELECT w1, w2, sum(c) AS c12 FROM tgc GROUP BY 1, 2),
+       |tg23 AS (SELECT w2, w3, sum(c) AS c23 FROM tgc GROUP BY 1, 2),
+       |tg2 AS (SELECT w2, sum(c) AS c2 FROM tgc GROUP BY 1),
+       |tg3 AS (SELECT w3, sum(c) AS c3 FROM tgc GROUP BY 1),
+       |tgv AS (SELECT sum(c) AS t_all, count(DISTINCT w3) AS v
+       |  FROM tgc)""".stripMargin
+
+  /** Interpolated trigram scoring of CTE `docs(doc_id, <textCol>)`
+    * against the [[tgTrainCtes]] model CTEs: per transition
+    * `ln(λ3·p3 + λ2·p2 + λ1·p1)` with the same add-alpha levels, each
+    * probability and the interpolation in the exact IEEE expression
+    * shape the engine folds, micro-rounded per transition before the
+    * integer per-doc sum. Emits `tgsc(doc_id, n_transitions,
+    * nll_micros)` — docs with < 3 tokens are ABSENT (callers LEFT
+    * JOIN + coalesce). `alpha`/`lambda*` must be the same Scala
+    * doubles the engine folds. */
+  def tgScoreCtes(docs: String, textCol: String, alpha: Double,
+      lambda3: Double, lambda2: Double, lambda1: Double): String = {
+    val a = s"CAST($alpha AS DOUBLE)"
+    s"""tgdw AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
+       |      x -> x <> '') AS __ws
+       |  FROM $docs),
+       |tgdp AS (
+       |  SELECT doc_id, __ws[i] AS w1, __ws[i+1] AS w2, __ws[i+2] AS w3
+       |  FROM tgdw, unnest(generate_series(1, len(__ws) - 2)) AS t(i)
+       |  WHERE len(__ws) >= 3),
+       |tgdpc AS (SELECT doc_id, w1, w2, w3, count(*) AS nk
+       |          FROM tgdp GROUP BY 1, 2, 3, 4),
+       |tgsc AS (
+       |  SELECT d.doc_id,
+       |    CAST(SUM(d.nk) AS BIGINT) AS n_transitions,
+       |    CAST(-SUM(CAST(round(ln(
+       |        CAST($lambda3 AS DOUBLE) *
+       |          ((coalesce(tgc.c, 0) + $a)
+       |           / (coalesce(tg12.c12, 0) + $a * tgv.v))
+       |        + CAST($lambda2 AS DOUBLE) *
+       |          ((coalesce(tg23.c23, 0) + $a)
+       |           / (coalesce(tg2.c2, 0) + $a * tgv.v))
+       |        + CAST($lambda1 AS DOUBLE) *
+       |          ((coalesce(tg3.c3, 0) + $a)
+       |           / (tgv.t_all + $a * tgv.v)))
+       |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) * d.nk) AS BIGINT)
+       |      AS nll_micros
+       |  FROM tgdpc d
+       |    LEFT JOIN tgc USING (w1, w2, w3)
+       |    LEFT JOIN tg12 USING (w1, w2)
+       |    LEFT JOIN tg23 USING (w2, w3)
+       |    LEFT JOIN tg2 USING (w2)
+       |    LEFT JOIN tg3 USING (w3)
+       |    CROSS JOIN tgv
+       |  GROUP BY 1)""".stripMargin
+  }
+
   /** HTML→text strip-chain replay (cu16/c3): mirrors
     * [[graft.operators.Curation.htmlToText]] regex by regex, in the
     * same order, over CTE `input(doc_id, <extras...>, <htmlCol>)`.

@@ -65,4 +65,101 @@ class BpeSpec extends SparkSpec {
     val merges = TA.bpeTrain(wf, nMerges = 4)(CacheScope.session)
     assert(merges.count() === 0)
   }
+
+  // ---- production paths: local trainer + imperative encoder -------------
+
+  /** Deterministic synthetic corpus with repeated-symbol runs, chained
+    * fusions, ties, and a Zipf-ish head — the shapes that distinguish
+    * greedy/tie-break implementations. */
+  private def randomCorpus(n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcde"
+    (0 until n).map { _ =>
+      val len = 1 + rnd.nextInt(8)
+      (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+  }
+
+  test("bpeTrainLocal reproduces bpeTrain's sequential merge table " +
+      "exactly (counts, order, tie-breaks)") {
+    val docs = randomCorpus(400).toDF("text")
+    val wf = TA.bpeWordFreq(docs, "text")
+    wf.cache()
+    val dist = TA.bpeTrain(wf, nMerges = 25)(CacheScope.session)
+      .orderBy("iter").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val local = TA.bpeTrainLocal(wf, nMerges = 25)
+      .orderBy("iter").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(local.toSeq === dist.toSeq)
+    wf.unpersist()
+  }
+
+  test("bpeTrainLocal stops early when pairs are exhausted") {
+    val wf = Seq(("ab", 3L), ("cd", 2L)).toDF("word", "freq")
+    // only 2 mergeable pairs exist; ask for 10
+    val merges = TA.bpeTrainLocal(wf, nMerges = 10)
+      .orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(merges.toSeq === Seq(("a", "b"), ("c", "d")))
+  }
+
+  test("bpeTrainLocal maxVocab cap trains on the top words by " +
+      "(freq DESC, word) deterministically") {
+    val wf = Seq(("xy", 5L), ("xz", 5L), ("rare", 1L))
+      .toDF("word", "freq")
+    val capped = TA.bpeTrainLocal(wf, nMerges = 2, maxVocab = 2)
+      .orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    // cap keeps ("xy", "xz"): ties on freq break word ASC; "rare" drops
+    val manual = TA.bpeTrainLocal(
+      Seq(("xy", 5L), ("xz", 5L)).toDF("word", "freq"), nMerges = 2)
+      .orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(capped.toSeq === manual.toSeq)
+  }
+
+  test("bpeEncodeWords is bit-identical to the expression fold, " +
+      "including unicode and null words") {
+    val docs = randomCorpus(400).toDF("text")
+    val wf = TA.bpeWordFreq(docs, "text")
+    wf.cache()
+    val merges = TA.bpeTrainLocal(wf, nMerges = 25)
+      .orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocabPlus = wf.select(col("word"))
+      .unionByName(strDf(
+        Seq("héllo", "ééabc", "日本語ab", null, "", "a"),
+        "word"))
+    val fold = TA.bpeSegmentWords(vocabPlus, "word", merges,
+        exprMax = Int.MaxValue)
+      .collect().map(r => (Option(r.getString(0)),
+        Option(r.getSeq[String](1)).map(_.toList))).toSet
+    val imp = TA.bpeEncodeWords(vocabPlus, "word", merges)
+      .collect().map(r => (Option(r.getString(0)),
+        Option(r.getSeq[String](1)).map(_.toList))).toSet
+    assert(imp === fold)
+    // and the dispatch picks the imperative path above exprMax with
+    // the same results
+    val viaDispatch = TA.bpeSegmentWords(vocabPlus, "word", merges,
+        exprMax = 4)
+      .collect().map(r => (Option(r.getString(0)),
+        Option(r.getSeq[String](1)).map(_.toList))).toSet
+    assert(viaDispatch === fold)
+    wf.unpersist()
+  }
+
+  test("bpeEncodeWords applies chained merges in training order " +
+      "(rank-heap candidates match the sequential fold)") {
+    // (a,b) -> ab; (c,d) -> cd; (ab,cd) -> abcd: the third merge's
+    // symbols only exist after the first two fuse — the candidate heap
+    // must pick it up from the fusion events, in order
+    val merges = Seq(("a", "b"), ("c", "d"), ("ab", "cd"))
+    val got = TA.bpeEncodeWords(
+      Seq("abcd", "cdab", "abc").toDF("word"), "word", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("abcd") === Seq("abcd"))
+    assert(got("cdab") === Seq("cd", "ab"))
+    assert(got("abc") === Seq("ab", "c"))
+  }
 }

@@ -659,4 +659,72 @@ class LlmOpsSpec extends SparkSpec {
     }
     assert(err2.getMessage.contains("INTEGRAL label"))
   }
+
+  test("learned language ID (NB over char n-grams) generalizes to " +
+      "held-out vocabulary where the marker-word heuristic cannot") {
+    // Train docs use each language's everyday words INCLUDING the
+    // heuristic's markers; test docs draw from a DISJOINT vocabulary
+    // half with no marker words at all — inflected/content forms whose
+    // character statistics still scream the language. The heuristic
+    // scores 'und' (undetermined) on such docs by construction; the
+    // learned classifier must still identify them.
+    // test words are INFLECTED/DERIVED variants of trained stems —
+    // no heuristic marker word appears in any test doc, but the
+    // character n-grams of the shared stems + language-typical
+    // affixes carry the signal
+    val pools: Map[String, (Seq[String], Seq[String])] = Map(
+      "en" -> (Seq("the", "and", "morning", "weather", "reading",
+        "storybook", "coffee", "quickly", "jumped", "walking",
+        "brightness", "thinking"),
+        Seq("mornings", "weathered", "readings", "storybooks",
+          "coffees", "quicker", "jumping", "walked", "brighter",
+          "thoughtfully")),
+      "de" -> (Seq("der", "die", "und", "morgen", "wetter", "lesen",
+        "geschichte", "kaffee", "schnell", "springen", "gehen",
+        "denken"),
+        Seq("morgens", "wetters", "gelesen", "geschichten",
+          "kaffees", "schneller", "gesprungen", "gegangen",
+          "heller", "gedacht")),
+      "es" -> (Seq("el", "y", "mañana", "tiempo", "leyendo",
+        "historia", "cafecito", "rápido", "saltando", "caminar",
+        "claro", "pensando"),
+        Seq("mañanas", "tiempos", "leído", "historias", "cafecitos",
+          "rápidamente", "saltó", "caminando", "claridad",
+          "pensamiento")),
+      "fr" -> (Seq("le", "et", "matin", "température", "lisant",
+        "histoire", "café", "rapide", "sautant", "marcher", "clair",
+        "pensant"),
+        Seq("matins", "températures", "lisais", "histoires", "cafés",
+          "rapidité", "sauté", "marchait", "clarté", "pensée")))
+    val rnd = new scala.util.Random(7)
+    def doc(words: Seq[String]): String =
+      (0 until 16).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val train = pools.toSeq.sortBy(_._1).flatMap { case (l, (tr, _)) =>
+      (0 until 50).map(i => (l, doc(tr)))
+    }
+    val test = pools.toSeq.sortBy(_._1).flatMap { case (l, (_, te)) =>
+      (0 until 10).map(i => (l, doc(te)))
+    }
+    val trainDf = train.toDF("lang", "text")
+    val testDf = test.zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "lang", "text")
+    val feats = TA.charNgrams(col("text"), 2, 4)
+    val mdl = TA.nbTrainFeats(trainDf, "lang", feats)
+    val scored = TA.nbScoreFeats(testDf, "doc_id", feats, mdl)(
+        CacheScope.session)
+      .join(testDf.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val nbAcc = scored
+      .agg(avg(when(col("pred") === col("lang"), 1.0).otherwise(0.0)))
+      .collect().head.getDouble(0)
+    val heurAcc = testDf
+      .withColumn("pred", TA.langId(col("text")))
+      .agg(avg(when(col("pred") === col("lang"), 1.0).otherwise(0.0)))
+      .collect().head.getDouble(0)
+    assert(nbAcc >= 0.9,
+      s"learned lang-id accuracy $nbAcc on held-out vocabulary")
+    assert(nbAcc > heurAcc,
+      s"learned ($nbAcc) must beat the marker heuristic ($heurAcc) " +
+        "on marker-free held-out docs")
+  }
 }

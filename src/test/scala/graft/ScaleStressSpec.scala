@@ -263,6 +263,36 @@ class ScaleStressSpec extends SparkSpec {
     }
   }
 
+  test("BPE production paths at 80k docs: bpeTrainLocal reaches 1000 " +
+      "merges with zero Spark jobs per merge; the imperative encoder " +
+      "segments the full vocabulary") {
+    CacheScope.withScope { implicit scope =>
+      val wf = scope.cache(graft.operators.TextAnalysis
+        .bpeWordFreq(docs, "text"))
+      val vocab = wf.count()
+      val table = graft.operators.TextAnalysis
+        .bpeTrainLocal(wf, nMerges = 1000)
+        .orderBy(col("iter")).collect()
+      assert(table.length === 1000,
+        s"expected 1000 merges, trained ${table.length} — the " +
+          "template/tail char mass should support far more")
+      // counts are non-increasing-ish only per state, but the FIRST
+      // merge must be corpus-scale and the table strictly ordered
+      assert(table.head.getLong(3) > n)
+      assert(table.map(_.getInt(0)).toSeq === (1 to 1000))
+      val merges = table.map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = graft.operators.TextAnalysis
+        .bpeEncodeWords(wf.select(col("word")), "word", merges)
+        .agg(count(lit(1)), sum(size(col("syms"))))
+        .collect().head
+      assert(enc.getLong(0) === vocab)
+      // 1000 merges over "w<6 digits>"-shaped words compress hard:
+      // far fewer symbols than characters, at least one per word
+      assert(enc.getLong(1) >= vocab)
+      assert(enc.getLong(1) < vocab * 7)
+    }
+  }
+
   test("quality reports at 80k docs: one map-only pass covers every doc") {
     val r = docs
       .withColumn("__g", Curation.gopherReport(col("text")))
