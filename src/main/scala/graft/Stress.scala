@@ -70,14 +70,36 @@ object Stress {
     // when the parquet exists)
     val only = sys.env.get("STRESS_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // spill telemetry: cumulative task-level spill bytes, snapshotted
+    // per step — the direct evidence that a memory-pressured stage
+    // degraded to disk instead of OOMing (the 100 TB failure mode that
+    // matters). memoryBytesSpilled counts the in-memory size of data
+    // forced out; diskBytesSpilled its serialized on-disk size.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     val results = scala.collection.mutable.LinkedHashMap[String, String]()
     def step(name: String)(body: => Seq[(String, Any)]): Unit = {
       if (name != "generate" && !only.forall(_.contains(name))) return
       val t0 = System.nanoTime()
+      val (sm0, sd0) = (spillMem.get(), spillDisk.get())
       val kv = body
       val secs = (System.nanoTime() - t0) / 1e9
       val line = j((Seq("step" -> name, "secs" -> secs,
-        "heap_mb" -> heapMb()) ++ kv): _*)
+        "heap_mb" -> heapMb(),
+        "spill_mem_mb" -> (spillMem.get() - sm0) / (1024 * 1024),
+        "spill_disk_mb" -> (spillDisk.get() - sd0) / (1024 * 1024))
+        ++ kv): _*)
       results(name) = line
       println(s"STRESS $line")
     }
@@ -254,6 +276,32 @@ object Stress {
       }
     }
 
+    // ---- trigram LM (interpolated): one order up from bigramlm — the
+    // doc side collapses to per-doc (w1,w2,w3,nk); the model and FOUR
+    // derived marginals join by their n-gram keys. Sizes the heavier
+    // join fan of the CCNet-grade scorer at full corpus. ----------------
+    step("trigramlm") {
+      CacheScope.withScope { implicit scope =>
+        val train = docs.filter(pmod(col("doc_id"), lit(20)) < 5)
+        val lm = graft.operators.TextAnalysis.trigramLm(train, "text")
+        val scored = graft.operators.TextAnalysis.trigramLogProb(
+          docs, "doc_id", "text", lm)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = scored.count()
+        val sep = scored.join(docs.select(col("doc_id"),
+            (pmod(col("doc_id"), lit(20)) < 5).as("in_target")), "doc_id")
+          .groupBy(col("in_target"))
+          .agg(avg(col("avg_nll")).as("mean_nll"))
+          .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+        scored.unpersist()
+        Seq("n_scored" -> n,
+          "mean_nll_target" -> sep.getOrElse(true, Double.NaN),
+          "mean_nll_rest" -> sep.getOrElse(false, Double.NaN),
+          "separated" -> (sep.getOrElse(true, Double.MaxValue) <
+            sep.getOrElse(false, 0.0)))
+      }
+    }
+
     // ---- Naive Bayes classifier: train on 30%, score the held-out 70%
     // at 4 classes. Labels derive from the template id (mod 4), which
     // IS a token of the document ("bp<k>x1"), so the classifier has
@@ -341,6 +389,68 @@ object Stress {
           "encode_secs" -> math.round(encSecs * 100.0) / 100.0,
           "n_words_encoded" -> enc.getLong(0),
           "n_syms_total" -> enc.getLong(1))
+      }
+    }
+
+    // ---- composed raw-web pipeline at full corpus: HTML extract →
+    // URL/lexicon blocklist → C4 → Gopher → LM threshold (the c3 gate
+    // shape, measured). The HTML wrap triples the text with character
+    // substitutions (distinct tokens, so the copies don't trip the
+    // dup-gram filters) and sentence-izes every 4 tokens so the docs
+    // genuinely traverse C4's line rules and Gopher's 50-word floor —
+    // a funnel that died at stage one would measure nothing. The
+    // map-only claim for the front is checked IN the row: exchanges
+    // in the front's executed plan (expected: none before the gate's
+    // first aggregation).
+    step("web_pipeline") {
+      CacheScope.withScope { implicit scope =>
+        // copies are character-translated (template 'b' AND tail 'w')
+        // so no 5-gram repeats across copies; the y1/y2 spacers shift
+        // the copies' 4-token sentence phase so a trailing lexicon
+        // token ("xdup") isn't period-mangled in every copy
+        val tripled = concat_ws(" ", col("text"), lit("y1"),
+          translate(col("text"), "wb", "vc"), lit("y2"),
+          translate(col("text"), "wb", "ud"),
+          lit("the of and that have with be to end"))
+        val raw = docs.select(col("doc_id"), col("source"),
+          concat(lit("https://doc."), col("source"), lit(".com/"),
+            col("doc_id").cast("string")).as("url"),
+          concat(
+            lit("<html><head><title>d</title><style>p{color:red}" +
+              "</style><script>var x=1<2;</script></head><body>"),
+            when(col("doc_id") % 5 === 0,
+              lit("<!-- c --><p>&quot;q&#39; s</p>")).otherwise(lit("")),
+            lit("<p>"),
+            regexp_replace(tripled, lit("((?:\\S+ ){3}\\S+) "),
+              lit("$1.</p><p>")),
+            lit("</p><div>footer &nbsp;m</div></body></html>"))
+            .as("html"))
+        val (front, frontObs) = graft.pipelines.CorpusPipeline.webFront(
+          raw, "doc_id", "html", "url", "text",
+          blockedDomains = Seq("host3.com", "host7.com"),
+          lexicon = Seq("xdup"), maxBadFrac = 0.01)
+        val frontExchanges = front.queryExecution.executedPlan
+          .toString.linesIterator.count(_.contains("Exchange"))
+        // host1 is the Zipf head (~13% of the corpus) — the reference
+        // slice the LM trains on; sources are host1..host999 (rank 0
+        // never occurs in the inverse-CDF draw)
+        val (out, funnel) = graft.pipelines.CorpusPipeline.qualityGate(
+          front, "doc_id", "text",
+          front.filter(col("source") === "host1"), "text",
+          maxAvgNll = 14.0)
+        val nOut = out.count()
+        val fo = frontObs.get
+        Seq("n_in" -> fo("n_in").asInstanceOf[Long],
+          "n_domain_blocked" ->
+            fo("n_domain_blocked").asInstanceOf[Long],
+          "n_lexicon_blocked" ->
+            fo("n_lexicon_blocked").asInstanceOf[Long],
+          "front_plan_exchanges" -> frontExchanges,
+          "after_front" -> funnel("input"),
+          "after_c4" -> funnel("after_c4"),
+          "after_gopher" -> funnel("after_gopher"),
+          "after_lm" -> funnel("after_lm"),
+          "n_out" -> nOut)
       }
     }
 

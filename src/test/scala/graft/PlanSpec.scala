@@ -381,6 +381,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("trigram LM: only narrow count rows shuffle, never document text") {
+    noAqe {
+      val p = planOf(SparkEntry.queries("t16_trigram_lm")(spark, sf))
+      val exchanges = p.collectWithSubqueries {
+        case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        val names = e.child.output.map(_.name).toSet
+        assert(!names.contains("text"),
+          s"t16 shuffles the document payload: ${names.mkString(",")}")
+      }
+    }
+  }
+
   test("Naive Bayes scoring: only narrow count/score rows shuffle, " +
       "never document text") {
     noAqe {

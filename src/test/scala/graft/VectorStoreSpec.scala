@@ -73,6 +73,43 @@ class VectorStoreSpec extends SparkSpec {
     assert(gotPq === want)
   }
 
+  test("createSeeded: centroids are the nCells smallest (md5(id), id) " +
+      "seed vectors in draw order; store behaves like create's") {
+    val dir = java.nio.file.Files.createTempDirectory("vstore_s").toString
+    val batch1 = emb.filter(col("vec_id") % 2 === 0)
+    val batch2 = emb.filter(col("vec_id") % 2 === 1)
+    VectorStore.createSeeded(spark, dir, batch1, "vec_id", "embedding",
+      nCells = 4, m = 8, ksub = 16, pqIters = 2)
+    VectorStore.append(spark, dir, batch2, "vec_id", "embedding", "b1")
+    // the centroid table IS the md5-ordered head of the seed batch
+    val wantIds = batch1.filter(col("embedding").isNotNull)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(4).select(col("vec_id").cast("long")).collect()
+      .map(_.getLong(0)).toSeq
+    val wantVecs = emb.filter(col("vec_id").isin(wantIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(cents.map(_._1).toSeq === (0L until 4L))
+    cents.zipWithIndex.foreach { case ((_, cv), i) =>
+      assert(cv === wantVecs(wantIds(i)))
+    }
+    // every vector landed once; full-probe recall over the seeded
+    // quantizer is exact (the create-path invariant carries over)
+    val stored = spark.read.parquet(s"$dir/vectors")
+    assert(stored.count() ===
+      emb.filter(col("embedding").isNotNull).count())
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val r = VectorStore.recallAtK(spark, dir, queries, "qid", "qv",
+      k = 5, nprobe = 4).collect()
+    assert(r.nonEmpty)
+    r.foreach(row =>
+      assert(row.getAs[Double]("recall_at_k") === 1.0,
+        s"full probe must be exact: $row"))
+  }
+
   test("topK's vector scan is partition-pruned to the probed cells") {
     val dir = java.nio.file.Files.createTempDirectory("vstorep").toString
     VectorStore.create(spark, dir, emb, "vec_id", "embedding",
