@@ -1276,52 +1276,99 @@ object TextAnalysis {
 
   /** [[nbScore]] over an arbitrary feature-array Column — pairs with
     * [[nbTrainFeats]]; the extractor must match the one the model was
-    * trained with. */
+    * trained with.
+    *
+    * Scale shape (the r10→r11 restructure): scoring used to expand
+    * every per-doc (term, nk) row by L labels before the per-(doc,
+    * label) sum — corpus-tokens × L aggregate input (330M rows / 6.9
+    * GB heap measured at 5M docs, L = 4). Now the ×L dimension rides
+    * INSIDE the row: the model pre-collapses to one L-long
+    * lp_micros VECTOR per term (vocabulary-sized, built once), each
+    * (doc, term) row joins that vector 1:1, and a native elementwise
+    * [[graft.expressions.VecSumAggExpr.vecSumLong]] aggregate sums
+    * label vectors per doc — aggregate input stays corpus-tokens
+    * rows, per-group state is one L-long array. All arithmetic stays
+    * exact integer micros, vectors are ordered by the byte-order
+    * label sort, the argmax takes the FIRST maximal position, and the
+    * runner-up is the second-largest value — so pred/score/margin are
+    * bit-identical to the row-expanded formulation (the nb1/nb2/lang1
+    * oracles still replay that shape in SQL and hash-match). The
+    * label list, totals, priors, and OOV vector are bounded
+    * control-plane collects/broadcasts (L rows each). */
   def nbScoreFeats(docs: DataFrame, idCol: String, feats: Column,
       model: NbModel, alpha: Double = 1.0)(
       implicit scope: graft.CacheScope): DataFrame = {
     require(alpha > 0, s"nbScoreFeats: alpha must be > 0, got $alpha")
-    import org.apache.spark.sql.expressions.Window
-    // three consumers (label totals, vocabulary, the term join)
+    // two consumers (label totals + the grid's term spine)
     val tc = scope.cache(model.termCounts)
+    val labels: Seq[String] = model.docCounts
+      .select(col("label").cast("string")).collect()
+      .map(_.getString(0)).toSeq
+      .sortWith(utf8Compare(_, _) < 0)
+    require(labels.nonEmpty, "nbScoreFeats: model has no labels")
+    val labelArr = array(labels.map(lit): _*)
+    def toVec(m: Column): Column =
+      transform(labelArr, l => element_at(m, l))
     val ltot = tc.groupBy(col("label")).agg(sum(col("c")).as("tot"))
     val vocab = broadcast(tc.agg(countDistinct(col("term")).as("v")))
+    val ltv = ltot.crossJoin(vocab)
+    val lpMicros = round(log(
+      (coalesce(col("c"), lit(0L)) + lit(alpha)) /
+        (col("tot") + lit(alpha) * col("v"))) * lit(1e6)).cast("long")
+    // per-term label vector over the FULL (term × label) grid — the
+    // vocabulary-sized model image the doc side joins 1:1 by term
+    val tcl = tc.select(col("term")).distinct()
+      .crossJoin(broadcast(ltv))
+      .join(tc, Seq("term", "label"), "left")
+      .withColumn("__lp", lpMicros)
+      .groupBy(col("term"))
+      .agg(map_from_entries(
+        collect_list(struct(col("label"), col("__lp")))).as("__m"))
+      .select(col("term"), toVec(col("__m")).as("lps"))
+    // OOV vector (term in no label): c = 0 against every label
+    val oov = broadcast(ltv
+      .withColumn("__lp", round(log(lit(alpha) /
+        (col("tot") + lit(alpha) * col("v"))) * lit(1e6)).cast("long"))
+      .groupBy()
+      .agg(map_from_entries(
+        collect_list(struct(col("label"), col("__lp")))).as("__om"))
+      .select(toVec(col("__om")).as("oov_lps")))
     val nTotal = broadcast(model.docCounts
       .agg(sum(col("n_docs")).as("n_total")))
-    val pri = broadcast(model.docCounts.crossJoin(nTotal)
-      .select(col("label"),
+    val priArr = broadcast(model.docCounts.crossJoin(nTotal)
+      .withColumn("__pm",
         round(log(col("n_docs").cast("double") / col("n_total")) *
-          lit(1e6)).cast("long").as("prior_micros")))
+          lit(1e6)).cast("long"))
+      .groupBy()
+      .agg(map_from_entries(
+        collect_list(struct(col("label"), col("__pm")))).as("__pm"))
+      .select(toVec(col("__pm")).as("pri_lps")))
     val dt = docs
       .select(col(idCol), explode(feats).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("nk"))
-    val lp = log((coalesce(col("c"), lit(0L)) + lit(alpha)) /
-      (col("tot") + lit(alpha) * col("v")))
-    val ll = dt
-      .crossJoin(broadcast(pri.select(col("label"))))
-      .join(tc, Seq("term", "label"), "left")
-      .join(ltot, Seq("label"))
-      .crossJoin(vocab)
-      .withColumn("lp_micros",
-        round(lp * lit(1e6)).cast("long") * col("nk"))
-      .groupBy(col(idCol), col("label"))
-      .agg(sum(col("lp_micros")).as("ll_micros"))
-    // empty/null-text docs score prior-only: seed every (doc, label)
-    // from the doc list × the L-row broadcast prior, then left-join
-    // the token likelihoods
-    val all = docs.select(col(idCol)).crossJoin(pri)
-      .join(ll, Seq(idCol, "label"), "left")
-      .withColumn("score_micros",
-        coalesce(col("ll_micros"), lit(0L)) + col("prior_micros"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score_micros").desc, col("label"))
-    all
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__runner", lead(col("score_micros"), 1).over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("label").as("pred"), col("score_micros"),
-        (col("score_micros") -
-          coalesce(col("__runner"), col("score_micros")))
-          .as("margin_micros"))
+    val contrib = dt.join(tcl, Seq("term"), "left").crossJoin(oov)
+      .select(col(idCol),
+        transform(coalesce(col("lps"), col("oov_lps")),
+          x => x * col("nk")).as("__vec"))
+    val sums = contrib.groupBy(col(idCol))
+      .agg(graft.expressions.VecSumAggExpr.vecSumLong(col("__vec"))
+        .as("__ll"))
+    // empty/null-feature docs score prior-only (no __ll row)
+    val total = docs.select(col(idCol))
+      .join(sums, Seq(idCol), "left")
+      .crossJoin(priArr)
+      .withColumn("__tot", when(col("__ll").isNull, col("pri_lps"))
+        .otherwise(zip_with(col("__ll"), col("pri_lps"),
+          (a, b) => a + b)))
+    total
+      .withColumn("score_micros", array_max(col("__tot")))
+      .withColumn("pred", element_at(labelArr,
+        array_position(col("__tot"), col("score_micros")).cast("int")))
+      .withColumn("margin_micros",
+        when(size(col("__tot")) < 2, lit(0L))
+          .otherwise(col("score_micros") -
+            element_at(array_sort(col("__tot")), -2)))
+      .select(col(idCol), col("pred"), col("score_micros"),
+        col("margin_micros"))
   }
 }

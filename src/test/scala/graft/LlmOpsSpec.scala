@@ -660,6 +660,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(err2.getMessage.contains("INTEGRAL label"))
   }
 
+  test("vec_sum_long: elementwise sums across partitions; loud on " +
+      "mixed lengths and nulls") {
+    import graft.expressions.VecSumAggExpr.vecSumLong
+    val df = spark.range(0, 1000, 1, 8).select(
+      (col("id") % 4).as("g"),
+      array(col("id"), lit(1L), -col("id")).as("v"))
+    val got = df.groupBy(col("g")).agg(vecSumLong(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    (0L until 4L).foreach { g =>
+      val ids = (0L until 1000L).filter(_ % 4 == g)
+      assert(got(g) === Seq(ids.sum, ids.size.toLong, -ids.sum))
+    }
+    // mixed lengths in one group fail loudly, never mis-align
+    val bad = spark.range(2).select(lit(0L).as("g"),
+      when(col("id") === 0, array(lit(1L), lit(2L)))
+        .otherwise(array(lit(1L))).as("v"))
+    val e = intercept[Exception] {
+      bad.groupBy(col("g")).agg(vecSumLong(col("v"))).collect()
+    }
+    assert(e.getMessage != null)
+    // null vectors fail loudly (callers substitute OOV vectors first)
+    val nl = spark.range(2).select(lit(0L).as("g"),
+      when(col("id") === 0, array(lit(1L))).otherwise(lit(null)
+        .cast("array<bigint>")).as("v"))
+    intercept[Exception] {
+      nl.groupBy(col("g")).agg(vecSumLong(col("v"))).collect()
+    }
+  }
+
   test("learned language ID (NB over char n-grams) generalizes to " +
       "held-out vocabulary where the marker-word heuristic cannot") {
     // Train docs use each language's everyday words INCLUDING the
