@@ -114,6 +114,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "word_ngrams(text, n) — n must be an integer literal")
       }))
+    ext.injectFunction((FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(
+        graft.operators.TextAnalysis.getClass.getName, "char_ngrams"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t, Literal(nMin: Int, _), Literal(nMax: Int, _)) =>
+          expr_(graft.operators.TextAnalysis
+            .charNgrams(col_(t), nMin, nMax))
+        case _ => throw new IllegalArgumentException(
+          "char_ngrams(text, nMin, nMax) — bounds must be integer " +
+            "literals")
+      }))
     ext.injectFunction((FunctionIdentifier("gopher_report"),
       new ExpressionInfo(Curation.getClass.getName, "gopher_report"),
       (exprs: Seq[Expression]) => exprs match {
@@ -413,6 +424,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "bpe_merges(path, textCol, nMerges) — all arguments must be " +
             "literals (nMerges an integer)")
+      }))
+    // Production BPE trainer as a TABLE function: same output contract
+    // as bpe_merges (sequential-equivalent, spec-pinned), but the
+    // classic incremental algorithm over the collapsed vocabulary —
+    // zero Spark jobs per merge, the path to 32k-merge tokenizers
+    ext.injectTableFunction((FunctionIdentifier("bpe_merges_local"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "bpe_merges_local"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, tc, Literal(n: Int, _), rest @ _*) if rest.size <= 1 =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val docs = spark.read.parquet(strLit(p, "bpe_merges_local path"))
+          val maxVocab = rest.headOption.map {
+            case Literal(v: Int, _) => v
+            case _ => throw new IllegalArgumentException(
+              "bpe_merges_local maxVocab must be an integer literal")
+          }.getOrElse(1 << 20)
+          graft.operators.TextAnalysis.bpeTrainLocal(
+            graft.operators.TextAnalysis.bpeWordFreq(docs,
+              strLit(tc, "bpe_merges_local textCol")), n, maxVocab)
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "bpe_merges_local(path, textCol, nMerges[, maxVocab]) — all " +
+            "arguments must be literals (nMerges/maxVocab integers)")
       }))
     // Naive Bayes classify as a TABLE function: train on a labeled
     // parquet corpus, score another — the bigram_lm_score shape

@@ -275,6 +275,15 @@ class GraftExtensionsSpec extends SparkSpec {
           spark.read.parquet(dir), "text"), 3)(CacheScope.session)
       .orderBy("iter").collect()
     assert(bpeGot.toSeq === bpeWant.toSeq && bpeGot.length === 3)
+    // production trainer TVF: same contract, same merges
+    val bpeLocalGot = spark.sql(s"SELECT iter, lhs, rhs, cnt FROM " +
+      s"bpe_merges_local('$dir', 'text', 3) ORDER BY iter").collect()
+    assert(bpeLocalGot.toSeq === bpeWant.toSeq)
+    // char n-grams: SQL expression equals the Scala API
+    val cgGot = spark.sql(
+      "SELECT char_ngrams('Ab  cd', 2, 3) AS g").collect().head
+      .getSeq[String](0)
+    assert(cgGot === Seq("ab", "b ", " c", "cd", "ab ", "b c", " cd"))
     // non-literal arguments are rejected with the documented message
     intercept[Exception] {
       spark.sql(s"SELECT * FROM bm25_topk('$dir', 'doc_id', 'text', " +
