@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * `binary` payloads + a typed metadata struct, with decode / feature /
   * resize / frame-sample stages.
   *
-  * The Spark-side plumbing (schema, batch shape, partition sizing,
-  * pipeline composition) is real and tested; the actual codec call is
-  * STUBBED behind `DecodeStub` as a deterministic fake — the container
-  * has no image/audio libraries. A deployment swaps `DecodeStub.decode`
-  * for an FFI call (JNI / ONNX / javacv); every signature stays put.
+  * Decode comes in two tiers. IMAGES are decoded FOR REAL via
+  * [[ImageIo]] — `javax.imageio` ships PNG/JPEG/BMP/GIF readers in
+  * every JDK, no external codec needed — covering header-only
+  * dimension probes, pixel statistics, feature extraction, and a true
+  * resize-and-re-encode stage (hash-pinned by the m4 gate against an
+  * analytic oracle). VIDEO/AUDIO codecs do not ship with the JDK, so
+  * those paths keep the deterministic `DecodeStub` fake with the same
+  * [[BatchDecoder]] shape a real FFI wrapper (JNI / ONNX / javacv)
+  * plugs into; every signature stays put.
   *
   * Scale notes: payloads ride in the same parquet row group as their
   * metadata — size `spark.sql.files.maxPartitionBytes` DOWN (e.g. 32 MB)
@@ -115,6 +119,214 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rows, outSchema)
+  }
+
+  /** REAL image codec — pure-JDK `javax.imageio`. Construction-free
+    * and headless-safe (BufferedImage needs no display); each method is
+    * a pure function of the payload bytes, so every DataFrame stage
+    * built on it is partitioning-independent. */
+  object ImageIo {
+    System.setProperty("java.awt.headless", "true")
+
+    /** Header-only dimension probe: positions an ImageReader on the
+      * container header and asks for width/height WITHOUT decoding
+      * pixel data — the cheap metadata pass that lets a 100 TB media
+      * table derive/refresh its prune columns at IO speed. None for
+      * undecodable/unknown payloads. */
+    def dims(bytes: Array[Byte]): Option[(Int, Int)] = {
+      if (bytes == null || bytes.length == 0) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } finally r.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally iis.close()
+    }
+
+    /** Full pixel statistics: dimensions, per-channel means (sRGB,
+      * exact integer sums divided once — deterministic IEEE), and the
+      * top-left / bottom-right pixels (the channel-order / indexing
+      * canaries: an R/B swap or a flipped axis moves them). None for
+      * undecodable payloads. */
+    final case class ImageStats(width: Int, height: Int,
+        meanR: Double, meanG: Double, meanB: Double,
+        tlR: Int, tlG: Int, tlB: Int, brR: Int, brG: Int, brB: Int)
+
+    def decodeStats(bytes: Array[Byte]): Option[ImageStats] = {
+      val img = read(bytes)
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w <= 0 || h <= 0) return None
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val tl = img.getRGB(0, 0); val br = img.getRGB(w - 1, h - 1)
+      Some(ImageStats(w, h,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+        (tl >> 16) & 0xff, (tl >> 8) & 0xff, tl & 0xff,
+        (br >> 16) & 0xff, (br >> 8) & 0xff, br & 0xff))
+    }
+
+    /** A real [[BatchDecoder]]: 8-dim feature vector per image —
+      * [w, h, meanR, meanG, meanB, luma, tl-luma, br-luma], channel
+      * values normalized to [0, 1]. Undecodable payloads yield an
+      * all-(-1) vector (a crash would kill the task; silently dropping
+      * would desync training manifests). */
+    def decoder(dim: Int = 8): () => BatchDecoder = () =>
+      new BatchDecoder {
+        override def decodeBatch(
+            payloads: Array[Array[Byte]]): Array[Array[Double]] =
+          payloads.map { p =>
+            decodeStats(p) match {
+              case Some(s) =>
+                val luma = (0.299 * s.meanR + 0.587 * s.meanG +
+                  0.114 * s.meanB) / 255.0
+                val tlL = (0.299 * s.tlR + 0.587 * s.tlG +
+                  0.114 * s.tlB) / 255.0
+                val brL = (0.299 * s.brR + 0.587 * s.brG +
+                  0.114 * s.brB) / 255.0
+                Array(s.width.toDouble, s.height.toDouble,
+                  s.meanR / 255.0, s.meanG / 255.0, s.meanB / 255.0,
+                  luma, tlL, brL).padTo(dim, 0.0).take(dim)
+              case None => Array.fill(dim)(-1.0)
+            }
+          }
+      }
+
+    /** Real resize: bilinear scale through Graphics2D, re-encoded as
+      * PNG (lossless, JDK-writable). Undecodable input → null. */
+    def resizePng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = read(bytes)
+      if (img == null) return null
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      encodePng(out)
+    }
+
+    /** Deterministic two-tone test/gate image: left half `rgb1`, right
+      * half `rgb2` — chosen so every pixel statistic is ANALYTIC (the
+      * m4 gate's DuckDB oracle recomputes means as (c1+c2)/2 without
+      * any codec), while the bytes still travel the full PNG
+      * encode→decode round trip. */
+    def encodeTwoTonePng(w: Int, h: Int, rgb1: (Int, Int, Int),
+        rgb2: (Int, Int, Int)): Array[Byte] = {
+      require(w >= 2 && w % 2 == 0 && h >= 1,
+        s"two-tone needs even w >= 2, h >= 1: ($w, $h)")
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val c1 = (rgb1._1 << 16) | (rgb1._2 << 8) | rgb1._3
+      val c2 = (rgb2._1 << 16) | (rgb2._2 << 8) | rgb2._3
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, if (x < w / 2) c1 else c2)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    private def read(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      if (bytes == null || bytes.length == 0) null
+      else
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+
+    private def encodePng(
+        img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Real image statistics as a DataFrame stage: one row per media row
+    * with header dims, channel means (6-dec rounded — exact integer
+    * sums divided once, so both engines and any partitioning agree),
+    * and the corner-pixel canaries; undecodable payloads yield null
+    * stats (countable data facts, not task deaths). mapPartitions like
+    * [[decodeBatched]]: payload bytes are dropped on the spot. */
+  def decodeImageStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType),
+      StructField("tl_r", IntegerType), StructField("tl_g", IntegerType),
+      StructField("tl_b", IntegerType),
+      StructField("br_r", IntegerType), StructField("br_g", IntegerType),
+      StructField("br_b", IntegerType)))
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val rows = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val stats =
+            if (r.isNullAt(1)) None
+            else ImageIo.decodeStats(r.getAs[Array[Byte]](1))
+          stats match {
+            case Some(s) => org.apache.spark.sql.Row(r.getLong(0),
+              s.width, s.height, r6(s.meanR), r6(s.meanG), r6(s.meanB),
+              s.tlR, s.tlG, s.tlB, s.brR, s.brG, s.brB)
+            case None => org.apache.spark.sql.Row(r.getLong(0),
+              null, null, null, null, null, null, null, null, null,
+              null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Real image resize as a DataFrame stage: bilinear scale +
+    * lossless PNG re-encode, metadata updated from the NEW payload
+    * (stale dims/size would poison metadata-first pruning).
+    * Undecodable payloads pass through with a null payload. */
+  def resizeImages(media: DataFrame, newW: Int, newH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("payload"),
+        col("meta.media_type"), col("meta.format"),
+        col("meta.duration_ms")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val resized =
+            if (r.isNullAt(1)) null
+            else ImageIo.resizePng(r.getAs[Array[Byte]](1), newW, newH)
+          org.apache.spark.sql.Row(r.getLong(0), resized,
+            org.apache.spark.sql.Row(r.getString(2), "png",
+              newW, newH, r.getLong(4),
+              if (resized == null) 0L else resized.length.toLong))
+        }
+      }
+    spark.createDataFrame(rows, mediaSchema)
   }
 
   /** Wrap an id+binary frame into the canonical media schema, deriving

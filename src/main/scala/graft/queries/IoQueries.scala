@@ -214,6 +214,42 @@ object IoQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // ---- REAL image decode (pure-JDK ImageIO), analytic oracle ----------
+    // Each doc synthesizes a two-tone PNG (left half color c1, right
+    // half c2, both derived from the id) that travels a FULL PNG
+    // encode→decode round trip through javax.imageio; the decoded
+    // header dims, per-channel means, and corner pixels come back as
+    // data. Because the construction is two equal halves, every
+    // statistic is ANALYTIC — the oracle recomputes means as
+    // (c1+c2)/2 and corners as the raw colors with no codec at all —
+    // so a decode regression anywhere (channel order, pixel indexing,
+    // header parse, PNG writer) breaks the hash.
+    "m4_image_decode" -> ((s, d) => {
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("media_id"))
+        .filter(col("media_id") < 200)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType)))
+      val rows = ids.rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = (8 + (id % 8) * 2).toInt
+          val h = (6 + (id % 5) * 2).toInt
+          val c1 = ((id % 251).toInt, ((id * 7) % 251).toInt,
+            ((id * 13) % 251).toInt)
+          val c2 = (((id * 3) % 251).toInt, ((id * 11) % 251).toInt,
+            ((id * 17) % 251).toInt)
+          org.apache.spark.sql.Row(id,
+            Multimodal.ImageIo.encodeTwoTonePng(w, h, c1, c2))
+        }
+      }
+      Multimodal.decodeImageStats(s.createDataFrame(rows, schema))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- Z-order layout: key exactness + clustered-write round-trip ------
     // The Morton key is computed, written through zorderWrite (range
     // partition + sort + file split), read back, and hash-compared to
@@ -303,5 +339,27 @@ object IoQueries {
       """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx
         |FROM documents, generate_series(0, 3) t(f)
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the two-tone construction makes every decoded statistic analytic:
+    // means are (c1+c2)/2 (equal halves), corners are the raw colors —
+    // no codec on the oracle side, a full real codec on the engine side
+    "m4_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + (doc_id % 8) * 2 AS INTEGER) AS width,
+        |  CAST(6 + (doc_id % 5) * 2 AS INTEGER) AS height,
+        |  round((CAST(doc_id % 251 AS DOUBLE)
+        |    + CAST((doc_id * 3) % 251 AS DOUBLE)) / 2.0, 6) AS mean_r,
+        |  round((CAST((doc_id * 7) % 251 AS DOUBLE)
+        |    + CAST((doc_id * 11) % 251 AS DOUBLE)) / 2.0, 6) AS mean_g,
+        |  round((CAST((doc_id * 13) % 251 AS DOUBLE)
+        |    + CAST((doc_id * 17) % 251 AS DOUBLE)) / 2.0, 6) AS mean_b,
+        |  CAST(doc_id % 251 AS INTEGER) AS tl_r,
+        |  CAST((doc_id * 7) % 251 AS INTEGER) AS tl_g,
+        |  CAST((doc_id * 13) % 251 AS INTEGER) AS tl_b,
+        |  CAST((doc_id * 3) % 251 AS INTEGER) AS br_r,
+        |  CAST((doc_id * 11) % 251 AS INTEGER) AS br_g,
+        |  CAST((doc_id * 17) % 251 AS INTEGER) AS br_b
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY media_id""".stripMargin,
   )
 }

@@ -134,6 +134,59 @@ class IoStreamingSpec extends SparkSpec {
       f2.map(_.getSeq[Double](2)).toSeq)
   }
 
+  test("multimodal: REAL ImageIO decode — dims probe, pixel stats, " +
+      "resize round trip, corrupt-payload contract") {
+    import Multimodal.ImageIo
+    // a 4x2 two-tone: left (10,20,30), right (50,60,70)
+    val png = ImageIo.encodeTwoTonePng(4, 2, (10, 20, 30), (50, 60, 70))
+    assert(ImageIo.dims(png) === Some((4, 2)))
+    val s = ImageIo.decodeStats(png).get
+    assert((s.width, s.height) === ((4, 2)))
+    assert((s.meanR, s.meanG, s.meanB) === ((30.0, 40.0, 50.0)))
+    assert((s.tlR, s.tlG, s.tlB) === ((10, 20, 30)))
+    assert((s.brR, s.brG, s.brB) === ((50, 60, 70)))
+    // real resize: a SOLID image stays its exact color at any size
+    val solid = ImageIo.encodeTwoTonePng(8, 4, (90, 140, 200),
+      (90, 140, 200))
+    val small = ImageIo.resizePng(solid, 3, 2)
+    val rs = ImageIo.decodeStats(small).get
+    assert((rs.width, rs.height) === ((3, 2)))
+    assert((rs.meanR, rs.meanG, rs.meanB) === ((90.0, 140.0, 200.0)))
+    // corrupt / empty payloads: None, never a throw
+    assert(ImageIo.dims("not a png".getBytes) === None)
+    assert(ImageIo.decodeStats(Array.emptyByteArray) === None)
+    assert(ImageIo.resizePng("junk".getBytes, 2, 2) === null)
+    // the real BatchDecoder rides the same decodeBatched plumbing as
+    // the stub: one row per payload, undecodable -> all-(-1)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val rows = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, png),
+      org.apache.spark.sql.Row(2L, "junk".getBytes),
+      org.apache.spark.sql.Row(3L, solid)), schema)
+    val feats = Multimodal.decodeBatched(rows, dim = 8, batchSize = 2,
+        mkDecoder = ImageIo.decoder(8))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(feats(1).take(5) ===
+      Seq(4.0, 2.0, 30.0 / 255, 40.0 / 255, 50.0 / 255))
+    assert(feats(2) === Seq.fill(8)(-1.0))
+    assert(feats(3).take(2) === Seq(8.0, 4.0))
+    // DataFrame stages: stats rows + metadata-true resize
+    val stats = Multimodal.decodeImageStats(rows)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(stats(1).getInt(1) === 4 && stats(1).getDouble(3) === 30.0)
+    assert(stats(2).isNullAt(1)) // undecodable -> null stats row
+    val media = Multimodal.toMedia(rows, "media_id", "payload",
+      "image", "png", width = lit(4), height = lit(2))
+    val rz = Multimodal.resizeImages(media, 2, 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val meta1 = rz(1).getStruct(2)
+    assert(meta1.getInt(2) === 2 && meta1.getInt(3) === 2)
+    assert(meta1.getLong(5) > 0L) // size_bytes from the NEW payload
+    assert(rz(2).isNullAt(1))     // undecodable passes through null
+  }
+
   test("multimodal: batched decode is batch- and partition-invariant") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(60)
     val media = Multimodal.toMedia(
