@@ -267,6 +267,125 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec for WAV/PCM — a transparent pure-JVM RIFF parser
+    * (WAV is a length-prefixed chunk container; PCM samples are raw
+    * little-endian integers — no codec library involved, which is why
+    * audio's "decode" tier can be real while video's cannot). Pure
+    * functions of the payload bytes. */
+  object WavIo {
+    final case class WavInfo(sampleRate: Int, channels: Int,
+        bitsPerSample: Int, nFrames: Long, durationMs: Long)
+    final case class WavStats(info: WavInfo, meanAbs: Double,
+        maxAbs: Int)
+
+    /** Chunk-walk the RIFF container for fmt + data; None for
+      * non-WAV / truncated / non-PCM payloads. Header-only — sample
+      * bytes are located, not read. */
+    def info(bytes: Array[Byte]): Option[WavInfo] =
+      locate(bytes).map(_._1)
+
+    /** Full PCM16 statistics: mean |sample| (exact integer sum divided
+      * once) and max |sample| over all channels. */
+    def stats(bytes: Array[Byte]): Option[WavStats] =
+      locate(bytes).flatMap { case (inf, off, len) =>
+        if (inf.bitsPerSample != 16) return None
+        val n = len / 2
+        if (n == 0) return Some(WavStats(inf, 0.0, 0))
+        var sum = 0L; var mx = 0; var i = 0
+        while (i < n) {
+          val lo = bytes(off + 2 * i) & 0xff
+          val hi = bytes(off + 2 * i + 1)
+          val s = (hi << 8) | lo
+          val a = math.abs(s)
+          sum += a; if (a > mx) mx = a
+          i += 1
+        }
+        Some(WavStats(inf, sum.toDouble / n, mx))
+      }
+
+    /** Deterministic PCM16 mono WAV encoder (the test/gate synth and
+      * a valid minimal writer: RIFF + fmt + data). */
+    def encodePcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16) // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+
+    /** (info, data-offset, data-length) or None. */
+    private def locate(bytes: Array[Byte])
+        : Option[(WavInfo, Int, Int)] = {
+      if (bytes == null || bytes.length < 12) return None
+      def ascii(o: Int, n: Int) = new String(bytes, o, n, "US-ASCII")
+      def le32(o: Int): Int =
+        (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+          ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      def le16(o: Int): Int =
+        (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+      var pos = 12
+      var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+      var data: Option[(Int, Int)] = None     // (offset, len)
+      while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = ascii(pos, 4)
+        val len = le32(pos + 4)
+        if (len < 0 || pos + 8 + len > bytes.length) return None
+        if (id == "fmt " && len >= 16) {
+          if (le16(pos + 8) != 1) return None // PCM only
+          fmt = Some((le16(pos + 10), le32(pos + 12), le16(pos + 22)))
+        } else if (id == "data") data = Some((pos + 8, len))
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      for ((ch, rate, bits) <- fmt; (off, len) <- data) yield {
+        if (ch <= 0 || rate <= 0 || bits <= 0) return None
+        val nFrames = len.toLong / (ch * bits / 8)
+        (WavInfo(rate, ch, bits, nFrames, nFrames * 1000L / rate),
+          off, len)
+      }
+    }
+  }
+
+  /** Real audio statistics as a DataFrame stage: RIFF header fields,
+    * frame count, integer-derived duration, and exact PCM amplitude
+    * stats (6-dec rounded mean |sample|); non-WAV payloads yield null
+    * stats. Same mapPartitions discipline as [[decodeImageStats]]. */
+  def decodeAudioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("duration_ms", LongType),
+      StructField("mean_abs", DoubleType),
+      StructField("max_abs", IntegerType)))
+    val rows = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val st =
+            if (r.isNullAt(1)) None
+            else WavIo.stats(r.getAs[Array[Byte]](1))
+          st match {
+            case Some(s) => org.apache.spark.sql.Row(r.getLong(0),
+              s.info.sampleRate, s.info.channels, s.info.nFrames,
+              s.info.durationMs, math.rint(s.meanAbs * 1e6) / 1e6,
+              s.maxAbs)
+            case None => org.apache.spark.sql.Row(r.getLong(0),
+              null, null, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Real image statistics as a DataFrame stage: one row per media row
     * with header dims, channel means (6-dec rounded — exact integer
     * sums divided once, so both engines and any partitioning agree),

@@ -250,6 +250,41 @@ object IoQueries {
         .orderBy(col("media_id"))
     }),
 
+    // ---- REAL audio decode (pure-JVM RIFF/PCM parse), analytic oracle ----
+    // Each doc synthesizes a PCM16 mono WAV (pattern: every 3rd sample
+    // +A, the rest -B; A/B/rate/frame-count derived from the id) that
+    // travels a full RIFF encode→parse round trip. Frame counts are
+    // chosen to divide 1e6 so the 6-dec mean is exactly integral in
+    // micros on both engines. The oracle recomputes every field
+    // analytically — header fields, integer-division duration, the
+    // exact amplitude mean, the max — with no parser at all.
+    "m5_audio_decode" -> ((s, d) => {
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("media_id"))
+        .filter(col("media_id") < 200)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType)))
+      val nBy4 = Seq(100, 125, 200, 250)
+      val rows = ids.rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val rate = (8000 + (id % 4) * 4000).toInt
+          val n = nBy4((id % 4).toInt)
+          val a = (1000 + id % 2000).toShort
+          val b = (500 + id % 700).toShort
+          val samples = Array.tabulate(n)(i =>
+            if (i % 3 == 0) a else (-b).toShort)
+          org.apache.spark.sql.Row(id,
+            Multimodal.WavIo.encodePcm16(rate, samples))
+        }
+      }
+      Multimodal.decodeAudioStats(s.createDataFrame(rows, schema))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- Z-order layout: key exactness + clustered-write round-trip ------
     // The Morton key is computed, written through zorderWrite (range
     // partition + sort + file split), read back, and hash-compared to
@@ -361,5 +396,26 @@ object IoQueries {
         |  CAST((doc_id * 17) % 251 AS INTEGER) AS br_b
         |FROM documents WHERE doc_id < 200
         |ORDER BY media_id""".stripMargin,
+
+    // every field analytic: the +A/-B pattern has ceil(n/3) A-samples;
+    // duration is integer division; n divides 1e6 so the rounded mean
+    // is exactly integral in micros
+    "m5_audio_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS rate,
+        |    CASE doc_id % 4 WHEN 0 THEN 100 WHEN 1 THEN 125
+        |      WHEN 2 THEN 200 ELSE 250 END AS n,
+        |    1000 + doc_id % 2000 AS a,
+        |    500 + doc_id % 700 AS b
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id AS media_id, rate AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST((n * 1000) // rate AS BIGINT) AS duration_ms,
+        |  round((CAST((n + 2) // 3 AS DOUBLE) * a
+        |    + CAST(n - (n + 2) // 3 AS DOUBLE) * b) / n, 6) AS mean_abs,
+        |  CAST(greatest(a, b) AS INTEGER) AS max_abs
+        |FROM p ORDER BY media_id""".stripMargin,
   )
 }

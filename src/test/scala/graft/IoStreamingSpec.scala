@@ -187,6 +187,41 @@ class IoStreamingSpec extends SparkSpec {
     assert(rz(2).isNullAt(1))     // undecodable passes through null
   }
 
+  test("multimodal: REAL WAV parse — header fields, exact PCM stats, " +
+      "malformed-payload contract") {
+    import Multimodal.WavIo
+    val samples = Array[Short](100, -200, 300, -400)
+    val wav = WavIo.encodePcm16(8000, samples)
+    val inf = WavIo.info(wav).get
+    assert(inf.sampleRate === 8000 && inf.channels === 1 &&
+      inf.bitsPerSample === 16 && inf.nFrames === 4L)
+    assert(inf.durationMs === 0L) // 4 frames / 8kHz: truncating int ms
+    val st = WavIo.stats(wav).get
+    assert(st.meanAbs === 250.0 && st.maxAbs === 400)
+    // duration math at real lengths: 8000 frames / 8kHz = 1000 ms
+    val one = WavIo.encodePcm16(8000, Array.fill[Short](8000)(7))
+    assert(WavIo.info(one).get.durationMs === 1000L)
+    assert(WavIo.stats(one).get.meanAbs === 7.0)
+    // malformed payloads: None, never a throw — wrong magic, truncated
+    // container, chunk length past the end
+    assert(WavIo.info("RIFFxxxxWAVX".getBytes) === None)
+    assert(WavIo.info(wav.take(20)) === None)
+    val lied = wav.clone()
+    lied(42) = 0x7f.toByte // data chunk length far past the buffer
+    assert(WavIo.info(lied) === None)
+    // the DataFrame stage: stats rows + nulls for non-WAV payloads
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val rows = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, wav),
+      org.apache.spark.sql.Row(2L, "garbage".getBytes)), schema)
+    val out = Multimodal.decodeAudioStats(rows)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getInt(1) === 8000 && out(1).getDouble(5) === 250.0)
+    assert(out(2).isNullAt(1))
+  }
+
   test("multimodal: batched decode is batch- and partition-invariant") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(60)
     val media = Multimodal.toMedia(
