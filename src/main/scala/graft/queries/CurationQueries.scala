@@ -608,6 +608,27 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- CCNet buckets re-based on the TRIGRAM LM --------------------------
+    // t12's rank-split semantics, driven by the higher-order fluency
+    // signal (CCNet's published filter is a 5-gram KenLM; the
+    // interpolated trigram is the same machinery one order up from
+    // t12's bigram). Same exact integer rank split; the oracle replays
+    // trigram training + interpolated scoring + the window split.
+    "t12b_trigram_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("lang"), col("source"), col("text"))
+      val lm = TextAnalysis.trigramLm(
+        docs.filter(col("source") === "src0"), "text")
+      val scored = TextAnalysis
+        .trigramLogProb(docs, "doc_id", "text", lm,
+          alpha = 0.5, lambda3 = 0.6, lambda2 = 0.3, lambda1 = 0.1)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      TextAnalysis.nllRankBuckets(scored, "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("avg_nll"),
+          col("bucket"), col("bucket_label"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- per-source quality report (corpus health by domain) --------------
     // Gopher metrics aggregated per source as INTEGER sums and ratios
     // of integer sums — immune to float summation order on both
@@ -1534,6 +1555,31 @@ object CurationQueries {
          |      ELSE s.nll_micros / CAST(1000000.0 AS DOUBLE)
          |        / s.n_transitions END AS avg_nll
          |  FROM documents d LEFT JOIN lmsc s USING (doc_id)),
+         |rk AS (
+         |  SELECT doc_id, lang, avg_nll,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY avg_nll, doc_id) AS r,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM sc2)
+         |SELECT doc_id, lang, avg_nll,
+         |  CAST(((r - 1) * 3) // n AS INT) AS bucket,
+         |  CASE WHEN ((r - 1) * 3) // n = 0 THEN 'head'
+         |    WHEN ((r - 1) * 3) // n = 2 THEN 'tail'
+         |    ELSE 'middle' END AS bucket_label
+         |FROM rk ORDER BY doc_id""".stripMargin,
+
+    // t12's window split over the trigram scorer's avg_nll
+    "t12b_trigram_buckets" ->
+      s"""WITH ${OracleFragments.tgTrainCtes("documents", "text",
+              "source = 'src0'")},
+         |${OracleFragments.tgScoreCtes("documents", "text", 0.5,
+              0.6, 0.3, 0.1)},
+         |sc2 AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CASE WHEN coalesce(s.n_transitions, 0) = 0 THEN 0.0
+         |      ELSE s.nll_micros / CAST(1000000.0 AS DOUBLE)
+         |        / s.n_transitions END AS avg_nll
+         |  FROM documents d LEFT JOIN tgsc s USING (doc_id)),
          |rk AS (
          |  SELECT doc_id, lang, avg_nll,
          |    row_number() OVER (PARTITION BY lang
