@@ -1178,6 +1178,63 @@ object TextAnalysis {
     syms
   }
 
+  /** Tokenize a corpus into per-document token-ID sequences — the
+    * terminal step of the tokenizer pipeline (train → segment → IDS):
+    * what a training-data writer actually emits. Returns
+    * (vocab (token_id, sym), perDoc (idCol, n_tok, token_ids)).
+    *
+    * IDs are the byte-order rank of each symbol — deterministic,
+    * engine-replayable, and stable for a FROZEN merge list (the
+    * symbol set is base characters ∪ merge outputs, fixed by the
+    * model, so ids never depend on which corpus is encoded — new text
+    * can only produce already-known symbols).
+    *
+    * Scale shape: the corpus contributes one distinct-word pass; the
+    * VOCABULARY segments once ([[bpeSegmentWords]] — the imperative
+    * encoder past 64 merges); the symbol table is MODEL-sized
+    * (≤ alphabet + nMerges) so the sym→id join broadcasts; per-doc
+    * sequences regroup by document with order carried as data
+    * (positions sort inside the row), so no global ordering step
+    * exists anywhere. Documents never re-segment per occurrence. */
+  def bpeEncodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)])(
+      implicit scope: graft.CacheScope): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val words = docs.select(
+      explode(filter(tokens(col(textCol)), w => w =!= "")).as("word"))
+      .distinct()
+    val seg = scope.cache(bpeSegmentWords(words, "word", merges))
+    // the symbol table is bounded by the MODEL (alphabet + merges) —
+    // a bounded control-plane collect, broadcast back as the id map
+    val syms = seg.select(explode(col("syms")).as("sym")).distinct()
+      .collect().map(_.getString(0)).sortWith(utf8Compare(_, _) < 0)
+    import spark.implicits._
+    val vocab = syms.zipWithIndex
+      .map { case (s, i) => (i, s) }.toSeq.toDF("token_id", "sym")
+    val segIds = seg
+      .select(col("word"), posexplode(col("syms")).as(Seq("spos", "sym")))
+      .join(broadcast(vocab), Seq("sym"))
+      .groupBy(col("word"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("spos"), col("token_id")))),
+        p => p.getField("token_id")).as("ids"))
+    val perDoc = docs
+      .select(col(idCol), posexplode(
+        filter(tokens(coalesce(col(textCol), lit(""))), w => w =!= ""))
+        .as(Seq("wpos", "word")))
+      .join(segIds, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wpos"), col("ids")))),
+        p => p.getField("ids"))).as("token_ids"))
+    val out = docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("token_ids"), array().cast("array<int>"))
+          .as("token_ids"))
+      .withColumn("n_tok", size(col("token_ids")))
+    (vocab, out)
+  }
+
   // ---- multinomial Naive Bayes text classifier ---------------------------
 
   /** A trained [[nbTrain]] model: two pure-count DataFrames, both

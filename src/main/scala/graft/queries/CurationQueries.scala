@@ -731,6 +731,28 @@ object CurationQueries {
       out
     }),
 
+    // ---- corpus → token-ID sequences (the tokenizer's terminal step) -----
+    // Train 30 merges (local trainer), segment the vocabulary, assign
+    // byte-order symbol ids, and emit each document's ordered token-ID
+    // sequence — what a training-data writer ships. The oracle rebuilds
+    // the merge chain, re-ranks the symbol table, and re-derives every
+    // document's sequence via ordered string aggregation, so id
+    // assignment, per-word symbol order, AND per-doc word order are
+    // hash-pinned end to end.
+    "t14e_corpus_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val wf = TextAnalysis.bpeWordFreq(docs, "text")
+      val merges = TextAnalysis.bpeTrainLocal(wf, nMerges = 30)
+        .orderBy(col("iter")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val (_, perDoc) = TextAnalysis.bpeEncodeCorpus(docs, "doc_id",
+        "text", merges)(graft.CacheScope.session)
+      perDoc.select(col("doc_id"), col("n_tok"),
+          concat_ws(" ", transform(col("token_ids"),
+            i => i.cast("string"))).as("token_str"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- tokenizer-aware packing: pack by BPE token counts ---------------
     // The real training-prep composition: train the tokenizer (t14),
     // segment the VOCABULARY once, join per-word symbol counts back to
@@ -1699,6 +1721,37 @@ object CurationQueries {
          |SELECT word, CAST(count(*) AS INTEGER) AS n_syms,
          |  string_agg(sym, ' ' ORDER BY pos) AS segmented
          |FROM syms30 GROUP BY word ORDER BY word""".stripMargin,
+
+    // the 30-merge chain + byte-order symbol ids + ordered per-word and
+    // per-doc aggregation — the full corpus→token-ids replay
+    "t14e_corpus_tokens" ->
+      s"""WITH ${OracleFragments.bpeCtes("documents", "text", 30)},
+         |vocab AS (
+         |  SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS token_id
+         |  FROM (SELECT DISTINCT sym FROM syms30)),
+         |wseg AS (
+         |  SELECT s.word,
+         |    string_agg(CAST(v.token_id AS VARCHAR), ' ' ORDER BY s.pos)
+         |      AS idstr,
+         |    count(*) AS nsym
+         |  FROM syms30 s JOIN vocab v USING (sym) GROUP BY s.word),
+         |dwx AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(coalesce(text,
+         |      ''))), '\\s+'), x -> x <> '') AS __ws
+         |  FROM documents),
+         |dw AS (
+         |  SELECT doc_id, i AS wpos, __ws[i] AS word
+         |  FROM dwx, unnest(generate_series(1, len(__ws))) t(i)),
+         |agg AS (
+         |  SELECT d.doc_id,
+         |    CAST(sum(w.nsym) AS INTEGER) AS n_tok,
+         |    string_agg(w.idstr, ' ' ORDER BY d.wpos) AS token_str
+         |  FROM dw d JOIN wseg w USING (word) GROUP BY d.doc_id)
+         |SELECT x.doc_id, coalesce(a.n_tok, 0) AS n_tok,
+         |  coalesce(a.token_str, '') AS token_str
+         |FROM documents x LEFT JOIN agg a USING (doc_id)
+         |ORDER BY x.doc_id""".stripMargin,
 
     // the post-merge vocabulary segmentation IS syms5 — the chain that
     // trained the merges doubles as the encode expectation
