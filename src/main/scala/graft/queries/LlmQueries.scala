@@ -592,6 +592,41 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- topic-balanced subsample (cluster × exact-k) ---------------------
+    // The embedding-space diversity sampler: assign every vector to a
+    // deterministic cell (md5-seeded centroids — the createSeeded/ann6
+    // trick, so assignment is a pure function of the data) and keep an
+    // exact-k uniform sample per cell (cu11's bounded topk machinery).
+    // This is how a 100 TB corpus gets balanced across latent topics
+    // without a trained clusterer in the loop: no k-means state, no
+    // global pass, both stages fully oracle-replayable. A regression
+    // anywhere — centroid order, cosine assignment, the md5 draw, the
+    // per-cell ranking — breaks the hash.
+    "cb1_topic_balanced" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val picked = emb
+        .orderBy(md5(col("id").cast("string")), col("id"))
+        .limit(8).collect()
+      val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false)))
+      import scala.jdk.CollectionConverters._
+      val centroids = s.createDataFrame(
+        picked.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(i.toLong, r.getSeq[Double](1))
+        }.toSeq.asJava, centroidSchema)
+      val assigned = Similarity.assignCells(emb, "id", "vec", centroids)
+      graft.operators.Curation.uniformGroupSample(
+          assigned.select(col("cell"), col("id")), "cell", "id", k = 10)
+        .select(col("cell"), col("rank"), col("id").as("vec_id"))
+        .orderBy(col("cell"), col("rank"))
+    }),
+
     // ---- learned language ID: NB over char 2-4-grams (fastText-style) ----
     // The heuristic langId (t1) counts marker words; this is the
     // learned upgrade: multinomial NB over character n-gram features
@@ -1673,6 +1708,42 @@ object LlmQueries {
     "nb1_source_classifier" -> nbOracleSql,
     "nb2_incremental_nb" -> nbOracleSql,
     "lang1_learned_langid" -> lang1OracleSql,
+
+    // cb1: md5-seeded centroid pick, argmax-cosine assignment, and the
+    // cu11 exact-k draw — all replayed with the shared bit-exact cosine
+    "cb1_topic_balanced" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings),
+        |nrm AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+        |      AS nv
+        |  FROM base),
+        |cent AS (
+        |  SELECT rn - 1 AS cell, v AS cv, nv AS ncv FROM (
+        |    SELECT vec_id, v, nv, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM nrm)
+        |  WHERE rn <= 8),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT w.vec_id, c.cell, row_number() OVER (
+        |      PARTITION BY w.vec_id ORDER BY
+        |        (list_sum(list_transform(range(1, 65),
+        |           i -> w.v[i] * c.cv[i])) / (w.nv * c.ncv)) DESC,
+        |        c.cell) AS rn
+        |    FROM nrm w CROSS JOIN cent c)
+        |  WHERE rn = 1)
+        |SELECT cell, rank, vec_id FROM (
+        |  SELECT cell, vec_id, CAST(row_number() OVER (
+        |    PARTITION BY cell ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+        |        AS UBIGINT), vec_id) AS INT) AS rank
+        |  FROM asg)
+        |WHERE rank <= 10
+        |ORDER BY cell, rank""".stripMargin,
 
     // hy2: lexical CTEs identical to hy1 (depth 10); semantic leg is
     // brute-force cosine top-5 over the AUGMENTED corpus (embeddings +
