@@ -179,6 +179,23 @@ object StreamingSummary {
           .getOrElse(delta)
     }
 
+  /** Maintain a trigram LM over a streamed corpus — same contract as
+    * [[maintainBigramLmFromFiles]] one order up: the (w1, w2, w3, c)
+    * state is vocabulary³-bounded in theory, corpus-token-bounded in
+    * practice, folds by pure SUM per batch (O(delta)), and the
+    * maintained table scores bit-identically to a one-shot count via
+    * [[graft.operators.TextAnalysis.trigramLogProb]] (every marginal
+    * derives from it at scoring time, so nothing staled). */
+  def maintainTrigramLmFromFiles(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpoint: String,
+      summaryPath: String, textCol: String): DataFrame =
+    maintainVersioned(spark, inDir, schema, checkpoint, summaryPath) {
+      (batch, prev) =>
+        val delta = graft.operators.TextAnalysis.trigramLm(batch, textCol)
+        prev.map(p => graft.operators.TextAnalysis.foldTrigramLm(p, delta))
+          .getOrElse(delta)
+    }
+
   /** Maintain a Naive Bayes classifier over a streamed labeled corpus:
     * one [[graft.operators.TextAnalysis.nbModelToCounts]]-encoded state,
     * folded by pure (label, term) SUM per batch — O(delta) work, and

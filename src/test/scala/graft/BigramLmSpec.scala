@@ -119,5 +119,12 @@ class BigramLmSpec extends SparkSpec {
     val full = TextAnalysis.bigramLm(raw, "text")
     assert(state.orderBy("prev", "cur").collect().toSeq ===
       full.orderBy("prev", "cur").collect().toSeq)
+    // trigram: same contract one order up, same deltas
+    val state3 = graft.streaming.StreamingSummary
+      .maintainTrigramLmFromFiles(spark, s"$root/deltas", raw.schema,
+        s"$root/ckpt3", s"$root/state3", "text")
+    val full3 = TextAnalysis.trigramLm(raw, "text")
+    assert(state3.orderBy("w1", "w2", "w3").collect().toSeq ===
+      full3.orderBy("w1", "w2", "w3").collect().toSeq)
   }
 }
