@@ -769,6 +769,46 @@ object TextAnalysis {
       .drop("__r", "__n")
   }
 
+  /** The 100 TB form of [[nllRankBuckets]]: per-group quantile
+    * THRESHOLDS from the deterministic [[graft.ops.QuantileSketch]]
+    * (one narrow bucket-count shuffle), then a threshold-compare
+    * assignment joined back per group (one row per group — AQE
+    * broadcasts it) — no per-group global sort anywhere, which is the
+    * step that goes hot when one language is half the corpus.
+    *
+    * Semantics: buckets approximate [[nllRankBuckets]]'s exact rank
+    * split (boundaries land on sketch bucket edges — ~2⁻ᵐ relative
+    * resolution), but assignment is MONOTONE in the score by
+    * construction (a doc with lower avg NLL never lands in a later
+    * bucket — spec-pinned, with agreement vs the exact split). The
+    * measure is integer micros-per-transition (truncating division of
+    * two exact integers), so the whole path is deterministic on any
+    * engine/partitioning. */
+  def nllSketchBuckets(scored: DataFrame, idCol: String,
+      groupCol: String, nBuckets: Int = 3, m: Int = 9): DataFrame = {
+    require(nBuckets >= 2,
+      s"nllSketchBuckets: need >= 2 buckets, got $nBuckets")
+    val measured = scored.withColumn("__anm",
+      when(col("n_transitions") === 0L, lit(0L))
+        .otherwise(expr("nll_micros DIV n_transitions")))
+    val sketch = graft.ops.QuantileSketch.summarize(
+      measured.select(col(groupCol), col("__anm")), Seq(groupCol),
+      "__anm", m)
+    val qs = (1 until nBuckets).map(i => (s"__t$i", i, nBuckets))
+    val thresholds = graft.ops.QuantileSketch.quantiles(
+      sketch, Seq(groupCol), qs)
+    val bucket = qs.map { case (name, _, _) =>
+      when(col("__anm") > col(name), 1).otherwise(0)
+    }.reduce(_ + _)
+    measured.join(thresholds, Seq(groupCol))
+      .withColumn("bucket", bucket)
+      .withColumn("bucket_label",
+        when(col("bucket") === 0, "head")
+          .when(col("bucket") === nBuckets - 1, "tail")
+          .otherwise("middle"))
+      .drop(qs.map(_._1) :+ "__anm": _*)
+  }
+
   // ---- BPE tokenizer training (byte-pair-encoding merges) ---------------
 
   /** Corpus word-frequency table — the ONLY corpus-sized step of BPE

@@ -97,6 +97,46 @@ class BigramLmSpec extends SparkSpec {
     assert(got(2) === ((3L, 0L, 0L, 0L, 0L, 0.0, false)))
   }
 
+  test("nllSketchBuckets: monotone in the score, head/tail agree with " +
+      "the exact rank split on real data") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val lm = TextAnalysis.bigramLm(
+      docs.filter(col("source") === "src0"), "text")
+    val scored = TextAnalysis
+      .bigramLogProb(docs, "doc_id", "text", lm, alpha = 0.5)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val exact = TextAnalysis.nllRankBuckets(scored, "doc_id", "lang")
+      .select(col("doc_id"), col("bucket").as("b_exact"))
+    val approx = TextAnalysis.nllSketchBuckets(scored, "doc_id", "lang")
+      .select(col("doc_id"), col("lang"), col("avg_nll"),
+        col("bucket").as("b_approx"))
+    // monotone: within a group, a lower avg_nll never gets a LATER
+    // bucket (threshold assignment guarantees it; pin anyway)
+    val rows = approx.collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+    rows.values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 <= b._3,
+          s"bucket reversed against score order: $a vs $b")
+        case _ =>
+      }
+    }
+    // agreement with the exact split: boundaries may differ by sketch
+    // resolution, but the bulk must match
+    val joined = exact.join(approx, Seq("doc_id"))
+    val n = joined.count()
+    val agree = joined.filter(col("b_exact") === col("b_approx")).count()
+    assert(agree.toDouble / n > 0.8,
+      s"sketch buckets agree on only $agree/$n docs")
+    // every group still has a head and a tail
+    val spread = approx.groupBy(col("lang"))
+      .agg(countDistinct(col("b_approx")).as("nb")).collect()
+    assert(spread.forall(_.getLong(1) >= 2))
+  }
+
   test("streamed LM state equals the one-shot model over all deltas") {
     val raw = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
