@@ -55,6 +55,22 @@ object Bench {
             s"$warmDir: ${warmupFailures(name)}")
       }
     }
+    // CPU calibration: a fixed, code-independent Spark job (codegen'd
+    // range-sum across all cores) timed min-of-2. The round-11 lesson:
+    // the official r10→r11 artifacts drifted +14% while an A/B of r10's
+    // exact code on the r11 machine reproduced the drift — machine
+    // speed, not code. This constant workload separates the two
+    // mechanically: compare `calib` across rounds before reading
+    // anything into `value`.
+    val calib = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 2000000000L, 1, cpus.toInt)
+          .selectExpr("sum(id * 2 + 1)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); math.min(once(), once())
+    }
     // a failed query records -1 (NOT its elapsed time) so the JSON shows
     // the failure instead of counting it as a fast success.
     // MIN OF 2 RUNS per query (3 when the first two disagree by >2x):
@@ -114,7 +130,7 @@ object Bench {
     }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"max_spread":${f"$maxSpread%.2f"},"queries":$fullQs,"queries_raw":$rawQs,"warmup_failures":$wf,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"max_spread":${f"$maxSpread%.2f"},"calib_sec":${fmt(calib)},"queries":$fullQs,"queries_raw":$rawQs,"warmup_failures":$wf,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // The driver keeps only the LAST 2000 chars of stdout and parses the
@@ -133,7 +149,7 @@ object Bench {
       .mkString("{", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"queries":$qs,"sf":$sfNum}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"calib_sec":${fmt(calib)},"queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }
