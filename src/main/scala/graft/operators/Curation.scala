@@ -642,6 +642,49 @@ object Curation {
     }
   }
 
+  /** Sentence-snapping chunker: greedily pack whole SENTENCES into
+    * chunks of ≤ `maxTokens` whitespace tokens — the RAG/pretraining
+    * chunk shape where [[chunkTokens]]' fixed windows would cut
+    * mid-sentence. A sentence longer than the budget becomes its own
+    * oversized chunk (never split mid-sentence here; post-split those
+    * with [[chunkTokens]] if hard caps matter).
+    *
+    * Sentence boundaries are terminal punctuation ([.!?]) followed by
+    * whitespace, found RE2-SAFELY (capture-replace with a \u001f
+    * (unit-separator) marker, then split — RE2 has no lookbehind, and every regex in
+    * this file must replay in the DuckDB oracle; texts containing the
+    * \u001f control char are out of contract). Pure per-row array
+    * expressions: one tokenization-free greedy fold per row, map-only
+    * at any scale. */
+  def chunkSentences(text: Column, maxTokens: Int): Column = {
+    require(maxTokens > 0, s"chunkSentences: maxTokens > 0: $maxTokens")
+    val sep = "\u001f"
+    val sents = filter(
+      split(regexp_replace(trim(text), "([.!?])\\s+", "$1" + sep), sep),
+      s => s =!= "")
+    TextAnalysis.bindOnce(sents) { ss =>
+      def st(chunks: Column, cur: Column, cnt: Column) =
+        struct(chunks.as("chunks"), cur.as("cur"), cnt.as("cnt"))
+      val zero = st(array().cast("array<string>"), lit(""), lit(0))
+      aggregate(ss, zero,
+        (acc, s) => {
+          val sTok = size(filter(split(s, "\\s+"), w => w =!= ""))
+          val merged = acc.getField("cnt") + sTok
+          when(acc.getField("cnt") === 0,
+            st(acc.getField("chunks"), s, sTok))
+            .when(merged <= maxTokens,
+              st(acc.getField("chunks"),
+                concat(acc.getField("cur"), lit(" "), s), merged))
+            .otherwise(st(
+              concat(acc.getField("chunks"),
+                array(acc.getField("cur"))), s, sTok))
+        },
+        acc => when(acc.getField("cnt") > 0,
+          concat(acc.getField("chunks"), array(acc.getField("cur"))))
+          .otherwise(acc.getField("chunks")))
+    }
+  }
+
   // -------------------------------------------------------------------
   // Intra-document repetition (Gopher-style quality signal)
   // -------------------------------------------------------------------

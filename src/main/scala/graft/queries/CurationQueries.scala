@@ -731,6 +731,26 @@ object CurationQueries {
       out
     }),
 
+    // ---- sentence-snapping chunker (RAG/pretraining chunk prep) ----------
+    // Texts get planted sentence boundaries (" value " → ". "), then
+    // whole sentences pack greedily into ≤ 12-token chunks — never
+    // splitting mid-sentence; an oversized sentence becomes its own
+    // chunk. The oracle replays the sentence regex, per-sentence token
+    // counts, and the greedy fold via a recursive CTE (packing is
+    // prefix-dependent — no window can express it), so boundaries,
+    // the budget rule, and chunk text all hash-compare.
+    "cu19_sentence_chunks" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        replace(coalesce(col("text"), lit("")), lit(" value "),
+          lit(". ")).as("ptext"))
+      docs.select(col("doc_id"),
+          posexplode(Curation.chunkSentences(col("ptext"),
+            maxTokens = 12)).as(Seq("chunk_idx", "chunk")))
+        .withColumn("n_tok", size(filter(
+          TextAnalysis.tokens(col("chunk")), w => w =!= "")))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // ---- corpus → token-ID sequences (the tokenizer's terminal step) -----
     // Train 30 merges (local trainer), segment the vocabulary, assign
     // byte-order symbol ids, and emit each document's ordered token-ID
@@ -1721,6 +1741,40 @@ object CurationQueries {
          |SELECT word, CAST(count(*) AS INTEGER) AS n_syms,
          |  string_agg(sym, ' ' ORDER BY pos) AS segmented
          |FROM syms30 GROUP BY word ORDER BY word""".stripMargin,
+
+    // sentence regex, per-sentence token counts, and the greedy
+    // prefix-dependent packing via a recursive CTE
+    "cu19_sentence_chunks" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id, replace(coalesce(text, ''), ' value ', '. ')
+        |    AS ptext
+        |  FROM documents),
+        |sen0 AS (
+        |  SELECT doc_id, list_filter(string_split(
+        |    regexp_replace(trim(ptext), '([.!?])\s+', '\1' || chr(31),
+        |      'g'), chr(31)), x -> x <> '') AS ss
+        |  FROM p),
+        |sen AS (
+        |  SELECT doc_id, i AS sidx, ss[i] AS sent,
+        |    len(list_filter(string_split_regex(ss[i], '\s+'),
+        |      x -> x <> '')) AS stok
+        |  FROM sen0, unnest(generate_series(1, len(ss))) t(i)),
+        |pack AS (
+        |  SELECT doc_id, sidx, sent, stok, 1 AS chunk_id, stok AS cnt
+        |  FROM sen WHERE sidx = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.sidx, s.sent, s.stok,
+        |    CASE WHEN pk.cnt + s.stok <= 12 THEN pk.chunk_id
+        |      ELSE pk.chunk_id + 1 END,
+        |    CASE WHEN pk.cnt + s.stok <= 12 THEN pk.cnt + s.stok
+        |      ELSE s.stok END
+        |  FROM pack pk JOIN sen s
+        |    ON s.doc_id = pk.doc_id AND s.sidx = pk.sidx + 1)
+        |SELECT doc_id, CAST(chunk_id - 1 AS INTEGER) AS chunk_idx,
+        |  string_agg(sent, ' ' ORDER BY sidx) AS chunk,
+        |  CAST(sum(stok) AS INTEGER) AS n_tok
+        |FROM pack GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // the 30-merge chain + byte-order symbol ids + ordered per-word and
     // per-doc aggregation — the full corpus→token-ids replay

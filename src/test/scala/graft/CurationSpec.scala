@@ -419,6 +419,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("chunkSentences: packs whole sentences to the budget, oversize " +
+      "sentences become their own chunk, boundaries never split") {
+    val text = "one two three. four five. " +
+      "six seven eight nine ten eleven twelve! thirteen?"
+    val chunks = Seq(text).toDF("text")
+      .select(Curation.chunkSentences(col("text"), maxTokens = 5))
+      .as[Seq[String]].collect().head
+    // s1(3 tok)+s2(2 tok)=5 fits; s3 (7 tok) oversize alone; s4 (1)
+    assert(chunks === Seq(
+      "one two three. four five.",
+      "six seven eight nine ten eleven twelve!",
+      "thirteen?"))
+    // no terminal punctuation at all -> one sentence -> one chunk
+    val flat = Seq("a b c d e f g").toDF("text")
+      .select(Curation.chunkSentences(col("text"), maxTokens = 3))
+      .as[Seq[String]].collect().head
+    assert(flat === Seq("a b c d e f g"))
+    // empty / null text -> no chunks
+    val empty = strDf(Seq("", null), "text")
+      .select(Curation.chunkSentences(col("text"), maxTokens = 3))
+      .collect().map(r => Option(r.getSeq[String](0)))
+    assert(empty(0) === Some(Seq()))
+    assert(empty(1) === None)
+    intercept[IllegalArgumentException] {
+      Curation.chunkSentences(col("text"), 0)
+    }
+  }
+
   // ---- repetition ---------------------------------------------------------
 
   test("dupNgramFrac: doubled text scores ~0.5, unique text scores 0") {
