@@ -117,6 +117,39 @@ object Similarity {
       .select(col(qidCol), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as(idCol), col("col.ord").as("cosine"))
 
+  /** Scalar int8 quantization of an embedding (max-abs symmetric —
+    * the standard storage/bandwidth lever: a 64-dim float64 vector is
+    * 512 bytes; its int8 code + one double scale is 72 — ~7×, and at
+    * 100 TB of embeddings the ANN scan becomes bandwidth-bound long
+    * before it is compute-bound). Returns
+    * struct<q: array<tinyint>, scale: double>; dequantize with
+    * [[int8Dequantize]] and score with the ordinary exact [[cosine]]
+    * (asymmetric search: queries stay full-precision). Pure, engine-
+    * replayable arithmetic: scale = max|x|/127 (zero vectors → scale
+    * 1, all-zero codes), q = round(x/scale) half-away — so a DuckDB
+    * oracle recomputes codes AND the dequantized cosines bit-for-bit.
+    * Quantization error ≤ scale/2 per element bounds the cosine
+    * perturbation (spec-pinned recall on planted structure). */
+  def int8Quantize(vec: Column): Column =
+    graft.operators.TextAnalysis.bindOnce(vec) { v =>
+      val maxabs = array_max(transform(v, x => abs(x)))
+      val scale = when(maxabs === 0.0, lit(1.0))
+        .otherwise(maxabs / lit(127.0))
+      // scale binds once too: it reads the whole vector, and the code
+      // transform references it per element
+      graft.operators.TextAnalysis.bindOnce(scale) { sc =>
+        struct(
+          transform(v, x => round(x / sc).cast("tinyint")).as("q"),
+          sc.as("scale"))
+      }
+    }
+
+  /** Reconstruct the approximate vector from an [[int8Quantize]]
+    * struct: x̂ = q·scale, as array<double>. */
+  def int8Dequantize(qs: Column): Column =
+    transform(qs.getField("q"),
+      q => q.cast("double") * qs.getField("scale"))
+
   /** Exact top-k neighbors for each query (queries: (qid, qvec), small →
     * broadcast; only k rows per partition per query ever shuffle). */
   def bruteForceTopK(data: DataFrame, idCol: String, vecCol: String,

@@ -592,6 +592,28 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- int8-quantized ANN (the embedding bandwidth lever) ---------------
+    // Corpus vectors quantize to int8 codes + one scale (~7× smaller
+    // scan at 100 TB), queries stay full precision, and brute-force
+    // top-5 runs over the DEQUANTIZED corpus. The oracle recomputes
+    // scales, every int8 code, the reconstruction, and the cosine
+    // ranking — quantization arithmetic (half-away rounding, the
+    // zero-vector guard, tinyint range) is hash-pinned end to end.
+    "anq1_int8_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val dq = emb.select(col("vec_id"),
+        Similarity.int8Dequantize(
+          Similarity.int8Quantize(col("embedding"))).as("dvec"))
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(dq, "vec_id", "dvec", queries,
+          "qid", "qv", k = 5)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---- topic-balanced subsample (cluster × exact-k) ---------------------
     // The embedding-space diversity sampler: assign every vector to a
     // deterministic cell (md5-seeded centroids — the createSeeded/ann6
@@ -1708,6 +1730,49 @@ object LlmQueries {
     "nb1_source_classifier" -> nbOracleSql,
     "nb2_incremental_nb" -> nbOracleSql,
     "lang1_learned_langid" -> lang1OracleSql,
+
+    // anq1: scales, int8 codes, reconstruction, and the ranking all
+    // recomputed; round() is half-away on both engines and the code
+    // transform is the identical IEEE expression shape
+    "anq1_int8_topk" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0
+        |      THEN CAST(1.0 AS DOUBLE)
+        |      ELSE list_max(list_transform(v, x -> abs(x)))
+        |        / CAST(127.0 AS DOUBLE) END AS scale
+        |  FROM base),
+        |dq AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x ->
+        |      CAST(CAST(round(x / scale) AS TINYINT) AS DOUBLE) * scale)
+        |      AS dv
+        |  FROM qz),
+        |nrm AS (
+        |  SELECT vec_id, dv,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> dv[i] * dv[i]))) AS ndv
+        |  FROM dq),
+        |q AS (
+        |  SELECT vec_id AS qid, v AS qv,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> v[i] * v[i]))) AS nq
+        |  FROM base WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> e.dv[i] * q.qv[i])) / (e.ndv * q.nq) AS cosine
+        |  FROM nrm e, q)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+        |  SELECT qid, vec_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // cb1: md5-seeded centroid pick, argmax-cosine assignment, and the
     // cu11 exact-k draw — all replayed with the shared bit-exact cosine

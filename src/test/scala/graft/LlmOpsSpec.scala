@@ -660,6 +660,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(err2.getMessage.contains("INTEGRAL label"))
   }
 
+  test("int8 quantization: codes bounded, reconstruction error within " +
+      "scale/2, top-1 self-retrieval survives quantization") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val qz = emb.select(col("vec_id"), col("embedding"),
+      Similarity.int8Quantize(col("embedding")).as("qs"))
+    val checked = qz.select(col("vec_id"),
+        forall(col("qs.q"), q => q.between(-127, 127)).as("in_range"),
+        // per-element |x - q*scale| <= scale/2 (round-to-nearest)
+        forall(
+          zip_with(col("embedding"),
+            Similarity.int8Dequantize(col("qs")),
+            (x, xd) => abs(x - xd)),
+          e => e <= col("qs.scale") / 2 + lit(1e-12)).as("err_ok"))
+      .collect()
+    assert(checked.forall(_.getBoolean(1)))
+    assert(checked.forall(_.getBoolean(2)))
+    // top-1 self-retrieval: full-precision queries against the
+    // dequantized corpus still rank the query's own vector first
+    val dq = emb.select(col("vec_id"),
+      Similarity.int8Dequantize(
+        Similarity.int8Quantize(col("embedding"))).as("dvec"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top1 = Similarity.bruteForceTopK(dq, "vec_id", "dvec",
+        queries, "qid", "qv", k = 1)
+      .select(col("qid"), col("vec_id")).collect()
+    assert(top1.forall(r => r.getLong(0) === r.getLong(1)))
+    // zero vector: scale guard 1.0, all-zero codes, no NaN
+    val z = strDf(Seq("x"), "t")
+      .select(Similarity.int8Quantize(
+        array(lit(0.0), lit(0.0))).as("qs"))
+      .select(col("qs.scale"), col("qs.q")).collect().head
+    assert(z.getDouble(0) === 1.0)
+    assert(z.getSeq[Byte](1) === Seq(0.toByte, 0.toByte))
+  }
+
   test("vec_sum_long: elementwise sums across partitions; loud on " +
       "mixed lengths and nulls") {
     import graft.expressions.VecSumAggExpr.vecSumLong
