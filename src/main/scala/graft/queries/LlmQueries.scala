@@ -603,9 +603,16 @@ object LlmQueries {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("embedding"))
-      val dq = emb.select(col("vec_id"),
-        Similarity.int8Dequantize(
-          Similarity.int8Quantize(col("embedding"))).as("dvec"))
+      // MATERIALIZE the codes (the whole point of quantization is a
+      // stored, smaller scan): inlined, CollapseProject pushes the
+      // interpreted quantize+dequant lambda chain INTO the query
+      // cross-join and re-evaluates it per (vector, query) pair —
+      // measured 4.3 s vs 0.35 s on this gate, and |data|×|queries|
+      // quantizations at scale
+      val dq = graft.CacheScope.session.cache(
+        emb.select(col("vec_id"),
+          Similarity.int8Dequantize(
+            Similarity.int8Quantize(col("embedding"))).as("dvec")))
       val queries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.bruteForceTopK(dq, "vec_id", "dvec", queries,
