@@ -386,6 +386,50 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** REAL media probing: detect the payload's type and derive its
+    * metadata FROM THE BYTES (what a 100 TB ingest actually needs —
+    * upstream-supplied metadata lies). Images probe header-only via
+    * [[ImageIo.dims]]; WAV via [[WavIo.info]]'s chunk walk; anything
+    * else comes back ("unknown", format null, dims/duration null) with
+    * its size — a countable fact, not a dropped row. Output is the
+    * canonical [[mediaSchema]], so every downstream stage composes. */
+  def probeMedia(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val p = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val size = if (p == null) 0L else p.length.toLong
+          val (mt, fmt, w, h, dur) = ImageIo.dims(p) match {
+            case Some((iw, ih)) =>
+              ("image", sniffImageFormat(p), iw: Integer, ih: Integer,
+                null: java.lang.Long)
+            case None => WavIo.info(p) match {
+              case Some(wi) => ("audio", "wav", null: Integer,
+                null: Integer, wi.durationMs: java.lang.Long)
+              case None => ("unknown", null, null: Integer,
+                null: Integer, null: java.lang.Long)
+            }
+          }
+          org.apache.spark.sql.Row(r.getLong(0), p,
+            org.apache.spark.sql.Row(mt, fmt, w, h, dur, size))
+        }
+      }
+    spark.createDataFrame(rows, mediaSchema)
+  }
+
+  /** Container magic-byte sniff for the formats the JDK decodes. */
+  private def sniffImageFormat(p: Array[Byte]): String =
+    if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+      p(2) == 'N' && p(3) == 'G') "png"
+    else if (p.length >= 2 && (p(0) & 0xff) == 0xff &&
+      (p(1) & 0xff) == 0xd8) "jpeg"
+    else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
+    else if (p.length >= 4 && p(0) == 'G' && p(1) == 'I' &&
+      p(2) == 'F') "gif"
+    else "image"
+
   /** Real image statistics as a DataFrame stage: one row per media row
     * with header dims, channel means (6-dec rounded — exact integer
     * sums divided once, so both engines and any partitioning agree),

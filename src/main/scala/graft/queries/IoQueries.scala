@@ -285,6 +285,53 @@ object IoQueries {
         .orderBy(col("media_id"))
     }),
 
+    // ---- REAL media probing: type inference + metadata FROM BYTES --------
+    // A mixed payload column (PNG / WAV / junk by id mod 3) probes
+    // through the real codecs: magic-byte + header detection, image
+    // dims, audio duration. The oracle knows every answer analytically
+    // from the id — a mis-sniffed format, wrong header field, or a
+    // junk payload classified as media breaks the hash.
+    "m6_media_probe" -> ((s, d) => {
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("media_id"))
+        .filter(col("media_id") < 200)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType)))
+      val nBy4 = Seq(100, 125, 200, 250)
+      val rows = ids.rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload: Array[Byte] = (id % 3) match {
+            case 0 =>
+              val w = (8 + (id % 8) * 2).toInt
+              val h = (6 + (id % 5) * 2).toInt
+              val c = ((id % 251).toInt, ((id * 7) % 251).toInt,
+                ((id * 13) % 251).toInt)
+              Multimodal.ImageIo.encodeTwoTonePng(w, h, c, c)
+            case 1 =>
+              val rate = (8000 + (id % 4) * 4000).toInt
+              val n = nBy4((id % 4).toInt)
+              Multimodal.WavIo.encodePcm16(rate,
+                Array.fill[Short](n)(7))
+            case _ => s"junk payload $id".getBytes("UTF-8")
+          }
+          org.apache.spark.sql.Row(id, payload)
+        }
+      }
+      Multimodal.probeMedia(s.createDataFrame(rows, schema),
+          "media_id", "payload")
+        .select(col("media_id"),
+          col("meta.media_type").as("media_type"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- Z-order layout: key exactness + clustered-write round-trip ------
     // The Morton key is computed, written through zorderWrite (range
     // partition + sort + file split), read back, and hash-compared to
@@ -374,6 +421,24 @@ object IoQueries {
       """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx
         |FROM documents, generate_series(0, 3) t(f)
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // every probed field analytic from the id-mod-3 construction
+    "m6_media_probe" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'unknown' END AS media_type,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |    ELSE NULL END AS format,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN CAST(8 + (doc_id % 8) * 2 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN CAST(6 + (doc_id % 5) * 2 AS INTEGER) END AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(
+        |    ((CASE doc_id % 4 WHEN 0 THEN 100 WHEN 1 THEN 125
+        |       WHEN 2 THEN 200 ELSE 250 END) * 1000)
+        |    // (8000 + (doc_id % 4) * 4000) AS BIGINT) END AS duration_ms
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY media_id""".stripMargin,
 
     // the two-tone construction makes every decoded statistic analytic:
     // means are (c1+c2)/2 (equal halves), corners are the raw colors —

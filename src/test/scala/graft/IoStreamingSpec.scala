@@ -187,6 +187,38 @@ class IoStreamingSpec extends SparkSpec {
     assert(rz(2).isNullAt(1))     // undecodable passes through null
   }
 
+  test("multimodal: probeMedia infers type + metadata from bytes " +
+      "(png dims, wav duration, unknown fallback, null payload)") {
+    import Multimodal.{ImageIo, WavIo}
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val rows = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L,
+        ImageIo.encodeTwoTonePng(6, 4, (1, 2, 3), (1, 2, 3))),
+      org.apache.spark.sql.Row(2L,
+        WavIo.encodePcm16(16000, Array.fill[Short](8000)(3))),
+      org.apache.spark.sql.Row(3L, "neither".getBytes),
+      org.apache.spark.sql.Row(4L, null)), schema)
+    val got = Multimodal.probeMedia(rows, "media_id", "payload")
+      .select(col("media_id"), col("meta.media_type"),
+        col("meta.format"), col("meta.width"), col("meta.height"),
+        col("meta.duration_ms"), col("meta.size_bytes"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1).getString(1) === "image" &&
+      got(1).getString(2) === "png" && got(1).getInt(3) === 6 &&
+      got(1).getInt(4) === 4)
+    assert(got(2).getString(1) === "audio" &&
+      got(2).getString(2) === "wav" && got(2).getLong(5) === 500L)
+    assert(got(3).getString(1) === "unknown" && got(3).isNullAt(2))
+    assert(got(4).getString(1) === "unknown" &&
+      got(4).getLong(6) === 0L)
+    // the probed frame IS the canonical media schema — stages compose
+    assert(Multimodal.probeMedia(rows, "media_id", "payload")
+      .schema.fieldNames.toSeq ===
+      Multimodal.mediaSchema.fieldNames.toSeq)
+  }
+
   test("multimodal: REAL WAV parse — header fields, exact PCM stats, " +
       "malformed-payload contract") {
     import Multimodal.WavIo
