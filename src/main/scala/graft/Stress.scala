@@ -454,6 +454,74 @@ object Stress {
       }
     }
 
+    // ---- real-codec multimodal throughput: synthesize nDocs/10 PNGs
+    // and WAVs (real encoders), then probe types + decode stats + a
+    // real resize pass — the imgs/sec that sizes the ImageIO path for
+    // a media-scale corpus. Payloads are born in the same mapPartitions
+    // that consumes them downstream; nothing shuffles payload bytes. --
+    step("multimodal") {
+      val nMedia = math.max(50000L, nDocs / 10)
+      val ids = spark.range(nMedia).toDF("media_id")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType)))
+      val media = spark.createDataFrame(ids.rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload: Array[Byte] =
+            if (id % 2 == 0)
+              graft.operators.Multimodal.ImageIo.encodeTwoTonePng(
+                (16 + (id % 8) * 4).toInt, (12 + (id % 5) * 4).toInt,
+                ((id % 251).toInt, ((id * 7) % 251).toInt,
+                  ((id * 13) % 251).toInt),
+                (((id * 3) % 251).toInt, ((id * 11) % 251).toInt,
+                  ((id * 17) % 251).toInt))
+            else
+              graft.operators.Multimodal.WavIo.encodePcm16(
+                (8000 + (id % 4) * 4000).toInt,
+                Array.tabulate(400)(i =>
+                  (((id + i) % 2000) - 1000).toShort))
+          org.apache.spark.sql.Row(id, payload)
+        }
+      }, schema).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = media.count()
+      val t0 = System.nanoTime()
+      val probed = graft.operators.Multimodal.probeMedia(
+        media, "media_id", "payload")
+      val byType = probed.groupBy(col("meta.media_type"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val probeSecs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val imgStats = graft.operators.Multimodal.decodeImageStats(
+        media.filter(col("media_id") % 2 === 0))
+        .agg(count(lit(1)), sum(col("width").cast("long"))).collect().head
+      val decodeSecs = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val resized = graft.operators.Multimodal.resizeImages(
+        graft.operators.Multimodal.probeMedia(
+          media.filter(col("media_id") % 2 === 0), "media_id",
+          "payload"), 8, 6)
+        .agg(count(lit(1)),
+          sum(col("meta.size_bytes"))).collect().head
+      val resizeSecs = (System.nanoTime() - t2) / 1e9
+      media.unpersist(blocking = false)
+      Seq("n_media" -> n,
+        "n_images" -> byType.getOrElse("image", 0L),
+        "n_audio" -> byType.getOrElse("audio", 0L),
+        "probe_secs" -> math.round(probeSecs * 100.0) / 100.0,
+        "probe_per_sec" -> math.round(n / probeSecs),
+        "decode_secs" -> math.round(decodeSecs * 100.0) / 100.0,
+        "decode_imgs_per_sec" -> math.round(
+          imgStats.getLong(0) / decodeSecs),
+        "resize_secs" -> math.round(resizeSecs * 100.0) / 100.0,
+        "resize_imgs_per_sec" -> math.round(
+          resized.getLong(0) / resizeSecs))
+    }
+
     // ---- per-row quality reports over the FULL corpus: gopher (five
     // sorted gram folds/row) + c4 line clean in ONE map-only pass — the
     // telemetry is pure scan throughput, there is nothing to shuffle ----

@@ -483,9 +483,13 @@ object Multimodal {
           val resized =
             if (r.isNullAt(1)) null
             else ImageIo.resizePng(r.getAs[Array[Byte]](1), newW, newH)
+          // duration_ms is null for images born from probeMedia —
+          // carry the null through (getLong on it would kill the task)
+          val dur: java.lang.Long =
+            if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4))
           org.apache.spark.sql.Row(r.getLong(0), resized,
             org.apache.spark.sql.Row(r.getString(2), "png",
-              newW, newH, r.getLong(4),
+              newW, newH, dur,
               if (resized == null) 0L else resized.length.toLong))
         }
       }

@@ -217,6 +217,14 @@ class IoStreamingSpec extends SparkSpec {
     assert(Multimodal.probeMedia(rows, "media_id", "payload")
       .schema.fieldNames.toSeq ===
       Multimodal.mediaSchema.fieldNames.toSeq)
+    // ...including resize directly over a probed frame whose image
+    // rows carry a NULL duration (the 500k-media stress regression:
+    // getLong on the null killed the task)
+    val rz = Multimodal.resizeImages(
+      Multimodal.probeMedia(rows, "media_id", "payload")
+        .filter(col("meta.media_type") === "image"), 3, 2)
+      .collect()
+    assert(rz.length === 1 && rz.head.getStruct(2).isNullAt(4))
   }
 
   test("multimodal: REAL WAV parse — header fields, exact PCM stats, " +
