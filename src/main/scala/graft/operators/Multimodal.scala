@@ -346,7 +346,12 @@ object Multimodal {
       }
       for ((ch, rate, bits) <- fmt; (off, len) <- data) yield {
         if (ch <= 0 || rate <= 0 || bits <= 0) return None
-        val nFrames = len.toLong / (ch * bits / 8)
+        // sub-byte frames (e.g. a crafted fmt with bits=4, ch=1) make
+        // the integer divisor 0 — malformed payloads are DATA on a
+        // 100 TB ingest, so hold the "None, never a throw" contract
+        val bytesPerFrame = ch * bits / 8
+        if (bytesPerFrame <= 0) return None
+        val nFrames = len.toLong / bytesPerFrame
         (WavInfo(rate, ch, bits, nFrames, nFrames * 1000L / rate),
           off, len)
       }

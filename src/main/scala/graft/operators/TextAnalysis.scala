@@ -859,6 +859,15 @@ object TextAnalysis {
   def bpeTrain(wordFreq: DataFrame, nMerges: Int)(
       implicit scope: graft.CacheScope): DataFrame = {
     require(nMerges >= 1, s"bpeTrain: nMerges must be >= 1, got $nMerges")
+    // runtime steer to the fast path: past a few dozen merges the
+    // one-Spark-job-per-merge cost dominates (~seconds/merge) while
+    // [[bpeTrainLocal]] trains the identical model (spec-pinned) from
+    // ONE corpus-sized job + an O(vocab) driver index — use this path
+    // only when the collapsed vocabulary cannot fit the driver.
+    if (nMerges > 50) System.err.println(
+      s"[graft] bpeTrain: $nMerges merges on the one-job-per-merge " +
+        "path; bpeTrainLocal trains the same model with one corpus " +
+        "pass (use it unless the vocabulary exceeds driver memory)")
     val spark = wordFreq.sparkSession
     var vocab = wordFreq.select(col("word"), col("freq"),
       charSyms(col("word")).as("syms"))
@@ -879,7 +888,7 @@ object TextAnalysis {
       .empty[(Int, String, String, Long)]
     var k = 1
     var exhausted = false
-    while (k <= nMerges && !exhausted) {
+    try while (k <= nMerges && !exhausted) {
       val schema = vocab.schema
       rdd = vocab.rdd.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -908,8 +917,13 @@ object TextAnalysis {
           mergeOnce(col("syms"), lhs, rhs).as("syms"))
         k += 1
       }
+    } finally {
+      // a job failure mid-loop (or a collect throw) must not leak this
+      // session's persisted blocks — release BOTH live handles; after a
+      // clean last iteration prevRdd eq rdd and unpersist is idempotent
+      if (prevRdd ne null) prevRdd.unpersist(blocking = false)
+      if ((rdd ne null) && (rdd ne prevRdd)) rdd.unpersist(blocking = false)
     }
-    if (rdd ne null) rdd.unpersist(blocking = false)
     import spark.implicits._
     merges.toSeq.toDF("iter", "lhs", "rhs", "cnt")
   }
@@ -1408,7 +1422,19 @@ object TextAnalysis {
       transform(labelArr, l => element_at(m, l))
     val ltot = tc.groupBy(col("label")).agg(sum(col("c")).as("tot"))
     val vocab = broadcast(tc.agg(countDistinct(col("term")).as("v")))
-    val ltv = ltot.crossJoin(vocab)
+    // the label spine comes from docCounts (the authoritative label
+    // set), not from termCounts: a label whose training docs all
+    // produced EMPTY feature arrays exists in docCounts only, and a
+    // grid keyed on termCounts labels would leave its map entry
+    // absent — element_at(map, label) nulls that element of every
+    // lps/oov vector and VecSumAgg aborts the whole scoring job.
+    // coalesce(tot, 0) keeps the row-expanded formulation's behavior:
+    // such a label scores through its prior + pure-smoothing
+    // likelihoods, never an error.
+    val ltv = model.docCounts.select(col("label"))
+      .join(ltot, Seq("label"), "left")
+      .select(col("label"), coalesce(col("tot"), lit(0L)).as("tot"))
+      .crossJoin(vocab)
     val lpMicros = round(log(
       (coalesce(col("c"), lit(0L)) + lit(alpha)) /
         (col("tot") + lit(alpha) * col("v"))) * lit(1e6)).cast("long")

@@ -608,7 +608,12 @@ object LlmQueries {
       // interpreted quantize+dequant lambda chain INTO the query
       // cross-join and re-evaluates it per (vector, query) pair —
       // measured 4.3 s vs 0.35 s on this gate, and |data|×|queries|
-      // quantizations at scale
+      // quantizations at scale. Lifetime: `CacheScope.session`
+      // delegates to the thread's ACTIVE scope — Bench and Verify
+      // build AND run each gate inside a per-query withScope bracket,
+      // so this frame is unpersisted when the gate's action finishes;
+      // only a caller outside any bracket gets the documented
+      // session-LRU default.
       val dq = graft.CacheScope.session.cache(
         emb.select(col("vec_id"),
           Similarity.int8Dequantize(

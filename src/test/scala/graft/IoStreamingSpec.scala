@@ -249,6 +249,11 @@ class IoStreamingSpec extends SparkSpec {
     val lied = wav.clone()
     lied(42) = 0x7f.toByte // data chunk length far past the buffer
     assert(WavIo.info(lied) === None)
+    // sub-byte frame size (bits=4, ch=1): ch*bits/8 == 0 — must be
+    // None, not an ArithmeticException killing the task
+    val subByte = wav.clone()
+    subByte(34) = 4.toByte; subByte(35) = 0.toByte
+    assert(WavIo.info(subByte) === None)
     // the DataFrame stage: stats rows + nulls for non-WAV payloads
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),

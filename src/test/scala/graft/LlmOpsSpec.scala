@@ -395,6 +395,38 @@ class LlmOpsSpec extends SparkSpec {
       .orderBy("id").collect().toSeq === out.toSeq)
   }
 
+  test("NB label whose training docs produce zero features still " +
+      "scores (prior + smoothing only), never aborts the job") {
+    // "blank" label: every training doc is whitespace-only, so the
+    // tokenizer emits no terms — the label exists in docCounts but
+    // not termCounts. Before the docCounts-spine fix the per-term
+    // label vector had a null element for it and VecSumAgg threw.
+    // repeated terms: a zero-count label's pure-smoothing likelihood
+    // ln(α/(0+αV)) beats a SINGLE observation's ln((1+α)/(tot+αV)) when
+    // tot > α(V·α−... — i.e. the blank label legitimately wins thin
+    // evidence; repeated evidence must beat it
+    val train = Seq(
+      (1L, "spam", "buy cheap pills now cheap pills cheap pills"),
+      (2L, "ham", "meeting notes for review meeting review meeting"),
+      (3L, "blank", "   "),
+      (4L, "blank", ""))
+      .toDF("id", "label", "text")
+    val mdl = TA.nbTrain(train, "label", "text")
+    val held = Seq((10L, "cheap pills"), (11L, "meeting review"))
+      .toDF("id", "text")
+    val out = TA.nbScore(held, "id", "text", mdl).orderBy("id").collect()
+    // content docs still classify correctly; the blank label competes
+    // through prior 2/4 + pure-smoothing likelihoods and loses to a
+    // label that saw the terms repeatedly
+    assert(out(0).getString(1) === "spam")
+    assert(out(1).getString(1) === "ham")
+    // and a blank-looking held-out doc scores prior-only: "blank" has
+    // the max prior (2 docs vs 1), so it wins the prior-only argmax
+    val blankOut = TA.nbScore(Seq((12L, " ")).toDF("id", "text"),
+      "id", "text", mdl).collect()
+    assert(blankOut(0).getString(1) === "blank")
+  }
+
   test("streamed NB state equals the one-shot model over all deltas") {
     val raw = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("text"))
