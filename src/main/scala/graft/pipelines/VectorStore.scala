@@ -18,8 +18,12 @@ import graft.operators.Similarity.PqModel
   * Layout under `dir`:
   *   centroids/  — (cell: long, centroid: array<double>), tiny
   *   codebooks/  — one row: (m, ksub, dsub, flat: array<double>), tiny
+  *   format/     — one row: (int8: boolean), the vector storage format
   *   vectors/b=<batchTag>/cell=<c>/ —
-  *                 (id: long, vec: array<double>, codes: array<int>).
+  *                 (id: long, vec: array<double>, codes: array<int>),
+  *                 or with int8 storage (id, q: array<tinyint>,
+  *                 scale: double, codes) — ~7× fewer scan bytes,
+  *                 dequantized on read.
   *                 `cell` partitioning: a query probing `nprobe` cells
   *                 prunes every other cell directory, so scan bytes
   *                 scale with nprobe/nCells, not corpus. `b` batch
@@ -42,10 +46,21 @@ object VectorStore {
   /** Train the coarse quantizer + PQ codebooks on the seed batch and
     * lay the store down. Seed should be a representative sample; both
     * trainers are bounded (k-means on nCells lowest-id init vectors,
-    * PQ on a capped lowest-id sample). */
+    * PQ on a capped lowest-id sample).
+    *
+    * `int8 = true` stores each vector as its [[Similarity.int8Quantize]]
+    * code (array<tinyint> + one double scale) instead of float64 —
+    * ~7× fewer scan bytes per probed cell, the bandwidth lever that
+    * dominates once nprobe cells are themselves terabytes. Every query
+    * path dequantizes on read (asymmetric search: queries stay full
+    * precision; centroids and PQ codebooks are tiny and stay float64),
+    * so results are within quantization error of the float store and
+    * remain engine-replayable (the anq2 gate's oracle recomputes codes,
+    * reconstruction, and ranking end to end). The format is recorded in
+    * `$dir/format` and appends follow it automatically. */
   def create(spark: SparkSession, dir: String, seed: DataFrame,
       idCol: String, vecCol: String, nCells: Int, m: Int, ksub: Int,
-      ivfIters: Int = 3, pqIters: Int = 8): Unit = {
+      ivfIters: Int = 3, pqIters: Int = 8, int8: Boolean = false): Unit = {
     val clean = normalize(seed, idCol, vecCol)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -55,7 +70,9 @@ object VectorStore {
       .parquet(s"$dir/centroids")
     val mdl = Similarity.pqTrain(clean, "id", "vec", m, ksub, pqIters)
     saveModel(spark, mdl, s"$dir/codebooks")
-    writeVectors(withCodes(idx.assigned, mdl), dir, batchTag = "seed")
+    saveFormat(spark, dir, int8)
+    writeVectors(withCodes(idx.assigned, mdl), dir, batchTag = "seed",
+      int8 = int8)
   }
 
   /** Lay the store down with a DETERMINISTICALLY SEEDED coarse
@@ -76,7 +93,7 @@ object VectorStore {
     * that need replayability don't read them). */
   def createSeeded(spark: SparkSession, dir: String, seed: DataFrame,
       idCol: String, vecCol: String, nCells: Int, m: Int, ksub: Int,
-      pqIters: Int = 8): Unit = {
+      pqIters: Int = 8, int8: Boolean = false): Unit = {
     require(nCells >= 1, s"createSeeded: nCells must be >= 1: $nCells")
     val clean = normalize(seed, idCol, vecCol)
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -101,9 +118,11 @@ object VectorStore {
       .parquet(s"$dir/centroids")
     val mdl = Similarity.pqTrain(clean, "id", "vec", m, ksub, pqIters)
     saveModel(spark, mdl, s"$dir/codebooks")
+    saveFormat(spark, dir, int8)
     val assigned = Similarity.assignCells(clean, "id", "vec",
       spark.read.parquet(s"$dir/centroids"))
-    writeVectors(withCodes(assigned, mdl), dir, batchTag = "seed")
+    writeVectors(withCodes(assigned, mdl), dir, batchTag = "seed",
+      int8 = int8)
   }
 
   /** Append a batch: assign cells + codes with the FROZEN quantizers —
@@ -123,7 +142,10 @@ object VectorStore {
     val centroids = spark.read.parquet(s"$dir/centroids")
     val mdl = loadModel(spark, s"$dir/codebooks")
     val assigned = Similarity.assignCells(clean, "id", "vec", centroids)
-    writeVectors(withCodes(assigned, mdl), dir, batchTag)
+    // appends follow the store's recorded format — a batch written in
+    // the wrong precision would silently split the store's schema
+    writeVectors(withCodes(assigned, mdl), dir, batchTag,
+      int8 = loadFormat(spark, dir))
   }
 
   /** Continuous ingestion: drain a streaming DataFrame of (id, vec)
@@ -157,7 +179,7 @@ object VectorStore {
       qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
     val (cellRank, probed) = probePlan(spark, dir, queries, qidCol,
       qvecCol, nprobe)
-    val vecs = spark.read.parquet(s"$dir/vectors")
+    val vecs = readVectors(spark, dir)
       .filter(col("cell").isin(probed: _*))
     val scored = vecs.join(broadcast(cellRank), Seq("cell"))
       .withColumn("cosine", Similarity.cosine(col("vec"), col(qvecCol)))
@@ -178,7 +200,7 @@ object VectorStore {
     val mdl = loadModel(spark, s"$dir/codebooks")
     val (cellRank, probed) = probePlan(spark, dir, queries, qidCol,
       qvecCol, nprobe)
-    val vecs = spark.read.parquet(s"$dir/vectors")
+    val vecs = readVectors(spark, dir)
       .filter(col("cell").isin(probed: _*))
     val qRows = queries
       .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
@@ -202,7 +224,7 @@ object VectorStore {
         col("score"), col("id"), candidates).as("__tk"))
       .select(col(qidCol), explode(col("__tk").getField("id")).as("id"))
     val reranked = cands
-      .join(spark.read.parquet(s"$dir/vectors")
+      .join(readVectors(spark, dir)
         .filter(col("cell").isin(probed: _*))
         .select(col("id"), col("vec")), Seq("id"))
       .join(broadcast(queries.select(col(qidCol).cast("long").as(qidCol),
@@ -232,7 +254,7 @@ object VectorStore {
       nprobe: Int): DataFrame = {
     val qs = queries.select(col(qidCol).cast("long").as("qid"),
       col(qvecCol).cast("array<double>").as("qvec"))
-    val vecs = spark.read.parquet(s"$dir/vectors")
+    val vecs = readVectors(spark, dir)
       .select(col("b"), col("cell"), col("id"), col("vec"))
     def topkIds(scored: DataFrame): DataFrame = scored
       .groupBy(col("b"), col("qid"))
@@ -286,12 +308,63 @@ object VectorStore {
     * spark.sql.files.maxRecordsPerFile rather than re-spraying.
     *
     * Each batch OVERWRITES its own b=<tag> directory — the idempotence
-    * contract [[ingestStream]] relies on. */
+    * contract [[ingestStream]] relies on.
+    *
+    * int8 layout swaps the float64 `vec` column for the
+    * [[Similarity.int8Quantize]] pair (q: array<tinyint>,
+    * scale: double) — quantization runs ONCE per row at write time
+    * (map-only; no join anywhere near it, so no CollapseProject
+    * re-evaluation hazard). PQ `codes` ride along unchanged in either
+    * format. */
   private def writeVectors(df: DataFrame, dir: String,
-      batchTag: String): Unit =
-    df.repartition(col("cell"))
+      batchTag: String, int8: Boolean): Unit = {
+    val out =
+      if (!int8) df
+      else df
+        // two-step so the quantize struct binds ONCE per row (two
+        // getFields on the raw expression would evaluate it twice)
+        .select(col("id"), Similarity.int8Quantize(col("vec")).as("__qz"),
+          col("codes"), col("cell"))
+        .select(col("id"), col("__qz.q").as("q"),
+          col("__qz.scale").as("scale"), col("codes"), col("cell"))
+    out.repartition(col("cell"))
       .write.mode("overwrite")
       .partitionBy("cell").parquet(s"$dir/vectors/b=$batchTag")
+  }
+
+  /** Uniform read view of the vector table: (b, cell, id, vec, codes)
+    * regardless of storage format. An int8 store reconstructs `vec` as
+    * q·scale on read — parquet column pruning then reads (q, scale)
+    * instead of the float64 array, which is where the ~7× scan-byte
+    * cut lands (the dequantize itself is one fused multiply pass; note
+    * that a projection above a join — topK's cosine — inlines it per
+    * scored PAIR, an extra O(dim) per candidate that the bandwidth
+    * saving dwarfs once probed cells stop fitting in page cache). */
+  private def readVectors(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/vectors")
+    val vec =
+      if (!raw.columns.contains("q")) col("vec")
+      else transform(col("q"), x => x.cast("double") * col("scale"))
+    raw.select(col("b"), col("cell"), col("id"), vec.as("vec"),
+      col("codes"))
+  }
+
+  /** The store's vector storage format, recorded at create time so
+    * appends can't split the schema. Missing marker = float64 (stores
+    * created before the int8 option existed). */
+  private def saveFormat(spark: SparkSession, dir: String,
+      int8: Boolean): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(int8)).toDF("int8")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/format")
+  }
+
+  private def loadFormat(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/format")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && spark.read.parquet(s"$dir/format")
+      .collect()(0).getBoolean(0)
+  }
 
   /** Per-query probe ranking + the collected probe-cell union (bounded
     * by nQueries·nprobe — queries are few by contract). */

@@ -629,6 +629,31 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- CCNet buckets on the NO-SORT sketch path --------------------------
+    // The 100 TB form of t12: per-language thresholds from the
+    // deterministic HdrHistogram-bucket quantile sketch (one narrow
+    // bucket-count shuffle, no per-group global sort — the step that
+    // goes hot when one language is half the corpus), then a monotone
+    // threshold-compare assignment. Everything is exact integer
+    // arithmetic (micros-per-transition by truncating division, bucket
+    // edges by bit ops), so the oracle replays the sketch build, the
+    // ceil-rank threshold pick, AND every document's bucket — the full
+    // assignment is hash-pinned, not just the histogram.
+    "t12c_sketch_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("lang"), col("source"), col("text"))
+      val lm = TextAnalysis.bigramLm(
+        docs.filter(col("source") === "src0"), "text")
+      val scored = TextAnalysis
+        .bigramLogProb(docs, "doc_id", "text", lm, alpha = 0.5)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      TextAnalysis.nllSketchBuckets(scored, "doc_id", "lang",
+          nBuckets = 3, m = 9)
+        .select(col("doc_id"), col("lang"), col("n_transitions"),
+          col("nll_micros"), col("bucket"), col("bucket_label"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- per-source quality report (corpus health by domain) --------------
     // Gopher metrics aggregated per source as INTEGER sums and ratios
     // of integer sums — immune to float summation order on both
@@ -1634,6 +1659,55 @@ object CurationQueries {
          |    WHEN ((r - 1) * 3) // n = 2 THEN 'tail'
          |    ELSE 'middle' END AS bucket_label
          |FROM rk ORDER BY doc_id""".stripMargin,
+
+    // The sketch-bucket path: same LM scoring, then the HdrHistogram
+    // m=9 bucket replay (kq1's integer bit-math at base 512), ceil-rank
+    // threshold pick at 1/3 and 2/3, and the monotone > comparisons.
+    // anm = nll_micros // n_transitions is truncating division of two
+    // non-negative BIGINTs, identical in Spark's DIV and DuckDB's //.
+    "t12c_sketch_buckets" ->
+      s"""WITH ${OracleFragments.lmTrainCtes("documents", "text",
+              "source = 'src0'")},
+         |${OracleFragments.lmScoreCtes("documents", "text", 0.5)},
+         |sc2 AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(coalesce(s.n_transitions, 0) AS BIGINT)
+         |      AS n_transitions,
+         |    CAST(coalesce(s.nll_micros, 0) AS BIGINT) AS nll_micros,
+         |    CASE WHEN coalesce(s.n_transitions, 0) = 0 THEN 0
+         |      ELSE s.nll_micros // s.n_transitions END AS anm
+         |  FROM documents d LEFT JOIN lmsc s USING (doc_id)),
+         |bk AS (
+         |  SELECT lang,
+         |    CASE WHEN anm < 512 THEN anm
+         |         ELSE (length(bin(anm)) - 9) * 512
+         |              + (anm >> (length(bin(anm)) - 10)) - 512
+         |    END AS bkt, count(*) AS cnt
+         |  FROM sc2 GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, bkt, cnt,
+         |    SUM(cnt) OVER (PARTITION BY lang ORDER BY bkt) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY lang) AS total,
+         |    CASE WHEN bkt < 512 THEN bkt
+         |         ELSE ((512 + (bkt & 511) + 1)
+         |               << CAST((bkt >> 9) - 1 AS INT)) - 1
+         |    END AS hi
+         |  FROM bk),
+         |th AS (
+         |  SELECT lang,
+         |    MIN(CASE WHEN cum >= (total + 2) // 3 THEN hi END) AS t1,
+         |    MIN(CASE WHEN cum >= (total * 2 + 2) // 3 THEN hi END)
+         |      AS t2
+         |  FROM cum GROUP BY 1)
+         |SELECT s.doc_id, s.lang, s.n_transitions, s.nll_micros,
+         |  CAST((CASE WHEN s.anm > t.t1 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN s.anm > t.t2 THEN 1 ELSE 0 END) AS INT)
+         |    AS bucket,
+         |  CASE WHEN s.anm <= t.t1 THEN 'head'
+         |       WHEN s.anm > t.t2 THEN 'tail'
+         |       ELSE 'middle' END AS bucket_label
+         |FROM sc2 s JOIN th t USING (lang)
+         |ORDER BY s.doc_id""".stripMargin,
 
     // Gopher chain over base + planted srcq, aggregated per source with
     // integer sums only.

@@ -626,6 +626,39 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- int8 VectorStore lifecycle (storage-level quantization) ----------
+    // anq1 proves the quantization ARITHMETIC; this proves the STORE:
+    // createSeeded lays the vectors down as int8 codes + scale (the
+    // ~7× scan-bytes format), append follows the recorded format with
+    // no parameter at its call site, and the IVF probe scores
+    // dequantized-on-read vectors (asymmetric search). The oracle
+    // replays the whole lifecycle: md5-seeded centroid pick,
+    // full-precision cell assignment (write-time, FAISS convention),
+    // per-vector quantize→dequantize, the (cosine DESC, cell) probe
+    // ranking at nprobe=4, and the pruned top-5 — a regression in
+    // storage codec, format propagation, or the read-side dequant
+    // breaks the hash.
+    "anq2_int8_store" -> ((s, d) => {
+      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
+      val dir = s"/tmp/graft_vstore_i8_$sfTag"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val data = annCorpus(s, d)
+      graft.pipelines.VectorStore.createSeeded(s, dir,
+        data.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        nCells = 8, m = 4, ksub = 8, pqIters = 2, int8 = true)
+      graft.pipelines.VectorStore.append(s, dir,
+        data.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        batchTag = "b1")
+      val queries = data.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.pipelines.VectorStore.topK(s, dir, queries, "qid", "qv",
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---- topic-balanced subsample (cluster × exact-k) ---------------------
     // The embedding-space diversity sampler: assign every vector to a
     // deterministic cell (md5-seeded centroids — the createSeeded/ann6
@@ -1784,6 +1817,84 @@ object LlmQueries {
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY cosine DESC, vec_id) AS rank
         |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // anq2: the int8 STORE lifecycle — ann6's seeded-centroid pick +
+    // full-precision assignment + probe ranking, composed with anq1's
+    // quantize→dequantize replay on the stored side; queries stay full
+    // precision (asymmetric search)
+    "anq2_int8_store" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT 10000 + vec_id * 5 + c,
+        |    list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * (1.0 + 0.001 * (c + 1)))
+        |  FROM embeddings, range(0, 5) t(c) WHERE vec_id < 3),
+        |wb AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+        |      AS nv
+        |  FROM base),
+        |cent AS (
+        |  SELECT rn - 1 AS cell, v AS cv, nv AS ncv FROM (
+        |    SELECT vec_id, v, nv, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM wb WHERE vec_id % 2 = 0)
+        |  WHERE rn <= 8),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT w.vec_id, c.cell, row_number() OVER (
+        |      PARTITION BY w.vec_id ORDER BY
+        |        (list_sum(list_transform(range(1, 65),
+        |           i -> w.v[i] * c.cv[i])) / (w.nv * c.ncv)) DESC,
+        |        c.cell) AS rn
+        |    FROM wb w CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |qz AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0
+        |      THEN CAST(1.0 AS DOUBLE)
+        |      ELSE list_max(list_transform(v, x -> abs(x)))
+        |        / CAST(127.0 AS DOUBLE) END AS scale
+        |  FROM base),
+        |dq AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x ->
+        |      CAST(CAST(round(x / scale) AS TINYINT) AS DOUBLE) * scale)
+        |      AS dv
+        |  FROM qz),
+        |nrm AS (
+        |  SELECT vec_id, dv,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> dv[i] * dv[i]))) AS ndv
+        |  FROM dq),
+        |q AS (
+        |  SELECT vec_id AS qid, v AS qv, nv AS nq FROM wb
+        |  WHERE vec_id < 3),
+        |pr AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT q.qid, c.cell, row_number() OVER (
+        |      PARTITION BY q.qid ORDER BY
+        |        (list_sum(list_transform(range(1, 65),
+        |           i -> q.qv[i] * c.cv[i])) / (q.nq * c.ncv)) DESC,
+        |        c.cell) AS crank
+        |    FROM q CROSS JOIN cent c)
+        |  WHERE crank <= 4),
+        |sc AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> e.dv[i] * q.qv[i]))
+        |      / (e.ndv * q.nq) AS cosine
+        |  FROM nrm e JOIN asg a USING (vec_id)
+        |    CROSS JOIN q
+        |    JOIN pr ON pr.qid = q.qid AND pr.cell = a.cell)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+        |  SELECT qid, vec_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM sc)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // cb1: md5-seeded centroid pick, argmax-cosine assignment, and the

@@ -110,6 +110,61 @@ class VectorStoreSpec extends SparkSpec {
         s"full probe must be exact: $row"))
   }
 
+  test("int8 store: layout drops the float64 vec; appends follow the " +
+      "recorded format; queries ≡ ivfTopK over the dequantized corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("vstore_i8").toString
+    val batch1 = emb.filter(col("vec_id") % 2 === 0)
+    val batch2 = emb.filter(col("vec_id") % 2 === 1)
+    VectorStore.create(spark, dir, batch1, "vec_id", "embedding",
+      nCells = 8, m = 8, ksub = 16, ivfIters = 2, pqIters = 2,
+      int8 = true)
+    VectorStore.append(spark, dir, batch2, "vec_id", "embedding", "b1")
+    // the physical layout is codes, not floats — for BOTH batches (the
+    // append read the recorded format, no parameter at its call site)
+    val stored = spark.read.parquet(s"$dir/vectors")
+    assert(stored.columns.contains("q") && stored.columns.contains("scale")
+      && !stored.columns.contains("vec"))
+    assert(stored.count() === emb.filter(col("embedding").isNotNull).count())
+    assert(stored.filter(col("b") === "b1").count() > 0)
+    // store query ≡ in-memory ivfTopK with the same centroids over the
+    // DEQUANTIZED corpus — the float-store invariant, one quantization
+    // round trip in
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // cells assign on the FULL-precision input at write time (the
+    // FAISS convention); only the stored/scored payload is quantized —
+    // so the reference index carries full-precision cells over
+    // dequantized vectors
+    val cells = Similarity.assignCells(
+      emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding")),
+      "vec_id", "embedding", centroids)
+      .select(col("vec_id"), col("cell"))
+    val full = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        Similarity.int8Dequantize(
+          Similarity.int8Quantize(col("embedding"))).as("embedding"))
+      .join(cells, "vec_id")
+    val want = Similarity.ivfTopK(
+      Similarity.IvfIndex(full, centroids), "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, nprobe = 3)
+      .select("qid", "rank", "vec_id", "cosine")
+      .collect().toSet
+    val got = VectorStore.topK(spark, dir, queries, "qid", "qv",
+      k = 5, nprobe = 3)
+      .select("qid", "rank", "vec_id", "cosine")
+      .collect().toSet
+    assert(got === want)
+    // the drift monitor runs over the int8 store too (recall is
+    // internally consistent: same dequantized vectors on both sides)
+    val r = VectorStore.recallAtK(spark, dir, queries, "qid", "qv",
+      k = 5, nprobe = 8).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getAs[Double]("recall_at_k") === 1.0,
+      s"full probe must be exact on the dequantized corpus: $row"))
+  }
+
   test("topK's vector scan is partition-pruned to the probed cells") {
     val dir = java.nio.file.Files.createTempDirectory("vstorep").toString
     VectorStore.create(spark, dir, emb, "vec_id", "embedding",
