@@ -24,6 +24,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Two known-benign warning families would otherwise dominate the
+    // artifact's stderr tail (the r10 "warning-free tail" ask):
+    // BlockManager re-add races (bpeTrain's persisted-RDD loop runs two
+    // actions per iteration; a partition both compute registers twice —
+    // harmless by definition of an idempotent block store) and
+    // DAGScheduler's large-task-binary notes (t14d broadcasts a
+    // 32k-merge table BY DESIGN). Scoped to exactly those two loggers;
+    // everything else stays at WARN.
+    Seq("org.apache.spark.storage.BlockManager",
+      "org.apache.spark.scheduler.DAGScheduler").foreach { l =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        l, org.apache.logging.log4j.Level.ERROR)
+    }
     // warm-up: touch every table (footer reads), then run every query once
     // at the smallest SF so Janino codegen + JIT compile outside the
     // measured window — the measurement below is steady-state plan cost,
@@ -60,17 +73,33 @@ object Bench {
     // the official r10→r11 artifacts drifted +14% while an A/B of r10's
     // exact code on the r11 machine reproduced the drift — machine
     // speed, not code. This constant workload separates the two
-    // mechanically: compare `calib` across rounds before reading
-    // anything into `value`.
-    val calib = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(0, 2000000000L, 1, cpus.toInt)
-          .selectExpr("sum(id * 2 + 1)").collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      once(); math.min(once(), once())
+    // mechanically: `total_norm` below rescales the total by
+    // CALIB_REF / calib_sec, so cross-round comparisons read the
+    // NORMALIZED totals and machine drift cancels out of them.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 2000000000L, 1, cpus.toInt)
+        .selectExpr("sum(id * 2 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
     }
+    // all post-warm samples land in the artifact (calib_runs): a noisy
+    // calib is then SELF-documenting instead of silently mis-scaling
+    // total_norm; calib_end re-samples after the full run so drift
+    // WITHIN the run is visible too (r12 found a 0.286-vs-0.238 gap
+    // between same-day runs — 20% — which is exactly the machine
+    // window the official r11 artifact was taken in).
+    val calibRuns = { calibOnce(); Seq(calibOnce(), calibOnce(), calibOnce()) }
+    val calib = calibRuns.min
+    // The committed calibration reference point: calib_sec of the
+    // round-11 FINAL LOCAL bench (commit 9673f61's bench_full.json) —
+    // the run that anchors the committed quiet band. The r11 official
+    // artifact's calib 0.286 normalizes its 135.6 s to 112.9 s at this
+    // reference — inside the r10 band (104.4–116.9 s), closing the
+    // "1.20× slower" question as pure machine drift. total_norm =
+    // total_raw · CALIB_REF/calib is the cross-round number; update
+    // this constant ONLY when deliberately re-basing the band (and say
+    // so in the commit).
+    val CalibRef = 0.238
     // a failed query records -1 (NOT its elapsed time) so the JSON shows
     // the failure instead of counting it as a fast success.
     // MIN OF 2 RUNS per query (3 when the first two disagree by >2x):
@@ -112,6 +141,23 @@ object Bench {
     }
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Warm/cold decomposition (the r11 forensics ask): a query's FIRST
+    // run at this SF pays data-cold costs (page cache, shuffle files,
+    // operator-internal stores) that its later runs don't — so
+    //   total_first = Σ first runs   (the cold estimate),
+    //   total_warm  = Σ min of runs AFTER the first (steady state;
+    //                 equals the single run when only one exists),
+    //   value       = Σ min of ALL runs (unchanged driver semantics),
+    //   total_norm  = value · CALIB_REF/calib — the machine-drift-free
+    //                 number cross-round comparisons should read.
+    val okRuns = rawRuns.toSeq.collect {
+      case (k, vs) if vs.forall(_ >= 0) && vs.nonEmpty => (k, vs)
+    }
+    val totalFirst = okRuns.map(_._2.head).sum
+    val totalWarm = okRuns
+      .map { case (_, vs) => if (vs.size >= 2) vs.tail.min else vs.head }
+      .sum
+    val totalNorm = total * CalibRef / calib
     // Full per-query timings + raw runs for local analysis (not parsed by
     // the driver): `queries` is the min estimate, `queries_raw` every
     // run, `max_spread` the worst max/min ratio — a loaded machine is
@@ -125,12 +171,28 @@ object Bench {
       .filter(vs => vs.size >= 2 && vs.forall(_ > 0))
       .map(vs => vs.max / vs.min)
       .foldLeft(1.0)(math.max)
+    // Contention-only spread: warm-up makes a slow FIRST run expected,
+    // so it must not count. With 3+ runs the spread is over runs 2..n;
+    // with 2 runs a slower SECOND run is contention (spread b/a) while
+    // a slower first is warm-up (spread 1). r11's max_spread 19.3 was
+    // pure warm-up (d10b 49.99 cold vs 8.16 warm) — this field is the
+    // one that should be ~1 on a quiet machine.
+    val maxSpreadWarm = rawRuns.values
+      .filter(vs => vs.size >= 2 && vs.forall(_ > 0))
+      .map { vs =>
+        if (vs.size >= 3) vs.tail.max / vs.tail.min
+        else if (vs(0) >= vs(1)) 1.0
+        else vs(1) / vs(0)
+      }
+      .foldLeft(1.0)(math.max)
     val wf = warmupFailures.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\p{Cntrl}]", " ") + "\""
     }.mkString("{", ",", "}")
+    val calibEnd = { calibOnce(); math.min(calibOnce(), calibOnce()) }
+    val calibRunsJson = calibRuns.map(fmt).mkString("[", ",", "]")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"max_spread":${f"$maxSpread%.2f"},"calib_sec":${fmt(calib)},"queries":$fullQs,"queries_raw":$rawQs,"warmup_failures":$wf,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"max_spread":${f"$maxSpread%.2f"},"max_spread_warm":${f"$maxSpreadWarm%.2f"},"calib_sec":${fmt(calib)},"calib_runs":$calibRunsJson,"calib_end":${fmt(calibEnd)},"calib_ref":$CalibRef,"total_raw":${fmt(total)},"total_norm":${fmt(totalNorm)},"total_warm":${fmt(totalWarm)},"total_first":${fmt(totalFirst)},"queries":$fullQs,"queries_raw":$rawQs,"warmup_failures":$wf,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // The driver keeps only the LAST 2000 chars of stdout and parses the
@@ -149,7 +211,7 @@ object Bench {
       .mkString("{", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"calib_sec":${fmt(calib)},"queries":$qs,"sf":$sfNum}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"calib_sec":${fmt(calib)},"calib_end":${fmt(calibEnd)},"calib_ref":$CalibRef,"total_norm":${fmt(totalNorm)},"total_warm":${fmt(totalWarm)},"max_spread_warm":${f"$maxSpreadWarm%.2f"},"queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -77,6 +77,10 @@ object Stress {
     // forced out; diskBytesSpilled its serialized on-disk size.
     val spillMem = new java.util.concurrent.atomic.AtomicLong
     val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    // task input bytes: the scan-bandwidth telemetry the int8-store row
+    // reads — bytesRead deltas around a query action ARE the evidence
+    // that a storage format cut the scan, not an assertion about it
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -85,6 +89,7 @@ object Stress {
           if (m != null) {
             spillMem.addAndGet(m.memoryBytesSpilled)
             spillDisk.addAndGet(m.diskBytesSpilled)
+            inputBytes.addAndGet(m.inputMetrics.bytesRead)
           }
         }
       })
@@ -299,6 +304,67 @@ object Stress {
           "mean_nll_rest" -> sep.getOrElse(false, Double.NaN),
           "separated" -> (sep.getOrElse(true, Double.MaxValue) <
             sep.getOrElse(false, 0.0)))
+      }
+    }
+
+    // ---- CCNet bucket assignment under language skew: one language
+    // holds 50% of the corpus — the shape that makes nllRankBuckets'
+    // per-language ROW_NUMBER sort a single 2.5M-row partition while
+    // nllSketchBuckets' bucket-count shuffle stays a few hundred rows
+    // per language. Both paths run over the SAME persisted score frame
+    // so the timings isolate the bucket machinery; agreement telemetry
+    // checks the sketch split really approximates the exact one (head/
+    // tail boundaries move by at most the sketch resolution). ----------
+    step("nll_buckets") {
+      CacheScope.withScope { implicit scope =>
+        val langed = docs.select(col("doc_id"),
+          when(pmod(xxhash64(lit("lang"), col("doc_id")), lit(100)) < 50,
+            lit("en"))
+            .otherwise(concat(lit("l"),
+              pmod(xxhash64(lit("lang2"), col("doc_id")), lit(19))))
+            .as("lang"))
+        val train = docs.filter(pmod(col("doc_id"), lit(20)) < 5)
+        val lm = graft.operators.TextAnalysis.bigramLm(train, "text")
+        val scored = graft.operators.TextAnalysis.bigramLogProb(
+          docs, "doc_id", "text", lm)
+          .join(langed, "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = scored.count()
+        val topFrac = scored.filter(col("lang") === "en").count()
+          .toDouble / n
+        val t0 = System.nanoTime()
+        val sortCounts = graft.operators.TextAnalysis.nllRankBuckets(
+          scored, "doc_id", "lang")
+          .groupBy(col("bucket_label")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val sortSecs = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val skCounts = graft.operators.TextAnalysis.nllSketchBuckets(
+          scored, "doc_id", "lang")
+          .groupBy(col("bucket_label")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val sketchSecs = (System.nanoTime() - t1) / 1e9
+        // agreement (untimed): fraction of docs with the same label
+        val agree = graft.operators.TextAnalysis.nllRankBuckets(
+          scored, "doc_id", "lang")
+          .select(col("doc_id"), col("bucket_label").as("bl_sort"))
+          .join(graft.operators.TextAnalysis.nllSketchBuckets(
+            scored, "doc_id", "lang")
+            .select(col("doc_id"), col("bucket_label").as("bl_sk")),
+            "doc_id")
+          .agg(sum(when(col("bl_sort") === col("bl_sk"), 1L)
+            .otherwise(0L)).as("ok"))
+          .collect().head.getLong(0)
+        scored.unpersist()
+        Seq("n_docs" -> n, "top_lang_frac" ->
+            math.round(topFrac * 1000.0) / 1000.0,
+          "sort_secs" -> math.round(sortSecs * 100.0) / 100.0,
+          "sketch_secs" -> math.round(sketchSecs * 100.0) / 100.0,
+          "sketch_speedup" ->
+            math.round(sortSecs / sketchSecs * 100.0) / 100.0,
+          "sort_head" -> sortCounts.getOrElse("head", 0L),
+          "sketch_head" -> skCounts.getOrElse("head", 0L),
+          "agreement" -> math.round(agree.toDouble / n * 10000.0) / 10000.0)
       }
     }
 
@@ -710,6 +776,72 @@ object Stress {
         "create_secs" -> createSecs, "ivf_query_secs" -> ivfSecs,
         "brute_query_secs" -> bruteSecs, "ivf_rows" -> nIvf,
         "recall_at_10" -> hits.toDouble / math.max(1, nBrute))
+    }
+
+    // ---- int8 vector store vs float64: same corpus, same quantizer
+    // params, same 100 queries — the telemetry is the task-level
+    // bytesRead delta around each topK (the scan-bandwidth claim,
+    // measured) plus on-disk store size and result overlap. The int8
+    // probe reads (q, scale) columns instead of the float64 array;
+    // at 100 TB the ANN scan is bandwidth-bound, so scan_bytes_ratio
+    // is the number that matters — local wall time is compute-bound
+    // and the dequant transform sits per scored pair (documented in
+    // VectorStore.readVectors). --------------------------------------
+    step("ann_int8") {
+      val nVecs = math.max(100000L, nDocs / 5)
+      val vecsPath = s"$dir/vecs_$nVecs.parquet"
+      if (!new java.io.File(vecsPath).isDirectory)
+        vectors(spark, nVecs).write.mode("overwrite").parquet(vecsPath)
+      val vecs = spark.read.parquet(vecsPath)
+      val f64Dir = s"$dir/vstore_$nVecs"
+      if (!new java.io.File(s"$f64Dir/vectors").isDirectory)
+        graft.pipelines.VectorStore.create(spark, f64Dir, vecs,
+          "vec_id", "embedding", nCells = 256, m = 8, ksub = 16,
+          ivfIters = 2, pqIters = 2)
+      val i8Dir = s"$dir/vstore_i8_$nVecs"
+      val t0 = System.nanoTime()
+      graft.pipelines.VectorStore.create(spark, i8Dir, vecs,
+        "vec_id", "embedding", nCells = 256, m = 8, ksub = 16,
+        ivfIters = 2, pqIters = 2, int8 = true)
+      val createSecs = (System.nanoTime() - t0) / 1e9
+      def dirBytes(p: String): Long = {
+        val path = new org.apache.hadoop.fs.Path(s"$p/vectors")
+        path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(path).getLength
+      }
+      val queries = vecs.filter(col("vec_id") % (nVecs / 100) === 0)
+        .limit(100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      queries.count()
+      def run(storeDir: String) = {
+        val b0 = inputBytes.get()
+        val t = System.nanoTime()
+        val res = graft.pipelines.VectorStore.topK(spark, storeDir,
+          queries, "qid", "qv", k = 10, nprobe = 16)
+          .select(col("qid"), col("vec_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = res.count()
+        ((System.nanoTime() - t) / 1e9, inputBytes.get() - b0, res, n)
+      }
+      val (f64Secs, f64Bytes, f64Res, nF) = run(f64Dir)
+      val (i8Secs, i8Bytes, i8Res, _) = run(i8Dir)
+      val overlap = f64Res.join(i8Res, Seq("qid", "vec_id"), "left_semi")
+        .count()
+      f64Res.unpersist(); i8Res.unpersist(); queries.unpersist()
+      Seq("n_vectors" -> nVecs,
+        "i8_create_secs" -> math.round(createSecs * 100.0) / 100.0,
+        "store_mb_f64" -> dirBytes(f64Dir) / (1024 * 1024),
+        "store_mb_i8" -> dirBytes(i8Dir) / (1024 * 1024),
+        "query_secs_f64" -> math.round(f64Secs * 100.0) / 100.0,
+        "query_secs_i8" -> math.round(i8Secs * 100.0) / 100.0,
+        "scan_mb_f64" -> f64Bytes / (1024 * 1024),
+        "scan_mb_i8" -> i8Bytes / (1024 * 1024),
+        "scan_bytes_ratio" -> math.round(
+          f64Bytes.toDouble / math.max(1L, i8Bytes) * 100.0) / 100.0,
+        "topk_overlap" ->
+          math.round(overlap.toDouble / math.max(1L, nF) * 10000.0)
+            / 10000.0)
     }
 
     // ---- inverted-index store: full-corpus postings build (~105M

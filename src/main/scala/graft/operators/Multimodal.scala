@@ -267,6 +267,128 @@ object Multimodal {
     }
   }
 
+  /** REAL multi-frame sampling for animated GIF — the one multi-frame
+    * container the stock JDK reads (video codecs don't ship with it;
+    * [[sampleFrames]] keeps the stub for video-typed rows, this is the
+    * real path for the frame-sequence tier). ImageIO's GIF plugin
+    * exposes the frame sequence through one reader: frame COUNT, then
+    * per-frame decode of exactly the sampled indices — a 100-frame GIF
+    * sampled at n=4 decodes 4 frames, not 100. Pure functions of the
+    * payload bytes, like the other codecs here.
+    *
+    * Frames are returned as STORED (GIF inter-frame deltas are not
+    * composited onto prior frames) — full-frame GIFs, which is what
+    * [[encodeAnimatedGif]] writes and most re-encoded training corpora
+    * carry, read exactly. */
+  object GifIo {
+    System.setProperty("java.awt.headless", "true")
+
+    final case class GifFrame(frameIdx: Int, width: Int, height: Int,
+        meanR: Double, meanG: Double, meanB: Double)
+
+    /** Frame count via the reader's index scan (no pixel decode); None
+      * for non-GIF / undecodable payloads. */
+    def frameCount(bytes: Array[Byte]): Option[Int] =
+      withReader(bytes) { r => r.getNumImages(true) }
+
+    /** Evenly spaced sample of `n` frames (indices ⌊j·total/k⌋ for
+      * j < k = min(n, total) — exact integer arithmetic, so an oracle
+      * replays the index choice): per frame, dimensions + per-channel
+      * means from exact integer sums (the [[ImageIo.decodeStats]]
+      * discipline). None for non-GIF / undecodable payloads. */
+    def sampleFrames(bytes: Array[Byte], n: Int): Option[Seq[GifFrame]] = {
+      require(n >= 1, s"sampleFrames: n must be >= 1, got $n")
+      withReader(bytes) { r =>
+        val total = r.getNumImages(true)
+        if (total <= 0) Seq.empty[GifFrame]
+        else {
+        val k = math.min(n, total)
+        (0 until k).map { j =>
+          val i = (j.toLong * total / k).toInt
+          val img = r.read(i)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff
+              sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val np = w.toLong * h
+          GifFrame(i, w, h, sr.toDouble / np, sg.toDouble / np,
+            sb.toDouble / np)
+        }
+        }
+      }.filter(_.nonEmpty)
+    }
+
+    /** Deterministic animated-GIF testbed: solid-color full frames
+      * through the JDK's GIF sequence writer. A solid frame's palette
+      * contains exactly its color, so every sampled frame's mean IS the
+      * planted color — the m7 gate's analytic-oracle construction
+      * (the two-tone-PNG precedent, one container up). */
+    def encodeAnimatedGif(w: Int, h: Int,
+        frames: Seq[(Int, Int, Int)]): Array[Byte] = {
+      require(w >= 1 && h >= 1 && frames.nonEmpty)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach { case (cr, cg, cb) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (cr << 16) | (cg << 8) | cb
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** Position a GIF reader on the payload and run `body`; None when
+      * the payload isn't a readable GIF (None-never-throw, the codec
+      * contract here). seekForwardOnly = false because getNumImages'
+      * index scan needs to rewind before frame reads. */
+    private def withReader[T](bytes: Array[Byte])(
+        body: javax.imageio.ImageReader => T): Option[T] = {
+      if (bytes == null || bytes.length < 6) return None
+      // magic: GIF87a / GIF89a
+      if (!(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'))
+        return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            // seekForwardOnly = false: getNumImages' index scan must
+            // rewind before the indexed frame reads
+            r.setInput(iis, false, false)
+            Some(body(r))
+          } finally r.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally iis.close()
+    }
+  }
+
   /** REAL audio codec for WAV/PCM — a transparent pure-JVM RIFF parser
     * (WAV is a length-prefixed chunk container; PCM samples are raw
     * little-endian integers — no codec library involved, which is why
@@ -386,6 +508,41 @@ object Multimodal {
             case None => org.apache.spark.sql.Row(r.getLong(0),
               null, null, null, null, null, null)
           }
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** REAL frame sampling as a DataFrame stage: each animated-GIF row
+    * explodes to min(n, frames) rows of per-frame statistics — the
+    * 1-video→n-frames shape [[sampleFrames]] stubs, made real for the
+    * container the JDK decodes. Only the SAMPLED frames decode (the
+    * reader seeks by index), so cost scales with n, not frame count.
+    * Non-GIF / undecodable payloads contribute ZERO rows (a sampler
+    * selects frames; it is not the prober — [[probeMedia]] counts
+    * the unreadable). Same mapPartitions discipline as
+    * [[decodeImageStats]]: payload bytes never shuffle. */
+  def sampleGifFrames(media: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"sampleGifFrames: n must be >= 1, got $n")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)))
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val rows = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val frames =
+            if (r.isNullAt(1)) None
+            else GifIo.sampleFrames(r.getAs[Array[Byte]](1), n)
+          frames.toSeq.flatten.map(f =>
+            org.apache.spark.sql.Row(r.getLong(0), f.frameIdx,
+              f.width, f.height, r6(f.meanR), r6(f.meanG), r6(f.meanB)))
         }
       }
     spark.createDataFrame(rows, outSchema)

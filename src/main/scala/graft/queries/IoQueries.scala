@@ -332,6 +332,43 @@ object IoQueries {
         .orderBy(col("media_id"))
     }),
 
+    // ---- REAL animated-GIF frame sampling, analytic oracle ---------------
+    // Each doc synthesizes an animated GIF of 4–8 solid-color frames
+    // (colors closed-form in (id, frame)) through the JDK's GIF
+    // sequence writer, then samples 3 evenly spaced frames through the
+    // real reader — only the sampled indices decode. The oracle knows
+    // the sampled indices (⌊j·total/3⌋, pure integer math), dims, and
+    // every channel mean (a solid frame's mean IS its color) with no
+    // codec at all — a wrong frame index, a palette drift, or a
+    // channel swap breaks the hash. The m2 stub keeps the video tier's
+    // SHAPE; this is the real multi-frame path.
+    "m7_gif_frames" -> ((s, d) => {
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("media_id"))
+        .filter(col("media_id") < 200)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType)))
+      val rows = ids.rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val total = (4 + id % 5).toInt
+          val w = (5 + id % 4).toInt
+          val h = (4 + id % 3).toInt
+          val frames = (0 until total).map(f => (
+            ((id * 7 + f * 13) % 256).toInt,
+            ((id * 11 + f * 17) % 256).toInt,
+            ((id * 3 + f * 29) % 256).toInt))
+          org.apache.spark.sql.Row(id,
+            Multimodal.GifIo.encodeAnimatedGif(w, h, frames))
+        }
+      }
+      Multimodal.sampleGifFrames(s.createDataFrame(rows, schema), n = 3)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // ---- Z-order layout: key exactness + clustered-write round-trip ------
     // The Morton key is computed, written through zorderWrite (range
     // partition + sort + file split), read back, and hash-compared to
@@ -439,6 +476,29 @@ object IoQueries {
         |    // (8000 + (doc_id % 4) * 4000) AS BIGINT) END AS duration_ms
         |FROM documents WHERE doc_id < 200
         |ORDER BY media_id""".stripMargin,
+
+    // m7: solid-color frames make every sampled statistic analytic —
+    // indices are ⌊j·total/3⌋ in pure integer math, means ARE the
+    // planted colors; the engine side runs the real GIF sequence
+    // writer + indexed reader round trip
+    "m7_gif_frames" ->
+      """WITH g AS (
+        |  SELECT doc_id AS media_id, 4 + doc_id % 5 AS total,
+        |    CAST(5 + doc_id % 4 AS INTEGER) AS width,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS height
+        |  FROM documents WHERE doc_id < 200),
+        |fr AS (
+        |  SELECT media_id, width, height,
+        |    CAST((j * total) // 3 AS INTEGER) AS frame_idx
+        |  FROM g, range(0, 3) t(j))
+        |SELECT media_id, frame_idx, width, height,
+        |  round(CAST((media_id * 7 + frame_idx * 13) % 256 AS DOUBLE), 6)
+        |    AS mean_r,
+        |  round(CAST((media_id * 11 + frame_idx * 17) % 256 AS DOUBLE), 6)
+        |    AS mean_g,
+        |  round(CAST((media_id * 3 + frame_idx * 29) % 256 AS DOUBLE), 6)
+        |    AS mean_b
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
 
     // the two-tone construction makes every decoded statistic analytic:
     // means are (c1+c2)/2 (equal halves), corners are the raw colors —

@@ -267,6 +267,42 @@ class IoStreamingSpec extends SparkSpec {
     assert(out(2).isNullAt(1))
   }
 
+  test("multimodal: REAL animated-GIF frame sampling — frame count, " +
+      "evenly spaced indices, exact solid colors, None contract") {
+    import Multimodal.GifIo
+    val gif = GifIo.encodeAnimatedGif(6, 4, Seq(
+      (10, 20, 30), (40, 50, 60), (70, 80, 90),
+      (100, 110, 120), (130, 140, 150)))
+    assert(GifIo.frameCount(gif) === Some(5))
+    // n=2 over 5 frames: indices ⌊j·5/2⌋ = 0, 2 — and a solid frame's
+    // palette holds exactly its color, so the means are the colors
+    val fr = GifIo.sampleFrames(gif, 2).get
+    assert(fr.map(_.frameIdx) === Seq(0, 2))
+    assert(fr.head.width === 6 && fr.head.height === 4)
+    assert((fr(0).meanR, fr(0).meanG, fr(0).meanB) === (10.0, 20.0, 30.0))
+    assert((fr(1).meanR, fr(1).meanG, fr(1).meanB) === (70.0, 80.0, 90.0))
+    // oversampling clamps to the frame count, in order
+    assert(GifIo.sampleFrames(gif, 99).get.map(_.frameIdx) ===
+      (0 until 5))
+    // non-GIF payloads: None, never a throw — junk AND a valid PNG
+    assert(GifIo.sampleFrames("junk".getBytes, 3) === None)
+    assert(GifIo.frameCount(Multimodal.ImageIo.encodeTwoTonePng(
+      4, 2, (1, 2, 3), (4, 5, 6))) === None)
+    // DataFrame stage: gif rows explode to sampled frames, non-gif
+    // rows contribute zero rows
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val rows = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, gif),
+      org.apache.spark.sql.Row(2L, "garbage".getBytes)), schema)
+    val out = Multimodal.sampleGifFrames(rows, 3)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((1L, 0), (1L, 1), (1L, 3)))
+    assert(out(1).getDouble(4) === 40.0) // frame 1 mean_r
+  }
+
   test("multimodal: batched decode is batch- and partition-invariant") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(60)
     val media = Multimodal.toMedia(
