@@ -150,6 +150,50 @@ object Similarity {
     transform(qs.getField("q"),
       q => q.cast("double") * qs.getField("scale"))
 
+  /** The deterministic ±1 sign for random-projection cell (j, i):
+    * parity of the first hex nibble of md5("<seed>:j:i") — the same
+    * engine-portable md5 recipe the cm1/ann6 oracles replay, so the
+    * whole projected space is recomputable in SQL. */
+  private[graft] def rpSign(seed: String, j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    if ("02468ace".indexOf(hex.charAt(0)) >= 0) 1.0 else -1.0
+  }
+
+  /** Deterministic sign random projection (Achlioptas 2001/2003,
+    * public technique: JL-embedding with ±1 entries — no Gaussian
+    * sampling needed): y_j = (1/√outDim) · Σ_i s(j,i)·x_i with the
+    * signs from [[rpSign]]. The standard dimensionality lever in front
+    * of ANN/dedup: 64→16 dims cuts every downstream scan, dot product,
+    * and index cell 4× while preserving pairwise geometry within
+    * O(1/√outDim) (JL lemma) — and preserving DIRECTION exactly for
+    * scaled copies (a linear map commutes with scaling, so the
+    * rescaled-dup shape embedding dedup hunts survives at cosine 1.0;
+    * spec-pinned).
+    *
+    * Scale shape: a map-only per-row expression over sign LITERALS
+    * folded into the plan (outDim·inDim doubles — bytes, not a model
+    * table); no shuffle, no training state, appends/streams project
+    * identically forever. Each y_j accumulates left-to-right
+    * (aggregate fold), so the arithmetic is the exact IEEE sequence a
+    * DuckDB oracle replays (rp1 gate hash-matches projection, norms,
+    * and ranking end to end). */
+  def randomProject(vec: Column, inDim: Int, outDim: Int,
+      seed: String): Column = {
+    require(inDim >= 1 && outDim >= 1,
+      s"randomProject: bad dims ($inDim -> $outDim)")
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    graft.operators.TextAnalysis.bindOnce(vec) { v =>
+      array((0 until outDim).map { j =>
+        val signs = array((0 until inDim)
+          .map(i => lit(rpSign(seed, j, i))): _*)
+        aggregate(zip_with(v, signs, (a, b) => a * b), lit(0.0),
+          (acc, x) => acc + x) * lit(inv)
+      }: _*)
+    }
+  }
+
   /** Exact top-k neighbors for each query (queries: (qid, qvec), small →
     * broadcast; only k rows per partition per query ever shuffle). */
   def bruteForceTopK(data: DataFrame, idCol: String, vecCol: String,

@@ -659,6 +659,33 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- sign random projection (JL dimensionality lever) -----------------
+    // 64-dim embeddings project to 16 dims through the deterministic
+    // md5-sign matrix, then brute-force top-5 runs IN THE PROJECTED
+    // space. The oracle rebuilds the sign matrix from the same md5
+    // parity, replays every projection sum left-to-right, and re-ranks
+    // — a seed/sign/accumulation-order/scaling regression anywhere
+    // breaks the hash. Projected-space geometry (scaled copies stay
+    // cosine 1.0, JL distortion bounds) is LlmOpsSpec's.
+    "rp1_random_projection" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      // materialize before the cross join (the anq1 CollapseProject
+      // lesson: an interpreted HOF projection above a join re-evaluates
+      // per scored pair)
+      val proj = graft.CacheScope.session.cache(
+        emb.select(col("vec_id"),
+          Similarity.randomProject(col("embedding"), 64, 16, "rp1")
+            .as("pvec")))
+      val queries = proj.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("pvec").as("qv"))
+      Similarity.bruteForceTopK(proj, "vec_id", "pvec", queries,
+          "qid", "qv", k = 5)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---- topic-balanced subsample (cluster × exact-k) ---------------------
     // The embedding-space diversity sampler: assign every vector to a
     // deterministic cell (md5-seeded centroids — the createSeeded/ann6
@@ -1895,6 +1922,51 @@ object LlmQueries {
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY cosine DESC, vec_id) AS rank
         |  FROM sc)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // rp1: the sign matrix rebuilt from md5 parity, each projection a
+    // left-to-right list_sum over the signed products scaled by the
+    // SAME Scala double the engine folds (1/sqrt(16) = 0.25 exactly),
+    // then the shared bit-exact cosine + ranking
+    "rp1_random_projection" ->
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings),
+        |sgn AS (
+        |  SELECT j, i,
+        |    CASE WHEN substr(md5('rp1:' || j || ':' || i), 1, 1)
+        |        IN ('0','2','4','6','8','a','c','e')
+        |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE)
+        |    END AS s
+        |  FROM range(0, 16) t1(j), range(0, 64) t2(i)),
+        |sgl AS (
+        |  SELECT j, list(s ORDER BY i) AS sl FROM sgn GROUP BY j),
+        |pj AS (
+        |  SELECT b.vec_id, g.j,
+        |    list_sum(list_transform(range(1, 65), i -> b.v[i] * g.sl[i]))
+        |      * CAST(${1.0 / math.sqrt(16.0)} AS DOUBLE) AS y
+        |  FROM base b CROSS JOIN sgl g),
+        |pv AS (
+        |  SELECT vec_id, list(y ORDER BY j) AS p FROM pj GROUP BY 1),
+        |nrm AS (
+        |  SELECT vec_id, p,
+        |    sqrt(list_sum(list_transform(range(1, 17), i -> p[i] * p[i])))
+        |      AS np
+        |  FROM pv),
+        |q AS (
+        |  SELECT vec_id AS qid, p AS qp, np AS nq FROM nrm
+        |  WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_sum(list_transform(range(1, 17), i -> e.p[i] * q.qp[i]))
+        |      / (e.np * q.nq) AS cosine
+        |  FROM nrm e, q)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+        |  SELECT qid, vec_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // cb1: md5-seeded centroid pick, argmax-cosine assignment, and the

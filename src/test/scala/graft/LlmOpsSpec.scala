@@ -455,6 +455,60 @@ class LlmOpsSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq)
   }
 
+  test("random projection: linear (scaled copies stay cosine 1.0), " +
+      "deterministic, sign-balanced, and JL-preserves neighborhoods") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    // plant exact rescaled copies (the embedding-dedup shape)
+    val planted = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => x * 1.5).as("embedding"))
+    val all = emb.unionByName(planted)
+    val proj = graft.CacheScope.session.cache(all.select(col("vec_id"),
+      Similarity.randomProject(col("embedding"), 64, 16, "spec")
+        .as("p")))
+    // a linear map commutes with scaling: the copy's projected cosine
+    // against its original is exactly 1.0 (same direction)
+    val pairs = proj.filter(col("vec_id") >= 10000)
+      .select((col("vec_id") - 10000L).as("vec_id"), col("p").as("pc"))
+      .join(proj.filter(col("vec_id") < 10000), "vec_id")
+      .select(Similarity.cosine(col("p"), col("pc")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(pairs.nonEmpty)
+    pairs.foreach(c => assert(math.abs(c - 1.0) < 1e-12,
+      s"scaled copy drifted in projected space: $c"))
+    // determinism: same seed => identical arrays; different seed =>
+    // different projection
+    val a = proj.orderBy("vec_id").limit(3).collect()
+      .map(_.getSeq[Double](1))
+    val b = all.select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), 64, 16, "spec")
+          .as("p"))
+      .orderBy("vec_id").limit(3).collect().map(_.getSeq[Double](1))
+    assert(a.toSeq === b.toSeq)
+    val other = all.select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), 64, 16, "other")
+          .as("p"))
+      .orderBy("vec_id").limit(3).collect().map(_.getSeq[Double](1))
+    assert(a.toSeq !== other.toSeq)
+    // sign matrix is roughly balanced (md5 nibble parity: 16*64 draws)
+    val signs = for (j <- 0 until 16; i <- 0 until 64)
+      yield Similarity.rpSign("spec", j, i)
+    val pos = signs.count(_ > 0)
+    assert(pos > 400 && pos < 624, s"sign matrix unbalanced: $pos/1024")
+    // JL neighborhood sanity: each planted copy's nearest projected
+    // neighbor (excluding itself) is its original
+    val queries = proj.filter(col("vec_id") >= 10000)
+      .select(col("vec_id").as("qid"), col("p").as("qv"))
+    val top1 = Similarity.bruteForceTopK(
+      proj.filter(col("vec_id") < 10000), "vec_id", "p",
+      queries, "qid", "qv", k = 1)
+    val wrong = top1.filter(col("vec_id") =!= col("qid") - 10000L).count()
+    assert(wrong === 0L, s"$wrong planted copies lost their original")
+  }
+
   test("multi-probe LSH recovers additively-perturbed near-dups") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>")

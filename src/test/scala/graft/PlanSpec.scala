@@ -414,6 +414,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("int8 vector store: the probe scan reads (q, scale), never a " +
+      "float64 vec column — the scan-bytes contract, in the plan") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("vplan_i8").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    graft.pipelines.VectorStore.create(spark, dir, emb, "vec_id",
+      "embedding", nCells = 8, m = 4, ksub = 8, ivfIters = 2,
+      pqIters = 2, int8 = true)
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    noAqe {
+      val p = planOf(graft.pipelines.VectorStore.topK(spark, dir,
+        queries, "qid", "qv", k = 3, nprobe = 2))
+      val vecScans = p.collectWithSubqueries {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("vectors")) => s }
+      assert(vecScans.nonEmpty)
+      vecScans.foreach { s =>
+        val read = s.requiredSchema.fieldNames.toSet
+        assert(read.contains("q") && read.contains("scale"),
+          s"int8 probe must read the code columns, got $read")
+        assert(!read.contains("vec"),
+          "int8 probe reads a float64 vec column — the 7x scan cut " +
+            s"is lost: $read")
+        assert(s.partitionFilters.nonEmpty,
+          "int8 probe lost its cell partition pruning")
+      }
+    }
+  }
+
   test("map-only curation gates: html extraction and blocklist plans " +
       "shuffle exactly once (the final ORDER BY)") {
     noAqe {
