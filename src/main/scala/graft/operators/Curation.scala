@@ -275,6 +275,23 @@ object Curation {
     if (q >= 4096) "g" else f"$q%03x"
   }
 
+  /** CCNet's end use of the perplexity buckets (Wenzek et al. 2019,
+    * public recipe): KEEP the fluent head, hash-SAMPLE the middle at
+    * `middleRate`, DROP the tail — the fluency-weighted downsampling
+    * that turns LM-scored web text into a training mix. Input is a
+    * bucket-labeled frame from
+    * [[graft.operators.TextAnalysis.nllRankBuckets]] or its no-sort
+    * 100 TB form [[graft.operators.TextAnalysis.nllSketchBuckets]].
+    * Membership rides [[hashSample]]'s md5 key, so the same document
+    * survives on every run, engine, and partitioning — and the whole
+    * selection is a scan-stage codegen'd filter: no shuffle, no state
+    * on top of whatever the bucketing itself cost. */
+  def ccnetSample(bucketed: DataFrame, idCol: String,
+      middleRate: Double): DataFrame =
+    bucketed.filter(col("bucket_label") === "head" ||
+      (col("bucket_label") === "middle" &&
+        sampleKey(col(idCol)) < lit(rateBound(middleRate))))
+
   /** Deterministic train/val/test (or any k-way) split: consecutive
     * half-open hash ranges [prev, bound) labeled in order, remainder →
     * `default`. The same id lands in the same split on every run, on

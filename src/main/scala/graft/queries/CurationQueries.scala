@@ -654,6 +654,27 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- CCNet bucketed SAMPLING (the buckets' end use) --------------------
+    // t12c's sketch buckets driven through Wenzek et al.'s selection
+    // rule: keep head, hash-sample middle at 50%, drop tail. The
+    // oracle replays the whole chain — LM scoring, sketch thresholds,
+    // bucket assignment, AND the md5 sampling predicate — so the gate
+    // pins the complete scored-corpus → training-mix step.
+    "t12d_ccnet_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("lang"), col("source"), col("text"))
+      val lm = TextAnalysis.bigramLm(
+        docs.filter(col("source") === "src0"), "text")
+      val scored = TextAnalysis
+        .bigramLogProb(docs, "doc_id", "text", lm, alpha = 0.5)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val bucketed = TextAnalysis.nllSketchBuckets(scored, "doc_id",
+        "lang", nBuckets = 3, m = 9)
+      Curation.ccnetSample(bucketed, "doc_id", middleRate = 0.5)
+        .select(col("doc_id"), col("lang"), col("bucket_label"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- per-source quality report (corpus health by domain) --------------
     // Gopher metrics aggregated per source as INTEGER sums and ratios
     // of integer sums — immune to float summation order on both
@@ -1708,6 +1729,51 @@ object CurationQueries {
          |       ELSE 'middle' END AS bucket_label
          |FROM sc2 s JOIN th t USING (lang)
          |ORDER BY s.doc_id""".stripMargin,
+
+    // t12d: the t12c replay + the selection rule (head, or middle with
+    // md5(doc_id) under rateBound(0.5) = '800')
+    "t12d_ccnet_sample" ->
+      s"""WITH ${OracleFragments.lmTrainCtes("documents", "text",
+              "source = 'src0'")},
+         |${OracleFragments.lmScoreCtes("documents", "text", 0.5)},
+         |sc2 AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CASE WHEN coalesce(s.n_transitions, 0) = 0 THEN 0
+         |      ELSE s.nll_micros // s.n_transitions END AS anm
+         |  FROM documents d LEFT JOIN lmsc s USING (doc_id)),
+         |bk AS (
+         |  SELECT lang,
+         |    CASE WHEN anm < 512 THEN anm
+         |         ELSE (length(bin(anm)) - 9) * 512
+         |              + (anm >> (length(bin(anm)) - 10)) - 512
+         |    END AS bkt, count(*) AS cnt
+         |  FROM sc2 GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, bkt, cnt,
+         |    SUM(cnt) OVER (PARTITION BY lang ORDER BY bkt) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY lang) AS total,
+         |    CASE WHEN bkt < 512 THEN bkt
+         |         ELSE ((512 + (bkt & 511) + 1)
+         |               << CAST((bkt >> 9) - 1 AS INT)) - 1
+         |    END AS hi
+         |  FROM bk),
+         |th AS (
+         |  SELECT lang,
+         |    MIN(CASE WHEN cum >= (total + 2) // 3 THEN hi END) AS t1,
+         |    MIN(CASE WHEN cum >= (total * 2 + 2) // 3 THEN hi END)
+         |      AS t2
+         |  FROM cum GROUP BY 1),
+         |lab AS (
+         |  SELECT s.doc_id, s.lang,
+         |    CASE WHEN s.anm <= t.t1 THEN 'head'
+         |         WHEN s.anm > t.t2 THEN 'tail'
+         |         ELSE 'middle' END AS bucket_label
+         |  FROM sc2 s JOIN th t USING (lang))
+         |SELECT doc_id, lang, bucket_label FROM lab
+         |WHERE bucket_label = 'head'
+         |   OR (bucket_label = 'middle'
+         |       AND md5(CAST(doc_id AS VARCHAR)) < '800')
+         |ORDER BY doc_id""".stripMargin,
 
     // Gopher chain over base + planted srcq, aggregated per source with
     // integer sums only.

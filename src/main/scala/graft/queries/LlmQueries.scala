@@ -686,6 +686,42 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- two-stage RP search: projected prefilter + exact rerank ----------
+    // The production use of rp1's lever: stage 1 ranks candidates by
+    // cosine in the 16-dim PROJECTED space (4× cheaper scan+dot), keeps
+    // 20 per query; stage 2 re-ranks the pool by exact cosine in the
+    // original 64-dim space and keeps 5. The oracle replays both stages
+    // — the sign matrix, the projected top-20 (with its DESC/id
+    // tie-break), the exact-cosine rerank — so a candidate-pool or
+    // rerank regression breaks the hash even when the final ids happen
+    // to match brute force.
+    "rp2_project_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val proj = graft.CacheScope.session.cache(
+        emb.select(col("vec_id"), col("embedding"),
+          Similarity.randomProject(col("embedding"), 64, 16, "rp1")
+            .as("pvec")))
+      val queries = proj.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("pvec").as("qp"),
+          col("embedding").as("qv"))
+      val cands = Similarity.bruteForceTopK(
+          proj.select(col("vec_id"), col("pvec")), "vec_id", "pvec",
+          queries.select(col("qid"), col("qp")), "qid", "qp", k = 20)
+        .select(col("qid"), col("vec_id"))
+      val reranked = cands
+        .join(emb, Seq("vec_id"))
+        .join(broadcast(queries.select(col("qid"), col("qv"))),
+          Seq("qid"))
+        .withColumn("cosine",
+          Similarity.cosine(col("embedding"), col("qv")))
+      graft.operators.Similarity.rankTopK(reranked, "qid", "vec_id",
+          k = 5)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---- topic-balanced subsample (cluster × exact-k) ---------------------
     // The embedding-space diversity sampler: assign every vector to a
     // deterministic cell (md5-seeded centroids — the createSeeded/ann6
@@ -1967,6 +2003,67 @@ object LlmQueries {
         |    ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY cosine DESC, vec_id) AS rank
         |  FROM scored)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // rp2: rp1's projection CTEs, the projected top-20 pool, then the
+    // exact-cosine rerank in the original space — both stages replayed
+    "rp2_project_rerank" ->
+      s"""WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings),
+        |sgn AS (
+        |  SELECT j, i,
+        |    CASE WHEN substr(md5('rp1:' || j || ':' || i), 1, 1)
+        |        IN ('0','2','4','6','8','a','c','e')
+        |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE)
+        |    END AS s
+        |  FROM range(0, 16) t1(j), range(0, 64) t2(i)),
+        |sgl AS (
+        |  SELECT j, list(s ORDER BY i) AS sl FROM sgn GROUP BY j),
+        |pj AS (
+        |  SELECT b.vec_id, g.j,
+        |    list_sum(list_transform(range(1, 65), i -> b.v[i] * g.sl[i]))
+        |      * CAST(${1.0 / math.sqrt(16.0)} AS DOUBLE) AS y
+        |  FROM base b CROSS JOIN sgl g),
+        |pv AS (
+        |  SELECT vec_id, list(y ORDER BY j) AS p FROM pj GROUP BY 1),
+        |nrm AS (
+        |  SELECT vec_id, p,
+        |    sqrt(list_sum(list_transform(range(1, 17), i -> p[i] * p[i])))
+        |      AS np
+        |  FROM pv),
+        |bn AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+        |      AS nv
+        |  FROM base),
+        |qp AS (
+        |  SELECT vec_id AS qid, p AS qp, np AS nqp FROM nrm
+        |  WHERE vec_id < 3),
+        |qb AS (
+        |  SELECT vec_id AS qid, v AS qv, nv AS nq FROM bn
+        |  WHERE vec_id < 3),
+        |c20 AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT q.qid, e.vec_id, row_number() OVER (
+        |      PARTITION BY q.qid ORDER BY
+        |        (list_sum(list_transform(range(1, 17),
+        |           i -> e.p[i] * q.qp[i])) / (e.np * q.nqp)) DESC,
+        |        e.vec_id) AS rn
+        |    FROM nrm e, qp q)
+        |  WHERE rn <= 20),
+        |rr AS (
+        |  SELECT c.qid, c.vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> b.v[i] * q.qv[i]))
+        |      / (b.nv * q.nq) AS cosine
+        |  FROM c20 c JOIN bn b USING (vec_id)
+        |    JOIN qb q ON q.qid = c.qid)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+        |  SELECT qid, vec_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM rr)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // cb1: md5-seeded centroid pick, argmax-cosine assignment, and the

@@ -327,6 +327,32 @@ object OpsQueries {
         .orderBy(col("month"))
     }),
 
+    // ---- Incremental quantile maintenance (kq3) --------------------------
+    // The streamed-state contract for quantiles: two disjoint halves
+    // (orderkey parity) summarize independently and FOLD by the
+    // sketch's pure (month, bkt) SUM — the exact per-batch step
+    // StreamingSummary.maintainSketchFromFiles runs — and the folded
+    // state's quantiles must equal the one-shot sketch's. The oracle
+    // IS the one-shot replay (kq1's integer bucket math), so any fold
+    // asymmetry, double count, or resolution mix-up breaks the hash;
+    // file-streamed maintenance ≡ this fold is QuantileSketchSpec's.
+    "kq3_streamed_sketch" -> ((s, d) => {
+      val qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+      val li = Tables.lineitem(s, d).select(
+        date_format(col("l_shipdate").cast(DateType), "yyyy-MM")
+          .as("month"),
+        (Tables.dec2(col("l_extendedprice")) * 100).cast(LongType)
+          .as("cents"),
+        (col("l_orderkey") % 2).as("h"))
+      val a = QuantileSketch.summarize(
+        li.filter(col("h") === 0), Seq("month"), "cents")
+      val b = QuantileSketch.summarize(
+        li.filter(col("h") === 1), Seq("month"), "cents")
+      val folded = QuantileSketch.rollup(a.unionByName(b), Seq("month"))
+      QuantileSketch.quantiles(folded, Seq("month"), qs)
+        .orderBy(col("month"))
+    }),
+
     // ---- Time-series gap fill (ts1) --------------------------------------
     // Daily order summary per priority regularized onto each priority's
     // own date spine: additive measures (n, revenue) zero-fill, the
@@ -536,6 +562,40 @@ object OpsQueries {
         |  CAST(SUM(c) AS BIGINT) AS sum_clipped,
         |  MIN(c) AS min_clipped, MAX(c) AS max_clipped
         |FROM clipped GROUP BY month ORDER BY month""".stripMargin,
+
+    // kq3: the ONE-SHOT sketch replay (same bucket math as kq1) — the
+    // engine side folded two disjoint halves, so any fold defect
+    // diverges from this
+    "kq3_streamed_sketch" ->
+      """WITH base AS (
+        |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem),
+        |bk AS (
+        |  SELECT month,
+        |    CASE WHEN cents < 128 THEN cents
+        |         ELSE (length(bin(cents)) - 7) * 128
+        |              + (cents >> (length(bin(cents)) - 8)) - 128
+        |    END AS bkt, count(*) AS cnt
+        |  FROM base GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT month, cnt,
+        |    SUM(cnt) OVER (PARTITION BY month ORDER BY bkt) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY month) AS total,
+        |    CASE WHEN bkt < 128 THEN bkt
+        |         ELSE ((128 + (bkt & 127) + 1)
+        |               << CAST((bkt >> 7) - 1 AS INT)) - 1
+        |    END AS hi
+        |  FROM bk)
+        |SELECT month,
+        |  CAST(MIN(CASE WHEN cum >= (total + 1) // 2 THEN hi END)
+        |    AS BIGINT) AS p50,
+        |  CAST(MIN(CASE WHEN cum >= (total * 9 + 9) // 10 THEN hi END)
+        |    AS BIGINT) AS p90,
+        |  CAST(MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN hi END)
+        |    AS BIGINT) AS p99
+        |FROM cum GROUP BY 1 ORDER BY month""".stripMargin,
 
     // decimal sums cast to double at scale 2 are single-rounded in both
     // engines (the a2 pattern); the LOCF mirror is last_value IGNORE

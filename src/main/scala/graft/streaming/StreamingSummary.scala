@@ -214,6 +214,29 @@ object StreamingSummary {
           .getOrElse(delta)
     }
 
+  /** Streamed maintenance of a [[graft.ops.QuantileSketch]] summary —
+    * the incremental-quantiles leg of the summary family (COUNT/SUM/
+    * MIN/MAX exact, DISTINCT via HLL, quantiles here): per batch,
+    * summarize the delta and fold it by the sketch's pure
+    * (keys, bkt) SUM. Because bucketing is deterministic integer
+    * arithmetic (no KLL coin flips), the maintained state is
+    * bit-identical to the one-shot sketch over the union — the same
+    * contract the NB and Count-Min maintainers give, and what makes
+    * "p99 per month, maintained O(delta)" answerable at 100 TB without
+    * re-touching history. Read quantiles off the state with
+    * [[graft.ops.QuantileSketch.quantiles]] at any time. */
+  def maintainSketchFromFiles(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpoint: String,
+      summaryPath: String, keys: Seq[String], valueCol: String,
+      m: Int = 7): DataFrame =
+    maintainVersioned(spark, inDir, schema, checkpoint, summaryPath) {
+      (batch, prev) =>
+        val delta = graft.ops.QuantileSketch.summarize(
+          batch, keys, valueCol, m)
+        prev.map(p => graft.ops.QuantileSketch.rollup(
+          p.unionByName(delta), keys)).getOrElse(delta)
+    }
+
   def maintainCountMinFromFiles(spark: SparkSession, inDir: String,
       schema: org.apache.spark.sql.types.StructType, checkpoint: String,
       summaryPath: String, itemCol: String, depth: Int = 4,

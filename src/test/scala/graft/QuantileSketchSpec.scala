@@ -36,6 +36,42 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("file-streamed sketch maintenance ≡ one-shot summarize, " +
+      "bit for bit") {
+    val raw = Tables.lineitem(spark, "/root/testdata/sf0.001").select(
+      date_format(col("l_shipdate").cast("date"), "yyyy-MM").as("month"),
+      (Tables.dec2(col("l_extendedprice")) * 100).cast("long").as("cents"),
+      (col("l_orderkey") % 3).as("h"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_qsk").toString
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    Seq(0, 1, 2).foreach { i =>
+      raw.filter(col("h") === i)
+        .coalesce(1).write.parquet(s"$root/in/batch_$i")
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/in/batch_$i"))
+        .filter(_.getPath.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, j) =>
+          fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(s"$root/deltas/b${i}_$j.parquet"))
+        }
+    }
+    val state = graft.streaming.StreamingSummary.maintainSketchFromFiles(
+      spark, s"$root/deltas", raw.schema, s"$root/ckpt", s"$root/state",
+      Seq("month"), "cents")
+    val oneShot = QuantileSketch.summarize(raw, Seq("month"), "cents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("month"), col("bkt"), col("cnt"), col("m"))
+        .collect().map(_.toSeq).toSet
+    assert(canon(state) === canon(oneShot))
+    // and the quantiles read identically off either state
+    val qs = Seq(("p50", 1, 2), ("p99", 99, 100))
+    assert(QuantileSketch.quantiles(state, Seq("month"), qs)
+        .orderBy("month").collect().map(_.toSeq).toSeq ===
+      QuantileSketch.quantiles(oneShot, Seq("month"), qs)
+        .orderBy("month").collect().map(_.toSeq).toSeq)
+  }
+
   test("disjoint deltas roll up to exactly the one-pass sketch") {
     val vs = values(3000)
     val whole = vs.zipWithIndex.map { case (v, i) => (s"g${i % 3}", v) }
