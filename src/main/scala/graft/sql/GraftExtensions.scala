@@ -125,6 +125,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "char_ngrams(text, nMin, nMax) — bounds must be integer " +
             "literals")
       }))
+    ext.injectFunction((FunctionIdentifier("random_project"),
+      new ExpressionInfo(
+        graft.operators.Similarity.getClass.getName, "random_project"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(v, Literal(inDim: Int, _), Literal(outDim: Int, _),
+            Literal(seed: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          expr_(graft.operators.Similarity.randomProject(
+            col_(v), inDim, outDim, seed.toString))
+        case _ => throw new IllegalArgumentException(
+          "random_project(vec, inDim, outDim, seed) — dims must be " +
+            "integer literals, seed a string literal")
+      }))
+    ext.injectFunction((FunctionIdentifier("int8_quantize"),
+      new ExpressionInfo(
+        graft.operators.Similarity.getClass.getName, "int8_quantize"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(v) =>
+          expr_(graft.operators.Similarity.int8Quantize(col_(v)))
+        case _ => throw new IllegalArgumentException(
+          "int8_quantize(vec) takes exactly one argument")
+      }))
+    ext.injectFunction((FunctionIdentifier("int8_dequantize"),
+      new ExpressionInfo(
+        graft.operators.Similarity.getClass.getName, "int8_dequantize"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(qs) =>
+          expr_(graft.operators.Similarity.int8Dequantize(col_(qs)))
+        case _ => throw new IllegalArgumentException(
+          "int8_dequantize(qs) takes exactly one argument")
+      }))
     ext.injectFunction((FunctionIdentifier("gopher_report"),
       new ExpressionInfo(Curation.getClass.getName, "gopher_report"),
       (exprs: Seq[Expression]) => exprs match {

@@ -203,6 +203,50 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("embedding SQL functions: random_project / int8 round trip; " +
+      "vector_topk reads an int8 store transparently") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    emb.createOrReplaceTempView("gx_emb")
+    // SQL projection ≡ the Scala API, element for element
+    val gotP = spark.sql(
+      "SELECT vec_id, random_project(embedding, 64, 16, 'sq') AS p " +
+        "FROM gx_emb ORDER BY vec_id LIMIT 3")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val wantP = emb.select(col("vec_id"),
+        graft.operators.Similarity.randomProject(
+          col("embedding"), 64, 16, "sq").as("p"))
+      .orderBy("vec_id").limit(3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(gotP.toSeq === wantP.toSeq)
+    // int8 quantize/dequantize compose from SQL; codes are tinyint
+    val rt = spark.sql(
+      "SELECT int8_quantize(embedding).scale AS s, " +
+        "int8_dequantize(int8_quantize(embedding)) AS dv " +
+        "FROM gx_emb ORDER BY vec_id LIMIT 1").collect().head
+    assert(rt.getDouble(0) > 0.0)
+    assert(rt.getSeq[Double](1).size === 64)
+    // the vector_topk TVF reads an int8-format store with no syntax
+    // change — format transparency at the SQL surface
+    val dir = java.nio.file.Files.createTempDirectory("vsql_i8").toString
+    graft.pipelines.VectorStore.create(spark, dir, emb, "vec_id",
+      "embedding", nCells = 4, m = 4, ksub = 8, ivfIters = 2,
+      pqIters = 2, int8 = true)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Double]].head()
+    val vecSql = qv.map(v => s"${v}D").mkString("array(", ", ", ")")
+    val got = spark.sql(
+      s"SELECT rank, vec_id, cosine FROM vector_topk('$dir', $vecSql, 3, 4)")
+      .collect().toSeq
+    assert(got.size === 3)
+    // the query vector is IN the store (quantized); its dequantized
+    // self-cosine is within quantization error of 1 and still rank 1
+    assert(got.head.getInt(0) === 1 && got.head.getLong(1) === 0L &&
+      got.head.getDouble(2) > 0.999)
+  }
+
   test("text-retrieval table functions: bm25_topk / containment_pairs / " +
       "tfidf_by_group from SQL text") {
     import spark.implicits._
