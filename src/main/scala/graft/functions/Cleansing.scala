@@ -154,6 +154,15 @@ object Cleansing {
   def normalizeKey(c: Column): Column =
     when(blank(c), lit("")).otherwise(upper(trim(c)))
 
+  /** Unicode NFC normalization — run this BEFORE any byte-keyed
+    * operator (exact dedup, MinHash shingles, dictionary joins): the
+    * same visible text has multiple encodings ("é" composed vs
+    * e + combining accent) and hash keys split on the difference.
+    * Native codegen'd expression; see
+    * [[graft.expressions.NfcNormalize]]. */
+  def normalizeUnicode(c: Column): Column =
+    graft.expressions.NfcNormalize.nfcNormalize(c)
+
   // ---- F12: multi-format date parse with coerce ------------------------
   /** pd.to_datetime(errors='coerce') analog: try each format, null when
     * none parses. Formats cover the reference's observed interchange

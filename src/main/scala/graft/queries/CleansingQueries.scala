@@ -212,6 +212,31 @@ object CleansingQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // ---- Unicode NFC normalization (f29) ---------------------------------
+    // Every doc gets a decomposed-sequence suffix planted (e +
+    // combining acute U+0301, u + combining diaeresis U+0308, plus an
+    // already-composed é control); the native codegen'd expression
+    // must compose them exactly as DuckDB's nfc_normalize (both are
+    // UAX #15 implementations), shrinking the code-point length by
+    // exactly the two combining marks. A pass-through (changed =
+    // false where it should compose), an over-normalization (NFKC
+    // would also fold compatibility chars), or a length drift breaks
+    // the hash.
+    "f29_nfc_normalize" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = concat(col("text"),
+        lit(" café über éclair"))
+      docs.select(col("doc_id"),
+          planted.as("raw"),
+          C.normalizeUnicode(planted).as("norm"))
+        .select(col("doc_id"),
+          length(col("raw")).as("len_raw"),
+          length(col("norm")).as("len_norm"),
+          (col("norm") =!= col("raw")).as("changed"),
+          substring(col("norm"), -17, 17).as("norm_tail"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- URL canonicalization / host / registered domain ----------------
     // Deterministic messy URLs from o_orderkey: mixed-case scheme and
     // host, default AND mismatched ports, tracking params in every
@@ -600,5 +625,22 @@ object CleansingQueries {
         |    substr(regexp_replace(upper(p_type),'[^A-Z]','','g'),1,3) || '-' ||
         |    lpad(CAST(p_partkey AS VARCHAR),5,'0') AS sku
         |FROM base ORDER BY p_partkey""".stripMargin,
+
+    // f29: DuckDB's nfc_normalize is the same UAX #15 algorithm the
+    // JDK implements; the planted suffix is rebuilt from chr() code
+    // points so the decomposed bytes are explicit in the SQL
+    "f29_nfc_normalize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber '
+        |      || chr(233) || 'clair' AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM p)
+        |SELECT doc_id,
+        |  CAST(length(raw) AS INT) AS len_raw,
+        |  CAST(length(norm) AS INT) AS len_norm,
+        |  norm <> raw AS changed,
+        |  right(norm, 17) AS norm_tail
+        |FROM n ORDER BY doc_id""".stripMargin,
   )
 }

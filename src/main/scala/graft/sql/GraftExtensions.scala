@@ -125,6 +125,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "char_ngrams(text, nMin, nMax) — bounds must be integer " +
             "literals")
       }))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[graft.expressions.NfcNormalizeExpr].getName,
+        "nfc_normalize"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t) => graft.expressions.NfcNormalizeExpr(t)
+        case _ => throw new IllegalArgumentException(
+          "nfc_normalize(text) takes exactly one argument")
+      }))
     ext.injectFunction((FunctionIdentifier("random_project"),
       new ExpressionInfo(
         graft.operators.Similarity.getClass.getName, "random_project"),

@@ -165,6 +165,28 @@ class CleansingSpec extends SparkSpec {
       .collect().foreach(r => assert(r.getBoolean(0) === r.getBoolean(1)))
   }
 
+  test("NFC normalization: composes decomposed marks, passes composed " +
+      "and ASCII through untouched, null-safe, codegen'd") {
+    import graft.functions.Cleansing
+    // "e" + U+0301 composes to é; composed é and plain ASCII unchanged
+    val decomposed = "café"
+    val composed = "café"
+    val got = evalStr(Cleansing.normalizeUnicode,
+      Seq(decomposed, composed, "plain ascii", null, ""))
+    assert(got(0) === Some(composed))
+    assert(got(1) === Some(composed))
+    assert(got(2) === Some("plain ascii"))
+    assert(got(3) === None)
+    assert(got(4) === Some(""))
+    // the dedup motivation: the two spellings hash apart raw, together
+    // after normalization
+    import org.apache.spark.sql.functions.{md5 => smd5}
+    val df = strDf(Seq(decomposed, composed))
+    assert(df.select(smd5(col("v"))).distinct().count() === 2)
+    assert(df.select(smd5(Cleansing.normalizeUnicode(col("v"))))
+      .distinct().count() === 1)
+  }
+
   test("F24/F25/F26 truncate, natural key, sku") {
     import spark.implicits._
     val df = Seq(("abcdefgh", "Parle-G", "Biscuits", 123))
