@@ -882,6 +882,82 @@ object Stress {
             / 10000.0)
     }
 
+    // ---- random projection: 64→16 dims over 1M vectors, then
+    // brute-force 100 queries in the projected space vs the original —
+    // the JL lever measured: projection is one map-only pass, the
+    // projected scan+dot is ~4× less work, and recall@10 against the
+    // full-dim truth quantifies what the 4× costs. ---------------------
+    step("rp") {
+      val nVecs = math.max(100000L, nDocs / 5)
+      val vecsPath = s"$dir/vecs_$nVecs.parquet"
+      if (!new java.io.File(vecsPath).isDirectory)
+        vectors(spark, nVecs).write.mode("overwrite").parquet(vecsPath)
+      val vecs = spark.read.parquet(vecsPath)
+      val queries = vecs.filter(col("vec_id") % (nVecs / 100) === 0)
+        .limit(100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      queries.count()
+      def topk(data: org.apache.spark.sql.DataFrame, vc: String,
+          qs: org.apache.spark.sql.DataFrame, qc: String, k: Int) = {
+        val t = System.nanoTime()
+        val r = graft.operators.Similarity.bruteForceTopK(
+          data, "vec_id", vc, qs, "qid", qc, k = k)
+          .select(col("qid"), col("vec_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = r.count()
+        ((System.nanoTime() - t) / 1e9, r, n)
+      }
+      val (fullSecs, fullRes, nFull) = topk(vecs, "embedding",
+        queries, "qv", k = 10)
+      // RP is a PREFILTER (the rp2 two-stage): the projected scan
+      // keeps a 100-candidate pool per query at outDim-dot cost, the
+      // exact rerank touches only pool×queries rows, and the number
+      // that matters is two-stage recall. This corpus is adversarial
+      // for JL — ~977 cell-mates per latent center at cosine ≳ 0.99,
+      // so near-tie ranking loses precision fast as dims shrink;
+      // measuring 16 AND 32 dims makes the recall/compute trade
+      // explicit rather than asserted.
+      val byDim = Seq(16, 32).flatMap { k =>
+        val t0 = System.nanoTime()
+        val projPath = s"$dir/vecs_rp${k}_$nVecs.parquet"
+        vecs.select(col("vec_id"),
+            graft.operators.Similarity.randomProject(
+              col("embedding"), 64, k, "stress").as("p"))
+          .write.mode("overwrite").parquet(projPath)
+        val projSecs = (System.nanoTime() - t0) / 1e9
+        val proj = spark.read.parquet(projPath)
+        val pqk = queries.select(col("qid"),
+            graft.operators.Similarity.randomProject(
+              col("qv"), 64, k, "stress").as("qp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pqk.count()
+        val (preSecs, pool, _) = topk(proj, "p", pqk, "qp", k = 100)
+        val t2 = System.nanoTime()
+        val reranked = graft.operators.Similarity.rankTopK(
+          pool.join(vecs, Seq("vec_id"))
+            .join(broadcast(queries), Seq("qid"))
+            .withColumn("cosine", graft.operators.Similarity.cosine(
+              col("embedding"), col("qv"))), "qid", "vec_id", k = 10)
+          .select(col("qid"), col("vec_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        reranked.count()
+        val rerankSecs = (System.nanoTime() - t2) / 1e9
+        val hits = fullRes.join(reranked, Seq("qid", "vec_id"),
+          "left_semi").count()
+        pool.unpersist(); reranked.unpersist(); pqk.unpersist()
+        Seq(s"project_secs_d$k" -> math.round(projSecs * 100.0) / 100.0,
+          s"prefilter_secs_d$k" -> math.round(preSecs * 100.0) / 100.0,
+          s"rerank_secs_d$k" -> math.round(rerankSecs * 100.0) / 100.0,
+          s"recall_at_10_d$k" -> math.round(
+            hits.toDouble / math.max(1L, nFull) * 10000.0) / 10000.0)
+      }
+      fullRes.unpersist(); queries.unpersist()
+      Seq("n_vectors" -> nVecs,
+        "full_dim_query_secs" -> math.round(fullSecs * 100.0) / 100.0
+      ) ++ byDim
+    }
+
     // ---- inverted-index store: full-corpus postings build (~105M
     // posting rows at 5M docs through the (id, term) partial-agg
     // shuffle), then batched BM25 queries that must stay bucket-pruned.

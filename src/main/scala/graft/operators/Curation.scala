@@ -913,6 +913,61 @@ object Curation {
       x.getField("dup_5gram_char_frac") <= 0.15 &&
       x.getField("dup_10gram_char_frac") <= 0.10)
 
+  /** One-call corpus summary ("dataset card"): the topline numbers a
+    * curation run reports — volume, token mass, exact-dup rate, Gopher
+    * pass rate, document-length quantiles, dominant language. One row
+    * out; every statistic deterministic and engine-replayable (cd1
+    * gate hash-pins all of them).
+    *
+    * Scale shape: one wide scan computes the fused Gopher report and
+    * feeds three bounded aggregations — the global counters (map-side
+    * partial agg), the exact-dup distinct (ONE narrow md5-hash
+    * shuffle; text bytes never move), and the deterministic length
+    * sketch (a few hundred (bkt, cnt) rows) — plus a language
+    * frequency table (narrow, bounded by the language count). The
+    * combining cross-joins are 1-row × 1-row. No window touches the
+    * corpus; no payload shuffles. */
+  def datasetCard(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      col(textCol).as("text"), col(langCol).cast("string").as("lang"))
+    val main = base
+      .withColumn("__g", gopherReportFused(col("text")))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__g").getField("word_count")).as("n_words"),
+        sum(when(gopherPass(col("__g")), 1L).otherwise(0L))
+          .as("n_gopher_pass"))
+    val dups = base.agg((count(col("text")) - countDistinct(
+      graft.operators.Dedup.contentHash(col("text"))))
+      .as("n_exact_dups"))
+    // constant sketch key: quantiles windows over the per-group bucket
+    // rows, and the engine-wide no-unpartitioned-window rule holds
+    val lens = graft.ops.QuantileSketch.summarize(
+      base.select(lit(0).as("__k"),
+        length(col("text")).cast("long").as("len")),
+      Seq("__k"), "len")
+    val lq = graft.ops.QuantileSketch.quantiles(lens, Seq("__k"),
+        Seq(("p50_chars", 1, 2), ("p99_chars", 99, 100)))
+      .drop("__k")
+    val topLang = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("lang"))
+      .limit(1)
+      .select(col("lang").as("top_lang"), col("__c").as("__top_c"))
+    main.crossJoin(dups).crossJoin(lq).crossJoin(topLang)
+      .select(col("n_docs"), col("n_words"),
+        col("n_exact_dups"),
+        round(col("n_exact_dups").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        col("n_gopher_pass"),
+        round(col("n_gopher_pass").cast("double") / col("n_docs"), 6)
+          .as("gopher_pass_rate"),
+        col("p50_chars"), col("p99_chars"),
+        col("top_lang"),
+        round(col("__top_c").cast("double") / col("n_docs"), 6)
+          .as("top_lang_frac"))
+  }
+
   // -------------------------------------------------------------------
   // C4 line-level cleaning
   // -------------------------------------------------------------------

@@ -629,6 +629,19 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- dataset card (one-call corpus summary) ----------------------------
+    // The topline report a curation run publishes: volume, token mass,
+    // exact-dup rate, Gopher pass rate, length quantiles, dominant
+    // language — ONE output row, every number replayed by the oracle
+    // from the shared Gopher/md5/sketch fragments. A drift in any
+    // consolidated statistic (a changed stopword list, a hash recipe,
+    // a sketch edge) breaks this hash even if the per-operator gates
+    // somehow missed it.
+    "cd1_dataset_card" -> ((s, d) => {
+      Curation.datasetCard(Tables.documents(s, d),
+        "doc_id", "text", "lang")
+    }),
+
     // ---- CCNet buckets on the NO-SORT sketch path --------------------------
     // The 100 TB form of t12: per-language thresholds from the
     // deterministic HdrHistogram-bucket quantile sketch (one narrow
@@ -1680,6 +1693,65 @@ object CurationQueries {
          |    WHEN ((r - 1) * 3) // n = 2 THEN 'tail'
          |    ELSE 'middle' END AS bucket_label
          |FROM rk ORDER BY doc_id""".stripMargin,
+
+    // cd1: every consolidated statistic recomputed from the shared
+    // fragments — gopher chain for words/pass, the d1 md5 recipe for
+    // dups, kq1's m=7 bucket math for the length quantiles, and the
+    // deterministic (count DESC, lang) argmax for the dominant language
+    "cd1_dataset_card" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, CAST(lang AS VARCHAR) AS lang
+         |  FROM documents),
+         |${OracleFragments.gopherCtes("base", "text")},
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(word_count) AS BIGINT) AS n_words,
+         |    CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_gopher_pass
+         |  FROM gfp),
+         |dp AS (
+         |  SELECT CAST(COUNT(text) - COUNT(DISTINCT
+         |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+         |    AS BIGINT) AS n_exact_dups
+         |  FROM base),
+         |lb AS (
+         |  SELECT CAST(length(text) AS BIGINT) AS len FROM base
+         |  WHERE text IS NOT NULL),
+         |bk AS (
+         |  SELECT CASE WHEN len < 128 THEN len
+         |           ELSE (length(bin(len)) - 7) * 128
+         |                + (len >> (length(bin(len)) - 8)) - 128
+         |         END AS bkt, COUNT(*) AS cnt
+         |  FROM lb GROUP BY 1),
+         |cum AS (
+         |  SELECT bkt, cnt,
+         |    SUM(cnt) OVER (ORDER BY bkt) AS cum,
+         |    SUM(cnt) OVER () AS total,
+         |    CASE WHEN bkt < 128 THEN bkt
+         |         ELSE ((128 + (bkt & 127) + 1)
+         |               << CAST((bkt >> 7) - 1 AS INT)) - 1
+         |    END AS hi
+         |  FROM bk),
+         |q AS (
+         |  SELECT
+         |    CAST(MIN(CASE WHEN cum >= (total + 1) // 2 THEN hi END)
+         |      AS BIGINT) AS p50_chars,
+         |    CAST(MIN(CASE WHEN cum >= (total * 99 + 99) // 100 THEN hi
+         |      END) AS BIGINT) AS p99_chars
+         |  FROM cum),
+         |tl AS (
+         |  SELECT lang AS top_lang, c FROM (
+         |    SELECT lang, COUNT(*) AS c FROM base GROUP BY 1)
+         |  ORDER BY c DESC, lang LIMIT 1)
+         |SELECT m.n_docs, m.n_words, dp.n_exact_dups,
+         |  round(CAST(dp.n_exact_dups AS DOUBLE) / m.n_docs, 6)
+         |    AS dup_rate,
+         |  m.n_gopher_pass,
+         |  round(CAST(m.n_gopher_pass AS DOUBLE) / m.n_docs, 6)
+         |    AS gopher_pass_rate,
+         |  q.p50_chars, q.p99_chars, tl.top_lang,
+         |  round(CAST(tl.c AS DOUBLE) / m.n_docs, 6) AS top_lang_frac
+         |FROM m, dp, q, tl""".stripMargin,
 
     // The sketch-bucket path: same LM scoring, then the HdrHistogram
     // m=9 bucket replay (kq1's integer bit-math at base 512), ceil-rank
