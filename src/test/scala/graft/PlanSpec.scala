@@ -31,9 +31,14 @@ class PlanSpec extends SparkSpec {
   test("no gate query plans an unpartitioned window (w1 excepted)") {
     // w1_surrogate_keys deliberately demonstrates the naive global
     // row_number (documented single-reducer shape; w1b is the scale
-    // path). Queries that run work eagerly at construction are built
+    // path). cd1's corpus-wide length quantiles read ONE sketch group:
+    // the optimizer constant-folds the lit partition key away, so the
+    // physical window is unpartitioned — but its input is the BOUNDED
+    // bucket-count table (≤ ~hundreds of rows by construction), never
+    // corpus rows, so the single partition is correct at any scale.
+    // Queries that run work eagerly at construction are built
     // all the same — only plan INSPECTION needs the lazy frame.
-    val allowed = Set("w1_surrogate_keys")
+    val allowed = Set("w1_surrogate_keys", "cd1_dataset_card")
     val eager = Set("c1_corpus_clean", "s5_ledger_loop") // side effects
     noAqe {
       SparkEntry.queries.keys.toSeq.sorted
