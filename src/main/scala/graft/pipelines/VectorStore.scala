@@ -288,11 +288,22 @@ object VectorStore {
 
   // ---- internals --------------------------------------------------------
 
+  /** Ingest contract: null vectors and vectors containing ANY
+    * non-finite element (NaN/±Inf) never enter the store. A NaN
+    * element makes every cosine against the vector NaN — which
+    * silently poisons top-k ordering and the drift monitor — and
+    * makes the int8 scale NaN (the whole code row degenerates). On a
+    * 100 TB embedding ingest, malformed vectors are expected DATA;
+    * the caller's data-quality signal is the id-set difference
+    * between input and store (spec-pinned). */
   private def normalize(df: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     df.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
+      .filter(!exists(col("vec"),
+        x => isnan(x) || x === Double.PositiveInfinity ||
+          x === Double.NegativeInfinity))
 
   private def withCodes(assigned: DataFrame, mdl: PqModel): DataFrame =
     assigned.select(col("id"), col("vec"),

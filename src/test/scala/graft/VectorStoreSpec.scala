@@ -165,6 +165,40 @@ class VectorStoreSpec extends SparkSpec {
       s"full probe must be exact on the dequantized corpus: $row"))
   }
 
+  test("non-finite vectors (NaN/Inf elements) never enter the store — " +
+      "they would poison every cosine and the int8 scale") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vstore_nf").toString
+    val clean = emb.filter(col("embedding").isNotNull)
+    val poisoned = clean.limit(3).select(
+      (col("vec_id") + 50000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0 && col("vec_id") % 3 === 0, lit(Double.NaN))
+          .when(i === 0 && col("vec_id") % 3 === 1,
+            lit(Double.PositiveInfinity))
+          .when(i === 0, lit(Double.NegativeInfinity))
+          .otherwise(x)).as("embedding"))
+    VectorStore.create(spark, dir, clean.unionByName(poisoned),
+      "vec_id", "embedding", nCells = 4, m = 4, ksub = 8,
+      ivfIters = 2, pqIters = 2)
+    val stored = spark.read.parquet(s"$dir/vectors")
+    // exactly the clean rows landed; the id-set difference IS the
+    // caller's data-quality signal
+    assert(stored.count() === clean.count())
+    assert(stored.filter(col("id") >= 50000L).count() === 0L)
+    // appends hold the same contract
+    VectorStore.append(spark, dir, poisoned, "vec_id", "embedding", "b1")
+    assert(spark.read.parquet(s"$dir/vectors").count() === clean.count())
+    // and queries over the store stay NaN-free
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val res = VectorStore.topK(spark, dir, queries, "qid", "qv",
+      k = 3, nprobe = 4).collect()
+    assert(res.nonEmpty)
+    res.foreach(r =>
+      assert(!r.getAs[Double]("cosine").isNaN))
+  }
+
   test("topK's vector scan is partition-pruned to the probed cells") {
     val dir = java.nio.file.Files.createTempDirectory("vstorep").toString
     VectorStore.create(spark, dir, emb, "vec_id", "embedding",
