@@ -185,12 +185,18 @@ object Similarity {
       s"randomProject: bad dims ($inDim -> $outDim)")
     val inv = 1.0 / math.sqrt(outDim.toDouble)
     graft.operators.TextAnalysis.bindOnce(vec) { v =>
-      array((0 until outDim).map { j =>
-        val signs = array((0 until inDim)
-          .map(i => lit(rpSign(seed, j, i))): _*)
-        aggregate(zip_with(v, signs, (a, b) => a * b), lit(0.0),
-          (acc, x) => acc + x) * lit(inv)
-      }: _*)
+      // dimension guard: zip_with pads a short/long vector with nulls,
+      // which would LEAK as per-component nulls deep into downstream
+      // cosines — a whole-row null is the countable malformed-data
+      // signal instead (same posture as the codecs' None)
+      when(size(v) === inDim,
+        array((0 until outDim).map { j =>
+          val signs = array((0 until inDim)
+            .map(i => lit(rpSign(seed, j, i))): _*)
+          aggregate(zip_with(v, signs, (a, b) => a * b), lit(0.0),
+            (acc, x) => acc + x) * lit(inv)
+        }: _*))
+        .otherwise(lit(null).cast("array<double>"))
     }
   }
 
