@@ -77,10 +77,6 @@ object Stress {
     // forced out; diskBytesSpilled its serialized on-disk size.
     val spillMem = new java.util.concurrent.atomic.AtomicLong
     val spillDisk = new java.util.concurrent.atomic.AtomicLong
-    // task input bytes: the scan-bandwidth telemetry the int8-store row
-    // reads — bytesRead deltas around a query action ARE the evidence
-    // that a storage format cut the scan, not an assertion about it
-    val inputBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -89,7 +85,6 @@ object Stress {
           if (m != null) {
             spillMem.addAndGet(m.memoryBytesSpilled)
             spillDisk.addAndGet(m.diskBytesSpilled)
-            inputBytes.addAndGet(m.inputMetrics.bytesRead)
           }
         }
       })

@@ -1,6 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -29,6 +30,16 @@ object NfcNormalize {
 
 case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
+  // analysis-time type check: without it the SQL-injected function
+  // accepts any argument and dies in the executor with a
+  // ClassCastException instead of a clear AnalysisException.
+  // (ExpectsInputTypes would be idiomatic, but AbstractDataType is
+  // private[sql] at the Scala level — inaccessible to a library.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires a string argument, got ${child.dataType}")
   override def prettyName: String = "nfc_normalize"
 
   /** Reference-object doGenCode keeps the surrounding projection in one

@@ -915,9 +915,11 @@ object Curation {
 
   /** One-call corpus summary ("dataset card"): the topline numbers a
     * curation run reports — volume, token mass, exact-dup rate, Gopher
-    * pass rate, document-length quantiles, dominant language. One row
-    * out; every statistic deterministic and engine-replayable (cd1
-    * gate hash-pins all of them).
+    * pass rate, document-length quantiles, dominant language. ALWAYS
+    * one row out (an empty corpus yields n_docs = 0 with null
+    * rates/quantiles/top_lang, never zero rows); every statistic
+    * deterministic and engine-replayable (cd1 gate hash-pins all of
+    * them).
     *
     * Scale shape: one wide scan computes the fused Gopher report and
     * feeds three bounded aggregations — the global counters (map-side
@@ -925,11 +927,11 @@ object Curation {
     * shuffle; text bytes never move), and the deterministic length
     * sketch (a few hundred (bkt, cnt) rows) — plus a language
     * frequency table (narrow, bounded by the language count). The
-    * combining cross-joins are 1-row × 1-row. No window touches the
-    * corpus; no payload shuffles. */
-  def datasetCard(docs: DataFrame, idCol: String, textCol: String,
+    * combining joins are 1-row × ≤1-row. No window touches the corpus;
+    * no payload shuffles. */
+  def datasetCard(docs: DataFrame, textCol: String,
       langCol: String): DataFrame = {
-    val base = docs.select(col(idCol).as("id"),
+    val base = docs.select(
       col(textCol).as("text"), col(langCol).cast("string").as("lang"))
     val main = base
       .withColumn("__g", gopherReportFused(col("text")))
@@ -949,23 +951,33 @@ object Curation {
     val lq = graft.ops.QuantileSketch.quantiles(lens, Seq("__k"),
         Seq(("p50_chars", 1, 2), ("p99_chars", 99, 100)))
       .drop("__k")
+    // deterministic argmax as a GLOBAL aggregate (one row even over an
+    // empty corpus, unlike an ORDER BY/LIMIT 1 frame): min of
+    // (-count, lang) is (count DESC, lang ASC)
     val topLang = base.groupBy(col("lang"))
       .agg(count(lit(1)).as("__c"))
-      .orderBy(col("__c").desc, col("lang"))
-      .limit(1)
-      .select(col("lang").as("top_lang"), col("__c").as("__top_c"))
-    main.crossJoin(dups).crossJoin(lq).crossJoin(topLang)
+      .agg(min(struct((-col("__c")).as("nc"), col("lang").as("l")))
+        .as("__t"))
+      .select(col("__t").getField("l").as("top_lang"),
+        (-col("__t").getField("nc")).as("__top_c"))
+    // main/dups/topLang are global aggregates (exactly one row each);
+    // lq is one row per populated sketch group (zero on an empty
+    // corpus) — the left join keeps the card row alive with null
+    // quantiles instead of annihilating it
+    def rate(n: Column): Column =
+      round(when(col("n_docs") > 0, n.cast("double") / col("n_docs")), 6)
+    main.withColumn("__j", lit(1))
+      .join(dups.withColumn("__j", lit(1)), Seq("__j"))
+      .join(topLang.withColumn("__j", lit(1)), Seq("__j"))
+      .join(lq.withColumn("__j", lit(1)), Seq("__j"), "left")
       .select(col("n_docs"), col("n_words"),
         col("n_exact_dups"),
-        round(col("n_exact_dups").cast("double") / col("n_docs"), 6)
-          .as("dup_rate"),
+        rate(col("n_exact_dups")).as("dup_rate"),
         col("n_gopher_pass"),
-        round(col("n_gopher_pass").cast("double") / col("n_docs"), 6)
-          .as("gopher_pass_rate"),
+        rate(col("n_gopher_pass")).as("gopher_pass_rate"),
         col("p50_chars"), col("p99_chars"),
         col("top_lang"),
-        round(col("__top_c").cast("double") / col("n_docs"), 6)
-          .as("top_lang_frac"))
+        rate(col("__top_c")).as("top_lang_frac"))
   }
 
   // -------------------------------------------------------------------

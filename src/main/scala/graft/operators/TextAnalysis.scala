@@ -800,7 +800,15 @@ object TextAnalysis {
     val bucket = qs.map { case (name, _, _) =>
       when(col("__anm") > col(name), 1).otherwise(0)
     }.reduce(_ + _)
-    measured.join(thresholds, Seq(groupCol))
+    // NULL-SAFE threshold join: a null group key (missing language ID
+    // is routine web data) gets its own sketch group and its own
+    // thresholds, and [[nllRankBuckets]]'s window partitions bucket it
+    // too — an inner equi-join would silently DROP every null-group
+    // row and the two paths would disagree on row count, not just
+    // boundary placement. The rename breaks the self-derived lineage
+    // so the <=> condition can't be ambiguous.
+    val th = thresholds.withColumnRenamed(groupCol, "__tg")
+    measured.join(th, col(groupCol) <=> col("__tg")).drop("__tg")
       .withColumn("bucket", bucket)
       .withColumn("bucket_label",
         when(col("bucket") === 0, "head")

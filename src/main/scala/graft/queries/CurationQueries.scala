@@ -638,8 +638,7 @@ object CurationQueries {
     // a sketch edge) breaks this hash even if the per-operator gates
     // somehow missed it.
     "cd1_dataset_card" -> ((s, d) => {
-      Curation.datasetCard(Tables.documents(s, d),
-        "doc_id", "text", "lang")
+      Curation.datasetCard(Tables.documents(s, d), "text", "lang")
     }),
 
     // ---- CCNet buckets on the NO-SORT sketch path --------------------------
@@ -1799,7 +1798,7 @@ object CurationQueries {
          |  CASE WHEN s.anm <= t.t1 THEN 'head'
          |       WHEN s.anm > t.t2 THEN 'tail'
          |       ELSE 'middle' END AS bucket_label
-         |FROM sc2 s JOIN th t USING (lang)
+         |FROM sc2 s JOIN th t ON s.lang IS NOT DISTINCT FROM t.lang
          |ORDER BY s.doc_id""".stripMargin,
 
     // t12d: the t12c replay + the selection rule (head, or middle with
@@ -1840,7 +1839,7 @@ object CurationQueries {
          |    CASE WHEN s.anm <= t.t1 THEN 'head'
          |         WHEN s.anm > t.t2 THEN 'tail'
          |         ELSE 'middle' END AS bucket_label
-         |  FROM sc2 s JOIN th t USING (lang))
+         |  FROM sc2 s JOIN th t ON s.lang IS NOT DISTINCT FROM t.lang)
          |SELECT doc_id, lang, bucket_label FROM lab
          |WHERE bucket_label = 'head'
          |   OR (bucket_label = 'middle'

@@ -27,16 +27,6 @@ object ColumnBridge {
       .lookupCachedData(ds).isDefined
   }
 
-  /** Drain the async listener bus: SparkListener-based telemetry
-    * (task input bytes, spill counters) is delivered on a background
-    * queue, so a snapshot taken right after an action returns can miss
-    * the action's own task-end events. The bus and its waitUntilEmpty
-    * are public but the SparkContext accessor is private[spark] —
-    * bridged here like the Column↔Expression pair above. */
-  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
-    try sc.listenerBus.waitUntilEmpty(10000)
-    catch { case _: java.util.concurrent.TimeoutException => () }
-
   /** Deep conversion through the session converter: unlike
     * [[expression]] (which wraps unresolved ColumnNodes in an opaque,
     * Unevaluable ColumnNodeExpression), this lowers a COMPOSED Column

@@ -135,6 +135,17 @@ class BigramLmSpec extends SparkSpec {
     val spread = approx.groupBy(col("lang"))
       .agg(countDistinct(col("b_approx")).as("nb")).collect()
     assert(spread.forall(_.getLong(1) >= 2))
+    // null group keys (missing language ID is routine web data) form
+    // their own group and are BUCKETED, not dropped — the inner-join
+    // formulation silently lost them (r12 review finding)
+    val withNull = scored.withColumn("lang",
+      when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")))
+    val nullBucketed = TextAnalysis.nllSketchBuckets(
+      withNull, "doc_id", "lang")
+    assert(nullBucketed.count() === withNull.count())
+    assert(nullBucketed.filter(col("lang").isNull).count() ===
+      withNull.filter(col("lang").isNull).count())
   }
 
   test("streamed LM state equals the one-shot model over all deltas") {

@@ -570,4 +570,32 @@ class CurationSpec extends SparkSpec {
       r(3).getAs[Double]("bad_frac") === 0.0 &&
       !r(3).getAs[Boolean]("blocked"))
   }
+
+  test("datasetCard: exact dup counting, dominant language, and the " +
+      "ALWAYS-one-row contract (incl. an empty corpus)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "THE CAT   SAT on the mat", "en"),   // exact dup after norm
+      (3L, "a completely different document", "en"),
+      (4L, "noch ein deutsches dokument", "de"))
+      .toDF("doc_id", "text", "lang")
+    val card = Curation.datasetCard(docs, "text", "lang").collect()
+    assert(card.length === 1)
+    val r = card.head
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("n_exact_dups") === 1L)
+    assert(r.getAs[Double]("dup_rate") === 0.25)
+    assert(r.getAs[String]("top_lang") === "en")
+    assert(r.getAs[Double]("top_lang_frac") === 0.75)
+    assert(r.getAs[Long]("p50_chars") >= 22L) // shortest doc is 22 chars
+    // empty corpus: STILL one row — zero counts, null rates/quantiles
+    val empty = Curation.datasetCard(
+      docs.filter(col("doc_id") < 0), "text", "lang").collect()
+    assert(empty.length === 1)
+    assert(empty.head.getAs[Long]("n_docs") === 0L)
+    assert(empty.head.isNullAt(empty.head.fieldIndex("dup_rate")))
+    assert(empty.head.isNullAt(empty.head.fieldIndex("p50_chars")))
+    assert(empty.head.isNullAt(empty.head.fieldIndex("top_lang")))
+  }
 }

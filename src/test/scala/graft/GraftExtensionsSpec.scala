@@ -228,6 +228,17 @@ class GraftExtensionsSpec extends SparkSpec {
         "FROM gx_emb ORDER BY vec_id LIMIT 1").collect().head
     assert(rt.getDouble(0) > 0.0)
     assert(rt.getSeq[Double](1).size === 64)
+    // nfc_normalize rejects non-string args at ANALYSIS time (a
+    // ClassCastException in the executor otherwise)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT nfc_normalize(vec_id) FROM gx_emb").collect()
+    }
+    // (Spark's chr() is mod-256 ASCII — build the decomposed literal
+    // from the code point instead)
+    val dec = "cafe" + new String(Character.toChars(0x301))
+    assert(spark.sql(s"SELECT nfc_normalize('$dec') AS n")
+      .collect().head.getString(0) === "caf" +
+        new String(Character.toChars(0xe9)))
     // the vector_topk TVF reads an int8-format store with no syntax
     // change — format transparency at the SQL surface
     val dir = java.nio.file.Files.createTempDirectory("vsql_i8").toString
