@@ -259,7 +259,7 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes))
         catch { case _: Exception => null }
 
-    private def encodePng(
+    private[operators] def encodePng(
         img: java.awt.image.BufferedImage): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
@@ -323,6 +323,30 @@ object Multimodal {
           GifFrame(i, w, h, sr.toDouble / np, sg.toDouble / np,
             sb.toDouble / np)
         }
+        }
+      }.filter(_.nonEmpty)
+    }
+
+    /** Sampled frames RE-ENCODED as standalone PNG payloads (same
+      * ⌊j·total/k⌋ index choice as [[sampleFrames]]) — the extraction
+      * leg that turns a multi-frame container into per-frame rows any
+      * image stage ([[Multimodal.decodeImageStats]],
+      * [[Multimodal.resizeImages]]) consumes. PNG is lossless, so the
+      * GIF-decode→PNG-encode hop preserves every pixel (the m8 gate
+      * round-trips it through a SECOND real decode and hash-pins the
+      * statistics). None for non-GIF payloads. */
+    def framePngs(bytes: Array[Byte],
+        n: Int): Option[Seq[(Int, Array[Byte])]] = {
+      require(n >= 1, s"framePngs: n must be >= 1, got $n")
+      withReader(bytes) { r =>
+        val total = r.getNumImages(true)
+        if (total <= 0) Seq.empty[(Int, Array[Byte])]
+        else {
+          val k = math.min(n, total)
+          (0 until k).map { j =>
+            val i = (j.toLong * total / k).toInt
+            (i, ImageIo.encodePng(r.read(i)))
+          }
         }
       }.filter(_.nonEmpty)
     }
@@ -543,6 +567,35 @@ object Multimodal {
           frames.toSeq.flatten.map(f =>
             org.apache.spark.sql.Row(r.getLong(0), f.frameIdx,
               f.width, f.height, r6(f.meanR), r6(f.meanG), r6(f.meanB)))
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Frame EXTRACTION as a DataFrame stage: each animated-GIF row
+    * explodes to min(n, frames) rows of (media_id, frame_idx,
+    * payload) where payload is a standalone lossless PNG — feed the
+    * result straight into [[decodeImageStats]] / [[resizeImages]] /
+    * [[probeMedia]]. The video-corpus shape (1 container → n trainable
+    * frames), real for the container the JDK decodes. Non-GIF rows
+    * contribute zero rows; payload bytes never shuffle (mapPartitions,
+    * [[decodeImageStats]]'s discipline). */
+  def extractGifFrames(media: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"extractGifFrames: n must be >= 1, got $n")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rows = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val frames =
+            if (r.isNullAt(1)) None
+            else GifIo.framePngs(r.getAs[Array[Byte]](1), n)
+          frames.toSeq.flatten.map { case (i, png) =>
+            org.apache.spark.sql.Row(r.getLong(0), i, png)
+          }
         }
       }
     spark.createDataFrame(rows, outSchema)

@@ -369,6 +369,48 @@ object IoQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // ---- GIF frame EXTRACTION through a second real codec (m8) -----------
+    // m7 samples statistics; this extracts the sampled frames as
+    // standalone PNG payloads and round-trips them through the FULL
+    // PNG decode (decodeImageStats) — a two-codec chain (GIF decode →
+    // PNG encode → PNG decode) whose every statistic is still analytic
+    // because the frames are solid colors. A pixel lost or shifted in
+    // either codec hop, a wrong sampled index, or a palette drift
+    // breaks the hash.
+    "m8_gif_extract" -> ((s, d) => {
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("media_id"))
+        .filter(col("media_id") < 200)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType)))
+      val rows = ids.rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val total = (4 + id % 5).toInt
+          val w = (6 + (id % 4) * 2).toInt
+          val h = (4 + id % 3).toInt
+          val frames = (0 until total).map(f => (
+            ((id * 7 + f * 13) % 256).toInt,
+            ((id * 11 + f * 17) % 256).toInt,
+            ((id * 3 + f * 29) % 256).toInt))
+          org.apache.spark.sql.Row(id,
+            Multimodal.GifIo.encodeAnimatedGif(w, h, frames))
+        }
+      }
+      val frames = Multimodal.extractGifFrames(
+        s.createDataFrame(rows, schema), n = 3)
+      // feed the per-frame PNGs through the real image decoder; a
+      // composite row id keeps media_id unique for the stats stage
+      // (total ≤ 8 so frame_idx < 8)
+      Multimodal.decodeImageStats(frames.select(
+          (col("media_id") * 8 + col("frame_idx")).as("media_id"),
+          col("payload")))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- Z-order layout: key exactness + clustered-write round-trip ------
     // The Morton key is computed, written through zorderWrite (range
     // partition + sort + file split), read back, and hash-compared to
@@ -499,6 +541,33 @@ object IoQueries {
         |  round(CAST((media_id * 3 + frame_idx * 29) % 256 AS DOUBLE), 6)
         |    AS mean_b
         |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
+
+    // m8: the two-codec chain's statistics are the planted solid
+    // colors — means AND corners; the composite id is media_id*8 +
+    // sampled index ⌊j·total/3⌋
+    "m8_gif_extract" ->
+      """WITH g AS (
+        |  SELECT doc_id AS mid, 4 + doc_id % 5 AS total,
+        |    CAST(6 + (doc_id % 4) * 2 AS INTEGER) AS width,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS height
+        |  FROM documents WHERE doc_id < 200),
+        |fr AS (
+        |  SELECT mid, width, height,
+        |    CAST((j * total) // 3 AS INTEGER) AS i
+        |  FROM g, range(0, 3) t(j)),
+        |cx AS (
+        |  SELECT mid * 8 + i AS media_id, width, height,
+        |    CAST((mid * 7 + i * 13) % 256 AS INTEGER) AS r,
+        |    CAST((mid * 11 + i * 17) % 256 AS INTEGER) AS gg,
+        |    CAST((mid * 3 + i * 29) % 256 AS INTEGER) AS b
+        |  FROM fr)
+        |SELECT media_id, width, height,
+        |  round(CAST(r AS DOUBLE), 6) AS mean_r,
+        |  round(CAST(gg AS DOUBLE), 6) AS mean_g,
+        |  round(CAST(b AS DOUBLE), 6) AS mean_b,
+        |  r AS tl_r, gg AS tl_g, b AS tl_b,
+        |  r AS br_r, gg AS br_g, b AS br_b
+        |FROM cx ORDER BY media_id""".stripMargin,
 
     // the two-tone construction makes every decoded statistic analytic:
     // means are (c1+c2)/2 (equal halves), corners are the raw colors —

@@ -301,6 +301,17 @@ class IoStreamingSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ===
       Seq((1L, 0), (1L, 1), (1L, 3)))
     assert(out(1).getDouble(4) === 40.0) // frame 1 mean_r
+    // frame EXTRACTION: sampled frames come back as standalone PNGs
+    // that the image decoder reads with pixel fidelity (lossless hop)
+    val pngs = Multimodal.extractGifFrames(rows, 2)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(pngs.map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((1L, 0), (1L, 2)))
+    val st = Multimodal.ImageIo.decodeStats(
+      pngs(1).getAs[Array[Byte]](2)).get
+    assert(st.width === 6 && st.height === 4 &&
+      (st.meanR, st.meanG, st.meanB) === (70.0, 80.0, 90.0))
+    assert(Multimodal.GifIo.framePngs("junk".getBytes, 2) === None)
   }
 
   test("multimodal: batched decode is batch- and partition-invariant") {
