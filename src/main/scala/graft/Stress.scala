@@ -599,6 +599,55 @@ object Stress {
           resized.getLong(0) / resizeSecs))
     }
 
+    // ---- animated-GIF tier: encode nDocs/100 multi-frame GIFs with
+    // the real sequence writer, then indexed frame SAMPLING (only the
+    // sampled frames decode) and frame EXTRACTION (GIF→PNG re-encode)
+    // — the gifs/s that sizes the multi-frame path; payloads are born
+    // in the consuming mapPartitions, nothing shuffles bytes. --------
+    step("multimodal_gif") {
+      val nGifs = math.max(20000L, nDocs / 100)
+      val ids = spark.range(nGifs).toDF("media_id")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType)))
+      val media = spark.createDataFrame(ids.rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val total = (4 + id % 5).toInt
+          val frames = (0 until total).map(f => (
+            ((id * 7 + f * 13) % 256).toInt,
+            ((id * 11 + f * 17) % 256).toInt,
+            ((id * 3 + f * 29) % 256).toInt))
+          org.apache.spark.sql.Row(id,
+            graft.operators.Multimodal.GifIo.encodeAnimatedGif(
+              (16 + (id % 4) * 4).toInt, (12 + (id % 3) * 4).toInt,
+              frames))
+        }
+      }, schema).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = media.count()
+      val t0 = System.nanoTime()
+      val sampled = graft.operators.Multimodal.sampleGifFrames(media, 3)
+        .agg(count(lit(1)), sum(col("mean_r"))).collect().head
+      val sampleSecs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val extracted = graft.operators.Multimodal
+        .extractGifFrames(media, 2)
+        .agg(count(lit(1)), sum(octet_length(col("payload"))))
+        .collect().head
+      val extractSecs = (System.nanoTime() - t1) / 1e9
+      media.unpersist(blocking = false)
+      Seq("n_gifs" -> n,
+        "frames_sampled" -> sampled.getLong(0),
+        "sample_secs" -> math.round(sampleSecs * 100.0) / 100.0,
+        "gifs_sampled_per_sec" -> math.round(n / sampleSecs),
+        "frames_extracted" -> extracted.getLong(0),
+        "extract_secs" -> math.round(extractSecs * 100.0) / 100.0,
+        "gifs_extracted_per_sec" -> math.round(n / extractSecs))
+    }
+
     // ---- per-row quality reports over the FULL corpus: gopher (five
     // sorted gram folds/row) + c4 line clean in ONE map-only pass — the
     // telemetry is pure scan throughput, there is nothing to shuffle ----
