@@ -641,6 +641,14 @@ object CurationQueries {
       Curation.datasetCard(Tables.documents(s, d), "text", "lang")
     }),
 
+    // the same report driven through SQL TEXT (the dataset_card TVF):
+    // a SQL-only user gets the one-row corpus summary with zero Scala;
+    // shares cd1's oracle, so the TVF argument plumbing and the
+    // operator plan both stay pinned
+    "sql4_dataset_card" -> ((s, d) =>
+      s.sql("SELECT * FROM dataset_card(" +
+        s"'$d/documents.parquet', 'text', 'lang')")),
+
     // ---- CCNet buckets on the NO-SORT sketch path --------------------------
     // The 100 TB form of t12: per-language thresholds from the
     // deterministic HdrHistogram-bucket quantile sketch (one narrow
@@ -1696,8 +1704,14 @@ object CurationQueries {
     // cd1: every consolidated statistic recomputed from the shared
     // fragments — gopher chain for words/pass, the d1 md5 recipe for
     // dups, kq1's m=7 bucket math for the length quantiles, and the
-    // deterministic (count DESC, lang) argmax for the dominant language
-    "cd1_dataset_card" ->
+    // deterministic (count DESC, lang) argmax for the dominant
+    // language; sql4 drives the same operator through the SQL TVF, so
+    // it shares this oracle verbatim
+    "cd1_dataset_card" -> datasetCardOracleSql,
+    "sql4_dataset_card" -> datasetCardOracleSql,
+  ) ++ oraclesTail
+
+  private lazy val datasetCardOracleSql: String =
       s"""WITH base AS (
          |  SELECT doc_id, text, CAST(lang AS VARCHAR) AS lang
          |  FROM documents),
@@ -1750,8 +1764,11 @@ object CurationQueries {
          |    AS gopher_pass_rate,
          |  q.p50_chars, q.p99_chars, tl.top_lang,
          |  round(CAST(tl.c AS DOUBLE) / m.n_docs, 6) AS top_lang_frac
-         |FROM m, dp, q, tl""".stripMargin,
+         |FROM m, dp, q, tl""".stripMargin
 
+  // continuation of `oracles` (split around the shared dataset-card
+  // SQL so cd1 and sql4 reference one definition)
+  private def oraclesTail: Map[String, String] = Map(
     // The sketch-bucket path: same LM scoring, then the HdrHistogram
     // m=9 bucket replay (kq1's integer bit-math at base 512), ceil-rank
     // threshold pick at 1/3 and 2/3, and the monotone > comparisons.

@@ -361,6 +361,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // comes from a persisted IndexStore directory (bucket-pruned
     // postings), so a SQL user can query a corpus index maintained
     // incrementally by another job
+    // one-call corpus summary from SQL text — the cd1 operator as a
+    // relation: SELECT * FROM dataset_card('corpus.parquet', 'text',
+    // 'lang')
+    ext.injectTableFunction((FunctionIdentifier("dataset_card"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "dataset_card"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, tc, lc) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          graft.operators.Curation.datasetCard(
+            spark.read.parquet(strLit(p, "dataset_card path")),
+            strLit(tc, "dataset_card textCol"),
+            strLit(lc, "dataset_card langCol"))
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "dataset_card(path, textCol, langCol) — all arguments must " +
+            "be string literals")
+      }))
     ext.injectTableFunction((FunctionIdentifier("bm25_store_topk"),
       new ExpressionInfo(classOf[GraftExtensions].getName,
         "bm25_store_topk"),
