@@ -38,7 +38,8 @@ class PlanSpec extends SparkSpec {
     // corpus rows, so the single partition is correct at any scale.
     // Queries that run work eagerly at construction are built
     // all the same — only plan INSPECTION needs the lazy frame.
-    val allowed = Set("w1_surrogate_keys", "cd1_dataset_card")
+    val allowed = Set("w1_surrogate_keys", "cd1_dataset_card",
+      "sql4_dataset_card") // sql4 = cd1 via the SQL TVF, same plan
     val eager = Set("c1_corpus_clean", "s5_ledger_loop") // side effects
     noAqe {
       SparkEntry.queries.keys.toSeq.sorted
