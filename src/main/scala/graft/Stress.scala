@@ -615,15 +615,10 @@ object Stress {
       val media = spark.createDataFrame(ids.rdd.mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
-          val total = (4 + id % 5).toInt
-          val frames = (0 until total).map(f => (
-            ((id * 7 + f * 13) % 256).toInt,
-            ((id * 11 + f * 17) % 256).toInt,
-            ((id * 3 + f * 29) % 256).toInt))
           org.apache.spark.sql.Row(id,
             graft.operators.Multimodal.GifIo.encodeAnimatedGif(
               (16 + (id % 4) * 4).toInt, (12 + (id % 3) * 4).toInt,
-              frames))
+              graft.operators.Multimodal.GifIo.testbedFrames(id)))
         }
       }, schema).persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

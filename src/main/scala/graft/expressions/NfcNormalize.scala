@@ -36,7 +36,11 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
   // (ExpectsInputTypes would be idiomatic, but AbstractDataType is
   // private[sql] at the Scala level — inaccessible to a library.)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[StringType])
+    // NullType stays accepted: nfc_normalize(NULL) evaluates to NULL
+    // through the null-safe path, matching Spark's built-in string
+    // functions (which implicitly cast NullType)
+    if (child.dataType.isInstanceOf[StringType] ||
+        child.dataType == org.apache.spark.sql.types.NullType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"nfc_normalize requires a string argument, got ${child.dataType}")

@@ -296,33 +296,44 @@ object Multimodal {
       * replays the index choice): per frame, dimensions + per-channel
       * means from exact integer sums (the [[ImageIo.decodeStats]]
       * discipline). None for non-GIF / undecodable payloads. */
-    def sampleFrames(bytes: Array[Byte], n: Int): Option[Seq[GifFrame]] = {
-      require(n >= 1, s"sampleFrames: n must be >= 1, got $n")
+    def sampleFrames(bytes: Array[Byte], n: Int): Option[Seq[GifFrame]] =
+      sampleIndexed(bytes, n) { (i, img) =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff
+            sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val np = w.toLong * h
+        GifFrame(i, w, h, sr.toDouble / np, sg.toDouble / np,
+          sb.toDouble / np)
+      }
+
+    /** The ONE copy of the sampling contract both legs share —
+      * k = min(n, total), indices ⌊j·total/k⌋, only sampled frames
+      * decode — because the m7/m8 oracles replay exactly this index
+      * choice and two hand-synced copies would invite the legs
+      * drifting apart. */
+    private def sampleIndexed[T](bytes: Array[Byte], n: Int)(
+        body: (Int, java.awt.image.BufferedImage) => T)
+        : Option[Seq[T]] = {
+      require(n >= 1, s"sample: n must be >= 1, got $n")
       withReader(bytes) { r =>
         val total = r.getNumImages(true)
-        if (total <= 0) Seq.empty[GifFrame]
+        if (total <= 0) Seq.empty[T]
         else {
-        val k = math.min(n, total)
-        (0 until k).map { j =>
-          val i = (j.toLong * total / k).toInt
-          val img = r.read(i)
-          val (w, h) = (img.getWidth, img.getHeight)
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff
-              sb += p & 0xff
-              x += 1
-            }
-            y += 1
+          val k = math.min(n, total)
+          (0 until k).map { j =>
+            val i = (j.toLong * total / k).toInt
+            body(i, r.read(i))
           }
-          val np = w.toLong * h
-          GifFrame(i, w, h, sr.toDouble / np, sg.toDouble / np,
-            sb.toDouble / np)
-        }
         }
       }.filter(_.nonEmpty)
     }
@@ -336,20 +347,21 @@ object Multimodal {
       * round-trips it through a SECOND real decode and hash-pins the
       * statistics). None for non-GIF payloads. */
     def framePngs(bytes: Array[Byte],
-        n: Int): Option[Seq[(Int, Array[Byte])]] = {
-      require(n >= 1, s"framePngs: n must be >= 1, got $n")
-      withReader(bytes) { r =>
-        val total = r.getNumImages(true)
-        if (total <= 0) Seq.empty[(Int, Array[Byte])]
-        else {
-          val k = math.min(n, total)
-          (0 until k).map { j =>
-            val i = (j.toLong * total / k).toInt
-            (i, ImageIo.encodePng(r.read(i)))
-          }
-        }
-      }.filter(_.nonEmpty)
-    }
+        n: Int): Option[Seq[(Int, Array[Byte])]] =
+      sampleIndexed(bytes, n) { (i, img) =>
+        (i, ImageIo.encodePng(img))
+      }
+
+    /** Deterministic testbed frame colors for gif id `id` — ONE copy
+      * shared by the m7/m8 gates and the Stress gif tier (their DuckDB
+      * oracles replay these exact formulas, so a drifted copy would
+      * silently break a digest): 4 + id%5 frames, frame f colored
+      * ((id·7+f·13)%256, (id·11+f·17)%256, (id·3+f·29)%256). */
+    def testbedFrames(id: Long): Seq[(Int, Int, Int)] =
+      (0 until (4 + id % 5).toInt).map(f => (
+        ((id * 7 + f * 13) % 256).toInt,
+        ((id * 11 + f * 17) % 256).toInt,
+        ((id * 3 + f * 29) % 256).toInt))
 
     /** Deterministic animated-GIF testbed: solid-color full frames
       * through the JDK's GIF sequence writer. A solid frame's palette

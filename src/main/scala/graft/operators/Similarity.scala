@@ -185,11 +185,13 @@ object Similarity {
       s"randomProject: bad dims ($inDim -> $outDim)")
     val inv = 1.0 / math.sqrt(outDim.toDouble)
     graft.operators.TextAnalysis.bindOnce(vec) { v =>
-      // dimension guard: zip_with pads a short/long vector with nulls,
-      // which would LEAK as per-component nulls deep into downstream
-      // cosines — a whole-row null is the countable malformed-data
-      // signal instead (same posture as the codecs' None)
-      when(size(v) === inDim,
+      // malformed-vector guard: zip_with pads a short/long vector with
+      // nulls, and a NULL ELEMENT inside a correct-length vector
+      // propagates the same way — either would LEAK as per-component
+      // nulls deep into downstream cosines. A whole-row null is the
+      // countable malformed-data signal instead (the codecs' None
+      // posture).
+      when(size(v) === inDim && !exists(v, x => x.isNull),
         array((0 until outDim).map { j =>
           val signs = array((0 until inDim)
             .map(i => lit(rpSign(seed, j, i))): _*)

@@ -177,7 +177,8 @@ object VectorStore {
     * with the store's centroids over the full data. */
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
       qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val (cellRank, probed) = probePlan(spark, dir, queries, qidCol,
+    val qClean = finiteQueries(queries, qvecCol)
+    val (cellRank, probed) = probePlan(spark, dir, qClean, qidCol,
       qvecCol, nprobe)
     val vecs = readVectors(spark, dir)
       .filter(col("cell").isin(probed: _*))
@@ -198,11 +199,12 @@ object VectorStore {
     require(candidates >= k)
     import spark.implicits._
     val mdl = loadModel(spark, s"$dir/codebooks")
-    val (cellRank, probed) = probePlan(spark, dir, queries, qidCol,
+    val qClean = finiteQueries(queries, qvecCol)
+    val (cellRank, probed) = probePlan(spark, dir, qClean, qidCol,
       qvecCol, nprobe)
     val vecs = readVectors(spark, dir)
       .filter(col("cell").isin(probed: _*))
-    val qRows = queries
+    val qRows = qClean
       .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
     val luts = qRows.map { case (qid, qv) =>
@@ -227,7 +229,7 @@ object VectorStore {
       .join(readVectors(spark, dir)
         .filter(col("cell").isin(probed: _*))
         .select(col("id"), col("vec")), Seq("id"))
-      .join(broadcast(queries.select(col(qidCol).cast("long").as(qidCol),
+      .join(broadcast(qClean.select(col(qidCol).cast("long").as(qidCol),
         col(qvecCol))), Seq(qidCol))
       .withColumn("cosine", Similarity.cosine(col("vec"), col(qvecCol)))
     Similarity.rankTopK(reranked, qidCol, "id", k)
@@ -252,8 +254,9 @@ object VectorStore {
   def recallAtK(spark: SparkSession, dir: String, queries: DataFrame,
       qidCol: String, qvecCol: String, k: Int,
       nprobe: Int): DataFrame = {
-    val qs = queries.select(col(qidCol).cast("long").as("qid"),
-      col(qvecCol).cast("array<double>").as("qvec"))
+    val qs = finiteQueries(queries, qvecCol)
+      .select(col(qidCol).cast("long").as("qid"),
+        col(qvecCol).cast("array<double>").as("qvec"))
     val vecs = readVectors(spark, dir)
       .select(col("b"), col("cell"), col("id"), col("vec"))
     def topkIds(scored: DataFrame): DataFrame = scored
@@ -342,6 +345,18 @@ object VectorStore {
       .write.mode("overwrite")
       .partitionBy("cell").parquet(s"$dir/vectors/b=$batchTag")
   }
+
+  /** Query-side twin of the ingest guard: a NaN/Inf element in a QUERY
+    * vector makes every candidate cosine NaN — and NaN sorts as the
+    * LARGEST double, so that query's top-k would be k arbitrary ids
+    * with NaN scores. Malformed queries are filtered; the absent qids
+    * in the output are the caller's countable signal (spec-pinned). */
+  private def finiteQueries(queries: DataFrame,
+      qvecCol: String): DataFrame =
+    queries.filter(col(qvecCol).isNotNull &&
+      !exists(col(qvecCol).cast("array<double>"),
+        x => isnan(x) || x === Double.PositiveInfinity ||
+          x === Double.NegativeInfinity))
 
   /** Uniform read view of the vector table: (b, cell, id, vec, codes)
     * regardless of storage format. An int8 store reconstructs `vec` as

@@ -645,9 +645,12 @@ object CurationQueries {
     // a SQL-only user gets the one-row corpus summary with zero Scala;
     // shares cd1's oracle, so the TVF argument plumbing and the
     // operator plan both stay pinned
-    "sql4_dataset_card" -> ((s, d) =>
-      s.sql("SELECT * FROM dataset_card(" +
-        s"'$d/documents.parquet', 'text', 'lang')")),
+    "sql4_dataset_card" -> ((s, d) => {
+      // SQL-escape the spliced dataset path — a quote in a directory
+      // name must not become a parse error only in THIS gate
+      val p = s"$d/documents.parquet".replace("'", "''")
+      s.sql(s"SELECT * FROM dataset_card('$p', 'text', 'lang')")
+    }),
 
     // ---- CCNet buckets on the NO-SORT sketch path --------------------------
     // The 100 TB form of t12: per-language thresholds from the

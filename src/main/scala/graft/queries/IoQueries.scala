@@ -354,15 +354,11 @@ object IoQueries {
       val rows = ids.rdd.mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
-          val total = (4 + id % 5).toInt
           val w = (5 + id % 4).toInt
           val h = (4 + id % 3).toInt
-          val frames = (0 until total).map(f => (
-            ((id * 7 + f * 13) % 256).toInt,
-            ((id * 11 + f * 17) % 256).toInt,
-            ((id * 3 + f * 29) % 256).toInt))
           org.apache.spark.sql.Row(id,
-            Multimodal.GifIo.encodeAnimatedGif(w, h, frames))
+            Multimodal.GifIo.encodeAnimatedGif(w, h,
+              Multimodal.GifIo.testbedFrames(id)))
         }
       }
       Multimodal.sampleGifFrames(s.createDataFrame(rows, schema), n = 3)
@@ -389,15 +385,11 @@ object IoQueries {
       val rows = ids.rdd.mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
-          val total = (4 + id % 5).toInt
           val w = (6 + (id % 4) * 2).toInt
           val h = (4 + id % 3).toInt
-          val frames = (0 until total).map(f => (
-            ((id * 7 + f * 13) % 256).toInt,
-            ((id * 11 + f * 17) % 256).toInt,
-            ((id * 3 + f * 29) % 256).toInt))
           org.apache.spark.sql.Row(id,
-            Multimodal.GifIo.encodeAnimatedGif(w, h, frames))
+            Multimodal.GifIo.encodeAnimatedGif(w, h,
+              Multimodal.GifIo.testbedFrames(id)))
         }
       }
       val frames = Multimodal.extractGifFrames(

@@ -357,10 +357,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bm25_topk(path, idCol, textCol, queryText, k[, maxDfFrac]) — " +
             "all arguments must be literals (k an integer)")
       }))
-    // store-backed variant: same scoring expression, but the relation
-    // comes from a persisted IndexStore directory (bucket-pruned
-    // postings), so a SQL user can query a corpus index maintained
-    // incrementally by another job
     // one-call corpus summary from SQL text — the cd1 operator as a
     // relation: SELECT * FROM dataset_card('corpus.parquet', 'text',
     // 'lang')
@@ -379,6 +375,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "dataset_card(path, textCol, langCol) — all arguments must " +
             "be string literals")
       }))
+    // store-backed variant: same scoring expression, but the relation
+    // comes from a persisted IndexStore directory (bucket-pruned
+    // postings), so a SQL user can query a corpus index maintained
+    // incrementally by another job
     ext.injectTableFunction((FunctionIdentifier("bm25_store_topk"),
       new ExpressionInfo(classOf[GraftExtensions].getName,
         "bm25_store_topk"),

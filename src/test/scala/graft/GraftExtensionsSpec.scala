@@ -229,10 +229,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rt.getDouble(0) > 0.0)
     assert(rt.getSeq[Double](1).size === 64)
     // nfc_normalize rejects non-string args at ANALYSIS time (a
-    // ClassCastException in the executor otherwise)
+    // ClassCastException in the executor otherwise) — but a bare NULL
+    // (NullType) still evaluates to NULL like the built-in string fns
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT nfc_normalize(vec_id) FROM gx_emb").collect()
     }
+    assert(spark.sql("SELECT nfc_normalize(NULL) AS n")
+      .collect().head.isNullAt(0))
     // (Spark's chr() is mod-256 ASCII — build the decomposed literal
     // from the code point instead)
     val dec = "cafe" + new String(Character.toChars(0x301))

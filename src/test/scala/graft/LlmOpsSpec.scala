@@ -493,10 +493,16 @@ class LlmOpsSpec extends SparkSpec {
           .as("p"))
       .orderBy("vec_id").limit(3).collect().map(_.getSeq[Double](1))
     assert(a.toSeq !== other.toSeq)
-    // wrong-dimension vectors project to a whole-row NULL (countable),
-    // never to a partially-null component array
+    // wrong-dimension vectors AND vectors with a null element project
+    // to a whole-row NULL (countable), never to a partially-null
+    // component array
     val bad = Seq((1L, Seq(1.0, 2.0)), (2L, (1 to 64).map(_.toDouble)))
       .toDF("vec_id", "embedding")
+      .unionByName(Seq((3L, (1 to 64).map(_.toDouble)))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), transform(col("embedding"), (x, i) =>
+          when(i === 0, lit(null).cast("double")).otherwise(x))
+          .as("embedding")))
       .select(col("vec_id"),
         Similarity.randomProject(col("embedding"), 64, 16, "spec")
           .as("p"))
@@ -504,6 +510,8 @@ class LlmOpsSpec extends SparkSpec {
     assert(bad(0).isNullAt(1))
     assert(bad(1).getSeq[Double](1).size === 16 &&
       !bad(1).getSeq[Double](1).contains(null))
+    assert(bad(2).isNullAt(1),
+      "null-element vector must project to whole-row null")
     // sign matrix is roughly balanced (md5 nibble parity: 16*64 draws)
     val signs = for (j <- 0 until 16; i <- 0 until 64)
       yield Similarity.rpSign("spec", j, i)

@@ -223,14 +223,26 @@ class VectorStoreSpec extends SparkSpec {
     // appends hold the same contract
     VectorStore.append(spark, dir, poisoned, "vec_id", "embedding", "b1")
     assert(spark.read.parquet(s"$dir/vectors").count() === clean.count())
-    // and queries over the store stay NaN-free
+    // and queries over the store stay NaN-free — including when the
+    // QUERY side is poisoned: a NaN query element makes every cosine
+    // NaN and NaN sorts LARGEST, so an unguarded query returns k
+    // arbitrary ids; the guard filters it and the absent qid is the
+    // caller's countable signal
     val queries = emb.filter(col("vec_id") < 2)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .unionByName(emb.filter(col("vec_id") === 2)
+        .select((col("vec_id") + 70000L).as("qid"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, lit(Double.NaN)).otherwise(x)).as("qv")))
     val res = VectorStore.topK(spark, dir, queries, "qid", "qv",
       k = 3, nprobe = 4).collect()
     assert(res.nonEmpty)
-    res.foreach(r =>
-      assert(!r.getAs[Double]("cosine").isNaN))
+    res.foreach(r => assert(!r.getAs[Double]("cosine").isNaN))
+    assert(!res.exists(_.getAs[Long]("qid") >= 70000L),
+      "poisoned query must be filtered, not ranked")
+    assert(VectorStore.recallAtK(spark, dir, queries, "qid", "qv",
+        k = 3, nprobe = 4)
+      .collect().forall(!_.getAs[Double]("recall_at_k").isNaN))
   }
 
   test("topK's vector scan is partition-pruned to the probed cells") {
