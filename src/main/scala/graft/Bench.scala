@@ -8,8 +8,84 @@ import org.apache.spark.sql.SparkSession
   * A small warm-up action runs first so the first measured query doesn't
   * absorb JVM/codegen/parquet-footer warm-up; queries run in sorted name
   * order for run-to-run comparability.
+  *
+  * The artifact (bench_full.json) carries three attribution legs so a
+  * drifted headline number names its cause instead of hiding it:
+  *   1. CPU calibration (calib_sec/calib_end, ALU range-sum) — machine
+  *      speed drift; total_norm rescales by it.
+  *   2. Memory-bandwidth calibration (calib_bw_sec/calib_bw_end, a
+  *      persisted-array scan) — the resource ALU calibration is blind
+  *      to (the r12 d10b lesson: a bandwidth-bound gate blew up 9.4×
+  *      under a QUIET CPU calib).
+  *   3. Per-gate executor task metrics (gate_metrics: GC time,
+  *      input/shuffle/output bytes, spill, peak execution memory) — a
+  *      gate that blows up names its resource in the artifact itself.
+  * Plus a compute-vs-store-lifecycle split (total_lifecycle /
+  * total_compute, classified by observed bytes written): ~30 s of the
+  * suite is create+write+query store lifecycles, which is exactly the
+  * mass that wobbles with disk contention — splitting it makes IO
+  * drift self-evident.
   */
 object Bench {
+
+  /** Per-task-metric accumulator; gates are timed sequentially, so a
+    * drain + snapshot-diff around each gate attributes its tasks. */
+  private final class GateMetrics
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val runMs = new AtomicLong; val gcMs = new AtomicLong
+    val inB = new AtomicLong; val outB = new AtomicLong
+    val shufRB = new AtomicLong; val shufWB = new AtomicLong
+    val spillB = new AtomicLong; val tasks = new AtomicLong
+    val peakMem = new AtomicLong // reset per gate (max, not additive)
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        inB.addAndGet(m.inputMetrics.bytesRead)
+        outB.addAndGet(m.outputMetrics.bytesWritten)
+        shufRB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillB.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peakMem.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+        tasks.incrementAndGet()
+        ()
+      }
+    }
+    def counters(): Seq[Long] = Seq(runMs.get, gcMs.get, inB.get,
+      outB.get, shufRB.get, shufWB.get, spillB.get, tasks.get)
+  }
+
+  /** Scoped log silencing (the r12 advice): deny exactly the two
+    * benign, by-design warning families by MESSAGE PATTERN instead of
+    * raising the whole logger to ERROR — stage retry/failure warnings
+    * from the same loggers stay visible, so an unhealthy run still
+    * self-documents in the artifact's stderr tail. */
+  private def denyLogPattern(logger: String, regex: String): Unit = {
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.Filter
+    import org.apache.logging.log4j.core.filter.RegexFilter
+    val ctx = org.apache.logging.log4j.LogManager
+      .getContext(false).asInstanceOf[LoggerContext]
+    val conf = ctx.getConfiguration
+    val lc = {
+      val existing = conf.getLoggerConfig(logger)
+      if (existing.getName == logger) existing
+      else {
+        val fresh = new LoggerConfig(logger,
+          org.apache.logging.log4j.Level.WARN, true)
+        conf.addLogger(logger, fresh)
+        fresh
+      }
+    }
+    lc.addFilter(RegexFilter.createFilter(regex, null,
+      java.lang.Boolean.FALSE, Filter.Result.DENY, Filter.Result.NEUTRAL))
+    ctx.updateLoggers()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the driver contract is local[32] (builder prompt); honor an
@@ -30,13 +106,13 @@ object Bench {
     // actions per iteration; a partition both compute registers twice —
     // harmless by definition of an idempotent block store) and
     // DAGScheduler's large-task-binary notes (t14d broadcasts a
-    // 32k-merge table BY DESIGN). Scoped to exactly those two loggers;
-    // everything else stays at WARN.
-    Seq("org.apache.spark.storage.BlockManager",
-      "org.apache.spark.scheduler.DAGScheduler").foreach { l =>
-      org.apache.logging.log4j.core.config.Configurator.setLevel(
-        l, org.apache.logging.log4j.Level.ERROR)
-    }
+    // 32k-merge table BY DESIGN). Denied by message PATTERN, so every
+    // other warning from those loggers (stage retries, failures) still
+    // reaches the tail.
+    denyLogPattern("org.apache.spark.scheduler.DAGScheduler",
+      ".*Broadcasting large task binary.*")
+    denyLogPattern("org.apache.spark.storage.BlockManager",
+      ".*already exists on this machine.*")
     // warm-up: touch every table (footer reads), then run every query once
     // at the smallest SF so Janino codegen + JIT compile outside the
     // measured window — the measurement below is steady-state plan cost,
@@ -90,6 +166,46 @@ object Bench {
     // window the official r11 artifact was taken in).
     val calibRuns = { calibOnce(); Seq(calibOnce(), calibOnce(), calibOnce()) }
     val calib = calibRuns.min
+    // MEMORY-BANDWIDTH calibration: sum a persisted sea of Array[Long]
+    // (3 back-to-back full scans per sample — pure sequential memory
+    // reads once materialized, no allocation, no codegen in the loop).
+    // The ALU range-sum above runs entirely in registers and is BLIND
+    // to memory-bandwidth contention — r12's official artifact proved
+    // it: d10b (an array_intersect NLJ, bandwidth-bound) ran 9.4× its
+    // committed cost in BOTH official runs while the CPU calib read
+    // QUIET. This probe names that resource. Sized to heap/4 capped at
+    // 4 GiB so it fits the default 8g driver; unpersisted immediately.
+    val bwParts = cpus.toInt
+    val bwBytes = math.min(4L << 30, Runtime.getRuntime.maxMemory / 4)
+    val bwLongsPerPart = (bwBytes / bwParts / 8L).toInt
+    def bwProbe(): (Double, Double) = {
+      val rdd = spark.sparkContext
+        .parallelize(0 until bwParts, bwParts)
+        .map { p =>
+          val a = new Array[Long](bwLongsPerPart)
+          var j = 0
+          while (j < a.length) { a(j) = p + j; j += 1 }
+          a
+        }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      def scanSum(): Long = rdd.map { a =>
+        var s = 0L; var j = 0
+        while (j < a.length) { s += a(j); j += 1 }
+        s
+      }.reduce(_ + _)
+      scanSum() // materialize + warm
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        scanSum(); scanSum(); scanSum()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = Seq(once(), once(), once()).min
+      rdd.unpersist(blocking = true)
+      // GB scanned per second at the best sample (3 scans per sample)
+      val gbps = 3.0 * bwBytes / (1L << 30) / best
+      (best, gbps)
+    }
+    val (calibBw, calibBwGbps) = bwProbe()
     // The committed calibration reference point: calib_sec of the
     // round-11 FINAL LOCAL bench (commit 9673f61's bench_full.json) —
     // the run that anchors the committed quiet band. The r11 official
@@ -100,6 +216,12 @@ object Bench {
     // this constant ONLY when deliberately re-basing the band (and say
     // so in the commit).
     val CalibRef = 0.238
+    // attach the per-gate metrics listener AFTER warm-up so gate
+    // deltas carry measured work only
+    val gm = new GateMetrics
+    spark.sparkContext.addSparkListener(gm)
+    def drain(): Unit =
+      org.apache.spark.GraftSparkHooks.drainListenerBus(spark.sparkContext)
     // a failed query records -1 (NOT its elapsed time) so the JSON shows
     // the failure instead of counting it as a fast success.
     // MIN OF 2 RUNS per query (3 when the first two disagree by >2x):
@@ -119,8 +241,14 @@ object Bench {
     // MEMORY_AND_DISK frames for the whole run and late queries pay the
     // eviction pressure (r8's CacheManager already-cached warnings).
     val rawRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // per-gate task-metric deltas, TOTAL across the gate's 2-3 runs
+    val gateMetrics =
+      scala.collection.mutable.LinkedHashMap[String, Seq[Long]]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        drain()
+        val before = gm.counters()
+        gm.peakMem.set(0L)
         val runs = CacheScope.withScope { _ =>
           def once(): Double = {
             val t0 = System.nanoTime()
@@ -135,12 +263,30 @@ object Bench {
             else Seq(a, b)
           }
         }
+        drain()
+        gateMetrics(name) =
+          gm.counters().zip(before).map { case (x, y) => x - y } :+
+            gm.peakMem.get
         rawRuns(name) = runs
         val ok = runs.filter(_ >= 0)
         name -> (if (runs.exists(_ < 0) || ok.isEmpty) -1.0 else ok.min)
     }
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Compute vs store-lifecycle split, classified by OBSERVED output
+    // bytes: a gate whose tasks wrote >1 MB of files (store creates,
+    // CSV/ORC/JSONL round-trips, ledger loops) is "lifecycle" — its
+    // cost is dominated by the FS, which is the mass that wobbles with
+    // disk contention while the CPU calibration stays flat (PERF.md's
+    // documented 7%-uniform-IO-drift window). Data-driven, so a new
+    // store gate lands in the right bucket automatically.
+    val lifecycleGates = gateMetrics.collect {
+      case (n, m) if m(3) > (1L << 20) => n
+    }.toSet
+    val byName0 = results.toMap
+    val totalLifecycle = lifecycleGates.toSeq
+      .flatMap(byName0.get).filter(_ >= 0).sum
+    val totalCompute = total - totalLifecycle
     // Warm/cold decomposition (the r11 forensics ask): a query's FIRST
     // run at this SF pays data-cold costs (page cache, shuffle files,
     // operator-internal stores) that its later runs don't — so
@@ -167,6 +313,14 @@ object Bench {
     val rawQs = rawRuns.map { case (k, vs) =>
       "\"" + k + "\":[" + vs.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    def mb(v: Long): String = f"${v / 1048576.0}%.1f"
+    val gmJson = gateMetrics.map { case (k, m) =>
+      val Seq(run, gc, in, out, sr, sw, sp, nt, peak) = m: @unchecked
+      "\"" + k + s"""\":{"run_ms":$run,"gc_ms":$gc,"in_mb":${mb(in)},""" +
+        s""""out_mb":${mb(out)},"shuf_r_mb":${mb(sr)},""" +
+        s""""shuf_w_mb":${mb(sw)},"spill_mb":${mb(sp)},""" +
+        s""""peak_exec_mb":${mb(peak)},"tasks":$nt}"""
+    }.mkString("{", ",", "}")
     val maxSpread = rawRuns.values
       .filter(vs => vs.size >= 2 && vs.forall(_ > 0))
       .map(vs => vs.max / vs.min)
@@ -189,10 +343,11 @@ object Bench {
       "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\p{Cntrl}]", " ") + "\""
     }.mkString("{", ",", "}")
     val calibEnd = { calibOnce(); math.min(calibOnce(), calibOnce()) }
+    val (calibBwEnd, _) = bwProbe()
     val calibRunsJson = calibRuns.map(fmt).mkString("[", ",", "]")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"max_spread":${f"$maxSpread%.2f"},"max_spread_warm":${f"$maxSpreadWarm%.2f"},"calib_sec":${fmt(calib)},"calib_runs":$calibRunsJson,"calib_end":${fmt(calibEnd)},"calib_ref":$CalibRef,"total_raw":${fmt(total)},"total_norm":${fmt(totalNorm)},"total_warm":${fmt(totalWarm)},"total_first":${fmt(totalFirst)},"queries":$fullQs,"queries_raw":$rawQs,"warmup_failures":$wf,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"max_spread":${f"$maxSpread%.2f"},"max_spread_warm":${f"$maxSpreadWarm%.2f"},"calib_sec":${fmt(calib)},"calib_runs":$calibRunsJson,"calib_end":${fmt(calibEnd)},"calib_ref":$CalibRef,"calib_bw_sec":${fmt(calibBw)},"calib_bw_gbps":${f"$calibBwGbps%.1f"},"calib_bw_end":${fmt(calibBwEnd)},"total_raw":${fmt(total)},"total_norm":${fmt(totalNorm)},"total_warm":${fmt(totalWarm)},"total_first":${fmt(totalFirst)},"total_lifecycle":${fmt(totalLifecycle)},"total_compute":${fmt(totalCompute)},"n_lifecycle":${lifecycleGates.size},"queries":$fullQs,"queries_raw":$rawQs,"gate_metrics":$gmJson,"warmup_failures":$wf,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // The driver keeps only the LAST 2000 chars of stdout and parses the
@@ -211,7 +366,7 @@ object Bench {
       .mkString("{", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"calib_sec":${fmt(calib)},"calib_end":${fmt(calibEnd)},"calib_ref":$CalibRef,"total_norm":${fmt(totalNorm)},"total_warm":${fmt(totalWarm)},"max_spread_warm":${f"$maxSpreadWarm%.2f"},"queries":$qs,"sf":$sfNum}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"calib_sec":${fmt(calib)},"calib_end":${fmt(calibEnd)},"calib_ref":$CalibRef,"calib_bw_sec":${fmt(calibBw)},"calib_bw_end":${fmt(calibBwEnd)},"total_norm":${fmt(totalNorm)},"total_warm":${fmt(totalWarm)},"total_lifecycle":${fmt(totalLifecycle)},"total_compute":${fmt(totalCompute)},"max_spread_warm":${f"$maxSpreadWarm%.2f"},"queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }

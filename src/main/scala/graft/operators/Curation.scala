@@ -931,8 +931,15 @@ object Curation {
     * no payload shuffles. */
   def datasetCard(docs: DataFrame, textCol: String,
       langCol: String): DataFrame = {
-    val base = docs.select(
-      col(textCol).as("text"), col(langCol).cast("string").as("lang"))
+    // null langs coalesce to 'und' BEFORE the frequency table: the
+    // dominant-language argmax tie-breaks via min(struct(-c, lang)),
+    // and Spark's struct ordering puts a NULL field first while SQL
+    // engines' ORDER BY ... , lang puts it last — a null group tying
+    // the top count would otherwise pick a different winner per
+    // engine (and surface top_lang = NULL). 'und' is ISO 639-2's
+    // undetermined-language code and orders like any other string.
+    val base = docs.select(col(textCol).as("text"),
+      coalesce(col(langCol).cast("string"), lit("und")).as("lang"))
     val main = base
       .withColumn("__g", gopherReportFused(col("text")))
       .agg(count(lit(1)).as("n_docs"),

@@ -276,10 +276,15 @@ object Multimodal {
     * sampled at n=4 decodes 4 frames, not 100. Pure functions of the
     * payload bytes, like the other codecs here.
     *
-    * Frames are returned as STORED (GIF inter-frame deltas are not
-    * composited onto prior frames) — full-frame GIFs, which is what
-    * [[encodeAnimatedGif]] writes and most re-encoded training corpora
-    * carry, read exactly. */
+    * Frames are returned as STORED, and the samplers GUARD that
+    * stored = rendered: a sampled frame must cover the full logical
+    * screen at offset (0,0) with no transparent palette entry —
+    * otherwise the GIF is delta-encoded (sub-rectangle patches or
+    * transparency compositing onto prior frames, per the GIF89a
+    * disposal model) and its stored pixels are NOT the rendered
+    * frames. Such GIFs return None — a countable skip, never a
+    * silently wrong statistic. [[encodeAnimatedGif]]'s output and most
+    * re-encoded training corpora are full-frame and pass. */
   object GifIo {
     System.setProperty("java.awt.headless", "true")
 
@@ -330,13 +335,70 @@ object Multimodal {
         if (total <= 0) Seq.empty[T]
         else {
           val k = math.min(n, total)
-          (0 until k).map { j =>
-            val i = (j.toLong * total / k).toInt
-            body(i, r.read(i))
-          }
+          val idx = (0 until k).map(j => (j.toLong * total / k).toInt)
+          // stored-equals-rendered guard (metadata-only, no pixel
+          // decode): every SAMPLED frame must be standalone; one
+          // delta/sub-rect/transparent frame disqualifies the GIF
+          val screen = logicalScreen(r)
+          if (!idx.forall(i => standaloneFrame(r, i, screen)))
+            Seq.empty[T]
+          else idx.map(i => body(i, r.read(i)))
         }
       }.filter(_.nonEmpty)
     }
+
+    /** Logical screen (canvas) size from the GIF stream metadata; None
+      * when the plugin doesn't expose it (the per-frame offset checks
+      * still apply). */
+    private def logicalScreen(
+        r: javax.imageio.ImageReader): Option[(Int, Int)] =
+      try {
+        val md = r.getStreamMetadata
+        if (md == null) None
+        else {
+          val tree = md.getAsTree("javax_imageio_gif_stream_1.0")
+            .asInstanceOf[org.w3c.dom.Element]
+          val lsd = tree.getElementsByTagName("LogicalScreenDescriptor")
+          if (lsd.getLength == 0) None
+          else {
+            val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+            Some((e.getAttribute("logicalScreenWidth").toInt,
+              e.getAttribute("logicalScreenHeight").toInt))
+          }
+        }
+      } catch { case _: Exception => None }
+
+    /** A frame is standalone-renderable iff its image descriptor sits
+      * at (0,0) covering the full logical screen AND it carries no
+      * transparent palette entry: stored pixels then EQUAL the
+      * rendered frame regardless of disposal method. A sub-rectangle
+      * or transparent frame composites onto prior frames / the
+      * background per GIF89a disposal semantics — which this reader
+      * deliberately does not do — so it reports false and the GIF
+      * surfaces as a skip. Unreadable metadata also reports false
+      * (can't prove standalone ⇒ don't emit statistics). */
+    private def standaloneFrame(r: javax.imageio.ImageReader, i: Int,
+        screen: Option[(Int, Int)]): Boolean =
+      try {
+        val md = r.getImageMetadata(i)
+        if (md == null) return false
+        val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val idn = tree.getElementsByTagName("ImageDescriptor")
+        if (idn.getLength == 0) return false
+        val d = idn.item(0).asInstanceOf[org.w3c.dom.Element]
+        val full = d.getAttribute("imageLeftPosition").toInt == 0 &&
+          d.getAttribute("imageTopPosition").toInt == 0 &&
+          screen.forall { case (w, h) =>
+            d.getAttribute("imageWidth").toInt == w &&
+              d.getAttribute("imageHeight").toInt == h
+          }
+        val gce = tree.getElementsByTagName("GraphicControlExtension")
+        val transparent = gce.getLength > 0 &&
+          gce.item(0).asInstanceOf[org.w3c.dom.Element]
+            .getAttribute("transparentColorFlag") == "TRUE"
+        full && !transparent
+      } catch { case _: Exception => false }
 
     /** Sampled frames RE-ENCODED as standalone PNG payloads (same
       * ⌊j·total/k⌋ index choice as [[sampleFrames]]) — the extraction
@@ -554,10 +616,13 @@ object Multimodal {
     * 1-video→n-frames shape [[sampleFrames]] stubs, made real for the
     * container the JDK decodes. Only the SAMPLED frames decode (the
     * reader seeks by index), so cost scales with n, not frame count.
-    * Non-GIF / undecodable payloads contribute ZERO rows (a sampler
-    * selects frames; it is not the prober — [[probeMedia]] counts
-    * the unreadable). Same mapPartitions discipline as
-    * [[decodeImageStats]]: payload bytes never shuffle. */
+    * Non-GIF / undecodable payloads — and delta-encoded GIFs whose
+    * sampled frames aren't standalone-renderable (sub-rectangle,
+    * transparency; see [[GifIo]]'s stored-equals-rendered guard) —
+    * contribute ZERO rows (a sampler selects frames; it is not the
+    * prober — [[probeMedia]] counts the unreadable). Same
+    * mapPartitions discipline as [[decodeImageStats]]: payload bytes
+    * never shuffle. */
   def sampleGifFrames(media: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"sampleGifFrames: n must be >= 1, got $n")
     val spark = media.sparkSession
@@ -589,9 +654,11 @@ object Multimodal {
     * payload) where payload is a standalone lossless PNG — feed the
     * result straight into [[decodeImageStats]] / [[resizeImages]] /
     * [[probeMedia]]. The video-corpus shape (1 container → n trainable
-    * frames), real for the container the JDK decodes. Non-GIF rows
-    * contribute zero rows; payload bytes never shuffle (mapPartitions,
-    * [[decodeImageStats]]'s discipline). */
+    * frames), real for the container the JDK decodes. Non-GIF rows —
+    * and delta-encoded GIFs rejected by [[GifIo]]'s
+    * stored-equals-rendered guard — contribute zero rows; payload
+    * bytes never shuffle (mapPartitions, [[decodeImageStats]]'s
+    * discipline). */
   def extractGifFrames(media: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"extractGifFrames: n must be >= 1, got $n")
     val spark = media.sparkSession

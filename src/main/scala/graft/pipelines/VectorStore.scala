@@ -226,9 +226,7 @@ object VectorStore {
         col("score"), col("id"), candidates).as("__tk"))
       .select(col(qidCol), explode(col("__tk").getField("id")).as("id"))
     val reranked = cands
-      .join(readVectors(spark, dir)
-        .filter(col("cell").isin(probed: _*))
-        .select(col("id"), col("vec")), Seq("id"))
+      .join(vecs.select(col("id"), col("vec")), Seq("id"))
       .join(broadcast(qClean.select(col(qidCol).cast("long").as(qidCol),
         col(qvecCol))), Seq(qidCol))
       .withColumn("cosine", Similarity.cosine(col("vec"), col(qvecCol)))

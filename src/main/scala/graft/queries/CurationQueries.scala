@@ -298,7 +298,7 @@ object CurationQueries {
     // incremental index ≡ full rebuild, rank for rank, micro for micro.
     "ir1_index_store" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val dir = "/tmp/graft_idxstore_" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+      val dir = GateTmp.dir("graft_idxstore", d)
       graft.pipelines.IndexStore.create(s, dir,
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
       graft.pipelines.IndexStore.append(s, dir,
@@ -1716,7 +1716,8 @@ object CurationQueries {
 
   private lazy val datasetCardOracleSql: String =
       s"""WITH base AS (
-         |  SELECT doc_id, text, CAST(lang AS VARCHAR) AS lang
+         |  SELECT doc_id, text,
+         |    coalesce(CAST(lang AS VARCHAR), 'und') AS lang
          |  FROM documents),
          |${OracleFragments.gopherCtes("base", "text")},
          |m AS (

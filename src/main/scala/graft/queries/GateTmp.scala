@@ -1,0 +1,24 @@
+package graft.queries
+
+/** Per-process scratch directories for gates that lay a store/file
+  * tree down under /tmp at query-construction time.
+  *
+  * Two JVMs can run the same gate concurrently over the same dataset
+  * (the driver's bench and a local verify, say); with a fixed path one
+  * process's delete-then-create lands mid-read of the other's and the
+  * gate fails spuriously. The PID in the path makes each process's
+  * tree private. Within one process the path is stable, so a gate's
+  * back-to-back bench runs keep reusing (re-creating) one directory —
+  * unchanged steady-state semantics.
+  *
+  * Only the directory changes — no gate emits its scratch PATH into
+  * the output (s5/s6 emit file NAMES) — so oracle hashes are
+  * untouched.
+  */
+private[queries] object GateTmp {
+  private val pid = ProcessHandle.current.pid
+
+  /** `/tmp/<prefix>_<sfTag>_p<pid>` for dataset dir `sfDir`. */
+  def dir(prefix: String, sfDir: String): String =
+    s"/tmp/${prefix}_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_p$pid"
+}

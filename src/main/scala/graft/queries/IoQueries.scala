@@ -19,8 +19,7 @@ object IoQueries {
   def queries: Map[String, Q] = Map(
     // ---- S2/S3/S4: pipe CSV write → all-string read → typed cast --------
     "s2_csv_roundtrip" -> ((s, d) => {
-      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
-      val path = s"/tmp/graft_csv_roundtrip_$sfTag"
+      val path = GateTmp.dir("graft_csv_roundtrip", d)
       val src = Tables.orders(s, d).select(
         col("o_orderkey").cast("string").as("o_orderkey"),
         // inject the reference's null token for some rows
@@ -47,8 +46,7 @@ object IoQueries {
     // source table itself, so type mapping (long/string/double/date),
     // null preservation, and value fidelity are all under the hash.
     "io2_orc_roundtrip" -> ((s, d) => {
-      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
-      val path = s"/tmp/graft_orc_roundtrip_$sfTag"
+      val path = GateTmp.dir("graft_orc_roundtrip", d)
       Tables.orders(s, d).select(col("o_orderkey"),
           when(col("o_orderkey") % 9 === 0, lit(null).cast("string"))
             .otherwise(col("o_orderstatus")).as("o_orderstatus"),
@@ -63,8 +61,7 @@ object IoQueries {
     // any serialization loss (escaping, unicode, nulls, int width)
     // breaks the hash match.
     "io1_jsonl_roundtrip" -> ((s, d) => {
-      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
-      val path = s"/tmp/graft_jsonl_roundtrip_$sfTag"
+      val path = GateTmp.dir("graft_jsonl_roundtrip", d)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
@@ -84,8 +81,7 @@ object IoQueries {
     // expected rows — including which file was picked — from the table
     // alone.
     "s5_ledger_loop" -> ((s, d) => {
-      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
-      val base = s"/tmp/graft_s5_$sfTag"
+      val base = GateTmp.dir("graft_s5", d)
       val fs = new Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(base), true)
@@ -134,8 +130,7 @@ object IoQueries {
     // Slices are modulo cuts of orders so DuckDB reconstructs the
     // expected rows AND the expected match date from the table alone.
     "s6_rotation_walkback" -> ((s, d) => {
-      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
-      val base = s"/tmp/graft_s6_$sfTag"
+      val base = GateTmp.dir("graft_s6", d)
       val fs = new Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(base), true)
@@ -409,8 +404,7 @@ object IoQueries {
     // DuckDB's closed-form 16-term bit interleave — a wrong shift, a
     // lost row in the clustered rewrite, or a bit-order flip breaks it.
     "z1_zorder_key" -> ((s, d) => {
-      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
-      val path = s"/tmp/graft_zorder_$sfTag"
+      val path = GateTmp.dir("graft_zorder", d)
       val keyed = Tables.orders(s, d).select(col("o_orderkey"),
           (col("o_custkey") % 256).cast("long").as("zx"),
           (col("o_orderkey") % 256).cast("long").as("zy"))

@@ -222,7 +222,16 @@ object LlmQueries {
     // the probe ordering, posting lists, candidate join and verify
     // bit-identically and the recall numbers hash-compare — a recall
     // regression flips both the boolean AND the oracle hash. The truth
-    // side's nested-loop join broadcasts the bounded stratum only.
+    // side is EXACT brute force expressed as an explode + broadcast
+    // hash join + count (|A∩B| = matched distinct shingles), not a
+    // nested-loop array_intersect: the r12 official bench caught the
+    // NLJ form running 9.4× its committed cost under memory-bandwidth
+    // contention a CPU calibration can't see — the equi-join form
+    // streams each corpus shingle once through a hash probe instead of
+    // rescanning stratum×corpus array pairs, and its one shuffle is
+    // the matched-pair counts only. Output-identical (shingle sets are
+    // array_distinct'ed, so the match count IS the intersection size;
+    // zero-intersection pairs can't pass the 0.9 threshold).
     "d10b_containment_recall" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val quotes = docs
@@ -239,17 +248,25 @@ object LlmQueries {
         k = 3, threshold = 0.9, probeK = 8, shingleHash = md5Hash)
         .filter(inStratum(col("id_a")))
         .select(col("id_a"), col("id_b")).withColumn("__found", lit(1))
-      val sh = corpus.select(col("doc_id"),
-        array_distinct(graft.operators.TextAnalysis.shingles(col("text"), 3))
-          .as("shs"))
-      val a = sh.filter(inStratum(col("doc_id")))
-        .select(col("doc_id").as("id_a"), col("shs").as("sh_a"))
-      val b = sh.select(col("doc_id").as("id_b"), col("shs").as("sh_b"))
-      val truth = b.join(broadcast(a), col("id_a") =!= col("id_b"))
-        .withColumn("containment",
-          round(size(array_intersect(col("sh_a"), col("sh_b")))
-            .cast("double") / size(col("sh_a")), 6))
-        .filter(col("containment") >= 0.9)
+      // persisted: feeds the stratum (broadcast) leg and the corpus
+      // (probe) leg — without the cache the corpus shingle pass runs
+      // twice (released by the caller's CacheScope bracket)
+      val sh = graft.CacheScope.session.cache(
+        corpus.select(col("doc_id"),
+          array_distinct(
+            graft.operators.TextAnalysis.shingles(col("text"), 3))
+            .as("shs")))
+      val aExpl = sh.filter(inStratum(col("doc_id")))
+        .select(col("doc_id").as("id_a"), size(col("shs")).as("n_a"),
+          explode(col("shs")).as("sh"))
+      val truth = sh
+        .select(col("doc_id").as("id_b"), explode(col("shs")).as("sh"))
+        .join(broadcast(aExpl), "sh")
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("n_a"))
+        .agg(count(lit(1)).as("n_int"))
+        .filter(round(col("n_int").cast("double") / col("n_a"), 6)
+          >= 0.9)
         .select(col("id_a"), col("id_b"))
       // outer coalesce: sum over ZERO truth rows is null, which would
       // make recall_exact_ok null instead of true and diverge from the
@@ -274,7 +291,7 @@ object LlmQueries {
     // truth by the same recall argument d3 carries.
     "d9_incremental_neardup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val dir = "/tmp/graft_sigstore_" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+      val dir = GateTmp.dir("graft_sigstore", d)
       val seed = docs.filter(col("doc_id") % 3 =!= 2)
         .select(col("doc_id"), col("text"))
       val batch = docs
@@ -515,8 +532,7 @@ object LlmQueries {
     // beyond the doc space fuse with one leg's contribution only, as a
     // real mixed-id deployment would.
     "hy2_hybrid_ivf" -> ((s, d) => {
-      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
-      val dir = s"/tmp/graft_vstore_hy2_$sfTag"
+      val dir = GateTmp.dir("graft_vstore_hy2", d)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
@@ -639,8 +655,7 @@ object LlmQueries {
     // storage codec, format propagation, or the read-side dequant
     // breaks the hash.
     "anq2_int8_store" -> ((s, d) => {
-      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
-      val dir = s"/tmp/graft_vstore_i8_$sfTag"
+      val dir = GateTmp.dir("graft_vstore_i8", d)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
@@ -655,6 +670,37 @@ object LlmQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       graft.pipelines.VectorStore.topK(s, dir, queries, "qid", "qv",
           k = 5, nprobe = 4)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ---- IVF-PQ query over the int8 store ---------------------------------
+    // The remaining store path × format combination: stage 1 scores
+    // the PQ codes against per-query LUTs (codes were assigned from
+    // FULL-precision vectors at write time, so ann4's pool argument
+    // carries over unchanged), stage 2 re-ranks the 50-candidate pool
+    // by exact cosine over the DEQUANTIZED vectors — so the output
+    // equals anq2's pruned brute-force top-5 and the SAME full-replay
+    // oracle pins it: a PQ-path regression against int8 storage
+    // (format propagation into stage 1, dequantized rerank, probe-set
+    // pruning) breaks the hash. Stage 1 never touches a float64
+    // vector column (PlanSpec pins the scan schema).
+    "anq3_int8_pq" -> ((s, d) => {
+      val dir = GateTmp.dir("graft_vstore_i8pq", d)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val data = annCorpus(s, d)
+      graft.pipelines.VectorStore.createSeeded(s, dir,
+        data.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        nCells = 8, m = 4, ksub = 8, pqIters = 2, int8 = true)
+      graft.pipelines.VectorStore.append(s, dir,
+        data.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        batchTag = "b1")
+      val queries = data.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.pipelines.VectorStore.topKPq(s, dir, queries, "qid", "qv",
+          k = 5, nprobe = 4, candidates = 50)
         .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
         .orderBy(col("qid"), col("rank"))
     }),
@@ -841,8 +887,7 @@ object LlmQueries {
     // append regression that mis-cells or drops a row loses a planted
     // neighbor and breaks the hash.
     "ann5_store_topk" -> ((s, d) => {
-      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
-      val dir = s"/tmp/graft_vstore_$sfTag"
+      val dir = GateTmp.dir("graft_vstore", d)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
@@ -875,8 +920,7 @@ object LlmQueries {
     // booleans stay in the output (GateInvariantsSpec) and are now
     // hash-pinned too.
     "ann6_recall_monitor" -> ((s, d) => {
-      val sfTag = d.replaceAll("[^a-zA-Z0-9.]", "_")
-      val dir = s"/tmp/graft_vstore_mon_$sfTag"
+      val dir = GateTmp.dir("graft_vstore_mon", d)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
@@ -1207,6 +1251,82 @@ object LlmQueries {
        |    AS margin_micros
        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
+
+  /** anq2/anq3 shared full-replay oracle (see the map entry
+    * comment for the pool-containment argument). */
+  private def anq2OracleSql: String =
+    """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT 10000 + vec_id * 5 + c,
+        |    list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * (1.0 + 0.001 * (c + 1)))
+        |  FROM embeddings, range(0, 5) t(c) WHERE vec_id < 3),
+        |wb AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+        |      AS nv
+        |  FROM base),
+        |cent AS (
+        |  SELECT rn - 1 AS cell, v AS cv, nv AS ncv FROM (
+        |    SELECT vec_id, v, nv, row_number() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM wb WHERE vec_id % 2 = 0)
+        |  WHERE rn <= 8),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT w.vec_id, c.cell, row_number() OVER (
+        |      PARTITION BY w.vec_id ORDER BY
+        |        (list_sum(list_transform(range(1, 65),
+        |           i -> w.v[i] * c.cv[i])) / (w.nv * c.ncv)) DESC,
+        |        c.cell) AS rn
+        |    FROM wb w CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |qz AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0
+        |      THEN CAST(1.0 AS DOUBLE)
+        |      ELSE list_max(list_transform(v, x -> abs(x)))
+        |        / CAST(127.0 AS DOUBLE) END AS scale
+        |  FROM base),
+        |dq AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x ->
+        |      CAST(CAST(round(x / scale) AS TINYINT) AS DOUBLE) * scale)
+        |      AS dv
+        |  FROM qz),
+        |nrm AS (
+        |  SELECT vec_id, dv,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> dv[i] * dv[i]))) AS ndv
+        |  FROM dq),
+        |q AS (
+        |  SELECT vec_id AS qid, v AS qv, nv AS nq FROM wb
+        |  WHERE vec_id < 3),
+        |pr AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT q.qid, c.cell, row_number() OVER (
+        |      PARTITION BY q.qid ORDER BY
+        |        (list_sum(list_transform(range(1, 65),
+        |           i -> q.qv[i] * c.cv[i])) / (q.nq * c.ncv)) DESC,
+        |        c.cell) AS crank
+        |    FROM q CROSS JOIN cent c)
+        |  WHERE crank <= 4),
+        |sc AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> e.dv[i] * q.qv[i]))
+        |      / (e.ndv * q.nq) AS cosine
+        |  FROM nrm e JOIN asg a USING (vec_id)
+        |    CROSS JOIN q
+        |    JOIN pr ON pr.qid = q.qid AND pr.cell = a.cell)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+        |  SELECT qid, vec_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   private def nbOracleSql: String =
     """WITH train AS (
@@ -1885,80 +2005,16 @@ object LlmQueries {
     // anq2: the int8 STORE lifecycle — ann6's seeded-centroid pick +
     // full-precision assignment + probe ranking, composed with anq1's
     // quantize→dequantize replay on the stored side; queries stay full
-    // precision (asymmetric search)
-    "anq2_int8_store" ->
-      """WITH base AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
-        |    AS v
-        |  FROM embeddings
-        |  UNION ALL
-        |  SELECT 10000 + vec_id * 5 + c,
-        |    list_transform(embedding,
-        |      x -> CAST(x AS DOUBLE) * (1.0 + 0.001 * (c + 1)))
-        |  FROM embeddings, range(0, 5) t(c) WHERE vec_id < 3),
-        |wb AS (
-        |  SELECT vec_id, v,
-        |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
-        |      AS nv
-        |  FROM base),
-        |cent AS (
-        |  SELECT rn - 1 AS cell, v AS cv, nv AS ncv FROM (
-        |    SELECT vec_id, v, nv, row_number() OVER (
-        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        |    FROM wb WHERE vec_id % 2 = 0)
-        |  WHERE rn <= 8),
-        |asg AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT w.vec_id, c.cell, row_number() OVER (
-        |      PARTITION BY w.vec_id ORDER BY
-        |        (list_sum(list_transform(range(1, 65),
-        |           i -> w.v[i] * c.cv[i])) / (w.nv * c.ncv)) DESC,
-        |        c.cell) AS rn
-        |    FROM wb w CROSS JOIN cent c)
-        |  WHERE rn = 1),
-        |qz AS (
-        |  SELECT vec_id, v,
-        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0
-        |      THEN CAST(1.0 AS DOUBLE)
-        |      ELSE list_max(list_transform(v, x -> abs(x)))
-        |        / CAST(127.0 AS DOUBLE) END AS scale
-        |  FROM base),
-        |dq AS (
-        |  SELECT vec_id,
-        |    list_transform(v, x ->
-        |      CAST(CAST(round(x / scale) AS TINYINT) AS DOUBLE) * scale)
-        |      AS dv
-        |  FROM qz),
-        |nrm AS (
-        |  SELECT vec_id, dv,
-        |    sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> dv[i] * dv[i]))) AS ndv
-        |  FROM dq),
-        |q AS (
-        |  SELECT vec_id AS qid, v AS qv, nv AS nq FROM wb
-        |  WHERE vec_id < 3),
-        |pr AS (
-        |  SELECT qid, cell FROM (
-        |    SELECT q.qid, c.cell, row_number() OVER (
-        |      PARTITION BY q.qid ORDER BY
-        |        (list_sum(list_transform(range(1, 65),
-        |           i -> q.qv[i] * c.cv[i])) / (q.nq * c.ncv)) DESC,
-        |        c.cell) AS crank
-        |    FROM q CROSS JOIN cent c)
-        |  WHERE crank <= 4),
-        |sc AS (
-        |  SELECT q.qid, e.vec_id,
-        |    list_sum(list_transform(range(1, 65), i -> e.dv[i] * q.qv[i]))
-        |      / (e.ndv * q.nq) AS cosine
-        |  FROM nrm e JOIN asg a USING (vec_id)
-        |    CROSS JOIN q
-        |    JOIN pr ON pr.qid = q.qid AND pr.cell = a.cell)
-        |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
-        |  SELECT qid, vec_id, cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY qid
-        |      ORDER BY cosine DESC, vec_id) AS rank
-        |  FROM sc)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // precision (asymmetric search).
+    // anq3 shares it VERBATIM: topKPq's exact rerank over the
+    // 50-candidate PQ pool provably returns the pruned brute-force
+    // top-5 (the planted copies' stage-1 LUT scores sit within PQ
+    // quantization error of the query's own — far above the cos ≲ 0.35
+    // background — so the pool contains the true top-5; ann4's
+    // argument, unchanged by int8 storage because codes are assigned
+    // from full-precision vectors at write time).
+    "anq2_int8_store" -> anq2OracleSql,
+    "anq3_int8_pq" -> anq2OracleSql,
 
     // rp1: the sign matrix rebuilt from md5 parity, each projection a
     // left-to-right list_sum over the signed products scaled by the

@@ -314,6 +314,46 @@ class IoStreamingSpec extends SparkSpec {
     assert(Multimodal.GifIo.framePngs("junk".getBytes, 2) === None)
   }
 
+  test("multimodal: delta-encoded GIF (sub-rectangle frame) is a " +
+      "countable skip, not a wrong statistic") {
+    import Multimodal.GifIo
+    // frame 0 fills the 6x4 canvas; frame 1 is a 2x2 patch — a real
+    // delta frame whose STORED pixels are not the rendered frame
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      Seq((6, 4, 0xff0000), (2, 2, 0x00ff00)).foreach { case (w, h, c) =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    val deltaGif = bos.toByteArray
+    assert(GifIo.frameCount(deltaGif) === Some(2))
+    // sampling only frame 0 (standalone: full canvas, opaque) is fine…
+    assert(GifIo.sampleFrames(deltaGif, 1).get.map(_.frameIdx) ===
+      Seq(0))
+    // …but any sample that touches the patch frame disqualifies the
+    // GIF — both legs, same guard
+    assert(GifIo.sampleFrames(deltaGif, 2) === None)
+    assert(GifIo.framePngs(deltaGif, 2) === None)
+    // and the DataFrame stages surface it as zero rows for that id
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val rows = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(9L, deltaGif)), schema)
+    assert(Multimodal.sampleGifFrames(rows, 2).count() === 0L)
+    assert(Multimodal.extractGifFrames(rows, 2).count() === 0L)
+  }
+
   test("multimodal: batched decode is batch- and partition-invariant") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(60)
     val media = Multimodal.toMedia(
