@@ -677,6 +677,177 @@ object TextAnalysis {
             col("n_transitions")).as("avg_nll"))
   }
 
+  // ---- hashed 5-gram language model (KenLM-shape stupid backoff) --------
+
+  /** The portable n-gram hash: the 60-bit md5 prefix of the
+    * space-joined tokens as a non-negative long — the same
+    * DuckDB-replayable hash the shingle index and Count-Min use. */
+  private def ngHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Train a hashed n-gram language model up to order `maxN`
+    * (default 5 — the order of CCNet's published KenLM filter, Wenzek
+    * et al. 2019, arXiv:1911.00359): the (n, h, c) count table over
+    * md5-hashed space-joined token n-grams, ALL orders in one
+    * additive table.
+    *
+    * Hashing is what makes order 5 hold at corpus scale (KenLM itself
+    * keys n-grams by 64-bit hash — Heafield 2011, "KenLM: Faster and
+    * Smaller Language Model Queries", WMT, public literature): a raw
+    * 5-gram string key drags ~5 words of payload through the count
+    * shuffle and the model state, where the hash fixes every key at 8
+    * bytes — the shuffle rows are (int, long) with map-side combine,
+    * and the stored model is O(distinct n-grams) longs, not strings.
+    * A 60-bit collision (≈2⁻⁶⁰ per pair) merges two counts
+    * deterministically; the oracle replays the identical hash, so
+    * both engines see the identical table.
+    *
+    * Like [[bigramLm]]/[[trigramLm]], the table IS the model: backoff
+    * context counts are simply the order-(n−1) rows (every n-gram
+    * occurrence contributes its prefix's (n−1)-gram occurrence at the
+    * same position), the unigram total and vocabulary derive at
+    * scoring time, and the state maintains incrementally via
+    * [[foldHashedLm]] — pure integer SUM, so a folded stream of batch
+    * counts is bit-identical to the one-shot count. O(maxN · corpus
+    * tokens) explode, one narrow (n, h) shuffle. */
+  def hashedNgramLm(docs: DataFrame, textCol: String,
+      maxN: Int = 5): DataFrame = {
+    require(maxN >= 1 && maxN <= 8,
+      s"hashedNgramLm: maxN must be in [1, 8], got $maxN")
+    val withWs = docs.select(
+      filter(tokens(col(textCol)), w => w =!= "").as("__ws"))
+    val ws = col("__ws")
+    val emptyG = array().cast("array<struct<n:int,h:bigint>>")
+    val grams = (1 to maxN).map { n =>
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => struct(lit(n).as("n"),
+            ngHash(concat_ws(" ", slice(ws, i, lit(n)))).as("h"))))
+        .otherwise(emptyG)
+    }
+    withWs.select(explode(concat(grams: _*)).as("g"))
+      .select(col("g.n").as("n"), col("g.h").as("h"))
+      .groupBy(col("n"), col("h")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Fold two [[hashedNgramLm]] count tables (pure SUM — associative
+    * and commutative; the folded table is bit-identical to the
+    * one-shot count of the union: integer counts, no float drift). */
+  def foldHashedLm(prev: DataFrame, delta: DataFrame): DataFrame =
+    prev.unionByName(delta).groupBy(col("n"), col("h"))
+      .agg(sum(col("c")).as("c"))
+
+  /** Score documents under a [[hashedNgramLm]] model with STUPID
+    * BACKOFF at order 5 (Brants et al. 2007, "Large Language Models
+    * in Machine Translation", EMNLP, public literature: score
+    * S(w|ctx) = c(ngram)/c(ctx) at the longest order with a nonzero
+    * count, backing off with a fixed 0.4 factor per dropped order —
+    * the un-normalized score Google used at web scale precisely
+    * because it needs NO discount statistics, so the additive count
+    * table remains the entire state):
+    *
+    *   S = c₅/c₄ᶜᵗˣ                   if c₅ > 0
+    *     | b · c₄/c₃ᶜᵗˣ               if c₄ > 0
+    *     | b² · c₃/c₂ᶜᵗˣ              if c₃ > 0
+    *     | b³ · c₂/c₁ᶜᵗˣ              if c₂ > 0
+    *     | b⁴ · (c₁+α)/(T+αV)         otherwise (add-alpha floor, so
+    *                                   OOV words score finite like the
+    *                                   bigram/trigram scorers)
+    *
+    * Every count is one lookup in the (n, h) table: the n-gram of
+    * order k ending at the scored word, and its context the
+    * (k−1)-gram directly before it. A context count can never be zero
+    * when its n-gram count is positive (prefix property, see
+    * [[hashedNgramLm]]). ln rounds to integer MICROS per transition
+    * before the per-document sum (the BM25/t11/t16 pattern) — exact
+    * integer arithmetic, partition- and engine-order immune. Docs
+    * with < 5 tokens score (0, 0, 0.0), never null (matching the
+    * bigram/trigram edge convention one order up).
+    *
+    * Scale shape: the doc side collapses to per-doc distinct
+    * 5-windows (the 9 hashes + nk); the model joins NINE times, each
+    * a shuffle join on one 8-byte hash key — vocabulary-sized, never
+    * broadcast, no array payloads in any shuffle; T and V ride a
+    * broadcast one-row aggregate. O(corpus tokens) floor, no
+    * collect. */
+  def hashed5gramLogProb(docs: DataFrame, idCol: String,
+      textCol: String, lmCounts: DataFrame, alpha: Double = 0.5,
+      backoff: Double = 0.4)(
+      implicit scope: graft.CacheScope): DataFrame = {
+    require(alpha > 0, s"hashed5gramLogProb: alpha must be > 0, got $alpha")
+    require(backoff > 0 && backoff <= 1,
+      s"hashed5gramLogProb: backoff must be in (0, 1], got $backoff")
+    // ten consumers (nine order-filtered joins + the glob aggregate) —
+    // cache or the training explode re-runs per consumer
+    val lm = scope.cache(lmCounts)
+    val glob = broadcast(lm.filter(col("n") === 1)
+      .agg(sum(col("c")).as("t_all"), count(lit(1)).as("v")))
+    def orderCounts(n: Int, hAs: String, cAs: String): DataFrame =
+      lm.filter(col("n") === n)
+        .select(col("h").as(hAs), col("c").as(cAs))
+    val withWs = docs.select(col(idCol),
+      filter(tokens(col(textCol)), w => w =!= "").as("__ws"))
+    val ws = col("__ws")
+    def g(i: Column, n: Int): Column =
+      ngHash(concat_ws(" ", slice(ws, i, lit(n))))
+    // window at i covers tokens w1..w5 = ws[i..i+4]; 9 lookups:
+    // the order-k suffix gram ending at w5 and its order-(k-1) context
+    val winT = "array<struct<h5:bigint,h4c:bigint,h4:bigint," +
+      "h3c:bigint,h3:bigint,h2c:bigint,h2:bigint,h1c:bigint,h1:bigint>>"
+    val wins = when(size(ws) >= 5,
+      transform(sequence(lit(1), size(ws) - 4),
+        i => struct(
+          g(i, 5).as("h5"), g(i, 4).as("h4c"),
+          g(i + 1, 4).as("h4"), g(i + 1, 3).as("h3c"),
+          g(i + 2, 3).as("h3"), g(i + 2, 2).as("h2c"),
+          g(i + 3, 2).as("h2"), g(i + 3, 1).as("h1c"),
+          g(i + 4, 1).as("h1"))))
+      .otherwise(array().cast(winT))
+    val hs = Seq("h5", "h4c", "h4", "h3c", "h3", "h2c", "h2",
+      "h1c", "h1")
+    val dp = withWs.select(col(idCol) +: explode(wins).as("w") +: Nil: _*)
+      .select(col(idCol) +: hs.map(h => col(s"w.$h").as(h)): _*)
+      .groupBy(col(idCol) +: hs.map(col): _*)
+      .agg(count(lit(1)).as("nk"))
+    val b2 = backoff * backoff
+    val b3 = b2 * backoff
+    val b4 = b3 * backoff
+    def cnt(s: String) = coalesce(col(s), lit(0L))
+    val score =
+      when(cnt("c5") > 0, col("c5").cast("double") / col("c4c"))
+        .when(cnt("c4") > 0,
+          lit(backoff) * (col("c4").cast("double") / col("c3c")))
+        .when(cnt("c3") > 0,
+          lit(b2) * (col("c3").cast("double") / col("c2c")))
+        .when(cnt("c2") > 0,
+          lit(b3) * (col("c2").cast("double") / col("c1c")))
+        .otherwise(lit(b4) * ((cnt("c1") + lit(alpha)) /
+          (col("t_all") + lit(alpha) * col("v"))))
+    val scored = dp
+      .join(orderCounts(5, "h5", "c5"), Seq("h5"), "left")
+      .join(orderCounts(4, "h4c", "c4c"), Seq("h4c"), "left")
+      .join(orderCounts(4, "h4", "c4"), Seq("h4"), "left")
+      .join(orderCounts(3, "h3c", "c3c"), Seq("h3c"), "left")
+      .join(orderCounts(3, "h3", "c3"), Seq("h3"), "left")
+      .join(orderCounts(2, "h2c", "c2c"), Seq("h2c"), "left")
+      .join(orderCounts(2, "h2", "c2"), Seq("h2"), "left")
+      .join(orderCounts(1, "h1c", "c1c"), Seq("h1c"), "left")
+      .join(orderCounts(1, "h1", "c1"), Seq("h1"), "left")
+      .crossJoin(glob)
+      .withColumn("lp_micros",
+        round(log(score) * lit(1e6)).cast("long") * col("nk"))
+      .groupBy(col(idCol))
+      .agg(sum(col("nk")).as("n_transitions"),
+        (-sum(col("lp_micros"))).as("nll_micros"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        coalesce(col("nll_micros"), lit(0L)).as("nll_micros"),
+        when(coalesce(col("n_transitions"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("nll_micros") / lit(1e6) /
+            col("n_transitions")).as("avg_nll"))
+  }
+
   /** Moore-Lewis cross-entropy difference data selection (Moore &
     * Lewis 2010, ACL, public literature: score each candidate sentence
     * by `H_in(s) − H_gen(s)` — its cross-entropy under an in-domain LM

@@ -590,6 +590,47 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- hashed 5-gram LM, stupid backoff (the full CCNet order) ----------
+    // CCNet's published filter is a 5-gram KenLM; t16's trigram
+    // stopped at the order where marginal derivation is tractable.
+    // This is the order-5 path: ONE (n, h, c) count table over
+    // md5-hashed 1..5-grams (KenLM itself keys n-grams by hash),
+    // scored with Brants-2007 stupid backoff (fixed 0.4 factor per
+    // dropped order, add-alpha floor at the unigram). The oracle
+    // rebuilds the hashed table and replays every backoff branch to
+    // the same integer micros — training counts, the hash, the branch
+    // order, the backoff constants, and the per-doc fold all
+    // hash-compare.
+    "t17_hashed5gram_lm" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), col("text"))
+      val lm = TextAnalysis.hashedNgramLm(
+        docs.filter(col("source") === "src0"), "text")
+      TextAnalysis.hashed5gramLogProb(docs, "doc_id", "text", lm,
+        alpha = 0.5, backoff = 0.4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- incremental hashed 5-gram LM: folded counts ≡ one-shot -----------
+    // The t11b/t16b discipline one order up: the training slice
+    // arrives as two halves, the hashed count tables fold by SUM, and
+    // the oracle is the SAME full-recompute SQL as t17 — integer
+    // counts are associative, so the incremental path must reproduce
+    // the one-shot scores bit for bit.
+    "t17b_incremental_lm5" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), col("text"))
+      val train = docs.filter(col("source") === "src0")
+      val lm = TextAnalysis.foldHashedLm(
+        TextAnalysis.hashedNgramLm(
+          train.filter(col("doc_id") % 2 === 0), "text"),
+        TextAnalysis.hashedNgramLm(
+          train.filter(col("doc_id") % 2 === 1), "text"))
+      TextAnalysis.hashed5gramLogProb(docs, "doc_id", "text", lm,
+        alpha = 0.5, backoff = 0.4)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- CCNet head/middle/tail perplexity buckets -------------------------
     // Integer rank-split per language over the t11 scores; the oracle
     // replays the same ROW_NUMBER + integer-division split, so the rank
@@ -1619,6 +1660,10 @@ object CurationQueries {
     "t11b_incremental_lm" -> bigramLmOracleSql,
     "t16_trigram_lm" -> trigramLmOracleSql,
     "t16b_incremental_lm3" -> trigramLmOracleSql,
+    // one full-recompute SQL for both the one-shot and the folded
+    // path (the t11/t11b discipline): integer counts are associative
+    "t17_hashed5gram_lm" -> hashed5LmOracleSql,
+    "t17b_incremental_lm5" -> hashed5LmOracleSql,
 
     // Two full LM rebuilds (in-domain = src0, general = the rest) and
     // two smoothed-ln score folds in the same integer micros; the
@@ -2060,6 +2105,19 @@ object CurationQueries {
        |    ELSE s.nll_micros / CAST(1000000.0 AS DOUBLE)
        |      / s.n_transitions END AS avg_nll
        |FROM documents d LEFT JOIN tgsc s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  private def hashed5LmOracleSql: String =
+    s"""WITH ${OracleFragments.h5TrainCtes("documents", "text",
+            "source = 'src0'")},
+       |${OracleFragments.h5ScoreCtes("documents", "text", 0.5, 0.4)}
+       |SELECT d.doc_id,
+       |  coalesce(s.n_transitions, 0) AS n_transitions,
+       |  coalesce(s.nll_micros, 0) AS nll_micros,
+       |  CASE WHEN coalesce(s.n_transitions, 0) = 0 THEN 0.0
+       |    ELSE s.nll_micros / CAST(1000000.0 AS DOUBLE)
+       |      / s.n_transitions END AS avg_nll
+       |FROM documents d LEFT JOIN h5sc s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
   private def bigramLmOracleSql: String =

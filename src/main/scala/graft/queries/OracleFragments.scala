@@ -261,6 +261,106 @@ object OracleFragments {
        |  GROUP BY 1)""".stripMargin
   }
 
+  /** Hashed 5-gram LM rebuild over CTE `corpus(doc_id, <textCol>, …)`
+    * with the training slice selected by `trainPred`: the ONE
+    * (n, h, c) count table over md5-60bit-hashed space-joined
+    * 1..5-grams (`h5c`), plus `h5glob` (unigram total + vocabulary) —
+    * replays [[graft.operators.TextAnalysis.hashedNgramLm]] hash for
+    * hash (the `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` spelling
+    * of Spark's `conv(substring(md5(x),1,15),16,10)`). */
+  def h5TrainCtes(corpus: String, textCol: String,
+      trainPred: String): String = {
+    val branches = (1 to 5).map { n =>
+      s"""  SELECT $n AS n,
+         |    CAST('0x' || substr(md5(array_to_string(
+         |      __ws[i:i+${n - 1}], ' ')), 1, 15) AS BIGINT) AS h
+         |  FROM h5tw, unnest(generate_series(1, len(__ws) - ${n - 1}))
+         |    t(i)
+         |  WHERE len(__ws) >= $n""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""h5tw AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
+       |      x -> x <> '') AS __ws
+       |  FROM $corpus WHERE ($trainPred)),
+       |h5p AS (
+       |$branches),
+       |h5c AS (SELECT n, h, count(*) AS c FROM h5p GROUP BY 1, 2),
+       |h5glob AS (SELECT sum(c) AS t_all, count(*) AS v
+       |  FROM h5c WHERE n = 1)""".stripMargin
+  }
+
+  /** Stupid-backoff 5-gram scoring of CTE `docs(doc_id, <textCol>)`
+    * against the [[h5TrainCtes]] model: per window the nine hash
+    * lookups (order-k suffix gram ending at the scored word + its
+    * order-(k−1) context), the CASE backoff chain with the SAME
+    * Scala-folded constants, ln micro-rounded per transition before
+    * the integer per-doc sum. Emits `h5sc(doc_id, n_transitions,
+    * nll_micros)` — docs with < 5 tokens are ABSENT (callers LEFT
+    * JOIN + coalesce). `alpha`/`backoff` must be the same Scala
+    * doubles the engine folds. */
+  def h5ScoreCtes(docs: String, textCol: String, alpha: Double,
+      backoff: Double): String = {
+    val a = s"CAST($alpha AS DOUBLE)"
+    val b2 = backoff * backoff
+    val b3 = b2 * backoff
+    val b4 = b3 * backoff
+    def hh(start: String, n: Int): String =
+      s"CAST('0x' || substr(md5(array_to_string(" +
+        s"__ws[$start:$start+${n - 1}], ' ')), 1, 15) AS BIGINT)"
+    s"""h5dw AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim($textCol)), '\\s+'),
+       |      x -> x <> '') AS __ws
+       |  FROM $docs),
+       |h5dp AS (
+       |  SELECT doc_id,
+       |    ${hh("i", 5)} AS k5, ${hh("i", 4)} AS k4c,
+       |    ${hh("(i+1)", 4)} AS k4, ${hh("(i+1)", 3)} AS k3c,
+       |    ${hh("(i+2)", 3)} AS k3, ${hh("(i+2)", 2)} AS k2c,
+       |    ${hh("(i+3)", 2)} AS k2, ${hh("(i+3)", 1)} AS k1c,
+       |    ${hh("(i+4)", 1)} AS k1
+       |  FROM h5dw, unnest(generate_series(1, len(__ws) - 4)) t(i)
+       |  WHERE len(__ws) >= 5),
+       |h5dpc AS (
+       |  SELECT doc_id, k5, k4c, k4, k3c, k3, k2c, k2, k1c, k1,
+       |    count(*) AS nk
+       |  FROM h5dp GROUP BY ALL),
+       |h5sc AS (
+       |  SELECT d.doc_id,
+       |    CAST(SUM(d.nk) AS BIGINT) AS n_transitions,
+       |    CAST(-SUM(CAST(round(ln(
+       |      CASE
+       |        WHEN coalesce(x5.c, 0) > 0
+       |          THEN CAST(x5.c AS DOUBLE) / x4c.c
+       |        WHEN coalesce(x4.c, 0) > 0
+       |          THEN CAST($backoff AS DOUBLE)
+       |            * (CAST(x4.c AS DOUBLE) / x3c.c)
+       |        WHEN coalesce(x3.c, 0) > 0
+       |          THEN CAST($b2 AS DOUBLE)
+       |            * (CAST(x3.c AS DOUBLE) / x2c.c)
+       |        WHEN coalesce(x2.c, 0) > 0
+       |          THEN CAST($b3 AS DOUBLE)
+       |            * (CAST(x2.c AS DOUBLE) / x1c.c)
+       |        ELSE CAST($b4 AS DOUBLE)
+       |          * ((coalesce(x1.c, 0) + $a)
+       |             / (g.t_all + $a * g.v))
+       |      END) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) * d.nk)
+       |      AS BIGINT) AS nll_micros
+       |  FROM h5dpc d
+       |    LEFT JOIN h5c x5 ON x5.n = 5 AND x5.h = d.k5
+       |    LEFT JOIN h5c x4c ON x4c.n = 4 AND x4c.h = d.k4c
+       |    LEFT JOIN h5c x4 ON x4.n = 4 AND x4.h = d.k4
+       |    LEFT JOIN h5c x3c ON x3c.n = 3 AND x3c.h = d.k3c
+       |    LEFT JOIN h5c x3 ON x3.n = 3 AND x3.h = d.k3
+       |    LEFT JOIN h5c x2c ON x2c.n = 2 AND x2c.h = d.k2c
+       |    LEFT JOIN h5c x2 ON x2.n = 2 AND x2.h = d.k2
+       |    LEFT JOIN h5c x1c ON x1c.n = 1 AND x1c.h = d.k1c
+       |    LEFT JOIN h5c x1 ON x1.n = 1 AND x1.h = d.k1
+       |    CROSS JOIN h5glob g
+       |  GROUP BY 1)""".stripMargin
+  }
+
   /** HTML→text strip-chain replay (cu16/c3): mirrors
     * [[graft.operators.Curation.htmlToText]] regex by regex, in the
     * same order, over CTE `input(doc_id, <extras...>, <htmlCol>)`.

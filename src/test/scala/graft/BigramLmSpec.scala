@@ -178,4 +178,86 @@ class BigramLmSpec extends SparkSpec {
     assert(state3.orderBy("w1", "w2", "w3").collect().toSeq ===
       full3.orderBy("w1", "w2", "w3").collect().toSeq)
   }
+
+  // hashed 5-gram training corpus: "a b c d e a b c d e" (10 tokens)
+  // 5-grams: abcde x2, bcdea, cdeab, deabc, eabcd
+  // 4-grams: abcd x2, bcde x2, cdea, deab, eabc
+  // 3-grams: abc x2, bcd x2, cde x2, dea, eab
+  // unigram total T = 10, vocabulary V = 5
+  private def h5lm = TextAnalysis.hashedNgramLm(
+    Seq("a b c d e a b c d e").toDF("text"), "text")
+
+  test("hashedNgramLm: per-order counts land under the portable hash") {
+    import org.apache.spark.sql.Row
+    val lm = h5lm
+    // order-1 rows: 5 distinct tokens, 2 occurrences each
+    assert(lm.filter(col("n") === 1).count() === 5L)
+    assert(lm.filter(col("n") === 1).agg(sum("c")).head.getLong(0)
+      === 10L)
+    // the hash is the md5-60bit of the space-joined gram — check one
+    val h = spark.sql(
+      "SELECT CAST(conv(substring(md5('a b c d e'), 1, 15), 16, 10)" +
+        " AS BIGINT) AS h").head.getLong(0)
+    assert(lm.filter(col("n") === 5 && col("h") === h)
+      .head.getAs[Long]("c") === 2L)
+  }
+
+  test("hashed5gramLogProb: every backoff branch to the micro") {
+    val docs = Seq(
+      (1L, "a b c d e"),   // c5=2, ctx c4(abcd)=2 -> S = 2/2 = 1, lp 0
+      (2L, "z b c d e"),   // c5=0; c4(bcde)=2, ctx c3(bcd)=2 -> 0.4*1
+      (3L, "z z c d e"),   // back to 3-gram: c3(cde)=2, ctx c2(cd)=2
+      (4L, "z z z d e"),   // back to 2-gram: c2(de)=2, ctx c1(d)=2
+      (5L, "z z z z q"),   // full OOV -> b^4 * (0+a)/(T+aV)
+      (6L, "a b c d"))     // < 5 tokens -> (0, 0, 0.0)
+      .toDF("doc_id", "text")
+    val got = TextAnalysis
+      .hashed5gramLogProb(docs, "doc_id", "text", h5lm,
+        alpha = 0.5, backoff = 0.4)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    val b = 0.4; val b2 = b * b; val b3 = b2 * b; val b4 = b3 * b
+    def micros(s: Double) = math.rint(math.log(s) * 1e6).toLong
+    assert(got(0) === ((1L, 1L, 0L, 0.0)))
+    assert(got(1) === ((2L, 1L, -micros(b * (2.0 / 2)),
+      -micros(b * (2.0 / 2)) / 1e6 / 1)))
+    assert(got(2) === ((3L, 1L, -micros(b2 * (2.0 / 2)),
+      -micros(b2 * (2.0 / 2)) / 1e6 / 1)))
+    assert(got(3) === ((4L, 1L, -micros(b3 * (2.0 / 2)),
+      -micros(b3 * (2.0 / 2)) / 1e6 / 1)))
+    val oov = micros(b4 * ((0 + 0.5) / (10 + 0.5 * 5)))
+    assert(got(4) === ((5L, 1L, -oov, -oov / 1e6 / 1)))
+    assert(got(5) === ((6L, 0L, 0L, 0.0)))
+  }
+
+  test("hashed5gramLogProb: folded halves ≡ one-shot; in-model text " +
+      "scores far below OOV soup") {
+    val raw = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val oneShot = TextAnalysis.hashedNgramLm(raw, "text")
+    val folded = TextAnalysis.foldHashedLm(
+      TextAnalysis.hashedNgramLm(
+        raw.filter(col("doc_id") % 2 === 0), "text"),
+      TextAnalysis.hashedNgramLm(
+        raw.filter(col("doc_id") % 2 === 1), "text"))
+    val probe = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.hashed5gramLogProb(probe, "doc_id", "text",
+      oneShot).as[(Long, Long, Long, Double)].collect().toSeq
+    val bres = TextAnalysis.hashed5gramLogProb(probe, "doc_id", "text",
+      folded).as[(Long, Long, Long, Double)].collect().toSeq
+    assert(a === bres)
+    // fluency separation on real corpus text: a doc drawn from the
+    // training data must score lower avg_nll than hash soup
+    val inModel = raw.filter(col("text").isNotNull)
+      .orderBy("doc_id").limit(1)
+      .select(lit(100L).as("doc_id"), col("text"))
+    val soup = Seq((200L, (1 to 40)
+      .map(i => s"qx${i}zv${i * 7 % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.hashed5gramLogProb(
+      inModel.unionByName(soup), "doc_id", "text", oneShot)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(scored(0)._4 < scored(1)._4,
+      s"in-model ${scored(0)._4} should beat soup ${scored(1)._4}")
+  }
 }
