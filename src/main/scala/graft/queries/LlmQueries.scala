@@ -814,12 +814,18 @@ object LlmQueries {
     // The oracle re-plants, re-extracts every n-gram, rebuilds the
     // model, and replays the micro-exact scoring + argmax, so feature
     // extraction (normalization, gram windows), training, smoothing,
-    // and the tie-break are all hash-pinned. LlmOpsSpec compares the
-    // learned classifier against the marker-word heuristic on planted
-    // multilingual docs.
+    // and the tie-break are all hash-pinned. Breadth: the corpus
+    // carries only 5 real langs, so the gate assigns each doc one of
+    // the 20 langMarkers languages (six scripts) via doc_id % 20 —
+    // deterministic, oracle-replayed — and the classifier runs
+    // 20-way. LlmOpsSpec holds the confusion matrix against the
+    // marker-word heuristic on the same planted docs.
     "lang1_learned_langid" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("text"))
+        .select(col("doc_id"), col("text"))
+        .withColumn("lang", element_at(
+          array(langMarkers.map(p => lit(p._1)): _*),
+          (col("doc_id") % langMarkers.size + 1).cast("int")))
       val marker = langMarkers.tail.foldLeft(
         when(col("lang") === langMarkers.head._1,
           langMarkers.head._2)) { case (acc, (l, m)) =>
@@ -1177,22 +1183,49 @@ object LlmQueries {
     * oracles-map comment). */
   /** lang1's planted per-language marker suffixes — ONE definition
     * spliced into both the Spark query and the oracle so they cannot
-    * drift. "en" first: it doubles as the fallback for unlisted langs. */
-  private val langMarkers: Seq[(String, String)] = Seq(
+    * drift. 20 languages spanning six scripts (Latin, Han, Cyrillic,
+    * Arabic, Devanagari, Kana/Hangul/Greek/Hebrew/Thai): each marker
+    * is that language's top function words (public frequency lists) —
+    * the synthetic corpus carries only 5 real langs, so the gate
+    * derives a deterministic 20-way language assignment from doc_id
+    * and plants accordingly (both engines replay the same mapping).
+    * "en" first: it doubles as the fallback for unlisted langs. */
+  private[graft] val langMarkers: Seq[(String, String)] = Seq(
     "en" -> "the and of to is in that it with",
     "de" -> "der die und das ist von den mit ein",
     "es" -> "el la de que y en los del una",
     "fr" -> "le la et les des est une dans au",
-    "zh" -> "的 是 在 了 我 有 和 就")
+    "zh" -> "的 是 在 了 我 有 和 就",
+    "pt" -> "o a de que e do da em um não",
+    "it" -> "il la di che e un per con non si",
+    "nl" -> "de het een van en dat is op te niet",
+    "sv" -> "och att det som en på är av för inte",
+    "pl" -> "i w nie na się że jest do z tak",
+    "tr" -> "bir ve bu için ne gibi daha çok ama ben",
+    "ru" -> "и в не на я что он с как это",
+    "ar" -> "في من على أن إلى عن هذا مع كان لا",
+    "hi" -> "के है में की और से का यह पर हो",
+    "ja" -> "の に は を た が で て と し",
+    "ko" -> "이 그 저 것 수 들 는 에 의 를",
+    "el" -> "και το της να που με από για είναι δεν",
+    "he" -> "של את על לא זה עם הוא כל אם גם",
+    "th" -> "ที่ และ ใน ของ ให้ ได้ เป็น มี จะ ไม่",
+    "vi" -> "của và là có trong được cho người không một")
 
   private def lang1OracleSql: String = {
     val caseSql = langMarkers.tail
       .map { case (l, m) => s"WHEN lang = '$l' THEN '$m'" }
       .mkString("CASE ", " ", s" ELSE '${langMarkers.head._2}' END")
-    s"""WITH planted AS (
+    val langList = langMarkers.map(p => s"'${p._1}'").mkString(", ")
+    s"""WITH assigned AS (
+       |  SELECT doc_id, text,
+       |    ([$langList])[CAST(doc_id % ${langMarkers.size} AS INTEGER)
+       |      + 1] AS lang
+       |  FROM documents),
+       |planted AS (
        |  SELECT doc_id, lang,
        |    concat_ws(' ', coalesce(text, ''), $caseSql) AS ptext
-       |  FROM documents),
+       |  FROM assigned),
        |norm AS (
        |  SELECT doc_id, lang,
        |    regexp_replace(lower(trim(ptext)), '\\s+', ' ', 'g') AS s

@@ -899,4 +899,68 @@ class LlmOpsSpec extends SparkSpec {
       s"learned ($nbAcc) must beat the marker heuristic ($heurAcc) " +
         "on marker-free held-out docs")
   }
+
+  test("20-way language ID confusion matrix: learned NB is diagonal-" +
+      "dominant across six scripts and tracks the marker-ceiling " +
+      "heuristic") {
+    // the lang1 gate's exact construction at sf0.001: synthetic
+    // 20-language assignment by doc_id % 20, marker suffix planted,
+    // NB over char 2-4-grams trained on 2/3, scored on 1/3
+    val markers = graft.queries.LlmQueries.langMarkers
+    assert(markers.size === 20)
+    // at least five non-Latin scripts in the set (the r12 ask named
+    // ar/hi/ja/ko; zh was already present)
+    assert(Seq("zh", "ru", "ar", "hi", "ja", "ko", "el", "he", "th")
+      .forall(l => markers.exists(_._1 == l)))
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .withColumn("lang", element_at(
+        array(markers.map(p => lit(p._1)): _*),
+        (col("doc_id") % markers.size + 1).cast("int")))
+    val marker = markers.tail.foldLeft(
+      when(col("lang") === markers.head._1, markers.head._2)) {
+      case (acc, (l, m)) => acc.when(col("lang") === l, m)
+    }.otherwise(markers.head._2)
+    val planted = docs.select(col("doc_id"), col("lang"),
+      concat_ws(" ", coalesce(col("text"), lit("")), marker)
+        .as("ptext"))
+    val feats = TA.charNgrams(col("ptext"), 2, 4)
+    val mdl = TA.nbTrainFeats(
+      planted.filter(col("doc_id") % 3 =!= 0), "lang", feats)
+    val scored = TA.nbScoreFeats(planted.filter(col("doc_id") % 3 === 0),
+        "doc_id", feats, mdl, alpha = 1.0)(CacheScope.session)
+      .join(planted.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val confusion = scored.groupBy("lang", "pred").count()
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2)))
+    // diagonal dominance: every true language's plurality prediction
+    // is itself (stronger than overall accuracy — no language may be
+    // systematically absorbed by a sibling like es/pt)
+    confusion.groupBy(_._1).foreach { case (l, rows) =>
+      val top = rows.maxBy(_._3)
+      assert(top._2 === l,
+        s"language $l plurality-predicted as ${top._2}: " +
+          rows.sortBy(-_._3).take(3).mkString(", "))
+    }
+    val n = confusion.map(_._3).sum
+    val hits = confusion.filter(r => r._1 == r._2).map(_._3).sum
+    val nbAcc = hits.toDouble / n
+    assert(nbAcc >= 0.95, s"20-way learned accuracy $nbAcc")
+    // the marker-word heuristic runs with the SAME 20 profiles. On
+    // THIS corpus it is at ceiling by construction — the planted
+    // markers ARE its features — so the learned classifier is only
+    // required to track it within a few points here; the case where
+    // the learned one must strictly WIN (marker-free held-out
+    // vocabulary, where the heuristic votes 'und') is the previous
+    // test's assertion.
+    val profiles = markers.map { case (l, m) =>
+      l -> (m.split(" ").toSeq: Seq[String]) }
+    val heurAcc = planted.filter(col("doc_id") % 3 === 0)
+      .withColumn("pred", TA.langId(col("ptext"), profiles))
+      .agg(avg(when(col("pred") === col("lang"), 1.0).otherwise(0.0)))
+      .collect().head.getDouble(0)
+    assert(nbAcc >= heurAcc - 0.05,
+      s"learned ($nbAcc) more than 5 points below the marker-ceiling " +
+        s"heuristic ($heurAcc) at 20-way")
+  }
 }
