@@ -469,6 +469,58 @@ object Stress {
       }
     }
 
+    // ---- corpus → token IDs at production merges: the LAST hop of
+    // the raw-web → training-tokens story, and the one corpus-sized
+    // step of it whose memory shape (per-doc posexplode regroup +
+    // collect_list/array_sort) was previously gate-scale only. Two
+    // tiers share one 32k-merge table: the full corpus at native
+    // length (throughput), and a LONG-DOC tier — 20 docs concatenated
+    // into one, ~480 tokens/doc, real web-page length — where the
+    // per-doc token arrays are 20× bigger (the collect_list memory
+    // probe). ---------------------------------------------------------
+    step("bpe_encode_corpus") {
+      CacheScope.withScope { implicit scope =>
+        val nMerges = sys.env.get("STRESS_BPE_ENC_MERGES")
+          .map(_.toInt).getOrElse(32000)
+        val wf = scope.cache(graft.operators.TextAnalysis
+          .bpeWordFreq(docs, "text"))
+        val t0 = System.nanoTime()
+        val merges = graft.operators.TextAnalysis
+          .bpeTrainLocal(wf, nMerges = nMerges)
+          .orderBy(col("iter")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val trainSecs = (System.nanoTime() - t0) / 1e9
+        def encode(corpus: DataFrame, tag: String): Seq[(String, Any)] =
+          CacheScope.withScope { s2 =>
+            val t = System.nanoTime()
+            val (vocab, out) = graft.operators.TextAnalysis
+              .bpeEncodeCorpus(corpus, "doc_id", "text", merges)(s2)
+            val agg = out.agg(count(lit(1)).as("n"),
+              sum(col("n_tok").cast("long")).as("tok"),
+              max(col("n_tok")).as("mx")).collect().head
+            val secs = (System.nanoTime() - t) / 1e9
+            val nTok = agg.getLong(1)
+            Seq(s"${tag}_docs" -> agg.getLong(0),
+              s"${tag}_tokens" -> nTok,
+              s"${tag}_max_doc_tokens" -> agg.getInt(2),
+              s"${tag}_vocab_ids" -> vocab.count(),
+              s"${tag}_secs" -> math.round(secs * 100.0) / 100.0,
+              s"${tag}_tokens_per_sec" -> math.round(nTok / secs))
+          }
+        val full = encode(docs, "full")
+        // 20:1 concat — ONE payload shuffle to build realistic page
+        // lengths; concat order within a group is irrelevant to the
+        // measurement (token mass and array sizes, not content)
+        val longDocs = docs
+          .groupBy((col("doc_id") / 20).cast("long").as("doc_id"))
+          .agg(concat_ws(" ", collect_list(col("text"))).as("text"))
+        val long20 = encode(longDocs, "long20")
+        Seq("n_merges" -> merges.size,
+          "train_secs" -> math.round(trainSecs * 100.0) / 100.0) ++
+          full ++ long20
+      }
+    }
+
     // ---- composed raw-web pipeline at full corpus: HTML extract →
     // URL/lexicon blocklist → C4 → Gopher → LM threshold (the c3 gate
     // shape, measured). The HTML wrap triples the text with character
@@ -481,27 +533,7 @@ object Stress {
     // first aggregation).
     step("web_pipeline") {
       CacheScope.withScope { implicit scope =>
-        // copies are character-translated (template 'b' AND tail 'w')
-        // so no 5-gram repeats across copies; the y1/y2 spacers shift
-        // the copies' 4-token sentence phase so a trailing lexicon
-        // token ("xdup") isn't period-mangled in every copy
-        val tripled = concat_ws(" ", col("text"), lit("y1"),
-          translate(col("text"), "wb", "vc"), lit("y2"),
-          translate(col("text"), "wb", "ud"),
-          lit("the of and that have with be to end"))
-        val raw = docs.select(col("doc_id"), col("source"),
-          concat(lit("https://doc."), col("source"), lit(".com/"),
-            col("doc_id").cast("string")).as("url"),
-          concat(
-            lit("<html><head><title>d</title><style>p{color:red}" +
-              "</style><script>var x=1<2;</script></head><body>"),
-            when(col("doc_id") % 5 === 0,
-              lit("<!-- c --><p>&quot;q&#39; s</p>")).otherwise(lit("")),
-            lit("<p>"),
-            regexp_replace(tripled, lit("((?:\\S+ ){3}\\S+) "),
-              lit("$1.</p><p>")),
-            lit("</p><div>footer &nbsp;m</div></body></html>"))
-            .as("html"))
+        val raw = rawWeb(docs)
         val (front, frontObs) = graft.pipelines.CorpusPipeline.webFront(
           raw, "doc_id", "html", "url", "text",
           blockedDomains = Seq("host3.com", "host7.com"),
@@ -528,6 +560,75 @@ object Stress {
           "after_gopher" -> funnel("after_gopher"),
           "after_lm" -> funnel("after_lm"),
           "n_out" -> nOut)
+      }
+    }
+
+    // ---- END-TO-END corpus build: raw crawl → front (HTML + block-
+    // lists) → C4/Gopher/LM quality gate → exact dedup → CCNet sketch
+    // buckets (per-source, Zipf-skewed groups) → bucketed sampling →
+    // 2k-merge BPE token IDs → dataset card. One artifact exercising
+    // every cross-operator interface of the training-data story; each
+    // stage count lands in the row so a stage that silently annihilates
+    // the corpus (the interface-drift failure) is visible, and the
+    // card's fields summarize what a curation run would actually ship.
+    step("end_to_end") {
+      CacheScope.withScope { implicit scope =>
+        val (front, _) = graft.pipelines.CorpusPipeline.webFront(
+          rawWeb(docs), "doc_id", "html", "url", "text",
+          blockedDomains = Seq("host3.com", "host7.com"),
+          lexicon = Seq("xdup"), maxBadFrac = 0.01)
+        val (survivors, funnel) = graft.pipelines.CorpusPipeline
+          .qualityGate(front, "doc_id", "text",
+            front.filter(col("source") === "host1"), "text",
+            maxAvgNll = 14.0)
+        // exact dedup on content hash, keep-lowest-id (near-dup tiers
+        // are measured by their own steps; the end-to-end keeps the
+        // cheap always-on stage)
+        val deduped = graft.ops.Dedupe.dedupeByKey(
+          survivors.withColumn("__h",
+            graft.operators.Dedup.contentHash(col("text"))),
+          Seq("__h"), Seq(col("doc_id"))).drop("__h")
+        // CCNet buckets per SOURCE (the Zipf-skewed grouping — the
+        // skew surface the sketch path exists for), then head+middle
+        val bucketed = graft.operators.TextAnalysis.nllSketchBuckets(
+          deduped, "doc_id", "source")
+        val sampled = scope.cache(graft.operators.Curation.ccnetSample(
+          bucketed, "doc_id", middleRate = 0.5)
+          .select(col("doc_id"), col("source"), col("text")))
+        val nSampled = sampled.count()
+        // tokens at 2k merges (32k is bpe_encode_corpus's own row —
+        // here the point is the composed interface, measured end to
+        // end on the curated output)
+        val wf = scope.cache(graft.operators.TextAnalysis
+          .bpeWordFreq(sampled, "text"))
+        val merges = graft.operators.TextAnalysis
+          .bpeTrainLocal(wf, nMerges = 2000)
+          .orderBy(col("iter")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val (_, toks) = graft.operators.TextAnalysis
+          .bpeEncodeCorpus(sampled, "doc_id", "text", merges)
+        val nTok = toks.agg(sum(col("n_tok").cast("long")))
+          .collect().head.getLong(0)
+        // the shipped dataset card over the final corpus; lang rides
+        // the heuristic langId (synthetic text scores 'und' — the
+        // card must survive that, not assume clean labels)
+        val card = graft.operators.Curation.datasetCard(
+          sampled.withColumn("lang", graft.operators.TextAnalysis
+            .langId(col("text"))), "text", "lang")
+          .collect().head
+        Seq("after_front" -> funnel("input"),
+          "after_c4" -> funnel("after_c4"),
+          "after_gopher" -> funnel("after_gopher"),
+          "after_lm" -> funnel("after_lm"),
+          "after_sample" -> nSampled,
+          "n_tokens" -> nTok,
+          "card_n_docs" -> card.getAs[Long]("n_docs"),
+          "card_n_words" -> card.getAs[Long]("n_words"),
+          "card_dup_rate" -> card.getAs[Double]("dup_rate"),
+          "card_gopher_pass_rate" ->
+            card.getAs[Double]("gopher_pass_rate"),
+          "card_p50_chars" -> card.getAs[Long]("p50_chars"),
+          "card_top_lang" -> card.getAs[String]("top_lang"))
       }
     }
 
@@ -921,6 +1022,87 @@ object Stress {
             / 10000.0)
     }
 
+    // ---- streaming ANN ingest drill with a MID-STREAM KILL: seed a
+    // store from 100k vectors, stream the remaining 900k as ~45
+    // file-batches of ~20k, stop() the query once ≥5 stream batches
+    // have landed (a real crash leaves the in-flight batch's
+    // checkpoint commit unwritten), then restart from the SAME
+    // checkpoint — foreachBatch replays the uncommitted batch, the
+    // overwrite-by-tag append replaces its b=stream-<id> directory,
+    // and the final store must hold every vector exactly once. The
+    // exactly-once contract is spec-pinned at toy scale
+    // (VectorStoreSpec); this is the same contract where it matters. --
+    step("ann_stream") {
+      val nVecs = math.max(100000L, nDocs / 5)
+      val vecsPath = s"$dir/vecs_$nVecs.parquet"
+      if (!new java.io.File(vecsPath).isDirectory)
+        vectors(spark, nVecs).write.mode("overwrite").parquet(vecsPath)
+      val vecs = spark.read.parquet(vecsPath)
+      val root = s"$dir/vstream_$nVecs"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val storeDir = s"$root/store"
+      val nSeed = nVecs / 10
+      val t0 = System.nanoTime()
+      graft.pipelines.VectorStore.create(spark, storeDir,
+        vecs.filter(col("vec_id") < nSeed), "vec_id", "embedding",
+        nCells = 256, m = 8, ksub = 16, ivfIters = 2, pqIters = 2)
+      val seedSecs = (System.nanoTime() - t0) / 1e9
+      // ~45 one-file batches of ~20k vectors each
+      val streamed = vecs.filter(col("vec_id") >= nSeed)
+        .withColumn("bkt", (col("vec_id") % 45).cast("int"))
+      streamed.repartition(45, col("bkt")).write
+        .partitionBy("bkt").parquet(s"$root/in")
+      val inSchema = org.apache.spark.sql.types.StructType(
+        streamed.drop("bkt").schema.fields)
+      def drain(): Unit = graft.pipelines.VectorStore.ingestStream(
+        spark, storeDir,
+        spark.readStream.schema(inSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/in"),
+        "vec_id", "embedding", s"$root/ckpt")
+      def streamBatches(): Int = {
+        val p = new org.apache.hadoop.fs.Path(s"$storeDir/vectors")
+        if (!fs.exists(p)) 0
+        else fs.listStatus(p)
+          .count(_.getPath.getName.startsWith("b=stream-"))
+      }
+      // phase 1: drain in a thread, kill after >= 5 landed batches
+      val t1 = System.nanoTime()
+      val runner = new Thread(() =>
+        try drain() catch { case _: Throwable => () })
+      runner.start()
+      while (runner.isAlive && streamBatches() < 5) Thread.sleep(200)
+      val killedAt = streamBatches()
+      spark.streams.active.foreach(q => try q.stop() catch {
+        case _: Throwable => () })
+      runner.join(120000)
+      val phase1Secs = (System.nanoTime() - t1) / 1e9
+      // phase 2: restart from the same checkpoint — replays the
+      // uncommitted batch (overwrite-by-tag), drains the rest
+      val t2 = System.nanoTime()
+      drain()
+      val phase2Secs = (System.nanoTime() - t2) / 1e9
+      val stored = spark.read.parquet(s"$storeDir/vectors")
+      val nRows = stored.count()
+      val nIds = stored.select("id").distinct().count()
+      // and the store still answers: planted near-dup neighbors rank
+      val queries = vecs.filter(col("vec_id") % (nVecs / 100) === 0)
+        .limit(100)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val nTop = graft.pipelines.VectorStore.topK(spark, storeDir,
+        queries, "qid", "qv", k = 10, nprobe = 16).count()
+      Seq("n_vectors" -> nVecs, "n_seed" -> nSeed,
+        "n_stream_batches" -> streamBatches(),
+        "killed_after_batches" -> killedAt,
+        "seed_secs" -> math.round(seedSecs * 100.0) / 100.0,
+        "phase1_secs" -> math.round(phase1Secs * 100.0) / 100.0,
+        "phase2_secs" -> math.round(phase2Secs * 100.0) / 100.0,
+        "rows_stored" -> nRows, "distinct_ids" -> nIds,
+        "exactly_once_ok" -> (nRows == nVecs && nIds == nVecs),
+        "topk_rows" -> nTop)
+    }
+
     // ---- random projection: 64→16 dims over 1M vectors, then
     // brute-force 100 queries in the projected space vs the original —
     // the JL lever measured: projection is one map-only pass, the
@@ -1062,6 +1244,31 @@ object Stress {
     * posting-list surface), Zipfian sources, planted near-dups (mod 97)
     * and quotes (mod 101). All token material derives from xxhash64(id)
     * — no RNG, so every run and every engine sees the same corpus. */
+  /** Raw-crawl wrap of the stress corpus (shared by web_pipeline and
+    * end_to_end): copies are character-translated (template 'b' AND
+    * tail 'w') so no 5-gram repeats across copies; the y1/y2 spacers
+    * shift the copies' 4-token sentence phase so a trailing lexicon
+    * token ("xdup") isn't period-mangled in every copy. */
+  private def rawWeb(docs: DataFrame): DataFrame = {
+    val tripled = concat_ws(" ", col("text"), lit("y1"),
+      translate(col("text"), "wb", "vc"), lit("y2"),
+      translate(col("text"), "wb", "ud"),
+      lit("the of and that have with be to end"))
+    docs.select(col("doc_id"), col("source"),
+      concat(lit("https://doc."), col("source"), lit(".com/"),
+        col("doc_id").cast("string")).as("url"),
+      concat(
+        lit("<html><head><title>d</title><style>p{color:red}" +
+          "</style><script>var x=1<2;</script></head><body>"),
+        when(col("doc_id") % 5 === 0,
+          lit("<!-- c --><p>&quot;q&#39; s</p>")).otherwise(lit("")),
+        lit("<p>"),
+        regexp_replace(tripled, lit("((?:\\S+ ){3}\\S+) "),
+          lit("$1.</p><p>")),
+        lit("</p><div>footer &nbsp;m</div></body></html>"))
+        .as("html"))
+  }
+
   def corpus(spark: SparkSession, nDocs: Long,
       nTemplates: Int = 20): DataFrame = {
     val ids = spark.range(nDocs).toDF("doc_id")

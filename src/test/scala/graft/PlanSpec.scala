@@ -453,6 +453,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("int8 PQ query: stage-1 LUT scan reads codes WITHOUT (q, scale)" +
+      " and the rerank scan reads (q, scale) WITHOUT codes — per-stage" +
+      " column pruning, in the plan (anq3's scan-bytes contract)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("vplan_i8pq").toString
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    graft.pipelines.VectorStore.create(spark, dir, emb, "vec_id",
+      "embedding", nCells = 8, m = 4, ksub = 8, ivfIters = 2,
+      pqIters = 2, int8 = true)
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    noAqe {
+      val p = planOf(graft.pipelines.VectorStore.topKPq(spark, dir,
+        queries, "qid", "qv", k = 3, nprobe = 2, candidates = 10))
+      val vecScans = p.collectWithSubqueries {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("vectors")) => s }
+      assert(vecScans.size >= 2,
+        s"expected the stage-1 and rerank scans, got ${vecScans.size}")
+      val schemas = vecScans.map(_.requiredSchema.fieldNames.toSet)
+      assert(schemas.exists(s => s.contains("codes") &&
+          !s.contains("q") && !s.contains("scale")),
+        s"no codes-only stage-1 scan (LUT stage would read the " +
+          s"vector payload too): $schemas")
+      assert(schemas.exists(s => s.contains("q") && s.contains("scale")
+          && !s.contains("codes")),
+        s"no (q, scale)-only rerank scan: $schemas")
+      vecScans.foreach(s => assert(s.partitionFilters.nonEmpty,
+        "a PQ-path vectors scan lost its cell partition pruning"))
+    }
+  }
+
   test("map-only curation gates: html extraction and blocklist plans " +
       "shuffle exactly once (the final ORDER BY)") {
     noAqe {
