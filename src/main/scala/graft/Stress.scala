@@ -583,11 +583,19 @@ object Stress {
             maxAvgNll = 14.0)
         // exact dedup on content hash, keep-lowest-id (near-dup tiers
         // are measured by their own steps; the end-to-end keeps the
-        // cheap always-on stage)
-        val deduped = graft.ops.Dedupe.dedupeByKey(
-          survivors.withColumn("__h",
-            graft.operators.Dedup.contentHash(col("text"))),
-          Seq("__h"), Seq(col("doc_id"))).drop("__h")
+        // cheap always-on stage). PAYLOAD-FREE shape: a row_number
+        // window over the survivor frame would sort 4.6M full-text
+        // rows while the quality gate's two cached corpus frames
+        // already hold the execution-memory slice (measured
+        // UNABLE_TO_ACQUIRE_MEMORY at 5M, 8 GB heap) — instead the
+        // winner set is a narrow (hash, min id) aggregate and the
+        // payload rides a semi-join, README scale-defect lesson #1.
+        val hashed = survivors.withColumn("__h",
+          graft.operators.Dedup.contentHash(col("text")))
+        val keepIds = hashed.groupBy(col("__h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val deduped = hashed
+          .join(keepIds, Seq("__h", "doc_id"), "left_semi").drop("__h")
         // CCNet buckets per SOURCE (the Zipf-skewed grouping — the
         // skew surface the sketch path exists for), then head+middle
         val bucketed = graft.operators.TextAnalysis.nllSketchBuckets(
