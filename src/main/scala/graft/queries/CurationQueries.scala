@@ -739,6 +739,30 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- CCNet buckets over the FULL-ORDER LM (t17 × t12c) ----------------
+    // The published CCNet filter is a 5-gram KenLM feeding the
+    // head/middle/tail split; t12c proved the sketch-bucket machinery
+    // on bigram scores, t17 proved the order-5 scorer — this composes
+    // them: hashed 5-gram stupid-backoff scores, bucketed per
+    // language via the no-sort sketch path. One oracle replays the
+    // hashed table, every backoff branch, the log-bucket sketch, the
+    // 1/3-2/3 thresholds, and the assignment.
+    "t12e_hashed5_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("lang"), col("source"), col("text"))
+      val lm = TextAnalysis.hashedNgramLm(
+        docs.filter(col("source") === "src0"), "text")
+      val scored = TextAnalysis
+        .hashed5gramLogProb(docs, "doc_id", "text", lm,
+          alpha = 0.5, backoff = 0.4)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      TextAnalysis.nllSketchBuckets(scored, "doc_id", "lang",
+          nBuckets = 3, m = 9)
+        .select(col("doc_id"), col("lang"), col("n_transitions"),
+          col("nll_micros"), col("bucket"), col("bucket_label"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- per-source quality report (corpus health by domain) --------------
     // Gopher metrics aggregated per source as INTEGER sums and ratios
     // of integer sums — immune to float summation order on both
@@ -1827,45 +1851,8 @@ object CurationQueries {
       s"""WITH ${OracleFragments.lmTrainCtes("documents", "text",
               "source = 'src0'")},
          |${OracleFragments.lmScoreCtes("documents", "text", 0.5)},
-         |sc2 AS (
-         |  SELECT d.doc_id, d.lang,
-         |    CAST(coalesce(s.n_transitions, 0) AS BIGINT)
-         |      AS n_transitions,
-         |    CAST(coalesce(s.nll_micros, 0) AS BIGINT) AS nll_micros,
-         |    CASE WHEN coalesce(s.n_transitions, 0) = 0 THEN 0
-         |      ELSE s.nll_micros // s.n_transitions END AS anm
-         |  FROM documents d LEFT JOIN lmsc s USING (doc_id)),
-         |bk AS (
-         |  SELECT lang,
-         |    CASE WHEN anm < 512 THEN anm
-         |         ELSE (length(bin(anm)) - 9) * 512
-         |              + (anm >> (length(bin(anm)) - 10)) - 512
-         |    END AS bkt, count(*) AS cnt
-         |  FROM sc2 GROUP BY 1, 2),
-         |cum AS (
-         |  SELECT lang, bkt, cnt,
-         |    SUM(cnt) OVER (PARTITION BY lang ORDER BY bkt) AS cum,
-         |    SUM(cnt) OVER (PARTITION BY lang) AS total,
-         |    CASE WHEN bkt < 512 THEN bkt
-         |         ELSE ((512 + (bkt & 511) + 1)
-         |               << CAST((bkt >> 9) - 1 AS INT)) - 1
-         |    END AS hi
-         |  FROM bk),
-         |th AS (
-         |  SELECT lang,
-         |    MIN(CASE WHEN cum >= (total + 2) // 3 THEN hi END) AS t1,
-         |    MIN(CASE WHEN cum >= (total * 2 + 2) // 3 THEN hi END)
-         |      AS t2
-         |  FROM cum GROUP BY 1)
-         |SELECT s.doc_id, s.lang, s.n_transitions, s.nll_micros,
-         |  CAST((CASE WHEN s.anm > t.t1 THEN 1 ELSE 0 END)
-         |     + (CASE WHEN s.anm > t.t2 THEN 1 ELSE 0 END) AS INT)
-         |    AS bucket,
-         |  CASE WHEN s.anm <= t.t1 THEN 'head'
-         |       WHEN s.anm > t.t2 THEN 'tail'
-         |       ELSE 'middle' END AS bucket_label
-         |FROM sc2 s JOIN th t ON s.lang IS NOT DISTINCT FROM t.lang
-         |ORDER BY s.doc_id""".stripMargin,
+         |${bucketReplayCtes("lmsc", withCounts = true)}
+         |$bucketFinalSelect""".stripMargin,
 
     // t12d: the t12c replay + the selection rule (head, or middle with
     // md5(doc_id) under rateBound(0.5) = '800')
@@ -1873,33 +1860,7 @@ object CurationQueries {
       s"""WITH ${OracleFragments.lmTrainCtes("documents", "text",
               "source = 'src0'")},
          |${OracleFragments.lmScoreCtes("documents", "text", 0.5)},
-         |sc2 AS (
-         |  SELECT d.doc_id, d.lang,
-         |    CASE WHEN coalesce(s.n_transitions, 0) = 0 THEN 0
-         |      ELSE s.nll_micros // s.n_transitions END AS anm
-         |  FROM documents d LEFT JOIN lmsc s USING (doc_id)),
-         |bk AS (
-         |  SELECT lang,
-         |    CASE WHEN anm < 512 THEN anm
-         |         ELSE (length(bin(anm)) - 9) * 512
-         |              + (anm >> (length(bin(anm)) - 10)) - 512
-         |    END AS bkt, count(*) AS cnt
-         |  FROM sc2 GROUP BY 1, 2),
-         |cum AS (
-         |  SELECT lang, bkt, cnt,
-         |    SUM(cnt) OVER (PARTITION BY lang ORDER BY bkt) AS cum,
-         |    SUM(cnt) OVER (PARTITION BY lang) AS total,
-         |    CASE WHEN bkt < 512 THEN bkt
-         |         ELSE ((512 + (bkt & 511) + 1)
-         |               << CAST((bkt >> 9) - 1 AS INT)) - 1
-         |    END AS hi
-         |  FROM bk),
-         |th AS (
-         |  SELECT lang,
-         |    MIN(CASE WHEN cum >= (total + 2) // 3 THEN hi END) AS t1,
-         |    MIN(CASE WHEN cum >= (total * 2 + 2) // 3 THEN hi END)
-         |      AS t2
-         |  FROM cum GROUP BY 1),
+         |${bucketReplayCtes("lmsc", withCounts = false)},
          |lab AS (
          |  SELECT s.doc_id, s.lang,
          |    CASE WHEN s.anm <= t.t1 THEN 'head'
@@ -1911,6 +1872,17 @@ object CurationQueries {
          |   OR (bucket_label = 'middle'
          |       AND md5(CAST(doc_id AS VARCHAR)) < '800')
          |ORDER BY doc_id""".stripMargin,
+
+    // t12e: the t12c bucket machinery re-based on the hashed 5-gram
+    // stupid-backoff scores (t17) — CCNet's published filter order,
+    // end to end: hashed table rebuild, every backoff branch, the
+    // sketch thresholds, and the bucket assignment all hash-compare
+    "t12e_hashed5_buckets" ->
+      s"""WITH ${OracleFragments.h5TrainCtes("documents", "text",
+              "source = 'src0'")},
+         |${OracleFragments.h5ScoreCtes("documents", "text", 0.5, 0.4)},
+         |${bucketReplayCtes("h5sc", withCounts = true)}
+         |$bucketFinalSelect""".stripMargin,
 
     // Gopher chain over base + planted srcq, aggregated per source with
     // integer sums only.
@@ -2106,6 +2078,63 @@ object CurationQueries {
        |      / s.n_transitions END AS avg_nll
        |FROM documents d LEFT JOIN tgsc s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+
+  /** Shared sketch-bucket replay (t12c/t12d/t12e): per-group integer
+    * micros-per-transition, the deterministic log-bucket sketch,
+    * cumulative thresholds at 1/3 and 2/3, emitted as CTEs
+    * sc2/bk/cum/th over score CTE `scoreCte(doc_id, n_transitions,
+    * nll_micros)`. `withCounts` keeps the raw counters in sc2 for
+    * gates that output them. */
+  private def bucketReplayCtes(scoreCte: String,
+      withCounts: Boolean): String = {
+    val counts =
+      if (!withCounts) ""
+      else s"""
+         |    CAST(coalesce(s.n_transitions, 0) AS BIGINT)
+         |      AS n_transitions,
+         |    CAST(coalesce(s.nll_micros, 0) AS BIGINT) AS nll_micros,"""
+          .stripMargin
+    s"""sc2 AS (
+       |  SELECT d.doc_id, d.lang,$counts
+       |    CASE WHEN coalesce(s.n_transitions, 0) = 0 THEN 0
+       |      ELSE s.nll_micros // s.n_transitions END AS anm
+       |  FROM documents d LEFT JOIN $scoreCte s USING (doc_id)),
+       |bk AS (
+       |  SELECT lang,
+       |    CASE WHEN anm < 512 THEN anm
+       |         ELSE (length(bin(anm)) - 9) * 512
+       |              + (anm >> (length(bin(anm)) - 10)) - 512
+       |    END AS bkt, count(*) AS cnt
+       |  FROM sc2 GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, bkt, cnt,
+       |    SUM(cnt) OVER (PARTITION BY lang ORDER BY bkt) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY lang) AS total,
+       |    CASE WHEN bkt < 512 THEN bkt
+       |         ELSE ((512 + (bkt & 511) + 1)
+       |               << CAST((bkt >> 9) - 1 AS INT)) - 1
+       |    END AS hi
+       |  FROM bk),
+       |th AS (
+       |  SELECT lang,
+       |    MIN(CASE WHEN cum >= (total + 2) // 3 THEN hi END) AS t1,
+       |    MIN(CASE WHEN cum >= (total * 2 + 2) // 3 THEN hi END)
+       |      AS t2
+       |  FROM cum GROUP BY 1)"""
+      .stripMargin
+  }
+
+  private val bucketFinalSelect: String =
+    """SELECT s.doc_id, s.lang, s.n_transitions, s.nll_micros,
+      |  CAST((CASE WHEN s.anm > t.t1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN s.anm > t.t2 THEN 1 ELSE 0 END) AS INT)
+      |    AS bucket,
+      |  CASE WHEN s.anm <= t.t1 THEN 'head'
+      |       WHEN s.anm > t.t2 THEN 'tail'
+      |       ELSE 'middle' END AS bucket_label
+      |FROM sc2 s JOIN th t ON s.lang IS NOT DISTINCT FROM t.lang
+      |ORDER BY s.doc_id""".stripMargin
 
   private def hashed5LmOracleSql: String =
     s"""WITH ${OracleFragments.h5TrainCtes("documents", "text",

@@ -196,6 +196,24 @@ object StreamingSummary {
           .getOrElse(delta)
     }
 
+  /** [[maintainBigramLmFromFiles]] at the full CCNet order: the
+    * hashed (n, h, c) 1..5-gram table of
+    * [[graft.operators.TextAnalysis.hashedNgramLm]], folded by pure
+    * (n, h) SUM per batch — O(delta) work, and the maintained state
+    * scores (stupid backoff,
+    * [[graft.operators.TextAnalysis.hashed5gramLogProb]])
+    * bit-identically to a one-shot count of the union. */
+  def maintainHashedLmFromFiles(spark: SparkSession, inDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpoint: String,
+      summaryPath: String, textCol: String): DataFrame =
+    maintainVersioned(spark, inDir, schema, checkpoint, summaryPath) {
+      (batch, prev) =>
+        val delta = graft.operators.TextAnalysis
+          .hashedNgramLm(batch, textCol)
+        prev.map(p => graft.operators.TextAnalysis.foldHashedLm(p, delta))
+          .getOrElse(delta)
+    }
+
   /** Maintain a Naive Bayes classifier over a streamed labeled corpus:
     * one [[graft.operators.TextAnalysis.nbModelToCounts]]-encoded state,
     * folded by pure (label, term) SUM per batch — O(delta) work, and

@@ -177,6 +177,13 @@ class BigramLmSpec extends SparkSpec {
     val full3 = TextAnalysis.trigramLm(raw, "text")
     assert(state3.orderBy("w1", "w2", "w3").collect().toSeq ===
       full3.orderBy("w1", "w2", "w3").collect().toSeq)
+    // hashed 5-gram: same contract at the full CCNet order
+    val state5 = graft.streaming.StreamingSummary
+      .maintainHashedLmFromFiles(spark, s"$root/deltas", raw.schema,
+        s"$root/ckpt5", s"$root/state5", "text")
+    val full5 = TextAnalysis.hashedNgramLm(raw, "text")
+    assert(state5.orderBy("n", "h").collect().toSeq ===
+      full5.orderBy("n", "h").collect().toSeq)
   }
 
   // hashed 5-gram training corpus: "a b c d e a b c d e" (10 tokens)

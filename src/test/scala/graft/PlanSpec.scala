@@ -53,6 +53,74 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no gate plans a cartesian product, and nested-loop joins " +
+      "appear only where the manifest names a bounded broadcast side") {
+    // The r12 lesson: d10b's truth side was an unnoticed
+    // BroadcastNestedLoopJoin over stratum×corpus shingle arrays —
+    // bandwidth-bound, environment-volatile, 35% of the official
+    // bench. BNLJ is fine when the broadcast side is bounded BY
+    // CONSTRUCTION (a one-row global aggregate like the T/V spine
+    // every LM scorer crossJoins, or a ≤few-hundred-row query/probe
+    // set in the brute-force oracle legs) — so instead of banning the
+    // operator, every BNLJ-carrying gate is NAMED here with its
+    // count; a gate acquiring a NEW nested loop fails the manifest
+    // and has to justify its bound in this map. CartesianProduct
+    // (unbounded × unbounded) is banned outright.
+    val eager = Set("c1_corpus_clean", "s5_ledger_loop")
+    // one-row global-aggregate spines (T/V/vocab/total cross joins —
+    // a broadcast of exactly one row per spine):
+    val oneRowSpines = Seq(
+      "cm1_countmin_freq" -> 1, "q11_value_share" -> 1,
+      "q22_cold_customers" -> 1, "t6_heavy_hitters" -> 1,
+      "t7_tfidf_terms" -> 1, "t8_bm25_search" -> 2,
+      "t9_domain_terms" -> 1, "w2_sku_counter" -> 1,
+      "t11_bigram_lm" -> 1, "t11b_incremental_lm" -> 1,
+      "t12_ccnet_buckets" -> 1, "t12b_trigram_buckets" -> 1,
+      "t12c_sketch_buckets" -> 1, "t12d_ccnet_sample" -> 1,
+      "t12e_hashed5_buckets" -> 1,
+      "t15_moore_lewis" -> 2, "t16_trigram_lm" -> 1,
+      "t16b_incremental_lm3" -> 1, "t17_hashed5gram_lm" -> 1,
+      "t17b_incremental_lm5" -> 1, "dsir1_importance_weights" -> 2,
+      "dsir2_incremental_weights" -> 2, "sql2_sql_retrieval" -> 2,
+      "cd1_dataset_card" -> 3, "sql4_dataset_card" -> 3,
+      // NB/langID: per-label one-row spines (priors, totals, V)
+      "nb1_source_classifier" -> 6, "nb2_incremental_nb" -> 6,
+      "lang1_learned_langid" -> 6)
+    // bounded query/probe/centroid sets broadcast against the corpus
+    // (≤ a few hundred rows by gate construction — the brute-force
+    // oracle legs and store probes):
+    val boundedProbes = Seq(
+      "ann1_bruteforce_topk" -> 1, "ann2_ivf_topk" -> 1,
+      "ann4_pq_topk" -> 1, "ann5_store_topk" -> 1,
+      "ann6_recall_monitor" -> 2, "anq1_int8_topk" -> 1,
+      "anq2_int8_store" -> 1, "anq3_int8_pq" -> 1,
+      "knn1_label_vote" -> 1, "rp1_random_projection" -> 1,
+      "rp2_project_rerank" -> 1, "d6_fuzzy_pairs" -> 1,
+      "hy1_hybrid_rrf" -> 3, "hy2_hybrid_ivf" -> 3,
+      "ir1_index_store" -> 1)
+    val bnljBounded: Map[String, Int] =
+      (oneRowSpines ++ boundedProbes).toMap
+    noAqe {
+      val bad = scala.collection.mutable.ArrayBuffer[String]()
+      SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(eager).foreach { name =>
+          val p = planOf(SparkEntry.queries(name)(spark, sf))
+          val carts = p.collectWithSubqueries {
+            case j: org.apache.spark.sql.execution.joins
+              .CartesianProductExec => j }
+          if (carts.nonEmpty) bad += s"$name: CARTESIAN x${carts.size}"
+          val bnljs = p.collectWithSubqueries {
+            case j: org.apache.spark.sql.execution.joins
+              .BroadcastNestedLoopJoinExec => j }
+          val allowed = bnljBounded.getOrElse(name, 0)
+          if (bnljs.size != allowed)
+            bad += s"$name: BNLJ x${bnljs.size} (manifest $allowed)"
+        }
+      assert(bad.isEmpty,
+        s"plan sweep mismatches:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("q6/q15 date-range predicates reach the parquet scan") {
     noAqe {
       Seq("q6_forecast_revenue", "q15_top_supplier").foreach { name =>
