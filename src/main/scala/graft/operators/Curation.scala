@@ -310,6 +310,48 @@ object Curation {
     }
   }
 
+  /** Deterministic global shuffle + sharding — the last hop of a
+    * training-data build (after curation and tokenization, examples
+    * must reach the trainer in pseudo-random order, balanced across
+    * shard files). Assigns `shard` from an md5 draw on the id
+    * (domain-separated from [[sampleKey]]/[[hashSplit]] draws, so
+    * sharding is independent of any sampling/split decision made
+    * upstream) and a within-shard order key `__ord` from a second
+    * independent draw. The SAME id lands in the same shard at the
+    * same position on every run, engine, and partitioning — a
+    * df.orderBy(rand()) shuffle reshuffles membership per run and
+    * needs a global sort; this is one narrow hash shuffle plus
+    * per-shard local sorts (see [[writeShards]]), no total order
+    * anywhere. */
+  def shuffleShards(docs: DataFrame, idCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"shuffleShards: nShards must be >= 1: $nShards")
+    docs
+      .withColumn("shard", pmod(
+        conv(substring(md5(concat(lit("shard:"),
+          col(idCol).cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(nShards.toLong)).cast("int"))
+      .withColumn("__ord", md5(concat(lit("ord:"),
+        col(idCol).cast("string"))))
+  }
+
+  /** Write a [[shuffleShards]] frame as one directory per shard with
+    * rows in the deterministic shuffled order: repartition BY the
+    * shard column (each shard's rows land in one task — no global
+    * sort, shard count bounds the write parallelism exactly like the
+    * VectorStore's cell write) + sortWithinPartitions on the order
+    * draw. Parquet preserves in-file row order, so a reader streaming
+    * shard k sees the same example order every build. */
+  def writeShards(sharded: DataFrame, idCol: String, dir: String): Unit =
+    sharded.repartition(col("shard"))
+      // the sort LEADS with the partition column: FileFormatWriter
+      // requires rows sorted by partition columns and would otherwise
+      // insert its own NON-STABLE sort on `shard`, scrambling the
+      // draw order this writer exists to lay down
+      .sortWithinPartitions(col("shard"), col("__ord"), col(idCol))
+      .drop("__ord")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
   /** Per-group sampling rates (e.g. downsample the dominant language,
     * keep all of a rare one): rows keep when their hash key falls
     * under their group's bound; groups absent from `rates` get

@@ -739,6 +739,26 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- deterministic shuffle + shard assignment (training shards) -------
+    // The last hop of a training-data build: examples reach the
+    // trainer in pseudo-random order, balanced across shards, and the
+    // SAME id lands at the same position on every run/engine — two
+    // domain-separated md5 draws (shard; within-shard order), no
+    // global sort. The oracle replays both draws and the rank, so a
+    // hash-domain change, a modulo slip, or an order-key collision
+    // regression breaks the hash. The writer leg (one file per shard,
+    // rows in draw order) is CurationSpec's.
+    "cu20_shuffle_shards" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      Curation.shuffleShards(docs, "doc_id", nShards = 8)
+        .withColumn("shard_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard"))
+            .orderBy(col("__ord"), col("doc_id"))))
+        .select(col("doc_id"), col("shard"), col("shard_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- CCNet buckets over the FULL-ORDER LM (t17 × t12c) ----------------
     // The published CCNet filter is a 5-gram KenLM feeding the
     // head/middle/tail split; t12c proved the sketch-bucket machinery
@@ -1684,6 +1704,21 @@ object CurationQueries {
     "t11b_incremental_lm" -> bigramLmOracleSql,
     "t16_trigram_lm" -> trigramLmOracleSql,
     "t16b_incremental_lm3" -> trigramLmOracleSql,
+    // both md5 draws + the rank replayed; doc_id is BIGINT so the
+    // VARCHAR renderings agree between engines
+    "cu20_shuffle_shards" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5('shard:'
+        |      || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8
+        |      AS INTEGER) AS shard,
+        |    md5('ord:' || CAST(doc_id AS VARCHAR)) AS ok
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |    ORDER BY ok, doc_id) AS INTEGER) AS shard_rank
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     // one full-recompute SQL for both the one-shot and the folded
     // path (the t11/t11b discipline): integer counts are associative
     "t17_hashed5gram_lm" -> hashed5LmOracleSql,

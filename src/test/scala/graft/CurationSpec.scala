@@ -598,4 +598,50 @@ class CurationSpec extends SparkSpec {
     assert(empty.head.isNullAt(empty.head.fieldIndex("p50_chars")))
     assert(empty.head.isNullAt(empty.head.fieldIndex("top_lang")))
   }
+
+  test("shuffleShards/writeShards: deterministic membership + order, " +
+      "one file per shard, rows stream back in draw order") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val nShards = 6
+    val sharded = Curation.shuffleShards(docs, "doc_id", nShards)
+    // membership: every doc in exactly one shard, within range
+    assert(sharded.count() === docs.count())
+    assert(sharded.filter(col("shard") < 0 ||
+      col("shard") >= nShards).count() === 0L)
+    // rough balance (md5 uniformity): no shard more than 2x the mean
+    val sizes = sharded.groupBy("shard").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length === nShards)
+    assert(sizes.max <= 2 * (sizes.sum / nShards),
+      s"skewed shards: ${sizes.mkString(",")}")
+    // determinism: a re-derivation on a different partitioning is
+    // bit-identical
+    val again = Curation.shuffleShards(
+      docs.repartition(7), "doc_id", nShards)
+      .select("doc_id", "shard", "__ord")
+    assert(again.orderBy("doc_id").collect().toSeq ===
+      sharded.select("doc_id", "shard", "__ord")
+        .orderBy("doc_id").collect().toSeq)
+    // writer: one file per shard dir, rows stream back in draw order
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Curation.writeShards(sharded, "doc_id", dir)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    (0 until nShards).foreach { k =>
+      val files = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/shard=$k"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"shard $k has ${files.length} files — the one-task-per-shard" +
+          " write broke")
+      val back = spark.read.parquet(s"$dir/shard=$k")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val expected = sharded.filter(col("shard") === k)
+        .orderBy(col("__ord"), col("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(back === expected,
+        s"shard $k rows not in draw order")
+    }
+  }
 }
