@@ -693,6 +693,28 @@ object CurationQueries {
       s.sql(s"SELECT * FROM dataset_card('$p', 'text', 'lang')")
     }),
 
+    // ---- the order-5 fluency scorer from SQL text --------------------------
+    // t17's operator driven through the hashed5_lm_score TABLE
+    // function (trained here on the full corpus — the TVF takes a
+    // path, not a predicate); the oracle is the same full hashed-table
+    // replay with an all-rows training slice, so the SQL surface and
+    // the DataFrame surface are pinned to the same micros.
+    "sql5_sql_lm5" -> ((s, d) => {
+      val p = s"$d/documents.parquet".replace("'", "''")
+      s.sql(s"SELECT * FROM hashed5_lm_score('$p', 'doc_id', 'text', " +
+        s"'$p', 'text') ORDER BY doc_id")
+    }),
+
+    // ---- shard assignment from SQL text ------------------------------------
+    // cu20's draws through the shuffle_shards TABLE function; the
+    // md5 order key itself is in the output, so the oracle pins the
+    // exact draw strings, not just the derived rank.
+    "sql6_sql_shards" -> ((s, d) => {
+      val p = s"$d/documents.parquet".replace("'", "''")
+      s.sql("SELECT doc_id, shard, ord_key FROM shuffle_shards(" +
+        s"'$p', 'doc_id', 8) ORDER BY doc_id")
+    }),
+
     // ---- CCNet buckets on the NO-SORT sketch path --------------------------
     // The 100 TB form of t12: per-language thresholds from the
     // deterministic HdrHistogram-bucket quantile sketch (one narrow
@@ -1718,6 +1740,27 @@ object CurationQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
         |    ORDER BY ok, doc_id) AS INTEGER) AS shard_rank
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // the TVF legs: same replays, different training slice / columns
+    "sql5_sql_lm5" ->
+      s"""WITH ${OracleFragments.h5TrainCtes("documents", "text",
+              "1 = 1")},
+         |${OracleFragments.h5ScoreCtes("documents", "text", 0.5, 0.4)}
+         |SELECT d.doc_id,
+         |  coalesce(s.n_transitions, 0) AS n_transitions,
+         |  coalesce(s.nll_micros, 0) AS nll_micros,
+         |  CASE WHEN coalesce(s.n_transitions, 0) = 0 THEN 0.0
+         |    ELSE s.nll_micros / CAST(1000000.0 AS DOUBLE)
+         |      / s.n_transitions END AS avg_nll
+         |FROM documents d LEFT JOIN h5sc s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "sql6_sql_shards" ->
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5('shard:'
+        |    || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8
+        |    AS INTEGER) AS shard,
+        |  md5('ord:' || CAST(doc_id AS VARCHAR)) AS ord_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // one full-recompute SQL for both the one-shot and the folded
     // path (the t11/t11b discipline): integer counts are associative

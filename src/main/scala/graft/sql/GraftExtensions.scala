@@ -465,6 +465,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bigram_lm_score(path, idCol, textCol, trainPath, " +
             "trainTextCol[, alpha]) — all arguments must be literals")
       }))
+    // full-CCNet-order fluency scoring from SQL text: the t17 hashed
+    // 5-gram stupid-backoff scorer as a relation — SELECT * FROM
+    // hashed5_lm_score('corpus.parquet', 'doc_id', 'text',
+    // 'wiki.parquet', 'text'[, alpha[, backoff]])
+    ext.injectTableFunction((FunctionIdentifier("hashed5_lm_score"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "hashed5_lm_score"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, idc, tc, tp, ttc, rest @ _*) if rest.size <= 2 =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val docs = spark.read.parquet(
+            strLit(p, "hashed5_lm_score path"))
+          val train = spark.read.parquet(
+            strLit(tp, "hashed5_lm_score trainPath"))
+          val alpha = rest.headOption
+            .map(numLit(_, "hashed5_lm_score alpha")).getOrElse(0.5)
+          val backoff = rest.lift(1)
+            .map(numLit(_, "hashed5_lm_score backoff")).getOrElse(0.4)
+          val lm = graft.operators.TextAnalysis.hashedNgramLm(train,
+            strLit(ttc, "hashed5_lm_score trainTextCol"))
+          graft.operators.TextAnalysis.hashed5gramLogProb(docs,
+            strLit(idc, "hashed5_lm_score idCol"),
+            strLit(tc, "hashed5_lm_score textCol"), lm, alpha,
+            backoff)(graft.CacheScope.session)
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "hashed5_lm_score(path, idCol, textCol, trainPath, " +
+            "trainTextCol[, alpha[, backoff]]) — all arguments must " +
+            "be literals")
+      }))
+    // deterministic shuffle + shard assignment from SQL text —
+    // SELECT * FROM shuffle_shards('corpus.parquet', 'doc_id', 8);
+    // ord_key is the within-shard order draw (ORDER BY ord_key, id)
+    ext.injectTableFunction((FunctionIdentifier("shuffle_shards"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "shuffle_shards"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, idc, n) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          graft.operators.Curation.shuffleShards(
+            spark.read.parquet(strLit(p, "shuffle_shards path")),
+            strLit(idc, "shuffle_shards idCol"),
+            numLit(n, "shuffle_shards nShards").toInt)
+            .withColumnRenamed("__ord", "ord_key")
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "shuffle_shards(path, idCol, nShards) — all arguments must " +
+            "be literals (nShards an integer)")
+      }))
     // BPE tokenizer training as a TABLE function: (iter, lhs, rhs, cnt)
     // merges learned from a parquet corpus's word-frequency table
     ext.injectTableFunction((FunctionIdentifier("bpe_merges"),

@@ -82,6 +82,7 @@ class PlanSpec extends SparkSpec {
       "t16b_incremental_lm3" -> 1, "t17_hashed5gram_lm" -> 1,
       "t17b_incremental_lm5" -> 1, "dsir1_importance_weights" -> 2,
       "dsir2_incremental_weights" -> 2, "sql2_sql_retrieval" -> 2,
+      "sql5_sql_lm5" -> 1,
       "cd1_dataset_card" -> 3, "sql4_dataset_card" -> 3,
       // NB/langID: per-label one-row spines (priors, totals, V)
       "nb1_source_classifier" -> 6, "nb2_incremental_nb" -> 6,
