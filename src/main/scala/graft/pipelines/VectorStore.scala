@@ -19,6 +19,9 @@ import graft.operators.Similarity.PqModel
   *   centroids/  — (cell: long, centroid: array<double>), tiny
   *   codebooks/  — one row: (m, ksub, dsub, flat: array<double>), tiny
   *   format/     — one row: (int8: boolean), the vector storage format
+  *   compactions/ — one `<tag>.list` manifest per committed
+  *                 [[compact]] run (its retired source batches);
+  *                 readers resolve visibility from these
   *   vectors/b=<batchTag>/cell=<c>/ —
   *                 (id: long, vec: array<double>, codes: array<int>),
   *                 or with int8 storage (id, q: array<tinyint>,
@@ -344,6 +347,102 @@ object VectorStore {
       .partitionBy("cell").parquet(s"$dir/vectors/b=$batchTag")
   }
 
+  /** Fold many small batch directories into one — the answer to the
+    * small-files tax a fine-grained [[ingestStream]] accrues (measured
+    * ~16 s/batch fixed cost at 20k-vector micro-batches: 256 cell
+    * files per batch, 45 batches ⇒ 11.5k files the probe's directory
+    * listing must walk). Compaction rewrites every live non-seed,
+    * non-compact batch into ONE `b=compact-<digest>` directory and
+    * COMMITS it with a manifest — LSM-style logical deletion:
+    *
+    *   1. data lands at `vectors/b=compact-<digest>` (readers still
+    *      ignore it: a compact dir with no manifest is invisible);
+    *   2. the manifest (its source list) renames into `compactions/`
+    *      — the ATOMIC commit point: readers switch from the source
+    *      batches to the compact dir in one step;
+    *   3. [[vacuum]] physically deletes retired source dirs, any time,
+    *      idempotently.
+    *
+    * A crash before (2) leaves the store reading the sources (the
+    * orphan compact dir is ignored and OVERWRITTEN by the retry — the
+    * digest tag is a pure function of the sorted source names, so the
+    * retry targets the same path); a crash after (2) only delays the
+    * disk reclaim. Rows are copied in their STORED layout (float64 or
+    * int8 codes verbatim, never re-quantized), so query results are
+    * bit-identical before and after — the anq4 gate hash-pins that
+    * through the full DuckDB replay. Returns the committed tag, or
+    * None when fewer than two batches qualify. */
+  def compact(spark: SparkSession, dir: String,
+      vacuumAfter: Boolean = false): Option[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (committed, retired) = readCompactions(spark, dir)
+    val vecRoot = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    val onDisk = fs.listStatus(vecRoot).map(_.getPath.getName)
+      .filter(_.startsWith("b=")).map(_.stripPrefix("b=")).toSeq
+    val candidates = onDisk.filter(b => b != "seed" &&
+      !b.startsWith("compact-") && !retired(b)).sorted
+    if (candidates.size < 2) return None
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(candidates.mkString("\n").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+    val tag = s"compact-$digest"
+    // data first (invisible until the manifest commits); sources are
+    // read by EXPLICIT path (basePath anchors partition discovery so
+    // the b=/cell= levels parse) — the write target can't overlap a
+    // read root, and the stored columns copy verbatim — no re-quantize
+    spark.read.option("basePath", s"$dir/vectors")
+      .parquet(candidates.map(b => s"$dir/vectors/b=$b"): _*)
+      .drop("b")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/vectors/b=$tag")
+    // manifest via temp + atomic rename = the commit point
+    val mdir = new org.apache.hadoop.fs.Path(s"$dir/compactions")
+    fs.mkdirs(mdir)
+    val tmp = new org.apache.hadoop.fs.Path(mdir, s".tmp_$tag")
+    val out = fs.create(tmp, true)
+    try out.write(candidates.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(mdir, s"$tag.list"))
+    if (vacuumAfter) vacuum(spark, dir)
+    Some(tag)
+  }
+
+  /** Physically delete batch directories retired by committed
+    * compaction manifests. Idempotent; safe any time after the
+    * manifest commit (readers stopped seeing those dirs at commit). */
+  def vacuum(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, retired) = readCompactions(spark, dir)
+    retired.foreach { b =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/vectors/b=$b")
+      if (fs.exists(p)) fs.delete(p, true)
+      ()
+    }
+  }
+
+  /** (committed compact tags, retired source batch names) from the
+    * manifest directory. */
+  private def readCompactions(spark: SparkSession,
+      dir: String): (Set[String], Set[String]) = {
+    val mdir = new org.apache.hadoop.fs.Path(s"$dir/compactions")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mdir)) return (Set.empty, Set.empty)
+    val entries = fs.listStatus(mdir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".list") &&
+        !p.getName.startsWith("."))
+    val tags = entries.map(_.getName.stripSuffix(".list")).toSet
+    val retired = entries.flatMap { p =>
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }.toSet
+    (tags, retired)
+  }
+
   /** Query-side twin of the ingest guard: a NaN/Inf element in a QUERY
     * vector makes every candidate cosine NaN — and NaN sorts as the
     * LARGEST double, so that query's top-k would be k arbitrary ids
@@ -365,7 +464,23 @@ object VectorStore {
     * scored PAIR, an extra O(dim) per candidate that the bandwidth
     * saving dwarfs once probed cells stop fitting in page cache). */
   private def readVectors(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/vectors")
+    val raw0 = spark.read.parquet(s"$dir/vectors")
+    // compaction visibility rules (predicates on the `b` PARTITION
+    // column — pruned at planning, retired dirs are never listed into
+    // the scan): a batch named in a committed manifest is retired; a
+    // compact dir WITHOUT a manifest is an uncommitted orphan (crash
+    // between data and manifest) and stays invisible until its retry
+    // overwrites + commits it
+    val (committed, retired) = readCompactions(spark, dir)
+    val raw1 =
+      if (retired.isEmpty) raw0
+      else raw0.filter(!col("b").isin(retired.toSeq: _*))
+    val raw = {
+      val isCompact = col("b").startsWith("compact-")
+      if (committed.isEmpty) raw1.filter(!isCompact)
+      else raw1.filter(!isCompact ||
+        col("b").isin(committed.toSeq: _*))
+    }
     val vec =
       if (!raw.columns.contains("q")) col("vec")
       else transform(col("q"), x => x.cast("double") * col("scale"))

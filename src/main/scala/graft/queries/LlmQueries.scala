@@ -705,6 +705,38 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- compaction is lossless (the small-files maintenance op) ----------
+    // anq2's exact lifecycle plus TWO appends, then compact(vacuum):
+    // the appends' batch dirs fold into one committed b=compact-*
+    // dir, the sources are physically deleted, and the SAME full
+    // replay oracle must still hash-match — compaction that drops a
+    // row, re-quantizes a code, or mis-cells anything breaks it.
+    "anq4_compacted_store" -> ((s, d) => {
+      val dir = GateTmp.dir("graft_vstore_i8c", d)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val data = annCorpus(s, d)
+      graft.pipelines.VectorStore.createSeeded(s, dir,
+        data.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        nCells = 8, m = 4, ksub = 8, pqIters = 2, int8 = true)
+      graft.pipelines.VectorStore.append(s, dir,
+        data.filter(col("vec_id") % 2 === 1 && col("vec_id") % 4 === 1),
+        "vec_id", "embedding", batchTag = "b1")
+      graft.pipelines.VectorStore.append(s, dir,
+        data.filter(col("vec_id") % 4 === 3),
+        "vec_id", "embedding", batchTag = "b2")
+      require(graft.pipelines.VectorStore
+        .compact(s, dir, vacuumAfter = true).nonEmpty,
+        "anq4: compaction did not run")
+      val queries = data.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.pipelines.VectorStore.topK(s, dir, queries, "qid", "qv",
+          k = 5, nprobe = 4)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---- sign random projection (JL dimensionality lever) -----------------
     // 64-dim embeddings project to 16 dims through the deterministic
     // md5-sign matrix, then brute-force top-5 runs IN THE PROJECTED
@@ -2048,6 +2080,11 @@ object LlmQueries {
     // from full-precision vectors at write time).
     "anq2_int8_store" -> anq2OracleSql,
     "anq3_int8_pq" -> anq2OracleSql,
+    // anq4: identical expectation again — compaction copies stored
+    // rows verbatim, so the compacted store must answer exactly what
+    // the batch-dir store answered (b1 ∪ b2 ≡ anq2's single b1: both
+    // are "every odd vector appended under the frozen quantizers")
+    "anq4_compacted_store" -> anq2OracleSql,
 
     // rp1: the sign matrix rebuilt from md5 parity, each projection a
     // left-to-right list_sum over the signed products scaled by the

@@ -95,6 +95,7 @@ class PlanSpec extends SparkSpec {
       "ann4_pq_topk" -> 1, "ann5_store_topk" -> 1,
       "ann6_recall_monitor" -> 2, "anq1_int8_topk" -> 1,
       "anq2_int8_store" -> 1, "anq3_int8_pq" -> 1,
+      "anq4_compacted_store" -> 1,
       "knn1_label_vote" -> 1, "rp1_random_projection" -> 1,
       "rp2_project_rerank" -> 1, "d6_fuzzy_pairs" -> 1,
       "hy1_hybrid_rrf" -> 3, "hy2_hybrid_ivf" -> 3,

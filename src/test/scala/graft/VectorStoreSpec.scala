@@ -309,6 +309,72 @@ class VectorStoreSpec extends SparkSpec {
     assert(res.count() === queries.count() * 5)
   }
 
+  test("compaction: manifest-committed, crash-safe, lossless, " +
+      "idempotent; vacuum reclaims; int8 layout copies bit-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("vcompact").toString
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    VectorStore.create(spark, dir, emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nCells = 4, m = 4, ksub = 8,
+      ivfIters = 2, pqIters = 2, int8 = true)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    VectorStore.append(spark, dir, odd.filter(col("vec_id") % 4 === 1),
+      "vec_id", "embedding", "b1")
+    VectorStore.append(spark, dir, odd.filter(col("vec_id") % 4 === 3),
+      "vec_id", "embedding", "b2")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def answer() = VectorStore.topK(spark, dir, queries, "qid", "qv",
+        k = 5, nprobe = 4)
+      .orderBy("qid", "rank").collect().toSeq
+    val before = answer()
+    val total = spark.read.parquet(s"$dir/vectors").count()
+    // CRASH SIM A: an orphan compact dir (data landed, manifest
+    // didn't) is invisible — readers neither double-count nor see it
+    val orphanSrc = s"$dir/vectors/b=b1"
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(orphanSrc), fs,
+      new org.apache.hadoop.fs.Path(s"$dir/vectors/b=compact-orphan"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(answer() === before, "orphan compact dir leaked into reads")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/vectors/b=compact-orphan"), true)
+    // commit: b1+b2 fold into one committed dir; sources retire
+    // LOGICALLY (still on disk) — answers and counts unchanged
+    val tag = VectorStore.compact(spark, dir)
+    assert(tag.exists(_.startsWith("compact-")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/vectors/b=b1")), "compact must not delete sources")
+    assert(answer() === before, "compacted store answers differently")
+    // the compact digest is a pure function of the sources: a retry
+    // (the crash-recovery path) lands on the SAME tag — idempotent
+    // wait: sources are now retired, so a re-run is a no-op instead
+    assert(VectorStore.compact(spark, dir).isEmpty,
+      "re-compacting retired sources must be a no-op")
+    // vacuum reclaims the retired dirs; nothing else moves
+    VectorStore.vacuum(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/vectors/b=b1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/vectors/b=b2")))
+    assert(answer() === before)
+    // int8 layout copied VERBATIM: the compact dir stores (q, scale),
+    // never a float64 vec (re-quantizing a dequantized row would move
+    // near-ties)
+    val compactCols = spark.read
+      .parquet(s"$dir/vectors/b=${tag.get}").columns.toSet
+    assert(compactCols.contains("q") && compactCols.contains("scale")
+      && !compactCols.contains("vec"), s"compact layout: $compactCols")
+    // appends keep working after compaction and a second compaction
+    // needs two new batches (one append alone is not compactable)
+    val extra = odd.limit(5)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+    VectorStore.append(spark, dir, extra, "vec_id", "embedding", "b3")
+    assert(VectorStore.compact(spark, dir).isEmpty)
+    assert(spark.read.parquet(s"$dir/vectors")
+      .select("id").distinct().count() === total + 5)
+  }
+
   test("random corpus: full-probe store query ≡ brute force; full-probe " +
       "recall ≡ 1.0 — centroid-independent invariants") {
     import spark.implicits._
