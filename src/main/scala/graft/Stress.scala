@@ -1094,21 +1094,57 @@ object Stress {
       val stored = spark.read.parquet(s"$storeDir/vectors")
       val nRows = stored.count()
       val nIds = stored.select("id").distinct().count()
+      val nBatchesLanded = streamBatches()
       // and the store still answers: planted near-dup neighbors rank
       val queries = vecs.filter(col("vec_id") % (nVecs / 100) === 0)
         .limit(100)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val nTop = graft.pipelines.VectorStore.topK(spark, storeDir,
-        queries, "qid", "qv", k = 10, nprobe = 16).count()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      queries.count()
+      def timedTopK(): (Double, Long) = {
+        val t = System.nanoTime()
+        val n = graft.pipelines.VectorStore.topK(spark, storeDir,
+          queries, "qid", "qv", k = 10, nprobe = 16).count()
+        ((System.nanoTime() - t) / 1e9, n)
+      }
+      def nFiles(): Long = {
+        val it = fs.listFiles(
+          new org.apache.hadoop.fs.Path(s"$storeDir/vectors"), true)
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      }
+      // compaction payoff: fold the ~46 micro-batch dirs into one
+      // committed dir, vacuum the retired sources, and measure what
+      // the probe's directory walk + scan actually gained
+      val (qSecsBefore, nTop) = timedTopK()
+      val filesBefore = nFiles()
+      val t3 = System.nanoTime()
+      val tag = graft.pipelines.VectorStore.compact(spark, storeDir,
+        vacuumAfter = true)
+      val compactSecs = (System.nanoTime() - t3) / 1e9
+      val filesAfter = nFiles()
+      val (qSecsAfter, nTopAfter) = timedTopK()
+      val storedC = spark.read.parquet(s"$storeDir/vectors")
+      val nRowsC = storedC.count()
+      val nIdsC = storedC.select("id").distinct().count()
+      queries.unpersist()
       Seq("n_vectors" -> nVecs, "n_seed" -> nSeed,
-        "n_stream_batches" -> streamBatches(),
+        "n_stream_batches" -> nBatchesLanded,
         "killed_after_batches" -> killedAt,
         "seed_secs" -> math.round(seedSecs * 100.0) / 100.0,
         "phase1_secs" -> math.round(phase1Secs * 100.0) / 100.0,
         "phase2_secs" -> math.round(phase2Secs * 100.0) / 100.0,
         "rows_stored" -> nRows, "distinct_ids" -> nIds,
         "exactly_once_ok" -> (nRows == nVecs && nIds == nVecs),
-        "topk_rows" -> nTop)
+        "topk_rows" -> nTop,
+        "compacted" -> tag.nonEmpty,
+        "compact_secs" -> math.round(compactSecs * 100.0) / 100.0,
+        "files_before" -> filesBefore, "files_after" -> filesAfter,
+        "query_secs_before" -> math.round(qSecsBefore * 100.0) / 100.0,
+        "query_secs_after" -> math.round(qSecsAfter * 100.0) / 100.0,
+        "lossless_ok" -> (nRowsC == nVecs && nIdsC == nVecs &&
+          nTopAfter == nTop))
     }
 
     // ---- random projection: 64→16 dims over 1M vectors, then
