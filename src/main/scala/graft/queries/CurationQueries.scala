@@ -794,10 +794,13 @@ object CurationQueries {
         col("lang"), col("source"), col("text"))
       val lm = TextAnalysis.hashedNgramLm(
         docs.filter(col("source") === "src0"), "text")
-      val scored = TextAnalysis
+      // CACHED: the sketch path consumes the scored frame twice
+      // (threshold derivation + assignment join), and at order 5 each
+      // pass is the full nine-join scorer — materialize once
+      val scored = graft.CacheScope.session.cache(TextAnalysis
         .hashed5gramLogProb(docs, "doc_id", "text", lm,
           alpha = 0.5, backoff = 0.4)
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")))
       TextAnalysis.nllSketchBuckets(scored, "doc_id", "lang",
           nBuckets = 3, m = 9)
         .select(col("doc_id"), col("lang"), col("n_transitions"),
