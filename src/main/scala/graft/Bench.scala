@@ -220,8 +220,15 @@ object Bench {
     // deltas carry measured work only
     val gm = new GateMetrics
     spark.sparkContext.addSparkListener(gm)
+    // waitUntilEmpty() throws TimeoutException after its 10 s default
+    // when the async bus is backlogged — exactly the contended
+    // conditions this bench measures. A missed drain only smears one
+    // gate's task attribution into its neighbor's; it must never
+    // abort the run and lose the whole artifact.
     def drain(): Unit =
-      org.apache.spark.GraftSparkHooks.drainListenerBus(spark.sparkContext)
+      try org.apache.spark.GraftSparkHooks
+        .drainListenerBus(spark.sparkContext)
+      catch { case _: java.util.concurrent.TimeoutException => () }
     // a failed query records -1 (NOT its elapsed time) so the JSON shows
     // the failure instead of counting it as a fast success.
     // MIN OF 2 RUNS per query (3 when the first two disagree by >2x):

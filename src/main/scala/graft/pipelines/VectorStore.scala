@@ -139,8 +139,19 @@ object VectorStore {
   def append(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, vecCol: String, batchTag: String): Unit = {
     require(batchTag.nonEmpty && batchTag != "seed" &&
+      !batchTag.startsWith("compact-") &&
       batchTag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
-      s"batchTag must be a non-'seed' dir-safe token: '$batchTag'")
+      s"batchTag must be a non-'seed', non-'compact-*' dir-safe " +
+        s"token: '$batchTag'")
+    // a tag retired by a committed compaction is filtered from every
+    // read FOREVER and physically deleted by the next vacuum — an
+    // append under such a tag (e.g. an ingestStream restarted with a
+    // FRESH checkpoint, whose batch ids restart at 0) would be
+    // silently invisible data loss; fail loudly instead
+    require(!readCompactions(spark, dir)._2.contains(batchTag),
+      s"batchTag '$batchTag' was retired by a committed compaction — " +
+        "its directory is invisible to readers and reclaimed by " +
+        "vacuum(); use a fresh tag (ingestStream: a new tagPrefix)")
     val clean = normalize(batch, idCol, vecCol)
     val centroids = spark.read.parquet(s"$dir/centroids")
     val mdl = loadModel(spark, s"$dir/codebooks")
@@ -158,16 +169,24 @@ object VectorStore {
     * SAME b=<id> directory, so the store never double-counts — this is
     * the exactly-once contract, and it needs no store-side ledger.
     * Uses Trigger.AvailableNow (drain-and-stop); pass a different
-    * trigger for an always-on ingester. */
+    * trigger for an always-on ingester.
+    *
+    * `tagPrefix` namespaces the batch tags (`<tagPrefix>-<batchId>`).
+    * Batch ids restart at 0 under a FRESH checkpoint — if the store
+    * was ever compacted, the old ids are retired names and [[append]]
+    * rejects them loudly, so a re-based ingester picks a new prefix
+    * (e.g. `"stream2"`) instead of silently losing data. */
   def ingestStream(spark: SparkSession, dir: String, stream: DataFrame,
       idCol: String, vecCol: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()): Unit = {
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      tagPrefix: String = "stream"): Unit = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        append(spark, dir, batch, idCol, vecCol, s"stream-$batchId")
+        append(spark, dir, batch, idCol, vecCol,
+          s"$tagPrefix-$batchId")
       }
       .start()
     q.awaitTermination()
@@ -366,12 +385,22 @@ object VectorStore {
     * A crash before (2) leaves the store reading the sources (the
     * orphan compact dir is ignored and OVERWRITTEN by the retry — the
     * digest tag is a pure function of the sorted source names, so the
-    * retry targets the same path); a crash after (2) only delays the
-    * disk reclaim. Rows are copied in their STORED layout (float64 or
-    * int8 codes verbatim, never re-quantized), so query results are
-    * bit-identical before and after — the anq4 gate hash-pins that
-    * through the full DuckDB replay. Returns the committed tag, or
-    * None when fewer than two batches qualify. */
+    * retry targets the same path; if new appends changed the
+    * candidate set before the retry, the old orphan is reclaimed by
+    * `vacuum(deleteOrphans = true)` in a maintenance window); a crash
+    * after (2) only delays the disk reclaim. Rows are copied in their
+    * STORED layout (float64 or int8 codes verbatim, never
+    * re-quantized), so query results are bit-identical before and
+    * after — the anq4 gate hash-pins that through the full DuckDB
+    * replay.
+    *
+    * Interaction with [[recallAtK]]: compaction collapses batch
+    * identity — the per-batch drift rows of the retired sources merge
+    * into one compact row where a drifted minority averages out. Read
+    * the monitor BEFORE compacting (or treat each compact dir as the
+    * new reference era); don't compact away a drift signal you still
+    * need. Returns the committed tag, or None when fewer than two
+    * batches qualify. */
   def compact(spark: SparkSession, dir: String,
       vacuumAfter: Boolean = false): Option[String] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -397,29 +426,56 @@ object VectorStore {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/vectors/b=$tag")
-    // manifest via temp + atomic rename = the commit point
+    // manifest via temp + atomic rename = the commit point; a FALSE
+    // rename (racing maintenance job, lost tmp) must not report a
+    // committed compaction — callers would measure/trust an
+    // uncompacted store — unless the manifest is already there (the
+    // idempotent-retry case: same sources ⇒ same tag ⇒ same dest)
     val mdir = new org.apache.hadoop.fs.Path(s"$dir/compactions")
     fs.mkdirs(mdir)
     val tmp = new org.apache.hadoop.fs.Path(mdir, s".tmp_$tag")
     val out = fs.create(tmp, true)
     try out.write(candidates.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(mdir, s"$tag.list"))
+    val dest = new org.apache.hadoop.fs.Path(mdir, s"$tag.list")
+    if (!fs.rename(tmp, dest) && !fs.exists(dest))
+      throw new java.io.IOException(
+        s"compact: manifest commit failed for $tag (rename returned " +
+          "false and no manifest exists) — the store still reads the " +
+          "source batches; retry compact()")
     if (vacuumAfter) vacuum(spark, dir)
     Some(tag)
   }
 
   /** Physically delete batch directories retired by committed
     * compaction manifests. Idempotent; safe any time after the
-    * manifest commit (readers stopped seeing those dirs at commit). */
-  def vacuum(spark: SparkSession, dir: String): Unit = {
+    * manifest commit (readers stopped seeing those dirs at commit).
+    *
+    * `deleteOrphans = true` additionally reclaims UNCOMMITTED
+    * `b=compact-*` dirs (a [[compact]] crash whose retry never landed
+    * on the same tag because the candidate set changed — without this
+    * flag such a dir, a full copy of the store's non-seed data, leaks
+    * forever). Opt-in because it RACES a concurrently running
+    * compact() that has written data but not yet committed: only use
+    * it in a maintenance window with no compaction in flight. */
+  def vacuum(spark: SparkSession, dir: String,
+      deleteOrphans: Boolean = false): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, retired) = readCompactions(spark, dir)
+    val (committed, retired) = readCompactions(spark, dir)
     retired.foreach { b =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/vectors/b=$b")
       if (fs.exists(p)) fs.delete(p, true)
       ()
+    }
+    if (deleteOrphans) {
+      val vecRoot = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+      fs.listStatus(vecRoot).map(_.getPath)
+        .filter { p =>
+          val b = p.getName.stripPrefix("b=")
+          p.getName.startsWith("b=compact-") && !committed(b)
+        }
+        .foreach(p => fs.delete(p, true))
     }
   }
 

@@ -1745,18 +1745,7 @@ object CurationQueries {
         |FROM a ORDER BY doc_id""".stripMargin,
 
     // the TVF legs: same replays, different training slice / columns
-    "sql5_sql_lm5" ->
-      s"""WITH ${OracleFragments.h5TrainCtes("documents", "text",
-              "1 = 1")},
-         |${OracleFragments.h5ScoreCtes("documents", "text", 0.5, 0.4)}
-         |SELECT d.doc_id,
-         |  coalesce(s.n_transitions, 0) AS n_transitions,
-         |  coalesce(s.nll_micros, 0) AS nll_micros,
-         |  CASE WHEN coalesce(s.n_transitions, 0) = 0 THEN 0.0
-         |    ELSE s.nll_micros / CAST(1000000.0 AS DOUBLE)
-         |      / s.n_transitions END AS avg_nll
-         |FROM documents d LEFT JOIN h5sc s USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+    "sql5_sql_lm5" -> hashed5LmOracleSql(trainPred = "1 = 1"),
     "sql6_sql_shards" ->
       """SELECT doc_id,
         |  CAST(CAST('0x' || substr(md5('shard:'
@@ -1767,8 +1756,8 @@ object CurationQueries {
 
     // one full-recompute SQL for both the one-shot and the folded
     // path (the t11/t11b discipline): integer counts are associative
-    "t17_hashed5gram_lm" -> hashed5LmOracleSql,
-    "t17b_incremental_lm5" -> hashed5LmOracleSql,
+    "t17_hashed5gram_lm" -> hashed5LmOracleSql(),
+    "t17b_incremental_lm5" -> hashed5LmOracleSql(),
 
     // Two full LM rebuilds (in-domain = src0, general = the rest) and
     // two smoothed-ln score folds in the same integer micros; the
@@ -2217,9 +2206,13 @@ object CurationQueries {
       |FROM sc2 s JOIN th t ON s.lang IS NOT DISTINCT FROM t.lang
       |ORDER BY s.doc_id""".stripMargin
 
-  private def hashed5LmOracleSql: String =
+  /** Parameterized on the training slice only — t17/t17b train on the
+    * src0 slice, sql5 (the TVF leg) on the whole corpus; ONE scoring
+    * tail so the replays cannot drift. */
+  private def hashed5LmOracleSql(
+      trainPred: String = "source = 'src0'"): String =
     s"""WITH ${OracleFragments.h5TrainCtes("documents", "text",
-            "source = 'src0'")},
+            trainPred)},
        |${OracleFragments.h5ScoreCtes("documents", "text", 0.5, 0.4)}
        |SELECT d.doc_id,
        |  coalesce(s.n_transitions, 0) AS n_transitions,

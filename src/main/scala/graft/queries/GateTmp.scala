@@ -17,8 +17,30 @@ package graft.queries
   */
 private[queries] object GateTmp {
   private val pid = ProcessHandle.current.pid
+  private val issued =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // per-pid dirs would otherwise accumulate across bench/verify/test
+  // JVMs (the fixed paths they replaced were bounded by
+  // overwrite-reuse); each process removes its own trees on exit
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    issued.forEach { p =>
+      try {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      } catch { case _: Throwable => () }
+    }
+  }))
 
-  /** `/tmp/<prefix>_<sfTag>_p<pid>` for dataset dir `sfDir`. */
-  def dir(prefix: String, sfDir: String): String =
-    s"/tmp/${prefix}_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_p$pid"
+  /** `/tmp/<prefix>_<sfTag>_p<pid>` for dataset dir `sfDir`;
+    * registered for deletion when this JVM exits. */
+  def dir(prefix: String, sfDir: String): String = {
+    val p =
+      s"/tmp/${prefix}_${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_p$pid"
+    issued.add(p)
+    p
+  }
 }

@@ -373,6 +373,34 @@ class VectorStoreSpec extends SparkSpec {
     assert(VectorStore.compact(spark, dir).isEmpty)
     assert(spark.read.parquet(s"$dir/vectors")
       .select("id").distinct().count() === total + 5)
+    // a RETIRED tag is a permanently-invisible name (filtered from
+    // reads, reclaimed by vacuum) — appending under it must fail
+    // loudly, not lose data silently (the fresh-checkpoint
+    // ingestStream restart scenario)
+    val retried = intercept[IllegalArgumentException] {
+      VectorStore.append(spark, dir, extra, "vec_id", "embedding", "b1")
+    }
+    assert(retried.getMessage.contains("retired"))
+    intercept[IllegalArgumentException] {
+      VectorStore.append(spark, dir, extra, "vec_id", "embedding",
+        "compact-abc")
+    }
+    // an orphan whose retry never landed (candidate set changed)
+    // reclaims only under the explicit deleteOrphans flag
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/vectors/b=b3"), fs,
+      new org.apache.hadoop.fs.Path(s"$dir/vectors/b=compact-stale"),
+      false, spark.sparkContext.hadoopConfiguration)
+    VectorStore.vacuum(spark, dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/vectors/b=compact-stale")),
+      "plain vacuum must not race an in-flight compaction")
+    VectorStore.vacuum(spark, dir, deleteOrphans = true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/vectors/b=compact-stale")))
+    // orphan reclaim touched nothing live (b3's rows included)
+    assert(spark.read.parquet(s"$dir/vectors")
+      .select("id").distinct().count() === total + 5)
   }
 
   test("random corpus: full-probe store query ≡ brute force; full-probe " +
