@@ -77,7 +77,8 @@ class PlanSpec extends SparkSpec {
       "t11_bigram_lm" -> 1, "t11b_incremental_lm" -> 1,
       "t12_ccnet_buckets" -> 1, "t12b_trigram_buckets" -> 1,
       "t12c_sketch_buckets" -> 1, "t12d_ccnet_sample" -> 1,
-      "t12e_hashed5_buckets" -> 1,
+      // t12e's one-row spine sits INSIDE its cached scored frame
+      // (the 12× materialization fix), so the outer plan carries none
       "t15_moore_lewis" -> 2, "t16_trigram_lm" -> 1,
       "t16b_incremental_lm3" -> 1, "t17_hashed5gram_lm" -> 1,
       "t17b_incremental_lm5" -> 1, "dsir1_importance_weights" -> 2,
