@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AnalyticQueries, CleansingQueries, CoreQueries, CurationQueries, DataGenQueries, DateDimQueries, FilterQueries, IoQueries, LlmQueries, OpsQueries, StreamQueries, ValidateQueries, WindowQueries}
+import graft.queries.{AnalyticQueries, CleansingQueries, CoreQueries, CurationQueries, DataGenQueries, DateDimQueries, FilterQueries, GraphQueries, IoQueries, LlmQueries, OpsQueries, StreamQueries, ValidateQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -46,6 +46,7 @@ object SparkEntry {
     AnalyticQueries.queries -> AnalyticQueries.oracles,
     WindowQueries.queries -> WindowQueries.oracles,
     DataGenQueries.queries -> DataGenQueries.oracles,
+    GraphQueries.queries -> GraphQueries.oracles,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

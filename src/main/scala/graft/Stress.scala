@@ -1223,6 +1223,58 @@ object Stress {
       ) ++ byDim
     }
 
+    // ---- web-graph PageRank: damped power iterations over a
+    // power-law domain graph (quadratic-density targets → real hubs:
+    // in-degree(j) ∝ 1/sqrt(j), node 0 collects ~7k in-edges at 5M).
+    // The per-iteration cost that matters at 100 TB is one shuffle of
+    // the RANK table into the cached edge partitioning + a map-side-
+    // combined contribution aggregation — the edge frame itself never
+    // re-shuffles after its single repartition(src). Fixed-point longs
+    // make the run bit-replayable (wg2 gates the arithmetic; this
+    // measures its scale shape). -----------------------------------------
+    step("pagerank") {
+      val nEdges = math.max(1000000L, nDocs)
+      val nNodes = math.max(1000L, nEdges / 10)
+      val edgesPath = s"$dir/pagerank_edges_$nEdges.parquet"
+      if (!new java.io.File(edgesPath).isDirectory) {
+        spark.range(nEdges).select(
+            pmod(conv(substring(md5(concat(lit("s"), col("id"))), 1, 15),
+              16, 10).cast("long"), lit(nNodes)).as("us"),
+            pmod(conv(substring(md5(concat(lit("t"), col("id"))), 1, 15),
+              16, 10).cast("long"), lit(nNodes)).as("ut"))
+          .select(concat(lit("d"), col("us")).as("src"),
+            concat(lit("d"), expr(s"(ut * ut) div ${nNodes}L")).as("dst"),
+            lit(1L).as("weight"))
+          .filter(col("src") =!= col("dst"))
+          .write.mode("overwrite").parquet(edgesPath)
+      }
+      val e = spark.read.parquet(edgesPath)
+      def run(iters: Int): (Double, Long, String, Long, Long) =
+        CacheScope.withScope { implicit sc =>
+          val t0 = System.nanoTime()
+          val pr = graft.operators.WebGraph.pageRank(e, iters = iters)
+          val top = pr.orderBy(col("rank_fp").desc, col("node"))
+            .limit(1).collect().head
+          val agg = pr.agg(sum(col("rank_fp")), count(lit(1)))
+            .collect().head
+          ((System.nanoTime() - t0) / 1e9, agg.getLong(0),
+            top.getString(0), top.getLong(1), agg.getLong(1))
+        }
+      val (oneSecs, _, _, _, _) = run(1)
+      val (tenSecs, mass, topNode, topRank, nOut) = run(10)
+      Seq("n_edges" -> e.count(), "n_nodes" -> nOut,
+        "secs_1_iter" -> math.round(oneSecs * 100.0) / 100.0,
+        "secs_10_iters" -> math.round(tenSecs * 100.0) / 100.0,
+        "secs_marginal_iter" -> math.round(
+          (tenSecs - oneSecs) / 9.0 * 100.0) / 100.0,
+        "mass_retained" -> math.round(
+          mass.toDouble / graft.operators.WebGraph.Scale * 10000.0) / 10000.0,
+        "top_node" -> topNode,
+        "top_rank_x_n" -> math.round(
+          topRank.toDouble * nOut / graft.operators.WebGraph.Scale
+            * 100.0) / 100.0)
+    }
+
     // ---- inverted-index store: full-corpus postings build (~105M
     // posting rows at 5M docs through the (id, term) partial-agg
     // shuffle), then batched BM25 queries that must stay bucket-pruned.

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.WebGraph
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate coverage for the web link-graph family ([[graft.operators.
+  * WebGraph]]): href extraction → domain edge list → fixed-point
+  * PageRank. Both gates are fully oracle-checked, and the oracle
+  * derives the edge set INDEPENDENTLY from the page construction (the
+  * url2 pattern) — the engine must reproduce it through the real
+  * regexp-extract + hostOf + registeredDomain chain, so a regression
+  * anywhere in that chain (or in the rank arithmetic) flips the hash.
+  *
+  * Page synthesis: every document becomes a page on one of 20
+  * `siteN.com` domains (md5-derived) whose HTML carries 2–3 absolute
+  * links — a double-quoted `siteN.com` link, a single-quoted mixed-case
+  * `newsN.co.uk` link (exercises the quote style, tag case, and the
+  * co.uk public-suffix rule), a third link on every third page (degree
+  * skew), plus a relative href and an href-less anchor that must NOT
+  * become edges.
+  */
+object GraphQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 60-bit md5 hash of doc_id salted by `salt` — the house
+    * Spark-side spelling whose DuckDB mirror is
+    * `CAST('0x'||substr(md5(...),1,15) AS BIGINT)`. */
+  private def h(salt: String): Column =
+    expr("cast(conv(substring(md5(concat(cast(doc_id as string), " +
+      s"'$salt')), 1, 15), 16, 10) as bigint)")
+
+  private def synthPages(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .select(col("doc_id"),
+        concat(lit("https://www.site"), (h("u") % 20).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string")).as("url"),
+        concat(
+          lit("<html><body><p>graft page</p><a href=\"https://site"),
+          (h("a") % 20).cast("string"),
+          lit(".com/x\">l1</a><A HREF='http://news"),
+          (h("b") % 7).cast("string"),
+          lit(".co.uk/y?id=1'>l2</A>"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<a rel=\"nofollow\" href=\"https://site"),
+              (h("c") % 20).cast("string"), lit(".com/z\">l3</a>")))
+            .otherwise(lit("")),
+          lit("<a href=\"/rel/path\">rel</a>" +
+            "<a name=\"x\">nohref</a></body></html>")).as("html"))
+
+  def queries: Map[String, Q] = Map(
+    // ---- domain edge list off raw HTML ---------------------------------
+    "wg1_link_edges" -> ((s, d) => {
+      WebGraph.domainEdges(synthPages(s, d), "url", "html")
+        .orderBy(col("src"), col("dst"))
+    }),
+
+    // ---- fixed-point PageRank over those edges --------------------------
+    // 10 damped power-iteration steps at 1e12 fixed point; the gate
+    // hashes the exact longs, so any arithmetic drift (a float sum, a
+    // changed rounding point, a missed dangling share) is a hash miss.
+    "wg2_pagerank" -> ((s, d) => {
+      val edges = WebGraph.domainEdges(synthPages(s, d), "url", "html")
+      WebGraph.pageRank(edges, iters = 10, damping = 0.85)
+        .select(col("node"), col("rank_fp"))
+        .orderBy(col("node"))
+    }),
+  )
+
+  /** Shared DuckDB CTEs: the independently-derived edge list.
+    * `edges` is MATERIALIZED — the PageRank oracle references it in
+    * every unrolled iteration, and DuckDB 1.0 inlines plain CTEs per
+    * reference (exponential expansion across the r0→r10 chain
+    * otherwise). */
+  private val edgeCtes: String = {
+    def hh(salt: String): String =
+      s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$salt'), " +
+        "1, 15) AS BIGINT)"
+    s"""hashed AS (
+       |  SELECT doc_id, ${hh("u")} AS hu, ${hh("a")} AS ha,
+       |    ${hh("b")} AS hb, ${hh("c")} AS hc
+       |  FROM documents),
+       |pagesrc AS (
+       |  SELECT doc_id,
+       |    'site' || CAST(hu % 20 AS VARCHAR) || '.com' AS src,
+       |    'site' || CAST(ha % 20 AS VARCHAR) || '.com' AS d1,
+       |    'news' || CAST(hb % 7 AS VARCHAR) || '.co.uk' AS d2,
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN 'site' || CAST(hc % 20 AS VARCHAR) || '.com' END AS d3
+       |  FROM hashed),
+       |linked AS (
+       |  SELECT src, unnest([d1, d2, d3]) AS dst FROM pagesrc),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst, count(*) AS weight FROM linked
+       |  WHERE dst IS NOT NULL AND dst <> src
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Unrolled fixed-point PageRank iterations — the same integer
+    * arithmetic as [[WebGraph.pageRank]], step for step. Every rank
+    * CTE is MATERIALIZED: each r(i) is referenced twice (dangling sum
+    * + contribution join), so plain-CTE inlining would expand the
+    * chain 2^iters-fold. */
+  private def pageRankCtes(iters: Int, scaleL: Long, dmill: Long): String = {
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""dg$i AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dang
+         |  FROM r$p r LEFT JOIN outw o ON r.node = o.src
+         |  WHERE o.src IS NULL),
+         |cm$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    CAST(sum((r.r * e.weight) // o.ow) AS BIGINT) AS inm
+         |  FROM r$p r
+         |  JOIN outw o ON r.node = o.src
+         |  JOIN edges e ON e.src = r.node
+         |  GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    ($scaleL - ($scaleL * $dmill) // 1000) // (SELECT n FROM nn)
+         |    + ((coalesce(c.inm, 0)
+         |        + (SELECT dang FROM dg$i) // (SELECT n FROM nn))
+         |       * $dmill) // 1000 AS r
+         |  FROM nodes n LEFT JOIN cm$i c ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""outw AS MATERIALIZED (
+       |  SELECT src, sum(weight) AS ow FROM edges GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges
+       |  UNION SELECT dst FROM edges),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node,
+       |  $scaleL // (SELECT n FROM nn) AS r FROM nodes),
+       |$steps""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "wg1_link_edges" ->
+      s"""WITH $edgeCtes
+         |SELECT src, dst, weight FROM edges ORDER BY src, dst""".stripMargin,
+
+    "wg2_pagerank" ->
+      s"""WITH $edgeCtes,
+         |${pageRankCtes(iters = 10, scaleL = WebGraph.Scale, dmill = 850L)}
+         |SELECT node, CAST(r AS BIGINT) AS rank_fp
+         |FROM r10 ORDER BY node""".stripMargin,
+  )
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.WebGraph
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class WebGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractHrefs: both quote styles, mixed case, non-anchor hrefs skipped") {
+    val html =
+      """<html><LINK href="https://cdn.example.com/a.css">
+        |<a href="https://a.com/1">one</a>
+        |<A CLASS="x" HREF='http://b.co.uk/2?q=1'>two</A>
+        |<a name="no-href">none</a>
+        |<a href="/relative">rel</a></html>""".stripMargin
+    val out = Seq(html).toDF("h")
+      .select(WebGraph.extractHrefs(col("h")).as("hrefs"))
+      .head().getSeq[String](0)
+    // double-quoted first, then single-quoted (two regexp passes)
+    assert(out === Seq("https://a.com/1", "/relative", "http://b.co.uk/2?q=1"))
+  }
+
+  test("domainEdges: self-links and unresolvable domains dropped, weights counted") {
+    val docs = Seq(
+      // two parallel links to b.com -> weight 2; self-link dropped
+      ("https://www.a.com/p", "<a href=\"https://b.com/1\">x</a>" +
+        "<a href='https://sub.b.com/2'>y</a><a href=\"https://a.com/me\">s</a>"),
+      // relative + garbage hrefs resolve to null domain -> dropped
+      ("https://a.com/q", "<a href=\"/rel\">r</a><a href=\"mailto:x@y.com\">m</a>" +
+        "<a href=\"https://c.co.uk/z\">c</a>"),
+      // page with an unresolvable own domain -> contributes nothing
+      ("not-a-url", "<a href=\"https://b.com/1\">x</a>"))
+      .toDF("url", "html")
+    val edges = WebGraph.domainEdges(docs, "url", "html")
+      .orderBy("src", "dst").collect()
+    assert(edges.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq === Seq(("a.com", "b.com", 2L), ("a.com", "c.co.uk", 1L)))
+  }
+
+  test("pageRank: two-node cycle converges to equal ranks, mass conserved to fixed-point leak") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "weight")
+    val r = WebGraph.pageRank(edges, iters = 10).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("a") === r("b"))
+    // total mass: 1.0 minus deterministic truncation leak (tiny)
+    val total = r.values.sum
+    assert(total <= WebGraph.Scale && total > WebGraph.Scale - 1000L)
+  }
+
+  test("pageRank: star graph ranks the hub above the leaves; dangling hub mass recycles") {
+    // leaves l1..l4 -> hub; hub has no out-edges (dangling)
+    val edges = (1 to 4).map(i => (s"l$i", "hub", 1L)).toDF("src", "dst", "weight")
+    val r = WebGraph.pageRank(edges, iters = 20).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("hub") > r("l1"))
+    assert((1 to 4).map(i => r(s"l$i")).distinct.size === 1)
+    // closed form at convergence (d=.85, n=5): leaves get teleport +
+    // d*dang/n; hub gets teleport + d*(4*leaf + dang/n).
+    assert(r("hub") > 4 * r("l1") / 2, s"hub not dominant: $r")
+  }
+
+  test("pageRank: weighted edges split a source's vote proportionally") {
+    val edges = Seq(("s", "x", 3L), ("s", "y", 1L)).toDF("src", "dst", "weight")
+    val r = WebGraph.pageRank(edges, iters = 1).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // after one step x's in-mass is 3x y's (before teleport/damping mix)
+    assert(r("x") > r("y"))
+    val inX = r("x") - (r("s")) // same teleport+dangling base cancels via s? no —
+    // direct check instead: reconstruct the step by hand
+    val n = 3L
+    val r0 = WebGraph.Scale / n
+    val dang = 2 * r0 // x and y are dangling
+    val share = dang / n
+    val teleport = (WebGraph.Scale - WebGraph.Scale * 850L / 1000L) / n
+    def damp(v: Long) = v * 850L / 1000L
+    assert(r("x") === teleport + damp(r0 * 3 / 4 + share))
+    assert(r("y") === teleport + damp(r0 * 1 / 4 + share))
+    assert(r("s") === teleport + damp(share))
+  }
+
+  test("pageRank: bit-identical across partition layouts (fixed-point determinism)") {
+    val base = (0 until 400).map { i =>
+      (s"n${i % 37}", s"n${(i * 7 + 3) % 37}", (i % 5 + 1).toLong)
+    }.filter(t => t._1 != t._2)
+    val e1 = base.toDF("src", "dst", "weight").repartition(1)
+    val e2 = base.toDF("src", "dst", "weight").repartition(13)
+    def run(df: org.apache.spark.sql.DataFrame) = CacheScope.withScope { _ =>
+      WebGraph.pageRank(df, iters = 5).orderBy("node")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    assert(run(e1) === run(e2))
+  }
+
+  test("pageRank: matches a driver-side double-precision reference within fixed-point tolerance") {
+    val edges = Seq(
+      ("a", "b", 1L), ("a", "c", 2L), ("b", "c", 1L), ("c", "a", 1L),
+      ("d", "a", 1L)).toDF("src", "dst", "weight")
+    val got = WebGraph.pageRank(edges, iters = 15).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / WebGraph.Scale)
+      .toMap
+    // plain double-precision reference of the same update rule
+    val nodes = Seq("a", "b", "c", "d")
+    val out = Map("a" -> Seq(("b", 1.0), ("c", 2.0)), "b" -> Seq(("c", 1.0)),
+      "c" -> Seq(("a", 1.0)), "d" -> Seq(("a", 1.0)))
+    val ow = out.view.mapValues(_.map(_._2).sum).toMap
+    var r = nodes.map(_ -> 1.0 / 4).toMap
+    for (_ <- 1 to 15) {
+      val dang = nodes.filterNot(out.contains).map(r).sum
+      val inm = nodes.map { v =>
+        v -> out.toSeq.flatMap { case (s, ds) =>
+          ds.collect { case (`v`, w) => r(s) * w / ow(s) }
+        }.sum
+      }.toMap
+      r = nodes.map(v => v -> (0.15 / 4 + 0.85 * (inm(v) + dang / 4))).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - r(v)) < 1e-6, s"node $v: ${got(v)} vs ${r(v)}")
+    }
+  }
+
+  test("pageRank: empty edge list returns an empty frame, no divide-by-zero") {
+    val empty = Seq.empty[(String, String, Long)].toDF("src", "dst", "weight")
+    assert(WebGraph.pageRank(empty, iters = 3).count() === 0)
+  }
+}
