@@ -67,6 +67,17 @@ object GraphQueries {
         .select(col("node"), col("rank_fp"))
         .orderBy(col("node"))
     }),
+
+    // ---- the same computation driven through SQL TEXT (the TVF) ---------
+    // Shares wg2's oracle: a SQL user pointing graph_pagerank at the
+    // same edge list must get the same fixed-point longs.
+    "sql7_sql_pagerank" -> ((s, d) => {
+      val path = GateTmp.dir("graft_wg_edges", d)
+      WebGraph.domainEdges(synthPages(s, d), "url", "html")
+        .write.mode("overwrite").parquet(path)
+      s.sql(s"SELECT node, rank_fp FROM graph_pagerank('$path', 10, " +
+        "0.85D) ORDER BY node")
+    }),
   )
 
   /** Shared DuckDB CTEs: the independently-derived edge list.
@@ -141,6 +152,12 @@ object GraphQueries {
          |SELECT src, dst, weight FROM edges ORDER BY src, dst""".stripMargin,
 
     "wg2_pagerank" ->
+      s"""WITH $edgeCtes,
+         |${pageRankCtes(iters = 10, scaleL = WebGraph.Scale, dmill = 850L)}
+         |SELECT node, CAST(r AS BIGINT) AS rank_fp
+         |FROM r10 ORDER BY node""".stripMargin,
+
+    "sql7_sql_pagerank" ->
       s"""WITH $edgeCtes,
          |${pageRankCtes(iters = 10, scaleL = WebGraph.Scale, dmill = 850L)}
          |SELECT node, CAST(r AS BIGINT) AS rank_fp

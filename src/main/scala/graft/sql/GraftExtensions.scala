@@ -375,6 +375,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "dataset_card(path, textCol, langCol) — all arguments must " +
             "be string literals")
       }))
+    // link-graph PageRank as a TABLE function over a parquet edge list
+    // (src, dst, weight): SELECT * FROM graph_pagerank('edges.parquet',
+    // 10[, 0.85]). The iterations run eagerly at resolution (pageRank
+    // materializes each step); the relation handed back is the final
+    // cached rank table — (node, rank_fp, rank).
+    ext.injectTableFunction((FunctionIdentifier("graph_pagerank"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graph_pagerank"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, Literal(iters: Int, _), rest @ _*)
+            if rest.length <= 1 =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val damping = rest.headOption
+            .map(numLit(_, "graph_pagerank damping")).getOrElse(0.85)
+          graft.operators.WebGraph.pageRank(
+            spark.read.parquet(strLit(p, "graph_pagerank path")),
+            iters = iters, damping = damping)
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "graph_pagerank(path, iters[, damping]) — path a string " +
+            "literal, iters an integer literal")
+      }))
     // store-backed variant: same scoring expression, but the relation
     // comes from a persisted IndexStore directory (bucket-pruned
     // postings), so a SQL user can query a corpus index maintained

@@ -203,6 +203,29 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graph_pagerank table function matches the Scala API bit for bit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prsql").toString
+    Seq(("a", "b", 1L), ("a", "c", 2L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "weight").write.mode("overwrite").parquet(dir)
+    val got = spark.sql(
+      s"SELECT node, rank_fp FROM graph_pagerank('$dir', 5, 0.85D) " +
+        "ORDER BY node").collect().toSeq
+    val want = graft.operators.WebGraph.pageRank(
+        spark.read.parquet(dir), iters = 5, damping = 0.85)
+      .select("node", "rank_fp").orderBy("node").collect().toSeq
+    assert(got === want)
+    // default damping is 0.85 — the two-arg form is the same relation
+    val dflt = spark.sql(
+      s"SELECT node, rank_fp FROM graph_pagerank('$dir', 5) " +
+        "ORDER BY node").collect().toSeq
+    assert(dflt === want)
+    // non-literal args are rejected with the documented message
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graph_pagerank('$dir', 2 + 3)").collect()
+    }
+  }
+
   test("embedding SQL functions: random_project / int8 round trip; " +
       "vector_topk reads an int8 store transparently") {
     import spark.implicits._
