@@ -521,6 +521,48 @@ object Stress {
       }
     }
 
+    // ---- unigram-LM tokenizer at full corpus: the SentencePiece
+    // counterpart of bpe_encode_corpus. Seed candidates + EM + prune
+    // run DRIVER-LOCAL over the collapsed word table (zero Spark jobs
+    // per EM pass — the bpeTrainLocal contract); the corpus pays one
+    // word-frequency collapse and one distinct-word Viterbi + per-doc
+    // regroup. Telemetry separates the two, and the NLL sanity check
+    // (avg cost per token ≪ the unk cost) proves the model actually
+    // fit rather than degenerating to per-character fallback. ------------
+    step("unigram") {
+      CacheScope.withScope { implicit scope =>
+        val vocabSize = sys.env.get("STRESS_UNIGRAM_VOCAB")
+          .map(_.toInt).getOrElse(8000)
+        val wf = scope.cache(graft.operators.TextAnalysis
+          .bpeWordFreq(docs, "text"))
+        val nWords = wf.count()
+        val t0 = System.nanoTime()
+        val model = graft.operators.Unigram.trainLocal(wf,
+          vocabSize = vocabSize, emIters = 2)
+        val trainSecs = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (vocabDf, out) = graft.operators.Unigram.encodeCorpus(
+          docs, "doc_id", "text", model.costs)
+        val agg = out.agg(count(lit(1)).as("n"),
+          sum(col("n_tok").cast("long")).as("tok"),
+          sum(col("score_mu")).as("nll"),
+          max(col("n_tok")).as("mx")).collect().head
+        val encodeSecs = (System.nanoTime() - t1) / 1e9
+        val nTok = agg.getLong(1)
+        Seq("n_distinct_words" -> nWords,
+          "vocab_pieces" -> model.pieces.size,
+          "train_secs" -> math.round(trainSecs * 100.0) / 100.0,
+          "encode_docs" -> agg.getLong(0),
+          "encode_tokens" -> nTok,
+          "max_doc_tokens" -> agg.getInt(3),
+          "vocab_ids_used" -> vocabDf.count(),
+          "encode_secs" -> math.round(encodeSecs * 100.0) / 100.0,
+          "tokens_per_sec" -> math.round(nTok / encodeSecs),
+          "avg_cost_mu_per_token" -> math.round(
+            agg.getLong(2).toDouble / math.max(1L, nTok)))
+      }
+    }
+
     // ---- composed raw-web pipeline at full corpus: HTML extract →
     // URL/lexicon blocklist → C4 → Gopher → LM threshold (the c3 gate
     // shape, measured). The HTML wrap triples the text with character

@@ -1140,7 +1140,7 @@ object TextAnalysis {
     * trainer, and the SQL oracle all rank ties identically. Java's
     * `String.compareTo` (UTF-16 code-unit order) differs for
     * supplementary characters and must not leak in here. */
-  private def utf8Compare(a: String, b: String): Int = {
+  private[operators] def utf8Compare(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(x.length, y.length)

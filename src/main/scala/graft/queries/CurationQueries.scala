@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.expressions.FreqSketchExpr
-import graft.operators.{Curation, Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, TextAnalysis, Unigram}
 import graft.ops.CountMin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,6 +41,26 @@ object CurationQueries {
       |  UNION ALL
       |  SELECT doc_id + 40000, text || ' graft curation tail'
       |  FROM documents WHERE doc_id % 25 = 0)""".stripMargin
+
+  /** t18 word universe: corpus words ∪ md5-derived hex words (length
+    * 4..24) — mirrored token for token by
+    * [[OracleFragments.unigramCtes]]'s `t18w`. */
+  private def t18WordFreq(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tw = docs.select(explode(filter(TextAnalysis.tokens(col("text")),
+      w => w =!= "")).as("word"))
+    val hw = docs.select(expr("substring(md5(cast(doc_id as string)), " +
+      "1, 4 + cast(doc_id % 21 as int))").as("word"))
+    tw.unionByName(hw).groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+  }
+
+  /** The frozen t18 model: seed costs collected (bounded — singles +
+    * 200 multis) for the encode gates. */
+  private def t18Vocab(s: SparkSession, d: String): Seq[(String, Long)] =
+    Unigram.seedVocab(t18WordFreq(s, d), vocabSize = 200, maxPieceLen = 8)
+      .select(col("piece"), col("cost_mu")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
 
   def queries: Map[String, Q] = Map(
     // ---- near-dup CLUSTERS (transitive closure over pair output) ------
@@ -949,6 +969,38 @@ object CurationQueries {
       perDoc.select(col("doc_id"), col("n_tok"),
           concat_ws(" ", transform(col("token_ids"),
             i => i.cast("string"))).as("token_str"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- unigram-LM tokenizer (the SentencePiece family, next to BPE) ----
+    // Word universe: corpus words plus md5-derived hex words of length
+    // 4..24 (the text corpus alone has 31 distinct words — the hex tail
+    // makes seed selection, tie-breaks, and the DP chain earn their
+    // keep). t18 pins seed-vocabulary selection (substring counts,
+    // top-K ties, ln-micro costs); t18b pins the integer Viterbi per
+    // word — the oracle REPLAYS the whole DP as a pieces-indexed CTE
+    // chain and must land on the same (score_mu, n_pieces); t18c pins
+    // the corpus composition (per-doc token counts + exact corpus NLL).
+    // EM training (`Unigram.trainLocal`) is spec-pinned in UnigramSpec
+    // (likelihood monotonicity, prune protection, determinism) — the
+    // bpeTrainLocal contract.
+    "t18_unigram_seed" -> ((s, d) => {
+      Unigram.seedVocab(t18WordFreq(s, d), vocabSize = 200,
+        maxPieceLen = 8).orderBy(col("piece"))
+    }),
+
+    "t18b_unigram_segment" -> ((s, d) => {
+      Unigram.encodeWords(t18WordFreq(s, d).select(col("word")), "word",
+          t18Vocab(s, d))
+        .select(col("word"), col("n_pieces"), col("score_mu"))
+        .orderBy(col("word"))
+    }),
+
+    "t18c_unigram_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val (_, perDoc) = Unigram.encodeCorpus(docs, "doc_id", "text",
+        t18Vocab(s, d))(graft.CacheScope.session)
+      perDoc.select(col("doc_id"), col("n_tok"), col("score_mu"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2125,6 +2177,40 @@ object CurationQueries {
          |  coalesce(a.token_str, '') AS token_str
          |FROM documents x LEFT JOIN agg a USING (doc_id)
          |ORDER BY x.doc_id""".stripMargin,
+
+    // seed selection replayed from first principles: substring counts,
+    // (cnt DESC, piece ASC) top-K, ln-micro costs over the kept mass
+    "t18_unigram_seed" ->
+      s"""WITH ${OracleFragments.unigramCtes("documents", "text", 200, 8,
+            24, withDp = false)}
+         |SELECT piece, cnt, cost_mu FROM t18v ORDER BY piece""".stripMargin,
+
+    // the integer Viterbi replayed as a pieces-indexed DP chain: min
+    // score across k, then min k at that score — the engine's
+    // lexicographic (score, pieces) objective, hash for hash
+    "t18b_unigram_segment" ->
+      s"""WITH ${OracleFragments.unigramCtes("documents", "text", 200, 8,
+            24, withDp = true)}
+         |SELECT word, score_mu, n_pieces FROM t18seg
+         |ORDER BY word""".stripMargin,
+
+    // corpus composition: per-doc token counts + exact corpus NLL from
+    // the per-word DP values, re-aggregated per document
+    "t18c_unigram_corpus" ->
+      s"""WITH ${OracleFragments.unigramCtes("documents", "text", 200, 8,
+            24, withDp = true)},
+         |t18dw AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(
+         |    trim(coalesce(text, ''))), '\\s+'), x -> x <> '')) AS word
+         |  FROM documents),
+         |t18agg AS (
+         |  SELECT dw.doc_id, CAST(sum(g.n_pieces) AS INT) AS n_tok,
+         |    CAST(sum(g.score_mu) AS BIGINT) AS score_mu
+         |  FROM t18dw dw JOIN t18seg g USING (word) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_tok, 0) AS n_tok,
+         |  coalesce(a.score_mu, CAST(0 AS BIGINT)) AS score_mu
+         |FROM documents d LEFT JOIN t18agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the post-merge vocabulary segmentation IS syms5 — the chain that
     // trained the merges doubles as the encode expectation

@@ -459,4 +459,89 @@ object OracleFragments {
     }
     (base +: iters).mkString(",\n")
   }
+
+  /** Unigram-tokenizer rebuild over `corpus(doc_id, <textCol>)`: the
+    * t18 word universe (corpus words ∪ md5-derived hex words of length
+    * 4..24), [[graft.operators.Unigram.seedVocab]]'s substring counts +
+    * top-`vocabSize` selection + ln-micro costs (CTE `t18v(piece, cnt,
+    * cost_mu)`), and — when `withDp` — the full Viterbi replay as a
+    * pieces-indexed DP chain: `t18b{k}(word, j, s)` is the best score
+    * reaching prefix length j in exactly k pieces, and the terminal
+    * `t18seg(word, score_mu, n_pieces)` takes the min score across k
+    * then the min k achieving it — exactly the engine's lexicographic
+    * (score, pieces) Viterbi objective. Every rank CTE is MATERIALIZED
+    * (each is referenced twice; plain-CTE inlining would expand the
+    * chain exponentially — the wg2 lesson). `maxPieces` must be ≥ the
+    * longest word in the universe (a word of length L needs at most L
+    * pieces). */
+  def unigramCtes(corpus: String, textCol: String, vocabSize: Int,
+      maxPieceLen: Int, maxPieces: Int, withDp: Boolean): String = {
+    val seed =
+      s"""t18w AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(list_filter(string_split_regex(lower(trim(
+         |      $textCol)), '\\s+'), x -> x <> '')) AS word FROM $corpus
+         |    UNION ALL
+         |    SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1,
+         |      CAST(4 + doc_id % 21 AS INT)) AS word FROM $corpus)
+         |  GROUP BY 1),
+         |t18subs AS MATERIALIZED (
+         |  SELECT substring(word, i, n) AS piece,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM t18w,
+         |    unnest(generate_series(1, length(word))) t(i),
+         |    unnest(generate_series(1,
+         |      least($maxPieceLen, length(word) - i + 1))) u(n)
+         |  GROUP BY 1),
+         |t18mult AS MATERIALIZED (
+         |  SELECT piece, cnt FROM t18subs WHERE length(piece) >= 2
+         |  ORDER BY cnt DESC, piece LIMIT $vocabSize),
+         |t18kept AS MATERIALIZED (
+         |  SELECT piece, cnt FROM t18subs WHERE length(piece) = 1
+         |  UNION ALL SELECT piece, cnt FROM t18mult),
+         |t18tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM t18kept),
+         |t18v AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |    CAST(round(ln(CAST((SELECT t FROM t18tot) AS DOUBLE)
+         |      / CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS cost_mu
+         |  FROM t18kept)""".stripMargin
+    if (!withDp) return seed
+    val chain = (1 to maxPieces).map { k =>
+      val p = k - 1
+      s"""t18b$k AS MATERIALIZED (
+         |  SELECT sp.word, sp.j, CAST(min(b.s + sp.cost_mu) AS BIGINT)
+         |    AS s
+         |  FROM t18b$p b JOIN t18sp sp
+         |    ON sp.word = b.word AND sp.i0 = b.j
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val ends = (1 to maxPieces).map { k =>
+      s"  SELECT b.word, $k AS k, b.s FROM t18b$k b\n" +
+        s"  JOIN t18words w ON w.word = b.word AND b.j = w.len"
+    }.mkString("\n  UNION ALL\n")
+    s"""$seed,
+       |t18words AS MATERIALIZED (
+       |  SELECT word, length(word) AS len FROM t18w),
+       |t18sp AS MATERIALIZED (
+       |  SELECT w.word, i - 1 AS i0, i - 1 + n AS j, v.cost_mu
+       |  FROM t18words w,
+       |    unnest(generate_series(1, w.len)) t(i),
+       |    unnest(generate_series(1,
+       |      least($maxPieceLen, w.len - i + 1))) u(n),
+       |    t18v v
+       |  WHERE substring(w.word, i, n) = v.piece),
+       |t18b0 AS (
+       |  SELECT word, 0 AS j, CAST(0 AS BIGINT) AS s FROM t18words),
+       |$chain,
+       |t18ends AS MATERIALIZED (
+       |$ends),
+       |t18best AS MATERIALIZED (
+       |  SELECT word, min(s) AS score_mu FROM t18ends GROUP BY 1),
+       |t18seg AS MATERIALIZED (
+       |  SELECT b.word, CAST(b.score_mu AS BIGINT) AS score_mu,
+       |    CAST(min(e.k) AS INT) AS n_pieces
+       |  FROM t18best b JOIN t18ends e
+       |    ON e.word = b.word AND e.s = b.score_mu
+       |  GROUP BY 1, 2)""".stripMargin
+  }
 }

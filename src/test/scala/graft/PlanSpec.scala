@@ -85,6 +85,9 @@ class PlanSpec extends SparkSpec {
       "dsir2_incremental_weights" -> 2, "sql2_sql_retrieval" -> 2,
       "sql5_sql_lm5" -> 1,
       "cd1_dataset_card" -> 3, "sql4_dataset_card" -> 3,
+      // unigram seed: the kept-vocabulary frame crossJoins its one-row
+      // total-mass aggregate to derive ln-micro costs
+      "t18_unigram_seed" -> 1,
       // NB/langID: per-label one-row spines (priors, totals, V)
       "nb1_source_classifier" -> 6, "nb2_incremental_nb" -> 6,
       "lang1_learned_langid" -> 6)
