@@ -55,6 +55,51 @@ object WebGraph {
     regexp_extract_all(html, lit("(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1)),
     regexp_extract_all(html, lit("(?i)<a\\s[^>]*href\\s*=\\s*'([^']*)'"), lit(1)))
 
+  /** (target registered domain, normalized anchor text, n) triples from
+    * raw pages — the anchor-text signal (what the web says a domain IS;
+    * search and quality systems aggregate it per target since
+    * Brin & Page 1998 §2.2). The paired extraction runs the SAME
+    * anchor-tag regexp twice (group 1 = href, group 2 = inner text —
+    * both quote styles) and zips positionally; anchors are lowercased/
+    * trimmed, empty ones and unresolvable targets dropped. Map-side
+    * explode + one partial-agg shuffle of (dst, anchor) pairs. */
+  def anchorTexts(docs: DataFrame, urlCol: String, htmlCol: String)
+      : DataFrame = {
+    val patD = "(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>([^<]*)</a>"
+    val patS = "(?i)<a\\s[^>]*href\\s*=\\s*'([^']*)'[^>]*>([^<]*)</a>"
+    def zipped(pat: String) = docs
+      .select(regexp_extract_all(col(htmlCol), lit(pat), lit(1)).as("h"),
+        regexp_extract_all(col(htmlCol), lit(pat), lit(2)).as("t"))
+      .select(explode(arrays_zip(col("h"), col("t"))).as("z"))
+      .select(col("z.h").as("href"), col("z.t").as("anchor"))
+    zipped(patD).unionByName(zipped(patS))
+      .select(UrlOps.registeredDomain(UrlOps.hostOf(col("href")))
+        .as("dst"), lower(trim(col("anchor"))).as("anchor"))
+      .filter(col("dst").isNotNull && col("anchor") =!= "")
+      .groupBy(col("dst"), col("anchor"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-target-domain anchor profile over [[anchorTexts]] output:
+    * total in-link mentions, distinct anchor vocabulary, and the top-k
+    * anchors by (n DESC, anchor ASC). The window partitions by `dst` —
+    * parallel across domains, never a global sort. */
+  def topAnchors(anchors: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"topAnchors: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("dst"))
+      .orderBy(col("n").desc, col("anchor"))
+    anchors
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("dst"))
+      .agg(sum(col("n")).as("n_mentions"),
+        count(lit(1)).as("n_anchors"),
+        concat_ws(" | ", transform(
+          array_sort(collect_list(
+            when(col("rk") <= k, struct(col("rk"), col("anchor"))))),
+          s => s.getField("anchor"))).as("top_anchors"))
+  }
+
   /** Domain-level link edges from raw pages: registered domain of the
     * page URL → registered domain of each absolute href target.
     * Self-links (intra-domain navigation — the overwhelming majority of

@@ -40,12 +40,13 @@ object GraphQueries {
         concat(
           lit("<html><body><p>graft page</p><a href=\"https://site"),
           (h("a") % 20).cast("string"),
-          lit(".com/x\">l1</a><A HREF='http://news"),
+          lit(".com/x\">Read More</a><A HREF='http://news"),
           (h("b") % 7).cast("string"),
-          lit(".co.uk/y?id=1'>l2</A>"),
+          lit(".co.uk/y?id=1'>daily news</A>"),
           when(col("doc_id") % 3 === 0,
             concat(lit("<a rel=\"nofollow\" href=\"https://site"),
-              (h("c") % 20).cast("string"), lit(".com/z\">l3</a>")))
+              (h("c") % 20).cast("string"), lit(".com/z\">ref "),
+              (col("doc_id") % 5).cast("string"), lit("</a>")))
             .otherwise(lit("")),
           lit("<a href=\"/rel/path\">rel</a>" +
             "<a name=\"x\">nohref</a></body></html>")).as("html"))
@@ -66,6 +67,16 @@ object GraphQueries {
       WebGraph.pageRank(edges, iters = 10, damping = 0.85)
         .select(col("node"), col("rank_fp"))
         .orderBy(col("node"))
+    }),
+
+    // ---- per-domain anchor-text profile ---------------------------------
+    // The paired (href, anchor) extraction, the normalization, the
+    // per-(dst, anchor) counts, and the windowed top-3 string are all
+    // replayed independently from the construction in DuckDB.
+    "wg3_anchor_profile" -> ((s, d) => {
+      WebGraph.topAnchors(
+          WebGraph.anchorTexts(synthPages(s, d), "url", "html"), k = 3)
+        .orderBy(col("dst"))
     }),
 
     // ---- the same computation driven through SQL TEXT (the TVF) ---------
@@ -162,5 +173,35 @@ object GraphQueries {
          |${pageRankCtes(iters = 10, scaleL = WebGraph.Scale, dmill = 850L)}
          |SELECT node, CAST(r AS BIGINT) AS rank_fp
          |FROM r10 ORDER BY node""".stripMargin,
+
+    // anchors derived independently from the construction (the engine
+    // must reproduce them through the paired two-group regexp + the
+    // hostOf/registeredDomain chain + the windowed top-3)
+    "wg3_anchor_profile" ->
+      s"""WITH $edgeCtes,
+         |wg3p AS (
+         |  SELECT doc_id,
+         |    'site' || CAST(ha % 20 AS VARCHAR) || '.com' AS d1,
+         |    'news' || CAST(hb % 7 AS VARCHAR) || '.co.uk' AS d2,
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |      'site' || CAST(hc % 20 AS VARCHAR) || '.com' END AS d3,
+         |    'ref ' || CAST(doc_id % 5 AS VARCHAR) AS a3
+         |  FROM hashed),
+         |wg3l AS (
+         |  SELECT d1 AS dst, 'read more' AS anchor FROM wg3p
+         |  UNION ALL SELECT d2, 'daily news' FROM wg3p
+         |  UNION ALL SELECT d3, a3 FROM wg3p WHERE d3 IS NOT NULL),
+         |wg3c AS (
+         |  SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n
+         |  FROM wg3l GROUP BY 1, 2),
+         |wg3r AS (
+         |  SELECT dst, anchor, n, row_number() OVER (
+         |    PARTITION BY dst ORDER BY n DESC, anchor) AS rk
+         |  FROM wg3c)
+         |SELECT dst, CAST(sum(n) AS BIGINT) AS n_mentions,
+         |  CAST(count(*) AS BIGINT) AS n_anchors,
+         |  string_agg(CASE WHEN rk <= 3 THEN anchor END, ' | '
+         |    ORDER BY rk) AS top_anchors
+         |FROM wg3r GROUP BY dst ORDER BY dst""".stripMargin,
   )
 }

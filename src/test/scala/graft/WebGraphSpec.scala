@@ -38,6 +38,33 @@ class WebGraphSpec extends SparkSpec {
       .toSeq === Seq(("a.com", "b.com", 2L), ("a.com", "c.co.uk", 1L)))
   }
 
+  test("anchorTexts + topAnchors: paired extraction, normalization, windowed top-k") {
+    val docs = Seq(
+      ("https://x.com/1",
+        "<a href=\"https://b.com/p\">Read  More</a>" +
+          "<A HREF='https://b.com/q'>read more</A>" +
+          "<a href=\"https://b.com/r\">docs</a>" +
+          "<a href=\"https://c.com/s\">API</a>" +
+          "<a href=\"https://b.com/t\"></a>" + // empty anchor dropped
+          "<a href=\"/rel\">rel</a>")) // unresolvable target dropped
+      .toDF("url", "html")
+    val anchors = WebGraph.anchorTexts(docs, "url", "html")
+      .orderBy("dst", "anchor").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // "Read  More" trims/lowers but keeps inner spacing; both quote
+    // styles land on the same target
+    assert(anchors === Seq(("b.com", "docs", 1L),
+      ("b.com", "read  more", 1L), ("b.com", "read more", 1L),
+      ("c.com", "api", 1L)))
+    val top = WebGraph.topAnchors(
+        WebGraph.anchorTexts(docs, "url", "html"), k = 2)
+      .orderBy("dst").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(top === Seq(("b.com", 3L, 3L, "docs | read  more"),
+      ("c.com", 1L, 1L, "api")))
+  }
+
   test("pageRank: two-node cycle converges to equal ranks, mass conserved to fixed-point leak") {
     val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "weight")
     val r = WebGraph.pageRank(edges, iters = 10).collect()
