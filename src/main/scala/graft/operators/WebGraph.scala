@@ -150,7 +150,28 @@ object WebGraph {
     * long (hash-gateable), `rank` its double view.
     */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85)
-      (implicit scope: CacheScope = CacheScope.session): DataFrame = {
+      (implicit scope: CacheScope = CacheScope.session): DataFrame =
+    pageRankFrom(edges, None, iters, damping)
+
+  /** Warm-start PageRank: resume the power iteration from a prior
+    * `(node, rank_fp)` table instead of the uniform vector — the
+    * O(delta-convergence) maintenance path when the graph changes
+    * incrementally (a new crawl snapshot perturbs a converged rank
+    * vector far less than it perturbs uniform, so far fewer iterations
+    * reach the same fixed point). Nodes absent from the prior (newly
+    * discovered domains) start at the uniform share; prior rows for
+    * nodes no longer in the graph are ignored. The arithmetic per step
+    * is IDENTICAL to [[pageRank]] — resuming a k-iteration result for
+    * m more steps is bit-equal to running k+m cold (the wg2b gate pins
+    * exactly that against the cold oracle). */
+  def pageRankResume(edges: DataFrame, prior: DataFrame, iters: Int,
+      damping: Double = 0.85)
+      (implicit scope: CacheScope = CacheScope.session): DataFrame =
+    pageRankFrom(edges, Some(prior), iters, damping)
+
+  private def pageRankFrom(edges: DataFrame, prior: Option[DataFrame],
+      iters: Int, damping: Double)
+      (implicit scope: CacheScope): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     val dmill = math.round(damping * 1000)
     require(dmill >= 0 && dmill <= 1000,
@@ -195,8 +216,16 @@ object WebGraph {
       cached.count()
       (cached, spark.createDataFrame(cached.rdd, cached.schema))
     }
-    var (ranksCache, ranks) = materialize(
-      nodes.select(col("node"), lit(Scale / n).as("r")))
+    val init = prior match {
+      case None => nodes.select(col("node"), lit(Scale / n).as("r"))
+      case Some(p) =>
+        nodes.join(
+          p.select(col("node"), col("rank_fp").cast("long").as("pr")),
+          Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("pr"), lit(Scale / n)).as("r"))
+    }
+    var (ranksCache, ranks) = materialize(init)
     for (_ <- 1 to iters) {
       val dang = dangling.join(ranks, Seq("node"))
         .agg(coalesce(sum(col("r")), lit(0L))).first().getLong(0)

@@ -69,6 +69,20 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // ---- warm-start resume: 5 cold + 5 resumed ≡ 10 cold ----------------
+    // The O(delta) maintenance contract, hash-pinned: pageRankResume
+    // continues the power iteration from a prior rank table with
+    // step-identical arithmetic, so this gate shares wg2's 10-iteration
+    // cold oracle bit for bit.
+    "wg2b_pagerank_resume" -> ((s, d) => {
+      val edges = WebGraph.domainEdges(synthPages(s, d), "url", "html")
+      val first = WebGraph.pageRank(edges, iters = 5, damping = 0.85)
+        .select(col("node"), col("rank_fp"))
+      WebGraph.pageRankResume(edges, first, iters = 5, damping = 0.85)
+        .select(col("node"), col("rank_fp"))
+        .orderBy(col("node"))
+    }),
+
     // ---- per-domain anchor-text profile ---------------------------------
     // The paired (href, anchor) extraction, the normalization, the
     // per-(dst, anchor) counts, and the windowed top-3 string are all
@@ -163,6 +177,12 @@ object GraphQueries {
          |SELECT src, dst, weight FROM edges ORDER BY src, dst""".stripMargin,
 
     "wg2_pagerank" ->
+      s"""WITH $edgeCtes,
+         |${pageRankCtes(iters = 10, scaleL = WebGraph.Scale, dmill = 850L)}
+         |SELECT node, CAST(r AS BIGINT) AS rank_fp
+         |FROM r10 ORDER BY node""".stripMargin,
+
+    "wg2b_pagerank_resume" ->
       s"""WITH $edgeCtes,
          |${pageRankCtes(iters = 10, scaleL = WebGraph.Scale, dmill = 850L)}
          |SELECT node, CAST(r AS BIGINT) AS rank_fp

@@ -146,6 +146,27 @@ class WebGraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRankResume: 3 cold + 2 resumed equals 5 cold; new nodes join at the uniform share") {
+    val edges = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "a", 1L),
+      ("d", "b", 3L)).toDF("src", "dst", "weight")
+    def collectRanks(df: org.apache.spark.sql.DataFrame) =
+      df.select("node", "rank_fp").orderBy("node").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val cold5 = collectRanks(WebGraph.pageRank(edges, iters = 5))
+    val warm = collectRanks(WebGraph.pageRankResume(edges,
+      WebGraph.pageRank(edges, iters = 3).select("node", "rank_fp"),
+      iters = 2))
+    assert(warm === cold5)
+    // a prior that misses a node: the newcomer starts at Scale/n and
+    // the step still runs (no null ranks, mass stays bounded)
+    val partial = WebGraph.pageRank(edges, iters = 3)
+      .select("node", "rank_fp").filter(col("node") =!= "d")
+    val resumed = collectRanks(
+      WebGraph.pageRankResume(edges, partial, iters = 1))
+    assert(resumed.map(_._1) === Seq("a", "b", "c", "d"))
+    assert(resumed.forall(_._2 > 0))
+  }
+
   test("pageRank: empty edge list returns an empty frame, no divide-by-zero") {
     val empty = Seq.empty[(String, String, Long)].toDF("src", "dst", "weight")
     assert(WebGraph.pageRank(empty, iters = 3).count() === 0)
