@@ -65,21 +65,34 @@ object UrlOps {
     * plus one label — `www.shop.example.co.uk` → `example.co.uk`.
     * Null when no known suffix matches, or the host IS a bare suffix
     * (PSL semantics: nothing is registrable there). Longest suffix
-    * wins, so `co.uk` beats `uk`. */
+    * wins, so `co.uk` beats `uk`.
+    *
+    * Implementation: the snapshot list holds only 1- and 2-label
+    * suffixes, so longest-match reduces to "is the 2-label tail a
+    * suffix? else is the 1-label tail?" — three tail extractions +
+    * set-membership (`isInCollection` compiles to an O(1) InSet probe)
+    * instead of the per-suffix regexp fold this replaced. The fold's
+    * generated code was ~5k lines PER CALL: two calls in one projection
+    * (the link-graph edge shape — page domain + href domain) crossed
+    * janino's method limit and dropped the whole stage to interpreted
+    * eval, 40× slower (the wg1 lesson). Semantics are identical — the
+    * url1 oracle still replays the original fold and hash-matches.
+    * A full PSL swap-in keeps this shape: group the ~9k suffixes by
+    * label count and add a 3-label tail probe. */
   def registeredDomain(host: Column): Column = {
     val h = lower(host)
-    val ordered = publicSuffixes.sortBy(s => (-s.count(_ == '.'), s))
-    val chain = ordered.foldRight(lit(null).cast("string")) {
-      case (sfx, rest) =>
-        val pat = "([^.]+\\." + sfx.replace(".", "\\.") + ")$"
-        when(h.endsWith("." + sfx),
-          when(regexp_extract(h, pat, 1) === "", lit(null).cast("string"))
-            .otherwise(regexp_extract(h, pat, 1)))
-          .otherwise(rest)
-    }
-    // a host that IS a public suffix (e.g. `co.uk`) must not fall
-    // through to a shorter suffix's rule (`uk` would return `co.uk`)
+    val (twoLabel, oneLabel) = publicSuffixes.partition(_.contains("."))
+    require(twoLabel.forall(_.count(_ == '.') == 1),
+      "registeredDomain: suffix list grew a 3-label entry — add the " +
+        "3-label tail probe before shipping it")
+    val tail1 = regexp_extract(h, "([^.]+)$", 1)
+    val tail2 = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    val tail3 = regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    def orNull(c: Column): Column =
+      when(c === "", lit(null).cast("string")).otherwise(c)
     when(h.isInCollection(publicSuffixes), lit(null).cast("string"))
-      .otherwise(chain)
+      .when(tail2.isInCollection(twoLabel), orNull(tail3))
+      .when(tail1.isInCollection(oneLabel), orNull(tail2))
+      .otherwise(lit(null).cast("string"))
   }
 }

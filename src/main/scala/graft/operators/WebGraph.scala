@@ -137,21 +137,30 @@ object WebGraph {
     * at Scale = 1e12 the total stays 1.0 to ~9 decimal digits, and the
     * leak is deterministic (same floors every run).
     *
-    * Scale shape: the edge frame (joined to its out-weights) is
-    * repartitioned by `src` and cached ONCE; each iteration shuffles
-    * only the rank table into that partitioning, aggregates
-    * contributions by `dst` (map-side combine caps the shuffle at one
-    * row per (partition, dst)), and materializes the next rank table —
-    * `count()` per step keeps the lineage one step deep instead of
-    * compounding `iters` joins into one Catalyst plan. The dangling
-    * mass is a one-long `collect` per step (bounded control plane).
+    * Scale shape, distributed path: the edge frame (joined to its
+    * out-weights) is repartitioned by `src` and cached ONCE; each
+    * iteration shuffles only the rank table into that partitioning and
+    * aggregates contributions by `dst` (map-side combine caps the
+    * shuffle at one row per (partition, dst)); the rank table
+    * materializes each step so the analyzed plan never compounds.
+    *
+    * Small graphs take a DRIVER-LOCAL path instead (edge count ≤
+    * `localMaxEdges`, checked with one bounded probe): the same
+    * integer loop over collected arrays — the `bpeTrainLocal` contract.
+    * Iterating a 27-node gate graph through ten Spark jobs pays ~2 s
+    * of pure stage scheduling per step for microseconds of arithmetic
+    * (the wg2 bench lesson); long sums are order-independent, so the
+    * two paths are bit-identical — spec-pinned by running both on the
+    * same graph. Pass `localMaxEdges = 0` to force the distributed
+    * path. Null src/dst/weight rows are dropped on both paths.
     *
     * Returns `(node, rank_fp, rank)` — `rank_fp` the exact fixed-point
     * long (hash-gateable), `rank` its double view.
     */
-  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85)
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
+      localMaxEdges: Long = 262144L)
       (implicit scope: CacheScope = CacheScope.session): DataFrame =
-    pageRankFrom(edges, None, iters, damping)
+    pageRankFrom(edges, None, iters, damping, localMaxEdges)
 
   /** Warm-start PageRank: resume the power iteration from a prior
     * `(node, rank_fp)` table instead of the uniform vector — the
@@ -167,10 +176,17 @@ object WebGraph {
   def pageRankResume(edges: DataFrame, prior: DataFrame, iters: Int,
       damping: Double = 0.85)
       (implicit scope: CacheScope = CacheScope.session): DataFrame =
-    pageRankFrom(edges, Some(prior), iters, damping)
+    pageRankFrom(edges, Some(prior), iters, damping, 262144L)
+
+  /** Resume variant with an explicit local-path threshold (see
+    * [[pageRank]]). */
+  def pageRankResume(edges: DataFrame, prior: DataFrame, iters: Int,
+      damping: Double, localMaxEdges: Long)
+      (implicit scope: CacheScope): DataFrame =
+    pageRankFrom(edges, Some(prior), iters, damping, localMaxEdges)
 
   private def pageRankFrom(edges: DataFrame, prior: Option[DataFrame],
-      iters: Int, damping: Double)
+      iters: Int, damping: Double, localMaxEdges: Long)
       (implicit scope: CacheScope): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     val dmill = math.round(damping * 1000)
@@ -180,6 +196,20 @@ object WebGraph {
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst"),
       col("weight").cast("long").as("weight"))
+      .filter(col("src").isNotNull && col("dst").isNotNull
+        && col("weight").isNotNull)
+
+    require(localMaxEdges >= 0 && localMaxEdges < Int.MaxValue,
+      s"pageRank: localMaxEdges out of range: $localMaxEdges")
+    if (localMaxEdges > 0) {
+      // bounded probe: fetch at most localMaxEdges+1 rows — never a
+      // full count of an unbounded edge list
+      val probe = e.limit((localMaxEdges + 1).toInt)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (probe.length <= localMaxEdges)
+        return pageRankLocal(edges.sparkSession, probe, prior, iters,
+          dmill)
+    }
     val outW = e.groupBy(col("src")).agg(sum(col("weight")).as("ow"))
     // The big side, shaped once: edges + their source's out-weight,
     // hash-partitioned by src. Every iteration's join reuses this
@@ -203,13 +233,14 @@ object WebGraph {
     val teleport = (Scale - Scale * dmill / 1000L) / n
 
     val spark = edges.sparkSession
-    // Per-iteration lineage truncation: materialize each rank table
-    // into the cache, then rebase the next step on the materialized
-    // RDD (a LogicalRDD leaf). Without this the logical plan grows one
-    // full join-agg layer per iteration and analysis cost compounds —
-    // at a few tens of iterations the tree alone overflows the stack.
-    // Recompute stays possible (the RDD lineage still reaches the
-    // cached parent, and through it the original edges) — this is
+    // Per-step lineage truncation: materialize each rank table into
+    // the cache, then rebase the next step on the materialized RDD (a
+    // LogicalRDD leaf). Without this the logical plan compounds one
+    // join-agg layer per iteration AND the two rank references per
+    // step (dangling sum + contribution join) double the subtree each
+    // level — exponential analysis and recompute. On the graphs this
+    // path serves (above localMaxEdges) one job per step is noise
+    // against the per-step shuffle. Recompute stays possible — this is
     // cache + plan truncation, not a lineage-destroying checkpoint.
     def materialize(df: DataFrame): (DataFrame, DataFrame) = {
       val cached = scope.cache(df)
@@ -219,31 +250,102 @@ object WebGraph {
     val init = prior match {
       case None => nodes.select(col("node"), lit(Scale / n).as("r"))
       case Some(p) =>
-        nodes.join(
-          p.select(col("node"), col("rank_fp").cast("long").as("pr")),
-          Seq("node"), "left")
+        // max() collapses accidental duplicate prior rows (e.g. a
+        // caller unioning two snapshots) — a duplicated node would
+        // otherwise fan out through every subsequent iteration
+        val pr = p.select(col("node"),
+            col("rank_fp").cast("long").as("pr"))
+          .groupBy(col("node")).agg(max(col("pr")).as("pr"))
+        nodes.join(pr, Seq("node"), "left")
           .select(col("node"),
             coalesce(col("pr"), lit(Scale / n)).as("r"))
     }
     var (ranksCache, ranks) = materialize(init)
     for (_ <- 1 to iters) {
-      val dang = dangling.join(ranks, Seq("node"))
-        .agg(coalesce(sum(col("r")), lit(0L))).first().getLong(0)
-      val share = dang / n
+      // the dangling mass rides IN the plan as a broadcast one-row
+      // aggregate (share = dang div n, integer micros) — a driver
+      // collect per iteration would add a second job per step
+      val dangRow = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       val inm = ranks.join(eN, ranks("node") === eN("src"))
         .select(col("dst"), expr("(r * weight) div ow").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inm"))
       val (nextCache, next) = materialize(
         nodes.join(inm, nodes("node") === inm("dst"), "left")
+          .crossJoin(broadcast(dangRow))
           .select(col("node"),
             (lit(teleport) + expr(
-              s"((coalesce(inm, 0L) + ${share}L) * ${dmill}L) div 1000"))
-              .as("r")))
+              s"((coalesce(inm, 0L) + (dang div ${n}L)) * ${dmill}L) " +
+                "div 1000")).as("r")))
       ranksCache.unpersist(blocking = false)
       ranksCache = nextCache
       ranks = next
     }
     ranks.select(col("node"), col("r").as("rank_fp"),
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
+  }
+
+  /** Driver-local integer PageRank over a collected edge array — the
+    * same update rule as the distributed loop, operation for operation
+    * (long sums commute, so the paths are bit-identical; spec-pinned
+    * by running both). Bounded by `localMaxEdges` rows at ~40 bytes
+    * each — control-plane scale, same posture as
+    * [[TextAnalysis.bpeTrainLocal]]. */
+  private def pageRankLocal(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(String, String, Long)], prior: Option[DataFrame],
+      iters: Int, dmill: Long): DataFrame = {
+    import spark.implicits._
+    val nodeIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
+    rows.foreach { case (s, d, _) =>
+      nodeIdx.getOrElseUpdate(s, nodeIdx.size)
+      nodeIdx.getOrElseUpdate(d, nodeIdx.size)
+    }
+    val n = nodeIdx.size.toLong
+    if (n == 0L)
+      return Seq.empty[(String, Long, Double)]
+        .toDF("node", "rank_fp", "rank")
+    val nn = nodeIdx.size
+    val srcI = rows.map(r => nodeIdx(r._1))
+    val dstI = rows.map(r => nodeIdx(r._2))
+    val w = rows.map(_._3)
+    val ow = new Array[Long](nn)
+    var i = 0
+    while (i < rows.length) { ow(srcI(i)) += w(i); i += 1 }
+    val teleport = (Scale - Scale * dmill / 1000L) / n
+    val r = new Array[Long](nn)
+    prior match {
+      case None => java.util.Arrays.fill(r, Scale / n)
+      case Some(p) =>
+        val pm = p.select(col("node").cast("string"),
+            col("rank_fp").cast("long")).collect()
+          .flatMap(x => Option(x.getString(0)).map(_ -> x.getLong(1)))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+        nodeIdx.foreach { case (name, idx) =>
+          r(idx) = pm.getOrElse(name, Scale / n)
+        }
+    }
+    var it = 0
+    while (it < iters) {
+      var dang = 0L
+      var j = 0
+      while (j < nn) { if (ow(j) == 0L) dang += r(j); j += 1 }
+      val share = dang / n
+      val inm = new Array[Long](nn)
+      var k = 0
+      while (k < rows.length) {
+        inm(dstI(k)) += r(srcI(k)) * w(k) / ow(srcI(k))
+        k += 1
+      }
+      j = 0
+      while (j < nn) {
+        r(j) = teleport + (inm(j) + share) * dmill / 1000L
+        j += 1
+      }
+      it += 1
+    }
+    nodeIdx.iterator
+      .map { case (name, idx) =>
+        (name, r(idx), r(idx).toDouble / Scale.toDouble) }
+      .toSeq.toDF("node", "rank_fp", "rank")
   }
 }

@@ -106,17 +106,35 @@ class WebGraphSpec extends SparkSpec {
     assert(r("s") === teleport + damp(share))
   }
 
-  test("pageRank: bit-identical across partition layouts (fixed-point determinism)") {
+  test("pageRank: bit-identical across partition layouts AND across the local/distributed paths") {
     val base = (0 until 400).map { i =>
       (s"n${i % 37}", s"n${(i * 7 + 3) % 37}", (i % 5 + 1).toLong)
     }.filter(t => t._1 != t._2)
     val e1 = base.toDF("src", "dst", "weight").repartition(1)
     val e2 = base.toDF("src", "dst", "weight").repartition(13)
-    def run(df: org.apache.spark.sql.DataFrame) = CacheScope.withScope { _ =>
-      WebGraph.pageRank(df, iters = 5).orderBy("node")
+    def run(df: org.apache.spark.sql.DataFrame, localMax: Long) =
+      CacheScope.withScope { _ =>
+        WebGraph.pageRank(df, iters = 5, damping = 0.85,
+            localMaxEdges = localMax).orderBy("node")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      }
+    val local = run(e1, 262144L)
+    // localMaxEdges = 0 forces the distributed power iteration — the
+    // two implementations must agree bit for bit, across partitionings
+    assert(local === run(e2, 262144L))
+    assert(local === run(e1, 0L))
+    assert(local === run(e2, 0L))
+    // resume agrees across paths too
+    def resume(localMax: Long) = CacheScope.withScope { implicit s =>
+      WebGraph.pageRankResume(e1,
+          WebGraph.pageRank(e1, iters = 2, damping = 0.85,
+            localMaxEdges = localMax).select("node", "rank_fp"),
+          iters = 3, damping = 0.85, localMaxEdges = localMax)
+        .orderBy("node")
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     }
-    assert(run(e1) === run(e2))
+    assert(resume(262144L) === local)
+    assert(resume(0L) === local)
   }
 
   test("pageRank: matches a driver-side double-precision reference within fixed-point tolerance") {
