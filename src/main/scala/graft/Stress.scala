@@ -1317,6 +1317,55 @@ object Stress {
             * 100.0) / 100.0)
     }
 
+    // ---- END-TO-END web graph: 5M REAL html pages → href extraction
+    // (two regexp_extract_all passes over every page — the corpus-sized
+    // cost, map-side) → registeredDomain on both ends → the distinct
+    // (src, dst) groupBy → distributed PageRank over the EXTRACTED
+    // graph (localMaxEdges = 0 forces the power-iteration path; the
+    // Zipf page hosts make real hub sources). The pagerank step above
+    // measures iteration cost on a synthetic edge list; this one
+    // measures the whole html-to-ranks story. --------------------------
+    step("webgraph") {
+      CacheScope.withScope { implicit sc =>
+        val nTargets = 50000L
+        def dstDom(salt: String) = concat(lit("d"),
+          pmod(conv(substring(md5(concat(lit(salt), col("doc_id"))),
+            1, 15), 16, 10).cast("long"), lit(nTargets)), lit(".com"))
+        val pages = docs.select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".com/p"),
+            col("doc_id")).as("url"),
+          concat(lit("<html><body><p>"), substring(col("text"), 1, 80),
+            lit("</p><a href=\"https://"), dstDom("g1"),
+            lit("/x\">read more</a><A HREF='https://"), dstDom("g2"),
+            lit("/y'>refs</A>"),
+            when(col("doc_id") % 2 === 0,
+              concat(lit("<a href=\"https://"), dstDom("g3"),
+                lit("/z\">see also</a>"))).otherwise(lit("")),
+            lit("</body></html>")).as("html"))
+        val t0 = System.nanoTime()
+        val edges = sc.cache(
+          graft.operators.WebGraph.domainEdges(pages, "url", "html"))
+        val nEdges = edges.count()
+        val extractSecs = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val pr = graft.operators.WebGraph.pageRank(edges, iters = 10,
+          damping = 0.85, localMaxEdges = 0L)
+        val top = pr.orderBy(col("rank_fp").desc, col("node"))
+          .limit(1).collect().head
+        val agg = pr.agg(sum(col("rank_fp")), count(lit(1)))
+          .collect().head
+        val prSecs = (System.nanoTime() - t1) / 1e9
+        Seq("n_pages" -> nDocs, "n_edges" -> nEdges,
+          "n_nodes" -> agg.getLong(1),
+          "extract_secs" -> math.round(extractSecs * 100.0) / 100.0,
+          "pagerank_secs" -> math.round(prSecs * 100.0) / 100.0,
+          "pages_per_sec" -> math.round(nDocs / extractSecs),
+          "mass_retained" -> math.round(agg.getLong(0).toDouble /
+            graft.operators.WebGraph.Scale * 10000.0) / 10000.0,
+          "top_node" -> top.getString(0))
+      }
+    }
+
     // ---- inverted-index store: full-corpus postings build (~105M
     // posting rows at 5M docs through the (id, term) partial-agg
     // shuffle), then batched BM25 queries that must stay bucket-pruned.
