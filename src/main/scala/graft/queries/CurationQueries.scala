@@ -1004,6 +1004,19 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the same tokenize-a-corpus story driven through SQL TEXT -------
+    // unigram_tokens seeds its vocabulary from the corpus ITSELF (no
+    // hex-word universe here — the TVF is the one-call path a SQL user
+    // takes), so the oracle rebuilds seed + DP + per-doc aggregation
+    // over text words alone.
+    "sql8_sql_unigram" -> ((s, d) => {
+      val path = GateTmp.dir("graft_uni_docs", d)
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(path)
+      s.sql(s"SELECT doc_id, n_tok, score_mu FROM unigram_tokens(" +
+        s"'$path', 'doc_id', 'text', 200, 8) ORDER BY doc_id")
+    }),
+
     // ---- tokenizer-aware packing: pack by BPE token counts ---------------
     // The real training-prep composition: train the tokenizer (t14),
     // segment the VOCABULARY once, join per-word symbol counts back to
@@ -2199,6 +2212,23 @@ object CurationQueries {
     "t18c_unigram_corpus" ->
       s"""WITH ${OracleFragments.unigramCtes("documents", "text", 200, 8,
             24, withDp = true)},
+         |t18dw AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(
+         |    trim(coalesce(text, ''))), '\\s+'), x -> x <> '')) AS word
+         |  FROM documents),
+         |t18agg AS (
+         |  SELECT dw.doc_id, CAST(sum(g.n_pieces) AS INT) AS n_tok,
+         |    CAST(sum(g.score_mu) AS BIGINT) AS score_mu
+         |  FROM t18dw dw JOIN t18seg g USING (word) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_tok, 0) AS n_tok,
+         |  coalesce(a.score_mu, CAST(0 AS BIGINT)) AS score_mu
+         |FROM documents d LEFT JOIN t18agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // the TVF path: same DP replay, text-word universe only
+    "sql8_sql_unigram" ->
+      s"""WITH ${OracleFragments.unigramCtes("documents", "text", 200, 8,
+            8, withDp = true, withHex = false)},
          |t18dw AS (
          |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(
          |    trim(coalesce(text, ''))), '\\s+'), x -> x <> '')) AS word

@@ -475,15 +475,21 @@ object OracleFragments {
     * longest word in the universe (a word of length L needs at most L
     * pieces). */
   def unigramCtes(corpus: String, textCol: String, vocabSize: Int,
-      maxPieceLen: Int, maxPieces: Int, withDp: Boolean): String = {
+      maxPieceLen: Int, maxPieces: Int, withDp: Boolean,
+      withHex: Boolean = true): String = {
+    val hexBranch = if (withHex)
+      s"""
+         |    UNION ALL
+         |    SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1,
+         |      CAST(4 + doc_id % 21 AS INT)) AS word FROM $corpus"""
+        .stripMargin
+    else ""
     val seed =
       s"""t18w AS MATERIALIZED (
          |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
          |    SELECT unnest(list_filter(string_split_regex(lower(trim(
-         |      $textCol)), '\\s+'), x -> x <> '')) AS word FROM $corpus
-         |    UNION ALL
-         |    SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1,
-         |      CAST(4 + doc_id % 21 AS INT)) AS word FROM $corpus)
+         |      $textCol)), '\\s+'), x -> x <> '')) AS word
+         |    FROM $corpus$hexBranch)
          |  GROUP BY 1),
          |t18subs AS MATERIALIZED (
          |  SELECT substring(word, i, n) AS piece,

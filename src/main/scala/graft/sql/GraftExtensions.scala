@@ -397,6 +397,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graph_pagerank(path, iters[, damping]) — path a string " +
             "literal, iters an integer literal")
       }))
+    // corpus tokenization from SQL text: seed a unigram vocabulary
+    // from the corpus itself and Viterbi-encode every document —
+    // SELECT * FROM unigram_tokens('corpus.parquet', 'doc_id', 'text',
+    // 200, 8) → (id, token_ids, score_mu, n_tok). sql8-gated against
+    // the same DuckDB DP replay as t18c.
+    ext.injectTableFunction((FunctionIdentifier("unigram_tokens"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "unigram_tokens"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, idc, tc, Literal(vocabSize: Int, _),
+            Literal(maxPieceLen: Int, _)) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val docs = spark.read.parquet(strLit(p, "unigram_tokens path"))
+          val idCol = strLit(idc, "unigram_tokens idCol")
+          val textCol = strLit(tc, "unigram_tokens textCol")
+          val wf = graft.operators.TextAnalysis.bpeWordFreq(docs, textCol)
+          val vocab = graft.operators.Unigram
+            .seedVocab(wf, vocabSize, maxPieceLen)
+            .select(org.apache.spark.sql.functions.col("piece"),
+              org.apache.spark.sql.functions.col("cost_mu"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+            .toIndexedSeq
+          val (_, perDoc) = graft.operators.Unigram.encodeCorpus(
+            docs, idCol, textCol, vocab)
+          perDoc.queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "unigram_tokens(path, idCol, textCol, vocabSize, " +
+            "maxPieceLen) — strings and integer literals")
+      }))
     // store-backed variant: same scoring expression, but the relation
     // comes from a persisted IndexStore directory (bucket-pruned
     // postings), so a SQL user can query a corpus index maintained

@@ -226,6 +226,34 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("unigram_tokens table function matches the Scala composition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("unisql").toString
+    Seq((1L, "abab abc abab"), (2L, "cc abc"), (3L, ""))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val got = spark.sql("SELECT doc_id, n_tok, score_mu FROM " +
+        s"unigram_tokens('$dir', 'doc_id', 'text', 50, 4) " +
+        "ORDER BY doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val docs = spark.read.parquet(dir)
+    val vocab = graft.operators.Unigram.seedVocab(
+        graft.operators.TextAnalysis.bpeWordFreq(docs, "text"), 50, 4)
+      .select("piece", "cost_mu").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    val want = CacheScope.withScope { implicit s =>
+      graft.operators.Unigram.encodeCorpus(docs, "doc_id", "text",
+          vocab)._2
+        .select(col("doc_id"), col("n_tok"), col("score_mu"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    }
+    assert(got === want)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM unigram_tokens('$dir', 'doc_id', " +
+        "'text', 50, 2 + 2)").collect()
+    }
+  }
+
   test("embedding SQL functions: random_project / int8 round trip; " +
       "vector_topk reads an int8 store transparently") {
     import spark.implicits._
