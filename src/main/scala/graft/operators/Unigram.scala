@@ -97,24 +97,32 @@ object Unigram {
       s"trainLocal: vocabSize must be >= 1, got $vocabSize")
     require(shrink > 0 && shrink < 1,
       s"trainLocal: shrink must be in (0,1), got $shrink")
+    require(maxWords > 0 && maxWords < Int.MaxValue,
+      s"trainLocal: maxWords out of range: $maxWords")
+    // bounded probe: the guard must fire BEFORE an unbounded collect
+    // materializes the word table on the driver, not after
     val wf = wordFreq
       .select(col("word").cast("string"), col("freq").cast("long"))
       .filter(col("word").isNotNull && col("word") =!= "")
+      .limit(maxWords + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortWith((a, b) => TextAnalysis.utf8Compare(a._1, b._1) < 0)
     require(wf.length <= maxWords,
-      s"trainLocal: ${wf.length} distinct words exceeds maxWords=" +
-        s"$maxWords — raise it deliberately (driver-memory bound)")
+      s"trainLocal: distinct words exceed maxWords=$maxWords — raise " +
+        "it deliberately (driver-memory bound)")
 
-    // seed candidates: substring counts (weighted), singles protected
+    // seed candidates: substring counts (weighted), singles protected —
+    // in CODE-POINT space, like the distributed seedVocab
     val cnt = new scala.collection.mutable.HashMap[String, Long]()
     wf.foreach { case (w, f) =>
+      val off = cpOffsets(w)
+      val L = off.length - 1
       var i = 0
-      while (i < w.length) {
+      while (i < L) {
         var n = 1
-        val nMax = math.min(maxPieceLen, w.length - i)
+        val nMax = math.min(maxPieceLen, L - i)
         while (n <= nMax) {
-          val p = w.substring(i, i + n)
+          val p = w.substring(off(i), off(i + n))
           cnt.updateWith(p) {
             case Some(v) => Some(v + f)
             case None => Some(f)
@@ -147,13 +155,14 @@ object Unigram {
     // accumulates f-weighted counts into `e`, returns ln P(word)
     def accumulate(w: String, f: Long, p: collection.Map[String, Double],
         e: scala.collection.mutable.HashMap[String, Double]): Double = {
-      val L = w.length
+      val off = cpOffsets(w)
+      val L = off.length - 1
       val alpha = new Array[Double](L + 1); alpha(0) = 1.0
       var j = 1
       while (j <= L) {
         var s = 0.0; var n = 1; val nMax = math.min(maxPieceLen, j)
         while (n <= nMax) {
-          val pc = p.getOrElse(w.substring(j - n, j), 0.0)
+          val pc = p.getOrElse(w.substring(off(j - n), off(j)), 0.0)
           if (pc > 0) s += alpha(j - n) * pc
           n += 1
         }
@@ -165,7 +174,7 @@ object Unigram {
       while (i >= 0) {
         var s = 0.0; var n = 1; val nMax = math.min(maxPieceLen, L - i)
         while (n <= nMax) {
-          val pc = p.getOrElse(w.substring(i, i + n), 0.0)
+          val pc = p.getOrElse(w.substring(off(i), off(i + n)), 0.0)
           if (pc > 0) s += pc * beta(i + n)
           n += 1
         }
@@ -175,7 +184,7 @@ object Unigram {
       while (i < L) {
         var n = 1; val nMax = math.min(maxPieceLen, L - i)
         while (n <= nMax) {
-          val piece = w.substring(i, i + n)
+          val piece = w.substring(off(i), off(i + n))
           val pc = p.getOrElse(piece, 0.0)
           if (pc > 0) {
             val post = alpha(i) * pc * beta(i + n) / alpha(L)
@@ -262,7 +271,8 @@ object Unigram {
       StringType, StructField, StructType}
     require(vocab.nonEmpty, "encodeWords: vocab must be non-empty")
     val spark = words.sparkSession
-    val maxLen = vocab.iterator.map(_._1.length).max
+    val maxLen = vocab.iterator
+      .map(p => p._1.codePointCount(0, p._1.length)).max
     val vmap = new java.util.HashMap[String, java.lang.Long](
       vocab.size * 2)
     vocab.foreach { case (p, c) => vmap.put(p, c) }
@@ -288,10 +298,32 @@ object Unigram {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** Code-point boundaries of `w`: `off(k)` is the UTF-16 offset of
+    * the k-th code point and `off(last) = w.length`, so the
+    * code-point-space substring [i, j) is `w.substring(off(i),
+    * off(j))`. Everything here measures pieces in CODE POINTS — the
+    * distributed [[seedVocab]] (Spark `substring`) and the DuckDB DP
+    * replay (DuckDB `substring`) both do; indexing by UTF-16 units
+    * would split a supplementary character into two lone surrogates
+    * and double-charge it. */
+  private def cpOffsets(w: String): Array[Int] = {
+    val out = new Array[Int](w.codePointCount(0, w.length) + 1)
+    var i = 0
+    var k = 0
+    while (i < w.length) {
+      out(k) = i
+      k += 1
+      i += Character.charCount(w.codePointAt(i))
+    }
+    out(k) = w.length
+    out
+  }
+
   private def viterbiOne(w: String,
       vocab: java.util.HashMap[String, java.lang.Long], maxLen: Int,
       unk: Long): (Array[String], Int, Long) = {
-    val L = w.length
+    val off = cpOffsets(w)
+    val L = off.length - 1
     if (L == 0) return (Array.empty, 0, 0L)
     val inf = Long.MaxValue / 4
     val score = new Array[Long](L + 1)
@@ -306,7 +338,7 @@ object Unigram {
       while (n <= nMax) {
         val i = j - n
         if (score(i) < inf) {
-          val c = vocab.get(w.substring(i, j))
+          val c = vocab.get(w.substring(off(i), off(j)))
           val cost: Long =
             if (c != null) c.longValue() else if (n == 1) unk else -1L
           if (cost >= 0) {
@@ -325,7 +357,7 @@ object Unigram {
     }
     val out = new scala.collection.mutable.ArrayBuffer[String](npc(L))
     var k = L
-    while (k > 0) { out += w.substring(back(k), k); k = back(k) }
+    while (k > 0) { out += w.substring(off(back(k)), off(k)); k = back(k) }
     (out.reverseIterator.toArray, npc(L), score(L))
   }
 

@@ -47,13 +47,19 @@ object WebGraph {
     * or `<a ... href='…'>`, tag and attribute case-insensitive, in
     * document order within each quote style. Pure `regexp_extract_all`
     * — RE2-safe (no lookaround/backreference), so the DuckDB oracle
-    * runs the identical patterns. Relative hrefs come back verbatim;
+    * runs the identical patterns. The attribute name is boundary-
+    * anchored (`<a␣` directly, or any run of attributes ENDING in
+    * whitespace, before `href=`), so `data-href`/`xlink:href` can
+    * neither fire alone nor add a second target to an anchor that
+    * already matched on its real href. Relative hrefs come back verbatim;
     * domain-level consumers drop them ([[domainEdges]]) because a
     * relative link is by construction same-domain and self-loops are
     * not edges. */
   def extractHrefs(html: Column): Column = concat(
-    regexp_extract_all(html, lit("(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1)),
-    regexp_extract_all(html, lit("(?i)<a\\s[^>]*href\\s*=\\s*'([^']*)'"), lit(1)))
+    regexp_extract_all(html,
+      lit("(?i)<a\\s(?:[^>]*\\s)?href\\s*=\\s*\"([^\"]*)\""), lit(1)),
+    regexp_extract_all(html,
+      lit("(?i)<a\\s(?:[^>]*\\s)?href\\s*=\\s*'([^']*)'"), lit(1)))
 
   /** (target registered domain, normalized anchor text, n) triples from
     * raw pages — the anchor-text signal (what the web says a domain IS;
@@ -65,8 +71,10 @@ object WebGraph {
     * explode + one partial-agg shuffle of (dst, anchor) pairs. */
   def anchorTexts(docs: DataFrame, urlCol: String, htmlCol: String)
       : DataFrame = {
-    val patD = "(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>([^<]*)</a>"
-    val patS = "(?i)<a\\s[^>]*href\\s*=\\s*'([^']*)'[^>]*>([^<]*)</a>"
+    val patD =
+      "(?i)<a\\s(?:[^>]*\\s)?href\\s*=\\s*\"([^\"]*)\"[^>]*>([^<]*)</a>"
+    val patS =
+      "(?i)<a\\s(?:[^>]*\\s)?href\\s*=\\s*'([^']*)'[^>]*>([^<]*)</a>"
     def zipped(pat: String) = docs
       .select(regexp_extract_all(col(htmlCol), lit(pat), lit(1)).as("h"),
         regexp_extract_all(col(htmlCol), lit(pat), lit(2)).as("t"))
@@ -193,11 +201,16 @@ object WebGraph {
     require(dmill >= 0 && dmill <= 1000,
       s"pageRank: damping must be in [0, 1], got $damping")
 
+    // weight > 0 also guards the contribution divide: a src whose
+    // rows all carried weight <= 0 would have ow = 0 and the per-edge
+    // `(r * weight) div ow` would die mid-iteration (ANSI
+    // DIVIDE_BY_ZERO distributed, ArithmeticException local); dropping
+    // non-positive rows turns such a node into a plain dangling node
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst"),
       col("weight").cast("long").as("weight"))
       .filter(col("src").isNotNull && col("dst").isNotNull
-        && col("weight").isNotNull)
+        && col("weight").isNotNull && col("weight") > 0)
 
     require(localMaxEdges >= 0 && localMaxEdges < Int.MaxValue,
       s"pageRank: localMaxEdges out of range: $localMaxEdges")
@@ -281,6 +294,15 @@ object WebGraph {
       ranksCache = nextCache
       ranks = next
     }
+    // the iteration scaffolding is dead weight once the final rank
+    // table is materialized — release it so a bracket-less caller (the
+    // graph_pagerank TVF under the session scope) leaks at most the
+    // rank table itself, not the edge frame too. Recompute after an
+    // eviction still works: the lineage re-reads the (now uncached)
+    // parents.
+    eN.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    dangling.unpersist(blocking = false)
     ranks.select(col("node"), col("r").as("rank_fp"),
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
@@ -316,9 +338,12 @@ object WebGraph {
     prior match {
       case None => java.util.Arrays.fill(r, Scale / n)
       case Some(p) =>
+        // null node OR null rank rows drop — exactly what the
+        // distributed init's left join + coalesce does with them
         val pm = p.select(col("node").cast("string"),
             col("rank_fp").cast("long")).collect()
-          .flatMap(x => Option(x.getString(0)).map(_ -> x.getLong(1)))
+          .filter(x => !x.isNullAt(0) && !x.isNullAt(1))
+          .map(x => x.getString(0) -> x.getLong(1))
           .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
         nodeIdx.foreach { case (name, idx) =>
           r(idx) = pm.getOrElse(name, Scale / n)

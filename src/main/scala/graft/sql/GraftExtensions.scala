@@ -413,12 +413,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           val idCol = strLit(idc, "unigram_tokens idCol")
           val textCol = strLit(tc, "unigram_tokens textCol")
           val wf = graft.operators.TextAnalysis.bpeWordFreq(docs, textCol)
-          val vocab = graft.operators.Unigram
-            .seedVocab(wf, vocabSize, maxPieceLen)
-            .select(org.apache.spark.sql.functions.col("piece"),
-              org.apache.spark.sql.functions.col("cost_mu"))
-            .collect().map(r => (r.getString(0), r.getLong(1)))
-            .toIndexedSeq
+          // seed phase bracketed: the vocabulary is collected (fully
+          // materialized), so seedVocab's internal substring cache can
+          // release at bracket exit instead of leaking into the
+          // session scope on every SQL invocation
+          val vocab = graft.CacheScope.withScope { implicit s =>
+            graft.operators.Unigram
+              .seedVocab(wf, vocabSize, maxPieceLen)
+              .select(org.apache.spark.sql.functions.col("piece"),
+                org.apache.spark.sql.functions.col("cost_mu"))
+              .collect().map(r => (r.getString(0), r.getLong(1)))
+              .toIndexedSeq
+          }
           val (_, perDoc) = graft.operators.Unigram.encodeCorpus(
             docs, idCol, textCol, vocab)
           perDoc.queryExecution.logical

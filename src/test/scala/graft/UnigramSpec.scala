@@ -62,6 +62,30 @@ class UnigramSpec extends SparkSpec {
     assert(out(None) === ((None, None, None)))
   }
 
+  test("code-point semantics: supplementary characters stay whole on every path") {
+    val emoji = new String(Character.toChars(0x1F600)) // 2 UTF-16 units
+    // unknown emoji = ONE code point = one unk charge, piece intact
+    val out1 = Unigram.encodeWords(Seq("a" + emoji + "a").toDF("word"),
+        "word", Seq("a" -> 1000000L), unkCostMu = 7000000L)
+      .collect().head
+    assert(out1.getLong(3) === 2000000L + 7000000L)
+    assert(out1.getSeq[String](1) === Seq("a", emoji, "a"))
+    // a vocab piece CONTAINING an emoji matches as one 2-code-point
+    // piece (maxLen measured in code points, not UTF-16 units)
+    val piece = emoji + "x"
+    val out2 = Unigram.encodeWords(Seq(piece).toDF("word"), "word",
+        Seq(piece -> 500000L, "x" -> 1000000L), unkCostMu = 7000000L)
+      .collect().head
+    assert(out2.getInt(2) === 1 && out2.getLong(3) === 500000L)
+    // trainLocal counts seed substrings in code points too: the
+    // 2-unit emoji is one candidate character, protected as a single
+    val m = Unigram.trainLocal(wf((emoji + "b", 5L)), vocabSize = 2,
+      maxPieceLen = 2)
+    assert(m.pieces.map(_._1).contains(emoji))
+    assert(!m.pieces.map(_._1).exists(p =>
+      p.length == 1 && Character.isSurrogate(p.charAt(0))))
+  }
+
   test("trainLocal: EM likelihood is non-decreasing and training is deterministic") {
     val corpus = wf(("abab", 50L), ("ab", 30L), ("abc", 20L),
       ("cab", 10L), ("bc", 5L))

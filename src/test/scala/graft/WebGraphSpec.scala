@@ -13,12 +13,32 @@ class WebGraphSpec extends SparkSpec {
         |<a href="https://a.com/1">one</a>
         |<A CLASS="x" HREF='http://b.co.uk/2?q=1'>two</A>
         |<a name="no-href">none</a>
+        |<a data-href='https://evil.com/not-a-link'>fake</a>
+        |<a href="https://c.com/3" data-href='https://evil.com/x'>mix</a>
         |<a href="/relative">rel</a></html>""".stripMargin
     val out = Seq(html).toDF("h")
       .select(WebGraph.extractHrefs(col("h")).as("hrefs"))
       .head().getSeq[String](0)
-    // double-quoted first, then single-quoted (two regexp passes)
-    assert(out === Seq("https://a.com/1", "/relative", "http://b.co.uk/2?q=1"))
+    // double-quoted first, then single-quoted (two regexp passes);
+    // data-href never fires — not alone, and not as a second target
+    // on an anchor that already matched its real href
+    assert(out === Seq("https://a.com/1", "https://c.com/3",
+      "/relative", "http://b.co.uk/2?q=1"))
+  }
+
+  test("pageRank: weight <= 0 rows drop instead of dividing by zero; all-zero src becomes dangling") {
+    val edges = Seq(("a", "b", 1L), ("z", "a", 0L), ("z", "b", -3L))
+      .toDF("src", "dst", "weight")
+    // z's rows all drop -> z only exists as... no row keeps it alive at
+    // all, so the graph is just a->b; the call must not throw
+    val r = WebGraph.pageRank(edges, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.keySet === Set("a", "b"))
+    // distributed path agrees (same guard on both)
+    val rd = WebGraph.pageRank(edges, iters = 3, damping = 0.85,
+      localMaxEdges = 0L).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(rd === r)
   }
 
   test("domainEdges: self-links and unresolvable domains dropped, weights counted") {
