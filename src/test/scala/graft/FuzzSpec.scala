@@ -95,6 +95,57 @@ class FuzzSpec extends SparkSpec {
     assert(both.filter(not(col("n") === col("c"))).count() === 0)
   }
 
+  test("extractHrefs/anchorTexts: arbitrary tag soup never throws, outputs stay well-formed") {
+    import graft.operators.WebGraph
+    import spark.implicits._
+    val soup = "<a> href = \" ' </a><A HREF='>\"<ahref<<>> =”中🙂"
+    val htmls = (1 to 300).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ => soup(rnd.nextInt(soup.length)))
+        .mkString
+    } ++ Seq(null, "", "<a href=", "<a href=\"unterminated",
+      "<a href=''></a>", "<a\thref='x'>t</a>")
+    val df = htmls.zipWithIndex.map { case (h, i) =>
+      (s"https://h$i.com/p", h) }.toDF("url", "html")
+    // no throw, and every emitted href/anchor obeys its charset rule
+    val hrefs = df.select(explode(WebGraph.extractHrefs(col("html")))
+      .as("h")).collect().map(_.getString(0))
+    hrefs.foreach(h => assert(!h.contains("\"") || !h.contains("'")))
+    val anchors = WebGraph.anchorTexts(df, "url", "html").collect()
+    anchors.foreach { r =>
+      assert(r.getString(1).nonEmpty && !r.getString(1).contains("<"))
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
+  test("unigram Viterbi: random unicode words always cover the word exactly, never throw") {
+    import graft.operators.Unigram
+    import spark.implicits._
+    val alphabet = "abé中🙂x "
+    val words = (1 to 300).map { _ =>
+      val cps = (0 until rnd.nextInt(12)).map { _ =>
+        alphabet.codePointAt(
+          alphabet.offsetByCodePoints(0,
+            rnd.nextInt(alphabet.codePointCount(0, alphabet.length))))
+      }
+      cps.map(Character.toChars(_).mkString).mkString.trim
+    }.filter(_.nonEmpty) ++ Seq("🙂🙂🙂", "中a中")
+    val vocab = Seq("a" -> 900000L, "b" -> 1200000L, "ab" -> 1400000L,
+      "中" -> 2000000L, "é" -> 1500000L)
+    val out = Unigram.encodeWords(words.distinct.toDF("word"), "word",
+      vocab, unkCostMu = 9000000L).collect()
+    out.foreach { r =>
+      val w = r.getString(0)
+      val pieces = r.getSeq[String](1)
+      assert(pieces.mkString === w, s"cover broke on '$w'")
+      assert(r.getInt(2) === pieces.size)
+      // every piece is whole code points — no lone surrogates ever
+      pieces.foreach { p =>
+        assert(!Character.isLowSurrogate(p.charAt(0)))
+        assert(!Character.isHighSurrogate(p.charAt(p.length - 1)))
+      }
+    }
+  }
+
   test("normalizeKey/cleanText: idempotent under re-application") {
     val inputs = (1 to 200).map(_ => randString(rnd.nextInt(20))) :+ null
     val out = strDf(inputs).select(
