@@ -307,6 +307,200 @@ object WebGraph {
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
 
+  /** HITS hubs & authorities over a weighted edge list `(src, dst,
+    * weight)` — Kleinberg 1999 (JACM 46(5), "Authoritative sources in a
+    * hyperlinked environment"; public literature). PageRank scores a
+    * domain by the rank of who links TO it; HITS separates the two
+    * roles a curation prior actually wants distinguished: an AUTHORITY
+    * (many good hubs point at it — the quality signal for corpus
+    * inclusion) vs a HUB (points at many good authorities — link farms
+    * and directories score high hub / low authority, which is itself a
+    * spam feature).
+    *
+    * Update rule, `iters` full mutual-reinforcement steps from the
+    * uniform vector (all integer math at [[Scale]] fixed point; `div`
+    * truncating, every operand non-negative; L1 normalization — each
+    * vector re-sums to [[Scale]] per step, the convergence guarantee of
+    * the power iteration without the sqrt an L2 norm would force out of
+    * integer arithmetic):
+    * {{{
+    *   araw(v) = Σ over in-edges (u,v):  h(u) * w(u,v)
+    *   a(v)    = (araw(v) * Scale) div (Σ araw)     [0 when the sum is 0]
+    *   hraw(u) = Σ over out-edges (u,v): a(v) * w(u,v)
+    *   h(u)    = (hraw(u) * Scale) div (Σ hraw)
+    * }}}
+    * Truncation leaks ≤ 1 unit per node per normalization —
+    * deterministic, same floors every run, so the result is
+    * bit-identical across partition counts and replayable by the DuckDB
+    * oracle (HUGEINT arithmetic, iterations unrolled as CTEs).
+    *
+    * Overflow posture: per-edge products stay in longs under the same
+    * headroom bound [[Scale]] documents for PageRank (per-node total
+    * out-weight below Long.MaxValue / Scale ≈ 9.2e6); the DISTRIBUTED
+    * raw-contribution sums accumulate as DECIMAL(38,0) — exact integers,
+    * so the paths agree bit for bit — and the normalization multiplies
+    * into 128-bit decimal before the integral divide, so the re-scale
+    * can never wrap even at the bound.
+    *
+    * Scale shape mirrors [[pageRank]]: the edge frame is cached twice,
+    * hash-partitioned by `src` (the a-step joins hubs on src) and by
+    * `dst` (the h-step joins authorities on dst); each step shuffles
+    * only the score table into those fixed partitionings, aggregates
+    * with map-side combine, rides the normalizing total in-plan as a
+    * broadcast one-row aggregate, and materializes per step so the plan
+    * never compounds. Graphs at or under `localMaxEdges` rows take the
+    * driver-local integer loop instead (the wg2 lesson: ten Spark jobs
+    * for microseconds of arithmetic is pure scheduling tax) — the two
+    * paths are spec-pinned bit-identical. Null/non-positive-weight rows
+    * drop on both paths, like [[pageRank]].
+    *
+    * Returns `(node, auth_fp, hub_fp, auth, hub)` — the exact
+    * fixed-point longs plus their double views.
+    */
+  def hits(edges: DataFrame, iters: Int = 5,
+      localMaxEdges: Long = 262144L)
+      (implicit scope: CacheScope = CacheScope.session): DataFrame = {
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"),
+      col("weight").cast("long").as("weight"))
+      .filter(col("src").isNotNull && col("dst").isNotNull
+        && col("weight").isNotNull && col("weight") > 0)
+
+    require(localMaxEdges >= 0 && localMaxEdges < Int.MaxValue,
+      s"hits: localMaxEdges out of range: $localMaxEdges")
+    if (localMaxEdges > 0) {
+      val probe = e.limit((localMaxEdges + 1).toInt)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (probe.length <= localMaxEdges)
+        return hitsLocal(edges.sparkSession, probe, iters)
+    }
+
+    val eSrc = scope.cache(e.repartition(col("src")))
+    val eDst = scope.cache(e.repartition(col("dst")))
+    val nodes = scope.cache(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
+    val n = nodes.count()
+    if (n == 0)
+      return nodes.select(col("node"), lit(0L).as("auth_fp"),
+        lit(0L).as("hub_fp"), lit(0.0).as("auth"), lit(0.0).as("hub"))
+
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame): (DataFrame, DataFrame) = {
+      val cached = scope.cache(df)
+      cached.count()
+      (cached, spark.createDataFrame(cached.rdd, cached.schema))
+    }
+    // raw sums as exact DECIMAL(38,0); normalize = (raw * Scale) div tot
+    // in 128-bit decimal, landing back in a long ≤ Scale
+    def normalized(raw: DataFrame, rawCol: String): DataFrame = {
+      val tot = raw.agg(coalesce(sum(col(rawCol)),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          when(col("tot") === 0L, 0L)
+            .otherwise(expr(s"(coalesce($rawCol, cast(0 as " +
+              s"decimal(38,0))) * ${Scale}L) div tot")).as("s"))
+    }
+    var (hCache, h) = materialize(
+      nodes.select(col("node"), lit(Scale / n).as("s")))
+    var aCache: DataFrame = null
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = h.join(eSrc, h("node") === eSrc("src"))
+        .select(col("dst"), expr("cast(s as decimal(38,0)) * weight")
+          .as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("raw"))
+        .select(col("dst").as("node"), col("raw"))
+      val (na, naRef) = materialize(normalized(araw, "raw"))
+      if (aCache != null) aCache.unpersist(blocking = false)
+      aCache = na
+      a = naRef
+      val hraw = a.join(eDst, a("node") === eDst("dst"))
+        .select(col("src"), expr("cast(s as decimal(38,0)) * weight")
+          .as("c"))
+        .groupBy(col("src")).agg(sum(col("c")).as("raw"))
+        .select(col("src").as("node"), col("raw"))
+      val (nh, nhRef) = materialize(normalized(hraw, "raw"))
+      hCache.unpersist(blocking = false)
+      hCache = nh
+      h = nhRef
+    }
+    eSrc.unpersist(blocking = false)
+    eDst.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    a.select(col("node"), col("s").as("auth_fp"))
+      .join(h.select(col("node"), col("s").as("hub_fp")), Seq("node"))
+      .select(col("node"), col("auth_fp"), col("hub_fp"),
+        (col("auth_fp").cast("double") / lit(Scale.toDouble)).as("auth"),
+        (col("hub_fp").cast("double") / lit(Scale.toDouble)).as("hub"))
+  }
+
+  /** Driver-local integer HITS over a collected edge array — the same
+    * update rule as the distributed loop, operation for operation
+    * (exact integer sums commute; BigInt only at the normalization
+    * multiply, exactly where the distributed path goes 128-bit).
+    * Bounded by `localMaxEdges` rows — control-plane scale, the
+    * [[pageRankLocal]] posture. */
+  private def hitsLocal(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(String, String, Long)], iters: Int): DataFrame = {
+    import spark.implicits._
+    val nodeIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
+    rows.foreach { case (s, d, _) =>
+      nodeIdx.getOrElseUpdate(s, nodeIdx.size)
+      nodeIdx.getOrElseUpdate(d, nodeIdx.size)
+    }
+    val n = nodeIdx.size.toLong
+    if (n == 0L)
+      return Seq.empty[(String, Long, Long, Double, Double)]
+        .toDF("node", "auth_fp", "hub_fp", "auth", "hub")
+    val nn = nodeIdx.size
+    val srcI = rows.map(r => nodeIdx(r._1))
+    val dstI = rows.map(r => nodeIdx(r._2))
+    val w = rows.map(_._3)
+    val a = new Array[Long](nn)
+    val h = new Array[Long](nn)
+    java.util.Arrays.fill(h, Scale / n)
+    val scaleB = BigInt(Scale)
+    def normalize(raw: Array[Long], into: Array[Long]): Unit = {
+      var tot = BigInt(0)
+      var i = 0
+      while (i < nn) { tot += raw(i); i += 1 }
+      i = 0
+      if (tot == 0) java.util.Arrays.fill(into, 0L)
+      else while (i < nn) {
+        into(i) = (BigInt(raw(i)) * scaleB / tot).toLong
+        i += 1
+      }
+    }
+    var it = 0
+    while (it < iters) {
+      val araw = new Array[Long](nn)
+      var k = 0
+      while (k < rows.length) {
+        araw(dstI(k)) += h(srcI(k)) * w(k)
+        k += 1
+      }
+      normalize(araw, a)
+      val hraw = new Array[Long](nn)
+      k = 0
+      while (k < rows.length) {
+        hraw(srcI(k)) += a(dstI(k)) * w(k)
+        k += 1
+      }
+      normalize(hraw, h)
+      it += 1
+    }
+    nodeIdx.iterator
+      .map { case (name, idx) =>
+        (name, a(idx), h(idx), a(idx).toDouble / Scale.toDouble,
+          h(idx).toDouble / Scale.toDouble) }
+      .toSeq.toDF("node", "auth_fp", "hub_fp", "auth", "hub")
+  }
+
   /** Driver-local integer PageRank over a collected edge array — the
     * same update rule as the distributed loop, operation for operation
     * (long sums commute, so the paths are bit-identical; spec-pinned

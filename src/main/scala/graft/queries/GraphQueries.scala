@@ -93,6 +93,19 @@ object GraphQueries {
         .orderBy(col("dst"))
     }),
 
+    // ---- HITS hubs & authorities over the same edges --------------------
+    // 5 mutual-reinforcement steps at 1e12 fixed point, L1-normalized
+    // per step; the gate hashes the exact (auth_fp, hub_fp) longs, so a
+    // drift anywhere — a missed normalization, a float sneaking in, a
+    // changed truncation point — is a hash miss. The oracle unrolls the
+    // identical integer arithmetic in HUGEINT CTEs.
+    "wg4_hits" -> ((s, d) => {
+      val edges = WebGraph.domainEdges(synthPages(s, d), "url", "html")
+      WebGraph.hits(edges, iters = 5)
+        .select(col("node"), col("auth_fp"), col("hub_fp"))
+        .orderBy(col("node"))
+    }),
+
     // ---- the same computation driven through SQL TEXT (the TVF) ---------
     // Shares wg2's oracle: a SQL user pointing graph_pagerank at the
     // same edge list must get the same fixed-point longs.
@@ -171,6 +184,46 @@ object GraphQueries {
        |$steps""".stripMargin
   }
 
+  /** Unrolled fixed-point HITS iterations — the same integer arithmetic
+    * as [[WebGraph.hits]], step for step, in HUGEINT (the engine's
+    * DECIMAL(38,0) sums / BigInt normalization). `aa{k}`/`hh{k}` are the
+    * L1-normalized authority/hub vectors after k full steps; every CTE
+    * is MATERIALIZED (each is referenced twice — the wg2 inlining
+    * lesson). */
+  private def hitsCtes(iters: Int, scaleL: Long): String = {
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    CAST(sum(CAST(h.s AS HUGEINT) * e.weight) AS HUGEINT) AS raw
+         |  FROM hh$p h JOIN edges e ON e.src = h.node GROUP BY 1),
+         |at$i AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(raw), 0) AS HUGEINT) AS t FROM ar$i),
+         |aa$i AS MATERIALIZED (
+         |  SELECT n.node, CAST(CASE WHEN (SELECT t FROM at$i) = 0 THEN 0
+         |    ELSE (CAST(coalesce(r.raw, 0) AS HUGEINT) * $scaleL)
+         |      // (SELECT t FROM at$i) END AS BIGINT) AS s
+         |  FROM nodes n LEFT JOIN ar$i r ON n.node = r.node),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.src AS node,
+         |    CAST(sum(CAST(a.s AS HUGEINT) * e.weight) AS HUGEINT) AS raw
+         |  FROM aa$i a JOIN edges e ON e.dst = a.node GROUP BY 1),
+         |ht$i AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(raw), 0) AS HUGEINT) AS t FROM hr$i),
+         |hh$i AS MATERIALIZED (
+         |  SELECT n.node, CAST(CASE WHEN (SELECT t FROM ht$i) = 0 THEN 0
+         |    ELSE (CAST(coalesce(r.raw, 0) AS HUGEINT) * $scaleL)
+         |      // (SELECT t FROM ht$i) END AS BIGINT) AS s
+         |  FROM nodes n LEFT JOIN hr$i r ON n.node = r.node)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS MATERIALIZED (SELECT src AS node FROM edges
+       |  UNION SELECT dst FROM edges),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |hh0 AS MATERIALIZED (SELECT node,
+       |  CAST($scaleL // (SELECT n FROM nn) AS BIGINT) AS s FROM nodes),
+       |$steps""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "wg1_link_edges" ->
       s"""WITH $edgeCtes
@@ -187,6 +240,14 @@ object GraphQueries {
          |${pageRankCtes(iters = 10, scaleL = WebGraph.Scale, dmill = 850L)}
          |SELECT node, CAST(r AS BIGINT) AS rank_fp
          |FROM r10 ORDER BY node""".stripMargin,
+
+    "wg4_hits" ->
+      s"""WITH $edgeCtes,
+         |${hitsCtes(iters = 5, scaleL = WebGraph.Scale)}
+         |SELECT a.node, CAST(a.s AS BIGINT) AS auth_fp,
+         |  CAST(h.s AS BIGINT) AS hub_fp
+         |FROM aa5 a JOIN hh5 h ON a.node = h.node
+         |ORDER BY a.node""".stripMargin,
 
     "sql7_sql_pagerank" ->
       s"""WITH $edgeCtes,

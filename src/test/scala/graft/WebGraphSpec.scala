@@ -209,4 +209,98 @@ class WebGraphSpec extends SparkSpec {
     val empty = Seq.empty[(String, String, Long)].toDF("src", "dst", "weight")
     assert(WebGraph.pageRank(empty, iters = 3).count() === 0)
   }
+
+  test("hits: bipartite graph separates the roles — pure sources are hubs, pure sinks are authorities") {
+    // h1,h2 -> a1,a2,a3 (h2 links all three, h1 only two)
+    val edges = Seq(("h1", "a1", 1L), ("h1", "a2", 1L), ("h2", "a1", 1L),
+      ("h2", "a2", 1L), ("h2", "a3", 1L)).toDF("src", "dst", "weight")
+    val r = WebGraph.hits(edges, iters = 5).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // pure sources: zero authority; pure sinks: zero hub
+    assert(r("h1")._1 === 0L && r("h2")._1 === 0L)
+    assert(r("a1")._2 === 0L && r("a3")._2 === 0L)
+    // the bigger hub outranks; the doubly-linked authorities outrank a3
+    assert(r("h2")._2 > r("h1")._2)
+    assert(r("a1")._1 > r("a3")._1)
+    assert(r("a1")._1 === r("a2")._1)
+    // L1 normalization: each vector sums to Scale minus truncation leak
+    val aTot = r.values.map(_._1).sum
+    val hTot = r.values.map(_._2).sum
+    assert(aTot <= WebGraph.Scale && aTot > WebGraph.Scale - 1000L)
+    assert(hTot <= WebGraph.Scale && hTot > WebGraph.Scale - 1000L)
+  }
+
+  test("hits: weighted edges tilt authority proportionally") {
+    val edges = Seq(("s", "x", 3L), ("s", "y", 1L)).toDF("src", "dst", "weight")
+    val r = WebGraph.hits(edges, iters = 1).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // one step: araw(x)=3h0, araw(y)=h0 -> a(x)=3/4 Scale, a(y)=1/4
+    assert(r("x")._1 === WebGraph.Scale / 4 * 3)
+    assert(r("y")._1 === WebGraph.Scale / 4)
+    // s is the only hub
+    assert(r("s")._2 === WebGraph.Scale)
+    assert(r("s")._1 === 0L)
+  }
+
+  test("hits: bit-identical across partition layouts AND across the local/distributed paths") {
+    val base = (0 until 400).map { i =>
+      (s"n${i % 37}", s"n${(i * 7 + 3) % 37}", (i % 5 + 1).toLong)
+    }.filter(t => t._1 != t._2)
+    val e1 = base.toDF("src", "dst", "weight").repartition(1)
+    val e2 = base.toDF("src", "dst", "weight").repartition(13)
+    def run(df: org.apache.spark.sql.DataFrame, localMax: Long) =
+      CacheScope.withScope { _ =>
+        WebGraph.hits(df, iters = 4, localMaxEdges = localMax)
+          .orderBy("node")
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2))).toSeq
+      }
+    val local = run(e1, 262144L)
+    assert(local === run(e2, 262144L))
+    // localMaxEdges = 0 forces the distributed decimal-sum iteration —
+    // it must agree with the BigInt local loop bit for bit
+    assert(local === run(e1, 0L))
+    assert(local === run(e2, 0L))
+  }
+
+  test("hits: null / non-positive-weight rows drop; empty graph returns empty") {
+    val edges = Seq(("a", "b", 1L), ("z", "a", 0L), ("z", "b", -3L))
+      .toDF("src", "dst", "weight")
+    val r = WebGraph.hits(edges, iters = 3).collect()
+      .map(x => x.getString(0)).toSet
+    assert(r === Set("a", "b"))
+    val empty = Seq.empty[(String, String, Long)].toDF("src", "dst", "weight")
+    assert(WebGraph.hits(empty, iters = 2).count() === 0)
+    assert(WebGraph.hits(empty, iters = 2, localMaxEdges = 0L).count() === 0)
+  }
+
+  test("hits: matches a driver-side double-precision reference within fixed-point tolerance") {
+    val edges = Seq(
+      ("a", "b", 1L), ("a", "c", 2L), ("b", "c", 1L), ("c", "a", 1L),
+      ("d", "a", 1L)).toDF("src", "dst", "weight")
+    val got = WebGraph.hits(edges, iters = 12).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1).toDouble / WebGraph.Scale,
+          r.getLong(2).toDouble / WebGraph.Scale)).toMap
+    // plain double-precision L1-normalized HITS of the same rule
+    val nodes = Seq("a", "b", "c", "d")
+    val es = Seq(("a", "b", 1.0), ("a", "c", 2.0), ("b", "c", 1.0),
+      ("c", "a", 1.0), ("d", "a", 1.0))
+    var a = nodes.map(_ -> 0.25).toMap
+    var h = nodes.map(_ -> 0.25).toMap
+    for (_ <- 1 to 12) {
+      val araw = nodes.map(v =>
+        v -> es.collect { case (u, `v`, w) => h(u) * w }.sum).toMap
+      val at = araw.values.sum
+      a = araw.view.mapValues(_ / at).toMap
+      val hraw = nodes.map(u =>
+        u -> es.collect { case (`u`, v, w) => a(v) * w }.sum).toMap
+      val ht = hraw.values.sum
+      h = hraw.view.mapValues(_ / ht).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v)._1 - a(v)) < 1e-6, s"auth $v: ${got(v)._1} vs ${a(v)}")
+      assert(math.abs(got(v)._2 - h(v)) < 1e-6, s"hub $v: ${got(v)._2} vs ${h(v)}")
+    }
+  }
 }
