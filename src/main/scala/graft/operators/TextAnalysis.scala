@@ -1673,4 +1673,53 @@ object TextAnalysis {
       .select(col(idCol), col("pred"), col("score_micros"),
         col("margin_micros"))
   }
+
+  /** Tokenizer fertility / compression profile per group (typically per
+    * language) — the standard tokenizer-evaluation report: FERTILITY
+    * (subword tokens per whitespace word; Ács 2019 popularized the
+    * metric, SentencePiece/XLM-style multilingual work reports it per
+    * language because a vocabulary trained on one language fragments
+    * the others) and BYTES PER TOKEN (the compression the token budget
+    * actually buys — what "how many tokens is 100 TB?" divides by).
+    *
+    * Tokenizer-agnostic: `perDocTokens` is any `(idCol, n_tok)` frame —
+    * [[graft.operators.Unigram.encodeCorpus]], [[bpeEncodeCorpus]], or
+    * a WordPiece pass all fit. Word and byte counts come from the raw
+    * text (whitespace words over lower/trim — the same word definition
+    * every tokenizer here segments; bytes = UTF-8 octets of the
+    * untrimmed text). Null group keys report as 'und', the dataset-card
+    * convention.
+    *
+    * Scale shape: one narrow projection over the corpus (id, group,
+    * two counters), one equi-join on the id against the per-doc token
+    * counts (both sides already partitioned by the id if the tokenizer
+    * output was), and one partial-agged groupBy on the group key —
+    * group cardinality is languages, so the final shuffle is bounded.
+    * Ratios divide exact long sums as doubles at the very end —
+    * IEEE-identical cross-engine, no accumulation drift. */
+  def tokenFertility(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, perDocTokens: DataFrame): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val base = docs.select(col(idCol),
+      coalesce(col(groupCol).cast("string"), lit("und")).as("__grp"),
+      size(filter(split(lower(trim(txt)), "\\s+"), w => w =!= ""))
+        .cast("long").as("__words"),
+      octet_length(txt).cast("long").as("__bytes"))
+    base
+      .join(perDocTokens.select(col(idCol),
+        col("n_tok").cast("long").as("__tok")), Seq(idCol), "left")
+      .groupBy(col("__grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__words")).as("n_words"),
+        sum(coalesce(col("__tok"), lit(0L))).as("n_tokens"),
+        sum(col("__bytes")).as("n_bytes"))
+      .select(col("__grp").as(groupCol), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_bytes"),
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise(col("n_tokens").cast("double") /
+            col("n_words").cast("double")).as("fertility"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("n_bytes").cast("double") /
+            col("n_tokens").cast("double")).as("bytes_per_token"))
+  }
 }

@@ -1004,6 +1004,28 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- tokenizer fertility / compression profile per language ---------
+    // The tokenizer-evaluation report: per-lang fertility (subword
+    // tokens per whitespace word) and bytes-per-token over the
+    // corpus-seeded unigram vocabulary. The oracle re-derives the whole
+    // chain — seed selection, the Viterbi DP, the per-doc composition,
+    // AND the word/byte counters — so the ratios hash-match as exact
+    // IEEE divisions of exact long sums.
+    "t19_token_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val wf = TextAnalysis.bpeWordFreq(docs, "text")
+      val vocab = graft.CacheScope.withScope { implicit sc =>
+        Unigram.seedVocab(wf, vocabSize = 200, maxPieceLen = 8)
+          .select(col("piece"), col("cost_mu")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+      }
+      val (_, perDoc) = Unigram.encodeCorpus(docs, "doc_id", "text",
+        vocab)(graft.CacheScope.session)
+      TextAnalysis.tokenFertility(docs, "doc_id", "text", "lang", perDoc)
+        .orderBy(col("lang"))
+    }),
+
     // ---- the same tokenize-a-corpus story driven through SQL TEXT -------
     // unigram_tokens seeds its vocabulary from the corpus ITSELF (no
     // hex-word universe here — the TVF is the one-call path a SQL user
@@ -2224,6 +2246,42 @@ object CurationQueries {
          |  coalesce(a.score_mu, CAST(0 AS BIGINT)) AS score_mu
          |FROM documents d LEFT JOIN t18agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // fertility: the sql8 chain (corpus-word universe, full DP replay)
+    // composed with independently-derived word/byte counters; ratios
+    // are single IEEE divisions of exact long sums — cross-engine
+    // stable without any rounding protocol
+    "t19_token_fertility" ->
+      s"""WITH ${OracleFragments.unigramCtes("documents", "text", 200, 8,
+            8, withDp = true, withHex = false)},
+         |t18dw AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(
+         |    trim(coalesce(text, ''))), '\\s+'), x -> x <> '')) AS word
+         |  FROM documents),
+         |t18agg AS (
+         |  SELECT dw.doc_id, CAST(sum(g.n_pieces) AS BIGINT) AS n_tok
+         |  FROM t18dw dw JOIN t18seg g USING (word) GROUP BY 1),
+         |t19b AS (
+         |  SELECT doc_id, coalesce(lang, 'und') AS lang,
+         |    CAST(length(list_filter(string_split_regex(lower(trim(
+         |      coalesce(text, ''))), '\\s+'), x -> x <> '')) AS BIGINT)
+         |      AS n_words,
+         |    CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |t19a AS (
+         |  SELECT b.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(b.n_words) AS BIGINT) AS n_words,
+         |    CAST(sum(coalesce(a.n_tok, 0)) AS BIGINT) AS n_tokens,
+         |    CAST(sum(b.n_bytes) AS BIGINT) AS n_bytes
+         |  FROM t19b b LEFT JOIN t18agg a USING (doc_id) GROUP BY 1)
+         |SELECT lang, n_docs, n_words, n_tokens, n_bytes,
+         |  CASE WHEN n_words = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) END
+         |    AS fertility,
+         |  CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE) END
+         |    AS bytes_per_token
+         |FROM t19a ORDER BY lang""".stripMargin,
 
     // the TVF path: same DP replay, text-word universe only
     "sql8_sql_unigram" ->

@@ -162,4 +162,35 @@ class UnigramSpec extends SparkSpec {
           r.getLong(3))).toSeq
     assert(run(1) === run(7))
   }
+
+  test("tokenFertility: per-group word/byte/token counters, 'und' fallback, zero-word guard") {
+    import graft.operators.TextAnalysis
+    // doc 1 (en): 2 words, doc 2 (en): 1 word, doc 3 (null lang): 1
+    // word, doc 4 (de): null text -> 0 words 0 bytes; "é" is 2 UTF-8
+    // bytes so byte counting is octet- not char-based
+    val docs = Seq(
+      (1L, Some("ab ab"), Some("en")),
+      (2L, Some("abé"), Some("en")),
+      (3L, Some("b"), None),
+      (4L, None, Some("de"))).toDF("doc_id", "text", "lang")
+    val perTok = Seq((1L, 4), (2L, 2), (3L, 1), (4L, 0))
+      .toDF("doc_id", "n_tok")
+    val out = TextAnalysis.tokenFertility(docs, "doc_id", "text",
+        "lang", perTok)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // de: the null-text doc -> all-zero counters, 0.0 ratios (guards)
+    assert(out(0) === (("de", 1L, 0L, 0L, 0L, 0.0, 0.0)))
+    // en: 3 words, 6 tokens, bytes = 5 + 4 ("abé" = 4 octets)
+    assert(out(1) === (("en", 2L, 3L, 6L, 9L, 2.0, 1.5)))
+    // null lang reports as 'und'
+    assert(out(2) === (("und", 1L, 1L, 1L, 1L, 1.0, 1.0)))
+    // a doc missing from the token frame counts 0 tokens, not a drop
+    val sparse = TextAnalysis.tokenFertility(docs, "doc_id", "text",
+        "lang", perTok.filter($"doc_id" =!= 2L))
+      .filter($"lang" === "en").collect().head
+    assert(sparse.getLong(3) === 4L)
+    assert(sparse.getLong(1) === 2L)
+  }
 }
