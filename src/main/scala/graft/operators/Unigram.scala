@@ -306,7 +306,7 @@ object Unigram {
     * replay (DuckDB `substring`) both do; indexing by UTF-16 units
     * would split a supplementary character into two lone surrogates
     * and double-charge it. */
-  private def cpOffsets(w: String): Array[Int] = {
+  private[operators] def cpOffsets(w: String): Array[Int] = {
     val out = new Array[Int](w.codePointCount(0, w.length) + 1)
     var i = 0
     var k = 0

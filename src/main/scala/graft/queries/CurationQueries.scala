@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.expressions.FreqSketchExpr
-import graft.operators.{Curation, Dedup, TextAnalysis, Unigram}
+import graft.operators.{Curation, Dedup, TextAnalysis, Unigram, WordPiece}
 import graft.ops.CountMin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -61,6 +61,12 @@ object CurationQueries {
     Unigram.seedVocab(t18WordFreq(s, d), vocabSize = 200, maxPieceLen = 8)
       .select(col("piece"), col("cost_mu")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+
+  /** The frozen t20 WordPiece vocabulary over the same word universe
+    * (bounded — singles of both forms + 200 multis). */
+  private def t20Vocab(s: SparkSession, d: String): Seq[String] =
+    WordPiece.vocab(t18WordFreq(s, d), vocabSize = 200, maxPieceLen = 8)
+      .select(col("piece")).collect().map(_.getString(0)).toIndexedSeq
 
   def queries: Map[String, Q] = Map(
     // ---- near-dup CLUSTERS (transitive closure over pair output) ------
@@ -1001,6 +1007,38 @@ object CurationQueries {
       val (_, perDoc) = Unigram.encodeCorpus(docs, "doc_id", "text",
         t18Vocab(s, d))(graft.CacheScope.session)
       perDoc.select(col("doc_id"), col("n_tok"), col("score_mu"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- WordPiece: the third subword family (BERT's tokenizer) ---------
+    // t20 pins vocabulary selection (positional-form substring counts,
+    // both-form single coverage, top-K ties); t20b pins the greedy
+    // longest-match-first encode per word — the oracle replays every
+    // match step as an unrolled CTE chain, so a wrong match length, a
+    // kept partial segmentation, or a mis-formed continuation piece is
+    // a hash miss; t20c pins the corpus composition (UTF8-ranked token
+    // ids, per-doc order, [UNK] accounting).
+    "t20_wordpiece_vocab" -> ((s, d) => {
+      WordPiece.vocab(t18WordFreq(s, d), vocabSize = 200,
+        maxPieceLen = 8).orderBy(col("piece"))
+    }),
+
+    "t20b_wordpiece_encode" -> ((s, d) => {
+      WordPiece.encodeWords(t18WordFreq(s, d).select(col("word")),
+          "word", t20Vocab(s, d))
+        .select(col("word"), col("n_pieces"),
+          concat_ws(" ", col("pieces")).as("segmented"),
+          col("is_unk").cast("int").as("is_unk"))
+        .orderBy(col("word"))
+    }),
+
+    "t20c_wordpiece_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val (_, perDoc) = WordPiece.encodeCorpus(docs, "doc_id", "text",
+        t20Vocab(s, d))(graft.CacheScope.session)
+      perDoc.select(col("doc_id"), col("n_tok"), col("n_unk"),
+          concat_ws(" ", transform(col("token_ids"),
+            i => i.cast("string"))).as("token_str"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2246,6 +2284,75 @@ object CurationQueries {
          |  coalesce(a.score_mu, CAST(0 AS BIGINT)) AS score_mu
          |FROM documents d LEFT JOIN t18agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // vocabulary selection replayed from first principles: positional
+    // substring counts (initial vs ##-continuation forms), both-form
+    // single-char coverage, (cnt DESC, piece ASC) top-K
+    "t20_wordpiece_vocab" ->
+      s"""WITH ${OracleFragments.wordpieceCtes("documents", "text", 200,
+            8, 24, withChain = false)}
+         |SELECT piece, cnt FROM wpv ORDER BY piece""".stripMargin,
+
+    // the greedy longest-match-first encode, every step replayed: a
+    // word reaches wpseg only by matching through its END; stalled
+    // words surface as [UNK] via the LEFT JOIN — partial matches
+    // discarded, exactly the engine's contract
+    "t20b_wordpiece_encode" ->
+      s"""WITH ${OracleFragments.wordpieceCtes("documents", "text", 200,
+            8, 24, withChain = true)}
+         |SELECT w.word,
+         |  CAST(coalesce(s.n_pieces, 1) AS INTEGER) AS n_pieces,
+         |  coalesce(s.segmented, '[UNK]') AS segmented,
+         |  CAST(CASE WHEN s.word IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         |    AS is_unk
+         |FROM wpwords w LEFT JOIN wpseg s ON s.word = w.word
+         |ORDER BY w.word""".stripMargin,
+
+    // corpus composition: used-symbol ranking over the pieces CORPUS
+    // words actually emit ([UNK] ranks like any symbol), per-word id
+    // strings, per-doc concatenation in word order, [UNK] occurrence
+    // counts — the t14e replay pattern over the greedy segmentation
+    "t20c_wordpiece_corpus" ->
+      s"""WITH ${OracleFragments.wordpieceCtes("documents", "text", 200,
+            8, 24, withChain = true)},
+         |t20dwx AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(coalesce(text,
+         |      ''))), '\\s+'), x -> x <> '') AS __ws
+         |  FROM documents),
+         |t20dw AS (
+         |  SELECT doc_id, i AS wpos, __ws[i] AS word
+         |  FROM t20dwx, unnest(generate_series(1, len(__ws))) t(i)),
+         |t20w AS (SELECT DISTINCT word FROM t20dw),
+         |t20wp AS (
+         |  SELECT p.word, p.k, p.piece, 0 AS unk
+         |  FROM wppieces p JOIN wpdone d ON d.word = p.word
+         |  JOIN t20w c ON c.word = p.word
+         |  UNION ALL
+         |  SELECT c.word, 1 AS k, '[UNK]' AS piece, 1 AS unk
+         |  FROM t20w c LEFT JOIN wpdone d ON d.word = c.word
+         |  WHERE d.word IS NULL),
+         |t20sym AS (
+         |  SELECT piece, row_number() OVER (ORDER BY piece) - 1
+         |    AS token_id
+         |  FROM (SELECT DISTINCT piece FROM t20wp)),
+         |t20wid AS (
+         |  SELECT wp.word,
+         |    string_agg(CAST(s.token_id AS VARCHAR), ' ' ORDER BY wp.k)
+         |      AS idstr,
+         |    count(*) AS ntok, max(wp.unk) AS wunk
+         |  FROM t20wp wp JOIN t20sym s ON s.piece = wp.piece
+         |  GROUP BY 1),
+         |t20agg AS (
+         |  SELECT d.doc_id, CAST(sum(w.ntok) AS INTEGER) AS n_tok,
+         |    CAST(sum(w.wunk) AS INTEGER) AS n_unk,
+         |    string_agg(w.idstr, ' ' ORDER BY d.wpos) AS token_str
+         |  FROM t20dw d JOIN t20wid w ON w.word = d.word GROUP BY 1)
+         |SELECT x.doc_id, coalesce(a.n_tok, 0) AS n_tok,
+         |  coalesce(a.n_unk, 0) AS n_unk,
+         |  coalesce(a.token_str, '') AS token_str
+         |FROM documents x LEFT JOIN t20agg a ON a.doc_id = x.doc_id
+         |ORDER BY x.doc_id""".stripMargin,
 
     // fertility: the sql8 chain (corpus-word universe, full DP replay)
     // composed with independently-derived word/byte counters; ratios

@@ -460,6 +460,99 @@ object OracleFragments {
     (base +: iters).mkString(",\n")
   }
 
+  /** WordPiece rebuild over `corpus(doc_id, <textCol>)` — mirrors
+    * [[graft.operators.WordPiece]] step for step. The seed CTEs
+    * (`wpw(word, freq)` → `wpsubs` positional substring counts →
+    * `wpv(piece, cnt)` the kept vocabulary: all single-char pieces of
+    * both forms + top-`vocabSize` multis by (cnt DESC, piece ASC))
+    * replay [[graft.operators.WordPiece.vocab]]; when `withChain`, the
+    * greedy longest-match-first encode unrolls as one CTE pair per
+    * consumed piece — `wpm{k}` is step k's longest match per in-flight
+    * word (`row_number` by match length DESC; at a fixed position only
+    * one piece per length can match, so the ordering is total), `wps{k}`
+    * the words still unfinished — terminating in `wpdone(word,
+    * n_pieces)` for words that reached their end and `wpseg(word,
+    * n_pieces, segmented)` with the emitted pieces in order. Words
+    * absent from `wpdone` stalled at some position: they are `[UNK]`
+    * (the caller's LEFT JOIN supplies that row — partial matches are
+    * discarded, the BERT contract). `maxSteps` must be ≥ the longest
+    * word (each step consumes ≥ 1 char). Every chain CTE is
+    * MATERIALIZED (the wg2 inlining lesson). */
+  def wordpieceCtes(corpus: String, textCol: String, vocabSize: Int,
+      maxPieceLen: Int, maxSteps: Int, withChain: Boolean,
+      withHex: Boolean = true): String = {
+    val hexBranch = if (withHex)
+      s"""
+         |    UNION ALL
+         |    SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1,
+         |      CAST(4 + doc_id % 21 AS INT)) AS word FROM $corpus"""
+        .stripMargin
+    else ""
+    val span = "CASE WHEN piece LIKE '##%' THEN length(piece) - 2 " +
+      "ELSE length(piece) END"
+    val seed =
+      s"""wpw AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(list_filter(string_split_regex(lower(trim(
+         |      $textCol)), '\\s+'), x -> x <> '')) AS word
+         |    FROM $corpus$hexBranch)
+         |  GROUP BY 1),
+         |wpsubs AS MATERIALIZED (
+         |  SELECT CASE WHEN i = 1 THEN substring(word, i, n)
+         |         ELSE '##' || substring(word, i, n) END AS piece,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM wpw,
+         |    unnest(generate_series(1, length(word))) t(i),
+         |    unnest(generate_series(1,
+         |      least($maxPieceLen, length(word) - i + 1))) u(n)
+         |  GROUP BY 1),
+         |wpmult AS MATERIALIZED (
+         |  SELECT piece, cnt FROM wpsubs WHERE ($span) >= 2
+         |  ORDER BY cnt DESC, piece LIMIT $vocabSize),
+         |wpv AS MATERIALIZED (
+         |  SELECT piece, cnt FROM wpsubs WHERE ($span) = 1
+         |  UNION ALL SELECT piece, cnt FROM wpmult)""".stripMargin
+    if (!withChain) return seed
+    val chain = (1 to maxSteps).map { k =>
+      val p = k - 1
+      s"""wpm$k AS MATERIALIZED (
+         |  SELECT word, pos, n, piece FROM (
+         |    SELECT s.word, s.pos, t.n, v.piece,
+         |      row_number() OVER (PARTITION BY s.word
+         |        ORDER BY t.n DESC) AS rk
+         |    FROM wps$p s, wpwords w,
+         |      unnest(generate_series(1, $maxPieceLen)) t(n), wpv v
+         |    WHERE w.word = s.word AND t.n <= w.len - s.pos + 1
+         |      AND v.piece = CASE WHEN s.pos = 1
+         |        THEN substring(s.word, s.pos, t.n)
+         |        ELSE '##' || substring(s.word, s.pos, t.n) END) z
+         |  WHERE rk = 1),
+         |wps$k AS MATERIALIZED (
+         |  SELECT m.word, m.pos + m.n AS pos
+         |  FROM wpm$k m JOIN wpwords w ON w.word = m.word
+         |  WHERE m.pos + m.n <= w.len)""".stripMargin
+    }.mkString(",\n")
+    val pieceUnion = (1 to maxSteps).map { k =>
+      s"  SELECT word, $k AS k, pos, n, piece FROM wpm$k"
+    }.mkString("\n  UNION ALL\n")
+    s"""$seed,
+       |wpwords AS MATERIALIZED (
+       |  SELECT word, length(word) AS len FROM wpw),
+       |wps0 AS MATERIALIZED (SELECT word, 1 AS pos FROM wpwords),
+       |$chain,
+       |wppieces AS MATERIALIZED (
+       |$pieceUnion),
+       |wpdone AS MATERIALIZED (
+       |  SELECT p.word, p.k AS n_pieces
+       |  FROM wppieces p JOIN wpwords w ON w.word = p.word
+       |  WHERE p.pos + p.n = w.len + 1),
+       |wpseg AS MATERIALIZED (
+       |  SELECT p.word, d.n_pieces,
+       |    string_agg(p.piece, ' ' ORDER BY p.k) AS segmented
+       |  FROM wppieces p JOIN wpdone d ON d.word = p.word
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Unigram-tokenizer rebuild over `corpus(doc_id, <textCol>)`: the
     * t18 word universe (corpus words ∪ md5-derived hex words of length
     * 4..24), [[graft.operators.Unigram.seedVocab]]'s substring counts +
