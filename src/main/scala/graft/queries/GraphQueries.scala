@@ -106,6 +106,17 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // ---- HITS driven through SQL TEXT (the TVF) -------------------------
+    // Shares wg4's oracle: the graph_hits table function over the same
+    // edge list must land on the same fixed-point longs.
+    "sql9_sql_hits" -> ((s, d) => {
+      val path = GateTmp.dir("graft_wg_edges_hits", d)
+      WebGraph.domainEdges(synthPages(s, d), "url", "html")
+        .write.mode("overwrite").parquet(path)
+      s.sql(s"SELECT node, auth_fp, hub_fp FROM graph_hits('$path', " +
+        "5) ORDER BY node")
+    }),
+
     // ---- the same computation driven through SQL TEXT (the TVF) ---------
     // Shares wg2's oracle: a SQL user pointing graph_pagerank at the
     // same edge list must get the same fixed-point longs.
@@ -254,6 +265,14 @@ object GraphQueries {
          |${pageRankCtes(iters = 10, scaleL = WebGraph.Scale, dmill = 850L)}
          |SELECT node, CAST(r AS BIGINT) AS rank_fp
          |FROM r10 ORDER BY node""".stripMargin,
+
+    "sql9_sql_hits" ->
+      s"""WITH $edgeCtes,
+         |${hitsCtes(iters = 5, scaleL = WebGraph.Scale)}
+         |SELECT a.node, CAST(a.s AS BIGINT) AS auth_fp,
+         |  CAST(h.s AS BIGINT) AS hub_fp
+         |FROM aa5 a JOIN hh5 h ON a.node = h.node
+         |ORDER BY a.node""".stripMargin,
 
     // anchors derived independently from the construction (the engine
     // must reproduce them through the paired two-group regexp + the

@@ -397,6 +397,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graph_pagerank(path, iters[, damping]) — path a string " +
             "literal, iters an integer literal")
       }))
+    // HITS hubs & authorities as a TABLE function over the same edge
+    // shape: SELECT * FROM graph_hits('edges.parquet', 5) →
+    // (node, auth_fp, hub_fp, auth, hub). sql9-gated against the wg4
+    // oracle — the SQL path must land on the same fixed-point longs.
+    ext.injectTableFunction((FunctionIdentifier("graph_hits"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graph_hits"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, Literal(iters: Int, _)) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          graft.operators.WebGraph.hits(
+            spark.read.parquet(strLit(p, "graph_hits path")),
+            iters = iters)
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "graph_hits(path, iters) — path a string literal, iters an " +
+            "integer literal")
+      }))
     // corpus tokenization from SQL text: seed a unigram vocabulary
     // from the corpus itself and Viterbi-encode every document —
     // SELECT * FROM unigram_tokens('corpus.parquet', 'doc_id', 'text',

@@ -226,6 +226,23 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graph_hits table function matches the Scala API bit for bit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hitssql").toString
+    Seq(("a", "b", 1L), ("a", "c", 2L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "weight").write.mode("overwrite").parquet(dir)
+    val got = spark.sql(
+      s"SELECT node, auth_fp, hub_fp FROM graph_hits('$dir', 4) " +
+        "ORDER BY node").collect().toSeq
+    val want = graft.operators.WebGraph.hits(
+        spark.read.parquet(dir), iters = 4)
+      .select("node", "auth_fp", "hub_fp").orderBy("node").collect().toSeq
+    assert(got === want)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graph_hits('$dir', 2 + 2)").collect()
+    }
+  }
+
   test("unigram_tokens table function matches the Scala composition") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("unisql").toString
