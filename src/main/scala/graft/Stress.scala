@@ -563,6 +563,47 @@ object Stress {
       }
     }
 
+    // ---- WordPiece at full corpus: positional vocabulary from the
+    // collapsed word table (model-sized), then the greedy encoder over
+    // DISTINCT words + the per-doc regroup — the same two corpus-sized
+    // passes as the unigram step, so this measures what the greedy
+    // matcher and the ## bookkeeping add over the Viterbi at identical
+    // shape. n_unk must come back 0: single-char coverage over the
+    // training alphabet guarantees every corpus word encodes. ------------
+    step("wordpiece") {
+      CacheScope.withScope { implicit scope =>
+        val vocabSize = sys.env.get("STRESS_WORDPIECE_VOCAB")
+          .map(_.toInt).getOrElse(8000)
+        val wf = scope.cache(graft.operators.TextAnalysis
+          .bpeWordFreq(docs, "text"))
+        val nWords = wf.count()
+        val t0 = System.nanoTime()
+        val pieces = graft.operators.WordPiece.vocab(wf,
+            vocabSize = vocabSize, maxPieceLen = 8)
+          .select(col("piece")).collect().map(_.getString(0)).toIndexedSeq
+        val vocabSecs = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (vocabDf, out) = graft.operators.WordPiece.encodeCorpus(
+          docs, "doc_id", "text", pieces)
+        val agg = out.agg(count(lit(1)).as("n"),
+          sum(col("n_tok").cast("long")).as("tok"),
+          sum(col("n_unk").cast("long")).as("unk"),
+          max(col("n_tok")).as("mx")).collect().head
+        val encodeSecs = (System.nanoTime() - t1) / 1e9
+        val nTok = agg.getLong(1)
+        Seq("n_distinct_words" -> nWords,
+          "vocab_pieces" -> pieces.size,
+          "vocab_secs" -> math.round(vocabSecs * 100.0) / 100.0,
+          "encode_docs" -> agg.getLong(0),
+          "encode_tokens" -> nTok,
+          "unk_words" -> agg.getLong(2),
+          "max_doc_tokens" -> agg.getInt(3),
+          "vocab_ids_used" -> vocabDf.count(),
+          "encode_secs" -> math.round(encodeSecs * 100.0) / 100.0,
+          "tokens_per_sec" -> math.round(nTok / encodeSecs))
+      }
+    }
+
     // ---- composed raw-web pipeline at full corpus: HTML extract →
     // URL/lexicon blocklist → C4 → Gopher → LM threshold (the c3 gate
     // shape, measured). The HTML wrap triples the text with character
@@ -1315,6 +1356,57 @@ object Stress {
         "top_rank_x_n" -> math.round(
           topRank.toDouble * nOut / graft.operators.WebGraph.Scale
             * 100.0) / 100.0)
+    }
+
+    // ---- HITS over the same power-law graph: TWO rank tables per
+    // step (authority from the hub side, hubs from the authority side)
+    // against the edge frame cached twice — once partitioned by src,
+    // once by dst — so each half-step shuffles only its score table.
+    // The L1 normalization rides in-plan as a broadcast one-row
+    // aggregate; mass retention of BOTH vectors is the arithmetic
+    // check (wg4 gates the values; this measures the scale shape of
+    // the doubled iteration). ---------------------------------------------
+    step("hits") {
+      val nEdges = math.max(1000000L, nDocs)
+      val nNodes = math.max(1000L, nEdges / 10)
+      val edgesPath = s"$dir/pagerank_edges_$nEdges.parquet"
+      if (!new java.io.File(edgesPath).isDirectory) {
+        spark.range(nEdges).select(
+            pmod(conv(substring(md5(concat(lit("s"), col("id"))), 1, 15),
+              16, 10).cast("long"), lit(nNodes)).as("us"),
+            pmod(conv(substring(md5(concat(lit("t"), col("id"))), 1, 15),
+              16, 10).cast("long"), lit(nNodes)).as("ut"))
+          .select(concat(lit("d"), col("us")).as("src"),
+            concat(lit("d"), expr(s"(ut * ut) div ${nNodes}L")).as("dst"),
+            lit(1L).as("weight"))
+          .filter(col("src") =!= col("dst"))
+          .write.mode("overwrite").parquet(edgesPath)
+      }
+      val e = spark.read.parquet(edgesPath)
+      def run(iters: Int): (Double, Long, Long, String, Long) =
+        CacheScope.withScope { implicit sc =>
+          val t0 = System.nanoTime()
+          val hs = graft.operators.WebGraph.hits(e, iters = iters,
+            localMaxEdges = 0L)
+          val top = hs.orderBy(col("auth_fp").desc, col("node"))
+            .limit(1).collect().head
+          val agg = hs.agg(sum(col("auth_fp")), sum(col("hub_fp")),
+            count(lit(1))).collect().head
+          ((System.nanoTime() - t0) / 1e9, agg.getLong(0),
+            agg.getLong(1), top.getString(0), agg.getLong(2))
+        }
+      val (oneSecs, _, _, _, _) = run(1)
+      val (fiveSecs, aMass, hMass, topAuth, nOut) = run(5)
+      Seq("n_edges" -> e.count(), "n_nodes" -> nOut,
+        "secs_1_iter" -> math.round(oneSecs * 100.0) / 100.0,
+        "secs_5_iters" -> math.round(fiveSecs * 100.0) / 100.0,
+        "secs_marginal_iter" -> math.round(
+          (fiveSecs - oneSecs) / 4.0 * 100.0) / 100.0,
+        "auth_mass_retained" -> math.round(
+          aMass.toDouble / graft.operators.WebGraph.Scale * 10000.0) / 10000.0,
+        "hub_mass_retained" -> math.round(
+          hMass.toDouble / graft.operators.WebGraph.Scale * 10000.0) / 10000.0,
+        "top_authority" -> topAuth)
     }
 
     // ---- END-TO-END web graph: 5M REAL html pages → href extraction

@@ -388,52 +388,72 @@ object WebGraph {
         lit(0L).as("hub_fp"), lit(0.0).as("auth"), lit(0.0).as("hub"))
 
     val spark = edges.sparkSession
-    def materialize(df: DataFrame): (DataFrame, DataFrame) = {
-      val cached = scope.cache(df)
-      cached.count()
-      (cached, spark.createDataFrame(cached.rdd, cached.schema))
+    // Raw contribution sums accumulate as exact DECIMAL(38,0);
+    // normalization is (raw * Scale) div tot in 128-bit decimal,
+    // landing back in a long ≤ Scale. Two profile-driven shapes here
+    // (both caught by this operator's first 5M-edge stress run):
+    //  - each half-step's raw frame is CACHED and its one-row total
+    //    COLLECTED — the agg doubles as the cache-populating action
+    //    (uncached, the contribution join+agg computed twice per
+    //    half-step: the anq1/t12e double-consumption lesson; marginal
+    //    iteration 8.9 s → 1.8 s at 1M edges);
+    //  - the normalized score table is NEVER materialized mid-loop:
+    //    zero-score nodes contribute nothing to the next half-step, so
+    //    the divide rides the next contribution join as a projection
+    //    over the cached raw frame, and the full-node view (left join
+    //    + coalesce 0) is built exactly once, at output. That removes
+    //    two node-table materializations per iteration — the join
+    //    evaluates the divide per edge instead of per node, but it is
+    //    the same exact integer expression, so the result is unchanged
+    //    (spec-pinned against the local loop).
+    // Per-step lineage is truncated by rebasing each cached raw frame
+    // on its materialized RDD (the pageRank posture), so unpersisting
+    // a previous step's cache can never inflate a dependent plan.
+    def divExpr(tot: java.math.BigDecimal): org.apache.spark.sql.Column =
+      expr(s"(raw * ${Scale}L) div cast('${tot.toPlainString}' as " +
+        "decimal(38,0))")
+    def rawStep(scored: DataFrame, eSide: DataFrame, joinKey: String,
+        outKey: String): (DataFrame, DataFrame, java.math.BigDecimal) = {
+      val c = scope.cache(scored.join(eSide,
+          scored("node") === eSide(joinKey))
+        .select(col(outKey), expr("cast(s as decimal(38,0)) * weight")
+          .as("c"))
+        .groupBy(col(outKey)).agg(sum(col("c")).as("raw"))
+        .select(col(outKey).as("node"), col("raw")))
+      val tot = c.agg(coalesce(sum(col("raw")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("t"))
+        .collect().head.getDecimal(0)
+      (c, spark.createDataFrame(c.rdd, c.schema), tot)
     }
-    // raw sums as exact DECIMAL(38,0); normalize = (raw * Scale) div tot
-    // in 128-bit decimal, landing back in a long ≤ Scale
-    def normalized(raw: DataFrame, rawCol: String): DataFrame = {
-      val tot = raw.agg(coalesce(sum(col(rawCol)),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("tot"))
-      nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(tot))
-        .select(col("node"),
-          when(col("tot") === 0L, 0L)
-            .otherwise(expr(s"(coalesce($rawCol, cast(0 as " +
-              s"decimal(38,0))) * ${Scale}L) div tot")).as("s"))
-    }
-    var (hCache, h) = materialize(
-      nodes.select(col("node"), lit(Scale / n).as("s")))
+    def scored(rawRef: DataFrame, tot: java.math.BigDecimal): DataFrame =
+      if (tot.signum == 0) rawRef.select(col("node"), lit(0L).as("s"))
+      else rawRef.select(col("node"), divExpr(tot).as("s"))
+    var h = nodes.select(col("node"), lit(Scale / n).as("s"))
     var aCache: DataFrame = null
-    var a: DataFrame = null
+    var hCache: DataFrame = null
+    var aRef: DataFrame = null
+    var hRef: DataFrame = null
+    var aTot = java.math.BigDecimal.ZERO
+    var hTot = java.math.BigDecimal.ZERO
     for (_ <- 1 to iters) {
-      val araw = h.join(eSrc, h("node") === eSrc("src"))
-        .select(col("dst"), expr("cast(s as decimal(38,0)) * weight")
-          .as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("raw"))
-        .select(col("dst").as("node"), col("raw"))
-      val (na, naRef) = materialize(normalized(araw, "raw"))
+      val (ac, ar, at) = rawStep(h, eSrc, "src", "dst")
       if (aCache != null) aCache.unpersist(blocking = false)
-      aCache = na
-      a = naRef
-      val hraw = a.join(eDst, a("node") === eDst("dst"))
-        .select(col("src"), expr("cast(s as decimal(38,0)) * weight")
-          .as("c"))
-        .groupBy(col("src")).agg(sum(col("c")).as("raw"))
-        .select(col("src").as("node"), col("raw"))
-      val (nh, nhRef) = materialize(normalized(hraw, "raw"))
-      hCache.unpersist(blocking = false)
-      hCache = nh
-      h = nhRef
+      aCache = ac; aRef = ar; aTot = at
+      val (hc, hr, ht) = rawStep(scored(aRef, aTot), eDst, "dst", "src")
+      if (hCache != null) hCache.unpersist(blocking = false)
+      hCache = hc; hRef = hr; hTot = ht
+      h = scored(hRef, hTot)
     }
     eSrc.unpersist(blocking = false)
     eDst.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    a.select(col("node"), col("s").as("auth_fp"))
-      .join(h.select(col("node"), col("s").as("hub_fp")), Seq("node"))
+    def full(rawRef: DataFrame, tot: java.math.BigDecimal,
+        asCol: String): DataFrame =
+      nodes.join(rawRef, Seq("node"), "left")
+        .select(col("node"),
+          (if (tot.signum == 0) lit(0L)
+           else coalesce(divExpr(tot), lit(0L))).as(asCol))
+    full(aRef, aTot, "auth_fp")
+      .join(full(hRef, hTot, "hub_fp"), Seq("node"))
       .select(col("node"), col("auth_fp"), col("hub_fp"),
         (col("auth_fp").cast("double") / lit(Scale.toDouble)).as("auth"),
         (col("hub_fp").cast("double") / lit(Scale.toDouble)).as("hub"))
