@@ -459,6 +459,56 @@ object WebGraph {
         (col("hub_fp").cast("double") / lit(Scale.toDouble)).as("hub"))
   }
 
+  /** Connected components of the UNDIRECTED view of a link graph —
+    * domain communities. The curation use is coverage analysis: a
+    * corpus whose domains form one giant component is a different
+    * acquisition posture than one fragmented into thousands of isolated
+    * clusters, and per-component caps ("at most N docs per community")
+    * generalize the per-domain caps the source-cap operator applies.
+    *
+    * Nodes map to 60-bit md5 ids (the portable house hash — the DuckDB
+    * oracle replays it), labels propagate with [[graft.operators.
+    * Curation.dupClustersStar]] — alternating large-star/small-star
+    * contraction (Kiveris et al. 2014), O(log n)-ish narrow (long,
+    * long) shuffle rounds regardless of component DIAMETER, which an
+    * arbitrary web graph does not bound the way a near-dup graph does.
+    * The component label is the min member id; it is mapped back to its
+    * node string so the output is human-readable.
+    *
+    * Id-collision bound: two of n domains sharing a 60-bit hash merges
+    * their components spuriously with probability ≈ n²/2^61 — at 10^7
+    * nodes ~5e-5, negligible; past ~10^8 nodes widen the id (two hash
+    * columns) before trusting component counts.
+    *
+    * Returns `(node, component_rep, n_members)` — every node of the
+    * filtered edge list (null endpoints and self-loops drop; isolated
+    * nodes cannot occur since every node arrives via an edge).
+    */
+  def components(edges: DataFrame)
+      (implicit scope: CacheScope = CacheScope.session): DataFrame = {
+    def h(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull
+        && col("src") =!= col("dst"))
+    val nodes = scope.cache(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
+    val withId = nodes.select(col("node"), h(col("node")).as("nid"))
+    val pairs = e.select(h(col("src")).as("id_a"), h(col("dst")).as("id_b"))
+    val labels = Curation.dupClustersStar(pairs, "id_a", "id_b")
+    val lbl = withId.join(labels, withId("nid") === labels("id"), "left")
+      .select(col("node"), coalesce(col("cluster_id"), col("nid"))
+        .as("cid"))
+    val reps = withId.select(col("nid").as("cid"),
+      col("node").as("component_rep"))
+    val sizes = lbl.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    lbl.join(reps, Seq("cid")).join(sizes, Seq("cid"))
+      .select(col("node"), col("component_rep"), col("n_members"))
+  }
+
   /** Driver-local integer HITS over a collected edge array — the same
     * update rule as the distributed loop, operation for operation
     * (exact integer sums commute; BigInt only at the normalization

@@ -106,6 +106,17 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // ---- connected components (domain communities) ----------------------
+    // Undirected closure over the same edges via star contraction; the
+    // oracle closes the graph with a recursive CTE over the SAME 60-bit
+    // md5 node ids and re-derives every component's min-id
+    // representative and size, so a wrong merge, a missed edge
+    // direction, or a hash-spelling drift flips the hash.
+    "wg5_components" -> ((s, d) => {
+      val edges = WebGraph.domainEdges(synthPages(s, d), "url", "html")
+      WebGraph.components(edges).orderBy(col("node"))
+    }),
+
     // ---- HITS driven through SQL TEXT (the TVF) -------------------------
     // Shares wg4's oracle: the graph_hits table function over the same
     // edge list must land on the same fixed-point longs.
@@ -265,6 +276,36 @@ object GraphQueries {
          |${pageRankCtes(iters = 10, scaleL = WebGraph.Scale, dmill = 850L)}
          |SELECT node, CAST(r AS BIGINT) AS rank_fp
          |FROM r10 ORDER BY node""".stripMargin,
+
+    "wg5_components" ->
+      s"""WITH RECURSIVE $edgeCtes,
+         |und AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION SELECT dst, src FROM edges),
+         |wnodes AS (SELECT DISTINCT a AS node FROM und),
+         |hh AS MATERIALIZED (
+         |  SELECT node, CAST('0x' || substr(md5(node), 1, 15) AS BIGINT)
+         |    AS nid
+         |  FROM wnodes),
+         |hedges AS MATERIALIZED (
+         |  SELECT ha.nid AS a, hb.nid AS b
+         |  FROM und JOIN hh ha ON ha.node = und.a
+         |  JOIN hh hb ON hb.node = und.b),
+         |reach(id, r) AS (
+         |  SELECT nid, nid FROM hh
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN hedges e ON reach.r = e.a),
+         |labels AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+         |lbl AS (
+         |  SELECT h.node, l.cid FROM hh h JOIN labels l ON l.id = h.nid),
+         |reps AS (SELECT nid AS cid, node AS component_rep FROM hh),
+         |sz AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM lbl GROUP BY 1)
+         |SELECT lbl.node, r.component_rep, s.n_members
+         |FROM lbl JOIN reps r ON r.cid = lbl.cid
+         |JOIN sz s ON s.cid = lbl.cid
+         |ORDER BY lbl.node""".stripMargin,
 
     "sql9_sql_hits" ->
       s"""WITH $edgeCtes,

@@ -274,6 +274,36 @@ class WebGraphSpec extends SparkSpec {
     assert(WebGraph.hits(empty, iters = 2, localMaxEdges = 0L).count() === 0)
   }
 
+  test("components: undirected closure, per-component rep and size, self-loops and nulls dropped") {
+    val edges = Seq(
+      // component 1: a-b-c chained through directions that only close
+      // undirected (c links b, a links b)
+      ("a.com", "b.com", 3L), ("c.com", "b.com", 1L),
+      // component 2: d-e
+      ("d.com", "e.com", 1L),
+      // dropped rows
+      ("x.com", "x.com", 9L), (null, "y.com", 1L))
+      .toDF("src", "dst", "weight")
+    val out = CacheScope.withScope { implicit s =>
+      WebGraph.components(edges).orderBy("node").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    assert(out.map(_._1) === Seq("a.com", "b.com", "c.com", "d.com", "e.com"))
+    val byNode = out.map(t => t._1 -> t).toMap
+    // abc share one rep and size 3; de share one rep and size 2
+    assert(byNode("a.com")._2 === byNode("b.com")._2)
+    assert(byNode("b.com")._2 === byNode("c.com")._2)
+    assert(byNode("d.com")._2 === byNode("e.com")._2)
+    assert(byNode("a.com")._2 !== byNode("d.com")._2)
+    assert(byNode("a.com")._3 === 3L && byNode("d.com")._3 === 2L)
+    // the rep is a member of its own component
+    assert(Set("a.com", "b.com", "c.com").contains(byNode("a.com")._2))
+    assert(Set("d.com", "e.com").contains(byNode("d.com")._2))
+    // y.com survived its null-src row? no — null endpoints drop the ROW,
+    // and y.com had no other edge, so it is absent entirely
+    assert(!byNode.contains("y.com") && !byNode.contains("x.com"))
+  }
+
   test("hits: matches a driver-side double-precision reference within fixed-point tolerance") {
     val edges = Seq(
       ("a", "b", 1L), ("a", "c", 2L), ("b", "c", 1L), ("c", "a", 1L),
