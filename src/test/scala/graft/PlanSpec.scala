@@ -562,6 +562,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("WordPiece corpus encode and fertility: document text never " +
+      "shuffles — only words, ids, and counters") {
+    noAqe {
+      Seq("t20c_wordpiece_corpus", "t19_token_fertility").foreach { q =>
+        val p = planOf(SparkEntry.queries(q)(spark, sf))
+        val exchanges = p.collectWithSubqueries {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }
+        assert(exchanges.nonEmpty)
+        exchanges.foreach { e =>
+          val names = e.child.output.map(_.name).toSet
+          assert(!names.contains("text"),
+            s"$q shuffles the document payload: ${names.mkString(",")}")
+        }
+      }
+    }
+  }
+
   test("map-only curation gates: html extraction and blocklist plans " +
       "shuffle exactly once (the final ORDER BY)") {
     noAqe {
