@@ -51,6 +51,22 @@ object GraphQueries {
           lit("<a href=\"/rel/path\">rel</a>" +
             "<a name=\"x\">nohref</a></body></html>")).as("html"))
 
+  /** wg6's page universe: 20 `siteN.com` domains partitioned into five
+    * ISLANDS of four (every link stays inside the source's block of 4),
+    * so the component structure is 5 genuine communities — the
+    * single-giant-component shape of [[synthPages]] would make a
+    * per-community cap indistinguishable from a global one. */
+  private def wg6Pages(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .select(col("doc_id"),
+        (h("u") % 20).as("base"), (h("a") % 4).as("off"))
+      .select(col("doc_id"),
+        concat(lit("https://www.site"), col("base").cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string")).as("url"),
+        concat(lit("<html><body><a href=\"https://site"),
+          (col("base") - col("base") % 4 + col("off")).cast("string"),
+          lit(".com/x\">in-block</a></body></html>")).as("html"))
+
   def queries: Map[String, Q] = Map(
     // ---- domain edge list off raw HTML ---------------------------------
     "wg1_link_edges" -> ((s, d) => {
@@ -115,6 +131,27 @@ object GraphQueries {
     "wg5_components" -> ((s, d) => {
       val edges = WebGraph.domainEdges(synthPages(s, d), "url", "html")
       WebGraph.components(edges).orderBy(col("node"))
+    }),
+
+    // ---- per-COMMUNITY doc cap (components composed into curation) ------
+    // The components doc's claim made real: docs assign to their
+    // domain's community (via the real URL-parse chain), then an exact
+    // min(k, |community|) deterministic cap per community — the
+    // per-domain source cap generalized to the link structure. The
+    // oracle re-derives the islands, the closure, the doc→community
+    // assignment, AND the md5 ranking.
+    "wg6_component_cap" -> ((s, d) => {
+      val pages = wg6Pages(s, d)
+      val comps = WebGraph.components(
+        WebGraph.domainEdges(pages, "url", "html"))
+      val docDom = pages.select(col("doc_id"),
+        graft.functions.UrlOps.registeredDomain(
+          graft.functions.UrlOps.hostOf(col("url"))).as("node"))
+      val assigned = docDom
+        .join(comps.select(col("node"), col("component_rep")), Seq("node"))
+      graft.operators.Curation.uniformGroupSample(assigned,
+          "component_rep", "doc_id", k = 9)
+        .orderBy(col("component_rep"), col("rank"))
     }),
 
     // ---- HITS driven through SQL TEXT (the TVF) -------------------------
@@ -306,6 +343,61 @@ object GraphQueries {
          |FROM lbl JOIN reps r ON r.cid = lbl.cid
          |JOIN sz s ON s.cid = lbl.cid
          |ORDER BY lbl.node""".stripMargin,
+
+    "wg6_component_cap" ->
+      s"""WITH RECURSIVE w6h AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'u'),
+         |      1, 15) AS BIGINT) AS hu,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'a'),
+         |      1, 15) AS BIGINT) AS ha
+         |  FROM documents),
+         |w6p AS (
+         |  SELECT doc_id, hu % 20 AS base,
+         |    (hu % 20) - (hu % 20) % 4 + ha % 4 AS dstb
+         |  FROM w6h),
+         |w6edges AS (
+         |  SELECT DISTINCT 'site' || CAST(base AS VARCHAR) || '.com'
+         |      AS src,
+         |    'site' || CAST(dstb AS VARCHAR) || '.com' AS dst
+         |  FROM w6p WHERE base <> dstb),
+         |und AS (
+         |  SELECT src AS a, dst AS b FROM w6edges
+         |  UNION SELECT dst, src FROM w6edges),
+         |wnodes AS (SELECT DISTINCT a AS node FROM und),
+         |hh AS MATERIALIZED (
+         |  SELECT node, CAST('0x' || substr(md5(node), 1, 15) AS BIGINT)
+         |    AS nid
+         |  FROM wnodes),
+         |hedges AS MATERIALIZED (
+         |  SELECT ha.nid AS a, hb.nid AS b
+         |  FROM und JOIN hh ha ON ha.node = und.a
+         |  JOIN hh hb ON hb.node = und.b),
+         |reach(id, r) AS (
+         |  SELECT nid, nid FROM hh
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN hedges e ON reach.r = e.a),
+         |labels AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+         |lbl AS (
+         |  SELECT h.node, l.cid FROM hh h JOIN labels l ON l.id = h.nid),
+         |reps AS (SELECT nid AS cid, node AS component_rep FROM hh),
+         |docdom AS (
+         |  SELECT doc_id, 'site' || CAST(base AS VARCHAR) || '.com'
+         |    AS node
+         |  FROM w6p),
+         |asg AS (
+         |  SELECT d.doc_id, r.component_rep
+         |  FROM docdom d JOIN lbl l ON l.node = d.node
+         |  JOIN reps r ON r.cid = l.cid),
+         |ranked AS (
+         |  SELECT component_rep, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY component_rep ORDER BY
+         |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        AS UBIGINT), doc_id) AS INT) AS rank
+         |  FROM asg)
+         |SELECT component_rep, rank, doc_id FROM ranked
+         |WHERE rank <= 9
+         |ORDER BY component_rep, rank""".stripMargin,
 
     "sql9_sql_hits" ->
       s"""WITH $edgeCtes,
