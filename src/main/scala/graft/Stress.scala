@@ -1409,6 +1409,30 @@ object Stress {
         "top_authority" -> topAuth)
     }
 
+    // ---- connected components over the same 5M-edge graph: the
+    // large-star/small-star contraction path — O(log n) narrow (long,
+    // long) shuffle rounds regardless of component diameter, which the
+    // power-law target distribution does not bound. ----------------------
+    step("components") {
+      val nEdges = math.max(1000000L, nDocs)
+      val edgesPath = s"$dir/pagerank_edges_$nEdges.parquet"
+      CacheScope.withScope { implicit sc =>
+        val e = spark.read.parquet(edgesPath)
+        val t0 = System.nanoTime()
+        val comps = graft.operators.WebGraph.components(e)
+        val agg = comps.agg(
+          countDistinct(col("component_rep")).as("nc"),
+          count(lit(1)).as("nn"),
+          max(col("n_members")).as("mx")).collect().head
+        val secs = (System.nanoTime() - t0) / 1e9
+        Seq("n_edges" -> e.count(),
+          "n_nodes" -> agg.getLong(1),
+          "n_components" -> agg.getLong(0),
+          "largest_component" -> agg.getLong(2),
+          "cc_secs" -> math.round(secs * 100.0) / 100.0)
+      }
+    }
+
     // ---- END-TO-END web graph: 5M REAL html pages → href extraction
     // (two regexp_extract_all passes over every page — the corpus-sized
     // cost, map-side) → registeredDomain on both ends → the distinct

@@ -146,6 +146,53 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("WordPiece greedy encode: reconstruction invariant on random words/vocabs") {
+    import graft.operators.WordPiece
+    import spark.implicits._
+    // random vocab over a small alphabet (so matches actually occur),
+    // always including the single-char coverage of that alphabet in
+    // both forms; random words over a SUPERSET alphabet so [UNK] paths
+    // fire too
+    val alpha = "abc"
+    val wordAlpha = "abcxy" // x, y not in vocab -> UNK opportunities
+    for (round <- 1 to 5) {
+      val multis = (1 to 20).map { _ =>
+        val len = rnd.nextInt(3) + 2
+        val body = (0 until len)
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        if (rnd.nextBoolean()) body else "##" + body
+      }.distinct
+      val vocab = (alpha.map(_.toString) ++
+        alpha.map(c => s"##$c") ++ multis).distinct
+      val words = (1 to 200).map { _ =>
+        (0 until rnd.nextInt(10) + 1)
+          .map(_ => wordAlpha(rnd.nextInt(wordAlpha.length))).mkString
+      }.distinct
+      val out = WordPiece.encodeWords(words.toDF("word"), "word", vocab)
+        .collect()
+      out.foreach { r =>
+        val w = r.getString(0)
+        val pieces = r.getSeq[String](1)
+        val unk = r.getBoolean(3)
+        assert(r.getInt(2) === pieces.length)
+        if (unk) {
+          // whole-word UNK, partial matches discarded; and the word
+          // genuinely contains an out-of-vocab char
+          assert(pieces === Seq("[UNK]"), s"$w: $pieces")
+          assert(w.exists(c => c == 'x' || c == 'y'), s"$w should encode")
+        } else {
+          // reconstruction: pieces minus markers concatenate to the word
+          val rebuilt = pieces.zipWithIndex.map { case (p, i) =>
+            if (i == 0) p else p.stripPrefix("##") }.mkString
+          assert(rebuilt === w, s"$w != $rebuilt via $pieces")
+          // form correctness: first piece plain, rest continuation
+          assert(!pieces.head.startsWith("##") || w.startsWith("##"))
+          pieces.drop(1).foreach(p => assert(p.startsWith("##"), s"$w: $p"))
+        }
+      }
+    }
+  }
+
   test("normalizeKey/cleanText: idempotent under re-application") {
     val inputs = (1 to 200).map(_ => randString(rnd.nextInt(20))) :+ null
     val out = strDf(inputs).select(
