@@ -307,6 +307,168 @@ object WebGraph {
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
   }
 
+  /** Personalized PageRank with a trusted seed set — TrustRank
+    * (Gyöngyi, Garcia-Molina & Pedersen 2004, "Combating web spam with
+    * TrustRank", VLDB; public literature). Identical damped power
+    * iteration to [[pageRank]], except teleportation (and the dangling
+    * mass) flows ONLY to the seed nodes: rank becomes proximity to the
+    * trusted set through the link structure — the spam-demotion /
+    * trusted-source prior a curation pipeline applies when a plain
+    * PageRank would still reward well-linked link farms.
+    *
+    * Update rule (integer fixed point at [[Scale]], `div` truncating):
+    * {{{
+    *   r0(v)      = [v ∈ S] * Scale div |S|
+    *   teleport(v)= [v ∈ S] * (Scale - (Scale*dmill) div 1000) div |S|
+    *   rank'(v)   = teleport(v) + ((Σ contrib(in-edges) +
+    *                 [v ∈ S] * (dang div |S|)) * dmill) div 1000
+    * }}}
+    *
+    * `seeds` is the trusted list — control-plane-sized by nature (a
+    * curated allowlist), passed as values and broadcast into the plan
+    * via `isInCollection` (InSet). Seeds not present in the graph are
+    * dropped from S (they can neither receive nor forward trust);
+    * if NO seed survives the intersection the result is all-zero ranks
+    * rather than an error — the caller's allowlist simply does not
+    * touch this crawl. Same local/distributed split and bit-identity
+    * contract as [[pageRank]]; same headroom bound on weights.
+    */
+  def trustRank(edges: DataFrame, seeds: Seq[String], iters: Int = 10,
+      damping: Double = 0.85, localMaxEdges: Long = 262144L)
+      (implicit scope: CacheScope = CacheScope.session): DataFrame = {
+    require(iters >= 1, s"trustRank: iters must be >= 1, got $iters")
+    require(seeds.nonEmpty, "trustRank: seeds must be non-empty")
+    val dmill = math.round(damping * 1000)
+    require(dmill >= 0 && dmill <= 1000,
+      s"trustRank: damping must be in [0, 1], got $damping")
+    val seedSet = seeds.filter(_ != null).distinct
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"),
+      col("weight").cast("long").as("weight"))
+      .filter(col("src").isNotNull && col("dst").isNotNull
+        && col("weight").isNotNull && col("weight") > 0)
+    require(localMaxEdges >= 0 && localMaxEdges < Int.MaxValue,
+      s"trustRank: localMaxEdges out of range: $localMaxEdges")
+    if (localMaxEdges > 0) {
+      val probe = e.limit((localMaxEdges + 1).toInt)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (probe.length <= localMaxEdges)
+        return trustRankLocal(edges.sparkSession, probe, seedSet, iters,
+          dmill)
+    }
+    val outW = e.groupBy(col("src")).agg(sum(col("weight")).as("ow"))
+    val eN = scope.cache(e.join(outW, Seq("src"))
+      .repartition(col("src"))
+      .select(col("src"), col("dst"), col("weight"), col("ow")))
+    val nodes = scope.cache(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
+    val isSeed = col("node").isInCollection(seedSet)
+    val s = nodes.filter(isSeed).count()
+    if (nodes.count() == 0 || s == 0)
+      return nodes.select(col("node"), lit(0L).as("rank_fp"),
+        lit(0.0).as("rank"))
+    val dangling = scope.cache(
+      nodes.join(outW.select(col("src").as("node")), Seq("node"),
+        "left_anti"))
+    dangling.count()
+    val teleportSeed = (Scale - Scale * dmill / 1000L) / s
+
+    val spark = edges.sparkSession
+    def materialize(df: DataFrame): (DataFrame, DataFrame) = {
+      val cached = scope.cache(df)
+      cached.count()
+      (cached, spark.createDataFrame(cached.rdd, cached.schema))
+    }
+    var (ranksCache, ranks) = materialize(
+      nodes.select(col("node"),
+        when(isSeed, lit(Scale / s)).otherwise(lit(0L)).as("r")))
+    for (_ <- 1 to iters) {
+      val dangRow = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      val inm = ranks.join(eN, ranks("node") === eN("src"))
+        .select(col("dst"), expr("(r * weight) div ow").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inm"))
+      val (nextCache, next) = materialize(
+        nodes.join(inm, nodes("node") === inm("dst"), "left")
+          .crossJoin(broadcast(dangRow))
+          .withColumn("__sh",
+            when(isSeed, expr(s"dang div ${s}L")).otherwise(lit(0L)))
+          .withColumn("__tele",
+            when(isSeed, lit(teleportSeed)).otherwise(lit(0L)))
+          .select(col("node"),
+            (col("__tele") + expr(
+              s"((coalesce(inm, 0L) + __sh) * ${dmill}L) div 1000"))
+              .as("r")))
+      ranksCache.unpersist(blocking = false)
+      ranksCache = nextCache
+      ranks = next
+    }
+    eN.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    dangling.unpersist(blocking = false)
+    ranks.select(col("node"), col("r").as("rank_fp"),
+      (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
+  }
+
+  /** Driver-local integer TrustRank — the [[pageRankLocal]] posture,
+    * seed-restricted teleport/dangling, bit-identical to the
+    * distributed loop (spec-pinned). */
+  private def trustRankLocal(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(String, String, Long)], seeds: Seq[String],
+      iters: Int, dmill: Long): DataFrame = {
+    import spark.implicits._
+    val nodeIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
+    rows.foreach { case (sr, d, _) =>
+      nodeIdx.getOrElseUpdate(sr, nodeIdx.size)
+      nodeIdx.getOrElseUpdate(d, nodeIdx.size)
+    }
+    val nn = nodeIdx.size
+    val seedIdx = seeds.flatMap(nodeIdx.get).distinct.toArray
+    val s = seedIdx.length.toLong
+    if (nn == 0 || s == 0L) {
+      return nodeIdx.keysIterator.map(n => (n, 0L, 0.0)).toSeq
+        .toDF("node", "rank_fp", "rank")
+    }
+    val srcI = rows.map(r => nodeIdx(r._1))
+    val dstI = rows.map(r => nodeIdx(r._2))
+    val w = rows.map(_._3)
+    val ow = new Array[Long](nn)
+    var i = 0
+    while (i < rows.length) { ow(srcI(i)) += w(i); i += 1 }
+    val isSeed = new Array[Boolean](nn)
+    seedIdx.foreach(isSeed(_) = true)
+    val teleportSeed = (Scale - Scale * dmill / 1000L) / s
+    val r = new Array[Long](nn)
+    seedIdx.foreach(r(_) = Scale / s)
+    var it = 0
+    while (it < iters) {
+      var dang = 0L
+      var j = 0
+      while (j < nn) { if (ow(j) == 0L) dang += r(j); j += 1 }
+      val share = dang / s
+      val inm = new Array[Long](nn)
+      var k = 0
+      while (k < rows.length) {
+        inm(dstI(k)) += r(srcI(k)) * w(k) / ow(srcI(k))
+        k += 1
+      }
+      j = 0
+      while (j < nn) {
+        val tele = if (isSeed(j)) teleportSeed else 0L
+        val sh = if (isSeed(j)) share else 0L
+        r(j) = tele + (inm(j) + sh) * dmill / 1000L
+        j += 1
+      }
+      it += 1
+    }
+    nodeIdx.iterator
+      .map { case (name, idx) =>
+        (name, r(idx), r(idx).toDouble / Scale.toDouble) }
+      .toSeq.toDF("node", "rank_fp", "rank")
+  }
+
   /** HITS hubs & authorities over a weighted edge list `(src, dst,
     * weight)` — Kleinberg 1999 (JACM 46(5), "Authoritative sources in a
     * hyperlinked environment"; public literature). PageRank scores a
@@ -483,8 +645,16 @@ object WebGraph {
     * Returns `(node, component_rep, n_members)` — every node of the
     * filtered edge list (null endpoints and self-loops drop; isolated
     * nodes cannot occur since every node arrives via an edge).
+    *
+    * Graphs at or under `localMaxEdges` rows take a driver-local
+    * union-find instead (the wg2 scheduling-floor lesson — star rounds
+    * over a 27-node gate graph cost seconds of pure stage scheduling;
+    * measured 3.9 s distributed vs sub-second local on the wg5 gate).
+    * The local path computes the SAME min-md5-id representative, so
+    * the paths agree exactly (and the local one is additionally immune
+    * to the 60-bit collision caveat, having real node identity).
     */
-  def components(edges: DataFrame)
+  def components(edges: DataFrame, localMaxEdges: Long = 262144L)
       (implicit scope: CacheScope = CacheScope.session): DataFrame = {
     def h(c: Column): Column =
       conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
@@ -492,6 +662,14 @@ object WebGraph {
       col("dst").cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull
         && col("src") =!= col("dst"))
+    require(localMaxEdges >= 0 && localMaxEdges < Int.MaxValue,
+      s"components: localMaxEdges out of range: $localMaxEdges")
+    if (localMaxEdges > 0) {
+      val probe = e.limit((localMaxEdges + 1).toInt)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      if (probe.length <= localMaxEdges)
+        return componentsLocal(edges.sparkSession, probe)
+    }
     val nodes = scope.cache(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
@@ -507,6 +685,60 @@ object WebGraph {
     val sizes = lbl.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
     lbl.join(reps, Seq("cid")).join(sizes, Seq("cid"))
       .select(col("node"), col("component_rep"), col("n_members"))
+  }
+
+  /** 60-bit md5 id of a node string on the driver — the exact value of
+    * the distributed `conv(substring(md5(node), 1, 15), 16, 10)`. */
+  private def md5Id60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Driver-local union-find over a collected (src, dst) edge array —
+    * same output contract as the distributed path: min-md5-id
+    * representative per component, mapped back to its node string. */
+  private def componentsLocal(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val nodeIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
+    rows.foreach { case (s, d) =>
+      nodeIdx.getOrElseUpdate(s, nodeIdx.size)
+      nodeIdx.getOrElseUpdate(d, nodeIdx.size)
+    }
+    val nn = nodeIdx.size
+    if (nn == 0)
+      return Seq.empty[(String, String, Long)]
+        .toDF("node", "component_rep", "n_members")
+    val parent = Array.tabulate(nn)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    rows.foreach { case (s, d) =>
+      val (a, b) = (find(nodeIdx(s)), find(nodeIdx(d)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val names = new Array[String](nn)
+    nodeIdx.foreach { case (n, i) => names(i) = n }
+    val ids = names.map(md5Id60)
+    val argMin = scala.collection.mutable.HashMap[Int, Int]()
+    val size = scala.collection.mutable.HashMap[Int, Long]()
+    var i = 0
+    while (i < nn) {
+      val r = find(i)
+      if (!argMin.contains(r) || ids(i) < ids(argMin(r))) argMin(r) = i
+      size(r) = size.getOrElse(r, 0L) + 1L
+      i += 1
+    }
+    (0 until nn).map { j =>
+      val r = find(j)
+      (names(j), names(argMin(r)), size(r))
+    }.toDF("node", "component_rep", "n_members")
   }
 
   /** Driver-local integer HITS over a collected edge array — the same

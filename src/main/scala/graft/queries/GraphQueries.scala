@@ -133,6 +133,20 @@ object GraphQueries {
       WebGraph.components(edges).orderBy(col("node"))
     }),
 
+    // ---- TrustRank: personalized PageRank from a trusted seed set -------
+    // Teleport and dangling mass flow only to the seeds (one of which
+    // is absent from the graph and must silently drop); 10 fixed-point
+    // iterations, every one unrolled in the oracle with the seed-gated
+    // teleport arithmetic.
+    "wg7_trustrank" -> ((s, d) => {
+      val edges = WebGraph.domainEdges(synthPages(s, d), "url", "html")
+      WebGraph.trustRank(edges,
+          seeds = Seq("site3.com", "news2.co.uk", "absent.example"),
+          iters = 10, damping = 0.85)
+        .select(col("node"), col("rank_fp"))
+        .orderBy(col("node"))
+    }),
+
     // ---- per-COMMUNITY doc cap (components composed into curation) ------
     // The components doc's claim made real: docs assign to their
     // domain's community (via the real URL-parse chain), then an exact
@@ -283,6 +297,53 @@ object GraphQueries {
        |$steps""".stripMargin
   }
 
+  /** Unrolled TrustRank iterations — [[pageRankCtes]] with the
+    * seed-gated teleport/dangling arithmetic of
+    * [[WebGraph.trustRank]]. `seedsSql` is a DuckDB list literal. */
+  private def trustRankCtes(iters: Int, scaleL: Long, dmill: Long,
+      seedsSql: String): String = {
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""dg$i AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dang
+         |  FROM r$p r LEFT JOIN outw o ON r.node = o.src
+         |  WHERE o.src IS NULL),
+         |cm$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    CAST(sum((r.r * e.weight) // o.ow) AS BIGINT) AS inm
+         |  FROM r$p r
+         |  JOIN outw o ON r.node = o.src
+         |  JOIN edges e ON e.src = r.node
+         |  GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CASE WHEN sn.node IS NOT NULL
+         |      THEN ($scaleL - ($scaleL * $dmill) // 1000)
+         |        // (SELECT s FROM ns)
+         |      ELSE 0 END
+         |    + ((coalesce(c.inm, 0)
+         |        + CASE WHEN sn.node IS NOT NULL
+         |            THEN (SELECT dang FROM dg$i) // (SELECT s FROM ns)
+         |            ELSE 0 END)
+         |       * $dmill) // 1000 AS r
+         |  FROM nodes n LEFT JOIN cm$i c ON n.node = c.node
+         |  LEFT JOIN sn ON sn.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""outw AS MATERIALIZED (
+       |  SELECT src, sum(weight) AS ow FROM edges GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges
+       |  UNION SELECT dst FROM edges),
+       |seedlist AS (SELECT unnest($seedsSql) AS node),
+       |sn AS MATERIALIZED (
+       |  SELECT n.node FROM nodes n JOIN seedlist s ON s.node = n.node),
+       |ns AS MATERIALIZED (SELECT count(*) AS s FROM sn),
+       |r0 AS MATERIALIZED (
+       |  SELECT n.node, CASE WHEN sn.node IS NOT NULL
+       |    THEN $scaleL // (SELECT s FROM ns) ELSE 0 END AS r
+       |  FROM nodes n LEFT JOIN sn ON sn.node = n.node),
+       |$steps""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "wg1_link_edges" ->
       s"""WITH $edgeCtes
@@ -343,6 +404,14 @@ object GraphQueries {
          |FROM lbl JOIN reps r ON r.cid = lbl.cid
          |JOIN sz s ON s.cid = lbl.cid
          |ORDER BY lbl.node""".stripMargin,
+
+    "wg7_trustrank" ->
+      s"""WITH $edgeCtes,
+         |${trustRankCtes(iters = 10, scaleL = WebGraph.Scale,
+            dmill = 850L,
+            seedsSql = "['site3.com', 'news2.co.uk', 'absent.example']")}
+         |SELECT node, CAST(r AS BIGINT) AS rank_fp
+         |FROM r10 ORDER BY node""".stripMargin,
 
     "wg6_component_cap" ->
       s"""WITH RECURSIVE w6h AS (

@@ -274,6 +274,60 @@ class WebGraphSpec extends SparkSpec {
     assert(WebGraph.hits(empty, iters = 2, localMaxEdges = 0L).count() === 0)
   }
 
+  test("trustRank: teleport and dangling mass flow only to seeds; hand-checked first iteration") {
+    // s -> x (w 3), s -> y (w 1); seed = {s}; x, y dangling
+    val edges = Seq(("s", "x", 3L), ("s", "y", 1L)).toDF("src", "dst", "weight")
+    val r = WebGraph.trustRank(edges, seeds = Seq("s"), iters = 1)
+      .collect().map(z => z.getString(0) -> z.getLong(1)).toMap
+    val scale = WebGraph.Scale
+    // r0: s = Scale, x = y = 0; dang = 0 (x,y hold nothing yet)
+    // contrib: x gets Scale*3/4, y gets Scale/4
+    val tele = (scale - scale * 850L / 1000L) / 1L
+    assert(r("s") === tele) // no in-edges, no dangling share needed (dang=0)
+    assert(r("x") === scale * 3 / 4 * 850L / 1000L)
+    assert(r("y") === scale / 4 * 850L / 1000L)
+  }
+
+  test("trustRank: seeding ALL nodes reproduces plain pageRank bit for bit") {
+    val base = (0 until 300).map { i =>
+      (s"n${i % 23}", s"n${(i * 5 + 2) % 23}", (i % 4 + 1).toLong)
+    }.filter(t => t._1 != t._2)
+    val e = base.toDF("src", "dst", "weight")
+    val allNodes = (base.map(_._1) ++ base.map(_._2)).distinct
+    def collectRanks(df: org.apache.spark.sql.DataFrame) =
+      df.select("node", "rank_fp").orderBy("node").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val pr = collectRanks(WebGraph.pageRank(e, iters = 6))
+    val tr = collectRanks(WebGraph.trustRank(e, allNodes, iters = 6))
+    assert(tr === pr)
+  }
+
+  test("trustRank: bit-identical across local/distributed paths; absent seeds drop; no live seeds -> zeros") {
+    val base = (0 until 300).map { i =>
+      (s"n${i % 23}", s"n${(i * 5 + 2) % 23}", (i % 4 + 1).toLong)
+    }.filter(t => t._1 != t._2)
+    val e = base.toDF("src", "dst", "weight")
+    val seeds = Seq("n1", "n7", "ghost")
+    def run(localMax: Long) = CacheScope.withScope { _ =>
+      WebGraph.trustRank(e, seeds, iters = 4, damping = 0.85,
+          localMaxEdges = localMax)
+        .orderBy("node").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    val local = run(262144L)
+    assert(local === run(0L))
+    // trust decays with distance: a seed outranks the typical node
+    val m = local.toMap
+    assert(m("n1") > local.map(_._2).sum / local.size)
+    // an allowlist that misses the whole crawl -> all-zero ranks
+    val zeros = WebGraph.trustRank(e, Seq("ghost"), iters = 2)
+      .collect().map(_.getLong(1))
+    assert(zeros.nonEmpty && zeros.forall(_ === 0L))
+    val zerosDist = WebGraph.trustRank(e, Seq("ghost"), iters = 2,
+      localMaxEdges = 0L).collect().map(_.getLong(1))
+    assert(zerosDist.nonEmpty && zerosDist.forall(_ === 0L))
+  }
+
   test("components: undirected closure, per-component rep and size, self-loops and nulls dropped") {
     val edges = Seq(
       // component 1: a-b-c chained through directions that only close
@@ -302,6 +356,19 @@ class WebGraphSpec extends SparkSpec {
     // y.com survived its null-src row? no — null endpoints drop the ROW,
     // and y.com had no other edge, so it is absent entirely
     assert(!byNode.contains("y.com") && !byNode.contains("x.com"))
+  }
+
+  test("components: local union-find and distributed star contraction agree exactly") {
+    val base = (0 until 500).map { i =>
+      (s"d${i % 61}", s"d${(i * 11 + 5) % 61}")
+    }.filter(t => t._1 != t._2).map(t => (t._1, t._2, 1L))
+    val e = base.toDF("src", "dst", "weight")
+    def run(localMax: Long) = CacheScope.withScope { implicit s =>
+      WebGraph.components(e, localMaxEdges = localMax)
+        .orderBy("node").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    assert(run(262144L) === run(0L))
   }
 
   test("hits: matches a driver-side double-precision reference within fixed-point tolerance") {
