@@ -1409,6 +1409,36 @@ object Stress {
         "top_authority" -> topAuth)
     }
 
+    // ---- TrustRank over the same 5M-edge graph: seed-restricted
+    // teleport (the spam-demotion prior). Same per-iteration shape as
+    // pagerank — the seed gate rides the plan as an InSet over the
+    // node column, so the marginal-iteration cost should match
+    // pagerank's within noise. ------------------------------------------
+    step("trustrank") {
+      val nEdges = math.max(1000000L, nDocs)
+      val edgesPath = s"$dir/pagerank_edges_$nEdges.parquet"
+      val e = spark.read.parquet(edgesPath)
+      val seeds = (0 until 10).map(i => s"d$i")
+      CacheScope.withScope { implicit sc =>
+        val t0 = System.nanoTime()
+        val tr = graft.operators.WebGraph.trustRank(e, seeds,
+          iters = 10, damping = 0.85, localMaxEdges = 0L)
+        val top = tr.orderBy(col("rank_fp").desc, col("node"))
+          .limit(1).collect().head
+        val agg = tr.agg(sum(col("rank_fp")), count(lit(1)),
+            sum(when(col("rank_fp") > 0L, 1L).otherwise(0L)))
+          .collect().head
+        val secs = (System.nanoTime() - t0) / 1e9
+        Seq("n_edges" -> e.count(), "n_nodes" -> agg.getLong(1),
+          "n_seeds" -> seeds.size,
+          "secs_10_iters" -> math.round(secs * 100.0) / 100.0,
+          "mass_retained" -> math.round(agg.getLong(0).toDouble /
+            graft.operators.WebGraph.Scale * 10000.0) / 10000.0,
+          "nodes_reached" -> agg.getLong(2),
+          "top_node" -> top.getString(0))
+      }
+    }
+
     // ---- connected components over the same 5M-edge graph: the
     // large-star/small-star contraction path — O(log n) narrow (long,
     // long) shuffle rounds regardless of component diameter, which the

@@ -68,6 +68,47 @@ object CurationQueries {
     WordPiece.vocab(t18WordFreq(s, d), vocabSize = 200, maxPieceLen = 8)
       .select(col("piece")).collect().map(_.getString(0)).toIndexedSeq
 
+  /** Shared t20c/sql10 DuckDB composition over the wordpieceCtes chain
+    * (`wppieces`/`wpdone`): corpus words per doc, used-symbol UTF8
+    * ranking ([UNK] ranks like any symbol), per-word id strings, and
+    * the per-doc aggregation `t20agg(doc_id, n_tok, n_unk,
+    * token_str)`. */
+  private val wpCorpusComposition: String =
+    """t20dwx AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(trim(coalesce(text,
+      |      ''))), '\s+'), x -> x <> '') AS __ws
+      |  FROM documents),
+      |t20dw AS (
+      |  SELECT doc_id, i AS wpos, __ws[i] AS word
+      |  FROM t20dwx, unnest(generate_series(1, len(__ws))) t(i)),
+      |t20w AS (SELECT DISTINCT word FROM t20dw),
+      |t20wp AS (
+      |  SELECT p.word, p.k, p.piece, 0 AS unk
+      |  FROM wppieces p JOIN wpdone d ON d.word = p.word
+      |  JOIN t20w c ON c.word = p.word
+      |  UNION ALL
+      |  SELECT c.word, 1 AS k, '[UNK]' AS piece, 1 AS unk
+      |  FROM t20w c LEFT JOIN wpdone d ON d.word = c.word
+      |  WHERE d.word IS NULL),
+      |t20sym AS (
+      |  SELECT piece, row_number() OVER (ORDER BY piece) - 1
+      |    AS token_id
+      |  FROM (SELECT DISTINCT piece FROM t20wp)),
+      |t20wid AS (
+      |  SELECT wp.word,
+      |    string_agg(CAST(s.token_id AS VARCHAR), ' ' ORDER BY wp.k)
+      |      AS idstr,
+      |    count(*) AS ntok, max(wp.unk) AS wunk
+      |  FROM t20wp wp JOIN t20sym s ON s.piece = wp.piece
+      |  GROUP BY 1),
+      |t20agg AS (
+      |  SELECT d.doc_id, CAST(sum(w.ntok) AS INTEGER) AS n_tok,
+      |    CAST(sum(w.wunk) AS INTEGER) AS n_unk,
+      |    string_agg(w.idstr, ' ' ORDER BY d.wpos) AS token_str
+      |  FROM t20dw d JOIN t20wid w ON w.word = d.word GROUP BY 1)"""
+      .stripMargin
+
   def queries: Map[String, Q] = Map(
     // ---- near-dup CLUSTERS (transitive closure over pair output) ------
     // Pairs come from the d3-proven exact LSH setting (bands=32, r=2:
@@ -1040,6 +1081,21 @@ object CurationQueries {
           concat_ws(" ", transform(col("token_ids"),
             i => i.cast("string"))).as("token_str"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- WordPiece tokenization driven through SQL TEXT (the TVF) -------
+    // wordpiece_tokens seeds its vocabulary from the corpus itself (the
+    // sql8 posture — the one-call path a SQL user takes), so the oracle
+    // rebuilds the positional vocabulary + greedy chain + per-doc
+    // composition over text words alone.
+    "sql10_sql_wordpiece" -> ((s, d) => {
+      val path = GateTmp.dir("graft_wp_docs", d)
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(path)
+      s.sql("SELECT doc_id, n_tok, n_unk, concat_ws(' ', " +
+        "transform(token_ids, x -> cast(x AS string))) AS token_str " +
+        s"FROM wordpiece_tokens('$path', 'doc_id', 'text', 200, 8) " +
+        "ORDER BY doc_id")
     }),
 
     // ---- tokenizer fertility / compression profile per language ---------
@@ -2315,39 +2371,18 @@ object CurationQueries {
     "t20c_wordpiece_corpus" ->
       s"""WITH ${OracleFragments.wordpieceCtes("documents", "text", 200,
             8, 24, withChain = true)},
-         |t20dwx AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(trim(coalesce(text,
-         |      ''))), '\\s+'), x -> x <> '') AS __ws
-         |  FROM documents),
-         |t20dw AS (
-         |  SELECT doc_id, i AS wpos, __ws[i] AS word
-         |  FROM t20dwx, unnest(generate_series(1, len(__ws))) t(i)),
-         |t20w AS (SELECT DISTINCT word FROM t20dw),
-         |t20wp AS (
-         |  SELECT p.word, p.k, p.piece, 0 AS unk
-         |  FROM wppieces p JOIN wpdone d ON d.word = p.word
-         |  JOIN t20w c ON c.word = p.word
-         |  UNION ALL
-         |  SELECT c.word, 1 AS k, '[UNK]' AS piece, 1 AS unk
-         |  FROM t20w c LEFT JOIN wpdone d ON d.word = c.word
-         |  WHERE d.word IS NULL),
-         |t20sym AS (
-         |  SELECT piece, row_number() OVER (ORDER BY piece) - 1
-         |    AS token_id
-         |  FROM (SELECT DISTINCT piece FROM t20wp)),
-         |t20wid AS (
-         |  SELECT wp.word,
-         |    string_agg(CAST(s.token_id AS VARCHAR), ' ' ORDER BY wp.k)
-         |      AS idstr,
-         |    count(*) AS ntok, max(wp.unk) AS wunk
-         |  FROM t20wp wp JOIN t20sym s ON s.piece = wp.piece
-         |  GROUP BY 1),
-         |t20agg AS (
-         |  SELECT d.doc_id, CAST(sum(w.ntok) AS INTEGER) AS n_tok,
-         |    CAST(sum(w.wunk) AS INTEGER) AS n_unk,
-         |    string_agg(w.idstr, ' ' ORDER BY d.wpos) AS token_str
-         |  FROM t20dw d JOIN t20wid w ON w.word = d.word GROUP BY 1)
+         |$wpCorpusComposition
+         |SELECT x.doc_id, coalesce(a.n_tok, 0) AS n_tok,
+         |  coalesce(a.n_unk, 0) AS n_unk,
+         |  coalesce(a.token_str, '') AS token_str
+         |FROM documents x LEFT JOIN t20agg a ON a.doc_id = x.doc_id
+         |ORDER BY x.doc_id""".stripMargin,
+
+    // the TVF path: same greedy replay, text-word universe only
+    "sql10_sql_wordpiece" ->
+      s"""WITH ${OracleFragments.wordpieceCtes("documents", "text", 200,
+            8, 8, withChain = true, withHex = false)},
+         |$wpCorpusComposition
          |SELECT x.doc_id, coalesce(a.n_tok, 0) AS n_tok,
          |  coalesce(a.n_unk, 0) AS n_unk,
          |  coalesce(a.token_str, '') AS token_str

@@ -450,6 +450,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "unigram_tokens(path, idCol, textCol, vocabSize, " +
             "maxPieceLen) — strings and integer literals")
       }))
+    // WordPiece corpus tokenization from SQL text — the greedy
+    // (BERT-family) counterpart of unigram_tokens: build a positional
+    // ##-form vocabulary from the corpus itself and greedy-encode every
+    // document. SELECT * FROM wordpiece_tokens('corpus.parquet',
+    // 'doc_id', 'text', 200, 8) → (id, token_ids, n_unk, n_tok).
+    // sql10-gated against the same unrolled greedy replay as t20c.
+    ext.injectTableFunction((FunctionIdentifier("wordpiece_tokens"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "wordpiece_tokens"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, idc, tc, Literal(vocabSize: Int, _),
+            Literal(maxPieceLen: Int, _)) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val docs = spark.read.parquet(strLit(p, "wordpiece_tokens path"))
+          val idCol = strLit(idc, "wordpiece_tokens idCol")
+          val textCol = strLit(tc, "wordpiece_tokens textCol")
+          val wf = graft.operators.TextAnalysis.bpeWordFreq(docs, textCol)
+          val pieces = graft.CacheScope.withScope { implicit s =>
+            graft.operators.WordPiece.vocab(wf, vocabSize, maxPieceLen)
+              .select(org.apache.spark.sql.functions.col("piece"))
+              .collect().map(_.getString(0)).toIndexedSeq
+          }
+          val (_, perDoc) = graft.operators.WordPiece.encodeCorpus(
+            docs, idCol, textCol, pieces)
+          perDoc.queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "wordpiece_tokens(path, idCol, textCol, vocabSize, " +
+            "maxPieceLen) — strings and integer literals")
+      }))
     // store-backed variant: same scoring expression, but the relation
     // comes from a persisted IndexStore directory (bucket-pruned
     // postings), so a SQL user can query a corpus index maintained

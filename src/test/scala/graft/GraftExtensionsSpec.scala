@@ -243,6 +243,33 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("wordpiece_tokens table function matches the Scala composition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wpsql").toString
+    Seq((1L, "abab abc abab"), (2L, "cc abc"), (3L, ""))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val got = spark.sql("SELECT doc_id, n_tok, n_unk FROM " +
+        s"wordpiece_tokens('$dir', 'doc_id', 'text', 50, 4) " +
+        "ORDER BY doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val docs = spark.read.parquet(dir)
+    val wf = graft.operators.TextAnalysis.bpeWordFreq(docs, "text")
+    val pieces = CacheScope.withScope { implicit s =>
+      graft.operators.WordPiece.vocab(wf, 50, 4)
+        .select(col("piece")).collect().map(_.getString(0)).toIndexedSeq
+    }
+    val (_, perDoc) = graft.operators.WordPiece.encodeCorpus(
+      docs, "doc_id", "text", pieces)
+    val want = perDoc.select("doc_id", "n_tok", "n_unk")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got === want)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM wordpiece_tokens('$dir', 'doc_id', " +
+        "'text', 50, 2 + 2)").collect()
+    }
+  }
+
   test("unigram_tokens table function matches the Scala composition") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("unisql").toString
