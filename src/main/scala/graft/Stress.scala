@@ -1317,20 +1317,7 @@ object Stress {
     // measures its scale shape). -----------------------------------------
     step("pagerank") {
       val nEdges = math.max(1000000L, nDocs)
-      val nNodes = math.max(1000L, nEdges / 10)
-      val edgesPath = s"$dir/pagerank_edges_$nEdges.parquet"
-      if (!new java.io.File(edgesPath).isDirectory) {
-        spark.range(nEdges).select(
-            pmod(conv(substring(md5(concat(lit("s"), col("id"))), 1, 15),
-              16, 10).cast("long"), lit(nNodes)).as("us"),
-            pmod(conv(substring(md5(concat(lit("t"), col("id"))), 1, 15),
-              16, 10).cast("long"), lit(nNodes)).as("ut"))
-          .select(concat(lit("d"), col("us")).as("src"),
-            concat(lit("d"), expr(s"(ut * ut) div ${nNodes}L")).as("dst"),
-            lit(1L).as("weight"))
-          .filter(col("src") =!= col("dst"))
-          .write.mode("overwrite").parquet(edgesPath)
-      }
+      val edgesPath = ensurePagerankEdges(spark, dir, nEdges)
       val e = spark.read.parquet(edgesPath)
       def run(iters: Int): (Double, Long, String, Long, Long) =
         CacheScope.withScope { implicit sc =>
@@ -1368,20 +1355,7 @@ object Stress {
     // the doubled iteration). ---------------------------------------------
     step("hits") {
       val nEdges = math.max(1000000L, nDocs)
-      val nNodes = math.max(1000L, nEdges / 10)
-      val edgesPath = s"$dir/pagerank_edges_$nEdges.parquet"
-      if (!new java.io.File(edgesPath).isDirectory) {
-        spark.range(nEdges).select(
-            pmod(conv(substring(md5(concat(lit("s"), col("id"))), 1, 15),
-              16, 10).cast("long"), lit(nNodes)).as("us"),
-            pmod(conv(substring(md5(concat(lit("t"), col("id"))), 1, 15),
-              16, 10).cast("long"), lit(nNodes)).as("ut"))
-          .select(concat(lit("d"), col("us")).as("src"),
-            concat(lit("d"), expr(s"(ut * ut) div ${nNodes}L")).as("dst"),
-            lit(1L).as("weight"))
-          .filter(col("src") =!= col("dst"))
-          .write.mode("overwrite").parquet(edgesPath)
-      }
+      val edgesPath = ensurePagerankEdges(spark, dir, nEdges)
       val e = spark.read.parquet(edgesPath)
       def run(iters: Int): (Double, Long, Long, String, Long) =
         CacheScope.withScope { implicit sc =>
@@ -1416,7 +1390,7 @@ object Stress {
     // pagerank's within noise. ------------------------------------------
     step("trustrank") {
       val nEdges = math.max(1000000L, nDocs)
-      val edgesPath = s"$dir/pagerank_edges_$nEdges.parquet"
+      val edgesPath = ensurePagerankEdges(spark, dir, nEdges)
       val e = spark.read.parquet(edgesPath)
       val seeds = (0 until 10).map(i => s"d$i")
       CacheScope.withScope { implicit sc =>
@@ -1445,7 +1419,7 @@ object Stress {
     // power-law target distribution does not bound. ----------------------
     step("components") {
       val nEdges = math.max(1000000L, nDocs)
-      val edgesPath = s"$dir/pagerank_edges_$nEdges.parquet"
+      val edgesPath = ensurePagerankEdges(spark, dir, nEdges)
       CacheScope.withScope { implicit sc =>
         val e = spark.read.parquet(edgesPath)
         val t0 = System.nanoTime()
@@ -1582,6 +1556,30 @@ object Stress {
     * tail 'w') so no 5-gram repeats across copies; the y1/y2 spacers
     * shift the copies' 4-token sentence phase so a trailing lexicon
     * token ("xdup") isn't period-mangled in every copy. */
+  /** Power-law edge list shared by the graph steps (pagerank / hits /
+    * trustrank / components), generated once per (dir, nEdges) —
+    * quadratic-density targets make real hubs: in-degree(j) ∝
+    * 1/sqrt(j). Every consumer calls this so STRESS_ONLY selective
+    * reruns never depend on another step having run first. */
+  private def ensurePagerankEdges(spark: SparkSession, dir: String,
+      nEdges: Long): String = {
+    val nNodes = math.max(1000L, nEdges / 10)
+    val edgesPath = s"$dir/pagerank_edges_$nEdges.parquet"
+    if (!new java.io.File(edgesPath).isDirectory) {
+      spark.range(nEdges).select(
+          pmod(conv(substring(md5(concat(lit("s"), col("id"))), 1, 15),
+            16, 10).cast("long"), lit(nNodes)).as("us"),
+          pmod(conv(substring(md5(concat(lit("t"), col("id"))), 1, 15),
+            16, 10).cast("long"), lit(nNodes)).as("ut"))
+        .select(concat(lit("d"), col("us")).as("src"),
+          concat(lit("d"), expr(s"(ut * ut) div ${nNodes}L")).as("dst"),
+          lit(1L).as("weight"))
+        .filter(col("src") =!= col("dst"))
+        .write.mode("overwrite").parquet(edgesPath)
+    }
+    edgesPath
+  }
+
   private def rawWeb(docs: DataFrame): DataFrame = {
     val tripled = concat_ws(" ", col("text"), lit("y1"),
       translate(col("text"), "wb", "vc"), lit("y2"),

@@ -194,9 +194,12 @@ object WebGraph {
     pageRankFrom(edges, Some(prior), iters, damping, localMaxEdges)
 
   private def pageRankFrom(edges: DataFrame, prior: Option[DataFrame],
-      iters: Int, damping: Double, localMaxEdges: Long)
+      iters: Int, damping: Double, localMaxEdges: Long,
+      seeds: Option[Seq[String]] = None)
       (implicit scope: CacheScope): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    require(prior.isEmpty || seeds.isEmpty,
+      "pageRank: warm-start prior and a seed set cannot combine")
     val dmill = math.round(damping * 1000)
     require(dmill >= 0 && dmill <= 1000,
       s"pageRank: damping must be in [0, 1], got $damping")
@@ -221,7 +224,7 @@ object WebGraph {
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (probe.length <= localMaxEdges)
         return pageRankLocal(edges.sparkSession, probe, prior, iters,
-          dmill)
+          dmill, seeds)
     }
     val outW = e.groupBy(col("src")).agg(sum(col("weight")).as("ow"))
     // The big side, shaped once: edges + their source's out-weight,
@@ -238,12 +241,28 @@ object WebGraph {
     if (n == 0)
       return nodes.select(col("node"), lit(0L).as("rank_fp"),
         lit(0.0).as("rank"))
+    // Seed gating (TrustRank): teleport and the dangling share flow
+    // only to the seed set. Plain PageRank is the degenerate case
+    // "every node is a seed" — with S = all nodes the gated arithmetic
+    // reduces term for term to the classic rule, so ONE loop serves
+    // both (spec-pinned: seeding all nodes ≡ pageRank bit for bit).
+    val isSeed = seeds match {
+      case None => lit(true)
+      case Some(ss) => col("node").isInCollection(ss.distinct)
+    }
+    val s = seeds match {
+      case None => n
+      case Some(_) => nodes.filter(isSeed).count()
+    }
+    if (s == 0)
+      return nodes.select(col("node"), lit(0L).as("rank_fp"),
+        lit(0.0).as("rank"))
 
     val dangling = scope.cache(
       nodes.join(outW.select(col("src").as("node")), Seq("node"),
         "left_anti"))
     dangling.count()
-    val teleport = (Scale - Scale * dmill / 1000L) / n
+    val teleport = (Scale - Scale * dmill / 1000L) / s
 
     val spark = edges.sparkSession
     // Per-step lineage truncation: materialize each rank table into
@@ -261,7 +280,8 @@ object WebGraph {
       (cached, spark.createDataFrame(cached.rdd, cached.schema))
     }
     val init = prior match {
-      case None => nodes.select(col("node"), lit(Scale / n).as("r"))
+      case None => nodes.select(col("node"),
+        when(isSeed, lit(Scale / s)).otherwise(lit(0L)).as("r"))
       case Some(p) =>
         // max() collapses accidental duplicate prior rows (e.g. a
         // caller unioning two snapshots) — a duplicated node would
@@ -276,7 +296,7 @@ object WebGraph {
     var (ranksCache, ranks) = materialize(init)
     for (_ <- 1 to iters) {
       // the dangling mass rides IN the plan as a broadcast one-row
-      // aggregate (share = dang div n, integer micros) — a driver
+      // aggregate (share = dang div s, integer micros) — a driver
       // collect per iteration would add a second job per step
       val dangRow = dangling.join(ranks, Seq("node"))
         .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
@@ -286,10 +306,14 @@ object WebGraph {
       val (nextCache, next) = materialize(
         nodes.join(inm, nodes("node") === inm("dst"), "left")
           .crossJoin(broadcast(dangRow))
+          .withColumn("__sh",
+            when(isSeed, expr(s"dang div ${s}L")).otherwise(lit(0L)))
+          .withColumn("__tele",
+            when(isSeed, lit(teleport)).otherwise(lit(0L)))
           .select(col("node"),
-            (lit(teleport) + expr(
-              s"((coalesce(inm, 0L) + (dang div ${n}L)) * ${dmill}L) " +
-                "div 1000")).as("r")))
+            (col("__tele") + expr(
+              s"((coalesce(inm, 0L) + __sh) * ${dmill}L) div 1000"))
+              .as("r")))
       ranksCache.unpersist(blocking = false)
       ranksCache = nextCache
       ranks = next
@@ -336,137 +360,13 @@ object WebGraph {
   def trustRank(edges: DataFrame, seeds: Seq[String], iters: Int = 10,
       damping: Double = 0.85, localMaxEdges: Long = 262144L)
       (implicit scope: CacheScope = CacheScope.session): DataFrame = {
-    require(iters >= 1, s"trustRank: iters must be >= 1, got $iters")
     require(seeds.nonEmpty, "trustRank: seeds must be non-empty")
-    val dmill = math.round(damping * 1000)
-    require(dmill >= 0 && dmill <= 1000,
-      s"trustRank: damping must be in [0, 1], got $damping")
-    val seedSet = seeds.filter(_ != null).distinct
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst"),
-      col("weight").cast("long").as("weight"))
-      .filter(col("src").isNotNull && col("dst").isNotNull
-        && col("weight").isNotNull && col("weight") > 0)
-    require(localMaxEdges >= 0 && localMaxEdges < Int.MaxValue,
-      s"trustRank: localMaxEdges out of range: $localMaxEdges")
-    if (localMaxEdges > 0) {
-      val probe = e.limit((localMaxEdges + 1).toInt)
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      if (probe.length <= localMaxEdges)
-        return trustRankLocal(edges.sparkSession, probe, seedSet, iters,
-          dmill)
-    }
-    val outW = e.groupBy(col("src")).agg(sum(col("weight")).as("ow"))
-    val eN = scope.cache(e.join(outW, Seq("src"))
-      .repartition(col("src"))
-      .select(col("src"), col("dst"), col("weight"), col("ow")))
-    val nodes = scope.cache(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node")))
-        .distinct())
-    val isSeed = col("node").isInCollection(seedSet)
-    val s = nodes.filter(isSeed).count()
-    if (nodes.count() == 0 || s == 0)
-      return nodes.select(col("node"), lit(0L).as("rank_fp"),
-        lit(0.0).as("rank"))
-    val dangling = scope.cache(
-      nodes.join(outW.select(col("src").as("node")), Seq("node"),
-        "left_anti"))
-    dangling.count()
-    val teleportSeed = (Scale - Scale * dmill / 1000L) / s
-
-    val spark = edges.sparkSession
-    def materialize(df: DataFrame): (DataFrame, DataFrame) = {
-      val cached = scope.cache(df)
-      cached.count()
-      (cached, spark.createDataFrame(cached.rdd, cached.schema))
-    }
-    var (ranksCache, ranks) = materialize(
-      nodes.select(col("node"),
-        when(isSeed, lit(Scale / s)).otherwise(lit(0L)).as("r")))
-    for (_ <- 1 to iters) {
-      val dangRow = dangling.join(ranks, Seq("node"))
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
-      val inm = ranks.join(eN, ranks("node") === eN("src"))
-        .select(col("dst"), expr("(r * weight) div ow").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("inm"))
-      val (nextCache, next) = materialize(
-        nodes.join(inm, nodes("node") === inm("dst"), "left")
-          .crossJoin(broadcast(dangRow))
-          .withColumn("__sh",
-            when(isSeed, expr(s"dang div ${s}L")).otherwise(lit(0L)))
-          .withColumn("__tele",
-            when(isSeed, lit(teleportSeed)).otherwise(lit(0L)))
-          .select(col("node"),
-            (col("__tele") + expr(
-              s"((coalesce(inm, 0L) + __sh) * ${dmill}L) div 1000"))
-              .as("r")))
-      ranksCache.unpersist(blocking = false)
-      ranksCache = nextCache
-      ranks = next
-    }
-    eN.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    dangling.unpersist(blocking = false)
-    ranks.select(col("node"), col("r").as("rank_fp"),
-      (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
-  }
-
-  /** Driver-local integer TrustRank — the [[pageRankLocal]] posture,
-    * seed-restricted teleport/dangling, bit-identical to the
-    * distributed loop (spec-pinned). */
-  private def trustRankLocal(spark: org.apache.spark.sql.SparkSession,
-      rows: Array[(String, String, Long)], seeds: Seq[String],
-      iters: Int, dmill: Long): DataFrame = {
-    import spark.implicits._
-    val nodeIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
-    rows.foreach { case (sr, d, _) =>
-      nodeIdx.getOrElseUpdate(sr, nodeIdx.size)
-      nodeIdx.getOrElseUpdate(d, nodeIdx.size)
-    }
-    val nn = nodeIdx.size
-    val seedIdx = seeds.flatMap(nodeIdx.get).distinct.toArray
-    val s = seedIdx.length.toLong
-    if (nn == 0 || s == 0L) {
-      return nodeIdx.keysIterator.map(n => (n, 0L, 0.0)).toSeq
-        .toDF("node", "rank_fp", "rank")
-    }
-    val srcI = rows.map(r => nodeIdx(r._1))
-    val dstI = rows.map(r => nodeIdx(r._2))
-    val w = rows.map(_._3)
-    val ow = new Array[Long](nn)
-    var i = 0
-    while (i < rows.length) { ow(srcI(i)) += w(i); i += 1 }
-    val isSeed = new Array[Boolean](nn)
-    seedIdx.foreach(isSeed(_) = true)
-    val teleportSeed = (Scale - Scale * dmill / 1000L) / s
-    val r = new Array[Long](nn)
-    seedIdx.foreach(r(_) = Scale / s)
-    var it = 0
-    while (it < iters) {
-      var dang = 0L
-      var j = 0
-      while (j < nn) { if (ow(j) == 0L) dang += r(j); j += 1 }
-      val share = dang / s
-      val inm = new Array[Long](nn)
-      var k = 0
-      while (k < rows.length) {
-        inm(dstI(k)) += r(srcI(k)) * w(k) / ow(srcI(k))
-        k += 1
-      }
-      j = 0
-      while (j < nn) {
-        val tele = if (isSeed(j)) teleportSeed else 0L
-        val sh = if (isSeed(j)) share else 0L
-        r(j) = tele + (inm(j) + sh) * dmill / 1000L
-        j += 1
-      }
-      it += 1
-    }
-    nodeIdx.iterator
-      .map { case (name, idx) =>
-        (name, r(idx), r(idx).toDouble / Scale.toDouble) }
-      .toSeq.toDF("node", "rank_fp", "rank")
+    // one power iteration serves both ranks: TrustRank is pageRankFrom
+    // with the teleport/dangling terms gated to the seed set (and plain
+    // PageRank is the degenerate all-nodes seed set) — a single
+    // spec-pinned loop instead of two hand-synchronized copies
+    pageRankFrom(edges, None, iters, damping, localMaxEdges,
+      Some(seeds.filter(_ != null).distinct))
   }
 
   /** HITS hubs & authorities over a weighted edge list `(src, dst,
@@ -614,11 +514,25 @@ object WebGraph {
         .select(col("node"),
           (if (tot.signum == 0) lit(0L)
            else coalesce(divExpr(tot), lit(0L))).as(asCol))
-    full(aRef, aTot, "auth_fp")
-      .join(full(hRef, hTot, "hub_fp"), Seq("node"))
-      .select(col("node"), col("auth_fp"), col("hub_fp"),
-        (col("auth_fp").cast("double") / lit(Scale.toDouble)).as("auth"),
-        (col("hub_fp").cast("double") / lit(Scale.toDouble)).as("hub"))
+    // materialize the final table, then release the iteration
+    // scaffolding (node table + last raw frames) — a bracket-less
+    // caller (the graph_hits TVF under the session scope) leaks at
+    // most the result itself, the pageRank posture; recompute after an
+    // eviction re-reads the now-uncached parents through the lineage
+    val outCache = scope.cache(
+      full(aRef, aTot, "auth_fp")
+        .join(full(hRef, hTot, "hub_fp"), Seq("node"))
+        .select(col("node"), col("auth_fp"), col("hub_fp"),
+          (col("auth_fp").cast("double") / lit(Scale.toDouble))
+            .as("auth"),
+          (col("hub_fp").cast("double") / lit(Scale.toDouble))
+            .as("hub")))
+    outCache.count()
+    val out = spark.createDataFrame(outCache.rdd, outCache.schema)
+    nodes.unpersist(blocking = false)
+    if (aCache != null) aCache.unpersist(blocking = false)
+    if (hCache != null) hCache.unpersist(blocking = false)
+    out
   }
 
   /** Connected components of the UNDIRECTED view of a link graph —
@@ -811,7 +725,8 @@ object WebGraph {
     * [[TextAnalysis.bpeTrainLocal]]. */
   private def pageRankLocal(spark: org.apache.spark.sql.SparkSession,
       rows: Array[(String, String, Long)], prior: Option[DataFrame],
-      iters: Int, dmill: Long): DataFrame = {
+      iters: Int, dmill: Long,
+      seeds: Option[Seq[String]] = None): DataFrame = {
     import spark.implicits._
     val nodeIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
     rows.foreach { case (s, d, _) =>
@@ -823,16 +738,27 @@ object WebGraph {
       return Seq.empty[(String, Long, Double)]
         .toDF("node", "rank_fp", "rank")
     val nn = nodeIdx.size
+    // seed gating — None means "every node is a seed" (plain PageRank;
+    // the gated arithmetic reduces exactly, see pageRankFrom)
+    val isSeed = Array.fill(nn)(seeds.isEmpty)
+    seeds.foreach(_.foreach(sd =>
+      nodeIdx.get(sd).foreach(isSeed(_) = true)))
+    val s = isSeed.count(identity).toLong
+    if (s == 0L)
+      return nodeIdx.keysIterator.map(nm => (nm, 0L, 0.0)).toSeq
+        .toDF("node", "rank_fp", "rank")
     val srcI = rows.map(r => nodeIdx(r._1))
     val dstI = rows.map(r => nodeIdx(r._2))
     val w = rows.map(_._3)
     val ow = new Array[Long](nn)
     var i = 0
     while (i < rows.length) { ow(srcI(i)) += w(i); i += 1 }
-    val teleport = (Scale - Scale * dmill / 1000L) / n
+    val teleport = (Scale - Scale * dmill / 1000L) / s
     val r = new Array[Long](nn)
     prior match {
-      case None => java.util.Arrays.fill(r, Scale / n)
+      case None =>
+        var j = 0
+        while (j < nn) { if (isSeed(j)) r(j) = Scale / s; j += 1 }
       case Some(p) =>
         // null node OR null rank rows drop — exactly what the
         // distributed init's left join + coalesce does with them
@@ -850,7 +776,7 @@ object WebGraph {
       var dang = 0L
       var j = 0
       while (j < nn) { if (ow(j) == 0L) dang += r(j); j += 1 }
-      val share = dang / n
+      val share = dang / s
       val inm = new Array[Long](nn)
       var k = 0
       while (k < rows.length) {
@@ -859,7 +785,9 @@ object WebGraph {
       }
       j = 0
       while (j < nn) {
-        r(j) = teleport + (inm(j) + share) * dmill / 1000L
+        val tele = if (isSeed(j)) teleport else 0L
+        val sh = if (isSeed(j)) share else 0L
+        r(j) = tele + (inm(j) + sh) * dmill / 1000L
         j += 1
       }
       it += 1

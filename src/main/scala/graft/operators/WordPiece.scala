@@ -101,10 +101,16 @@ object WordPiece {
       IntegerType, StringType, StructField, StructType}
     require(pieces.nonEmpty, "encodeWords: pieces must be non-empty")
     val spark = words.sparkSession
-    val maxLen = pieces.iterator.map { p =>
-      val body = if (p.startsWith("##")) p.substring(2) else p
-      body.codePointCount(0, body.length)
-    }.max
+    // probe bound = the longest piece's FULL code-point length (marker
+    // included): at a word start the candidate is the raw substring, and
+    // a word that itself begins with the literal characters `##` can
+    // legitimately match a `##`-form vocabulary entry there (the
+    // form-blind string lookup of the published WordPiece runtime) — a
+    // body-only bound would make those entries unreachable word-
+    // initially. Continuation probes past the longest body simply never
+    // match; correctness over a wasted hash probe.
+    val maxLen = pieces.iterator
+      .map(p => p.codePointCount(0, p.length)).max
     val pset = new java.util.HashSet[String](pieces.size * 2)
     pieces.foreach(pset.add)
     val bc = spark.sparkContext.broadcast((pset, maxLen))

@@ -2378,7 +2378,11 @@ object CurationQueries {
          |FROM documents x LEFT JOIN t20agg a ON a.doc_id = x.doc_id
          |ORDER BY x.doc_id""".stripMargin,
 
-    // the TVF path: same greedy replay, text-word universe only
+    // the TVF path: same greedy replay, text-word universe only.
+    // maxSteps = 8 is the sql8 posture: the corpus's longest text word
+    // is 8 chars, and greedy consumes >= 1 char per step, so 8 rounds
+    // complete every word (the hex-word universe that needs 24 is the
+    // t20 family's, not this one's)
     "sql10_sql_wordpiece" ->
       s"""WITH ${OracleFragments.wordpieceCtes("documents", "text", 200,
             8, 8, withChain = true, withHex = false)},

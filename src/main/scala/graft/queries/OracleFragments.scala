@@ -476,8 +476,12 @@ object OracleFragments {
     * absent from `wpdone` stalled at some position: they are `[UNK]`
     * (the caller's LEFT JOIN supplies that row — partial matches are
     * discarded, the BERT contract). `maxSteps` must be ≥ the longest
-    * word (each step consumes ≥ 1 char). Every chain CTE is
-    * MATERIALIZED (the wg2 inlining lesson). */
+    * word (each step consumes ≥ 1 char). Match probes run to
+    * `maxPieceLen + 2` — the full string length of a `##`-form entry —
+    * so a word literally beginning `##` can match such an entry
+    * word-initially, the engine's form-blind lookup contract; probes
+    * past a branch's real maximum simply never match. Every chain CTE
+    * is MATERIALIZED (the wg2 inlining lesson). */
   def wordpieceCtes(corpus: String, textCol: String, vocabSize: Int,
       maxPieceLen: Int, maxSteps: Int, withChain: Boolean,
       withHex: Boolean = true): String = {
@@ -521,7 +525,7 @@ object OracleFragments {
          |      row_number() OVER (PARTITION BY s.word
          |        ORDER BY t.n DESC) AS rk
          |    FROM wps$p s, wpwords w,
-         |      unnest(generate_series(1, $maxPieceLen)) t(n), wpv v
+         |      unnest(generate_series(1, ${maxPieceLen + 2})) t(n), wpv v
          |    WHERE w.word = s.word AND t.n <= w.len - s.pos + 1
          |      AND v.piece = CASE WHEN s.pos = 1
          |        THEN substring(s.word, s.pos, t.n)
