@@ -198,8 +198,6 @@ object WebGraph {
       seeds: Option[Seq[String]] = None)
       (implicit scope: CacheScope): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
-    require(prior.isEmpty || seeds.isEmpty,
-      "pageRank: warm-start prior and a seed set cannot combine")
     val dmill = math.round(damping * 1000)
     require(dmill >= 0 && dmill <= 1000,
       s"pageRank: damping must be in [0, 1], got $damping")
@@ -289,9 +287,13 @@ object WebGraph {
         val pr = p.select(col("node"),
             col("rank_fp").cast("long").as("pr"))
           .groupBy(col("node")).agg(max(col("pr")).as("pr"))
+        // newcomers default to their init share — Scale/n under the
+        // all-nodes seed set (classic resume, the previous literal),
+        // seed-gated Scale/s-or-0 under a trust seed set
         nodes.join(pr, Seq("node"), "left")
           .select(col("node"),
-            coalesce(col("pr"), lit(Scale / n)).as("r"))
+            coalesce(col("pr"),
+              when(isSeed, lit(Scale / s)).otherwise(lit(0L))).as("r"))
     }
     var (ranksCache, ranks) = materialize(init)
     for (_ <- 1 to iters) {
@@ -366,6 +368,21 @@ object WebGraph {
     // PageRank is the degenerate all-nodes seed set) — a single
     // spec-pinned loop instead of two hand-synchronized copies
     pageRankFrom(edges, None, iters, damping, localMaxEdges,
+      Some(seeds.filter(_ != null).distinct))
+  }
+
+  /** Warm-start TrustRank — [[pageRankResume]]'s O(delta-convergence)
+    * maintenance contract with the seed-gated arithmetic: resuming a
+    * k-iteration trust vector for m more steps is bit-equal to running
+    * k+m cold (the wg7b gate pins exactly that against the cold
+    * oracle). Nodes absent from the prior start at their init share —
+    * Scale/|S| for seeds, zero otherwise. */
+  def trustRankResume(edges: DataFrame, prior: DataFrame,
+      seeds: Seq[String], iters: Int, damping: Double = 0.85,
+      localMaxEdges: Long = 262144L)
+      (implicit scope: CacheScope = CacheScope.session): DataFrame = {
+    require(seeds.nonEmpty, "trustRankResume: seeds must be non-empty")
+    pageRankFrom(edges, Some(prior), iters, damping, localMaxEdges,
       Some(seeds.filter(_ != null).distinct))
   }
 
@@ -768,7 +785,8 @@ object WebGraph {
           .map(x => x.getString(0) -> x.getLong(1))
           .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
         nodeIdx.foreach { case (name, idx) =>
-          r(idx) = pm.getOrElse(name, Scale / n)
+          r(idx) = pm.getOrElse(name,
+            if (isSeed(idx)) Scale / s else 0L)
         }
     }
     var it = 0

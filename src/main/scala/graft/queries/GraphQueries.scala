@@ -147,6 +147,21 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // ---- warm-start TrustRank resume: 5 cold + 5 resumed ≡ 10 cold ------
+    // The wg2b contract at the seed-gated arithmetic: shares wg7's
+    // 10-iteration cold oracle bit for bit.
+    "wg7b_trustrank_resume" -> ((s, d) => {
+      val edges = WebGraph.domainEdges(synthPages(s, d), "url", "html")
+      val seeds = Seq("site3.com", "news2.co.uk", "absent.example")
+      val first = WebGraph.trustRank(edges, seeds, iters = 5,
+          damping = 0.85)
+        .select(col("node"), col("rank_fp"))
+      WebGraph.trustRankResume(edges, first, seeds, iters = 5,
+          damping = 0.85)
+        .select(col("node"), col("rank_fp"))
+        .orderBy(col("node"))
+    }),
+
     // ---- per-COMMUNITY doc cap (components composed into curation) ------
     // The components doc's claim made real: docs assign to their
     // domain's community (via the real URL-parse chain), then an exact
@@ -406,6 +421,14 @@ object GraphQueries {
          |ORDER BY lbl.node""".stripMargin,
 
     "wg7_trustrank" ->
+      s"""WITH $edgeCtes,
+         |${trustRankCtes(iters = 10, scaleL = WebGraph.Scale,
+            dmill = 850L,
+            seedsSql = "['site3.com', 'news2.co.uk', 'absent.example']")}
+         |SELECT node, CAST(r AS BIGINT) AS rank_fp
+         |FROM r10 ORDER BY node""".stripMargin,
+
+    "wg7b_trustrank_resume" ->
       s"""WITH $edgeCtes,
          |${trustRankCtes(iters = 10, scaleL = WebGraph.Scale,
             dmill = 850L,

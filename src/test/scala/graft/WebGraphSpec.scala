@@ -302,6 +302,37 @@ class WebGraphSpec extends SparkSpec {
     assert(tr === pr)
   }
 
+  test("trustRankResume: 3 cold + 2 resumed equals 5 cold, on both paths; newcomers start at the seed-gated share") {
+    val base = (0 until 300).map { i =>
+      (s"n${i % 23}", s"n${(i * 5 + 2) % 23}", (i % 4 + 1).toLong)
+    }.filter(t => t._1 != t._2)
+    val e = base.toDF("src", "dst", "weight")
+    val seeds = Seq("n1", "n7")
+    def collectRanks(df: org.apache.spark.sql.DataFrame) =
+      df.select("node", "rank_fp").orderBy("node").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val cold5 = collectRanks(WebGraph.trustRank(e, seeds, iters = 5))
+    val warm = collectRanks(WebGraph.trustRankResume(e,
+      WebGraph.trustRank(e, seeds, iters = 3)
+        .select("node", "rank_fp"),
+      seeds, iters = 2))
+    assert(warm === cold5)
+    val warmDist = CacheScope.withScope { implicit s =>
+      collectRanks(WebGraph.trustRankResume(e,
+        WebGraph.trustRank(e, seeds, iters = 3)
+          .select("node", "rank_fp"),
+        seeds, iters = 2, damping = 0.85, localMaxEdges = 0L))
+    }
+    assert(warmDist === cold5)
+    // a prior missing a NON-seed node: the newcomer starts at 0 (the
+    // seed-gated init), and the step still runs
+    val partial = WebGraph.trustRank(e, seeds, iters = 3)
+      .select("node", "rank_fp").filter(col("node") =!= "n2")
+    val resumed = collectRanks(
+      WebGraph.trustRankResume(e, partial, seeds, iters = 1))
+    assert(resumed.map(_._1).contains("n2"))
+  }
+
   test("trustRank: bit-identical across local/distributed paths; absent seeds drop; no live seeds -> zeros") {
     val base = (0 until 300).map { i =>
       (s"n${i % 23}", s"n${(i * 5 + 2) % 23}", (i % 4 + 1).toLong)
