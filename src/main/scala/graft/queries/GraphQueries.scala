@@ -183,6 +183,17 @@ object GraphQueries {
         .orderBy(col("component_rep"), col("rank"))
     }),
 
+    // ---- components driven through SQL TEXT (the TVF) -------------------
+    // Shares wg5's oracle: graph_components over the same edge list
+    // must land on the same reps and sizes.
+    "sql11_sql_components" -> ((s, d) => {
+      val path = GateTmp.dir("graft_wg_edges_cc", d)
+      WebGraph.domainEdges(synthPages(s, d), "url", "html")
+        .write.mode("overwrite").parquet(path)
+      s.sql("SELECT node, component_rep, n_members FROM " +
+        s"graph_components('$path') ORDER BY node")
+    }),
+
     // ---- HITS driven through SQL TEXT (the TVF) -------------------------
     // Shares wg4's oracle: the graph_hits table function over the same
     // edge list must land on the same fixed-point longs.
@@ -359,6 +370,38 @@ object GraphQueries {
        |$steps""".stripMargin
   }
 
+  /** Shared wg5/sql11 closure replay (the TVF must land on the
+    * same reps and sizes as the Scala API). */
+  private val componentsOracle: String =
+    s"""WITH RECURSIVE $edgeCtes,
+           |und AS (
+           |  SELECT src AS a, dst AS b FROM edges
+           |  UNION SELECT dst, src FROM edges),
+           |wnodes AS (SELECT DISTINCT a AS node FROM und),
+           |hh AS MATERIALIZED (
+           |  SELECT node, CAST('0x' || substr(md5(node), 1, 15) AS BIGINT)
+           |    AS nid
+           |  FROM wnodes),
+           |hedges AS MATERIALIZED (
+           |  SELECT ha.nid AS a, hb.nid AS b
+           |  FROM und JOIN hh ha ON ha.node = und.a
+           |  JOIN hh hb ON hb.node = und.b),
+           |reach(id, r) AS (
+           |  SELECT nid, nid FROM hh
+           |  UNION
+           |  SELECT reach.id, e.b FROM reach JOIN hedges e ON reach.r = e.a),
+           |labels AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+           |lbl AS (
+           |  SELECT h.node, l.cid FROM hh h JOIN labels l ON l.id = h.nid),
+           |reps AS (SELECT nid AS cid, node AS component_rep FROM hh),
+           |sz AS (
+           |  SELECT cid, CAST(count(*) AS BIGINT) AS n_members
+           |  FROM lbl GROUP BY 1)
+           |SELECT lbl.node, r.component_rep, s.n_members
+           |FROM lbl JOIN reps r ON r.cid = lbl.cid
+           |JOIN sz s ON s.cid = lbl.cid
+           |ORDER BY lbl.node""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "wg1_link_edges" ->
       s"""WITH $edgeCtes
@@ -390,35 +433,12 @@ object GraphQueries {
          |SELECT node, CAST(r AS BIGINT) AS rank_fp
          |FROM r10 ORDER BY node""".stripMargin,
 
-    "wg5_components" ->
-      s"""WITH RECURSIVE $edgeCtes,
-         |und AS (
-         |  SELECT src AS a, dst AS b FROM edges
-         |  UNION SELECT dst, src FROM edges),
-         |wnodes AS (SELECT DISTINCT a AS node FROM und),
-         |hh AS MATERIALIZED (
-         |  SELECT node, CAST('0x' || substr(md5(node), 1, 15) AS BIGINT)
-         |    AS nid
-         |  FROM wnodes),
-         |hedges AS MATERIALIZED (
-         |  SELECT ha.nid AS a, hb.nid AS b
-         |  FROM und JOIN hh ha ON ha.node = und.a
-         |  JOIN hh hb ON hb.node = und.b),
-         |reach(id, r) AS (
-         |  SELECT nid, nid FROM hh
-         |  UNION
-         |  SELECT reach.id, e.b FROM reach JOIN hedges e ON reach.r = e.a),
-         |labels AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
-         |lbl AS (
-         |  SELECT h.node, l.cid FROM hh h JOIN labels l ON l.id = h.nid),
-         |reps AS (SELECT nid AS cid, node AS component_rep FROM hh),
-         |sz AS (
-         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_members
-         |  FROM lbl GROUP BY 1)
-         |SELECT lbl.node, r.component_rep, s.n_members
-         |FROM lbl JOIN reps r ON r.cid = lbl.cid
-         |JOIN sz s ON s.cid = lbl.cid
-         |ORDER BY lbl.node""".stripMargin,
+    "wg5_components" -> componentsOracle,
+
+    // the TVF path shares wg5's closure replay verbatim
+    "sql11_sql_components" -> componentsOracle,
+
+
 
     "wg7_trustrank" ->
       s"""WITH $edgeCtes,

@@ -415,6 +415,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graph_hits(path, iters) — path a string literal, iters an " +
             "integer literal")
       }))
+    // connected components as a TABLE function over the same edge
+    // shape: SELECT * FROM graph_components('edges.parquet') →
+    // (node, component_rep, n_members). sql11-gated against the wg5
+    // recursive-closure oracle.
+    ext.injectTableFunction((FunctionIdentifier("graph_components"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graph_components"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          graft.operators.WebGraph.components(
+            spark.read.parquet(strLit(p, "graph_components path")))
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "graph_components(path) — path must be a string literal")
+      }))
     // corpus tokenization from SQL text: seed a unigram vocabulary
     // from the corpus itself and Viterbi-encode every document —
     // SELECT * FROM unigram_tokens('corpus.parquet', 'doc_id', 'text',

@@ -389,6 +389,54 @@ class WebGraphSpec extends SparkSpec {
     assert(!byNode.contains("y.com") && !byNode.contains("x.com"))
   }
 
+  test("components: agrees with an independent driver-side BFS reference on random graphs") {
+    val rnd = new scala.util.Random(20260816L)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val base = (0 until 120).map { _ =>
+        (s"d${rnd.nextInt(n)}", s"d${rnd.nextInt(n)}", 1L)
+      }.filter(t => t._1 != t._2).distinct
+      val got = CacheScope.withScope { implicit s =>
+        WebGraph.components(base.toDF("src", "dst", "weight"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getString(1), r.getLong(2)))
+          .toMap
+      }
+      // reference: plain BFS over the undirected adjacency
+      val adj = scala.collection.mutable.HashMap[String, Set[String]]()
+        .withDefaultValue(Set.empty)
+      base.foreach { case (a, b, _) =>
+        adj(a) = adj(a) + b; adj(b) = adj(b) + a
+      }
+      val seen = scala.collection.mutable.HashSet[String]()
+      val refComps = scala.collection.mutable.ArrayBuffer[Set[String]]()
+      adj.keys.toSeq.sorted.foreach { start =>
+        if (!seen(start)) {
+          var frontier = Set(start)
+          var comp = Set.empty[String]
+          while (frontier.nonEmpty) {
+            comp ++= frontier
+            frontier = frontier.flatMap(adj).diff(comp)
+          }
+          seen ++= comp
+          refComps += comp
+        }
+      }
+      assert(got.keySet === adj.keySet)
+      refComps.foreach { comp =>
+        // one shared rep per reference component, correct size, and the
+        // rep is a member
+        val reps = comp.map(got(_)._1)
+        assert(reps.size === 1, s"split component: $comp -> $reps")
+        assert(comp.contains(reps.head))
+        comp.foreach(m => assert(got(m)._2 === comp.size.toLong))
+      }
+      // distinct reference components get distinct reps
+      assert(refComps.map(_.map(got(_)._1).head).distinct.size ===
+        refComps.size)
+    }
+  }
+
   test("components: local union-find and distributed star contraction agree exactly") {
     val base = (0 until 500).map { i =>
       (s"d${i % 61}", s"d${(i * 11 + 5) % 61}")
