@@ -1083,6 +1083,26 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- fertility over the WordPiece tokenizer -------------------------
+    // tokenFertility's tokenizer-agnostic contract in a gate: the SAME
+    // report operator over a different (id, n_tok) frame — greedy
+    // WordPiece counts instead of the unigram Viterbi's — with the
+    // whole alternate chain (positional vocab, greedy encode, per-doc
+    // composition, counters, ratios) re-derived in DuckDB.
+    "t19b_wordpiece_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val wf = TextAnalysis.bpeWordFreq(docs, "text")
+      val pieces = graft.CacheScope.withScope { implicit sc =>
+        WordPiece.vocab(wf, vocabSize = 200, maxPieceLen = 8)
+          .select(col("piece")).collect().map(_.getString(0)).toIndexedSeq
+      }
+      val (_, perDoc) = WordPiece.encodeCorpus(docs, "doc_id", "text",
+        pieces)(graft.CacheScope.session)
+      TextAnalysis.tokenFertility(docs, "doc_id", "text", "lang", perDoc)
+        .orderBy(col("lang"))
+    }),
+
     // ---- WordPiece tokenization driven through SQL TEXT (the TVF) -------
     // wordpiece_tokens seeds its vocabulary from the corpus itself (the
     // sql8 posture — the one-call path a SQL user takes), so the oracle
@@ -2377,6 +2397,34 @@ object CurationQueries {
          |  coalesce(a.token_str, '') AS token_str
          |FROM documents x LEFT JOIN t20agg a ON a.doc_id = x.doc_id
          |ORDER BY x.doc_id""".stripMargin,
+
+    // fertility over the greedy family: the t19 counters joined to the
+    // WordPiece per-doc composition instead of the unigram DP's
+    "t19b_wordpiece_fertility" ->
+      s"""WITH ${OracleFragments.wordpieceCtes("documents", "text", 200,
+            8, 8, withChain = true, withHex = false)},
+         |$wpCorpusComposition,
+         |t19wb AS (
+         |  SELECT doc_id, coalesce(lang, 'und') AS lang,
+         |    CAST(length(list_filter(string_split_regex(lower(trim(
+         |      coalesce(text, ''))), '\\s+'), x -> x <> '')) AS BIGINT)
+         |      AS n_words,
+         |    CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |t19wa AS (
+         |  SELECT b.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(b.n_words) AS BIGINT) AS n_words,
+         |    CAST(sum(coalesce(a.n_tok, 0)) AS BIGINT) AS n_tokens,
+         |    CAST(sum(b.n_bytes) AS BIGINT) AS n_bytes
+         |  FROM t19wb b LEFT JOIN t20agg a USING (doc_id) GROUP BY 1)
+         |SELECT lang, n_docs, n_words, n_tokens, n_bytes,
+         |  CASE WHEN n_words = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) END
+         |    AS fertility,
+         |  CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE) END
+         |    AS bytes_per_token
+         |FROM t19wa ORDER BY lang""".stripMargin,
 
     // the TVF path: same greedy replay, text-word universe only.
     // maxSteps = 8 is the sql8 posture: the corpus's longest text word
