@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.expressions.ByteMap
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-level BPE — the GPT-2 tokenizer family (Radford et al. 2019),
+  * the fourth subword family next to char-BPE ([[TextAnalysis]]),
+  * unigram-LM ([[graft.operators.Unigram]]) and WordPiece
+  * ([[graft.operators.WordPiece]]). The reference (an Oracle/pandas
+  * retail ETL, no NLP surface) has nothing comparable; this is
+  * engine-own LLM-pipeline capability.
+  *
+  * The whole trick is the [[graft.expressions.ByteMap]] bijection:
+  * UTF-8 bytes → 256 printable chars, applied per whitespace word.
+  * After that hop the EXISTING char-level machinery — `bpeTrainLocal`'s
+  * incremental trainer, `bpeEncodeWords`' rank-heap encoder — runs
+  * unchanged over the byte alphabet, and three properties fall out
+  * that the char-level family can't offer:
+  *
+  *  - **no [UNK], ever**: the base alphabet is all 256 bytes, so any
+  *    input — any script, emoji, mojibake, binary-ish junk — segments;
+  *  - **bounded base vocabulary**: 256 symbols regardless of how many
+  *    distinct unicode chars the corpus contains (char-BPE's alphabet
+  *    grows with the corpus's script inventory);
+  *  - **exact round-trip**: decode(encode(x)) == x byte for byte —
+  *    [[decodeSyms]] inverts any complete symbol sequence.
+  *
+  * Contract differences from [[TextAnalysis.bpeWordFreq]], both
+  * deliberate and both the GPT-2 convention: case-PRESERVING (byte
+  * tokenizers never lowercase — "The" and "the" are different byte
+  * strings) and whitespace is a pure separator (words carry no space
+  * marker; the per-doc word order is kept by position, as in
+  * `bpeEncodeCorpus`).
+  *
+  * Scale shape: identical to the char family — the corpus collapses to
+  * a word-frequency table in one O(corpus tokens) explode + one narrow
+  * word shuffle; training never touches the corpus again; encoding
+  * pays one distinct-word pass and a model-sized broadcast join.
+  */
+object ByteBpe {
+
+  /** Case-preserving whitespace words of `text`, each byte-mapped —
+    * the byte-level pre-tokenizer (map-only; empty/null text → []). */
+  def byteWords(text: Column): Column =
+    transform(
+      filter(split(trim(coalesce(text, lit(""))), "\\s+"), w => w =!= ""),
+      w => ByteMap.byteMapEncode(w))
+
+  /** Corpus word-frequency table over byte-mapped words — the ONLY
+    * corpus-sized step of byte-level BPE training (the
+    * [[TextAnalysis.bpeWordFreq]] scale contract, byte alphabet). */
+  def byteWordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(byteWords(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Train `nMerges` byte-level merges: [[TextAnalysis.bpeTrainLocal]]
+    * over the byte-mapped word-frequency table. The merge table's
+    * symbols are byte-mapped strings; decode any of them with
+    * [[decodeSyms]] for display. */
+  def train(wordFreq: DataFrame, nMerges: Int,
+      maxVocab: Int = 1 << 20): DataFrame =
+    TextAnalysis.bpeTrainLocal(wordFreq, nMerges, maxVocab)
+
+  /** Decode a complete symbol sequence (array of byte-mapped symbol
+    * strings) back to the original text — concatenation then the
+    * inverse byte map. Exact inverse of encoding a whole word (or any
+    * concatenation of whole words). */
+  def decodeSyms(syms: Column): Column =
+    ByteMap.byteMapDecode(array_join(syms, ""))
+
+  /** Corpus → token-ID sequences through the byte-level model — the
+    * [[TextAnalysis.bpeEncodeCorpus]] shape (distinct-word encode,
+    * model-sized broadcast id map, per-doc regroup with positions as
+    * data) over case-preserving byte-mapped words. Returns
+    * (vocab(token_id, sym), perDoc(id, token_ids, n_tok)). Token ids
+    * are byte-order ranks of the symbol strings — frozen-model-stable,
+    * corpus-independent. */
+  def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)])(
+      implicit scope: graft.CacheScope): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(byteWords(col(textCol))).as("word"))
+      .distinct()
+    val seg = scope.cache(
+      TextAnalysis.bpeSegmentWords(words, "word", merges))
+    val syms = seg.select(explode(col("syms")).as("sym")).distinct()
+      .collect().map(_.getString(0))
+      .sortWith(TextAnalysis.utf8Compare(_, _) < 0)
+    import spark.implicits._
+    val vocab = syms.zipWithIndex
+      .map { case (s, i) => (i, s) }.toSeq.toDF("token_id", "sym")
+    val segIds = seg
+      .select(col("word"), posexplode(col("syms")).as(Seq("spos", "sym")))
+      .join(broadcast(vocab), Seq("sym"))
+      .groupBy(col("word"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("spos"), col("token_id")))),
+        p => p.getField("token_id")).as("ids"))
+    val perDoc = docs
+      .select(col(idCol),
+        posexplode(byteWords(col(textCol))).as(Seq("wpos", "word")))
+      .join(segIds, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wpos"), col("ids")))),
+        p => p.getField("ids"))).as("token_ids"))
+    val out = docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("token_ids"), array().cast("array<int>"))
+          .as("token_ids"))
+      .withColumn("n_tok", size(col("token_ids")))
+    (vocab, out)
+  }
+}

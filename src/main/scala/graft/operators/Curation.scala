@@ -1378,4 +1378,78 @@ object Curation {
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         (coalesce(col("w_micros"), lit(0L)) / lit(1e6)).as("weight"))
   }
+
+  // ---- span corruption (T5-style denoising example construction) ---------
+
+  /** T5/UL2-family span-corruption example construction (Raffel et al.
+    * 2020, arXiv:1910.10683 §3.1.4: replace contiguous token spans
+    * with sentinel ids; inputs keep one sentinel per span, targets
+    * carry sentinel + the masked tokens) — the step that turns clean
+    * token sequences into denoising training pairs. The reference ETL
+    * has nothing comparable; engine-own LLM-pipeline capability.
+    *
+    * Deterministic variant of the published sampler: the sequence
+    * splits into FULL windows of `window` tokens; each window masks
+    * exactly one `span`-token run at an md5-drawn offset (one 32-bit
+    * draw per (seed, id, window) — rerun-, engine-, and
+    * partitioning-stable, the [[hashDraw]] discipline). Mask density
+    * is span/window by construction (defaults 3/20 = T5's 15%), spans
+    * never overlap or cross windows, and the ragged tail past the last
+    * full window stays unmasked. Span k's sentinel id is
+    * `sentinelBase + k` (caller guarantees sentinelBase > every real
+    * token id — T5's vocab-top convention); targets are the
+    * concatenation over spans of sentinel + masked tokens, so
+    * interleaving inputs and targets reconstructs the original
+    * sequence exactly (spec-pinned).
+    *
+    * Map-only at any scale: per-row array expressions, no shuffle, no
+    * UDF — at 100 TB this runs at parquet-read speed. */
+  def spanCorrupt(df: DataFrame, idCol: String, tokCol: String,
+      window: Int = 20, span: Int = 3, sentinelBase: Long = 100000L,
+      seed: String = "t5"): DataFrame = {
+    require(span >= 1, s"spanCorrupt: span must be >= 1, got $span")
+    require(window >= span,
+      s"spanCorrupt: window ($window) must be >= span ($span)")
+    val id = col(idCol)
+    val toks = coalesce(col(tokCol), array().cast("array<long>"))
+    val n = size(toks)
+    val nWin = (n / window).cast("int")
+    // one draw per full window: offset ∈ [0, window - span]
+    def off(j: Column): Column = pmod(
+      hashDraw(concat_ws("|", lit(seed), id.cast("string"),
+        j.cast("string"))),
+      lit((window - span + 1).toLong)).cast("int")
+    // empty-safe position walk (sequence(0, -1) DESCENDS — guard it)
+    val emptyLongs = array().cast("array<bigint>")
+    val positions = when(n > 0, sequence(lit(0), n - 1))
+      .otherwise(array().cast("array<int>"))
+    // per position: 0 = keep, 1 = span start (emit sentinel), 2 = drop
+    val marked = transform(positions, p => {
+      val j = (p / window).cast("int")
+      val rel = p % window
+      val o = when(j < nWin, off(j)).otherwise(lit(-1))
+      struct(
+        when(o >= 0 && rel >= o && rel < o + span,
+          when(rel === o, lit(1)).otherwise(lit(2)))
+          .otherwise(lit(0)).as("m"),
+        element_at(toks, p + 1).cast("long").as("t"),
+        j.as("j"))
+    })
+    val inputs = transform(
+      filter(marked, x => x.getField("m") =!= 2),
+      x => when(x.getField("m") === 1,
+        lit(sentinelBase) + x.getField("j")).otherwise(x.getField("t")))
+    val windows = when(nWin > 0, sequence(lit(0), nWin - 1))
+      .otherwise(array().cast("array<int>"))
+    val targets = flatten(transform(windows, j =>
+      concat(array(lit(sentinelBase) + j.cast("long")),
+        transform(slice(toks, j * window + off(j) + 1, lit(span)),
+          t => t.cast("long")))))
+    df.select(id,
+      n.as("n_tok"),
+      nWin.as("n_spans"),
+      (nWin * span).as("n_masked"),
+      coalesce(inputs, emptyLongs).as("inputs"),
+      coalesce(targets, emptyLongs).as("targets"))
+  }
 }

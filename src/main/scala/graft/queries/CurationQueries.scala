@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.Tables
 import graft.expressions.FreqSketchExpr
-import graft.operators.{Curation, Dedup, TextAnalysis, Unigram, WordPiece}
+import graft.expressions.ByteMap
+import graft.operators.{ByteBpe, Curation, Dedup, TextAnalysis, Unigram, WordPiece}
 import graft.ops.CountMin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -108,6 +109,30 @@ object CurationQueries {
       |    string_agg(w.idstr, ' ' ORDER BY d.wpos) AS token_str
       |  FROM t20dw d JOIN t20wid w ON w.word = d.word GROUP BY 1)"""
       .stripMargin
+
+  /** t21 planted corpus: every doc gains a multibyte suffix (Latin-1
+    * accents, CJK, Cyrillic, a 4-byte emoji) chosen by doc_id so the
+    * byte-level tokenizer exercises 2-, 3-, and 4-byte UTF-8
+    * sequences, not just ASCII. The oracle rebuilds the identical
+    * construction. */
+  private val t21Suffixes = Seq(" café crème", " 世界 模型",
+    " naïve façade", " данные модели", " ok 😀")
+  private def t21Docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")),
+        element_at(array(t21Suffixes.map(lit): _*),
+          (col("doc_id") % 5 + 1).cast("int"))).as("text"))
+
+  /** The t21 oracle's replay of [[t21Docs]]. */
+  private def t21DocsSql: String =
+    s"""pd AS (
+       |  SELECT doc_id, concat(coalesce(text, ''),
+       |    CASE CAST(doc_id % 5 AS INTEGER)
+       |      WHEN 0 THEN ' café crème' WHEN 1 THEN ' 世界 模型'
+       |      WHEN 2 THEN ' naïve façade'
+       |      WHEN 3 THEN ' данные модели'
+       |      ELSE ' ok 😀' END) AS text
+       |  FROM documents)""".stripMargin
 
   def queries: Map[String, Q] = Map(
     // ---- near-dup CLUSTERS (transitive closure over pair output) ------
@@ -1222,6 +1247,87 @@ object CurationQueries {
         docs.filter(col("source") =!= "src0"), "text")
       TextAnalysis.crossEntropyDiff(docs, "doc_id", "text",
           inLm, genLm, alpha = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- byte-level BPE: the GPT-2 family (fourth tokenizer family) -------
+    // The byte-map bijection turns ANY UTF-8 text into a 256-char
+    // alphabet; the planted multibyte suffixes (Latin-1 accents, CJK,
+    // Cyrillic, a 4-byte emoji) force real 2-/3-/4-byte sequences
+    // through it. t21 pins 30 training merges over the byte alphabet —
+    // the oracle re-derives the byte map from FIRST PRINCIPLES
+    // (unicode() code points → UTF-8 encoding arithmetic → the
+    // printable/shifted CASE) and replays the sequential merge chain,
+    // so the mapping table itself, case preservation, and byte-order
+    // tie-breaks are all hash-pinned.
+    "t21_bytebpe_train" -> ((s, d) => {
+      ByteBpe.train(ByteBpe.byteWordFreq(t21Docs(s, d), "text"),
+        nMerges = 30).orderBy(col("iter"))
+    }),
+
+    // vocabulary segmentation + the decode leg: `decoded` must equal
+    // the ORIGINAL word — the oracle derives it from the pre-map side
+    // of its own bmapped table (never touching an inverse map), so a
+    // drift anywhere in the encode/decode bijection flips the hash.
+    "t21b_bytebpe_encode" -> ((s, d) => {
+      val wf = ByteBpe.byteWordFreq(t21Docs(s, d), "text")
+      wf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val merges = ByteBpe.train(wf, nMerges = 30)
+        .orderBy(col("iter")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val out = TextAnalysis.bpeEncodeWords(wf.select(col("word")),
+          "word", merges)
+        .select(col("word"),
+          ByteMap.byteMapDecode(col("word")).as("decoded"),
+          size(col("syms")).as("n_syms"),
+          array_join(col("syms"), " ").as("segmented"))
+        .orderBy(col("word"))
+      wf.unpersist(blocking = false)
+      out
+    }),
+
+    // corpus → token-ID sequences through the byte-level model: id
+    // assignment (byte-order symbol ranks), per-word symbol order, and
+    // per-doc word order replayed end to end — the t14e contract on
+    // the byte alphabet, case-preserving.
+    "t21c_bytebpe_corpus" -> ((s, d) => {
+      val docs = t21Docs(s, d)
+      val wf = ByteBpe.byteWordFreq(docs, "text")
+      val merges = ByteBpe.train(wf, nMerges = 30)
+        .orderBy(col("iter")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val (_, perDoc) = ByteBpe.encodeCorpus(docs, "doc_id", "text",
+        merges)(graft.CacheScope.session)
+      perDoc.select(col("doc_id"), col("n_tok"),
+          concat_ws(" ", transform(col("token_ids"),
+            i => i.cast("string"))).as("token_str"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- span corruption: T5-style denoising example construction --------
+    // Token ids are hashed word ids (md5-32bit % 50000 — keeps the
+    // oracle focused on the corruption algorithm, not a tokenizer
+    // chain); window=8/span=2 gives several spans per template doc.
+    // The oracle re-derives every hashed token id, every per-window
+    // md5 offset draw, the keep/sentinel/drop disposition per
+    // position, and both output sequences via ordered aggregation —
+    // sentinel numbering, span boundaries, and the ragged-tail rule
+    // are all hash-pinned.
+    "cu21_span_corrupt" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        transform(
+          filter(TextAnalysis.tokens(coalesce(col("text"), lit(""))),
+            w => w =!= ""),
+          w => pmod(conv(substring(md5(concat(lit("tok|"), w)), 1, 8),
+            16, 10).cast("long"), lit(50000L))).as("tok_ids"))
+      Curation.spanCorrupt(docs, "doc_id", "tok_ids", window = 8,
+          span = 2, sentinelBase = 50000L, seed = "t5")
+        .select(col("doc_id"), col("n_tok"), col("n_spans"),
+          col("n_masked"),
+          concat_ws(" ", transform(col("inputs"),
+            x => x.cast("string"))).as("input_str"),
+          concat_ws(" ", transform(col("targets"),
+            x => x.cast("string"))).as("target_str"))
         .orderBy(col("doc_id"))
     }),
   )
@@ -2400,6 +2506,124 @@ object CurationQueries {
 
     // fertility over the greedy family: the t19 counters joined to the
     // WordPiece per-doc composition instead of the unigram DP's
+    // byte-level BPE train: planted corpus → first-principles byte map
+    // → byte-mapped word frequencies → the shared 30-iteration
+    // sequential merge-chain replay
+    "t21_bytebpe_train" ->
+      s"""WITH ${t21DocsSql},
+         |${OracleFragments.byteMapCtes("pd", "text")},
+         |${OracleFragments.bpeCtesFromWfreq(OracleFragments
+              .byteWfreqBody, 30)}
+         |SELECT * FROM (
+         |${(1 to 30).map(k =>
+              s"  SELECT $k AS iter, lhs, rhs, CAST(cnt AS BIGINT) " +
+                s"AS cnt FROM mg_$k").mkString("\n  UNION ALL\n")})
+         |ORDER BY iter""".stripMargin,
+
+    // byte-level vocabulary segmentation IS syms30 over the mapped
+    // words; `decoded` comes from the PRE-map side of bmapped — the
+    // bijection is pinned without ever consulting an inverse table
+    "t21b_bytebpe_encode" ->
+      s"""WITH ${t21DocsSql},
+         |${OracleFragments.byteMapCtes("pd", "text")},
+         |${OracleFragments.bpeCtesFromWfreq(OracleFragments
+              .byteWfreqBody, 30)},
+         |t21sel AS (
+         |  SELECT word, CAST(count(*) AS INTEGER) AS n_syms,
+         |    string_agg(sym, ' ' ORDER BY pos) AS segmented
+         |  FROM syms30 GROUP BY word)
+         |SELECT t.word, m.word AS decoded, t.n_syms, t.segmented
+         |FROM t21sel t JOIN bmapped m ON m.bword = t.word
+         |ORDER BY t.word""".stripMargin,
+
+    // byte-level corpus tokens: the t14e replay (byte-order symbol
+    // ids + ordered per-word and per-doc aggregation) over the
+    // case-preserving mapped word positions
+    "t21c_bytebpe_corpus" ->
+      s"""WITH ${t21DocsSql},
+         |${OracleFragments.byteMapCtes("pd", "text")},
+         |${OracleFragments.bpeCtesFromWfreq(OracleFragments
+              .byteWfreqBody, 30)},
+         |t21vocab AS (
+         |  SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS token_id
+         |  FROM (SELECT DISTINCT sym FROM syms30)),
+         |t21wseg AS (
+         |  SELECT s.word,
+         |    string_agg(CAST(v.token_id AS VARCHAR), ' ' ORDER BY s.pos)
+         |      AS idstr,
+         |    count(*) AS nsym
+         |  FROM syms30 s JOIN t21vocab v USING (sym) GROUP BY s.word),
+         |t21dw AS (
+         |  SELECT b.doc_id, b.wpos, m.bword AS mword
+         |  FROM bw b JOIN bmapped m USING (word)),
+         |t21agg AS (
+         |  SELECT d.doc_id, CAST(sum(w.nsym) AS INTEGER) AS n_tok,
+         |    string_agg(w.idstr, ' ' ORDER BY d.wpos) AS token_str
+         |  FROM t21dw d JOIN t21wseg w ON w.word = d.mword
+         |  GROUP BY d.doc_id)
+         |SELECT x.doc_id, coalesce(a.n_tok, 0) AS n_tok,
+         |  coalesce(a.token_str, '') AS token_str
+         |FROM documents x LEFT JOIN t21agg a USING (doc_id)
+         |ORDER BY x.doc_id""".stripMargin,
+
+    // span corruption: hashed token ids, per-window offset draws, the
+    // position disposition CASE, and ordered string aggregation for
+    // both sequences — all from first principles
+    "cu21_span_corrupt" ->
+      s"""WITH dx AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(trim(
+         |    coalesce(text, ''))), '\\s+'), x -> x <> '') AS ws
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    CAST('0x' || substr(md5('tok|' || ws[i]), 1, 8) AS BIGINT)
+         |      % 50000 AS tid
+         |  FROM dx, unnest(generate_series(1, len(ws))) t(i)),
+         |cnt AS (SELECT doc_id, len(ws) AS n_tok FROM dx),
+         |win AS (
+         |  SELECT c.doc_id, j,
+         |    CAST('0x' || substr(md5('t5|' || CAST(c.doc_id AS VARCHAR)
+         |      || '|' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT) % 7
+         |      AS off
+         |  FROM cnt c, unnest(generate_series(0,
+         |    CAST(n_tok // 8 AS INTEGER) - 1)) t(j)),
+         |mk AS (
+         |  SELECT t.doc_id, t.pos, t.tid, w.j, w.off,
+         |    CASE WHEN (t.pos % 8) = w.off THEN 1
+         |         WHEN (t.pos % 8) > w.off AND (t.pos % 8) < w.off + 2
+         |           THEN 2
+         |         ELSE 0 END AS m
+         |  FROM tok t LEFT JOIN win w
+         |    ON w.doc_id = t.doc_id AND w.j = t.pos // 8),
+         |inp AS (
+         |  SELECT doc_id, string_agg(
+         |    CASE WHEN m = 1 THEN CAST(50000 + j AS VARCHAR)
+         |         ELSE CAST(tid AS VARCHAR) END, ' ' ORDER BY pos)
+         |    AS input_str
+         |  FROM mk WHERE m <> 2 GROUP BY doc_id),
+         |tgt AS (
+         |  SELECT doc_id, string_agg(v, ' ' ORDER BY j, k, pos)
+         |    AS target_str
+         |  FROM (
+         |    SELECT doc_id, j, 0 AS k, -1 AS pos,
+         |      CAST(50000 + j AS VARCHAR) AS v
+         |    FROM win
+         |    UNION ALL
+         |    SELECT doc_id, j, 1 AS k, pos, CAST(tid AS VARCHAR) AS v
+         |    FROM mk WHERE m IN (1, 2)) u
+         |  GROUP BY doc_id),
+         |nsp AS (SELECT doc_id, count(*) AS n_spans FROM win
+         |  GROUP BY doc_id)
+         |SELECT c.doc_id, CAST(c.n_tok AS INTEGER) AS n_tok,
+         |  CAST(coalesce(s.n_spans, 0) AS INTEGER) AS n_spans,
+         |  CAST(coalesce(s.n_spans, 0) * 2 AS INTEGER) AS n_masked,
+         |  coalesce(i.input_str, '') AS input_str,
+         |  coalesce(g.target_str, '') AS target_str
+         |FROM cnt c LEFT JOIN inp i USING (doc_id)
+         |  LEFT JOIN nsp s USING (doc_id)
+         |  LEFT JOIN tgt g USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
+
     "t19b_wordpiece_fertility" ->
       s"""WITH ${OracleFragments.wordpieceCtes("documents", "text", 200,
             8, 8, withChain = true, withHex = false)},

@@ -407,14 +407,25 @@ object OracleFragments {
     * symbol (lhs == rhs), where greedy keeps every other match — so
     * "applied" = even offset from its contiguous-run start, which is
     * pure window SQL (`ap_k`). */
-  def bpeCtes(rel: String, textCol: String, n: Int): String = {
-    val base =
-      s"""wfreq AS MATERIALIZED (
-         |  SELECT word, count(*) AS freq FROM (
+  def bpeCtes(rel: String, textCol: String, n: Int): String =
+    bpeCtesFromWfreq(
+      s"""  SELECT word, count(*) AS freq FROM (
          |    SELECT unnest(string_split_regex(lower(trim($textCol)),
          |      '\\s+')) AS word
          |    FROM $rel) t
-         |  WHERE word <> '' GROUP BY 1),
+         |  WHERE word <> '' GROUP BY 1""".stripMargin, n)
+
+  /** [[bpeCtes]] with a caller-supplied `wfreq(word, freq)` body — the
+    * byte-level family feeds its byte-mapped (case-PRESERVING) word
+    * table here; the merge-iteration chain is shared verbatim. DuckDB's
+    * `word[pos]` indexing is per CHARACTER, and every byte-mapped
+    * symbol is exactly one char, so `syms0` is the byte decomposition
+    * for mapped words just as it is the char decomposition for plain
+    * ones. */
+  def bpeCtesFromWfreq(wfreqBody: String, n: Int): String = {
+    val base =
+      s"""wfreq AS MATERIALIZED (
+         |$wfreqBody),
          |syms0 AS MATERIALIZED (
          |  SELECT word, freq, pos, word[pos] AS sym FROM (
          |    SELECT word, freq,
@@ -459,6 +470,62 @@ object OracleFragments {
     }
     (base +: iters).mkString(",\n")
   }
+
+  /** Byte-map rebuild over `rel(doc_id, <textCol>)` — replays
+    * [[graft.expressions.ByteMap]] (the GPT-2 bytes_to_unicode
+    * bijection) from FIRST PRINCIPLES: per-char code points via
+    * `unicode()`, UTF-8 byte derivation via the public encoding
+    * arithmetic (1-4 bytes by code-point range), then the printable /
+    * shifted mapping as a CASE — no table literal copied from the
+    * engine, so a drift in the engine's map breaks the hash. Produces:
+    * `bw(doc_id, wpos, word)` — case-preserving whitespace words with
+    * positions — and `bmapped(word, bword)` — each distinct word's
+    * byte-mapped form. */
+  def byteMapCtes(rel: String, textCol: String): String =
+    s"""bwx AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split_regex(
+       |    trim(coalesce($textCol, '')), '\\s+'), x -> x <> '') AS __ws
+       |  FROM $rel),
+       |bw AS MATERIALIZED (
+       |  SELECT doc_id, i AS wpos, __ws[i] AS word
+       |  FROM bwx, unnest(generate_series(1, len(__ws))) t(i)),
+       |bdist AS (SELECT DISTINCT word FROM bw),
+       |bchars AS (
+       |  SELECT word, i, unicode(word[i]) AS p
+       |  FROM bdist, unnest(generate_series(1, len(word))) t(i)),
+       |bnb AS (
+       |  SELECT word, i, p,
+       |    CASE WHEN p < 128 THEN 1 WHEN p < 2048 THEN 2
+       |         WHEN p < 65536 THEN 3 ELSE 4 END AS nb
+       |  FROM bchars),
+       |bbytes AS (
+       |  SELECT word, i, j,
+       |    CASE WHEN nb = 1 THEN p
+       |         WHEN j = 1 THEN (256 - CASE nb WHEN 2 THEN 64
+       |             WHEN 3 THEN 32 ELSE 16 END)
+       |           + (p // CASE nb WHEN 2 THEN 64 WHEN 3 THEN 4096
+       |               ELSE 262144 END)
+       |         ELSE 128 + ((p // CASE (nb - j) WHEN 0 THEN 1
+       |             WHEN 1 THEN 64 WHEN 2 THEN 4096 ELSE 262144 END)
+       |           % 64)
+       |    END AS b
+       |  FROM bnb, unnest(generate_series(1, nb)) t(j)),
+       |bmapped AS MATERIALIZED (
+       |  SELECT word, string_agg(chr(
+       |    CASE WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+       |           OR (b BETWEEN 174 AND 255) THEN b
+       |         WHEN b <= 32 THEN 256 + b
+       |         WHEN b BETWEEN 127 AND 160 THEN 289 + (b - 127)
+       |         ELSE 323 END), '' ORDER BY i, j) AS bword
+       |  FROM bbytes GROUP BY word)""".stripMargin
+
+  /** The byte-level wfreq body for [[bpeCtesFromWfreq]]: word
+    * frequencies over the byte-MAPPED (case-preserving) words that
+    * [[byteMapCtes]]' `bw`/`bmapped` provide. */
+  def byteWfreqBody: String =
+    s"""  SELECT m.bword AS word, count(*) AS freq
+       |  FROM bw JOIN bmapped m USING (word)
+       |  GROUP BY 1""".stripMargin
 
   /** WordPiece rebuild over `corpus(doc_id, <textCol>)` — mirrors
     * [[graft.operators.WordPiece]] step for step. The seed CTEs

@@ -134,6 +134,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "nfc_normalize(text) takes exactly one argument")
       }))
+    ext.injectFunction((FunctionIdentifier("byte_map_encode"),
+      new ExpressionInfo(
+        classOf[graft.expressions.ByteMapEncodeExpr].getName,
+        "byte_map_encode"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t) => graft.expressions.ByteMapEncodeExpr(t)
+        case _ => throw new IllegalArgumentException(
+          "byte_map_encode(text) takes exactly one argument")
+      }))
+    ext.injectFunction((FunctionIdentifier("byte_map_decode"),
+      new ExpressionInfo(
+        classOf[graft.expressions.ByteMapDecodeExpr].getName,
+        "byte_map_decode"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t) => graft.expressions.ByteMapDecodeExpr(t)
+        case _ => throw new IllegalArgumentException(
+          "byte_map_decode(text) takes exactly one argument")
+      }))
     ext.injectFunction((FunctionIdentifier("random_project"),
       new ExpressionInfo(
         graft.operators.Similarity.getClass.getName, "random_project"),
