@@ -204,6 +204,62 @@ object Similarity {
 
   /** Exact top-k neighbors for each query (queries: (qid, qvec), small →
     * broadcast; only k rows per partition per query ever shuffle). */
+  /** Deterministic text embeddings via signed feature hashing
+    * (Weinberger et al. 2009, "Feature Hashing for Large Scale
+    * Multitask Learning" — the hashing-trick construction every
+    * large-scale linear text system uses): each lowercased whitespace
+    * token lands in an md5-drawn bucket with an md5-drawn ±1 sign,
+    * bucket sums form the raw vector, and the output is its L2
+    * normalization (zero vectors — empty/null text — stay zero).
+    * Closes the "where do vectors come from" gap engine-side: every
+    * ANN / VectorStore / SemDeDup / semantic-decontamination operator
+    * can now run from raw text alone, with no external embedding
+    * model, and the result is rerun-, engine-, and
+    * partitioning-stable (pure md5 arithmetic — DuckDB-replayable to
+    * the bit, like every hash draw in this codebase).
+    *
+    * Cosine on hash embeddings approximates token-multiset cosine
+    * similarity (collisions add O(1/√dim) noise — the JL-style
+    * guarantee of the paper); it is a CHEAP similarity signal for
+    * tests, bootstraps, and lexical-ish retrieval, not a replacement
+    * for learned semantic embeddings.
+    *
+    * Scale shape: one O(corpus tokens) explode, one narrow
+    * (id, bucket) integer shuffle with map-side combine, one id-keyed
+    * regroup — never a dim-wide row until the final per-doc array
+    * materializes. Every row that shuffles is three integers. */
+  def hashEmbed(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int, seed: String = "he"): DataFrame = {
+    require(dim >= 1, s"hashEmbed: dim must be >= 1, got $dim")
+    def draw(prefix: String): Column = conv(substring(md5(
+      concat(lit(s"$prefix|$seed|"), col("w"))), 1, 8), 16, 10)
+      .cast("long")
+    val toks = docs.select(col(idCol), explode(filter(
+      TextAnalysis.tokens(coalesce(col(textCol), lit(""))),
+      w => w =!= "")).as("w"))
+    val feats = toks.select(col(idCol),
+      pmod(draw("heb"), lit(dim.toLong)).cast("int").as("b"),
+      when(draw("hes") % 2 === 0, 1L).otherwise(-1L).as("s"))
+    val cells = feats.groupBy(col(idCol), col("b"))
+      .agg(sum(col("s")).as("c"))
+    val raws = cells.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+        .as("m"))
+      .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
+        b => coalesce(element_at(col("m"), b), lit(0L)).cast("double"))
+        .as("raw"))
+    val nrm = sqrt(aggregate(col("raw"), lit(0.0),
+      (acc, x) => acc + x * x))
+    docs.select(col(idCol)).join(raws, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("raw").isNull,
+          array_repeat(lit(0.0), lit(dim)))
+          .otherwise(when(nrm > lit(0.0),
+            transform(col("raw"), x => x / nrm))
+            .otherwise(col("raw")))
+          .as("embedding"))
+  }
+
   def bruteForceTopK(data: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int): DataFrame = {

@@ -465,6 +465,26 @@ object LlmQueries {
     }),
 
     // ---- exact brute-force ANN top-k (oracle-checked) --------------------
+    // ---- hashed text embeddings → cosine top-k, text-only end to end -----
+    // Signed feature hashing turns raw text into unit vectors with no
+    // external model; the gate runs the full text → embedding → exact
+    // cosine top-k chain. The oracle re-derives EVERYTHING: both md5
+    // draws per token, bucket sums over the 16-cell spine, the L2
+    // normalization fold, and the cosine ranking — so a drift in
+    // hashing, the sign convention, zero-vector handling, or the
+    // normalize arithmetic flips the hash.
+    "emb1_hash_embed" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val emb = Similarity.hashEmbed(docs, "doc_id", "text",
+        dim = 16, seed = "he")
+      val queries = emb.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(emb, "doc_id", "embedding",
+        queries, "qid", "qv", k = 4)
+        .select(col("qid"), col("rank"), col("doc_id"), col("cosine"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "ann1_bruteforce_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 3)
@@ -1910,6 +1930,62 @@ object LlmQueries {
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id % 5 = 0
         |ORDER BY id_a""".stripMargin,
+
+    // hashed embeddings from first principles: both md5 draws, the
+    // 16-cell spine, the L2 fold, then the ann1 cosine-ranking replay
+    "emb1_hash_embed" ->
+      """WITH dx AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(
+        |    coalesce(text, ''))), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, ws[i] AS w
+        |  FROM dx, unnest(generate_series(1, len(ws))) t(i)),
+        |ft AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5('heb|he|' || w), 1, 8) AS BIGINT)
+        |      % 16 AS b,
+        |    CASE WHEN CAST('0x' || substr(md5('hes|he|' || w), 1, 8)
+        |        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+        |  FROM tk),
+        |cl AS (SELECT doc_id, b, SUM(s) AS c FROM ft GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT doc_id, i AS b
+        |  FROM (SELECT DISTINCT doc_id FROM documents),
+        |    unnest(generate_series(0, 15)) t(i)),
+        |rawv AS (
+        |  SELECT s.doc_id,
+        |    list(CAST(coalesce(c.c, 0) AS DOUBLE) ORDER BY s.b) AS raw
+        |  FROM spine s LEFT JOIN cl c
+        |    ON c.doc_id = s.doc_id AND c.b = s.b
+        |  GROUP BY s.doc_id),
+        |emb AS (
+        |  SELECT doc_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(raw, x -> x * x)))
+        |        > CAST(0 AS DOUBLE)
+        |      THEN list_transform(raw, x -> x / sqrt(list_sum(
+        |        list_transform(raw, y -> y * y))))
+        |      ELSE raw END AS e
+        |  FROM rawv),
+        |q AS (
+        |  SELECT doc_id AS qid, e AS qv FROM emb WHERE doc_id % 97 = 0),
+        |scored AS (
+        |  SELECT q.qid, emb.doc_id,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> CAST(emb.e[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 17),
+        |        i -> CAST(emb.e[i] AS DOUBLE)
+        |           * CAST(emb.e[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 17),
+        |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+        |      AS cosine
+        |  FROM emb, q)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, cosine FROM (
+        |  SELECT qid, doc_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, doc_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 4 ORDER BY qid, rank""".stripMargin,
 
     "ann1_bruteforce_topk" ->
       """WITH q AS (

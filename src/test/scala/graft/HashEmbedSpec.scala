@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Hashed text embeddings (emb1): unit norm, zero-vector contract,
+  * determinism, and the multiset-similarity property that makes the
+  * construction useful. */
+class HashEmbedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embed(rows: Seq[(Long, String)], dim: Int = 16)
+      : Map[Long, Seq[Double]] =
+    Similarity.hashEmbed(rows.toDF("doc_id", "text"), "doc_id", "text",
+        dim = dim, seed = "he")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+  test("vectors are unit-norm for non-empty text; empty/null text " +
+      "gives the zero vector, not a missing row") {
+    val got = embed(Seq((1L, "the quick brown fox"), (2L, ""),
+      (3L, null.asInstanceOf[String]), (4L, "x")))
+    def norm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm(got(1L)) - 1.0) < 1e-12)
+    assert(math.abs(norm(got(4L)) - 1.0) < 1e-12)
+    assert(got(2L).forall(_ === 0.0) && got(2L).length === 16)
+    assert(got(3L).forall(_ === 0.0))
+  }
+
+  test("embedding depends on the token MULTISET: order-invariant, " +
+      "count-sensitive, case-folded") {
+    val got = embed(Seq(
+      (1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
+      (3L, "alpha alpha beta gamma"), (4L, "ALPHA Beta GAMMA")))
+    assert(got(1L) === got(2L), "order must not matter")
+    assert(got(1L) !== got(3L), "token counts must matter")
+    assert(got(1L) === got(4L), "tokens are lowercased")
+  }
+
+  test("deterministic across partitionings; dim is respected") {
+    val rows = (0L until 40L).map(i => (i, s"tok$i shared common " +
+      s"word${i % 5}")).toSeq
+    val a = Similarity.hashEmbed(rows.toDF("doc_id", "text"),
+        "doc_id", "text", dim = 8, seed = "he")
+      .orderBy("doc_id").collect().map(_.getSeq[Double](1))
+    val b = Similarity.hashEmbed(rows.toDF("doc_id", "text")
+        .repartition(7), "doc_id", "text", dim = 8, seed = "he")
+      .orderBy("doc_id").collect().map(_.getSeq[Double](1))
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(_.length === 8))
+  }
+
+  test("cosine on hash embeddings tracks token overlap: shared-word " +
+      "pairs score above disjoint pairs") {
+    val got = embed(Seq(
+      (1L, "data pipeline quality filter dedup"),
+      (2L, "data pipeline quality filter tokens"),
+      (3L, "orthogonal unrelated vocabulary entirely different")),
+      dim = 64)
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(cos(got(1L), got(2L)) > 0.5)
+    assert(cos(got(1L), got(2L)) > cos(got(1L), got(3L)))
+  }
+}
