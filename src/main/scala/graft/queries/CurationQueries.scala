@@ -134,6 +134,36 @@ object CurationQueries {
        |      ELSE ' ok 😀' END) AS text
        |  FROM documents)""".stripMargin
 
+  /** Shared tail of the byte-level corpus-tokens oracles: the 30-merge
+    * chain over whatever `lead` CTEs provide (`bw`/`bmapped`), then
+    * byte-order symbol ids + ordered per-word and per-doc
+    * aggregation — the t14e contract on the byte alphabet. */
+  private def byteCorpusTokensOracle(lead: String): String =
+    s"""WITH $lead,
+       |${OracleFragments.bpeCtesFromWfreq(OracleFragments
+            .byteWfreqBody, 30)},
+       |t21vocab AS (
+       |  SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS token_id
+       |  FROM (SELECT DISTINCT sym FROM syms30)),
+       |t21wseg AS (
+       |  SELECT s.word,
+       |    string_agg(CAST(v.token_id AS VARCHAR), ' ' ORDER BY s.pos)
+       |      AS idstr,
+       |    count(*) AS nsym
+       |  FROM syms30 s JOIN t21vocab v USING (sym) GROUP BY s.word),
+       |t21dw AS (
+       |  SELECT b.doc_id, b.wpos, m.bword AS mword
+       |  FROM bw b JOIN bmapped m USING (word)),
+       |t21agg AS (
+       |  SELECT d.doc_id, CAST(sum(w.nsym) AS INTEGER) AS n_tok,
+       |    string_agg(w.idstr, ' ' ORDER BY d.wpos) AS token_str
+       |  FROM t21dw d JOIN t21wseg w ON w.word = d.mword
+       |  GROUP BY d.doc_id)
+       |SELECT x.doc_id, coalesce(a.n_tok, 0) AS n_tok,
+       |  coalesce(a.token_str, '') AS token_str
+       |FROM documents x LEFT JOIN t21agg a USING (doc_id)
+       |ORDER BY x.doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     // ---- near-dup CLUSTERS (transitive closure over pair output) ------
     // Pairs come from the d3-proven exact LSH setting (bands=32, r=2:
@@ -1302,6 +1332,21 @@ object CurationQueries {
           concat_ws(" ", transform(col("token_ids"),
             i => i.cast("string"))).as("token_str"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- byte-level BPE driven through SQL TEXT (the TVF) -----------------
+    // byte_bpe_tokens trains its merges on the corpus itself — the
+    // one-call path a SQL user takes; the oracle rebuilds the byte
+    // map, the 30-merge chain, and the per-doc composition over the
+    // documents table directly.
+    "sql12_sql_bytebpe" -> ((s, d) => {
+      val path = GateTmp.dir("graft_bb_docs", d)
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(path)
+      s.sql("SELECT doc_id, n_tok, concat_ws(' ', " +
+        "transform(token_ids, x -> cast(x AS string))) AS token_str " +
+        s"FROM byte_bpe_tokens('$path', 'doc_id', 'text', 30) " +
+        "ORDER BY doc_id")
     }),
 
     // ---- span corruption: T5-style denoising example construction --------
@@ -2539,32 +2584,13 @@ object CurationQueries {
     // byte-level corpus tokens: the t14e replay (byte-order symbol
     // ids + ordered per-word and per-doc aggregation) over the
     // case-preserving mapped word positions
-    "t21c_bytebpe_corpus" ->
-      s"""WITH ${t21DocsSql},
-         |${OracleFragments.byteMapCtes("pd", "text")},
-         |${OracleFragments.bpeCtesFromWfreq(OracleFragments
-              .byteWfreqBody, 30)},
-         |t21vocab AS (
-         |  SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS token_id
-         |  FROM (SELECT DISTINCT sym FROM syms30)),
-         |t21wseg AS (
-         |  SELECT s.word,
-         |    string_agg(CAST(v.token_id AS VARCHAR), ' ' ORDER BY s.pos)
-         |      AS idstr,
-         |    count(*) AS nsym
-         |  FROM syms30 s JOIN t21vocab v USING (sym) GROUP BY s.word),
-         |t21dw AS (
-         |  SELECT b.doc_id, b.wpos, m.bword AS mword
-         |  FROM bw b JOIN bmapped m USING (word)),
-         |t21agg AS (
-         |  SELECT d.doc_id, CAST(sum(w.nsym) AS INTEGER) AS n_tok,
-         |    string_agg(w.idstr, ' ' ORDER BY d.wpos) AS token_str
-         |  FROM t21dw d JOIN t21wseg w ON w.word = d.mword
-         |  GROUP BY d.doc_id)
-         |SELECT x.doc_id, coalesce(a.n_tok, 0) AS n_tok,
-         |  coalesce(a.token_str, '') AS token_str
-         |FROM documents x LEFT JOIN t21agg a USING (doc_id)
-         |ORDER BY x.doc_id""".stripMargin,
+    "t21c_bytebpe_corpus" -> byteCorpusTokensOracle(
+      s"${t21DocsSql},\n${OracleFragments.byteMapCtes("pd", "text")}"),
+
+    // the TVF path: same replay over the documents table directly
+    // (the one-call posture a SQL user takes — no planted suffixes)
+    "sql12_sql_bytebpe" -> byteCorpusTokensOracle(
+      OracleFragments.byteMapCtes("documents", "text")),
 
     // span corruption: hashed token ids, per-window offset draws, the
     // position disposition CASE, and ordered string aggregation for

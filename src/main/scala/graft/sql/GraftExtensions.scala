@@ -513,6 +513,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "wordpiece_tokens(path, idCol, textCol, vocabSize, " +
             "maxPieceLen) — strings and integer literals")
       }))
+    // Byte-level BPE corpus tokenization from SQL text — the GPT-2
+    // family next to unigram_tokens/wordpiece_tokens: train nMerges
+    // byte-alphabet merges on the corpus itself and emit every
+    // document's token-ID sequence (no [UNK] possible — the base
+    // alphabet is all 256 bytes). SELECT * FROM byte_bpe_tokens(
+    // 'corpus.parquet', 'doc_id', 'text', 30) → (id, token_ids,
+    // n_tok). sql12-gated against the first-principles byte-map +
+    // merge-chain replay.
+    ext.injectTableFunction((FunctionIdentifier("byte_bpe_tokens"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "byte_bpe_tokens"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, idc, tc, Literal(nMerges: Int, _)) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val docs = spark.read.parquet(strLit(p, "byte_bpe_tokens path"))
+          val idCol = strLit(idc, "byte_bpe_tokens idCol")
+          val textCol = strLit(tc, "byte_bpe_tokens textCol")
+          val wf = graft.operators.ByteBpe.byteWordFreq(docs, textCol)
+          val merges = graft.operators.ByteBpe.train(wf, nMerges)
+            .orderBy(org.apache.spark.sql.functions.col("iter"))
+            .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+          val (_, perDoc) = graft.operators.ByteBpe.encodeCorpus(
+            docs, idCol, textCol, merges)
+          perDoc.queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "byte_bpe_tokens(path, idCol, textCol, nMerges) — strings " +
+            "and an integer literal")
+      }))
     // store-backed variant: same scoring expression, but the relation
     // comes from a persisted IndexStore directory (bucket-pruned
     // postings), so a SQL user can query a corpus index maintained

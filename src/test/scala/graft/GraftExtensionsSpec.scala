@@ -270,6 +270,36 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("byte_bpe_tokens table function matches the Scala composition " +
+      "and never emits [UNK] on multibyte input") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bbsql").toString
+    Seq((1L, "abab abc 世界"), (2L, "Cc abc café"), (3L, ""))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val got = spark.sql("SELECT doc_id, n_tok FROM " +
+        s"byte_bpe_tokens('$dir', 'doc_id', 'text', 4) " +
+        "ORDER BY doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val docs = spark.read.parquet(dir)
+    val wf = graft.operators.ByteBpe.byteWordFreq(docs, "text")
+    val merges = graft.operators.ByteBpe.train(wf, 4)
+      .orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val (_, perDoc) = CacheScope.withScope { implicit s =>
+      val r = graft.operators.ByteBpe.encodeCorpus(
+        docs, "doc_id", "text", merges)
+      (r._1.count(), r._2.select("doc_id", "n_tok").orderBy("doc_id")
+        .collect().map(x => (x.getLong(0), x.getInt(1))).toSeq)
+    }
+    assert(got === perDoc)
+    assert(got.find(_._1 === 1L).exists(_._2 > 0),
+      "multibyte doc must tokenize (no [UNK] path exists)")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM byte_bpe_tokens('$dir', 'doc_id', " +
+        "'text', 2 + 2)").collect()
+    }
+  }
+
   test("unigram_tokens table function matches the Scala composition") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("unisql").toString
