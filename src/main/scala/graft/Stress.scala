@@ -521,6 +521,98 @@ object Stress {
       }
     }
 
+    // ---- byte-level BPE at full corpus: the GPT-2 family next to
+    // bpe_encode_corpus. Identical scale contract (one word collapse,
+    // zero Spark jobs per merge, one distinct-word encode + per-doc
+    // regroup) but case-PRESERVING over the 256-symbol byte alphabet —
+    // so the collapsed vocabulary is larger (case variants split) and
+    // words are byte-mapped strings. -----------------------------------
+    step("byte_bpe") {
+      CacheScope.withScope { implicit scope =>
+        val nMerges = sys.env.get("STRESS_BYTE_BPE_MERGES")
+          .map(_.toInt).getOrElse(32000)
+        val wf = scope.cache(
+          graft.operators.ByteBpe.byteWordFreq(docs, "text"))
+        val t0 = System.nanoTime()
+        val merges = graft.operators.ByteBpe.train(wf, nMerges)
+          .orderBy(col("iter")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val trainSecs = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (vocab, out) = graft.operators.ByteBpe
+          .encodeCorpus(docs, "doc_id", "text", merges)
+        val agg = out.agg(count(lit(1)).as("n"),
+          sum(col("n_tok").cast("long")).as("tok"),
+          max(col("n_tok")).as("mx")).collect().head
+        val secs = (System.nanoTime() - t1) / 1e9
+        val nTok = agg.getLong(1)
+        Seq("n_merges" -> merges.size,
+          "train_secs" -> math.round(trainSecs * 100.0) / 100.0,
+          "docs" -> agg.getLong(0),
+          "tokens" -> nTok,
+          "max_doc_tokens" -> agg.getInt(2),
+          "vocab_ids" -> vocab.count(),
+          "encode_secs" -> math.round(secs * 100.0) / 100.0,
+          "tokens_per_sec" -> math.round(nTok / secs))
+      }
+    }
+
+    // ---- span corruption over the full corpus: hashed token ids (the
+    // cu21 construction) then the map-only window/sentinel pass.
+    // Map-only is the claim — the step proves it runs at scan speed
+    // with zero spill and a mask fraction of span/window. ----------------
+    step("span_corrupt") {
+      CacheScope.withScope { implicit scope =>
+        val toks = docs.select(col("doc_id"),
+          transform(filter(graft.operators.TextAnalysis.tokens(
+              coalesce(col("text"), lit(""))), w => w =!= ""),
+            w => pmod(conv(substring(md5(concat(lit("tok|"), w)), 1, 8),
+              16, 10).cast("long"), lit(50000L))).as("tok_ids"))
+        val t0 = System.nanoTime()
+        val out = graft.operators.Curation.spanCorrupt(toks, "doc_id",
+          "tok_ids", window = 20, span = 3, sentinelBase = 50000L,
+          seed = "t5")
+        val agg = out.agg(count(lit(1)).as("n"),
+          sum(col("n_tok").cast("long")).as("tok"),
+          sum(col("n_masked").cast("long")).as("msk"),
+          sum(size(col("targets")).cast("long")).as("tgt"))
+          .collect().head
+        val secs = (System.nanoTime() - t0) / 1e9
+        val nTok = agg.getLong(1)
+        Seq("docs" -> agg.getLong(0),
+          "tokens" -> nTok,
+          "masked" -> agg.getLong(2),
+          "mask_frac" -> math.round(agg.getLong(2).toDouble / nTok
+            * 1e4) / 1e4,
+          "target_len" -> agg.getLong(3),
+          "secs" -> math.round(secs * 100.0) / 100.0,
+          "tokens_per_sec" -> math.round(nTok / secs))
+      }
+    }
+
+    // ---- hashed embeddings over the full corpus: text → unit vectors
+    // with two md5 draws per token and one narrow (id, bucket) integer
+    // shuffle. The unit-norm count is the correctness sanity; the
+    // throughput is the claim (an embedding source that keeps up with
+    // the scan). -----------------------------------------------------------
+    step("hash_embed") {
+      CacheScope.withScope { implicit scope =>
+        val t0 = System.nanoTime()
+        val emb = graft.operators.Similarity.hashEmbed(docs, "doc_id",
+          "text", dim = 64, seed = "he")
+        val agg = emb.agg(count(lit(1)).as("n"),
+          sum(when(abs(aggregate(col("embedding"), lit(0.0),
+              (a, x) => a + x * x) - lit(1.0)) < lit(1e-9), 1L)
+            .otherwise(0L)).as("unit")).collect().head
+        val secs = (System.nanoTime() - t0) / 1e9
+        Seq("vectors" -> agg.getLong(0),
+          "unit_norm" -> agg.getLong(1),
+          "dim" -> 64,
+          "secs" -> math.round(secs * 100.0) / 100.0,
+          "vecs_per_sec" -> math.round(agg.getLong(0) / secs))
+      }
+    }
+
     // ---- unigram-LM tokenizer at full corpus: the SentencePiece
     // counterpart of bpe_encode_corpus. Seed candidates + EM + prune
     // run DRIVER-LOCAL over the collapsed word table (zero Spark jobs

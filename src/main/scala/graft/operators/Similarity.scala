@@ -224,12 +224,28 @@ object Similarity {
     * tests, bootstraps, and lexical-ish retrieval, not a replacement
     * for learned semantic embeddings.
     *
-    * Scale shape: one O(corpus tokens) explode, one narrow
-    * (id, bucket) integer shuffle with map-side combine, one id-keyed
-    * regroup — never a dim-wide row until the final per-doc array
-    * materializes. Every row that shuffles is three integers. */
+    * Scale shape: MAP-ONLY — the fused [[graft.expressions.
+    * HashEmbedExpr]] builds each row's vector in one compiled pass
+    * (tokenize, two md5 draws per token, long-cell sums, one
+    * normalize), so embedding runs at scan speed with zero shuffle.
+    * The composed Column formulation below ([[hashEmbedComposed]]:
+    * explode → two narrow shuffles → map rebuild) is the executable
+    * spec the fused path is pinned against bit-for-bit — measured at
+    * 5M docs it spent 408 s / 32 GB spill shuffling what the fused
+    * pass computes in place (the GopherStats lesson). */
   def hashEmbed(docs: DataFrame, idCol: String, textCol: String,
       dim: Int, seed: String = "he"): DataFrame = {
+    require(dim >= 1, s"hashEmbed: dim must be >= 1, got $dim")
+    docs.select(col(idCol),
+      graft.expressions.HashEmbed.hashEmbedVec(
+        coalesce(col(textCol), lit("")), dim, seed).as("embedding"))
+  }
+
+  /** The composed-Column reference formulation of [[hashEmbed]] — two
+    * narrow integer shuffles; kept as the executable spec of the fused
+    * expression (bit-identity pinned in HashEmbedSpec). */
+  private[graft] def hashEmbedComposed(docs: DataFrame, idCol: String,
+      textCol: String, dim: Int, seed: String = "he"): DataFrame = {
     require(dim >= 1, s"hashEmbed: dim must be >= 1, got $dim")
     def draw(prefix: String): Column = conv(substring(md5(
       concat(lit(s"$prefix|$seed|"), col("w"))), 1, 8), 16, 10)

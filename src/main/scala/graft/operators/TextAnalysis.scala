@@ -1722,4 +1722,55 @@ object TextAnalysis {
           .otherwise(col("n_bytes").cast("double") /
             col("n_tokens").cast("double")).as("bytes_per_token"))
   }
+
+  // ---- PMI collocations (phrase mining) -----------------------------------
+
+  /** Pointwise-mutual-information collocations over adjacent token
+    * pairs (Church & Hanks 1990, "Word Association Norms, Mutual
+    * Information, and Lexicography"; the word2phrase step of Mikolov
+    * et al. 2013 scores the same adjacent-pair statistic) — the phrase
+    * miner a tokenizer/vocabulary pipeline runs to find units like
+    * "new york" that word-level counting splits apart.
+    *
+    * PMI(w1, w2) = ln(c12·N / (c1·c2)), reported as integer micros
+    * (the codebase's cross-engine float discipline: exact long counts
+    * in, ONE IEEE ln + ONE round at the end). `minCount` drops
+    * low-support pairs BEFORE the ln — PMI's known pathology is that
+    * hapax pairs of hapax words score highest (c12=c1=c2=1 gives
+    * ln N), so unfiltered PMI is a typo detector, not a phrase miner.
+    *
+    * Scale shape: two O(corpus tokens) explodes into narrow count
+    * shuffles with map-side combine ((w1,w2) pairs and unigrams), a
+    * 1-row total broadcast, and a vocabulary-sized pair←unigram join —
+    * the corpus is scanned twice and never shuffled as text. Pairs
+    * never cross document boundaries. */
+  def collocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1,
+      s"collocations: minCount must be >= 1, got $minCount")
+    val toks = docs.select(
+      filter(tokens(coalesce(col(textCol), lit(""))), w => w =!= "")
+        .as("ws"))
+    val tk = toks.select(posexplode(col("ws")).as(Seq("i", "w")))
+    val uni = tk.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+    val pairs = toks.select(explode(
+      when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2"))))
+        .otherwise(array()
+          .cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") * col("n").cast("double"))
+          / (col("c1").cast("double") * col("c2").cast("double")))
+          * lit(1e6)).cast("long").as("pmi_micros"))
+  }
 }

@@ -618,6 +618,143 @@ object WebGraph {
       .select(col("node"), col("component_rep"), col("n_members"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan, Albert &
+    * Kumara 2007, "Near linear time algorithm to detect community
+    * structures in large-scale networks") — the community detector for
+    * graphs where [[components]] degenerates (a real web graph is ONE
+    * giant component; connectivity is not community structure). Each
+    * node starts as its own label; each round every node adopts the
+    * label with the largest incident edge-weight sum among its
+    * neighbors, ties to the SMALLEST label — the deterministic
+    * synchronous variant (the published algorithm is asynchronous with
+    * random tie-breaks; synchronous + total tie order is what makes
+    * the result rerun-, engine-, and partitioning-stable, at the known
+    * cost that bipartite-ish structures can oscillate with period 2 —
+    * `iters` is a fixed budget, not a convergence claim).
+    *
+    * The graph is treated as UNDIRECTED: edges symmetrize (weights of
+    * both directions sum) so label flow follows link adjacency, not
+    * link direction. Exact long arithmetic end to end — the argmax is
+    * max(struct(sum, -label)), no float anywhere — so the distributed
+    * and driver-local paths are bit-identical (spec-pinned, the
+    * pageRank contract). Graphs at or under `localMaxEdges` (checked
+    * with one bounded probe) take the driver-local loop; 0 forces
+    * distributed.
+    *
+    * Scale shape, distributed path: the symmetrized id-keyed adjacency
+    * caches ONCE; each round shuffles only the (nid, lbl) label table
+    * into the adjacency join and aggregates (node, lbl) weight sums
+    * with map-side combine; per-round materialization truncates the
+    * plan (the pageRank lesson). Rows in flight are three longs.
+    *
+    * Returns (node, community_rep, n_members) — the rep is the node
+    * string whose md5-60 id equals the surviving label. */
+  def labelProp(edges: DataFrame, iters: Int = 5,
+      localMaxEdges: Long = 262144L)
+      (implicit scope: CacheScope = CacheScope.session): DataFrame = {
+    require(iters >= 1, s"labelProp: iters must be >= 1, got $iters")
+    require(localMaxEdges >= 0 && localMaxEdges < Int.MaxValue,
+      s"labelProp: localMaxEdges out of range: $localMaxEdges")
+    def h(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"),
+      coalesce(col("weight").cast("long"), lit(1L)).as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull
+        && col("src") =!= col("dst") && col("w") > 0)
+    if (localMaxEdges > 0) {
+      val probe = e.limit((localMaxEdges + 1).toInt)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (probe.length <= localMaxEdges)
+        return labelPropLocal(edges.sparkSession, probe, iters)
+    }
+    val spark = edges.sparkSession
+    val und = scope.cache(
+      e.select(col("src").as("na"), col("dst").as("nb"), col("w"))
+        .unionByName(
+          e.select(col("dst").as("na"), col("src").as("nb"), col("w")))
+        .groupBy(col("na"), col("nb")).agg(sum(col("w")).as("w"))
+        .select(h(col("na")).as("aid"), h(col("nb")).as("bid"),
+          col("w")))
+    val lid = scope.cache(
+      e.select(col("src").as("node")).union(e.select(col("dst")))
+        .distinct().select(col("node"), h(col("node")).as("nid")))
+    def materialize(df: DataFrame): DataFrame = {
+      val cached = scope.cache(df)
+      cached.count()
+      spark.createDataFrame(cached.rdd, cached.schema)
+    }
+    var lbl = materialize(lid.select(col("nid"), col("nid").as("lbl")))
+    for (_ <- 1 to iters) {
+      val next = und
+        .join(lbl, und("bid") === lbl("nid"))
+        .groupBy(col("aid"), col("lbl"))
+        .agg(sum(col("w")).as("s"))
+        .groupBy(col("aid"))
+        .agg(max(struct(col("s").as("s"),
+          (-col("lbl")).as("nl"))).as("m"))
+        .select(col("aid").as("nid"), (-col("m.nl")).as("lbl"))
+      lbl = materialize(next)
+    }
+    val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    lid.join(lbl, Seq("nid"))
+      .join(lid.select(col("nid").as("lbl"),
+        col("node").as("community_rep")), Seq("lbl"))
+      .join(sizes, Seq("lbl"))
+      .select(col("node"), col("community_rep"), col("n_members"))
+  }
+
+  /** Driver-local synchronous LPA — same symmetrization, md5-60 label
+    * space, and (sum DESC, label ASC) argmax as the distributed path;
+    * long sums are order-independent, so the two are bit-identical. */
+  private def labelPropLocal(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(String, String, Long)], iters: Int): DataFrame = {
+    import spark.implicits._
+    val nodeIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
+    rows.foreach { case (s, d, _) =>
+      nodeIdx.getOrElseUpdate(s, nodeIdx.size)
+      nodeIdx.getOrElseUpdate(d, nodeIdx.size)
+    }
+    val nodes = nodeIdx.keys.toArray
+    val ids = nodes.map(md5Id60)
+    // symmetrized adjacency as index->HashMap(neighborIdx -> weight)
+    val adj = Array.fill(nodes.length)(
+      new scala.collection.mutable.HashMap[Int, Long]())
+    rows.foreach { case (s, d, w) =>
+      val si = nodeIdx(s); val di = nodeIdx(d)
+      adj(si).update(di, adj(si).getOrElse(di, 0L) + w)
+      adj(di).update(si, adj(di).getOrElse(si, 0L) + w)
+    }
+    var lbl = ids.clone()
+    var k = 0
+    while (k < iters) {
+      val next = new Array[Long](lbl.length)
+      var v = 0
+      while (v < lbl.length) {
+        val scores = new scala.collection.mutable.HashMap[Long, Long]()
+        adj(v).foreach { case (u, w) =>
+          val l = lbl(u)
+          scores.update(l, scores.getOrElse(l, 0L) + w)
+        }
+        var bestL = Long.MaxValue; var bestS = Long.MinValue
+        scores.foreach { case (l, s) =>
+          if (s > bestS || (s == bestS && l < bestL)) {
+            bestS = s; bestL = l
+          }
+        }
+        next(v) = bestL
+        v += 1
+      }
+      lbl = next
+      k += 1
+    }
+    val idToNode = ids.zip(nodes).toMap
+    val sizes = lbl.groupBy(identity).map { case (l, a) => (l, a.length) }
+    nodes.indices.map { v =>
+      (nodes(v), idToNode(lbl(v)), sizes(lbl(v)).toLong)
+    }.toDF("node", "community_rep", "n_members")
+  }
+
   /** 60-bit md5 id of a node string on the driver — the exact value of
     * the distributed `conv(substring(md5(node), 1, 15), 16, 10)`. */
   private def md5Id60(s: String): Long = {

@@ -133,6 +133,17 @@ object GraphQueries {
       WebGraph.components(edges).orderBy(col("node"))
     }),
 
+    // ---- label-propagation communities: structure INSIDE the giant
+    // component (the signal components cannot see). Five deterministic
+    // synchronous rounds over the symmetrized weighted domain graph;
+    // the oracle unrolls every round — neighbor-label weight sums and
+    // the (sum DESC, label ASC) argmax — so the sync semantics, the
+    // tie order, and the undirected symmetrization are hash-pinned.
+    "wg8_label_prop" -> ((s, d) => {
+      val edges = WebGraph.domainEdges(synthPages(s, d), "url", "html")
+      WebGraph.labelProp(edges, iters = 5).orderBy(col("node"))
+    }),
+
     // ---- TrustRank: personalized PageRank from a trusted seed set -------
     // Teleport and dangling mass flow only to the seeds (one of which
     // is absent from the graph and must silently drop); 10 fixed-point
@@ -244,6 +255,37 @@ object GraphQueries {
        |  SELECT src, dst, count(*) AS weight FROM linked
        |  WHERE dst IS NOT NULL AND dst <> src
        |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Unrolled synchronous LPA rounds — the same symmetrization, md5-60
+    * label space, and exact-long (sum DESC, label ASC) argmax as
+    * [[WebGraph.labelProp]]. Every CTE MATERIALIZED (the wg2 inlining
+    * lesson). */
+  private def lpaCtes(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""lsc$i AS MATERIALIZED (
+         |  SELECT u.anode AS node, l.lbl, CAST(sum(u.w) AS BIGINT) AS s
+         |  FROM und u JOIN lp$p l ON l.node = u.bnode GROUP BY 1, 2),
+         |lp$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+         |      ORDER BY s DESC, lbl) AS rn
+         |    FROM lsc$i) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""und AS MATERIALIZED (
+       |  SELECT anode, bnode, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT src AS anode, dst AS bnode, weight AS w FROM edges
+       |    UNION ALL
+       |    SELECT dst, src, weight FROM edges) t
+       |  GROUP BY 1, 2),
+       |lnid AS MATERIALIZED (
+       |  SELECT node, CAST('0x' || substr(md5(node), 1, 15) AS BIGINT)
+       |    AS nid
+       |  FROM (SELECT DISTINCT anode AS node FROM und)),
+       |lp0 AS MATERIALIZED (SELECT node, nid AS lbl FROM lnid),
+       |$steps""".stripMargin
   }
 
   /** Unrolled fixed-point PageRank iterations — the same integer
@@ -434,6 +476,20 @@ object GraphQueries {
          |FROM r10 ORDER BY node""".stripMargin,
 
     "wg5_components" -> componentsOracle,
+
+    // five synchronous LPA rounds unrolled: symmetrized weighted
+    // adjacency, md5-60 initial labels, per-round neighbor-label
+    // weight sums + the (sum DESC, label ASC) argmax as a window
+    "wg8_label_prop" ->
+      s"""WITH $edgeCtes,
+         |${lpaCtes(iters = 5)}
+         |SELECT l.node, r.node AS community_rep,
+         |  CAST(sz.n AS BIGINT) AS n_members
+         |FROM lp5 l
+         |  JOIN lnid r ON r.nid = l.lbl
+         |  JOIN (SELECT lbl, count(*) AS n FROM lp5 GROUP BY 1) sz
+         |    ON sz.lbl = l.lbl
+         |ORDER BY l.node""".stripMargin,
 
     // the TVF path shares wg5's closure replay verbatim
     "sql11_sql_components" -> componentsOracle,

@@ -485,6 +485,17 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ---- PMI collocations: adjacent-pair phrase mining -------------------
+    // Exact long counts in, one IEEE ln + one round out (integer
+    // micros). The oracle recounts unigrams, within-doc adjacent
+    // pairs, and the corpus total, then replays the PMI arithmetic in
+    // the same operation order — support filtering, doc-boundary
+    // handling, and the micro rounding are all hash-pinned.
+    "t22_collocations" -> ((s, d) => {
+      TA.collocations(Tables.documents(s, d), "text", minCount = 5L)
+        .orderBy(col("pmi_micros").desc, col("w1"), col("w2"))
+    }),
+
     "ann1_bruteforce_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 3)
@@ -1930,6 +1941,34 @@ object LlmQueries {
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id % 5 = 0
         |ORDER BY id_a""".stripMargin,
+
+    // unigrams, within-doc adjacent pairs, corpus total, and the PMI
+    // arithmetic in the engine's operation order
+    "t22_collocations" ->
+      """WITH dx AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(
+        |    coalesce(text, ''))), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, i, ws[i] AS w
+        |  FROM dx, unnest(generate_series(1, len(ws))) t(i)),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tk
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+        |pr AS (
+        |  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 5)
+        |SELECT p.w1, p.w2, p.c12,
+        |  CAST(round(ln((CAST(p.c12 AS DOUBLE) * CAST(t.n AS DOUBLE))
+        |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) * 1e6)
+        |    AS BIGINT) AS pmi_micros
+        |FROM pr p
+        |  JOIN uni u1 ON u1.w = p.w1
+        |  JOIN uni u2 ON u2.w = p.w2
+        |  CROSS JOIN tot t
+        |ORDER BY pmi_micros DESC, w1, w2""".stripMargin,
 
     // hashed embeddings from first principles: both md5 draws, the
     // 16-cell spine, the L2 fold, then the ann1 cosine-ranking replay

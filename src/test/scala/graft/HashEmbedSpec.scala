@@ -49,6 +49,29 @@ class HashEmbedSpec extends SparkSpec {
     assert(a.forall(_.length === 8))
   }
 
+  test("fused expression ≡ composed Column formulation, bit for bit, " +
+      "on adversarial inputs") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "plain ascii tokens here"),
+      (2L, "DUP dup DUP dup"), // case folding + multiplicity
+      (3L, "  tabs\tand\nnewlinesvt\ffeeds\rcr  "),
+      (4L, "unicode 世界 café née 😀"),
+      (5L, ""), (6L, null.asInstanceOf[String]),
+      (7L, "x"), (8L, "x x x x x x x x")) // single-bucket vectors
+    val df = rows.toDF("doc_id", "text")
+    for (dim <- Seq(2, 16, 64)) {
+      val fused = Similarity.hashEmbed(df, "doc_id", "text", dim)
+        .orderBy("doc_id").collect().map(_.getSeq[Double](1))
+      val composed = Similarity
+        .hashEmbedComposed(df, "doc_id", "text", dim)
+        .orderBy("doc_id").collect().map(_.getSeq[Double](1))
+      fused.zip(composed).zipWithIndex.foreach { case ((f, c), i) =>
+        assert(f === c, s"dim=$dim doc=${rows(i)._1}")
+      }
+    }
+  }
+
   test("cosine on hash embeddings tracks token overlap: shared-word " +
       "pairs score above disjoint pairs") {
     val got = embed(Seq(

@@ -479,4 +479,86 @@ class WebGraphSpec extends SparkSpec {
       assert(math.abs(got(v)._2 - h(v)) < 1e-6, s"hub $v: ${got(v)._2} vs ${h(v)}")
     }
   }
+
+  test("labelProp: two triangles joined by one weak bridge resolve " +
+      "into two 3-member communities") {
+    import spark.implicits._
+    // K3 {a,b,c} + K3 {d,e,f} with weight-3 internal edges, weight-1
+    // bridge c-d: a bridge endpoint's scores are (3, 3, 1), so the
+    // foreign label can NEVER win there — the communities stay
+    // disjoint in every md5 label ordering (with unit weights the
+    // globally-smallest id can leak across the bridge on a tie)
+    val edges = Seq(("a", "b", 3L), ("b", "c", 3L), ("a", "c", 3L),
+      ("d", "e", 3L), ("e", "f", 3L), ("d", "f", 3L), ("c", "d", 1L))
+      .toDF("src", "dst", "weight")
+    val got = WebGraph.labelProp(edges, iters = 6)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set("a", "b", "c", "d", "e", "f"))
+    val left = Set("a", "b", "c").map(got(_)._1)
+    val right = Set("d", "e", "f").map(got(_)._1)
+    assert(left.size === 1, s"left triangle split: $left")
+    assert(right.size === 1, s"right triangle split: $right")
+    assert(left !== right, "bridge must not merge the communities")
+    got.values.foreach { case (_, n) => assert(n === 3L) }
+  }
+
+  test("labelProp: weight dominates degree — a node pulled by one " +
+      "heavy edge joins the heavy side") {
+    import spark.implicits._
+    // x touches triangle {a,b,c} via two weight-1 edges (combined
+    // pull ≤ 2) and triangle {z1,z2,z3} via ONE weight-5 edge; both
+    // triangles' internal weights dominate their own bridge edges
+    // (3 > 1 at a/b, 10+10 > 5 at z1), so the communities are stable
+    // and x must side with the heavy single edge
+    val edges = Seq(("a", "b", 3L), ("b", "c", 3L), ("a", "c", 3L),
+      ("z1", "z2", 10L), ("z2", "z3", 10L), ("z1", "z3", 10L),
+      ("x", "a", 1L), ("x", "b", 1L), ("x", "z1", 5L))
+      .toDF("src", "dst", "weight")
+    val got = WebGraph.labelProp(edges, iters = 6)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val triRep = Set("a", "b", "c").map(got)
+    val zRep = Set("z1", "z2", "z3").map(got)
+    assert(triRep.size === 1 && zRep.size === 1)
+    assert(triRep !== zRep)
+    assert(got("x") === zRep.head,
+      "the weight-5 edge must outpull two weight-1 edges")
+  }
+
+  test("labelProp: local and distributed paths are bit-identical; " +
+      "partitioning does not matter; direction does not matter") {
+    import spark.implicits._
+    val base = (0 until 40).flatMap { i =>
+      Seq((s"n${i % 10}", s"n${(i * 7 + 1) % 10}", (i % 3 + 1).toLong),
+        (s"m${i % 6}", s"m${(i * 5 + 2) % 6}", (i % 2 + 1).toLong))
+    } ++ Seq(("n0", "m0", 1L))
+    def run(df: org.apache.spark.sql.DataFrame, localMax: Long) =
+      CacheScope.withScope { implicit s =>
+        WebGraph.labelProp(df, iters = 4, localMaxEdges = localMax)
+          .orderBy("node").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      }
+    val e1 = base.toDF("src", "dst", "weight")
+    val e13 = base.toDF("src", "dst", "weight").repartition(13)
+    val local = run(e1, 262144L)
+    assert(local === run(e13, 0L), "local vs distributed drifted")
+    // undirected contract: reversing every edge changes nothing
+    val rev = base.map { case (s, d, w) => (d, s, w) }
+      .toDF("src", "dst", "weight")
+    assert(local === run(rev, 262144L))
+  }
+
+  test("labelProp: self-loops and null rows drop; weight defaults to 1") {
+    import spark.implicits._
+    val edges = Seq(
+      (Some("a"), Some("b"), Some(2L)),
+      (Some("a"), Some("a"), Some(9L)), // self-loop: dropped
+      (Some("b"), None, Some(1L)), // null dst: dropped
+      (None, Some("b"), Some(1L)), // null src: dropped
+      (Some("b"), Some("c"), None)) // null weight -> 1
+      .toDF("src", "dst", "weight")
+    val got = WebGraph.labelProp(edges, iters = 2)
+      .collect().map(r => r.getString(0)).toSet
+    assert(got === Set("a", "b", "c"))
+  }
 }
