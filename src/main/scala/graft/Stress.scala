@@ -613,6 +613,51 @@ object Stress {
       }
     }
 
+    // ---- semantic dedup from RAW TEXT: fused hash embeddings feed
+    // SemDeDup directly — the no-external-model curation story at
+    // corpus scale. Planted near-dups (neighbor's text + one appended
+    // token) sit at hash-embedding cosine ≈ 23/√(23·24) ≈ 0.979; two
+    // same-template strangers share only 5 of 23 tokens (cosine ≈
+    // 0.22), so threshold 0.95 separates plants from boilerplate
+    // kinship cleanly. Recall < 1.0 here means the PAIR straddled an
+    // IVF cell boundary — the known nprobe-1 trade SemDeDup makes. ------
+    step("hash_semdedup") {
+      CacheScope.withScope { implicit scope =>
+        val t0 = System.nanoTime()
+        val emb = scope.cache(graft.operators.Similarity.hashEmbed(
+          docs, "doc_id", "text", dim = 64, seed = "he"))
+        val index = graft.operators.Similarity.ivfBuild(emb, "doc_id",
+          "embedding", nCells = 1024, iters = 2)
+        val out = graft.operators.Dedup.semanticDedup(emb, "doc_id",
+          "embedding", index.centroids, threshold = 0.95,
+          maxClusterSize = 100000)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nDropped = out.filter(!col("keep")).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val maxCell = out.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).collect().head.getLong(0)
+        val planted = docs.filter(col("doc_id") % 97 === 0 &&
+          col("doc_id") + 1 < nDocs && col("doc_id") % 101 =!= 0 &&
+          (col("doc_id") + 1) % 101 =!= 0)
+          .select((col("doc_id") + 1).as("id_hi"))
+        val nPlanted = planted.count()
+        // keep-first: the higher id of a collapsed pair is the drop
+        val nCaught = planted
+          .join(out.filter(!col("keep"))
+            .select(col("doc_id").as("id_hi")), Seq("id_hi"), "left_semi")
+          .count()
+        out.unpersist()
+        Seq("vectors" -> nDocs,
+          "secs" -> math.round(secs * 100.0) / 100.0,
+          "n_dropped" -> nDropped,
+          "max_cell" -> maxCell,
+          "planted_pairs" -> nPlanted,
+          "planted_collapsed" -> nCaught,
+          "collapse_recall" -> math.round(nCaught.toDouble /
+            math.max(1, nPlanted) * 1e4) / 1e4)
+      }
+    }
+
     // ---- unigram-LM tokenizer at full corpus: the SentencePiece
     // counterpart of bpe_encode_corpus. Seed candidates + EM + prune
     // run DRIVER-LOCAL over the collapsed word table (zero Spark jobs

@@ -1,0 +1,115 @@
+package graft.pipelines
+
+import graft.operators.{ByteBpe, TextAnalysis, Unigram, WordPiece}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted tokenizer models — the "train once, encode everywhere"
+  * contract that completes the store family ([[VectorStore]] /
+  * [[IndexStore]] / [[CorpusStore]] / [[SignatureStore]]): a tokenizer
+  * is trained ONCE (hours at real corpus scale), persisted, and every
+  * downstream job — corpus tokenization, packing, span corruption,
+  * fertility reports — loads the frozen model instead of retraining.
+  * Freezing is also a correctness property: token ids must not drift
+  * between the job that wrote shard 1 and the job that wrote shard
+  * 900, and a persisted model is the only thing that guarantees it.
+  *
+  * Layout (the [[VectorStore]] idiom):
+  * {{{
+  *   dir/model/   — family-specific rows:
+  *                    bpe | bpe-byte : (iter, lhs, rhs, cnt) ordered merges
+  *                    unigram        : (piece, cost_mu)
+  *                    wordpiece      : (piece)
+  *   dir/format/  — ONE row (family, version), written LAST: the
+  *                  commit point. A crash mid-save leaves a dir with
+  *                  no format marker, which [[family]] rejects loudly —
+  *                  never a half-written model silently encoding.
+  * }}}
+  *
+  * Scale shape: models are MODEL-sized (≤ merges/vocab rows — a 32k-
+  * merge BPE table is ~1 MB), so save is one tiny parquet write and
+  * load is one bounded collect; the corpus-sized work stays in the
+  * family encoders, unchanged. */
+object TokenizerStore {
+
+  val Families: Set[String] =
+    Set("bpe", "bpe-byte", "unigram", "wordpiece")
+
+  /** Persist a trained model. `model` must carry the family's schema
+    * (see layout above) — validated here, so a mixed-up frame fails at
+    * save time, not at some later load. Model writes first, the format
+    * marker last (the commit point). */
+  def save(spark: SparkSession, dir: String, family: String,
+      model: DataFrame): Unit = {
+    require(Families.contains(family),
+      s"TokenizerStore.save: unknown family '$family' — " +
+        s"one of ${Families.toSeq.sorted.mkString(", ")}")
+    val m = family match {
+      case "bpe" | "bpe-byte" => model.select(
+        col("iter").cast("int").as("iter"),
+        col("lhs").cast("string").as("lhs"),
+        col("rhs").cast("string").as("rhs"),
+        col("cnt").cast("long").as("cnt"))
+      case "unigram" => model.select(
+        col("piece").cast("string").as("piece"),
+        col("cost_mu").cast("long").as("cost_mu"))
+      case "wordpiece" => model.select(
+        col("piece").cast("string").as("piece"))
+    }
+    m.coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    import spark.implicits._
+    Seq((family, 1)).toDF("family", "version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/format")
+  }
+
+  /** The stored family — fails loudly on a dir that is not a committed
+    * tokenizer store (no format marker = a crashed save or a wrong
+    * path; guessing would encode with a half-written model). */
+  def family(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/format")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"TokenizerStore: $dir has no format marker — not a committed " +
+        "tokenizer store (a crashed save leaves model/ without format/)")
+    spark.read.parquet(s"$dir/format")
+      .select(col("family")).collect().head.getString(0)
+  }
+
+  /** The stored model frame, schema per family (see layout). */
+  def loadModel(spark: SparkSession, dir: String): DataFrame = {
+    family(spark, dir) // the loud not-a-store check
+    spark.read.parquet(s"$dir/model")
+  }
+
+  /** Encode a corpus through the STORED model — dispatches on the
+    * recorded family, so the caller needs no tokenizer-specific code
+    * and cannot apply a model with the wrong encoder. Returns the
+    * family's (vocab, perDoc) pair. */
+  def encodeCorpus(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String)(
+      implicit scope: graft.CacheScope): (DataFrame, DataFrame) =
+    family(spark, dir) match {
+      case "bpe" =>
+        TextAnalysis.bpeEncodeCorpus(docs, idCol, textCol,
+          loadMerges(spark, dir))
+      case "bpe-byte" =>
+        ByteBpe.encodeCorpus(docs, idCol, textCol,
+          loadMerges(spark, dir))
+      case "unigram" =>
+        Unigram.encodeCorpus(docs, idCol, textCol,
+          loadModel(spark, dir).orderBy(col("piece"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+            .toIndexedSeq)
+      case "wordpiece" =>
+        WordPiece.encodeCorpus(docs, idCol, textCol,
+          loadModel(spark, dir).orderBy(col("piece"))
+            .collect().map(_.getString(0)).toIndexedSeq)
+    }
+
+  /** The ordered merge list of a stored BPE-family model — bounded
+    * (model-sized) collect. */
+  def loadMerges(spark: SparkSession, dir: String)
+      : Seq[(String, String)] =
+    loadModel(spark, dir).orderBy(col("iter")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+}

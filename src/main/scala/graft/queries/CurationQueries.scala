@@ -1349,6 +1349,27 @@ object CurationQueries {
         "ORDER BY doc_id")
     }),
 
+    // ---- persisted tokenizer model: save → load → encode ≡ in-memory ----
+    // The store path must reproduce t21c exactly: train the byte-level
+    // merges, persist them (model first, format marker last), then
+    // encode the corpus THROUGH the store's family dispatch. The
+    // oracle is t21c's replay verbatim — a drift anywhere in
+    // save/load/dispatch flips the hash against the already-trusted
+    // first-principles chain.
+    "t23_tokenizer_store" -> ((s, d) => {
+      val docs = t21Docs(s, d)
+      val wf = ByteBpe.byteWordFreq(docs, "text")
+      val merges = ByteBpe.train(wf, nMerges = 30)
+      val dir = GateTmp.dir("graft_tok_store", d)
+      graft.pipelines.TokenizerStore.save(s, dir, "bpe-byte", merges)
+      val (_, perDoc) = graft.pipelines.TokenizerStore.encodeCorpus(
+        s, dir, docs, "doc_id", "text")(graft.CacheScope.session)
+      perDoc.select(col("doc_id"), col("n_tok"),
+          concat_ws(" ", transform(col("token_ids"),
+            i => i.cast("string"))).as("token_str"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- span corruption: T5-style denoising example construction --------
     // Token ids are hashed word ids (md5-32bit % 50000 — keeps the
     // oracle focused on the corruption algorithm, not a tokenizer
@@ -2591,6 +2612,11 @@ object CurationQueries {
     // (the one-call posture a SQL user takes — no planted suffixes)
     "sql12_sql_bytebpe" -> byteCorpusTokensOracle(
       OracleFragments.byteMapCtes("documents", "text")),
+
+    // the persisted-model path shares t21c's replay verbatim: the
+    // stored model must reproduce the in-memory chain bit for bit
+    "t23_tokenizer_store" -> byteCorpusTokensOracle(
+      s"${t21DocsSql},\n${OracleFragments.byteMapCtes("pd", "text")}"),
 
     // span corruption: hashed token ids, per-window offset draws, the
     // position disposition CASE, and ordered string aggregation for

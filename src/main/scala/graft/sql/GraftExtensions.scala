@@ -134,6 +134,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "nfc_normalize(text) takes exactly one argument")
       }))
+    ext.injectFunction((FunctionIdentifier("hash_embed"),
+      new ExpressionInfo(
+        classOf[graft.expressions.HashEmbedExpr].getName,
+        "hash_embed"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(t, Literal(dim: Int, _)) =>
+          graft.expressions.HashEmbedExpr(t, dim, "he")
+        case Seq(t, Literal(dim: Int, _), Literal(s: Any, _))
+            if s != null =>
+          graft.expressions.HashEmbedExpr(t, dim, s.toString)
+        case _ => throw new IllegalArgumentException(
+          "hash_embed(text, dim[, seed]) — dim an integer literal, " +
+            "seed a string literal")
+      }))
     ext.injectFunction((FunctionIdentifier("byte_map_encode"),
       new ExpressionInfo(
         classOf[graft.expressions.ByteMapEncodeExpr].getName,

@@ -72,6 +72,49 @@ class HashEmbedSpec extends SparkSpec {
     }
   }
 
+  test("hash embeddings feed the IVF stack directly: text → embed → " +
+      "ivfBuild → cell-pruned top-k self-retrieves") {
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 120L).map(i =>
+      (i, s"theme${i % 6} body${i % 6} shared corpus token$i " +
+        s"filler${i % 6} extra${(i * 7) % 6}")).toSeq
+    val emb = Similarity.hashEmbed(rows.toDF("doc_id", "text"),
+      "doc_id", "text", dim = 32)
+    val index = graft.CacheScope.withScope { implicit s =>
+      Similarity.ivfBuild(emb, "doc_id", "embedding",
+        nCells = 4, iters = 2)
+    }
+    val queries = emb.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"), col("embedding").as("qv"))
+    val top1 = Similarity.ivfTopK(index, "doc_id", "embedding",
+        queries, "qid", "qv", k = 1, nprobe = 2)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 10L).foreach { q =>
+      assert(top1(q) === q, s"query $q must self-retrieve at rank 1")
+    }
+  }
+
+  test("hash_embed is callable from SQL with literal dim and seed") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("he_docs")
+    val viaSql = spark.sql(
+      "SELECT hash_embed(text, 16) AS e FROM he_docs")
+      .collect().head.getSeq[Double](0)
+    val viaApi = Similarity.hashEmbed(df, "doc_id", "text", dim = 16)
+      .collect().head.getSeq[Double](1)
+    assert(viaSql === viaApi)
+    // a different literal seed changes the vector
+    val other = spark.sql(
+      "SELECT hash_embed(text, 16, 'zz') AS e FROM he_docs")
+      .collect().head.getSeq[Double](0)
+    assert(other !== viaApi)
+    intercept[Exception] {
+      spark.sql("SELECT hash_embed(text, 8 + 8) FROM he_docs").collect()
+    }
+  }
+
   test("cosine on hash embeddings tracks token overlap: shared-word " +
       "pairs score above disjoint pairs") {
     val got = embed(Seq(

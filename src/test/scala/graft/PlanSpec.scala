@@ -90,7 +90,9 @@ class PlanSpec extends SparkSpec {
       "t18_unigram_seed" -> 1,
       // NB/langID: per-label one-row spines (priors, totals, V)
       "nb1_source_classifier" -> 6, "nb2_incremental_nb" -> 6,
-      "lang1_learned_langid" -> 6)
+      "lang1_learned_langid" -> 6,
+      // PMI: the pair table crossJoins its one-row corpus-total spine
+      "t22_collocations" -> 1)
     // bounded query/probe/centroid sets broadcast against the corpus
     // (≤ a few hundred rows by gate construction — the brute-force
     // oracle legs and store probes):
@@ -103,7 +105,10 @@ class PlanSpec extends SparkSpec {
       "knn1_label_vote" -> 1, "rp1_random_projection" -> 1,
       "rp2_project_rerank" -> 1, "d6_fuzzy_pairs" -> 1,
       "hy1_hybrid_rrf" -> 3, "hy2_hybrid_ivf" -> 3,
-      "ir1_index_store" -> 1)
+      "ir1_index_store" -> 1,
+      // emb1: the ≤6-row hash-embedded query stratum broadcasts
+      // against the corpus in the brute-force leg
+      "emb1_hash_embed" -> 1)
     val bnljBounded: Map[String, Int] =
       (oneRowSpines ++ boundedProbes).toMap
     noAqe {
