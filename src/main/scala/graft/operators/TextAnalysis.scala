@@ -1745,15 +1745,26 @@ object TextAnalysis {
     * the corpus is scanned twice and never shuffled as text. Pairs
     * never cross document boundaries. */
   def collocations(docs: DataFrame, textCol: String,
-      minCount: Long = 5L): DataFrame = {
-    require(minCount >= 1,
-      s"collocations: minCount must be >= 1, got $minCount")
+      minCount: Long = 5L): DataFrame =
+    collocationsFrom(collocCounts(docs, textCol), minCount)
+
+  /** The collocation model: two pure-count tables — `pairCounts`
+    * (w1, w2, c12) over within-doc adjacent pairs and `uniCounts`
+    * (w, c) unigrams. Both are mergeable states (associative integer
+    * SUMs — the [[bigramLm]]/Count-Min/HLL contract): maintain them
+    * incrementally with [[foldColloc]], bit-identical to recounting
+    * the union. The corpus total derives from `uniCounts` at scoring
+    * time, so nothing derived is persisted to go stale. */
+  final case class CollocModel(pairCounts: DataFrame,
+      uniCounts: DataFrame)
+
+  /** Count pass over one corpus (or one delta batch). */
+  def collocCounts(docs: DataFrame, textCol: String): CollocModel = {
     val toks = docs.select(
       filter(tokens(coalesce(col(textCol), lit(""))), w => w =!= "")
         .as("ws"))
-    val tk = toks.select(posexplode(col("ws")).as(Seq("i", "w")))
-    val uni = tk.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val total = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val pairs = toks.select(explode(
       when(size(col("ws")) >= 2,
         transform(sequence(lit(1), size(col("ws")) - 1),
@@ -1763,8 +1774,28 @@ object TextAnalysis {
           .cast("array<struct<w1:string,w2:string>>"))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
+    CollocModel(pairs, uni)
+  }
+
+  /** Merge two collocation models — additive integer sums, so folding
+    * disjoint deltas reproduces the one-shot count tables exactly. */
+  def foldColloc(a: CollocModel, b: CollocModel): CollocModel =
+    CollocModel(
+      a.pairCounts.unionByName(b.pairCounts)
+        .groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c12")).as("c12")),
+      a.uniCounts.unionByName(b.uniCounts)
+        .groupBy(col("w")).agg(sum(col("c")).as("c")))
+
+  /** The PMI scoring tail over a (possibly folded) model. */
+  def collocationsFrom(model: CollocModel,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1,
+      s"collocations: minCount must be >= 1, got $minCount")
+    val uni = model.uniCounts
+    val total = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+    model.pairCounts
       .filter(col("c12") >= minCount)
-    pairs
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
       .crossJoin(broadcast(total))

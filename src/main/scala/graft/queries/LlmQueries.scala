@@ -496,6 +496,20 @@ object LlmQueries {
         .orderBy(col("pmi_micros").desc, col("w1"), col("w2"))
     }),
 
+    // folded half-corpus counts must score identically to the one-shot
+    // model (additive integer sums) — the incremental-maintenance
+    // contract of the LM family, for PMI; the oracle is t22's
+    // one-shot replay verbatim
+    "t22b_incremental_pmi" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val a = TA.collocCounts(docs.filter(col("doc_id") % 2 === 0),
+        "text")
+      val b = TA.collocCounts(docs.filter(col("doc_id") % 2 =!= 0),
+        "text")
+      TA.collocationsFrom(TA.foldColloc(a, b), minCount = 5L)
+        .orderBy(col("pmi_micros").desc, col("w1"), col("w2"))
+    }),
+
     "ann1_bruteforce_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 3)
@@ -1483,6 +1497,36 @@ object LlmQueries {
         |    AS margin_micros
         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** t22/t22b: unigrams, within-doc adjacent pairs, the corpus total,
+    * and the PMI arithmetic replayed in the engine's operation order.
+    * t22b scores FOLDED half-corpus counts against this same one-shot
+    * expectation — additive integer sums make them identical. */
+  private def t22OracleSql: String =
+    """WITH dx AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(
+      |    coalesce(text, ''))), '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, i, ws[i] AS w
+      |  FROM dx, unnest(generate_series(1, len(ws))) t(i)),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tk
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+      |pr AS (
+      |  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 5)
+      |SELECT p.w1, p.w2, p.c12,
+      |  CAST(round(ln((CAST(p.c12 AS DOUBLE) * CAST(t.n AS DOUBLE))
+      |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) * 1e6)
+      |    AS BIGINT) AS pmi_micros
+      |FROM pr p
+      |  JOIN uni u1 ON u1.w = p.w1
+      |  JOIN uni u2 ON u2.w = p.w2
+      |  CROSS JOIN tot t
+      |ORDER BY pmi_micros DESC, w1, w2""".stripMargin
+
   private def annOracleSql: String =
     """WITH base AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
@@ -1944,31 +1988,11 @@ object LlmQueries {
 
     // unigrams, within-doc adjacent pairs, corpus total, and the PMI
     // arithmetic in the engine's operation order
-    "t22_collocations" ->
-      """WITH dx AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(
-        |    coalesce(text, ''))), '\s+'), x -> x <> '') AS ws
-        |  FROM documents),
-        |tk AS (
-        |  SELECT doc_id, i, ws[i] AS w
-        |  FROM dx, unnest(generate_series(1, len(ws))) t(i)),
-        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tk
-        |  GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
-        |pr AS (
-        |  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c12
-        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-        |  GROUP BY 1, 2
-        |  HAVING count(*) >= 5)
-        |SELECT p.w1, p.w2, p.c12,
-        |  CAST(round(ln((CAST(p.c12 AS DOUBLE) * CAST(t.n AS DOUBLE))
-        |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) * 1e6)
-        |    AS BIGINT) AS pmi_micros
-        |FROM pr p
-        |  JOIN uni u1 ON u1.w = p.w1
-        |  JOIN uni u2 ON u2.w = p.w2
-        |  CROSS JOIN tot t
-        |ORDER BY pmi_micros DESC, w1, w2""".stripMargin,
+    "t22_collocations" -> t22OracleSql,
+
+    // folded counts ≡ one-shot counts (additive integers): the same
+    // full-recompute expectation pins the incremental path
+    "t22b_incremental_pmi" -> t22OracleSql,
 
     // hashed embeddings from first principles: both md5 draws, the
     // 16-cell spine, the L2 fold, then the ann1 cosine-ranking replay

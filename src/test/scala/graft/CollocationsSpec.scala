@@ -54,6 +54,24 @@ class CollocationsSpec extends SparkSpec {
     assert(got === Set(("x", "y")))
   }
 
+  test("folded disjoint deltas reproduce the one-shot scores value " +
+      "for value") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((0L, "a b a b c"), (1L, "b c b c"),
+      (2L, "a c a c a"), (3L, "c a b"), (4L, "")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("w1", "w2").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val one = rows(TA.collocations(docs, "text", 1L))
+    val folded = rows(TA.collocationsFrom(TA.foldColloc(
+      TA.collocCounts(docs.filter(col("doc_id") % 2 === 0), "text"),
+      TA.collocCounts(docs.filter(col("doc_id") % 2 =!= 0), "text")),
+      1L))
+    assert(folded === one)
+    assert(one.nonEmpty)
+  }
+
   test("validation fails loudly") {
     intercept[IllegalArgumentException] {
       TA.collocations(Seq("a b").toDF("text"), "text", 0L)
