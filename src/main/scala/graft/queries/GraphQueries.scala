@@ -205,6 +205,17 @@ object GraphQueries {
         s"graph_components('$path') ORDER BY node")
     }),
 
+    // ---- LPA communities driven through SQL (the TVF) -------------------
+    // Shares wg8's oracle: the graph_labelprop table function over the
+    // same edge list must land on the same communities.
+    "sql13_sql_labelprop" -> ((s, d) => {
+      val path = GateTmp.dir("graft_wg_edges_lpa", d)
+      WebGraph.domainEdges(synthPages(s, d), "url", "html")
+        .write.mode("overwrite").parquet(path)
+      s.sql("SELECT node, community_rep, n_members FROM " +
+        s"graph_labelprop('$path', 5) ORDER BY node")
+    }),
+
     // ---- HITS driven through SQL TEXT (the TVF) -------------------------
     // Shares wg4's oracle: the graph_hits table function over the same
     // edge list must land on the same fixed-point longs.
@@ -256,6 +267,18 @@ object GraphQueries {
        |  WHERE dst IS NOT NULL AND dst <> src
        |  GROUP BY 1, 2)""".stripMargin
   }
+
+  /** wg8/sql13: the full LPA replay. */
+  private lazy val lpaOracle: String =
+    s"""WITH $edgeCtes,
+       |${lpaCtes(iters = 5)}
+       |SELECT l.node, r.node AS community_rep,
+       |  CAST(sz.n AS BIGINT) AS n_members
+       |FROM lp5 l
+       |  JOIN lnid r ON r.nid = l.lbl
+       |  JOIN (SELECT lbl, count(*) AS n FROM lp5 GROUP BY 1) sz
+       |    ON sz.lbl = l.lbl
+       |ORDER BY l.node""".stripMargin
 
   /** Unrolled synchronous LPA rounds — the same symmetrization, md5-60
     * label space, and exact-long (sum DESC, label ASC) argmax as
@@ -480,16 +503,10 @@ object GraphQueries {
     // five synchronous LPA rounds unrolled: symmetrized weighted
     // adjacency, md5-60 initial labels, per-round neighbor-label
     // weight sums + the (sum DESC, label ASC) argmax as a window
-    "wg8_label_prop" ->
-      s"""WITH $edgeCtes,
-         |${lpaCtes(iters = 5)}
-         |SELECT l.node, r.node AS community_rep,
-         |  CAST(sz.n AS BIGINT) AS n_members
-         |FROM lp5 l
-         |  JOIN lnid r ON r.nid = l.lbl
-         |  JOIN (SELECT lbl, count(*) AS n FROM lp5 GROUP BY 1) sz
-         |    ON sz.lbl = l.lbl
-         |ORDER BY l.node""".stripMargin,
+    "wg8_label_prop" -> lpaOracle,
+
+    // the TVF path shares wg8's round replay verbatim
+    "sql13_sql_labelprop" -> lpaOracle,
 
     // the TVF path shares wg5's closure replay verbatim
     "sql11_sql_components" -> componentsOracle,

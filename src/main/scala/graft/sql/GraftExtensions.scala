@@ -463,6 +463,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graph_components(path) — path must be a string literal")
       }))
+    // label-propagation communities from SQL — structure INSIDE the
+    // giant component. SELECT * FROM graph_labelprop('edges.parquet',
+    // 5) → (node, community_rep, n_members). sql13-gated against the
+    // same unrolled-round replay as wg8.
+    ext.injectTableFunction((FunctionIdentifier("graph_labelprop"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "graph_labelprop"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, Literal(iters: Int, _)) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          graft.operators.WebGraph.labelProp(
+            spark.read.parquet(strLit(p, "graph_labelprop path")),
+            iters = iters)
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "graph_labelprop(path, iters) — a string and an integer " +
+            "literal")
+      }))
     // corpus tokenization from SQL text: seed a unigram vocabulary
     // from the corpus itself and Viterbi-encode every document —
     // SELECT * FROM unigram_tokens('corpus.parquet', 'doc_id', 'text',
