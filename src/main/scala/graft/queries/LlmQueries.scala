@@ -475,8 +475,13 @@ object LlmQueries {
     // normalize arithmetic flips the hash.
     "emb1_hash_embed" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val emb = Similarity.hashEmbed(docs, "doc_id", "text",
-        dim = 16, seed = "he")
+      // materialized BEFORE the broadcast join: CollapseProject would
+      // otherwise inline the embed expression into the join and
+      // re-evaluate it per join PAIR (the anq1 lesson — measured 5.5 s
+      // vs 0.6 s at sf0.1)
+      val emb = graft.CacheScope.session.cache(
+        Similarity.hashEmbed(docs, "doc_id", "text",
+          dim = 16, seed = "he"))
       val queries = emb.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("qid"), col("embedding").as("qv"))
       Similarity.bruteForceTopK(emb, "doc_id", "embedding",
