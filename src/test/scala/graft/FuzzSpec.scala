@@ -146,6 +146,32 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
+  test("byte map: decode(encode(x)) == x on random unicode from five " +
+      "scripts incl. astral code points") {
+    import graft.expressions.ByteMap
+    val alphabet = "ab Z9é中д😀ह\tÿ"
+    val strings = (1 to 400).map { _ =>
+      val cps = (0 until rnd.nextInt(20)).map { _ =>
+        alphabet.codePointAt(
+          alphabet.offsetByCodePoints(0,
+            rnd.nextInt(alphabet.codePointCount(0, alphabet.length))))
+      }
+      cps.map(Character.toChars(_).mkString).mkString
+    }.distinct
+    val got = strDf(strings)
+      .select(col("v"),
+        ByteMap.byteMapDecode(ByteMap.byteMapEncode(col("v"))).as("rt"),
+        length(ByteMap.byteMapEncode(col("v"))).as("n_chars"),
+        octet_length(col("v")).as("n_bytes"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(1) === r.getString(0),
+        s"round-trip broke on '${r.getString(0)}'")
+      // one mapped char per UTF-8 byte — the length contract
+      assert(r.getInt(2) === r.getInt(3))
+    }
+  }
+
   test("WordPiece greedy encode: reconstruction invariant on random words/vocabs") {
     import graft.operators.WordPiece
     import spark.implicits._
