@@ -829,14 +829,36 @@ object Stress {
         // end on the curated output)
         val wf = scope.cache(graft.operators.TextAnalysis
           .bpeWordFreq(sampled, "text"))
-        val merges = graft.operators.TextAnalysis
+        val mergesDf = graft.operators.TextAnalysis
           .bpeTrainLocal(wf, nMerges = 2000)
+        val merges = mergesDf
           .orderBy(col("iter")).collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
-        val (_, toks) = graft.operators.TextAnalysis
+        // the train-once contract at scale: persist the tokenizer and
+        // confirm the stored model IS the trained one
+        val tokDir = s"$dir/tokenizer_e2e"
+        graft.pipelines.TokenizerStore.save(spark, tokDir, "bpe",
+          mergesDf)
+        val storedOk = graft.pipelines.TokenizerStore
+          .loadMerges(spark, tokDir) == merges
+        val (_, toksRaw) = graft.operators.TextAnalysis
           .bpeEncodeCorpus(sampled, "doc_id", "text", merges)
+        val toks = scope.cache(toksRaw.select(col("doc_id"),
+          col("token_ids").cast("array<long>").as("token_ids"),
+          col("n_tok")))
         val nTok = toks.agg(sum(col("n_tok").cast("long")))
           .collect().head.getLong(0)
+        // the NEW terminal hop: token sequences → T5 denoising pairs
+        // (map-only — the whole hop adds one scan over the token frame)
+        val tDen = System.nanoTime()
+        val pairs = graft.operators.Curation.spanCorrupt(toks,
+          "doc_id", "token_ids", window = 20, span = 3,
+          sentinelBase = 100000L, seed = "t5")
+        val pAgg = pairs.agg(count(lit(1)).as("n"),
+          sum(col("n_masked").cast("long")).as("msk"),
+          sum(size(col("inputs")).cast("long")).as("inp"))
+          .collect().head
+        val denoiseSecs = (System.nanoTime() - tDen) / 1e9
         // the shipped dataset card over the final corpus; lang rides
         // the heuristic langId (synthetic text scores 'und' — the
         // card must survive that, not assume clean labels)
@@ -850,6 +872,11 @@ object Stress {
           "after_lm" -> funnel("after_lm"),
           "after_sample" -> nSampled,
           "n_tokens" -> nTok,
+          "tokenizer_store_ok" -> storedOk,
+          "denoise_docs" -> pAgg.getLong(0),
+          "denoise_masked" -> pAgg.getLong(1),
+          "denoise_input_len" -> pAgg.getLong(2),
+          "denoise_secs" -> math.round(denoiseSecs * 100.0) / 100.0,
           "card_n_docs" -> card.getAs[Long]("n_docs"),
           "card_n_words" -> card.getAs[Long]("n_words"),
           "card_dup_rate" -> card.getAs[Double]("dup_rate"),
@@ -1547,6 +1574,32 @@ object Stress {
             graft.operators.WebGraph.Scale * 10000.0) / 10000.0,
           "nodes_reached" -> agg.getLong(2),
           "top_node" -> top.getString(0))
+      }
+    }
+
+    // ---- label propagation over the same 5M-edge graph: the
+    // community detector for structure INSIDE the giant component.
+    // Each round is one label-table shuffle into the cached
+    // symmetrized adjacency + an exact-long (node, label) argmax agg
+    // with map-side combine — rows in flight are three longs. ------------
+    step("labelprop") {
+      val nEdges = math.max(1000000L, nDocs)
+      val edgesPath = ensurePagerankEdges(spark, dir, nEdges)
+      val e = spark.read.parquet(edgesPath)
+      CacheScope.withScope { implicit sc =>
+        val t0 = System.nanoTime()
+        val lp = graft.operators.WebGraph.labelProp(e, iters = 5,
+          localMaxEdges = 0L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val agg = lp.agg(count(lit(1)).as("n"),
+          max(col("n_members")).as("mx")).collect().head
+        val nComm = lp.select(col("community_rep")).distinct().count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        lp.unpersist(blocking = false)
+        Seq("n_edges" -> e.count(), "n_nodes" -> agg.getLong(0),
+          "secs_5_iters" -> math.round(secs * 100.0) / 100.0,
+          "n_communities" -> nComm,
+          "largest_community" -> agg.getLong(1))
       }
     }
 

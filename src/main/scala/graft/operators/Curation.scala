@@ -1423,33 +1423,57 @@ object Curation {
     val emptyLongs = array().cast("array<bigint>")
     val positions = when(n > 0, sequence(lit(0), n - 1))
       .otherwise(array().cast("array<int>"))
-    // per position: 0 = keep, 1 = span start (emit sentinel), 2 = drop
-    val marked = transform(positions, p => {
-      val j = (p / window).cast("int")
-      val rel = p % window
-      val o = when(j < nWin, off(j)).otherwise(lit(-1))
-      struct(
-        when(o >= 0 && rel >= o && rel < o + span,
-          when(rel === o, lit(1)).otherwise(lit(2)))
-          .otherwise(lit(0)).as("m"),
-        element_at(toks, p + 1).cast("long").as("t"),
-        j.as("j"))
-    })
-    val inputs = transform(
-      filter(marked, x => x.getField("m") =!= 2),
-      x => when(x.getField("m") === 1,
-        lit(sentinelBase) + x.getField("j")).otherwise(x.getField("t")))
     val windows = when(nWin > 0, sequence(lit(0), nWin - 1))
       .otherwise(array().cast("array<int>"))
-    val targets = flatten(transform(windows, j =>
-      concat(array(lit(sentinelBase) + j.cast("long")),
-        transform(slice(toks, j * window + off(j) + 1, lit(span)),
-          t => t.cast("long")))))
+    // ONE md5 draw per window, bound as DATA: higher-order lambdas are
+    // not subexpression-eliminated, so an off(j) written inline in the
+    // per-POSITION transform re-hashes per token (measured 235.6 s for
+    // the 516M-token end-to-end pass); binding the per-window offset
+    // array once and indexing it makes the position walk pure data
+    // access
+    val offsArr = when(nWin > 0,
+      transform(sequence(lit(0), nWin - 1), j => off(j)))
+      .otherwise(array().cast("array<int>"))
+    def outputs(offs: Column): Column = {
+      // per position: 0 = keep, 1 = span start (sentinel), 2 = drop
+      val marked = transform(positions, p => {
+        val j = (p / window).cast("int")
+        val rel = p % window
+        val o = when(j < nWin, element_at(offs, j + 1))
+          .otherwise(lit(-1))
+        struct(
+          when(o >= 0 && rel >= o && rel < o + span,
+            when(rel === o, lit(1)).otherwise(lit(2)))
+            .otherwise(lit(0)).as("m"),
+          element_at(toks, p + 1).cast("long").as("t"),
+          j.as("j"))
+      })
+      val inputs = transform(
+        filter(marked, x => x.getField("m") =!= 2),
+        x => when(x.getField("m") === 1,
+          lit(sentinelBase) + x.getField("j"))
+          .otherwise(x.getField("t")))
+      val targets = flatten(transform(windows, j =>
+        concat(array(lit(sentinelBase) + j.cast("long")),
+          transform(slice(toks,
+            j * window + element_at(offs, j + 1) + 1, lit(span)),
+            t => t.cast("long")))))
+      struct(coalesce(inputs, emptyLongs).as("i"),
+        coalesce(targets, emptyLongs).as("t"))
+    }
+    val both = graft.operators.TextAnalysis.bindOnce(offsArr)(outputs)
+    // The two getField projections re-evaluate `both` once each (2×
+    // the walks) — measured as the best available shape: emitting the
+    // struct through inline(array(both)) evaluates ONCE but moves the
+    // interpreted HOF chain into a Generate, measured 16× SLOWER
+    // (106 s vs 19 s at 114M tokens); and a staged __offs column would
+    // be CollapseProject-inlined back into the lambdas per POSITION.
+    // 2× of a data-access walk is the cheapest evil.
     df.select(id,
       n.as("n_tok"),
       nWin.as("n_spans"),
       (nWin * span).as("n_masked"),
-      coalesce(inputs, emptyLongs).as("inputs"),
-      coalesce(targets, emptyLongs).as("targets"))
+      both.getField("i").as("inputs"),
+      both.getField("t").as("targets"))
   }
 }
