@@ -92,7 +92,8 @@ class PlanSpec extends SparkSpec {
       "nb1_source_classifier" -> 6, "nb2_incremental_nb" -> 6,
       "lang1_learned_langid" -> 6,
       // PMI: the pair table crossJoins its one-row corpus-total spine
-      "t22_collocations" -> 1)
+      // (the incremental variant has the same scoring tail)
+      "t22_collocations" -> 1, "t22b_incremental_pmi" -> 1)
     // bounded query/probe/centroid sets broadcast against the corpus
     // (≤ a few hundred rows by gate construction — the brute-force
     // oracle legs and store probes):
