@@ -69,48 +69,32 @@ object ByteBpe {
   def decodeSyms(syms: Column): Column =
     ByteMap.byteMapDecode(array_join(syms, ""))
 
+  /** The model's FULL symbol table: all 256 byte-alphabet chars ∪
+    * every merge output — derivable from the MODEL alone (this is the
+    * byte family's structural advantage: the base alphabet is closed,
+    * where char-level BPE's grows with the corpus's script inventory).
+    * Segmentation can only emit base chars or merge outputs, so this
+    * is a superset of any corpus's symbols. */
+  def modelSymbols(merges: Seq[(String, String)]): Seq[String] = {
+    val base = (0 until 256).map(b =>
+      new String(Character.toChars(
+        graft.expressions.ByteMap.byteToChar(b))))
+    (base ++ merges.map { case (l, r) => l + r }).distinct
+  }
+
   /** Corpus → token-ID sequences through the byte-level model — the
-    * [[TextAnalysis.bpeEncodeCorpus]] shape (distinct-word encode,
-    * model-sized broadcast id map, per-doc regroup with positions as
-    * data) over case-preserving byte-mapped words. Returns
-    * (vocab(token_id, sym), perDoc(id, token_ids, n_tok)). Token ids
-    * are byte-order ranks of the symbol strings — frozen-model-stable,
-    * corpus-independent. */
+    * [[TextAnalysis.bpeEncodeCorpus]] shape (shared tail: distinct-word
+    * encode, model-sized broadcast id map, per-doc regroup with
+    * positions as data) over case-preserving byte-mapped words.
+    * Returns (vocab(token_id, sym), perDoc(id, token_ids, n_tok)).
+    * Token ids are byte-order ranks over [[modelSymbols]] — derived
+    * from the model ALONE, so they are corpus-INDEPENDENT: two shard
+    * jobs encoding different corpora through the same frozen model
+    * agree on every id (the TokenizerStore cross-shard contract,
+    * spec-pinned). */
   def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)])(
-      implicit scope: graft.CacheScope): (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
-    val words = docs
-      .select(explode(byteWords(col(textCol))).as("word"))
-      .distinct()
-    val seg = scope.cache(
-      TextAnalysis.bpeSegmentWords(words, "word", merges))
-    val syms = seg.select(explode(col("syms")).as("sym")).distinct()
-      .collect().map(_.getString(0))
-      .sortWith(TextAnalysis.utf8Compare(_, _) < 0)
-    import spark.implicits._
-    val vocab = syms.zipWithIndex
-      .map { case (s, i) => (i, s) }.toSeq.toDF("token_id", "sym")
-    val segIds = seg
-      .select(col("word"), posexplode(col("syms")).as(Seq("spos", "sym")))
-      .join(broadcast(vocab), Seq("sym"))
-      .groupBy(col("word"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("spos"), col("token_id")))),
-        p => p.getField("token_id")).as("ids"))
-    val perDoc = docs
-      .select(col(idCol),
-        posexplode(byteWords(col(textCol))).as(Seq("wpos", "word")))
-      .join(segIds, Seq("word"))
-      .groupBy(col(idCol))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("wpos"), col("ids")))),
-        p => p.getField("ids"))).as("token_ids"))
-    val out = docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("token_ids"), array().cast("array<int>"))
-          .as("token_ids"))
-      .withColumn("n_tok", size(col("token_ids")))
-    (vocab, out)
-  }
+      implicit scope: graft.CacheScope): (DataFrame, DataFrame) =
+    TextAnalysis.encodeCorpusWith(docs, idCol, byteWords(col(textCol)),
+      merges, fixedSyms = Some(modelSymbols(merges)))
 }

@@ -1431,16 +1431,31 @@ object TextAnalysis {
     * exists anywhere. Documents never re-segment per occurrence. */
   def bpeEncodeCorpus(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)])(
+      implicit scope: graft.CacheScope): (DataFrame, DataFrame) =
+    encodeCorpusWith(docs, idCol,
+      filter(tokens(coalesce(col(textCol), lit(""))), w => w =!= ""),
+      merges, fixedSyms = None)
+
+  /** The shared encode tail behind [[bpeEncodeCorpus]] (char family,
+    * lowercased words, corpus-occurring symbol ids) and
+    * [[graft.operators.ByteBpe.encodeCorpus]] (byte family,
+    * case-preserving mapped words, MODEL-derived symbol ids).
+    * `fixedSyms`, when given, must be a superset of every symbol
+    * segmentation can produce — the byte family derives it from the
+    * model alone, which is what makes its ids corpus-independent. */
+  private[operators] def encodeCorpusWith(docs: DataFrame,
+      idCol: String, wordsArr: Column, merges: Seq[(String, String)],
+      fixedSyms: Option[Seq[String]])(
       implicit scope: graft.CacheScope): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
-    val words = docs.select(
-      explode(filter(tokens(col(textCol)), w => w =!= "")).as("word"))
-      .distinct()
+    val words = docs.select(explode(wordsArr).as("word")).distinct()
     val seg = scope.cache(bpeSegmentWords(words, "word", merges))
     // the symbol table is bounded by the MODEL (alphabet + merges) —
     // a bounded control-plane collect, broadcast back as the id map
-    val syms = seg.select(explode(col("syms")).as("sym")).distinct()
-      .collect().map(_.getString(0)).sortWith(utf8Compare(_, _) < 0)
+    val syms = fixedSyms
+      .getOrElse(seg.select(explode(col("syms")).as("sym")).distinct()
+        .collect().map(_.getString(0)).toSeq)
+      .sortWith(utf8Compare(_, _) < 0)
     import spark.implicits._
     val vocab = syms.zipWithIndex
       .map { case (s, i) => (i, s) }.toSeq.toDF("token_id", "sym")
@@ -1452,9 +1467,8 @@ object TextAnalysis {
         array_sort(collect_list(struct(col("spos"), col("token_id")))),
         p => p.getField("token_id")).as("ids"))
     val perDoc = docs
-      .select(col(idCol), posexplode(
-        filter(tokens(coalesce(col(textCol), lit(""))), w => w =!= ""))
-        .as(Seq("wpos", "word")))
+      .select(col(idCol),
+        posexplode(wordsArr).as(Seq("wpos", "word")))
       .join(segIds, Seq("word"))
       .groupBy(col(idCol))
       .agg(flatten(transform(

@@ -37,13 +37,20 @@ object TokenizerStore {
 
   /** Persist a trained model. `model` must carry the family's schema
     * (see layout above) — validated here, so a mixed-up frame fails at
-    * save time, not at some later load. Model writes first, the format
-    * marker last (the commit point). */
+    * save time, not at some later load. Write order makes every crash
+    * window safe, INCLUDING a re-save over an existing store: the OLD
+    * format marker is deleted FIRST (a crash from here on leaves a
+    * dir [[family]] rejects — never a stale marker blessing a
+    * partial or wrong-family model), then the model, then the new
+    * marker (the commit point). */
   def save(spark: SparkSession, dir: String, family: String,
       model: DataFrame): Unit = {
     require(Families.contains(family),
       s"TokenizerStore.save: unknown family '$family' — " +
         s"one of ${Families.toSeq.sorted.mkString(", ")}")
+    val fmtPath = new org.apache.hadoop.fs.Path(s"$dir/format")
+    val fs = fmtPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(fmtPath)) fs.delete(fmtPath, true)
     val m = family match {
       case "bpe" | "bpe-byte" => model.select(
         col("iter").cast("int").as("iter"),
@@ -78,31 +85,41 @@ object TokenizerStore {
   /** The stored model frame, schema per family (see layout). */
   def loadModel(spark: SparkSession, dir: String): DataFrame = {
     family(spark, dir) // the loud not-a-store check
-    spark.read.parquet(s"$dir/model")
+    modelFrame(spark, dir)
   }
+
+  /** The model frame WITHOUT the marker check — internal, for callers
+    * that already verified the store (one format read per job, not
+    * three: on an object store every check is a round trip). */
+  private def modelFrame(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/model")
+
+  private def mergesOf(model: DataFrame): Seq[(String, String)] =
+    model.orderBy(col("iter")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
 
   /** Encode a corpus through the STORED model — dispatches on the
     * recorded family, so the caller needs no tokenizer-specific code
     * and cannot apply a model with the wrong encoder. Returns the
-    * family's (vocab, perDoc) pair. */
+    * family's (vocab, perDoc) pair. One format read, one model read. */
   def encodeCorpus(spark: SparkSession, dir: String, docs: DataFrame,
       idCol: String, textCol: String)(
       implicit scope: graft.CacheScope): (DataFrame, DataFrame) =
     family(spark, dir) match {
       case "bpe" =>
         TextAnalysis.bpeEncodeCorpus(docs, idCol, textCol,
-          loadMerges(spark, dir))
+          mergesOf(modelFrame(spark, dir)))
       case "bpe-byte" =>
         ByteBpe.encodeCorpus(docs, idCol, textCol,
-          loadMerges(spark, dir))
+          mergesOf(modelFrame(spark, dir)))
       case "unigram" =>
         Unigram.encodeCorpus(docs, idCol, textCol,
-          loadModel(spark, dir).orderBy(col("piece"))
+          modelFrame(spark, dir).orderBy(col("piece"))
             .collect().map(r => (r.getString(0), r.getLong(1)))
             .toIndexedSeq)
       case "wordpiece" =>
         WordPiece.encodeCorpus(docs, idCol, textCol,
-          loadModel(spark, dir).orderBy(col("piece"))
+          modelFrame(spark, dir).orderBy(col("piece"))
             .collect().map(_.getString(0)).toIndexedSeq)
     }
 
@@ -110,6 +127,5 @@ object TokenizerStore {
     * (model-sized) collect. */
   def loadMerges(spark: SparkSession, dir: String)
       : Seq[(String, String)] =
-    loadModel(spark, dir).orderBy(col("iter")).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    mergesOf(loadModel(spark, dir))
 }

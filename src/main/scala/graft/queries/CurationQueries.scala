@@ -144,7 +144,19 @@ object CurationQueries {
             .byteWfreqBody, 30)},
        |t21vocab AS (
        |  SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS token_id
-       |  FROM (SELECT DISTINCT sym FROM syms30)),
+       |  FROM (
+       |    SELECT chr(CAST(CASE WHEN (b BETWEEN 33 AND 126)
+       |          OR (b BETWEEN 161 AND 172)
+       |          OR (b BETWEEN 174 AND 255) THEN b
+       |        WHEN b <= 32 THEN 256 + b
+       |        WHEN b BETWEEN 127 AND 160 THEN 289 + (b - 127)
+       |        ELSE 323 END AS INTEGER)) AS sym
+       |    FROM generate_series(0, 255) t(b)
+       |    UNION
+       |    SELECT lhs || rhs AS sym FROM (
+       |${(1 to 30).map(k =>
+            s"      SELECT lhs, rhs FROM mg_$k")
+            .mkString("\n      UNION ALL\n")}) m)),
        |t21wseg AS (
        |  SELECT s.word,
        |    string_agg(CAST(v.token_id AS VARCHAR), ' ' ORDER BY s.pos)
@@ -1017,19 +1029,18 @@ object CurationQueries {
     // candidate machinery is hash-pinned against the sequential fold
     // semantics it must reproduce.
     "t14d_bpe_encode_prod" -> ((s, d) => {
-      val wf = TextAnalysis.bpeWordFreq(
-        Tables.documents(s, d).select(col("text")), "text")
-      wf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // scope-cached (not manually persisted/unpersisted) for the same
+      // reason as t21b: the encode plan executes AFTER construction
+      val wf = graft.CacheScope.session.cache(TextAnalysis.bpeWordFreq(
+        Tables.documents(s, d).select(col("text")), "text"))
       val merges = TextAnalysis.bpeTrainLocal(wf, nMerges = 30)
         .orderBy(col("iter")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      val out = TextAnalysis.bpeEncodeWords(wf.select(col("word")),
+      TextAnalysis.bpeEncodeWords(wf.select(col("word")),
           "word", merges)
         .select(col("word"), size(col("syms")).as("n_syms"),
           array_join(col("syms"), " ").as("segmented"))
         .orderBy(col("word"))
-      wf.unpersist(blocking = false)
-      out
     }),
 
     // ---- sentence-snapping chunker (RAG/pretraining chunk prep) ----------
@@ -1300,20 +1311,22 @@ object CurationQueries {
     // of its own bmapped table (never touching an inverse map), so a
     // drift anywhere in the encode/decode bijection flips the hash.
     "t21b_bytebpe_encode" -> ((s, d) => {
-      val wf = ByteBpe.byteWordFreq(t21Docs(s, d), "text")
-      wf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // scope-cached so the word-frequency aggregation feeds BOTH the
+      // trainer's collect and the returned encode plan (a manual
+      // persist/unpersist pair here released the cache before the
+      // gate framework ever executed the encode — review finding)
+      val wf = graft.CacheScope.session.cache(
+        ByteBpe.byteWordFreq(t21Docs(s, d), "text"))
       val merges = ByteBpe.train(wf, nMerges = 30)
         .orderBy(col("iter")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      val out = TextAnalysis.bpeEncodeWords(wf.select(col("word")),
+      TextAnalysis.bpeEncodeWords(wf.select(col("word")),
           "word", merges)
         .select(col("word"),
           ByteMap.byteMapDecode(col("word")).as("decoded"),
           size(col("syms")).as("n_syms"),
           array_join(col("syms"), " ").as("segmented"))
         .orderBy(col("word"))
-      wf.unpersist(blocking = false)
-      out
     }),
 
     // corpus → token-ID sequences through the byte-level model: id

@@ -102,6 +102,39 @@ class TokenizerStoreSpec extends SparkSpec {
     }
   }
 
+  test("bpe-byte token ids are corpus-INDEPENDENT: the same document " +
+      "gets identical ids inside two different shard corpora") {
+    val wf = ByteBpe.byteWordFreq(docs, "text")
+    val dir = tmp()
+    TokenizerStore.save(spark, dir, "bpe-byte", ByteBpe.train(wf, 5))
+    val shardA = Seq((1L, "abab abc low")).toDF("doc_id", "text")
+    val shardB = Seq((1L, "abab abc low"),
+      (2L, "qq zz 世界 unseen words everywhere"))
+      .toDF("doc_id", "text")
+    def idsOfDoc1(shard: org.apache.spark.sql.DataFrame): Seq[Int] =
+      CacheScope.withScope { implicit s =>
+        TokenizerStore.encodeCorpus(spark, dir, shard,
+            "doc_id", "text")._2
+          .filter(col("doc_id") === 1L).collect()
+          .head.getSeq[Int](1)
+      }
+    assert(idsOfDoc1(shardA) === idsOfDoc1(shardB),
+      "shard inventory must not change a document's token ids")
+  }
+
+  test("re-saving over an existing store is crash-safe: the old " +
+      "format marker is gone before the new model lands") {
+    val wf = TextAnalysis.bpeWordFreq(docs, "text")
+    val dir = tmp()
+    TokenizerStore.save(spark, dir, "bpe",
+      TextAnalysis.bpeTrainLocal(wf, nMerges = 2))
+    // a re-save deletes format/ FIRST — verify by writing a new model
+    // and checking the marker was re-created with the NEW family
+    TokenizerStore.save(spark, dir, "bpe-byte",
+      ByteBpe.train(ByteBpe.byteWordFreq(docs, "text"), 2))
+    assert(TokenizerStore.family(spark, dir) === "bpe-byte")
+  }
+
   test("a crashed save (model without format marker) is rejected " +
       "loudly; unknown families fail at save time") {
     val wf = TextAnalysis.bpeWordFreq(docs, "text")
