@@ -364,11 +364,19 @@ object Unigram {
   /** Corpus → token ids under a unigram model: the [[TextAnalysis.
     * bpeEncodeCorpus]] shape — the corpus collapses to DISTINCT words,
     * each word Viterbi-encodes once, token ids come from the UTF8-
-    * sorted used-piece table (bounded, collected, broadcast back), and
-    * per-doc sequences regroup by word position. Returns (vocabDf
-    * (token_id, piece), perDoc (id, token_ids, n_tok, score_mu)) —
-    * `score_mu` the exact integer corpus NLL of the doc under the
-    * model, summing per-occurrence word scores. */
+    * sorted FULL MODEL piece table, and per-doc sequences regroup by
+    * word position. Ids are a pure function of the model — two
+    * disjoint corpus shards encoded with the same vocabulary get the
+    * identical piece→id mapping, the
+    * [[graft.pipelines.TokenizerStore]] shard-stability contract.
+    * Unlike WordPiece, the Viterbi's unk-char fallback can emit
+    * single characters OUTSIDE the model; every such piece maps to
+    * the one reserved id `|model|` (the SentencePiece `<unk>`
+    * posture — also model-stable), so `token_ids` never carries a
+    * corpus-dependent id. Returns (vocabDf (token_id, piece), perDoc
+    * (id, token_ids, n_tok, score_mu)) — `score_mu` the exact integer
+    * corpus NLL of the doc under the model, summing per-occurrence
+    * word scores. */
   def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
       vocab: Seq[(String, Long)], unkCostMu: Long = 50000000L)(
       implicit scope: CacheScope = CacheScope.session)
@@ -378,16 +386,18 @@ object Unigram {
       w => w =!= "")
     val words = docs.select(explode(toks).as("word")).distinct()
     val seg = scope.cache(encodeWords(words, "word", vocab, unkCostMu))
-    val syms = seg.select(explode(col("pieces")).as("sym")).distinct()
-      .collect().map(_.getString(0))
+    val syms = vocab.map(_._1).distinct
       .sortWith(TextAnalysis.utf8Compare(_, _) < 0)
+    val unkId = syms.length
     import spark.implicits._
     val vocabDf = syms.zipWithIndex
       .map { case (s, i) => (i, s) }.toSeq.toDF("token_id", "piece")
     val segIds = seg
       .select(col("word"), col("n_pieces"), col("score_mu"),
         posexplode(col("pieces")).as(Seq("spos", "piece")))
-      .join(broadcast(vocabDf), Seq("piece"))
+      .join(broadcast(vocabDf), Seq("piece"), "left")
+      .withColumn("token_id",
+        coalesce(col("token_id"), lit(unkId)))
       .groupBy(col("word"))
       .agg(max(col("score_mu")).as("w_score"),
         transform(

@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions._
   *    DISTINCT word once in a single mapPartitions pass — no shuffle,
   *    no UDF registry, bounded by the word universe;
   *  - [[encodeCorpus]] is the [[Unigram.encodeCorpus]] composition:
-  *    distinct-word encode, UTF8-ranked token ids, per-doc regroup.
+  *    distinct-word encode, MODEL-derived token ids (UTF8 rank in the
+  *    full piece table + `[UNK]`), per-doc regroup.
   */
 object WordPiece {
 
@@ -158,12 +159,18 @@ object WordPiece {
 
   /** Corpus → WordPiece token ids: the [[Unigram.encodeCorpus]]
     * composition — the corpus collapses to DISTINCT words, each word
-    * greedy-encodes once, token ids come from the UTF8-sorted
-    * used-piece table (`[UNK]` ranks like any other symbol), and
-    * per-doc sequences regroup by word position. Returns (vocabDf
-    * (token_id, piece), perDoc (id, token_ids, n_tok, n_unk)) —
-    * `n_unk` counts `[UNK]` words per document, the vocabulary-coverage
-    * signal a tokenizer report tracks next to fertility. */
+    * greedy-encodes once, token ids come from the UTF8-sorted FULL
+    * MODEL piece table plus `[UNK]` (which ranks like any other
+    * symbol), and per-doc sequences regroup by word position. Ids are
+    * a pure function of the model — two disjoint corpus shards encoded
+    * with the same vocabulary get the identical piece→id mapping, the
+    * [[graft.pipelines.TokenizerStore]] shard-stability contract the
+    * byte-BPE family already honors (greedy encode can only emit
+    * model pieces or `[UNK]`, so the model bounds the symbol set).
+    * Returns (vocabDf (token_id, piece), perDoc (id, token_ids,
+    * n_tok, n_unk)) — `n_unk` counts `[UNK]` words per document, the
+    * vocabulary-coverage signal a tokenizer report tracks next to
+    * fertility. */
   def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
       pieces: Seq[String])(
       implicit scope: CacheScope = CacheScope.session)
@@ -173,8 +180,7 @@ object WordPiece {
       w => w =!= "")
     val words = docs.select(explode(toks).as("word")).distinct()
     val seg = scope.cache(encodeWords(words, "word", pieces))
-    val syms = seg.select(explode(col("pieces")).as("sym")).distinct()
-      .collect().map(_.getString(0))
+    val syms = (pieces :+ "[UNK]").distinct
       .sortWith(TextAnalysis.utf8Compare(_, _) < 0)
     import spark.implicits._
     val vocabDf = syms.zipWithIndex

@@ -38,19 +38,22 @@ object TokenizerStore {
   /** Persist a trained model. `model` must carry the family's schema
     * (see layout above) — validated here, so a mixed-up frame fails at
     * save time, not at some later load. Write order makes every crash
-    * window safe, INCLUDING a re-save over an existing store: the OLD
-    * format marker is deleted FIRST (a crash from here on leaves a
-    * dir [[family]] rejects — never a stale marker blessing a
-    * partial or wrong-family model), then the model, then the new
-    * marker (the commit point). */
+    * window safe, INCLUDING a re-save over an existing store: the
+    * model rows are materialized to the DRIVER first (bounded — models
+    * are ~1 MB by contract, and `model` may lazily derive from THIS
+    * store, e.g. a schema-migrating `loadModel(dir)`-then-`save(dir)`;
+    * an un-materialized overwrite would read from the path it is
+    * truncating), then the OLD format marker is deleted (a crash from
+    * here on leaves a dir [[family]] rejects — never a stale marker
+    * blessing a partial or wrong-family model), then the model, then
+    * the new marker (the commit point). Single-writer assumed: a
+    * reader racing the delete→rewrite window fails loudly rather than
+    * reading a half-committed store. */
   def save(spark: SparkSession, dir: String, family: String,
       model: DataFrame): Unit = {
     require(Families.contains(family),
       s"TokenizerStore.save: unknown family '$family' — " +
         s"one of ${Families.toSeq.sorted.mkString(", ")}")
-    val fmtPath = new org.apache.hadoop.fs.Path(s"$dir/format")
-    val fs = fmtPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(fmtPath)) fs.delete(fmtPath, true)
     val m = family match {
       case "bpe" | "bpe-byte" => model.select(
         col("iter").cast("int").as("iter"),
@@ -63,7 +66,14 @@ object TokenizerStore {
       case "wordpiece" => model.select(
         col("piece").cast("string").as("piece"))
     }
-    m.coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    // sever lineage from any on-disk source BEFORE mutating the dir
+    val localRows = m.collect().toIndexedSeq
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(localRows, 1), m.schema)
+    val fmtPath = new org.apache.hadoop.fs.Path(s"$dir/format")
+    val fs = fmtPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(fmtPath)) fs.delete(fmtPath, true)
+    local.coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
     import spark.implicits._
     Seq((family, 1)).toDF("family", "version")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/format")

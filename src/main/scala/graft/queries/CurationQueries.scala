@@ -70,9 +70,11 @@ object CurationQueries {
       .select(col("piece")).collect().map(_.getString(0)).toIndexedSeq
 
   /** Shared t20c/sql10 DuckDB composition over the wordpieceCtes chain
-    * (`wppieces`/`wpdone`): corpus words per doc, used-symbol UTF8
-    * ranking ([UNK] ranks like any symbol), per-word id strings, and
-    * the per-doc aggregation `t20agg(doc_id, n_tok, n_unk,
+    * (`wppieces`/`wpdone`): corpus words per doc, FULL-MODEL UTF8
+    * ranking (every `wpv` piece plus [UNK], which ranks like any
+    * symbol — ids are a pure function of the model, the
+    * TokenizerStore shard-stability contract), per-word id strings,
+    * and the per-doc aggregation `t20agg(doc_id, n_tok, n_unk,
     * token_str)`. */
   private val wpCorpusComposition: String =
     """t20dwx AS (
@@ -95,7 +97,8 @@ object CurationQueries {
       |t20sym AS (
       |  SELECT piece, row_number() OVER (ORDER BY piece) - 1
       |    AS token_id
-      |  FROM (SELECT DISTINCT piece FROM t20wp)),
+      |  FROM (SELECT DISTINCT piece FROM (
+      |    SELECT piece FROM wpv UNION ALL SELECT '[UNK]' AS piece))),
       |t20wid AS (
       |  SELECT wp.word,
       |    string_agg(CAST(s.token_id AS VARCHAR), ' ' ORDER BY wp.k)
@@ -2569,10 +2572,11 @@ object CurationQueries {
          |FROM wpwords w LEFT JOIN wpseg s ON s.word = w.word
          |ORDER BY w.word""".stripMargin,
 
-    // corpus composition: used-symbol ranking over the pieces CORPUS
-    // words actually emit ([UNK] ranks like any symbol), per-word id
-    // strings, per-doc concatenation in word order, [UNK] occurrence
-    // counts — the t14e replay pattern over the greedy segmentation
+    // corpus composition: FULL-MODEL symbol ranking (every wpv piece
+    // plus [UNK], which ranks like any symbol — ids are a pure
+    // function of the model), per-word id strings, per-doc
+    // concatenation in word order, [UNK] occurrence counts — the
+    // t14e replay pattern over the greedy segmentation
     "t20c_wordpiece_corpus" ->
       s"""WITH ${OracleFragments.wordpieceCtes("documents", "text", 200,
             8, 24, withChain = true)},

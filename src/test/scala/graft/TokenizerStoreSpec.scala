@@ -122,6 +122,86 @@ class TokenizerStoreSpec extends SparkSpec {
       "shard inventory must not change a document's token ids")
   }
 
+  test("wordpiece token ids are corpus-INDEPENDENT: two DISJOINT " +
+      "shards produce the identical piece→id mapping") {
+    val wf = TextAnalysis.bpeWordFreq(docs, "text")
+    val pieces = CacheScope.withScope { implicit s =>
+      WordPiece.vocab(wf, vocabSize = 40, maxPieceLen = 4)
+        .select(col("piece")).collect().map(_.getString(0)).toIndexedSeq
+    }
+    val dir = tmp()
+    TokenizerStore.save(spark, dir, "wordpiece", pieces.toDF("piece"))
+    // shard 1 and shard 900: no document, no word in common
+    val shardA = Seq((1L, "abab abc low")).toDF("doc_id", "text")
+    val shardB = Seq((900L, "lower lowest cc"),
+      (901L, "zzz unseen 世界")).toDF("doc_id", "text")
+    def mapping(shard: org.apache.spark.sql.DataFrame)
+        : Seq[(Int, String)] =
+      CacheScope.withScope { implicit s =>
+        TokenizerStore.encodeCorpus(spark, dir, shard,
+            "doc_id", "text")._1
+          .orderBy("token_id").collect()
+          .map(r => (r.getInt(0), r.getString(1))).toSeq
+      }
+    val (ma, mb) = (mapping(shardA), mapping(shardB))
+    assert(ma === mb,
+      "the piece→id mapping must be a pure function of the model")
+    assert(ma.map(_._2).contains("[UNK]"))
+    // and the full mapping is exactly the stored model + [UNK]
+    assert(ma.map(_._2).toSet === pieces.toSet + "[UNK]")
+  }
+
+  test("unigram token ids are corpus-INDEPENDENT: disjoint shards " +
+      "share one mapping and out-of-model chars take the reserved id") {
+    val wf = TextAnalysis.bpeWordFreq(docs, "text")
+    val vocab = CacheScope.withScope { implicit s =>
+      Unigram.seedVocab(wf, vocabSize = 40, maxPieceLen = 4)
+        .select(col("piece"), col("cost_mu")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    }
+    val dir = tmp()
+    TokenizerStore.save(spark, dir, "unigram",
+      vocab.toDF("piece", "cost_mu"))
+    val shardA = Seq((1L, "abab abc low")).toDF("doc_id", "text")
+    val shardB = Seq((900L, "lower lowest cc")).toDF("doc_id", "text")
+    def mapping(shard: org.apache.spark.sql.DataFrame)
+        : Seq[(Int, String)] =
+      CacheScope.withScope { implicit s =>
+        TokenizerStore.encodeCorpus(spark, dir, shard,
+            "doc_id", "text")._1
+          .orderBy("token_id").collect()
+          .map(r => (r.getInt(0), r.getString(1))).toSeq
+      }
+    val (ma, mb) = (mapping(shardA), mapping(shardB))
+    assert(ma === mb)
+    assert(ma.map(_._2).toSet === vocab.map(_._1).toSet)
+    // a character OUTSIDE the model maps to the reserved id |model|
+    // in EVERY shard — never to a corpus-dependent rank
+    val unkId = vocab.map(_._1).distinct.length
+    val oov = Seq((7L, "é")).toDF("doc_id", "text") // é: not in corpus
+    val ids = CacheScope.withScope { implicit s =>
+      TokenizerStore.encodeCorpus(spark, dir, oov,
+          "doc_id", "text")._2
+        .collect().head.getSeq[Int](1)
+    }
+    assert(ids === Seq(unkId))
+  }
+
+  test("re-save of a model LOADED FROM THE SAME STORE is safe: " +
+      "lineage is severed before the overwrite") {
+    val wf = TextAnalysis.bpeWordFreq(docs, "text")
+    val model = TextAnalysis.bpeTrainLocal(wf, nMerges = 3)
+    val merges = model.orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val dir = tmp()
+    TokenizerStore.save(spark, dir, "bpe", model)
+    // the schema-migrating re-save shape: load from dir, save to dir
+    val loaded = TokenizerStore.loadModel(spark, dir)
+    TokenizerStore.save(spark, dir, "bpe", loaded)
+    assert(TokenizerStore.family(spark, dir) === "bpe")
+    assert(TokenizerStore.loadMerges(spark, dir) === merges)
+  }
+
   test("re-saving over an existing store is crash-safe: the old " +
       "format marker is gone before the new model lands") {
     val wf = TextAnalysis.bpeWordFreq(docs, "text")
