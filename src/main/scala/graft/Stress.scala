@@ -217,9 +217,54 @@ object Stress {
       val nCands = graft.pipelines.SignatureStore.nearDups(spark,
         storeDir, batch, "doc_id", "text").count()
       val qSecs = (System.nanoTime() - t1) / 1e9
+      // append-heavy maintenance: 8 crawl batches land, the store's
+      // band table fans out to 8 × n_buckets files, then compaction
+      // folds everything non-seed back to one batch — query answers
+      // must be COUNT-identical before and after (bit-identity is the
+      // d9b gate's job), and the file count is the telemetry the
+      // small-file story stands on
+      val ta = System.nanoTime()
+      (0 until 8).foreach { b =>
+        val cb = docs.filter(col("doc_id") % 400 === b)
+          .select((col("doc_id") + 2L * nDocs + b).as("doc_id"),
+            col("text"))
+        graft.pipelines.SignatureStore.append(spark, storeDir, cb,
+          "doc_id", "text", s"c$b")
+      }
+      val appendSecs = (System.nanoTime() - ta) / 1e9
+      def storeFiles(): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1L else 0L
+        walk(new java.io.File(s"$storeDir/sigs")) +
+          walk(new java.io.File(s"$storeDir/bands"))
+      }
+      val filesBefore = storeFiles()
+      val t2 = System.nanoTime()
+      val nBefore = graft.pipelines.SignatureStore.nearDups(spark,
+        storeDir, batch, "doc_id", "text").count()
+      val qBeforeSecs = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      graft.pipelines.SignatureStore.compact(spark, storeDir,
+        vacuumAfter = true)
+      val compactSecs = (System.nanoTime() - t3) / 1e9
+      val filesAfter = storeFiles()
+      val t4 = System.nanoTime()
+      val nAfter = graft.pipelines.SignatureStore.nearDups(spark,
+        storeDir, batch, "doc_id", "text").count()
+      val qAfterSecs = (System.nanoTime() - t4) / 1e9
+      require(nAfter == nBefore,
+        s"compaction changed the answer: $nBefore -> $nAfter")
       Seq("seed_secs" -> seedSecs, "batch_query_secs" -> qSecs,
         "n_store_neardups" -> nCands,
-        "n_batch" -> batch.count())
+        "n_batch" -> batch.count(),
+        "append_8x_secs" -> appendSecs,
+        "files_before_compact" -> filesBefore,
+        "query_before_compact_secs" -> qBeforeSecs,
+        "compact_secs" -> compactSecs,
+        "files_after_compact" -> filesAfter,
+        "query_after_compact_secs" -> qAfterSecs,
+        "neardups_before" -> nBefore, "neardups_after" -> nAfter)
     }
 
     // ---- DSIR importance weights over the FULL corpus: two explode
@@ -1600,6 +1645,33 @@ object Stress {
           "secs_5_iters" -> math.round(secs * 100.0) / 100.0,
           "n_communities" -> nComm,
           "largest_community" -> agg.getLong(1))
+      }
+    }
+
+    // ---- LPA convergence monitor at the same scale: rounds-to-
+    // convergence under a 30-round budget with early exit — the
+    // changed-label curve is what replaces a guessed iteration budget
+    // at 100 TB, and the oscillation flag turns the documented sync-LPA
+    // failure mode into telemetry. ----------------------------------------
+    step("labelprop_converge") {
+      val nEdges = math.max(1000000L, nDocs)
+      val edgesPath = ensurePagerankEdges(spark, dir, nEdges)
+      val e = spark.read.parquet(edgesPath)
+      CacheScope.withScope { implicit sc =>
+        val t0 = System.nanoTime()
+        val (lp, st) = graft.operators.WebGraph.labelPropWithStats(e,
+          iters = 30, localMaxEdges = 0L)
+        val nNodes = lp.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        Seq("n_nodes" -> nNodes,
+          "budget" -> 30, "rounds" -> st.rounds,
+          "converged" -> st.converged,
+          "oscillating" -> st.oscillating,
+          "secs" -> math.round(secs * 100.0) / 100.0,
+          "secs_per_round" ->
+            math.round(secs / math.max(1, st.rounds) * 100.0) / 100.0,
+          "changed_curve" ->
+            st.changedPerRound.mkString("[", " ", "]"))
       }
     }
 

@@ -630,7 +630,10 @@ object WebGraph {
     * random tie-breaks; synchronous + total tie order is what makes
     * the result rerun-, engine-, and partitioning-stable, at the known
     * cost that bipartite-ish structures can oscillate with period 2 —
-    * `iters` is a fixed budget, not a convergence claim).
+    * `iters` is a fixed budget, not a convergence claim;
+    * [[labelPropWithStats]] adds the per-round changed-label monitor
+    * that detects convergence and that oscillation instead of
+    * documenting them).
     *
     * The graph is treated as UNDIRECTED: edges symmetrize (weights of
     * both directions sum) so label flow follows link adjacency, not
@@ -651,7 +654,41 @@ object WebGraph {
     * string whose md5-60 id equals the surviving label. */
   def labelProp(edges: DataFrame, iters: Int = 5,
       localMaxEdges: Long = 262144L)
-      (implicit scope: CacheScope = CacheScope.session): DataFrame = {
+      (implicit scope: CacheScope = CacheScope.session): DataFrame =
+    labelPropLoop(edges, iters, localMaxEdges, track = false,
+      earlyExit = false)._1
+
+  /** Per-run LPA metadata: rounds actually executed, whether the
+    * labeling CONVERGED (a round changed zero labels), whether it hit
+    * the synchronous variant's period-2 OSCILLATION (labels(t) ==
+    * labels(t-2) with changes still flowing — the bipartite failure
+    * mode the fixed budget otherwise only documents), and the changed-
+    * label count per executed round (the convergence curve a 100 TB
+    * operator watches instead of guessing an iteration budget). */
+  final case class LpaStats(rounds: Int, converged: Boolean,
+    oscillating: Boolean, changedPerRound: Seq[Long])
+
+  /** [[labelProp]] with a convergence monitor: each round pays ONE
+    * extra narrow agg (join of two (nid, lbl) long-pair tables +
+    * count) to track changed labels. With `earlyExit` (default), the
+    * loop stops when a round changes nothing — the labeling is a
+    * fixed point, every further round is a no-op — and stops + FLAGS
+    * when labels(t) == labels(t-2), the period-2 oscillation
+    * synchronous LPA is known for (Raghavan et al. 2007 §3), where
+    * further rounds alternate forever and burning the rest of the
+    * budget buys nothing. `earlyExit = false` keeps the fixed-budget
+    * semantics of [[labelProp]] (convergence still short-circuits —
+    * output-identical by the fixed-point argument — but oscillation
+    * only flags, never stops). */
+  def labelPropWithStats(edges: DataFrame, iters: Int = 5,
+      localMaxEdges: Long = 262144L, earlyExit: Boolean = true)
+      (implicit scope: CacheScope = CacheScope.session)
+      : (DataFrame, LpaStats) =
+    labelPropLoop(edges, iters, localMaxEdges, track = true, earlyExit)
+
+  private def labelPropLoop(edges: DataFrame, iters: Int,
+      localMaxEdges: Long, track: Boolean, earlyExit: Boolean)
+      (implicit scope: CacheScope): (DataFrame, LpaStats) = {
     require(iters >= 1, s"labelProp: iters must be >= 1, got $iters")
     require(localMaxEdges >= 0 && localMaxEdges < Int.MaxValue,
       s"labelProp: localMaxEdges out of range: $localMaxEdges")
@@ -666,7 +703,8 @@ object WebGraph {
       val probe = e.limit((localMaxEdges + 1).toInt)
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (probe.length <= localMaxEdges)
-        return labelPropLocal(edges.sparkSession, probe, iters)
+        return labelPropLocal(edges.sparkSession, probe, iters, track,
+          earlyExit)
     }
     val spark = edges.sparkSession
     val und = scope.cache(
@@ -684,31 +722,57 @@ object WebGraph {
       cached.count()
       spark.createDataFrame(cached.rdd, cached.schema)
     }
+    // labels differing between two materialized (nid, lbl) tables —
+    // the narrow per-round monitor agg (long pairs in, one count out)
+    def nDiff(a: DataFrame, b: DataFrame): Long =
+      a.select(col("nid"), col("lbl").as("la"))
+        .join(b.select(col("nid"), col("lbl").as("lb")), Seq("nid"))
+        .filter(col("la") =!= col("lb")).count()
     var lbl = materialize(lid.select(col("nid"), col("nid").as("lbl")))
-    for (_ <- 1 to iters) {
-      val next = und
+    var prevPrev: DataFrame = null
+    var rounds = 0
+    var converged = false
+    var oscillating = false
+    val changed = scala.collection.mutable.ArrayBuffer[Long]()
+    var k = 0
+    while (k < iters && !converged && !(oscillating && earlyExit)) {
+      val next = materialize(und
         .join(lbl, und("bid") === lbl("nid"))
         .groupBy(col("aid"), col("lbl"))
         .agg(sum(col("w")).as("s"))
         .groupBy(col("aid"))
         .agg(max(struct(col("s").as("s"),
           (-col("lbl")).as("nl"))).as("m"))
-        .select(col("aid").as("nid"), (-col("m.nl")).as("lbl"))
-      lbl = materialize(next)
+        .select(col("aid").as("nid"), (-col("m.nl")).as("lbl")))
+      rounds += 1
+      if (track) {
+        val n = nDiff(next, lbl)
+        changed += n
+        if (n == 0) converged = true
+        else if (prevPrev != null && nDiff(next, prevPrev) == 0)
+          oscillating = true
+      }
+      prevPrev = lbl
+      lbl = next
+      k += 1
     }
     val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
-    lid.join(lbl, Seq("nid"))
+    val out = lid.join(lbl, Seq("nid"))
       .join(lid.select(col("nid").as("lbl"),
         col("node").as("community_rep")), Seq("lbl"))
       .join(sizes, Seq("lbl"))
       .select(col("node"), col("community_rep"), col("n_members"))
+    (out, LpaStats(rounds, converged, oscillating, changed.toSeq))
   }
 
   /** Driver-local synchronous LPA — same symmetrization, md5-60 label
-    * space, and (sum DESC, label ASC) argmax as the distributed path;
-    * long sums are order-independent, so the two are bit-identical. */
+    * space, (sum DESC, label ASC) argmax, and convergence/oscillation
+    * accounting as the distributed path; long sums are
+    * order-independent, so the two are bit-identical (stats
+    * included). */
   private def labelPropLocal(spark: org.apache.spark.sql.SparkSession,
-      rows: Array[(String, String, Long)], iters: Int): DataFrame = {
+      rows: Array[(String, String, Long)], iters: Int, track: Boolean,
+      earlyExit: Boolean): (DataFrame, LpaStats) = {
     import spark.implicits._
     val nodeIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
     rows.foreach { case (s, d, _) =>
@@ -726,8 +790,13 @@ object WebGraph {
       adj(di).update(si, adj(di).getOrElse(si, 0L) + w)
     }
     var lbl = ids.clone()
+    var prevPrev: Array[Long] = null
+    var rounds = 0
+    var converged = false
+    var oscillating = false
+    val changed = scala.collection.mutable.ArrayBuffer[Long]()
     var k = 0
-    while (k < iters) {
+    while (k < iters && !converged && !(oscillating && earlyExit)) {
       val next = new Array[Long](lbl.length)
       var v = 0
       while (v < lbl.length) {
@@ -745,14 +814,25 @@ object WebGraph {
         next(v) = bestL
         v += 1
       }
+      rounds += 1
+      if (track) {
+        val n = next.indices.count(i => next(i) != lbl(i)).toLong
+        changed += n
+        if (n == 0) converged = true
+        else if (prevPrev != null &&
+            next.indices.forall(i => next(i) == prevPrev(i)))
+          oscillating = true
+      }
+      prevPrev = lbl
       lbl = next
       k += 1
     }
     val idToNode = ids.zip(nodes).toMap
     val sizes = lbl.groupBy(identity).map { case (l, a) => (l, a.length) }
-    nodes.indices.map { v =>
+    val out = nodes.indices.map { v =>
       (nodes(v), idToNode(lbl(v)), sizes(lbl(v)).toLong)
     }.toDF("node", "community_rep", "n_members")
+    (out, LpaStats(rounds, converged, oscillating, changed.toSeq))
   }
 
   /** 60-bit md5 id of a node string on the driver — the exact value of

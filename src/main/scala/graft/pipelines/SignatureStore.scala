@@ -51,6 +51,9 @@ object SignatureStore {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/sigs"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bands"), true)
+    // stale manifests from a previous store at this path would retire
+    // fresh batches that happen to reuse a tag
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/compactions"), true)
     import spark.implicits._
     Seq((k, numHashes, bands, nBuckets))
       .toDF("k", "num_hashes", "bands", "n_buckets")
@@ -112,7 +115,7 @@ object SignatureStore {
       conf.nBuckets)
     val buckets = bbands.select(col("bkt")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val sbands0 = spark.read.parquet(s"$dir/bands")
+    val sbands0 = readVisible(spark, dir, "bands")
       .filter(col("bkt").isin(buckets: _*))
     // shared cap machinery (Dedup.splitMegaBuckets) so the one-shot and
     // incremental paths cannot drift; the dropped-keys frame is small
@@ -124,7 +127,7 @@ object SignatureStore {
       .join(bbands.select(col("band"), col("band_hash"),
         col("id").as("batch_id")), Seq("band", "band_hash"))
       .select(col("store_id"), col("batch_id")).distinct()
-    val ssigs = spark.read.parquet(s"$dir/sigs")
+    val ssigs = readVisible(spark, dir, "sigs")
       .select(col("id").as("store_id"), col("sig").as("sig_s"))
     val agree = size(filter(zip_with(col("sig_s"), col("sig_b"),
       (x, y) => x === y), p => p)).cast("double") / conf.numHashes
@@ -160,7 +163,152 @@ object SignatureStore {
         lit(null).cast("double").as("agreement")))
   }
 
+  /** Merge all committed non-seed batch directories into ONE compact
+    * batch under both tables — the [[VectorStore.compact]] manifest
+    * protocol, ported verbatim: an append-per-crawl store grows one
+    * `sigs/b=<tag>` dir and up to `n_buckets` band files per batch, so
+    * after B batches every [[nearDups]] probe lists and opens O(B)
+    * files per bucket; compaction collapses that back to O(1) while
+    * the manifest keeps every read bit-identical.
+    *
+    *   1. rows copy VERBATIM (signatures and band hashes are pure
+    *      per-row values — nothing is re-signed) into
+    *      `sigs/b=compact-<digest>` and `bands/b=compact-<digest>`,
+    *      invisible to readers until the manifest commits;
+    *   2. `compactions/<tag>.list` lands via temp + ATOMIC rename —
+    *      the commit point: readers switch from the source batches to
+    *      the compact dirs in one step;
+    *   3. [[vacuum]] physically deletes retired source dirs, any
+    *      time, idempotently.
+    *
+    * The digest tag is a pure function of the sorted source batch
+    * names, so a crashed compact's retry targets the same path and
+    * overwrites the orphan; a crash before (2) leaves the store
+    * reading the sources. Returns the committed tag, or None when
+    * fewer than two batches qualify. The d9b gate hash-pins the
+    * post-compaction [[nearDups]] against the same brute-force oracle
+    * as the uncompacted store. */
+  def compact(spark: SparkSession, dir: String,
+      vacuumAfter: Boolean = false): Option[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, retired) = readCompactions(spark, dir)
+    val sigRoot = new org.apache.hadoop.fs.Path(s"$dir/sigs")
+    val onDisk = fs.listStatus(sigRoot).map(_.getPath.getName)
+      .filter(_.startsWith("b=")).map(_.stripPrefix("b=")).toSeq
+    val candidates = onDisk.filter(b => b != "seed" &&
+      !b.startsWith("compact-") && !retired(b)).sorted
+    if (candidates.size < 2) return None
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(candidates.mkString("\n").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+    val tag = s"compact-$digest"
+    // data first (invisible until the manifest commits); sources read
+    // by EXPLICIT path with basePath anchoring partition discovery —
+    // the write target can't overlap a read root. Sigs coalesce to a
+    // bounded file count (no shuffle — compaction IS the small-file
+    // fix); bands keep the one-file-per-bucket write shape.
+    val nOut = spark.sessionState.conf.numShufflePartitions
+    spark.read.option("basePath", s"$dir/sigs")
+      .parquet(candidates.map(b => s"$dir/sigs/b=$b"): _*)
+      .drop("b")
+      .coalesce(nOut)
+      .write.mode("overwrite").parquet(s"$dir/sigs/b=$tag")
+    spark.read.option("basePath", s"$dir/bands")
+      .parquet(candidates.map(b => s"$dir/bands/b=$b"): _*)
+      .drop("b")
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"$dir/bands/b=$tag")
+    // manifest via temp + atomic rename = the commit point; a FALSE
+    // rename must not report a committed compaction unless the
+    // manifest already exists (idempotent retry: same sources ⇒ same
+    // tag ⇒ same dest)
+    val mdir = new org.apache.hadoop.fs.Path(s"$dir/compactions")
+    fs.mkdirs(mdir)
+    val tmp = new org.apache.hadoop.fs.Path(mdir, s".tmp_$tag")
+    val out = fs.create(tmp, true)
+    try out.write(candidates.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(mdir, s"$tag.list")
+    if (!fs.rename(tmp, dest) && !fs.exists(dest))
+      throw new java.io.IOException(
+        s"compact: manifest commit failed for $tag (rename returned " +
+          "false and no manifest exists) — the store still reads the " +
+          "source batches; retry compact()")
+    if (vacuumAfter) vacuum(spark, dir)
+    Some(tag)
+  }
+
+  /** Physically delete batch directories retired by committed
+    * compaction manifests (under BOTH tables). Idempotent; safe any
+    * time after the manifest commit. `deleteOrphans = true`
+    * additionally reclaims UNCOMMITTED `b=compact-*` dirs (a crashed
+    * [[compact]] whose candidate set changed before the retry) —
+    * opt-in because it races an in-flight compact(); maintenance
+    * windows only. */
+  def vacuum(spark: SparkSession, dir: String,
+      deleteOrphans: Boolean = false): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (committed, retired) = readCompactions(spark, dir)
+    Seq("sigs", "bands").foreach { table =>
+      retired.foreach { b =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$table/b=$b")
+        if (fs.exists(p)) fs.delete(p, true)
+        ()
+      }
+      if (deleteOrphans) {
+        val root = new org.apache.hadoop.fs.Path(s"$dir/$table")
+        fs.listStatus(root).map(_.getPath)
+          .filter { p =>
+            val b = p.getName.stripPrefix("b=")
+            p.getName.startsWith("b=compact-") && !committed(b)
+          }
+          .foreach(p => fs.delete(p, true))
+      }
+    }
+  }
+
   // ---- internals --------------------------------------------------------
+
+  /** Visibility-filtered read of `sigs` or `bands`: a batch named in a
+    * committed manifest is retired; a compact dir WITHOUT a manifest
+    * is an uncommitted orphan (crash between data and manifest) and
+    * stays invisible until its retry commits. Predicates land on the
+    * `b` PARTITION column, so retired dirs prune at planning — they
+    * are never listed into the scan. */
+  private def readVisible(spark: SparkSession, dir: String,
+      table: String): DataFrame = {
+    val raw0 = spark.read.parquet(s"$dir/$table")
+    val (committed, retired) = readCompactions(spark, dir)
+    val raw1 =
+      if (retired.isEmpty) raw0
+      else raw0.filter(!col("b").isin(retired.toSeq: _*))
+    val isCompact = col("b").startsWith("compact-")
+    if (committed.isEmpty) raw1.filter(!isCompact)
+    else raw1.filter(!isCompact || col("b").isin(committed.toSeq: _*))
+  }
+
+  /** (committed compact tags, retired source batch names) from the
+    * manifest directory. */
+  private def readCompactions(spark: SparkSession,
+      dir: String): (Set[String], Set[String]) = {
+    val mdir = new org.apache.hadoop.fs.Path(s"$dir/compactions")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mdir)) return (Set.empty, Set.empty)
+    val entries = fs.listStatus(mdir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".list") &&
+        !p.getName.startsWith("."))
+    val tags = entries.map(_.getName.stripSuffix(".list")).toSet
+    val retired = entries.flatMap { p =>
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }.toSet
+    (tags, retired)
+  }
 
   private def signed(df: DataFrame, idCol: String, textCol: String,
       conf: Conf): DataFrame =

@@ -314,6 +314,48 @@ object LlmQueries {
         .orderBy(col("store_id"), col("batch_id"))
     }),
 
+    // ---- near-dup through a COMPACTED signature store ---------------------
+    // d9's incremental flow after store maintenance: seed + two appended
+    // batches (one of them planted copies of seed docs), then compact +
+    // vacuum — the two source batch dirs physically deleted, everything
+    // non-seed folded into ONE manifest-committed compact batch — and
+    // only then query. Rows copy verbatim under compaction, so the
+    // brute-force oracle is the SAME ground-truth replay as an
+    // uncompacted store's: a visibility bug (orphan read, retired dir
+    // leak, manifest miss) changes candidate multiplicity or membership
+    // and flips the hash.
+    "d9b_sigstore_compact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = GateTmp.dir("graft_sigstore_c", d)
+      val seed = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val b1 = docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text"))
+      val b2 = docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+      SignatureStore.create(s, dir, seed, "doc_id", "text")
+      SignatureStore.append(s, dir, b1, "doc_id", "text", "b1")
+      SignatureStore.append(s, dir, b2, "doc_id", "text", "b2")
+      SignatureStore.compact(s, dir, vacuumAfter = true)
+      val batch = docs.filter(col("doc_id") % 3 === 2)
+        .select((col("doc_id") + 90000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"), col("text")))
+      val cands = SignatureStore.nearDups(s, dir, batch, "doc_id",
+        "text", minAgreement = 0.45)
+      val store = seed.unionByName(b1).unionByName(b2)
+      cands
+        .join(store.select(col("doc_id").as("store_id"),
+          col("text").as("text_s")), Seq("store_id"))
+        .join(batch.select(col("doc_id").as("batch_id"),
+          col("text").as("text_b")), Seq("batch_id"))
+        .withColumn("jaccard", Dedup.jaccard(col("text_s"),
+          col("text_b"), 3))
+        .filter(col("jaccard") >= 0.7)
+        .select(col("store_id"), col("batch_id"), col("jaccard"))
+        .orderBy(col("store_id"), col("batch_id"))
+    }),
+
     // ---- SimHash near-dup pairs (oracle: DuckDB brute force) -------------
     // Portable 63-bit signature (polynomial codepoint token hash +
     // affine-parity bits — DuckDB recomputes it independently) through
@@ -1662,6 +1704,31 @@ object LlmQueries {
          |  UNION ALL
          |  SELECT doc_id + 90000, text FROM documents
          |  WHERE doc_id % 3 = 2),
+         |${shinglesCte("combined")},
+         |pairs AS (
+         |  ${jaccardPairsSql(0.7)})
+         |SELECT id_a AS store_id, id_b AS batch_id, jaccard
+         |FROM pairs WHERE jaccard >= 0.7
+         |  AND id_a < 50000 AND id_b >= 50000
+         |ORDER BY store_id, batch_id""".stripMargin,
+
+    // compaction copies rows verbatim, so the post-compaction store
+    // answers with the SAME ground truth: brute-force every cross-set
+    // pair (store ids < 50000, batch ids >= 50000)
+    "d9b_sigstore_compact" ->
+      s"""WITH combined AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text FROM documents
+         |  WHERE doc_id % 15 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 90000, text FROM documents
+         |  WHERE doc_id % 3 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 50000, text FROM documents
+         |  WHERE doc_id % 15 = 0),
          |${shinglesCte("combined")},
          |pairs AS (
          |  ${jaccardPairsSql(0.7)})

@@ -118,6 +118,80 @@ class SignatureStoreSpec extends SparkSpec {
     assert(ok === Set((22L, 205L)))
   }
 
+  test("compaction: nearDups is bit-identical before and after; " +
+      "orphan compact dirs stay invisible; vacuum reclaims sources") {
+    val dir = Files.createTempDirectory("graft_sigstore5").toString
+    val seed = (1 to 20).map(i => (i.toLong, doc(i))).toDF("id", "text")
+    SignatureStore.create(spark, dir, seed, "id", "text")
+    SignatureStore.append(spark, dir,
+      Seq((105L, doc(5)), (108L, doc(108))).toDF("id", "text"),
+      "id", "text", "b1")
+    SignatureStore.append(spark, dir,
+      Seq((207L, mutated(7)), (209L, doc(209))).toDF("id", "text"),
+      "id", "text", "b2")
+    val probe = Seq((905L, doc(5)), (907L, mutated(7)))
+      .toDF("id", "text")
+    def run(): Seq[(Long, Long, Double)] =
+      SignatureStore.nearDups(spark, dir, probe, "id", "text",
+          minAgreement = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSeq.sorted
+    val res0 = run()
+    assert(res0.map(p => (p._1, p._2)).toSet
+      .intersect(Set((5L, 905L), (105L, 905L), (7L, 907L)))
+      .size === 3, s"precondition: cross-batch hits present in $res0")
+
+    // an UNCOMMITTED compact dir (crash between data and manifest) is
+    // invisible: plant a full copy of b1 under an orphan compact tag —
+    // were it read, b1's ids would double in ssigs and duplicate rows
+    new java.io.File(s"$dir/compactions").mkdirs()
+    spark.read.parquet(s"$dir/sigs/b=b1")
+      .write.parquet(s"$dir/sigs/b=compact-ffffffffffffffff")
+    spark.read.option("basePath", s"$dir/bands/b=b1")
+      .parquet(s"$dir/bands/b=b1")
+      .write.partitionBy("bkt")
+      .parquet(s"$dir/bands/b=compact-ffffffffffffffff")
+    assert(run() === res0, "orphan compact dir must stay invisible")
+
+    val tag = SignatureStore.compact(spark, dir)
+    assert(tag.isDefined && tag.get.startsWith("compact-"))
+    assert(run() === res0, "compaction must not change any read")
+
+    def files(sub: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/$sub"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val before = files("sigs") + files("bands")
+    SignatureStore.vacuum(spark, dir, deleteOrphans = true)
+    assert(run() === res0, "vacuum must not change any read")
+    assert(files("sigs") + files("bands") < before,
+      "vacuum must reclaim retired source and orphan files")
+    assert(!new java.io.File(s"$dir/sigs/b=b1").exists())
+    assert(!new java.io.File(s"$dir/bands/b=b2").exists())
+    assert(new java.io.File(s"$dir/sigs/b=seed").exists(),
+      "seed is never compacted")
+    // everything non-seed is already one compact batch: nothing to do
+    assert(SignatureStore.compact(spark, dir) === None)
+    // appends keep working after compaction, and a SECOND compaction
+    // folds the new batches (different candidate set => different tag)
+    SignatureStore.append(spark, dir,
+      Seq((305L, doc(5))).toDF("id", "text"), "id", "text", "b3")
+    SignatureStore.append(spark, dir,
+      Seq((309L, doc(309))).toDF("id", "text"), "id", "text", "b4")
+    val got = SignatureStore.nearDups(spark, dir, probe, "id", "text",
+        minAgreement = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((305L, 905L)) && got.contains((105L, 905L)))
+    val tag2 = SignatureStore.compact(spark, dir, vacuumAfter = true)
+    assert(tag2.isDefined && tag2 != tag)
+    val got2 = SignatureStore.nearDups(spark, dir, probe, "id", "text",
+        minAgreement = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === got)
+  }
+
   test("band scan is partition-pruned to the batch's buckets") {
     val dir = Files.createTempDirectory("graft_sigstore3").toString
     val seed = (1 to 20).map(i => (i.toLong, doc(i))).toDF("id", "text")
@@ -126,6 +200,9 @@ class SignatureStoreSpec extends SparkSpec {
     val out = SignatureStore.nearDups(spark, dir, probe, "id", "text")
     out.collect()
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [bkt"), plan)
+    // the filter list now leads with the compaction-visibility
+    // predicates on `b`; the bucket INSET must still be in it
+    assert("PartitionFilters: \\[[^\\]]*bkt#\\d+ INSET".r
+      .findFirstIn(plan).isDefined, plan)
   }
 }

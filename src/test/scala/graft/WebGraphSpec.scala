@@ -548,6 +548,65 @@ class WebGraphSpec extends SparkSpec {
     assert(local === run(rev, 262144L))
   }
 
+  test("labelPropWithStats: a bipartite oscillator is DETECTED and " +
+      "stopped; fixed-budget labelProp output is unchanged") {
+    import spark.implicits._
+    // K2 is the minimal synchronous-LPA oscillator: each node's only
+    // neighbor is the other, so every round swaps the two labels —
+    // labels(t) == labels(t-2) forever, changed count never reaches 0
+    val k2 = Seq(("a", "b", 1L)).toDF("src", "dst", "weight")
+    def statsAt(localMax: Long) = CacheScope.withScope { implicit s =>
+      val (out, st) = WebGraph.labelPropWithStats(k2, iters = 10,
+        localMaxEdges = localMax)
+      out.count() // force
+      st
+    }
+    for (localMax <- Seq(262144L, 0L)) {
+      val st = statsAt(localMax)
+      assert(st.oscillating, s"localMax=$localMax: $st")
+      assert(!st.converged)
+      assert(st.rounds === 2, "period-2 detected at the second round")
+      assert(st.changedPerRound === Seq(2L, 2L))
+    }
+    // the fixed-budget path still runs its full budget and returns the
+    // same labeling shape (two nodes, labels swapped an even/odd
+    // number of times — 10 rounds = even = initial labels)
+    val fixed = CacheScope.withScope { implicit s =>
+      WebGraph.labelProp(k2, iters = 10).collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+    }
+    assert(fixed === Map("a" -> "a", "b" -> "b"))
+  }
+
+  test("labelPropWithStats: a converging graph stops at the fixed " +
+      "point with converged=true, and matches the fixed-budget run") {
+    import spark.implicits._
+    // K3: round 1 breaks symmetry, round 2 floods the min label,
+    // round 3 changes nothing -> converged at rounds=3
+    val k3 = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L))
+      .toDF("src", "dst", "weight")
+    def run(localMax: Long) = CacheScope.withScope { implicit s =>
+      val (out, st) = WebGraph.labelPropWithStats(k3, iters = 10,
+        localMaxEdges = localMax)
+      (out.orderBy("node").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq,
+        st)
+    }
+    val (outL, stL) = run(262144L)
+    val (outD, stD) = run(0L)
+    assert(outL === outD, "stats paths drifted on labels")
+    assert(stL === stD, "local and distributed stats drifted")
+    assert(stL.converged && !stL.oscillating)
+    assert(stL.changedPerRound.last === 0L)
+    assert(stL.rounds < 10, "early exit must beat the budget")
+    val fixed = CacheScope.withScope { implicit s =>
+      WebGraph.labelProp(k3, iters = 10).orderBy("node").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    assert(outL === fixed,
+      "a converged early exit must equal the full fixed budget")
+  }
+
   test("labelProp: self-loops and null rows drop; weight defaults to 1") {
     import spark.implicits._
     val edges = Seq(
