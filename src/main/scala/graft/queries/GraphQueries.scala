@@ -99,6 +99,30 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // ---- incremental PageRank over a GROWING edge set --------------------
+    // The real crawl-maintenance shape: batch 1 (even docs' pages)
+    // ranks cold for 10 iterations, then the full crawl lands — new
+    // pages add edges AND new weight on existing edges — and the rank
+    // RESUMES on the union for 5 more steps, newcomers entering at the
+    // union graph's uniform share. The oracle replays both phases:
+    // the batch-1 chain, the coalesce-to-uniform handoff, and the 5
+    // union steps, all in exact integers — so the resume entry point,
+    // the newcomer rule, and the changed out-weight handling are
+    // hash-pinned. (Convergence of this resume to the SAME fixed point
+    // as a cold union run is power-iteration math, spec-pinned in
+    // WebGraphSpec with both runs iterated to exact stationarity.)
+    "wg2c_pagerank_delta" -> ((s, d) => {
+      val pagesAll = synthPages(s, d)
+      val e1 = WebGraph.domainEdges(
+        pagesAll.filter(col("doc_id") % 2 === 0), "url", "html")
+      val eAll = WebGraph.domainEdges(pagesAll, "url", "html")
+      val prior = WebGraph.pageRank(e1, iters = 10, damping = 0.85)
+        .select(col("node"), col("rank_fp"))
+      WebGraph.pageRankResume(eAll, prior, iters = 5, damping = 0.85)
+        .select(col("node"), col("rank_fp"))
+        .orderBy(col("node"))
+    }),
+
     // ---- per-domain anchor-text profile ---------------------------------
     // The paired (href, anchor) extraction, the normalization, the
     // per-(dst, anchor) counts, and the windowed top-3 string are all
@@ -194,6 +218,43 @@ object GraphQueries {
         .orderBy(col("component_rep"), col("rank"))
     }),
 
+    // ---- trust-curated corpus: the web-graph signals composed into
+    // curation, which is what a web graph in an LLM pipeline is FOR.
+    // Over the island universe: extract edges, run seed-gated
+    // TrustRank (seeds in islands 0/2/3; one absent seed must drop),
+    // resolve every doc's registeredDomain through the real URL-parse
+    // chain, keep only docs whose domain carries trust mass
+    // (rank_fp > 0 — unseeded islands are unreachable by construction
+    // and drop ENTIRELY), then cap each link-community's contribution
+    // at 7 docs with the deterministic md5 sample. The oracle replays
+    // the weighted edge list, all 5 unrolled TrustRank iterations, the
+    // recursive component closure, the domain join, the trust gate,
+    // AND the md5 ranking — end to end.
+    "c4_trust_curated" -> ((s, d) => {
+      val pages = wg6Pages(s, d)
+      val edges = WebGraph.domainEdges(pages, "url", "html")
+      val seeds = Seq("site0.com", "site9.com", "site14.com",
+        "absent.example")
+      val trust = WebGraph.trustRank(edges, seeds, iters = 5,
+          damping = 0.85)
+        .select(col("node"), col("rank_fp"))
+      val comps = WebGraph.components(edges)
+        .select(col("node"), col("component_rep"))
+      val docDom = pages.select(col("doc_id"),
+        graft.functions.UrlOps.registeredDomain(
+          graft.functions.UrlOps.hostOf(col("url"))).as("node"))
+      val trusted = docDom
+        .join(trust.filter(col("rank_fp") > 0), Seq("node"))
+        .join(comps, Seq("node"))
+      graft.operators.Curation.uniformGroupSample(trusted,
+          "component_rep", "doc_id", k = 7)
+        .join(docDom, Seq("doc_id"))
+        .join(trust, Seq("node"))
+        .select(col("component_rep"), col("rank"), col("doc_id"),
+          col("node"), col("rank_fp"))
+        .orderBy(col("component_rep"), col("rank"))
+    }),
+
     // ---- components driven through SQL TEXT (the TVF) -------------------
     // Shares wg5's oracle: graph_components over the same edge list
     // must land on the same reps and sizes.
@@ -239,34 +300,38 @@ object GraphQueries {
     }),
   )
 
-  /** Shared DuckDB CTEs: the independently-derived edge list.
-    * `edges` is MATERIALIZED — the PageRank oracle references it in
-    * every unrolled iteration, and DuckDB 1.0 inlines plain CTEs per
-    * reference (exponential expansion across the r0→r10 chain
-    * otherwise). */
-  private val edgeCtes: String = {
+  /** Shared DuckDB CTEs: the independently-derived edge list over the
+    * docs selected by `pred`, every CTE name suffixed by `suffix` (so
+    * two edge sets — e.g. wg2c's batch-1 vs union — coexist in one
+    * query). `edges<suffix>` is MATERIALIZED — the PageRank oracle
+    * references it in every unrolled iteration, and DuckDB 1.0 inlines
+    * plain CTEs per reference (exponential expansion across the
+    * r0→r10 chain otherwise). */
+  private def edgeCtesWhere(pred: String, suffix: String): String = {
     def hh(salt: String): String =
       s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$salt'), " +
         "1, 15) AS BIGINT)"
-    s"""hashed AS (
+    s"""hashed$suffix AS (
        |  SELECT doc_id, ${hh("u")} AS hu, ${hh("a")} AS ha,
        |    ${hh("b")} AS hb, ${hh("c")} AS hc
-       |  FROM documents),
-       |pagesrc AS (
+       |  FROM documents WHERE ($pred)),
+       |pagesrc$suffix AS (
        |  SELECT doc_id,
        |    'site' || CAST(hu % 20 AS VARCHAR) || '.com' AS src,
        |    'site' || CAST(ha % 20 AS VARCHAR) || '.com' AS d1,
        |    'news' || CAST(hb % 7 AS VARCHAR) || '.co.uk' AS d2,
        |    CASE WHEN doc_id % 3 = 0
        |      THEN 'site' || CAST(hc % 20 AS VARCHAR) || '.com' END AS d3
-       |  FROM hashed),
-       |linked AS (
-       |  SELECT src, unnest([d1, d2, d3]) AS dst FROM pagesrc),
-       |edges AS MATERIALIZED (
-       |  SELECT src, dst, count(*) AS weight FROM linked
+       |  FROM hashed$suffix),
+       |linked$suffix AS (
+       |  SELECT src, unnest([d1, d2, d3]) AS dst FROM pagesrc$suffix),
+       |edges$suffix AS MATERIALIZED (
+       |  SELECT src, dst, count(*) AS weight FROM linked$suffix
        |  WHERE dst IS NOT NULL AND dst <> src
        |  GROUP BY 1, 2)""".stripMargin
   }
+
+  private val edgeCtes: String = edgeCtesWhere("TRUE", "")
 
   /** wg8/sql13: the full LPA replay. */
   private lazy val lpaOracle: String =
@@ -315,36 +380,49 @@ object GraphQueries {
     * arithmetic as [[WebGraph.pageRank]], step for step. Every rank
     * CTE is MATERIALIZED: each r(i) is referenced twice (dangling sum
     * + contribution join), so plain-CTE inlining would expand the
-    * chain 2^iters-fold. */
-  private def pageRankCtes(iters: Int, scaleL: Long, dmill: Long): String = {
+    * chain 2^iters-fold. `prefix` renames every emitted CTE and
+    * `edges` points the chain at a differently-named edge list, so two
+    * chains coexist in one query (wg2c runs the batch-1 chain and the
+    * union chain together); `r0Body`, when given, replaces the uniform
+    * start — the resume replay seeds `<prefix>r0` from another chain's
+    * terminal rank table. */
+  private def pageRankCtes(iters: Int, scaleL: Long, dmill: Long,
+      prefix: String = "", edges: String = "edges",
+      r0Body: Option[String] = None): String = {
+    val x = prefix
     val steps = (1 to iters).map { i =>
       val p = i - 1
-      s"""dg$i AS MATERIALIZED (
+      s"""${x}dg$i AS MATERIALIZED (
          |  SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dang
-         |  FROM r$p r LEFT JOIN outw o ON r.node = o.src
+         |  FROM ${x}r$p r LEFT JOIN ${x}outw o ON r.node = o.src
          |  WHERE o.src IS NULL),
-         |cm$i AS MATERIALIZED (
+         |${x}cm$i AS MATERIALIZED (
          |  SELECT e.dst AS node,
          |    CAST(sum((r.r * e.weight) // o.ow) AS BIGINT) AS inm
-         |  FROM r$p r
-         |  JOIN outw o ON r.node = o.src
-         |  JOIN edges e ON e.src = r.node
+         |  FROM ${x}r$p r
+         |  JOIN ${x}outw o ON r.node = o.src
+         |  JOIN $edges e ON e.src = r.node
          |  GROUP BY 1),
-         |r$i AS MATERIALIZED (
+         |${x}r$i AS MATERIALIZED (
          |  SELECT n.node,
-         |    ($scaleL - ($scaleL * $dmill) // 1000) // (SELECT n FROM nn)
+         |    ($scaleL - ($scaleL * $dmill) // 1000)
+         |      // (SELECT n FROM ${x}nn)
          |    + ((coalesce(c.inm, 0)
-         |        + (SELECT dang FROM dg$i) // (SELECT n FROM nn))
+         |        + (SELECT dang FROM ${x}dg$i) // (SELECT n FROM ${x}nn))
          |       * $dmill) // 1000 AS r
-         |  FROM nodes n LEFT JOIN cm$i c ON n.node = c.node)""".stripMargin
+         |  FROM ${x}nodes n LEFT JOIN ${x}cm$i c ON n.node = c.node)"""
+        .stripMargin
     }.mkString(",\n")
-    s"""outw AS MATERIALIZED (
-       |  SELECT src, sum(weight) AS ow FROM edges GROUP BY 1),
-       |nodes AS MATERIALIZED (SELECT src AS node FROM edges
-       |  UNION SELECT dst FROM edges),
-       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
-       |r0 AS MATERIALIZED (SELECT node,
-       |  $scaleL // (SELECT n FROM nn) AS r FROM nodes),
+    val r0 = r0Body.getOrElse(
+      s"SELECT node,\n  $scaleL // (SELECT n FROM ${x}nn) AS r " +
+        s"FROM ${x}nodes")
+    s"""${x}outw AS MATERIALIZED (
+       |  SELECT src, sum(weight) AS ow FROM $edges GROUP BY 1),
+       |${x}nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (SELECT src AS node FROM $edges
+       |    UNION ALL SELECT dst FROM $edges)),
+       |${x}nn AS MATERIALIZED (SELECT count(*) AS n FROM ${x}nodes),
+       |${x}r0 AS MATERIALIZED ($r0),
        |$steps""".stripMargin
   }
 
@@ -380,8 +458,9 @@ object GraphQueries {
          |      // (SELECT t FROM ht$i) END AS BIGINT) AS s
          |  FROM nodes n LEFT JOIN hr$i r ON n.node = r.node)""".stripMargin
     }.mkString(",\n")
-    s"""nodes AS MATERIALIZED (SELECT src AS node FROM edges
-       |  UNION SELECT dst FROM edges),
+    s"""nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (SELECT src AS node FROM edges
+       |    UNION ALL SELECT dst FROM edges)),
        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
        |hh0 AS MATERIALIZED (SELECT node,
        |  CAST($scaleL // (SELECT n FROM nn) AS BIGINT) AS s FROM nodes),
@@ -422,8 +501,9 @@ object GraphQueries {
     }.mkString(",\n")
     s"""outw AS MATERIALIZED (
        |  SELECT src, sum(weight) AS ow FROM edges GROUP BY 1),
-       |nodes AS MATERIALIZED (SELECT src AS node FROM edges
-       |  UNION SELECT dst FROM edges),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (SELECT src AS node FROM edges
+       |    UNION ALL SELECT dst FROM edges)),
        |seedlist AS (SELECT unnest($seedsSql) AS node),
        |sn AS MATERIALIZED (
        |  SELECT n.node FROM nodes n JOIN seedlist s ON s.node = n.node),
@@ -483,6 +563,23 @@ object GraphQueries {
          |${pageRankCtes(iters = 10, scaleL = WebGraph.Scale, dmill = 850L)}
          |SELECT node, CAST(r AS BIGINT) AS rank_fp
          |FROM r10 ORDER BY node""".stripMargin,
+
+    // both phases unrolled: the batch-1 chain (p-prefixed, over
+    // edges1), then the union chain seeded by coalesce(prior, uniform)
+    "wg2c_pagerank_delta" ->
+      s"""WITH ${edgeCtesWhere("doc_id % 2 = 0", "1")},
+         |$edgeCtes,
+         |${pageRankCtes(iters = 10, scaleL = WebGraph.Scale,
+            dmill = 850L, prefix = "p", edges = "edges1")},
+         |${pageRankCtes(iters = 5, scaleL = WebGraph.Scale,
+            dmill = 850L, r0Body = Some(
+              s"""SELECT n.node,
+                 |    coalesce(p.r, ${WebGraph.Scale} // (SELECT n FROM nn))
+                 |      AS r
+                 |  FROM nodes n LEFT JOIN pr10 p ON p.node = n.node"""
+                .stripMargin))}
+         |SELECT node, CAST(r AS BIGINT) AS rank_fp
+         |FROM r5 ORDER BY node""".stripMargin,
 
     "wg4_hits" ->
       s"""WITH $edgeCtes,
@@ -591,6 +688,73 @@ object GraphQueries {
          |  CAST(h.s AS BIGINT) AS hub_fp
          |FROM aa5 a JOIN hh5 h ON a.node = h.node
          |ORDER BY a.node""".stripMargin,
+
+    // the full composition replayed: weighted island edges, 5 unrolled
+    // seed-gated TrustRank steps, the recursive component closure over
+    // the same 60-bit ids, the doc->domain join, the rank_fp > 0 trust
+    // gate, and the per-community md5 cap
+    "c4_trust_curated" ->
+      s"""WITH RECURSIVE w6h AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'u'),
+         |      1, 15) AS BIGINT) AS hu,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'a'),
+         |      1, 15) AS BIGINT) AS ha
+         |  FROM documents),
+         |w6p AS (
+         |  SELECT doc_id, hu % 20 AS base,
+         |    (hu % 20) - (hu % 20) % 4 + ha % 4 AS dstb
+         |  FROM w6h),
+         |edges AS MATERIALIZED (
+         |  SELECT 'site' || CAST(base AS VARCHAR) || '.com' AS src,
+         |    'site' || CAST(dstb AS VARCHAR) || '.com' AS dst,
+         |    count(*) AS weight
+         |  FROM w6p WHERE base <> dstb GROUP BY 1, 2),
+         |${trustRankCtes(iters = 5, scaleL = WebGraph.Scale,
+            dmill = 850L,
+            seedsSql = "['site0.com', 'site9.com', 'site14.com', " +
+              "'absent.example']")},
+         |und AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION SELECT dst, src FROM edges),
+         |wnodes AS (SELECT DISTINCT a AS node FROM und),
+         |hh AS MATERIALIZED (
+         |  SELECT node, CAST('0x' || substr(md5(node), 1, 15) AS BIGINT)
+         |    AS nid
+         |  FROM wnodes),
+         |hedges AS MATERIALIZED (
+         |  SELECT ha.nid AS a, hb.nid AS b
+         |  FROM und JOIN hh ha ON ha.node = und.a
+         |  JOIN hh hb ON hb.node = und.b),
+         |reach(id, r) AS (
+         |  SELECT nid, nid FROM hh
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN hedges e ON reach.r = e.a),
+         |clabels AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+         |clbl AS (
+         |  SELECT h.node, l.cid FROM hh h JOIN clabels l ON l.id = h.nid),
+         |creps AS (SELECT nid AS cid, node AS component_rep FROM hh),
+         |docdom AS (
+         |  SELECT doc_id, 'site' || CAST(base AS VARCHAR) || '.com'
+         |    AS node
+         |  FROM w6p),
+         |trgate AS (SELECT node, r FROM r5 WHERE r > 0),
+         |asg AS (
+         |  SELECT d.doc_id, d.node, t.r, rp.component_rep
+         |  FROM docdom d JOIN trgate t ON t.node = d.node
+         |  JOIN clbl l ON l.node = d.node
+         |  JOIN creps rp ON rp.cid = l.cid),
+         |ranked AS (
+         |  SELECT component_rep, doc_id, node, r,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY component_rep ORDER BY
+         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |          AS UBIGINT), doc_id) AS INT) AS rank
+         |  FROM asg)
+         |SELECT component_rep, rank, doc_id, node,
+         |  CAST(r AS BIGINT) AS rank_fp
+         |FROM ranked WHERE rank <= 7
+         |ORDER BY component_rep, rank""".stripMargin,
 
     // anchors derived independently from the construction (the engine
     // must reproduce them through the paired two-group regexp + the

@@ -205,6 +205,55 @@ class WebGraphSpec extends SparkSpec {
     assert(resumed.forall(_._2 > 0))
   }
 
+  test("pageRankResume on a GROWN edge set converges to the same " +
+      "exact fixed point as a cold run on the union") {
+    import spark.implicits._
+    // batch 1: a 4-node cycle with a dangling sink; the delta adds two
+    // new nodes, new edges among old nodes, and extra weight on an
+    // existing edge — out-weights of old nodes change, so the resumed
+    // trajectory genuinely differs from the cold one step for step
+    val batch1 = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 1L),
+      ("c", "d", 3L))
+    val delta = Seq(("d", "e", 1L), ("e", "a", 2L), ("a", "c", 4L),
+      ("f", "a", 1L), ("c", "a", 2L))
+    val union = (batch1 ++ delta).toDF("src", "dst", "weight")
+    def vec(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.select("node", "rank_fp").orderBy("node").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // iterate in 50-step chunks until the integer vector is exactly
+    // stationary — fixed-point arithmetic REACHES its fixed point in
+    // finitely many steps (truncation quantizes the contraction)
+    def toFixedPoint(start: Seq[(String, Long)]): Seq[(String, Long)] =
+      CacheScope.withScope { implicit s =>
+        var cur = start
+        var steps = 0
+        while (steps < 2000) {
+          val next = vec(WebGraph.pageRankResume(union,
+            cur.toDF("node", "rank_fp"), iters = 50, damping = 0.85))
+          if (next == cur) return cur
+          cur = next
+          steps += 50
+        }
+        fail(s"no fixed point within $steps iterations")
+      }
+    val cold0 = CacheScope.withScope { implicit s =>
+      vec(WebGraph.pageRank(union, iters = 50, damping = 0.85))
+    }
+    val prior = CacheScope.withScope { implicit s =>
+      vec(WebGraph.pageRank(batch1.toDF("src", "dst", "weight"),
+        iters = 10, damping = 0.85))
+    }
+    val resumed0 = CacheScope.withScope { implicit s =>
+      vec(WebGraph.pageRankResume(union,
+        prior.toDF("node", "rank_fp"), iters = 50, damping = 0.85))
+    }
+    assert(prior.nonEmpty, "sanity: batch-1 prior exists")
+    val coldFix = toFixedPoint(cold0)
+    val resumedFix = toFixedPoint(resumed0)
+    assert(coldFix === resumedFix,
+      "resume on the grown graph must land on the cold fixed point")
+  }
+
   test("pageRank: empty edge list returns an empty frame, no divide-by-zero") {
     val empty = Seq.empty[(String, String, Long)].toDF("src", "dst", "weight")
     assert(WebGraph.pageRank(empty, iters = 3).count() === 0)
