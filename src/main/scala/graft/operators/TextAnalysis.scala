@@ -1737,6 +1737,61 @@ object TextAnalysis {
             col("n_tokens").cast("double")).as("bytes_per_token"))
   }
 
+  /** Tokenizer comparison card: one row PER FAMILY over the same
+    * corpus — vocab size, token totals, unk-word counts, fertility
+    * (tokens/word) and bytes/token — the artifact a data-pipeline team
+    * reads when picking a tokenizer, with every number derived from
+    * the families' own `perDoc` outputs so the card can never disagree
+    * with the encoders it summarizes.
+    *
+    * `families` entries are (family, vocabSize, perDoc): `perDoc` must
+    * carry `n_tok` (every encodeCorpus does) and MAY carry `n_unk`
+    * (WordPiece's per-occurrence [UNK] word count); families without
+    * it report 0 unk words — honest for byte-BPE (no-UNK by
+    * construction), char-BPE and same-corpus unigram (the training
+    * corpus's own characters are always segmentable).
+    *
+    * Ratios are single IEEE divisions of exact long sums (the t19
+    * cross-engine posture). Scale shape: one corpus pass for the
+    * word/byte counters + one 1-row aggregate per family, unioned —
+    * nothing here rescans text per family. */
+  def tokenizerCard(docs: DataFrame, idCol: String, textCol: String,
+      families: Seq[(String, Long, DataFrame)]): DataFrame = {
+    require(families.nonEmpty, "tokenizerCard: families must be non-empty")
+    val txt = coalesce(col(textCol), lit(""))
+    val corpus = docs.select(
+      size(filter(split(lower(trim(txt)), "\\s+"), w => w =!= ""))
+        .cast("long").as("__words"),
+      octet_length(txt).cast("long").as("__bytes"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__words")), lit(0L)).as("n_words"),
+        coalesce(sum(col("__bytes")), lit(0L)).as("n_bytes"))
+    val perFam = families.map { case (fam, vsize, perDoc) =>
+      val unk =
+        if (perDoc.columns.contains("n_unk"))
+          coalesce(sum(col("n_unk").cast("long")), lit(0L))
+        else lit(0L)
+      perDoc.agg(
+        coalesce(sum(col("n_tok").cast("long")), lit(0L)).as("n_tokens"),
+        unk.as("n_unk_words"))
+        .select(lit(fam).as("family"), lit(vsize).as("vocab_size"),
+          col("n_tokens"), col("n_unk_words"))
+    }.reduce(_ unionByName _)
+    perFam.crossJoin(broadcast(corpus))
+      .select(col("family"), col("vocab_size"), col("n_docs"),
+        col("n_words"), col("n_bytes"), col("n_tokens"),
+        col("n_unk_words"),
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise(col("n_unk_words").cast("double") /
+            col("n_words").cast("double")).as("unk_rate"),
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise(col("n_tokens").cast("double") /
+            col("n_words").cast("double")).as("fertility"),
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("n_bytes").cast("double") /
+            col("n_tokens").cast("double")).as("bytes_per_token"))
+  }
+
   // ---- PMI collocations (phrase mining) -----------------------------------
 
   /** Pointwise-mutual-information collocations over adjacent token

@@ -1172,6 +1172,53 @@ object CurationQueries {
         .orderBy(col("lang"))
     }),
 
+    // ---- tokenizer comparison card: all four families, one corpus --------
+    // The artifact a pipeline team reads when picking a tokenizer:
+    // per family (char-BPE 30 merges, byte-BPE 30 merges, unigram-200,
+    // WordPiece-200, all trained on THIS corpus — the sql8/sql10
+    // one-call posture), vocab size, token totals, unk words,
+    // fertility, bytes/token. The oracle re-trains all four models
+    // from first principles in ONE query — both 30-step merge chains
+    // (prefix-separated), the unigram DP, the greedy WordPiece chain —
+    // and replays every per-family stats join, so a drift in ANY
+    // family's training, encoding, or the card arithmetic flips the
+    // hash.
+    "t24_tokenizer_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val scope = graft.CacheScope.session
+      val wf = TextAnalysis.bpeWordFreq(docs, "text")
+      val merges = TextAnalysis.bpeTrainLocal(wf, nMerges = 30)
+        .orderBy(col("iter")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val (cv, cp) = TextAnalysis.bpeEncodeCorpus(docs, "doc_id",
+        "text", merges)(scope)
+      val bmerges = graft.operators.ByteBpe.train(
+          graft.operators.ByteBpe.byteWordFreq(docs, "text"), 30)
+        .orderBy(col("iter")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val (yv, yp) = graft.operators.ByteBpe.encodeCorpus(docs,
+        "doc_id", "text", bmerges)(scope)
+      val uvocab = graft.CacheScope.withScope { implicit sc =>
+        Unigram.seedVocab(wf, vocabSize = 200, maxPieceLen = 8)
+          .select(col("piece"), col("cost_mu")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+      }
+      val (uv, up) = Unigram.encodeCorpus(docs, "doc_id", "text",
+        uvocab)(scope)
+      val pieces = graft.CacheScope.withScope { implicit sc =>
+        WordPiece.vocab(wf, vocabSize = 200, maxPieceLen = 8)
+          .select(col("piece")).collect().map(_.getString(0)).toIndexedSeq
+      }
+      val (wv, wp) = WordPiece.encodeCorpus(docs, "doc_id", "text",
+        pieces)(scope)
+      TextAnalysis.tokenizerCard(docs, "doc_id", "text", Seq(
+          ("bpe-char", cv.count(), cp),
+          ("bpe-byte", yv.count(), yp),
+          ("unigram", uv.count(), up),
+          ("wordpiece", wv.count(), wp)))
+        .orderBy(col("family"))
+    }),
+
     // ---- WordPiece tokenization driven through SQL TEXT (the TVF) -------
     // wordpiece_tokens seeds its vocabulary from the corpus itself (the
     // sql8 posture — the one-call path a SQL user takes), so the oracle
@@ -2718,6 +2765,86 @@ object CurationQueries {
          |    ELSE CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE) END
          |    AS bytes_per_token
          |FROM t19wa ORDER BY lang""".stripMargin,
+
+    // the card: all four families re-trained from first principles in
+    // one query — both 30-step merge chains (byte chain y-prefixed),
+    // the unigram DP, the greedy WordPiece chain — then the per-family
+    // stats joins and the single-division ratios
+    "t24_tokenizer_card" ->
+      s"""WITH ${OracleFragments.unigramCtes("documents", "text", 200, 8,
+            8, withDp = true, withHex = false)},
+         |${OracleFragments.wordpieceCtes("documents", "text", 200, 8,
+            8, withChain = true, withHex = false)},
+         |${OracleFragments.bpeCtes("documents", "text", 30)},
+         |${OracleFragments.byteMapCtes("documents", "text")},
+         |${OracleFragments.bpeCtesFromWfreq(OracleFragments
+            .byteWfreqBody, 30, prefix = "y")},
+         |t24corpus AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(len(list_filter(string_split_regex(
+         |      lower(trim(coalesce(text, ''))), '\\s+'),
+         |      x -> x <> ''))), 0) AS BIGINT) AS n_words,
+         |    CAST(coalesce(sum(strlen(coalesce(text, ''))), 0)
+         |      AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |t24cw AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(trim(
+         |    coalesce(text, ''))), '\\s+'), x -> x <> '')) AS word
+         |  FROM documents),
+         |t24cb AS (
+         |  SELECT 'bpe-char' AS family,
+         |    (SELECT CAST(count(DISTINCT sym) AS BIGINT) FROM syms30)
+         |      AS vocab_size,
+         |    (SELECT CAST(coalesce(sum(b.n), 0) AS BIGINT)
+         |     FROM t24cw w JOIN (SELECT word, count(*) AS n FROM syms30
+         |       GROUP BY 1) b USING (word)) AS n_tokens,
+         |    CAST(0 AS BIGINT) AS n_unk_words),
+         |t24yb AS (
+         |  SELECT 'bpe-byte' AS family,
+         |    CAST(256 + (SELECT count(DISTINCT lhs || rhs) FROM (
+         |${(1 to 30).map(k => s"      SELECT lhs, rhs FROM ymg_$k")
+            .mkString("\n      UNION ALL\n")})) AS BIGINT)
+         |      AS vocab_size,
+         |    (SELECT CAST(coalesce(sum(b.n), 0) AS BIGINT)
+         |     FROM (SELECT m.bword AS word FROM bw JOIN bmapped m
+         |       USING (word)) w
+         |     JOIN (SELECT word, count(*) AS n FROM ysyms30
+         |       GROUP BY 1) b USING (word)) AS n_tokens,
+         |    CAST(0 AS BIGINT) AS n_unk_words),
+         |t24un AS (
+         |  SELECT 'unigram' AS family,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM t18v) AS vocab_size,
+         |    (SELECT CAST(coalesce(sum(g.n_pieces), 0) AS BIGINT)
+         |     FROM t24cw w JOIN t18seg g USING (word)) AS n_tokens,
+         |    CAST(0 AS BIGINT) AS n_unk_words),
+         |t24wp AS (
+         |  SELECT 'wordpiece' AS family,
+         |    (SELECT CAST(count(*) + 1 AS BIGINT) FROM wpv)
+         |      AS vocab_size,
+         |    (SELECT CAST(coalesce(sum(coalesce(d.n_pieces, 1)), 0)
+         |       AS BIGINT)
+         |     FROM t24cw w LEFT JOIN wpdone d ON d.word = w.word)
+         |      AS n_tokens,
+         |    (SELECT CAST(coalesce(sum(CASE WHEN d.word IS NULL
+         |         THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |     FROM t24cw w LEFT JOIN wpdone d ON d.word = w.word)
+         |      AS n_unk_words),
+         |t24fam AS (
+         |  SELECT * FROM t24cb UNION ALL SELECT * FROM t24yb
+         |  UNION ALL SELECT * FROM t24un UNION ALL SELECT * FROM t24wp)
+         |SELECT f.family, f.vocab_size, c.n_docs, c.n_words, c.n_bytes,
+         |  f.n_tokens, f.n_unk_words,
+         |  CASE WHEN c.n_words = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE CAST(f.n_unk_words AS DOUBLE)
+         |      / CAST(c.n_words AS DOUBLE) END AS unk_rate,
+         |  CASE WHEN c.n_words = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE CAST(f.n_tokens AS DOUBLE)
+         |      / CAST(c.n_words AS DOUBLE) END AS fertility,
+         |  CASE WHEN f.n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE CAST(c.n_bytes AS DOUBLE)
+         |      / CAST(f.n_tokens AS DOUBLE) END AS bytes_per_token
+         |FROM t24fam f, t24corpus c
+         |ORDER BY f.family""".stripMargin,
 
     // the TVF path: same greedy replay, text-word universe only.
     // maxSteps = 8 is the sql8 posture: the corpus's longest text word

@@ -421,40 +421,44 @@ object OracleFragments {
     * `word[pos]` indexing is per CHARACTER, and every byte-mapped
     * symbol is exactly one char, so `syms0` is the byte decomposition
     * for mapped words just as it is the char decomposition for plain
-    * ones. */
-  def bpeCtesFromWfreq(wfreqBody: String, n: Int): String = {
+    * ones. `prefix` renames every emitted CTE (`<p>wfreq`, `<p>syms0`,
+    * `<p>mg_1` …) so two merge chains — e.g. t24's char and byte
+    * families — coexist in one query. */
+  def bpeCtesFromWfreq(wfreqBody: String, n: Int,
+      prefix: String = ""): String = {
+    val x = prefix
     val base =
-      s"""wfreq AS MATERIALIZED (
+      s"""${x}wfreq AS MATERIALIZED (
          |$wfreqBody),
-         |syms0 AS MATERIALIZED (
+         |${x}syms0 AS MATERIALIZED (
          |  SELECT word, freq, pos, word[pos] AS sym FROM (
          |    SELECT word, freq,
          |      unnest(generate_series(1, len(word))) AS pos
-         |    FROM wfreq) t)""".stripMargin
+         |    FROM ${x}wfreq) t)""".stripMargin
     val iters = (1 to n).map { k =>
-      val p = s"syms${k - 1}"
-      s"""pc_$k AS MATERIALIZED (
+      val p = s"${x}syms${k - 1}"
+      s"""${x}pc_$k AS MATERIALIZED (
          |  SELECT a.sym AS lhs, b.sym AS rhs, SUM(a.freq) AS cnt
          |  FROM $p a JOIN $p b ON a.word = b.word AND b.pos = a.pos + 1
          |  GROUP BY 1, 2),
-         |mg_$k AS MATERIALIZED (
-         |  SELECT lhs, rhs, cnt FROM pc_$k
+         |${x}mg_$k AS MATERIALIZED (
+         |  SELECT lhs, rhs, cnt FROM ${x}pc_$k
          |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-         |mt_$k AS MATERIALIZED (
+         |${x}mt_$k AS MATERIALIZED (
          |  SELECT a.word, a.pos
          |  FROM $p a JOIN $p b ON a.word = b.word AND b.pos = a.pos + 1
-         |    CROSS JOIN mg_$k m
+         |    CROSS JOIN ${x}mg_$k m
          |  WHERE a.sym = m.lhs AND b.sym = m.rhs),
-         |ap_$k AS MATERIALIZED (
+         |${x}ap_$k AS MATERIALIZED (
          |  SELECT word, pos FROM (
          |    SELECT word, pos,
          |      MIN(pos) OVER (PARTITION BY word, grp) AS rstart
          |    FROM (SELECT word, pos,
          |        pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
          |          AS grp
-         |      FROM mt_$k) g) h
+         |      FROM ${x}mt_$k) g) h
          |  WHERE (pos - rstart) % 2 = 0),
-         |syms$k AS MATERIALIZED (
+         |${x}syms$k AS MATERIALIZED (
          |  SELECT word, freq,
          |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
          |    sym
@@ -462,9 +466,9 @@ object OracleFragments {
          |    SELECT s.word, s.freq, s.pos,
          |      CASE WHEN a1.pos IS NOT NULL THEN s.sym || m.rhs
          |           ELSE s.sym END AS sym
-         |    FROM $p s CROSS JOIN mg_$k m
-         |      LEFT JOIN ap_$k a1 ON a1.word = s.word AND a1.pos = s.pos
-         |      LEFT JOIN ap_$k a2
+         |    FROM $p s CROSS JOIN ${x}mg_$k m
+         |      LEFT JOIN ${x}ap_$k a1 ON a1.word = s.word AND a1.pos = s.pos
+         |      LEFT JOIN ${x}ap_$k a2
          |        ON a2.word = s.word AND a2.pos = s.pos - 1
          |    WHERE a2.pos IS NULL) t)""".stripMargin
     }
