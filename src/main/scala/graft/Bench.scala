@@ -352,9 +352,51 @@ object Bench {
     val calibEnd = { calibOnce(); math.min(calibOnce(), calibOnce()) }
     val (calibBwEnd, _) = bwProbe()
     val calibRunsJson = calibRuns.map(fmt).mkString("[", ",", "]")
+    // Per-gate ratio vs the COMMITTED quiet anchor (bench_anchor.json:
+    // the post-review quiet-machine run, calib-normalized on both
+    // sides) — the r13 lesson: j1 swung 3.7× official-to-official with
+    // a full attribution system in place and nobody looked. Any shared
+    // gate whose normalized min drifts >1.5× from its anchor now
+    // self-reports in the artifact with its executor-time delta, so a
+    // machine window (run_ms flat, wall up) separates from a plan
+    // regression (run_ms up with it) at a glance. Gates under 0.25 s
+    // are exempt (scheduling-floor noise dominates them).
+    val (anchorRatioJson, anchorFlagsJson) = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_anchor.json")), "UTF-8")
+      def numMap(section: String): Map[String, Double] = {
+        val m = (s"""\"$section\":\\{([^}]*)\\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse(""))
+        """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m)
+          .map(g => g.group(1) -> g.group(2).toDouble).toMap
+      }
+      val aCalib = """"calib_sec":([0-9.]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(CalibRef)
+      val aQs = numMap("queries")
+      val aRun = numMap("run_ms")
+      val ratios = results.collect {
+        case (n, v) if v > 0 && aQs.getOrElse(n, -1.0) > 0 =>
+          n -> (v / calib) / (aQs(n) / aCalib)
+      }
+      val rj = ratios.map { case (k, r) => "\"" + k + f"""\":$r%.2f""" }
+        .mkString("{", ",", "}")
+      val byName1 = results.toMap
+      val flags = ratios.filter { case (n, r) =>
+        (r > 1.5 || r < 1.0 / 1.5) && byName1(n) > 0.25 &&
+          aQs(n) > 0.25
+      }
+      val fj = flags.map { case (n, r) =>
+        val curRun = gateMetrics.get(n).map(_.head).getOrElse(-1L)
+        val aR = aRun.getOrElse(n, -1.0).toLong
+        "\"" + n + f"""\":{"ratio":$r%.2f,"sec":${fmt(byName1(n))},""" +
+          s""""anchor_sec":${fmt(aQs(n))},"run_ms":$curRun,""" +
+          s""""anchor_run_ms":$aR}"""
+      }.mkString("{", ",", "}")
+      (rj, fj)
+    } catch { case _: Throwable => ("{}", "{}") }
     try {
       val w = new java.io.PrintWriter("bench_full.json")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"max_spread":${f"$maxSpread%.2f"},"max_spread_warm":${f"$maxSpreadWarm%.2f"},"calib_sec":${fmt(calib)},"calib_runs":$calibRunsJson,"calib_end":${fmt(calibEnd)},"calib_ref":$CalibRef,"calib_bw_sec":${fmt(calibBw)},"calib_bw_gbps":${f"$calibBwGbps%.1f"},"calib_bw_end":${fmt(calibBwEnd)},"total_raw":${fmt(total)},"total_norm":${fmt(totalNorm)},"total_warm":${fmt(totalWarm)},"total_first":${fmt(totalFirst)},"total_lifecycle":${fmt(totalLifecycle)},"total_compute":${fmt(totalCompute)},"n_lifecycle":${lifecycleGates.size},"queries":$fullQs,"queries_raw":$rawQs,"gate_metrics":$gmJson,"warmup_failures":$wf,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"max_spread":${f"$maxSpread%.2f"},"max_spread_warm":${f"$maxSpreadWarm%.2f"},"calib_sec":${fmt(calib)},"calib_runs":$calibRunsJson,"calib_end":${fmt(calibEnd)},"calib_ref":$CalibRef,"calib_bw_sec":${fmt(calibBw)},"calib_bw_gbps":${f"$calibBwGbps%.1f"},"calib_bw_end":${fmt(calibBwEnd)},"total_raw":${fmt(total)},"total_norm":${fmt(totalNorm)},"total_warm":${fmt(totalWarm)},"total_first":${fmt(totalFirst)},"total_lifecycle":${fmt(totalLifecycle)},"total_compute":${fmt(totalCompute)},"n_lifecycle":${lifecycleGates.size},"queries":$fullQs,"queries_raw":$rawQs,"gate_metrics":$gmJson,"anchor_ratio":$anchorRatioJson,"anchor_flags":$anchorFlagsJson,"warmup_failures":$wf,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // The driver keeps only the LAST 2000 chars of stdout and parses the
@@ -373,7 +415,8 @@ object Bench {
       .mkString("{", ",", "}")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"calib_sec":${fmt(calib)},"calib_end":${fmt(calibEnd)},"calib_ref":$CalibRef,"calib_bw_sec":${fmt(calibBw)},"calib_bw_end":${fmt(calibBwEnd)},"total_norm":${fmt(totalNorm)},"total_warm":${fmt(totalWarm)},"total_lifecycle":${fmt(totalLifecycle)},"total_compute":${fmt(totalCompute)},"max_spread_warm":${f"$maxSpreadWarm%.2f"},"queries":$qs,"sf":$sfNum}""")
+    val anchorFlagsN = "\"ratio\"".r.findAllIn(anchorFlagsJson).size
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"calib_sec":${fmt(calib)},"calib_end":${fmt(calibEnd)},"calib_ref":$CalibRef,"calib_bw_sec":${fmt(calibBw)},"calib_bw_end":${fmt(calibBwEnd)},"total_norm":${fmt(totalNorm)},"total_warm":${fmt(totalWarm)},"total_lifecycle":${fmt(totalLifecycle)},"total_compute":${fmt(totalCompute)},"max_spread_warm":${f"$maxSpreadWarm%.2f"},"anchor_flags_n":$anchorFlagsN,"queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -616,7 +616,7 @@ object Stress {
         val t0 = System.nanoTime()
         val out = graft.operators.Curation.spanCorrupt(toks, "doc_id",
           "tok_ids", window = 20, span = 3, sentinelBase = 50000L,
-          seed = "t5")
+          seed = "t5", validateIds = true)
         val agg = out.agg(count(lit(1)).as("n"),
           sum(col("n_tok").cast("long")).as("tok"),
           sum(col("n_masked").cast("long")).as("msk"),
@@ -898,7 +898,7 @@ object Stress {
         val tDen = System.nanoTime()
         val pairs = graft.operators.Curation.spanCorrupt(toks,
           "doc_id", "token_ids", window = 20, span = 3,
-          sentinelBase = 100000L, seed = "t5")
+          sentinelBase = 100000L, seed = "t5", validateIds = true)
         val pAgg = pairs.agg(count(lit(1)).as("n"),
           sum(col("n_masked").cast("long")).as("msk"),
           sum(size(col("inputs")).cast("long")).as("inp"))

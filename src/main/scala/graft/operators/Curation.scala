@@ -1406,13 +1406,33 @@ object Curation {
     * UDF — at 100 TB this runs at parquet-read speed. */
   def spanCorrupt(df: DataFrame, idCol: String, tokCol: String,
       window: Int = 20, span: Int = 3, sentinelBase: Long = 100000L,
-      seed: String = "t5"): DataFrame = {
+      seed: String = "t5", validateIds: Boolean = false): DataFrame = {
     require(span >= 1, s"spanCorrupt: span must be >= 1, got $span")
     require(window >= span,
       s"spanCorrupt: window ($window) must be >= span ($span)")
+    require(sentinelBase >= 0,
+      s"spanCorrupt: sentinelBase must be >= 0, got $sentinelBase")
     val id = col(idCol)
     val toks = coalesce(col(tokCol), array().cast("array<long>"))
     val n = size(toks)
+    // the sentinelBase contract (must exceed every real token id) is
+    // otherwise documentation-only: a violating corpus would silently
+    // produce pairs where real tokens are indistinguishable from
+    // sentinels. validateIds turns it into a per-row loud failure.
+    // The guard wraps ONLY the n_tok output column (evaluated once per
+    // row) — wrapping `toks` itself would re-run the exists() at every
+    // reference, and the per-POSITION element_at walk would turn one
+    // O(n) check into O(n²) per row (expressions under HOF lambdas are
+    // never subexpression-eliminated; measured 20 s vs 0.5 s on the
+    // cu21 gate)
+    val nTokOut = if (!validateIds) n else
+      size(when(exists(toks, t => t.cast("long") >= sentinelBase),
+        raise_error(concat(
+          lit(s"spanCorrupt: token id >= sentinelBase ($sentinelBase) "),
+          lit("in row "), id.cast("string"),
+          lit(" — sentinels would collide with real tokens; raise " +
+            "sentinelBase above the vocabulary"))))
+        .otherwise(toks))
     val nWin = (n / window).cast("int")
     // one draw per full window: offset ∈ [0, window - span]
     def off(j: Column): Column = pmod(
@@ -1470,7 +1490,7 @@ object Curation {
     // be CollapseProject-inlined back into the lambdas per POSITION.
     // 2× of a data-access walk is the cheapest evil.
     df.select(id,
-      n.as("n_tok"),
+      nTokOut.as("n_tok"),
       nWin.as("n_spans"),
       (nWin * span).as("n_masked"),
       both.getField("i").as("inputs"),

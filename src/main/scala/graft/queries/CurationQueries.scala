@@ -1450,7 +1450,8 @@ object CurationQueries {
           w => pmod(conv(substring(md5(concat(lit("tok|"), w)), 1, 8),
             16, 10).cast("long"), lit(50000L))).as("tok_ids"))
       Curation.spanCorrupt(docs, "doc_id", "tok_ids", window = 8,
-          span = 2, sentinelBase = 50000L, seed = "t5")
+          span = 2, sentinelBase = 50000L, seed = "t5",
+          validateIds = true)
         .select(col("doc_id"), col("n_tok"), col("n_spans"),
           col("n_masked"),
           concat_ws(" ", transform(col("inputs"),

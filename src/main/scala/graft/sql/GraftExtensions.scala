@@ -553,6 +553,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // 'corpus.parquet', 'doc_id', 'text', 30) → (id, token_ids,
     // n_tok). sql12-gated against the first-principles byte-map +
     // merge-chain replay.
+    //
+    // COST NOTE (shared by all three tokenizer TVFs, but heaviest
+    // here because the work is TRAINING, not a bounded read): the
+    // builder body runs at analysis/resolution time, so each
+    // re-analysis of a statement referencing this TVF — every
+    // reference in a view, every re-plan, even an EXPLAIN — re-trains
+    // the merges (word-freq aggregation + nMerges iterations + two
+    // bounded collects). This is the one-call convenience posture for
+    // ad-hoc SQL; the scale path is TokenizerStore (train once,
+    // persist, encode everywhere with frozen ids).
     ext.injectTableFunction((FunctionIdentifier("byte_bpe_tokens"),
       new ExpressionInfo(classOf[GraftExtensions].getName,
         "byte_bpe_tokens"),

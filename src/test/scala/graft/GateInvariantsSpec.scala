@@ -42,4 +42,44 @@ class GateInvariantsSpec extends SparkSpec {
     assert(out.count() === 2L) // base batch + b1
     out.unpersist()
   }
+
+  // Telemetry TRIPWIRE (the r13 ask): the per-gate executor metrics in
+  // the bench artifact were built for forensics; these invariants make
+  // them fail the suite instead of waiting to be read. Reads the
+  // repo's committed bench_full.json (the last full sf0.1 run) — the
+  // suite cannot afford to re-run 240 gates at sf0.1 itself, but a
+  // committed artifact that violates the invariants is exactly the
+  // regression the tripwire exists to catch at review time.
+  test("bench telemetry tripwire: zero spill and bounded task counts " +
+      "per gate at sf0.1 (reads bench_full.json)") {
+    val f = new java.io.File("bench_full.json")
+    assume(f.exists, "no bench artifact at repo root")
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val start = txt.indexOf("\"gate_metrics\":")
+    assume(start >= 0, "artifact predates gate_metrics")
+    val ends = Seq("\"anchor_ratio\":", "\"warmup_failures\":")
+      .map(k => txt.indexOf(k, start)).filter(_ > start)
+    val gm = Some(txt.substring(start,
+      if (ends.nonEmpty) ends.min else txt.length))
+    val entry = ("\"([a-z0-9_]+)\":\\{[^}]*\"spill_mb\":([0-9.]+)" +
+      "[^}]*\"tasks\":([0-9]+)\\}").r
+    val rows = entry.findAllMatchIn(gm.get)
+      .map(m => (m.group(1), m.group(2).toDouble, m.group(3).toLong))
+      .toSeq
+    assert(rows.size >= 200,
+      s"parsed only ${rows.size} gate-metric rows — parser drifted?")
+    val spilled = rows.filter(_._2 > 0)
+    assert(spilled.isEmpty,
+      s"gates spilled at sf0.1 (memory-pressure regression): " +
+        spilled.map(r => s"${r._1}=${r._2}MB").mkString(", "))
+    // declared ceiling: the committed max is ~1.2k tasks per gate
+    // (ir1's store lifecycle across its 2-3 runs); 4000 is a genuine
+    // runaway — e.g. a lost repartition or a default-200 shuffle
+    // multiplying through an iterative operator
+    val heavy = rows.filter(_._3 > 4000)
+    assert(heavy.isEmpty,
+      s"gates above the 4000-task ceiling: " +
+        heavy.map(r => s"${r._1}=${r._3}").mkString(", "))
+  }
 }

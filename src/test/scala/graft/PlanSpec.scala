@@ -93,7 +93,10 @@ class PlanSpec extends SparkSpec {
       "lang1_learned_langid" -> 6,
       // PMI: the pair table crossJoins its one-row corpus-total spine
       // (the incremental variant has the same scoring tail)
-      "t22_collocations" -> 1, "t22b_incremental_pmi" -> 1)
+      "t22_collocations" -> 1, "t22b_incremental_pmi" -> 1,
+      // tokenizer card: the 4-row per-family union crossJoins the
+      // one-row corpus counter spine
+      "t24_tokenizer_card" -> 1)
     // bounded query/probe/centroid sets broadcast against the corpus
     // (≤ a few hundred rows by gate construction — the brute-force
     // oracle legs and store probes):

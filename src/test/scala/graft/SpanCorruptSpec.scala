@@ -125,5 +125,27 @@ class SpanCorruptSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.spanCorrupt(df, "doc_id", "toks", window = 2, span = 0)
     }
+    intercept[IllegalArgumentException] {
+      Curation.spanCorrupt(df, "doc_id", "toks", sentinelBase = -1L)
+    }
+  }
+
+  test("validateIds: a token id at/above sentinelBase fails loudly " +
+      "instead of silently colliding with sentinels") {
+    // id 7 >= sentinelBase 7: sentinel ids start at 7, so real token
+    // 7 would be indistinguishable in the emitted pair
+    val bad = Seq((1L, Seq(1L, 7L, 2L, 3L))).toDF("doc_id", "toks")
+    val e = intercept[Exception] {
+      Curation.spanCorrupt(bad, "doc_id", "toks", window = 4, span = 1,
+        sentinelBase = 7L, validateIds = true).collect()
+    }
+    assert(e.getMessage.contains("sentinelBase"))
+    // the same corpus passes un-validated (documented legacy
+    // behavior) and passes validated once the base clears the vocab
+    Curation.spanCorrupt(bad, "doc_id", "toks", window = 4, span = 1,
+      sentinelBase = 7L).collect()
+    val ok = Curation.spanCorrupt(bad, "doc_id", "toks", window = 4,
+      span = 1, sentinelBase = 8L, validateIds = true)
+    assert(ok.collect().head.getAs[Int]("n_tok") === 4)
   }
 }
