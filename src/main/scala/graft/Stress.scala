@@ -703,6 +703,46 @@ object Stress {
       }
     }
 
+    // ---- the SAME chain with MULTI-PROBE membership (nprobe 2): the
+    // boundary lever measured. Single-probe recall < 1.0 above is
+    // exactly the pairs whose two sides argmax into different cells;
+    // probing each vector's runner-up cell recovers every pair where
+    // either side's second-best cell is the other's primary. Costs:
+    // identical assignment flops (the fused TopCells loop computes all
+    // cosines either way), ~4× verify candidates. ------------------------
+    step("hash_semdedup_mp") {
+      CacheScope.withScope { implicit scope =>
+        val t0 = System.nanoTime()
+        val emb = scope.cache(graft.operators.Similarity.hashEmbed(
+          docs, "doc_id", "text", dim = 64, seed = "he"))
+        val index = graft.operators.Similarity.ivfBuild(emb, "doc_id",
+          "embedding", nCells = 1024, iters = 2)
+        val out = graft.operators.Dedup.semanticDedup(emb, "doc_id",
+          "embedding", index.centroids, threshold = 0.95,
+          maxClusterSize = 100000, nprobe = 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nDropped = out.filter(!col("keep")).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val planted = docs.filter(col("doc_id") % 97 === 0 &&
+          col("doc_id") + 1 < nDocs && col("doc_id") % 101 =!= 0 &&
+          (col("doc_id") + 1) % 101 =!= 0)
+          .select((col("doc_id") + 1).as("id_hi"))
+        val nPlanted = planted.count()
+        val nCaught = planted
+          .join(out.filter(!col("keep"))
+            .select(col("doc_id").as("id_hi")), Seq("id_hi"), "left_semi")
+          .count()
+        out.unpersist()
+        Seq("vectors" -> nDocs, "nprobe" -> 2,
+          "secs" -> math.round(secs * 100.0) / 100.0,
+          "n_dropped" -> nDropped,
+          "planted_pairs" -> nPlanted,
+          "planted_collapsed" -> nCaught,
+          "collapse_recall" -> math.round(nCaught.toDouble /
+            math.max(1, nPlanted) * 1e4) / 1e4)
+      }
+    }
+
     // ---- unigram-LM tokenizer at full corpus: the SentencePiece
     // counterpart of bpe_encode_corpus. Seed candidates + EM + prune
     // run DRIVER-LOCAL over the collapsed word table (zero Spark jobs

@@ -652,20 +652,35 @@ object Dedup {
     * Centroids: (cell: long, centroid: array<double>), tiny. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double = 0.9,
-      maxClusterSize: Int = 100000)(
+      maxClusterSize: Int = 100000, nprobe: Int = 1)(
       implicit scope: graft.CacheScope): DataFrame = {
     require(threshold > -1 && threshold <= 1,
       s"semanticDedup: threshold must be in (-1,1], got $threshold")
     require(maxClusterSize > 1,
       s"semanticDedup: maxClusterSize must be > 1, got $maxClusterSize")
+    require(nprobe >= 1,
+      s"semanticDedup: nprobe must be >= 1, got $nprobe")
+    // MEMBERSHIPS: nprobe = 1 is the published SemDeDup recipe (cluster
+    // once, verify within the cell — misses pairs straddling a cell
+    // boundary BY DESIGN); nprobe > 1 probes each vector's runner-up
+    // cells too, recovering boundary-straddling pairs whenever EITHER
+    // side's probe set reaches the other's cell. Assignment cost is
+    // identical (the fused matrix loop computes every cosine either
+    // way); the verify candidate volume scales ~nprobe².
     // cached: feeds the guard aggregate, both pair sides, and the output
     val assigned = scope.cache(
-      Similarity.assignCells(df.select(col(idCol), col(vecCol)),
-        idCol, vecCol, centroids))
+      if (nprobe == 1)
+        Similarity.assignCells(df.select(col(idCol), col(vecCol)),
+          idCol, vecCol, centroids)
+          .withColumn("crank", lit(1))
+      else
+        Similarity.assignCellsMulti(df.select(col(idCol), col(vecCol)),
+          idCol, vecCol, centroids, nprobe))
     // loud path: a cell whose size makes the within-cell verify
     // quadratic-hostile. Attached as a union child (the containmentPairs
     // pattern) so it cannot be pruned even when the output is consumed
-    // lazily or comes back empty.
+    // lazily or comes back empty. Membership rows count toward the cap
+    // (they are exactly what the verify join fans out on).
     val guard = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("__n"))
       .select(when(col("__n") > maxClusterSize,
@@ -680,16 +695,20 @@ object Dedup {
       col(vecCol).as("v_a"))
     val r = assigned.select(col("cell"), col(idCol).as("id_b"),
       col(vecCol).as("v_b"))
-    // losers: ids with ANY lower-id close cluster-mate. Narrow projection
-    // (the duplicate-id column only) leaves the join; the EXISTS shape
-    // (distinct, not the mate list) keeps it one row per loser.
+    // losers: ids with ANY lower-id close mate SHARING a probed cell.
+    // Narrow projection (the duplicate-id column only) leaves the join;
+    // the EXISTS shape (distinct, not the mate list) keeps it one row
+    // per loser — multi-probe's duplicate (cell, pair) encounters
+    // collapse in the same distinct.
     val losers = l.join(r, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .filter(Similarity.cosine(col("v_a"), col("v_b")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("__dup", lit(true))
     val idT = df.schema(idCol).dataType
-    assigned.join(losers, Seq(idCol), "left")
+    // output stays one row per vector: the PRIMARY cell (crank 1)
+    assigned.filter(col("crank") === 1)
+      .join(losers, Seq(idCol), "left")
       .select(col(idCol), col("cell"), col("__dup").isNull.as("keep"))
       .unionByName(guard.where(col("__ok") =!= 1L)
         .select(lit(null).cast(idT).as(idCol),

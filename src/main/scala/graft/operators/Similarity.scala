@@ -467,6 +467,34 @@ object Similarity {
       col(vecCol), cents.map(_._1), cents.map(_._2)))
   }
 
+  /** Multi-probe cell assignment: each vector's top-`nprobe` cells by
+    * (cosine DESC, cell ASC), exploded to one MEMBERSHIP row per
+    * (vector, cell) with `crank` 1..nprobe (1 = the [[assignCells]]
+    * primary — bit-identical, spec-pinned). Same map-side shape as the
+    * argmax (the fused [[graft.expressions.TopCells]] matrix loop
+    * computes every cosine either way — no extra flops, no shuffle);
+    * the ×nprobe row multiplication happens AFTER assignment, so only
+    * (id, cell, crank) rows fan out, never re-scored vectors.
+    * Degenerate vectors are dropped (their null membership array has
+    * no rows — callers joining back by id see them absent, like
+    * assignCells' null cell). */
+  def assignCellsMulti(data: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, nprobe: Int): DataFrame = {
+    require(nprobe >= 1,
+      s"assignCellsMulti: nprobe must be >= 1, got $nprobe")
+    val cents: Seq[(Long, Seq[Double])] = centroids
+      .select(col("cell").cast("long"), col("centroid"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    data.withColumn("__cells", graft.expressions.TopCells(
+        col(vecCol), cents.map(_._1), cents.map(_._2), nprobe))
+      .select(col("*"),
+        posexplode(col("__cells")).as(Seq("__p", "cell")))
+      .withColumn("crank", (col("__p") + 1).cast("int"))
+      .drop("__cells", "__p")
+  }
+
   /** IVF query: rank cells per query by centroid cosine, search the top
     * `nprobe` cells only. */
   def ivfTopK(index: IvfIndex, idCol: String, vecCol: String,

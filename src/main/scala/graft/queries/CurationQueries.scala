@@ -1412,6 +1412,28 @@ object CurationQueries {
         "ORDER BY doc_id")
     }),
 
+    // ---- stored-model tokenization from SQL (the TVF scale path) --------
+    // The loop the training TVFs' cost note points at, closed: train
+    // byte-BPE once, persist it through TokenizerStore, and encode via
+    // `tokenizer_encode(storeDir, …)` — resolution reads a model-sized
+    // table instead of re-training, and ids are the store's frozen
+    // ids. Shares sql12's first-principles replay verbatim: the stored
+    // model driven through SQL must land on the same tokens as the
+    // train-in-the-builder TVF.
+    "sql14_sql_store_encode" -> ((s, d) => {
+      val path = GateTmp.dir("graft_se_docs", d)
+      val store = GateTmp.dir("graft_se_store", d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.write.mode("overwrite").parquet(path)
+      val model = graft.operators.ByteBpe.train(
+        graft.operators.ByteBpe.byteWordFreq(docs, "text"), nMerges = 30)
+      graft.pipelines.TokenizerStore.save(s, store, "bpe-byte", model)
+      s.sql("SELECT doc_id, n_tok, concat_ws(' ', " +
+        "transform(token_ids, x -> cast(x AS string))) AS token_str " +
+        s"FROM tokenizer_encode('$store', '$path', 'doc_id', 'text') " +
+        "ORDER BY doc_id")
+    }),
+
     // ---- persisted tokenizer model: save → load → encode ≡ in-memory ----
     // The store path must reproduce t21c exactly: train the byte-level
     // merges, persist them (model first, format marker last), then
@@ -2676,6 +2698,11 @@ object CurationQueries {
     // the TVF path: same replay over the documents table directly
     // (the one-call posture a SQL user takes — no planted suffixes)
     "sql12_sql_bytebpe" -> byteCorpusTokensOracle(
+      OracleFragments.byteMapCtes("documents", "text")),
+
+    // the stored-model TVF shares sql12's replay verbatim: same
+    // corpus, same 30 merges, same frozen byte-order ids
+    "sql14_sql_store_encode" -> byteCorpusTokensOracle(
       OracleFragments.byteMapCtes("documents", "text")),
 
     // the persisted-model path shares t21c's replay verbatim: the

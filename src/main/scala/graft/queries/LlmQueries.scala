@@ -416,6 +416,30 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- SemDeDup with MULTI-PROBE membership (the boundary lever) -------
+    // The published recipe clusters once and verifies within the cell,
+    // missing near-dup pairs that straddle a cell boundary BY DESIGN
+    // (the Stress 5M run measured that miss as collapse recall 0.713).
+    // nprobe = 2 probes each vector's runner-up cell too; this gate
+    // hash-pins the whole multi-probe chain — the top-2 (cosine DESC,
+    // cell ASC) ranking, the membership join, the distinct-loser
+    // collapse of duplicate pair encounters, and the primary-cell
+    // output — against a rank-windowed DuckDB replay.
+    "d11b_semantic_multiprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"))
+      val copies = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"), x => x * 0.5).as("embedding"))
+      val cents = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("long").as("cell"),
+          col("embedding").as("centroid"))
+      Dedup.semanticDedup(emb.unionByName(copies), "vec_id", "embedding",
+        cents, threshold = 0.99, nprobe = 2)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- exact substring dedup: repeated-span discovery ------------------
     // Lee et al. EXACTSUBSTR re-expressed distributed: 8-token windows
     // occurring >= 2 times anywhere, merged to maximal spans. The
@@ -1798,6 +1822,48 @@ object LlmQueries {
         |    / (x.nv * y.nv) >= 0.99)
         |SELECT a.vec_id, a.cell, (l.vec_id IS NULL) AS keep
         |FROM asg a LEFT JOIN losers l ON a.vec_id = l.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+
+    // the d11 replay with rank <= 2 MEMBERSHIPS feeding the loser join
+    // and the rank-1 row as the output cell
+    "d11b_semantic_multiprobe" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |    AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.5)
+        |  FROM embeddings WHERE vec_id < 10),
+        |nrm AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))
+        |      AS nv
+        |  FROM base),
+        |cents AS (
+        |  SELECT vec_id AS cell,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM embeddings WHERE vec_id < 4),
+        |cnrm AS (
+        |  SELECT cell, cv,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> cv[i] * cv[i])))
+        |      AS nc
+        |  FROM cents),
+        |mem AS (
+        |  SELECT vec_id, v, nv, cell, rn FROM (
+        |    SELECT b.vec_id, b.v, b.nv, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i -> b.v[i] * c.cv[i]))
+        |          / (b.nv * c.nc) DESC, c.cell) AS rn
+        |    FROM nrm b CROSS JOIN cnrm c) t WHERE rn <= 2),
+        |losers AS (
+        |  SELECT DISTINCT y.vec_id FROM mem x JOIN mem y
+        |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i]))
+        |    / (x.nv * y.nv) >= 0.99)
+        |SELECT a.vec_id, a.cell, (l.vec_id IS NULL) AS keep
+        |FROM (SELECT vec_id, cell FROM mem WHERE rn = 1) a
+        |LEFT JOIN losers l ON a.vec_id = l.vec_id
         |ORDER BY a.vec_id""".stripMargin,
 
     "d12_repeated_spans" ->

@@ -583,6 +583,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "byte_bpe_tokens(path, idCol, textCol, nMerges) — strings " +
             "and an integer literal")
       }))
+    // STORED-MODEL corpus tokenization — the scale path the three
+    // training TVFs above point at: the model comes from a committed
+    // TokenizerStore directory (train once, elsewhere), so resolution
+    // cost is one bounded model read instead of a training run, and
+    // token ids are the store's frozen ids (shard-stable across every
+    // job that encodes through the same dir). Dispatches on the
+    // recorded family — a SQL user cannot apply a model with the wrong
+    // encoder. SELECT * FROM tokenizer_encode('store_dir',
+    // 'corpus.parquet', 'doc_id', 'text') → the family's perDoc frame.
+    // sql14-gated: a byte-BPE store written mid-gate must reproduce
+    // sql12's first-principles replay bit for bit.
+    ext.injectTableFunction((FunctionIdentifier("tokenizer_encode"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "tokenizer_encode"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(sd, p, idc, tc) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val storeDir = strLit(sd, "tokenizer_encode storeDir")
+          val docs = spark.read.parquet(
+            strLit(p, "tokenizer_encode path"))
+          val (_, perDoc) = graft.pipelines.TokenizerStore.encodeCorpus(
+            spark, storeDir, docs,
+            strLit(idc, "tokenizer_encode idCol"),
+            strLit(tc, "tokenizer_encode textCol"))(
+            graft.CacheScope.session)
+          perDoc.queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "tokenizer_encode(storeDir, path, idCol, textCol) — four " +
+            "string literals")
+      }))
     // store-backed variant: same scoring expression, but the relation
     // comes from a persisted IndexStore directory (bucket-pruned
     // postings), so a SQL user can query a corpus index maintained

@@ -300,6 +300,43 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer_encode table function encodes through a stored " +
+      "model and matches the in-memory composition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tesql").toString
+    val store = java.nio.file.Files.createTempDirectory("tesqls").toString
+    Seq((1L, "abab abc 世界"), (2L, "Cc abc café"), (3L, ""))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val model = graft.operators.ByteBpe.train(
+      graft.operators.ByteBpe.byteWordFreq(docs, "text"), 4)
+    graft.pipelines.TokenizerStore.save(spark, store, "bpe-byte", model)
+    val got = spark.sql("SELECT doc_id, n_tok, token_ids FROM " +
+        s"tokenizer_encode('$store', '$dir', 'doc_id', 'text') " +
+        "ORDER BY doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSeq
+    val merges = model.orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val want = CacheScope.withScope { implicit s =>
+      graft.operators.ByteBpe.encodeCorpus(docs, "doc_id", "text",
+          merges)._2
+        .select("doc_id", "n_tok", "token_ids").orderBy("doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSeq
+    }
+    assert(got === want)
+    // a non-store dir fails loudly at resolution, not with a silent
+    // empty result; wrong arity is a loud contract error
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM tokenizer_encode('$dir', '$dir', " +
+        "'doc_id', 'text')").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM tokenizer_encode('$store', '$dir', " +
+        "'doc_id')").collect()
+    }
+  }
+
   test("unigram_tokens table function matches the Scala composition") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("unisql").toString

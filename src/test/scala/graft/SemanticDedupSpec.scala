@@ -71,6 +71,69 @@ class SemanticDedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("maxClusterSize"))
   }
 
+  test("multi-probe recovers the boundary-straddling near-dup the " +
+      "single-probe contract documents as missed") {
+    // centroids at 0° and 22°; vectors at 10° and 12° sit on opposite
+    // sides of the 11° bisector (cosine(a,b) = cos 2° ≈ 0.9994), so
+    // nprobe=1 assigns them to DIFFERENT cells and keeps both —
+    // while each one's runner-up cell is the other's primary
+    def ang(deg: Double) =
+      Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val data = vecDf(Seq(1L -> ang(10), 2L -> ang(12)))
+    val c = cents(Seq(0L -> ang(0), 1L -> ang(22)))
+    val single = run(data, c, 0.99)
+    assert(single === Map(1L -> (0L, true), 2L -> (1L, true)),
+      "precondition: single-probe must miss the boundary pair")
+    val multi = Dedup.semanticDedup(data, "vec_id", "embedding", c,
+        threshold = 0.99, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // primary cells unchanged; the higher id now loses to the pair
+    assert(multi === Map(1L -> (0L, true), 2L -> (1L, false)))
+  }
+
+  test("nprobe=1 path is bit-identical to the original single-probe " +
+      "output, and TopCells[0] equals ArgmaxCell on a random batch") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map(i =>
+      i -> Seq.fill(8)(rnd.nextGaussian()))
+    val data = vecDf(rows)
+    val c = cents((0L to 15L).map(j =>
+      j -> Seq.fill(8)(new scala.util.Random(j).nextGaussian())))
+    val a = run(data, c, 0.95)
+    val b = CacheScope.withScope { implicit s =>
+      Dedup.semanticDedup(data, "vec_id", "embedding", c,
+          threshold = 0.95, nprobe = 1)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1),
+          r.getBoolean(2))).toMap
+    }
+    assert(a === b)
+    // TopCells rank 1 == ArgmaxCell, and ranks follow the composed
+    // (cosine DESC, cell ASC) window on every row
+    val multi = Similarity.assignCellsMulti(data, "vec_id", "embedding",
+      c, nprobe = 3)
+    val top1 = multi.filter(col("crank") === 1)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val arg = Similarity.assignCells(data, "vec_id", "embedding", c)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 === arg)
+    val composed = data.crossJoin(broadcast(
+        c.select(col("cell"), col("centroid"))))
+      .withColumn("crank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(Similarity.cosine(col("embedding"),
+            col("centroid")).desc, col("cell"))))
+      .filter(col("crank") <= 3)
+      .select(col("vec_id"), col("crank"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val fused = multi.select(col("vec_id"), col("crank"), col("cell"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(fused === composed)
+  }
+
   test("assignment matches assignCells' argmax/tie rules") {
     val data = vecDf(Seq(1L -> Seq(1.0, 1.0)))
     // equidistant centroids: tie breaks to the lowest cell
