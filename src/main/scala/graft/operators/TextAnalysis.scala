@@ -1416,11 +1416,16 @@ object TextAnalysis {
     * what a training-data writer actually emits. Returns
     * (vocab (token_id, sym), perDoc (idCol, n_tok, token_ids)).
     *
-    * IDs are the byte-order rank of each symbol — deterministic,
-    * engine-replayable, and stable for a FROZEN merge list (the
-    * symbol set is base characters ∪ merge outputs, fixed by the
-    * model, so ids never depend on which corpus is encoded — new text
-    * can only produce already-known symbols).
+    * IDs are the byte-order rank of each symbol over the symbols THIS
+    * corpus emits — deterministic and engine-replayable, but NOT
+    * stable across corpus shards: a shard containing a character the
+    * other shards lack adds a base symbol and shifts every rank above
+    * it (the char family's base alphabet is the corpus's script
+    * inventory, which the merge list alone cannot bound — unlike the
+    * byte family's closed 256). For cross-shard-stable ids, snapshot
+    * the TRAINING alphabet ([[bpeAlphabet]]) and encode with
+    * [[bpeEncodeCorpusFrozen]] — the posture
+    * [[graft.pipelines.TokenizerStore]] persists.
     *
     * Scale shape: the corpus contributes one distinct-word pass; the
     * VOCABULARY segments once ([[bpeSegmentWords]] — the imperative
@@ -1436,16 +1441,53 @@ object TextAnalysis {
       filter(tokens(coalesce(col(textCol), lit(""))), w => w =!= ""),
       merges, fixedSyms = None)
 
+  /** The char family's TRAINING alphabet: the distinct base symbols
+    * segmentation emits over the collapsed word table — derived
+    * through [[bpeSegmentWords]] itself (with zero merges), so the
+    * snapshot is definitionally the encoder's own character
+    * decomposition. Bounded by the corpus's script inventory (a
+    * control-plane collect); persist it next to the merges and ids
+    * become a pure function of the model. */
+  def bpeAlphabet(wordFreq: DataFrame): Seq[String] =
+    bpeSegmentWords(wordFreq.select(col("word")), "word", Seq.empty)
+      .select(explode(col("syms")).as("sym")).distinct()
+      .collect().map(_.getString(0)).toSeq
+      .sortWith(utf8Compare(_, _) < 0)
+
+  /** [[bpeEncodeCorpus]] with SHARD-STABLE ids: the symbol table is
+    * the frozen (training alphabet ∪ merge outputs), so two disjoint
+    * corpus shards encoded with the same stored model agree on every
+    * id — the byte family's posture brought to the char family, with
+    * one addition the closed byte alphabet never needs: a character
+    * OUTSIDE the training alphabet (new script in a later crawl) maps
+    * to the one reserved id `|table|` (the unigram `<unk>` posture)
+    * instead of silently perturbing the id space. */
+  def bpeEncodeCorpusFrozen(docs: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)],
+      alphabet: Seq[String])(
+      implicit scope: graft.CacheScope): (DataFrame, DataFrame) = {
+    require(alphabet.nonEmpty,
+      "bpeEncodeCorpusFrozen: alphabet must be non-empty")
+    val fixed = (alphabet ++ merges.map { case (l, r) => l + r }).distinct
+    encodeCorpusWith(docs, idCol,
+      filter(tokens(coalesce(col(textCol), lit(""))), w => w =!= ""),
+      merges, fixedSyms = Some(fixed), oovToReservedId = true)
+  }
+
   /** The shared encode tail behind [[bpeEncodeCorpus]] (char family,
-    * lowercased words, corpus-occurring symbol ids) and
-    * [[graft.operators.ByteBpe.encodeCorpus]] (byte family,
+    * lowercased words, corpus-occurring symbol ids),
+    * [[bpeEncodeCorpusFrozen]] (char family, alphabet-snapshot ids),
+    * and [[graft.operators.ByteBpe.encodeCorpus]] (byte family,
     * case-preserving mapped words, MODEL-derived symbol ids).
-    * `fixedSyms`, when given, must be a superset of every symbol
-    * segmentation can produce — the byte family derives it from the
-    * model alone, which is what makes its ids corpus-independent. */
+    * `fixedSyms`, when given, bounds the id table by the MODEL;
+    * `oovToReservedId` maps symbols outside it to the one reserved id
+    * `|fixedSyms|` (callers whose symbol universe is closed — the
+    * byte family — leave it false and keep the inner join: an OOV
+    * there is impossible by construction). */
   private[operators] def encodeCorpusWith(docs: DataFrame,
       idCol: String, wordsArr: Column, merges: Seq[(String, String)],
-      fixedSyms: Option[Seq[String]])(
+      fixedSyms: Option[Seq[String]],
+      oovToReservedId: Boolean = false)(
       implicit scope: graft.CacheScope): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val words = docs.select(explode(wordsArr).as("word")).distinct()
@@ -1459,9 +1501,14 @@ object TextAnalysis {
     import spark.implicits._
     val vocab = syms.zipWithIndex
       .map { case (s, i) => (i, s) }.toSeq.toDF("token_id", "sym")
-    val segIds = seg
+    val exploded = seg
       .select(col("word"), posexplode(col("syms")).as(Seq("spos", "sym")))
-      .join(broadcast(vocab), Seq("sym"))
+    val withIds =
+      if (!oovToReservedId) exploded.join(broadcast(vocab), Seq("sym"))
+      else exploded.join(broadcast(vocab), Seq("sym"), "left")
+        .withColumn("token_id",
+          coalesce(col("token_id"), lit(syms.length)))
+    val segIds = withIds
       .groupBy(col("word"))
       .agg(transform(
         array_sort(collect_list(struct(col("spos"), col("token_id")))),

@@ -16,14 +16,19 @@ import org.apache.spark.sql.functions._
   *
   * Layout (the [[VectorStore]] idiom):
   * {{{
-  *   dir/model/   — family-specific rows:
-  *                    bpe | bpe-byte : (iter, lhs, rhs, cnt) ordered merges
-  *                    unigram        : (piece, cost_mu)
-  *                    wordpiece      : (piece)
-  *   dir/format/  — ONE row (family, version), written LAST: the
-  *                  commit point. A crash mid-save leaves a dir with
-  *                  no format marker, which [[family]] rejects loudly —
-  *                  never a half-written model silently encoding.
+  *   dir/model/    — family-specific rows:
+  *                     bpe | bpe-byte : (iter, lhs, rhs, cnt) ordered merges
+  *                     unigram        : (piece, cost_mu)
+  *                     wordpiece      : (piece)
+  *   dir/alphabet/ — OPTIONAL, char-BPE only: (sym) — the training
+  *                   alphabet snapshot that makes the char family's
+  *                   ids shard-stable (merges alone cannot bound its
+  *                   script inventory); absent = legacy corpus-ranked
+  *                   ids.
+  *   dir/format/   — ONE row (family, version), written LAST: the
+  *                   commit point. A crash mid-save leaves a dir with
+  *                   no format marker, which [[family]] rejects loudly —
+  *                   never a half-written model silently encoding.
   * }}}
   *
   * Scale shape: models are MODEL-sized (≤ merges/vocab rows — a 32k-
@@ -50,10 +55,15 @@ object TokenizerStore {
     * reader racing the delete→rewrite window fails loudly rather than
     * reading a half-committed store. */
   def save(spark: SparkSession, dir: String, family: String,
-      model: DataFrame): Unit = {
+      model: DataFrame, alphabet: Option[DataFrame] = None): Unit = {
     require(Families.contains(family),
       s"TokenizerStore.save: unknown family '$family' — " +
         s"one of ${Families.toSeq.sorted.mkString(", ")}")
+    require(alphabet.isEmpty || family == "bpe",
+      "TokenizerStore.save: alphabet is the char-BPE family's " +
+        s"snapshot — '$family' does not take one (byte-BPE's alphabet " +
+        "is the closed 256; unigram/wordpiece models ARE their piece " +
+        "tables)")
     val m = family match {
       case "bpe" | "bpe-byte" => model.select(
         col("iter").cast("int").as("iter"),
@@ -70,10 +80,22 @@ object TokenizerStore {
     val localRows = m.collect().toIndexedSeq
     val local = spark.createDataFrame(
       spark.sparkContext.parallelize(localRows, 1), m.schema)
+    val aLocal = alphabet.map { a =>
+      val rows = a.select(col("sym").cast("string").as("sym"))
+        .collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        a.select(col("sym").cast("string").as("sym")).schema)
+    }
     val fmtPath = new org.apache.hadoop.fs.Path(s"$dir/format")
     val fs = fmtPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(fmtPath)) fs.delete(fmtPath, true)
+    // a re-save WITHOUT an alphabet must not leave a stale one
+    // blessing the new merges with the old script inventory
+    val alphaPath = new org.apache.hadoop.fs.Path(s"$dir/alphabet")
+    if (aLocal.isEmpty && fs.exists(alphaPath)) fs.delete(alphaPath, true)
     local.coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    aLocal.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/alphabet"))
     import spark.implicits._
     Seq((family, 1)).toDF("family", "version")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/format")
@@ -117,8 +139,22 @@ object TokenizerStore {
       implicit scope: graft.CacheScope): (DataFrame, DataFrame) =
     family(spark, dir) match {
       case "bpe" =>
-        TextAnalysis.bpeEncodeCorpus(docs, idCol, textCol,
-          mergesOf(modelFrame(spark, dir)))
+        // a store carrying a training-alphabet snapshot gives the
+        // char family shard-stable ids (frozen table = alphabet ∪
+        // merge outputs, OOV chars at the reserved id); a legacy
+        // store without one keeps corpus-ranked ids — the drift its
+        // absence implies is the caller's accepted posture
+        val alphaPath = new org.apache.hadoop.fs.Path(s"$dir/alphabet")
+        val fs = alphaPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(alphaPath))
+          TextAnalysis.bpeEncodeCorpusFrozen(docs, idCol, textCol,
+            mergesOf(modelFrame(spark, dir)),
+            spark.read.parquet(s"$dir/alphabet")
+              .collect().map(_.getString(0)).toIndexedSeq)
+        else
+          TextAnalysis.bpeEncodeCorpus(docs, idCol, textCol,
+            mergesOf(modelFrame(spark, dir)))
       case "bpe-byte" =>
         ByteBpe.encodeCorpus(docs, idCol, textCol,
           mergesOf(modelFrame(spark, dir)))

@@ -1455,6 +1455,32 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- char-BPE store with an ALPHABET SNAPSHOT: frozen ids ------------
+    // The last id-drift hole closed: char-BPE's base alphabet is the
+    // corpus's script inventory, which the merge list cannot bound —
+    // so the store snapshots the TRAINING alphabet and ids become the
+    // UTF8 rank in (alphabet ∪ merge outputs), a pure function of the
+    // model (the byte family's posture brought to the char family).
+    // The oracle re-derives the alphabet from first principles (the
+    // distinct base symbols of the word decomposition), re-runs the 30
+    // merges, and ranks the FROZEN table — so id assignment drifting
+    // back to corpus-used ranking is a hash miss.
+    "t23b_store_frozen_char" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val wf = TextAnalysis.bpeWordFreq(docs, "text")
+      val model = TextAnalysis.bpeTrainLocal(wf, nMerges = 30)
+      val dir = GateTmp.dir("graft_tok_store_c", d)
+      import s.implicits._
+      graft.pipelines.TokenizerStore.save(s, dir, "bpe", model,
+        alphabet = Some(TextAnalysis.bpeAlphabet(wf).toDF("sym")))
+      val (_, perDoc) = graft.pipelines.TokenizerStore.encodeCorpus(
+        s, dir, docs, "doc_id", "text")(graft.CacheScope.session)
+      perDoc.select(col("doc_id"), col("n_tok"),
+          concat_ws(" ", transform(col("token_ids"),
+            i => i.cast("string"))).as("token_str"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- span corruption: T5-style denoising example construction --------
     // Token ids are hashed word ids (md5-32bit % 50000 — keeps the
     // oracle focused on the corruption algorithm, not a tokenizer
@@ -2709,6 +2735,43 @@ object CurationQueries {
     // stored model must reproduce the in-memory chain bit for bit
     "t23_tokenizer_store" -> byteCorpusTokensOracle(
       s"${t21DocsSql},\n${OracleFragments.byteMapCtes("pd", "text")}"),
+
+    // the t14e replay with the vocab ranked over the FROZEN table —
+    // the training alphabet (distinct base symbols of the word
+    // decomposition, = syms0's sym set) plus every merge output —
+    // instead of the corpus-used symbols
+    "t23b_store_frozen_char" ->
+      s"""WITH ${OracleFragments.bpeCtes("documents", "text", 30)},
+         |vocab AS (
+         |  SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS token_id
+         |  FROM (SELECT DISTINCT sym FROM (
+         |    SELECT sym FROM syms0
+         |${(1 to 30).map(k =>
+              s"    UNION ALL SELECT lhs || rhs AS sym FROM mg_$k")
+              .mkString("\n")}))),
+         |wseg AS (
+         |  SELECT s.word,
+         |    string_agg(CAST(v.token_id AS VARCHAR), ' ' ORDER BY s.pos)
+         |      AS idstr,
+         |    count(*) AS nsym
+         |  FROM syms30 s JOIN vocab v USING (sym) GROUP BY s.word),
+         |dwx AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(coalesce(text,
+         |      ''))), '\\s+'), x -> x <> '') AS __ws
+         |  FROM documents),
+         |dw AS (
+         |  SELECT doc_id, i AS wpos, __ws[i] AS word
+         |  FROM dwx, unnest(generate_series(1, len(__ws))) t(i)),
+         |agg AS (
+         |  SELECT d.doc_id,
+         |    CAST(sum(w.nsym) AS INTEGER) AS n_tok,
+         |    string_agg(w.idstr, ' ' ORDER BY d.wpos) AS token_str
+         |  FROM dw d JOIN wseg w USING (word) GROUP BY d.doc_id)
+         |SELECT x.doc_id, coalesce(a.n_tok, 0) AS n_tok,
+         |  coalesce(a.token_str, '') AS token_str
+         |FROM documents x LEFT JOIN agg a USING (doc_id)
+         |ORDER BY x.doc_id""".stripMargin,
 
     // span corruption: hashed token ids, per-window offset draws, the
     // position disposition CASE, and ordered string aggregation for

@@ -187,6 +187,63 @@ class TokenizerStoreSpec extends SparkSpec {
     assert(ids === Seq(unkId))
   }
 
+  test("char-BPE with an alphabet snapshot: disjoint shards share one " +
+      "sym→id mapping; OOV chars take the reserved id; a legacy store " +
+      "keeps corpus-ranked ids") {
+    val wf = TextAnalysis.bpeWordFreq(docs, "text")
+    val model = TextAnalysis.bpeTrainLocal(wf, nMerges = 4)
+    val alphabet = TextAnalysis.bpeAlphabet(wf)
+    val dir = tmp()
+    TokenizerStore.save(spark, dir, "bpe", model,
+      alphabet = Some(alphabet.toDF("sym")))
+    // shards with DISJOINT words (and disjoint char inventories over
+    // the non-shared part) — the mapping must be the model's, not the
+    // shard's
+    val shardA = Seq((1L, "abab low")).toDF("doc_id", "text")
+    val shardB = Seq((900L, "cc lowest")).toDF("doc_id", "text")
+    def mapping(shard: org.apache.spark.sql.DataFrame)
+        : Seq[(Int, String)] =
+      CacheScope.withScope { implicit s =>
+        TokenizerStore.encodeCorpus(spark, dir, shard,
+            "doc_id", "text")._1
+          .orderBy("token_id").collect()
+          .map(r => (r.getInt(0), r.getString(1))).toSeq
+      }
+    val (ma, mb) = (mapping(shardA), mapping(shardB))
+    assert(ma === mb,
+      "alphabet-snapshot ids must be a pure function of the model")
+    assert(ma.map(_._2).toSet ===
+      (alphabet ++ TokenizerStore.loadMerges(spark, dir)
+        .map { case (l, r) => l + r }).toSet)
+    // a char OUTSIDE the training alphabet maps to the reserved id
+    // |table| in every shard
+    val reserved = ma.length
+    val oovIds = CacheScope.withScope { implicit s =>
+      TokenizerStore.encodeCorpus(spark, dir,
+          Seq((7L, "é")).toDF("doc_id", "text"), "doc_id", "text")._2
+        .collect().head.getSeq[Int](1)
+    }
+    assert(oovIds === Seq(reserved))
+    // legacy store (no alphabet): corpus-ranked, shard-dependent —
+    // the documented pre-snapshot posture, unchanged
+    val legacy = tmp()
+    TokenizerStore.save(spark, legacy, "bpe", model)
+    val la = CacheScope.withScope { implicit s =>
+      TokenizerStore.encodeCorpus(spark, legacy, shardA,
+        "doc_id", "text")._1.count()
+    }
+    assert(la < ma.length,
+      "legacy ids rank only the shard's own symbols")
+    // a re-save WITHOUT the alphabet retires a stale snapshot
+    TokenizerStore.save(spark, dir, "bpe", model)
+    assert(!new java.io.File(s"$dir/alphabet").exists())
+    // non-bpe families reject an alphabet loudly
+    intercept[IllegalArgumentException] {
+      TokenizerStore.save(spark, tmp(), "wordpiece",
+        Seq("a").toDF("piece"), alphabet = Some(alphabet.toDF("sym")))
+    }
+  }
+
   test("re-save of a model LOADED FROM THE SAME STORE is safe: " +
       "lineage is severed before the overwrite") {
     val wf = TextAnalysis.bpeWordFreq(docs, "text")
