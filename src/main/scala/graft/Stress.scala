@@ -751,6 +751,100 @@ object Stress {
     // regroup. Telemetry separates the two, and the NLL sanity check
     // (avg cost per token ≪ the unk cost) proves the model actually
     // fit rather than degenerating to per-character fallback. ------------
+    // ---- the tokenizer comparison card at corpus scale: the t24
+    // operator composed with measured per-family ENCODE throughput —
+    // the one table a pipeline team reads when picking a tokenizer.
+    // Each family trains at its production setting (8k pieces / 2k
+    // merges), encodes the full corpus once, and contributes one card
+    // row; tokens_per_sec is the wall-clock of that encode. ---------------
+    step("tokenizer_card") {
+      CacheScope.withScope { implicit scope =>
+        val wf = scope.cache(graft.operators.TextAnalysis
+          .bpeWordFreq(docs, "text"))
+        wf.count()
+        val ta = graft.operators.TextAnalysis
+        def timed[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        // char-BPE (2k merges)
+        val merges = ta.bpeTrainLocal(wf, nMerges = 2000)
+          .orderBy(col("iter")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val (cvp, cSecs) = timed {
+          val (v, p) = ta.bpeEncodeCorpus(docs, "doc_id", "text", merges)
+          val pc = p.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pc.count()
+          (v.count(), pc)
+        }
+        // byte-BPE (2k merges)
+        val bmerges = graft.operators.ByteBpe.train(
+            graft.operators.ByteBpe.byteWordFreq(docs, "text"), 2000)
+          .orderBy(col("iter")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val (yvp, ySecs) = timed {
+          val (v, p) = graft.operators.ByteBpe.encodeCorpus(
+            docs, "doc_id", "text", bmerges)
+          val pc = p.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pc.count()
+          (v.count(), pc)
+        }
+        // unigram (8k pieces)
+        val umodel = graft.operators.Unigram.trainLocal(wf,
+          vocabSize = 8000, emIters = 2)
+        val (uvp, uSecs) = timed {
+          val (v, p) = graft.operators.Unigram.encodeCorpus(
+            docs, "doc_id", "text", umodel.costs)
+          val pc = p.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pc.count()
+          (v.count(), pc)
+        }
+        // WordPiece (8k pieces)
+        val pieces = graft.operators.WordPiece.vocab(wf,
+            vocabSize = 8000)
+          .select(col("piece")).collect().map(_.getString(0)).toIndexedSeq
+        val (wvp, wSecs) = timed {
+          val (v, p) = graft.operators.WordPiece.encodeCorpus(
+            docs, "doc_id", "text", pieces)
+          val pc = p.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pc.count()
+          (v.count(), pc)
+        }
+        val card = ta.tokenizerCard(docs, "doc_id", "text", Seq(
+            ("bpe-char", cvp._1, cvp._2),
+            ("bpe-byte", yvp._1, yvp._2),
+            ("unigram", uvp._1, uvp._2),
+            ("wordpiece", wvp._1, wvp._2)))
+          .orderBy(col("family")).collect()
+        val secsBy = Map("bpe-char" -> cSecs, "bpe-byte" -> ySecs,
+          "unigram" -> uSecs, "wordpiece" -> wSecs)
+        Seq(cvp._2, yvp._2, uvp._2, wvp._2)
+          .foreach(_.unpersist(blocking = false))
+        card.toSeq.flatMap { r =>
+          val fam = r.getString(0)
+          val tag = fam.replace("-", "_")
+          val nTok = r.getLong(5)
+          Seq(
+            s"${tag}_vocab" -> r.getLong(1),
+            s"${tag}_tokens" -> nTok,
+            s"${tag}_unk_words" -> r.getLong(6),
+            s"${tag}_fertility" ->
+              math.round(r.getDouble(8) * 1e4) / 1e4,
+            s"${tag}_bytes_per_token" ->
+              math.round(r.getDouble(9) * 1e4) / 1e4,
+            s"${tag}_encode_secs" ->
+              math.round(secsBy(fam) * 100.0) / 100.0,
+            s"${tag}_tokens_per_sec" ->
+              math.round(nTok / secsBy(fam)))
+        }
+      }
+    }
+
     step("unigram") {
       CacheScope.withScope { implicit scope =>
         val vocabSize = sys.env.get("STRESS_UNIGRAM_VOCAB")
