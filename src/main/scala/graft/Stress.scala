@@ -1833,6 +1833,47 @@ object Stress {
       }
     }
 
+    // ---- incremental components: a 50k-edge crawl delta lands on the
+    // already-labeled 5M-edge graph. The prior's node→rep stars are a
+    // LOSSLESS node-sized connectivity summary, so the resume
+    // contracts (500k stars + 50k delta) instead of 5.05M edges —
+    // the per-batch maintenance cost becomes O(nodes + delta),
+    // independent of accumulated edge count. -------------------------------
+    step("components_delta") {
+      val nEdges = math.max(1000000L, nDocs)
+      val edgesPath = ensurePagerankEdges(spark, dir, nEdges)
+      CacheScope.withScope { implicit sc =>
+        val e = spark.read.parquet(edgesPath)
+        val prior = graft.operators.WebGraph.components(e)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prior.count()
+        // delta: 50k new edges, half touching existing nodes, half
+        // among brand-new domains (md5-derived, deterministic)
+        val delta = spark.range(0, 50000L)
+          .select(
+            when(col("id") % 2 === 0,
+              concat(lit("d"), pmod(conv(substring(md5(concat(lit("a"),
+                col("id").cast("string"))), 1, 15), 16, 10).cast("long"),
+                lit(500000L)).cast("string")))
+              .otherwise(concat(lit("new"), (col("id") / 2).cast("string")))
+              .as("src"),
+            concat(lit("d"), pmod(conv(substring(md5(concat(lit("b"),
+              col("id").cast("string"))), 1, 15), 16, 10).cast("long"),
+              lit(500000L)).cast("string")).as("dst"))
+        val t0 = System.nanoTime()
+        val res = graft.operators.WebGraph.componentsResume(delta, prior,
+          localMaxEdges = 0L)
+        val agg = res.agg(countDistinct(col("component_rep")).as("nc"),
+          count(lit(1)).as("nn")).collect().head
+        val resumeSecs = (System.nanoTime() - t0) / 1e9
+        prior.unpersist(blocking = false)
+        Seq("delta_edges" -> 50000L,
+          "resume_secs" -> math.round(resumeSecs * 100.0) / 100.0,
+          "n_nodes" -> agg.getLong(1),
+          "n_components" -> agg.getLong(0))
+      }
+    }
+
     // ---- END-TO-END web graph: 5M REAL html pages → href extraction
     // (two regexp_extract_all passes over every page — the corpus-sized
     // cost, map-side) → registeredDomain on both ends → the distinct

@@ -618,6 +618,38 @@ object WebGraph {
       .select(col("node"), col("component_rep"), col("n_members"))
   }
 
+  /** Incremental connected components over a GROWING edge set — the
+    * [[pageRankResume]] maintenance contract for connectivity: a new
+    * crawl batch adds `deltaEdges` (new edges, possibly new nodes) to
+    * a graph whose components were already computed, and re-contracting
+    * 100 TB of old edges per batch is a non-starter. The prior
+    * labeling IS a lossless connectivity summary of the old graph:
+    * its (node → component_rep) STAR edges connect exactly the node
+    * sets the old edges connected (every member reaches its rep in
+    * one hop), so components of (stars ∪ delta) equal components of
+    * (old ∪ delta) — same partition, same min-md5-id reps, same
+    * member counts (every old node rides its star edge into the node
+    * universe). Work is O(|prior nodes| + |delta|), independent of
+    * the old EDGE count: the summary the incremental path consumes is
+    * node-sized, not edge-sized. The wg5b gate pins resumed ≡ cold on
+    * the union against wg5's own closure oracle, bit for bit. */
+  def componentsResume(deltaEdges: DataFrame, prior: DataFrame,
+      localMaxEdges: Long = 262144L)
+      (implicit scope: CacheScope = CacheScope.session): DataFrame = {
+    val stars = prior.select(col("node").cast("string").as("src"),
+        col("component_rep").cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    // rep self-rows drop inside components() (self-loops); a rep still
+    // enters the node universe as the dst of its members' stars, and a
+    // 2-member component contributes exactly one star edge — every
+    // prior node survives (components' own output never contains
+    // singletons: nodes only arise from non-self edges)
+    components(stars.unionByName(
+        deltaEdges.select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst"))),
+      localMaxEdges)
+  }
+
   /** Synchronous label-propagation communities (Raghavan, Albert &
     * Kumara 2007, "Near linear time algorithm to detect community
     * structures in large-scale networks") — the community detector for

@@ -157,6 +157,24 @@ object GraphQueries {
       WebGraph.components(edges).orderBy(col("node"))
     }),
 
+    // ---- incremental components over a GROWING edge set ------------------
+    // The wg2c maintenance shape for connectivity: components of
+    // batch 1 (even docs' pages) become the prior, whose node→rep
+    // star edges losslessly summarize old connectivity; the odd docs'
+    // edges arrive as the delta and the resume contracts ONLY
+    // (stars ∪ delta) — O(nodes + delta), never the old edge count.
+    // Shares wg5's closure oracle verbatim: resumed ≡ cold on the
+    // union, reps and member counts bit for bit.
+    "wg5b_components_delta" -> ((s, d) => {
+      val pagesAll = synthPages(s, d)
+      val e1 = WebGraph.domainEdges(
+        pagesAll.filter(col("doc_id") % 2 === 0), "url", "html")
+      val e2 = WebGraph.domainEdges(
+        pagesAll.filter(col("doc_id") % 2 === 1), "url", "html")
+      val prior = WebGraph.components(e1)
+      WebGraph.componentsResume(e2, prior).orderBy(col("node"))
+    }),
+
     // ---- label-propagation communities: structure INSIDE the giant
     // component (the signal components cannot see). Five deterministic
     // synchronous rounds over the symmetrized weighted domain graph;
@@ -596,6 +614,11 @@ object GraphQueries {
          |FROM r10 ORDER BY node""".stripMargin,
 
     "wg5_components" -> componentsOracle,
+
+    // the incremental path shares wg5's closure replay verbatim:
+    // star edges are a lossless connectivity summary, so resumed ≡
+    // cold on the union
+    "wg5b_components_delta" -> componentsOracle,
 
     // five synchronous LPA rounds unrolled: symmetrized weighted
     // adjacency, md5-60 initial labels, per-round neighbor-label

@@ -486,6 +486,51 @@ class WebGraphSpec extends SparkSpec {
     }
   }
 
+  test("componentsResume: resumed on a grown edge set equals cold on " +
+      "the union — merges, newcomers, random splits, both paths") {
+    import spark.implicits._
+    // hand case: two prior components merge via one delta edge, a
+    // brand-new island arrives, an untouched component persists
+    val batch1 = Seq(("a", "b"), ("b", "c"), ("d", "e"), ("x", "y"))
+    val delta = Seq(("c", "d"), ("p", "q"), ("q", "r"))
+    def toE(s: Seq[(String, String)]) = s.toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val cold = CacheScope.withScope { implicit s =>
+      rows(WebGraph.components(toE(batch1 ++ delta)))
+    }
+    val resumed = CacheScope.withScope { implicit s =>
+      val prior = WebGraph.components(toE(batch1))
+      rows(WebGraph.componentsResume(toE(delta), prior))
+    }
+    assert(resumed === cold)
+    // merged component is one 5-member set; island {p,q,r} = 3;
+    // untouched {x,y} = 2
+    assert(cold.filter(r => Set("a", "b", "c", "d", "e")(r._1))
+      .map(_._3).toSet === Set(5L))
+    assert(cold.filter(r => Set("p", "q", "r")(r._1))
+      .map(_._3).toSet === Set(3L))
+    assert(cold.filter(r => Set("x", "y")(r._1))
+      .map(_._3).toSet === Set(2L))
+    // random graphs, random split, distributed path forced on resume
+    val rnd = new scala.util.Random(23)
+    val all = (0 until 150).map { _ =>
+      (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}")
+    }.filter(p => p._1 != p._2)
+    val (b1, b2) = all.partition(_ => rnd.nextBoolean())
+    val coldR = CacheScope.withScope { implicit s =>
+      rows(WebGraph.components(toE(all)))
+    }
+    val resumedR = CacheScope.withScope { implicit s =>
+      val prior = WebGraph.components(toE(b1))
+      rows(WebGraph.componentsResume(toE(b2), prior,
+        localMaxEdges = 0L))
+    }
+    assert(resumedR === coldR,
+      "resume must equal cold on the union (distributed path)")
+  }
+
   test("components: local union-find and distributed star contraction agree exactly") {
     val base = (0 until 500).map { i =>
       (s"d${i % 61}", s"d${(i * 11 + 5) % 61}")
