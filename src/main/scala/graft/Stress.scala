@@ -845,6 +845,69 @@ object Stress {
       }
     }
 
+    // ---- tokenizer DECODE at corpus scale: the inverse leg next to
+    // the t24 encode numbers. The byte-level SPACE-CARRYING family
+    // (the GPT-2 pre-tokenizer proper) encodes the full corpus, then
+    // decodes every id sequence back — decode is one model-sized
+    // array-literal lookup + concat + byte-unmap per row, a pure scan
+    // — and the roundtrip is verified EXACTLY (decoded == text for
+    // every doc, counted distributed). WordPiece's boundary-marked
+    // decode is measured beside it. --------------------------------------
+    step("tokenizer_decode") {
+      CacheScope.withScope { implicit scope =>
+        val bb = graft.operators.ByteBpe
+        val bmerges = bb.train(bb.byteWordFreqSp(docs, "text"), 2000)
+          .orderBy(col("iter")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val (_, perDoc0) = bb.encodeCorpusSp(docs, "doc_id", "text",
+          bmerges)
+        val perDoc = perDoc0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nTok = perDoc.agg(sum(col("n_tok"))).collect()
+          .head.getLong(0)
+        val t0 = System.nanoTime()
+        val dec = bb.decodeCorpus(perDoc, "token_ids", bmerges)
+          .select(col("doc_id"), col("decoded"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dec.count()
+        val decSecs = (System.nanoTime() - t0) / 1e9
+        val mismatches = dec
+          .join(docs.select(col("doc_id"),
+            coalesce(col("text"), lit("")).as("text")), Seq("doc_id"))
+          .filter(col("decoded") =!= col("text")).count()
+        dec.unpersist(blocking = false)
+        perDoc.unpersist(blocking = false)
+        // WordPiece decode beside it (vocab from the shared wf shape)
+        val pieces = graft.operators.WordPiece.vocab(
+            scope.cache(graft.operators.TextAnalysis
+              .bpeWordFreq(docs, "text")), vocabSize = 8000)
+          .select(col("piece")).collect().map(_.getString(0)).toIndexedSeq
+        val (_, wpd0) = graft.operators.WordPiece.encodeCorpus(
+          docs, "doc_id", "text", pieces)
+        val wpd = wpd0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val wTok = wpd.agg(sum(col("n_tok"))).collect().head.getLong(0)
+        val t1 = System.nanoTime()
+        val wn = graft.operators.WordPiece.decodeCorpus(wpd,
+            "token_ids", pieces)
+          .select(length(col("decoded")).as("l"))
+          .agg(sum(col("l"))).collect().head.getLong(0)
+        val wSecs = (System.nanoTime() - t1) / 1e9
+        wpd.unpersist(blocking = false)
+        Seq("docs" -> nDocs,
+          "bpe_byte_sp_tokens" -> nTok,
+          "bpe_byte_sp_decode_secs" ->
+            math.round(decSecs * 100.0) / 100.0,
+          "bpe_byte_sp_decode_tok_per_sec" ->
+            math.round(nTok / decSecs),
+          "roundtrip_mismatches" -> mismatches,
+          "wordpiece_tokens" -> wTok,
+          "wordpiece_decode_secs" -> math.round(wSecs * 100.0) / 100.0,
+          "wordpiece_decode_tok_per_sec" -> math.round(wTok / wSecs),
+          "wordpiece_decoded_chars" -> wn)
+      }
+    }
+
     step("unigram") {
       CacheScope.withScope { implicit scope =>
         val vocabSize = sys.env.get("STRESS_UNIGRAM_VOCAB")
@@ -1726,6 +1789,55 @@ object Stress {
         "top_authority" -> topAuth)
     }
 
+    // ---- HITS warm-start over the same graph + a 50k-edge delta:
+    // the wg4b maintenance shape at scale. A converged prior hub
+    // vector re-converges on the grown graph in fewer iterations than
+    // uniform — measured as resume-2-iters vs cold-5-iters wall on
+    // the union, with identical per-iteration arithmetic. ------------------
+    step("hits_resume") {
+      val nEdges = math.max(1000000L, nDocs)
+      val edgesPath = ensurePagerankEdges(spark, dir, nEdges)
+      val e = spark.read.parquet(edgesPath)
+      // 50k delta edges between existing d-nodes (md5-derived)
+      val delta = spark.range(0, 50000L).select(
+        concat(lit("d"), pmod(conv(substring(md5(concat(lit("ha"),
+          col("id").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(500000L)).cast("string")).as("src"),
+        concat(lit("d"), pmod(conv(substring(md5(concat(lit("hb"),
+          col("id").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(500000L)).cast("string")).as("dst"),
+        lit(1L).as("weight"))
+      val union = e.unionByName(delta)
+      val prior = CacheScope.withScope { implicit sc =>
+        graft.operators.WebGraph.hits(e, iters = 5, localMaxEdges = 0L)
+          .select(col("node"), col("hub_fp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      prior.count()
+      val t0 = System.nanoTime()
+      val (rMass, rN) = CacheScope.withScope { implicit sc =>
+        val r = graft.operators.WebGraph.hitsResume(union, prior,
+          iters = 2, localMaxEdges = 0L)
+        val agg = r.agg(sum(col("auth_fp")), count(lit(1)))
+          .collect().head
+        (agg.getLong(0), agg.getLong(1))
+      }
+      val resumeSecs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      CacheScope.withScope { implicit sc =>
+        graft.operators.WebGraph.hits(union, iters = 5,
+            localMaxEdges = 0L)
+          .agg(sum(col("auth_fp"))).collect()
+      }
+      val coldSecs = (System.nanoTime() - t1) / 1e9
+      prior.unpersist(blocking = false)
+      Seq("delta_edges" -> 50000L, "n_nodes" -> rN,
+        "resume_2it_secs" -> math.round(resumeSecs * 100.0) / 100.0,
+        "cold_5it_secs" -> math.round(coldSecs * 100.0) / 100.0,
+        "auth_mass_retained" -> math.round(rMass.toDouble /
+          graft.operators.WebGraph.Scale * 10000.0) / 10000.0)
+    }
+
     // ---- TrustRank over the same 5M-edge graph: seed-restricted
     // teleport (the spam-demotion prior). Same per-iteration shape as
     // pagerank — the seed gate rides the plan as an InSet over the
@@ -1847,15 +1959,19 @@ object Stress {
         val prior = graft.operators.WebGraph.components(e)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         prior.count()
-        // delta: 50k new edges, half touching existing nodes, half
-        // among brand-new domains (md5-derived, deterministic)
+        // delta: 50k new edges — even ids source from existing d-nodes,
+        // odd ids source from brand-new domains (md5-derived,
+        // deterministic; consecutive odd ids share a new node so fresh
+        // domains arrive with degree ≥ 1 fan-out). floor-div via cast:
+        // col/2 is DOUBLE division and would mint 'new0.5' node names.
         val delta = spark.range(0, 50000L)
           .select(
             when(col("id") % 2 === 0,
               concat(lit("d"), pmod(conv(substring(md5(concat(lit("a"),
                 col("id").cast("string"))), 1, 15), 16, 10).cast("long"),
                 lit(500000L)).cast("string")))
-              .otherwise(concat(lit("new"), (col("id") / 2).cast("string")))
+              .otherwise(concat(lit("new"),
+                (col("id") / 2).cast("long").cast("string")))
               .as("src"),
             concat(lit("d"), pmod(conv(substring(md5(concat(lit("b"),
               col("id").cast("string"))), 1, 15), 16, 10).cast("long"),

@@ -54,6 +54,29 @@ object ByteBpe {
     docs.select(explode(byteWords(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** SPACE-CARRYING byte-level pre-tokenizer — the GPT-2 convention
+    * proper (Radford et al. 2019: the regex pre-tokenizer keeps each
+    * word's LEADING whitespace attached, so the token stream is a
+    * partition of the text and nothing is ever thrown away). Each
+    * array element is a maximal `\s*\S+` run (leading whitespace +
+    * word) or a trailing `\s+` run, byte-mapped; concatenating the
+    * raw elements reproduces `text` byte-for-byte. This is what makes
+    * [[decodeCorpus]] over an sp-trained model EXACTLY lossless at
+    * the CORPUS level: word boundaries live inside the tokens, so the
+    * flat per-doc id sequence needs no separator convention.
+    * [[byteWords]] (whitespace as pure separator) remains the
+    * word-statistics variant; this is the training-data variant. */
+  def byteWordsSp(text: Column): Column =
+    transform(
+      regexp_extract_all(coalesce(text, lit("")),
+        lit("\\s*\\S+|\\s+"), lit(0)),
+      w => ByteMap.byteMapEncode(w))
+
+  /** [[byteWordFreq]] over the space-carrying pre-tokenizer. */
+  def byteWordFreqSp(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(byteWordsSp(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
   /** Train `nMerges` byte-level merges: [[TextAnalysis.bpeTrainLocal]]
     * over the byte-mapped word-frequency table. The merge table's
     * symbols are byte-mapped strings; decode any of them with
@@ -97,4 +120,50 @@ object ByteBpe {
       implicit scope: graft.CacheScope): (DataFrame, DataFrame) =
     TextAnalysis.encodeCorpusWith(docs, idCol, byteWords(col(textCol)),
       merges, fixedSyms = Some(modelSymbols(merges)))
+
+  /** [[encodeCorpus]] over the SPACE-CARRYING pre-tokenizer
+    * ([[byteWordsSp]]) — same shared tail, same closed model-derived
+    * id table (whitespace bytes are inside the 256 base alphabet, so
+    * the no-OOV property is untouched). `merges` must come from a
+    * model TRAINED on [[byteWordFreqSp]]: an sp corpus encoded under
+    * plain-trained merges still segments (closed alphabet) but never
+    * fires the space-adjacent merges the sp trainer learns. */
+  def encodeCorpusSp(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)])(
+      implicit scope: graft.CacheScope): (DataFrame, DataFrame) =
+    TextAnalysis.encodeCorpusWith(docs, idCol, byteWordsSp(col(textCol)),
+      merges, fixedSyms = Some(modelSymbols(merges)))
+
+  /** Per-doc token ids → text: join each id to its model symbol
+    * (ids are byte-order ranks over [[modelSymbols]] — the
+    * [[encodeCorpus]]/[[encodeCorpusSp]] contract), concatenate, and
+    * invert the byte map. One `element_at` against a single
+    * model-sized array LITERAL per row — map-only, no shuffle, no
+    * join: decode at 100 TB is a pure scan, the same shape as encode's
+    * broadcast id map but without even the broadcast.
+    *
+    * Exactness is a property of the PRE-TOKENIZER, not the decoder:
+    * over an sp-trained model ([[byteWordsSp]]) the id sequence
+    * partitions the original bytes, so `decode(encode(text)) == text`
+    * byte-for-byte — any script, emoji, newline runs, trailing
+    * whitespace. Over the separator variant ([[byteWords]]) words
+    * decode exactly but the stream carries no whitespace, so the
+    * corpus decode returns the words CONCATENATED — a documented
+    * inspection form, not a reconstruction. An id outside the model
+    * table (impossible from our encoders; possible from corrupted
+    * input) raises loudly rather than decoding garbage. */
+  def decodeCorpus(perDoc: DataFrame, idsCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val syms = modelSymbols(merges)
+      .sortWith(TextAnalysis.utf8Compare(_, _) < 0)
+    val table = typedLit(syms)
+    val mapped = transform(col(idsCol), id =>
+      coalesce(try_element_at(table, id.cast("int") + 1),
+        raise_error(concat(lit("ByteBpe.decodeCorpus: token id "),
+          id.cast("string"),
+          lit(s" outside the model table (|table|=${syms.length}) — " +
+            "ids and model do not match")).cast("string"))))
+    perDoc.withColumn("decoded",
+      ByteMap.byteMapDecode(array_join(mapped, "")))
+  }
 }

@@ -1419,20 +1419,24 @@ object Curation {
     // otherwise documentation-only: a violating corpus would silently
     // produce pairs where real tokens are indistinguishable from
     // sentinels. validateIds turns it into a per-row loud failure.
-    // The guard wraps ONLY the n_tok output column (evaluated once per
-    // row) — wrapping `toks` itself would re-run the exists() at every
-    // reference, and the per-POSITION element_at walk would turn one
-    // O(n) check into O(n²) per row (expressions under HOF lambdas are
-    // never subexpression-eliminated; measured 20 s vs 0.5 s on the
-    // cu21 gate)
-    val nTokOut = if (!validateIds) n else
-      size(when(exists(toks, t => t.cast("long") >= sentinelBase),
-        raise_error(concat(
-          lit(s"spanCorrupt: token id >= sentinelBase ($sentinelBase) "),
-          lit("in row "), id.cast("string"),
-          lit(" — sentinels would collide with real tokens; raise " +
-            "sentinelBase above the vocabulary"))))
-        .otherwise(toks))
+    // The guard is a TOP-LEVEL when(exists…) attached to n_tok AND to
+    // the inputs/targets columns (so Catalyst column pruning cannot
+    // elide the check when a consumer projects n_tok away) — each
+    // attachment is one O(n) exists per row. It must NOT wrap `toks`
+    // itself: the per-POSITION element_at walk would re-run the
+    // exists() at every array reference inside the HOF lambdas
+    // (never subexpression-eliminated), turning one O(n) check into
+    // O(n²) per row (measured 20 s vs 0.5 s on the cu21 gate).
+    val idsOk = when(exists(toks, t => t.cast("long") >= sentinelBase),
+      raise_error(concat(
+        lit(s"spanCorrupt: token id >= sentinelBase ($sentinelBase) "),
+        lit("in row "), id.cast("string"),
+        lit(" — sentinels would collide with real tokens; raise " +
+          "sentinelBase above the vocabulary"))).cast("boolean"))
+      .otherwise(lit(true))
+    def guarded(c: Column): Column =
+      if (!validateIds) c else when(idsOk, c)
+    val nTokOut = guarded(n)
     val nWin = (n / window).cast("int")
     // one draw per full window: offset ∈ [0, window - span]
     def off(j: Column): Column = pmod(
@@ -1493,7 +1497,7 @@ object Curation {
       nTokOut.as("n_tok"),
       nWin.as("n_spans"),
       (nWin * span).as("n_masked"),
-      both.getField("i").as("inputs"),
-      both.getField("t").as("targets"))
+      guarded(both.getField("i")).as("inputs"),
+      guarded(both.getField("t")).as("targets"))
   }
 }

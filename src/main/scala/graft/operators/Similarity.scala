@@ -475,9 +475,12 @@ object Similarity {
     * computes every cosine either way — no extra flops, no shuffle);
     * the ×nprobe row multiplication happens AFTER assignment, so only
     * (id, cell, crank) rows fan out, never re-scored vectors.
-    * Degenerate vectors are dropped (their null membership array has
-    * no rows — callers joining back by id see them absent, like
-    * assignCells' null cell). */
+    * Degenerate vectors (null / zero-norm / wrong dimension) keep ONE
+    * row with a null cell at crank 1 — the same row universe
+    * [[assignCells]] produces, so a caller's keep-list join never
+    * silently drops those docs when nprobe changes (they join no
+    * real cell, so they can't pair with anything — present and
+    * un-deduped, exactly the nprobe = 1 contract). */
   def assignCellsMulti(data: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, nprobe: Int): DataFrame = {
     require(nprobe >= 1,
@@ -487,11 +490,15 @@ object Similarity {
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
+    // posexplode_OUTER: a null membership array (degenerate vector)
+    // still emits its row, with null pos/cell; crank coalesces to 1 so
+    // downstream crank===1 primary-row filters retain it
     data.withColumn("__cells", graft.expressions.TopCells(
         col(vecCol), cents.map(_._1), cents.map(_._2), nprobe))
       .select(col("*"),
-        posexplode(col("__cells")).as(Seq("__p", "cell")))
-      .withColumn("crank", (col("__p") + 1).cast("int"))
+        posexplode_outer(col("__cells")).as(Seq("__p", "cell")))
+      .withColumn("crank",
+        coalesce(col("__p") + 1, lit(1)).cast("int"))
       .drop("__cells", "__p")
   }
 

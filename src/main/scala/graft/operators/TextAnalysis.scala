@@ -1474,6 +1474,30 @@ object TextAnalysis {
       merges, fixedSyms = Some(fixed), oovToReservedId = true)
   }
 
+  /** Per-doc FROZEN char-BPE token ids → the SPACE-JOINED SYMBOL
+    * form — the char family's honest decode (the [[Unigram
+    * .decodeCorpus]] posture): its words are lowercased and
+    * whitespace-separated with no boundary marker, so the flat stream
+    * cannot reconstruct word boundaries; the symbol form is the
+    * deterministic inspection surface. The reserved OOV id `|table|`
+    * ([[bpeEncodeCorpusFrozen]]'s contract) decodes to the literal
+    * `<unk>`; other out-of-table ids raise loudly. Map-only. */
+  def bpeDecodeCorpusFrozen(perDoc: DataFrame, idsCol: String,
+      merges: Seq[(String, String)], alphabet: Seq[String]): DataFrame = {
+    val fixed = (alphabet ++ merges.map { case (l, r) => l + r }).distinct
+      .sortWith(utf8Compare(_, _) < 0)
+    val table = typedLit(fixed :+ "<unk>")
+    val mapped = transform(col(idsCol), id =>
+      coalesce(try_element_at(table, id.cast("int") + 1),
+        raise_error(concat(
+          lit("TextAnalysis.bpeDecodeCorpusFrozen: token id "),
+          id.cast("string"),
+          lit(s" outside the model table (|table|=${fixed.length}, " +
+            s"reserved OOV id=${fixed.length}) — ids and model do " +
+            "not match")).cast("string"))))
+    perDoc.withColumn("decoded", array_join(mapped, " "))
+  }
+
   /** The shared encode tail behind [[bpeEncodeCorpus]] (char family,
     * lowercased words, corpus-occurring symbol ids),
     * [[bpeEncodeCorpusFrozen]] (char family, alphabet-snapshot ids),

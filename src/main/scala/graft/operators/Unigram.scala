@@ -421,4 +421,30 @@ object Unigram {
       .withColumn("n_tok", size(col("token_ids")))
     (vocabDf, out)
   }
+
+  /** Per-doc token ids → the SPACE-JOINED PIECE form — the honest
+    * decode for this family: unigram pieces are raw word substrings
+    * with no boundary marker (no SentencePiece `▁` in this trainer),
+    * so word boundaries are unrecoverable from the flat stream and
+    * reassembling without separators would invent words that never
+    * existed. The piece form is the standard inspection surface
+    * (`hel lo wor ld`), deterministic, and exactly invertible back to
+    * ids through the same model table. The reserved unk id `|model|`
+    * decodes to the literal `<unk>` (the fallen-back character is
+    * lost by construction); any OTHER out-of-table id raises loudly.
+    * One model-sized array literal, map-only at any scale. */
+  def decodeCorpus(perDoc: DataFrame, idsCol: String,
+      vocab: Seq[(String, Long)]): DataFrame = {
+    val syms = vocab.map(_._1).distinct
+      .sortWith(TextAnalysis.utf8Compare(_, _) < 0)
+    val table = typedLit(syms :+ "<unk>")
+    val mapped = transform(col(idsCol), id =>
+      coalesce(try_element_at(table, id.cast("int") + 1),
+        raise_error(concat(lit("Unigram.decodeCorpus: token id "),
+          id.cast("string"),
+          lit(s" outside the model table (|model|=${syms.length}, " +
+            s"unk id=${syms.length}) — ids and model do not match"))
+          .cast("string"))))
+    perDoc.withColumn("decoded", array_join(mapped, " "))
+  }
 }

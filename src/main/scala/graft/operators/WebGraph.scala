@@ -438,7 +438,30 @@ object WebGraph {
     */
   def hits(edges: DataFrame, iters: Int = 5,
       localMaxEdges: Long = 262144L)
-      (implicit scope: CacheScope = CacheScope.session): DataFrame = {
+      (implicit scope: CacheScope = CacheScope.session): DataFrame =
+    hitsFrom(edges, None, iters, localMaxEdges)
+
+  /** Warm-start HITS: resume the mutual-reinforcement power iteration
+    * from a prior `(node, hub_fp)` table instead of the uniform hub
+    * vector — the same fixed-point maintenance contract as
+    * [[pageRankResume]]: HITS is power iteration on AᵀA (hubs) / AAᵀ
+    * (authorities), which converges to the principal eigenvector from
+    * ANY non-degenerate non-negative start, so a converged prior
+    * re-converges in far fewer iterations after a crawl delta than
+    * uniform does. Nodes absent from the prior (newly discovered
+    * domains) start at the union graph's uniform share; prior rows
+    * for vanished nodes are ignored. Each half-step is IDENTICAL
+    * arithmetic to [[hits]] — resuming a k-iteration hub table for m
+    * more steps is bit-equal to k+m cold on the same graph (the wg4b
+    * gate pins exactly that against the cold oracle). */
+  def hitsResume(edges: DataFrame, prior: DataFrame, iters: Int,
+      localMaxEdges: Long = 262144L)
+      (implicit scope: CacheScope = CacheScope.session): DataFrame =
+    hitsFrom(edges, Some(prior), iters, localMaxEdges)
+
+  private def hitsFrom(edges: DataFrame, prior: Option[DataFrame],
+      iters: Int, localMaxEdges: Long)
+      (implicit scope: CacheScope): DataFrame = {
     require(iters >= 1, s"hits: iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst"),
@@ -452,7 +475,7 @@ object WebGraph {
       val probe = e.limit((localMaxEdges + 1).toInt)
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (probe.length <= localMaxEdges)
-        return hitsLocal(edges.sparkSession, probe, iters)
+        return hitsLocal(edges.sparkSession, probe, prior, iters)
     }
 
     val eSrc = scope.cache(e.repartition(col("src")))
@@ -507,7 +530,17 @@ object WebGraph {
     def scored(rawRef: DataFrame, tot: java.math.BigDecimal): DataFrame =
       if (tot.signum == 0) rawRef.select(col("node"), lit(0L).as("s"))
       else rawRef.select(col("node"), divExpr(tot).as("s"))
-    var h = nodes.select(col("node"), lit(Scale / n).as("s"))
+    var h = prior match {
+      case None => nodes.select(col("node"), lit(Scale / n).as("s"))
+      case Some(p) =>
+        // newcomer rule mirrors pageRankResume: absent nodes enter at
+        // the UNION graph's uniform share; vanished prior rows drop
+        // via the inner node set
+        nodes.join(p.select(col("node").cast("string").as("node"),
+            col("hub_fp").cast("long").as("__ph")), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__ph"), lit(Scale / n)).as("s"))
+    }
     var aCache: DataFrame = null
     var hCache: DataFrame = null
     var aRef: DataFrame = null
@@ -928,7 +961,8 @@ object WebGraph {
     * Bounded by `localMaxEdges` rows — control-plane scale, the
     * [[pageRankLocal]] posture. */
   private def hitsLocal(spark: org.apache.spark.sql.SparkSession,
-      rows: Array[(String, String, Long)], iters: Int): DataFrame = {
+      rows: Array[(String, String, Long)], prior: Option[DataFrame],
+      iters: Int): DataFrame = {
     import spark.implicits._
     val nodeIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
     rows.foreach { case (s, d, _) =>
@@ -946,6 +980,18 @@ object WebGraph {
     val a = new Array[Long](nn)
     val h = new Array[Long](nn)
     java.util.Arrays.fill(h, Scale / n)
+    // warm start: prior hubs overwrite the uniform fill for known
+    // nodes (bounded collect — the prior is node-sized and this path
+    // is already under the localMaxEdges control-plane bound)
+    prior.foreach { p =>
+      val pm = p.select(org.apache.spark.sql.functions.col("node")
+            .cast("string"),
+          org.apache.spark.sql.functions.col("hub_fp").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      nodeIdx.foreach { case (name, idx) =>
+        pm.get(name).foreach(v => h(idx) = v)
+      }
+    }
     val scaleB = BigInt(Scale)
     def normalize(raw: Array[Long], into: Array[Long]): Unit = {
       var tot = BigInt(0)

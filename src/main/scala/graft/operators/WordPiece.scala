@@ -212,4 +212,44 @@ object WordPiece {
       .withColumn("n_tok", size(col("token_ids")))
     (vocabDf, out)
   }
+
+  /** Per-doc token ids → the space-joined WORD form — WordPiece is
+    * the one family whose flat id stream still carries word
+    * boundaries (the BERT `##` convention: a piece without the marker
+    * STARTS a word, a `##` piece continues it), so decode
+    * reconstructs words exactly: continuation markers strip, pieces
+    * concatenate, words join with single spaces. The result is
+    * [[encodeCorpus]]'s input normal form — `lower`-cased, `\s+`
+    * collapsed — with every unencodable word as the literal `[UNK]`
+    * (its characters are unrecoverable by construction). One
+    * model-sized array literal + per-row aggregate walk: map-only at
+    * any scale, the [[ByteBpe.decodeCorpus]] shape.
+    *
+    * `pieces` must be the same model [[encodeCorpus]] ran with (ids
+    * are UTF8 ranks over pieces + `[UNK]`); an out-of-table id raises
+    * loudly. A corpus word that itself begins with literal `##`
+    * decodes into its neighbor (the documented vocab-format
+    * ambiguity both engines share at encode time). */
+  def decodeCorpus(perDoc: DataFrame, idsCol: String,
+      pieces: Seq[String]): DataFrame = {
+    val syms = (pieces :+ "[UNK]").distinct
+      .sortWith(TextAnalysis.utf8Compare(_, _) < 0)
+    val table = typedLit(syms)
+    val mapped = transform(col(idsCol), id =>
+      coalesce(try_element_at(table, id.cast("int") + 1),
+        raise_error(concat(lit("WordPiece.decodeCorpus: token id "),
+          id.cast("string"),
+          lit(s" outside the model table (|table|=${syms.length}) — " +
+            "ids and model do not match")).cast("string"))))
+    // linear join (not a fold with string concat, which is quadratic
+    // in doc length): continuation pieces contribute their
+    // marker-stripped body, word-start pieces a leading space + body;
+    // one array_join then strip the artificial leading space
+    val joined = array_join(transform(mapped, p =>
+      when(p.startsWith("##"), substring(p, 3, 1 << 24))
+        .otherwise(concat(lit(" "), p))), "")
+    perDoc.withColumn("decoded",
+      when(joined.startsWith(" "), substring(joined, 2, 1 << 24))
+        .otherwise(joined))
+  }
 }

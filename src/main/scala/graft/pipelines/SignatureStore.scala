@@ -63,13 +63,26 @@ object SignatureStore {
   }
 
   /** Sign and persist one batch — work and bytes are O(batch); the
-    * existing store is never read. Same-tag re-append REPLACES the
-    * batch (idempotent retry/backfill). */
+    * existing store is never read (beyond the O(#compactions) manifest
+    * listing). Same-tag re-append REPLACES the batch (idempotent
+    * retry/backfill) — but ONLY while the tag is live: once a
+    * committed [[compact]] manifest retires a tag, [[readVisible]]
+    * filters that partition forever, so a re-append under the retired
+    * name would write permanently invisible data. That case RAISES by
+    * name instead of silently succeeding; backfill a compacted batch
+    * under a fresh tag (e.g. `crawl-07-refill`). */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String, batchTag: String): Unit = {
     require(batchTag.nonEmpty && batchTag != "seed" &&
+      !batchTag.startsWith("compact-") &&
       batchTag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
-      s"batchTag must be a non-'seed' dir-safe token: '$batchTag'")
+      s"batchTag must be a non-'seed', non-'compact-*' dir-safe token: " +
+        s"'$batchTag'")
+    val (_, retired) = readCompactions(spark, dir)
+    require(!retired(batchTag),
+      s"SignatureStore.append: batch tag '$batchTag' was retired by a " +
+        "committed compaction manifest — rows written under it would be " +
+        "invisible to every read. Use a fresh tag for the backfill.")
     writeBatch(spark, dir, batch, idCol, textCol, loadConf(spark, dir),
       batchTag)
   }
@@ -163,8 +176,11 @@ object SignatureStore {
         lit(null).cast("double").as("agreement")))
   }
 
-  /** Merge all committed non-seed batch directories into ONE compact
-    * batch under both tables — the [[VectorStore.compact]] manifest
+  /** Merge all committed non-seed batch directories — INCLUDING prior
+    * committed `compact-*` batches, which are retired like any other
+    * source — into ONE compact batch under both tables, so the live
+    * compact-dir count is always ≤ 1 no matter how many compactions
+    * have run. The [[VectorStore.compact]] manifest
     * protocol, ported verbatim: an append-per-crawl store grows one
     * `sigs/b=<tag>` dir and up to `n_buckets` band files per batch, so
     * after B batches every [[nearDups]] probe lists and opens O(B)
@@ -192,12 +208,17 @@ object SignatureStore {
       vacuumAfter: Boolean = false): Option[String] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, retired) = readCompactions(spark, dir)
+    val (committedTags, retired) = readCompactions(spark, dir)
     val sigRoot = new org.apache.hadoop.fs.Path(s"$dir/sigs")
     val onDisk = fs.listStatus(sigRoot).map(_.getPath.getName)
       .filter(_.startsWith("b=")).map(_.stripPrefix("b=")).toSeq
-    val candidates = onDisk.filter(b => b != "seed" &&
-      !b.startsWith("compact-") && !retired(b)).sorted
+    // COMMITTED prior compact batches qualify as sources too — they are
+    // retired by the new manifest like any batch, so repeated
+    // compactions fold down to ONE live compact dir instead of
+    // accumulating one per call (uncommitted compact-* orphans stay
+    // excluded: reading a crashed partial write would corrupt the copy)
+    val candidates = onDisk.filter(b => b != "seed" && !retired(b) &&
+      (!b.startsWith("compact-") || committedTags(b))).sorted
     if (candidates.size < 2) return None
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(candidates.mkString("\n").getBytes("UTF-8"))

@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
 object TokenizerStore {
 
   val Families: Set[String] =
-    Set("bpe", "bpe-byte", "unigram", "wordpiece")
+    Set("bpe", "bpe-byte", "bpe-byte-sp", "unigram", "wordpiece")
 
   /** Persist a trained model. `model` must carry the family's schema
     * (see layout above) — validated here, so a mixed-up frame fails at
@@ -65,7 +65,7 @@ object TokenizerStore {
         "is the closed 256; unigram/wordpiece models ARE their piece " +
         "tables)")
     val m = family match {
-      case "bpe" | "bpe-byte" => model.select(
+      case "bpe" | "bpe-byte" | "bpe-byte-sp" => model.select(
         col("iter").cast("int").as("iter"),
         col("lhs").cast("string").as("lhs"),
         col("rhs").cast("string").as("rhs"),
@@ -158,6 +158,12 @@ object TokenizerStore {
       case "bpe-byte" =>
         ByteBpe.encodeCorpus(docs, idCol, textCol,
           mergesOf(modelFrame(spark, dir)))
+      case "bpe-byte-sp" =>
+        // the GPT-2-faithful space-carrying convention: whitespace
+        // rides inside the tokens, so this family's decodeCorpus is
+        // EXACTLY lossless at the corpus level
+        ByteBpe.encodeCorpusSp(docs, idCol, textCol,
+          mergesOf(modelFrame(spark, dir)))
       case "unigram" =>
         Unigram.encodeCorpus(docs, idCol, textCol,
           modelFrame(spark, dir).orderBy(col("piece"))
@@ -174,4 +180,53 @@ object TokenizerStore {
   def loadMerges(spark: SparkSession, dir: String)
       : Seq[(String, String)] =
     mergesOf(loadModel(spark, dir))
+
+  /** Decode per-doc token ids through the STORED model — the inverse
+    * leg of [[encodeCorpus]], family-dispatched so the caller cannot
+    * decode with the wrong convention. Adds a `decoded` string column
+    * to `perDoc`. What "decoded" means is each family's documented
+    * contract:
+    *
+    *  - `bpe-byte-sp` — EXACT text, byte-for-byte
+    *    ([[ByteBpe.decodeCorpus]] over the space-carrying stream);
+    *  - `bpe-byte` — words concatenated (the separator convention
+    *    carries no whitespace);
+    *  - `wordpiece` — space-joined words, `##` markers resolved,
+    *    unencodable words as `[UNK]` ([[WordPiece.decodeCorpus]]);
+    *  - `unigram` / `bpe` — space-joined piece form (no boundary
+    *    marker exists to do better), reserved unk/OOV ids as `<unk>`.
+    *
+    * A char-BPE store WITHOUT an alphabet snapshot cannot decode (its
+    * legacy ids were corpus-ranked — the model alone does not define
+    * the table) and fails loudly. One format read + one model-sized
+    * collect; the decode itself is map-only at any scale. */
+  def decodeCorpus(spark: SparkSession, dir: String, perDoc: DataFrame,
+      idsCol: String): DataFrame =
+    family(spark, dir) match {
+      case "bpe" =>
+        val alphaPath = new org.apache.hadoop.fs.Path(s"$dir/alphabet")
+        val fs = alphaPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(alphaPath),
+          s"TokenizerStore.decodeCorpus: char-BPE store $dir has no " +
+            "alphabet snapshot — its ids were corpus-ranked at encode " +
+            "time and are not a function of the model; re-save the " +
+            "store with an alphabet to make ids (and decode) stable")
+        TextAnalysis.bpeDecodeCorpusFrozen(perDoc, idsCol,
+          mergesOf(modelFrame(spark, dir)),
+          spark.read.parquet(s"$dir/alphabet")
+            .collect().map(_.getString(0)).toIndexedSeq)
+      case "bpe-byte" | "bpe-byte-sp" =>
+        ByteBpe.decodeCorpus(perDoc, idsCol,
+          mergesOf(modelFrame(spark, dir)))
+      case "unigram" =>
+        Unigram.decodeCorpus(perDoc, idsCol,
+          modelFrame(spark, dir).orderBy(col("piece"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+            .toIndexedSeq)
+      case "wordpiece" =>
+        WordPiece.decodeCorpus(perDoc, idsCol,
+          modelFrame(spark, dir).orderBy(col("piece"))
+            .collect().map(_.getString(0)).toIndexedSeq)
+    }
 }

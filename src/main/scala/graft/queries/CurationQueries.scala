@@ -126,6 +126,40 @@ object CurationQueries {
         element_at(array(t21Suffixes.map(lit): _*),
           (col("doc_id") % 5 + 1).cast("int"))).as("text"))
 
+  /** t25 planted corpus: the t21 multibyte suffixes PLUS hostile
+    * whitespace — leading runs, tabs, newline runs, double spaces,
+    * trailing whitespace — the cases a space-carrying byte tokenizer
+    * must round-trip exactly and a separator-convention one cannot.
+    * The oracle rebuilds the identical construction with chr(). */
+  private val t25Pre = Seq("  ", "\t", "\n ", "", " \n")
+  private val t25Suf = Seq(" café\tcrème\n", " 世界  模型",
+    "\nnaïve façade ", "\t данные\n\nмодели", " ok 😀\t")
+  private def t25Docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        element_at(array(t25Pre.map(lit): _*),
+          (col("doc_id") % 5 + 1).cast("int")),
+        coalesce(col("text"), lit("")),
+        element_at(array(t25Suf.map(lit): _*),
+          (col("doc_id") % 5 + 1).cast("int"))).as("text"))
+
+  /** The t25 oracle's replay of [[t25Docs]]. */
+  private def t25DocsSql: String =
+    s"""pd AS (
+       |  SELECT doc_id, concat(
+       |    CASE CAST(doc_id % 5 AS INTEGER)
+       |      WHEN 0 THEN '  ' WHEN 1 THEN chr(9)
+       |      WHEN 2 THEN chr(10) || ' ' WHEN 3 THEN ''
+       |      ELSE ' ' || chr(10) END, coalesce(text, ''),
+       |    CASE CAST(doc_id % 5 AS INTEGER)
+       |      WHEN 0 THEN ' café' || chr(9) || 'crème' || chr(10)
+       |      WHEN 1 THEN ' 世界  模型'
+       |      WHEN 2 THEN chr(10) || 'naïve façade '
+       |      WHEN 3 THEN chr(9) || ' данные' || chr(10) ||
+       |        chr(10) || 'модели'
+       |      ELSE ' ok 😀' || chr(9) END) AS text
+       |  FROM documents)""".stripMargin
+
   /** The t21 oracle's replay of [[t21Docs]]. */
   private def t21DocsSql: String =
     s"""pd AS (
@@ -1481,6 +1515,50 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- tokenizer DECODE: the lossless roundtrip contract ---------------
+    // The inverse leg the tokenizer stack was missing: train a
+    // SPACE-CARRYING byte-level model (the GPT-2 pre-tokenizer proper
+    // — each token keeps its leading whitespace, so the id stream
+    // PARTITIONS the text), persist it, encode the planted multibyte
+    // corpus through the store, decode through the store — and the
+    // output must be the input text byte-for-byte, across 2-, 3-, and
+    // 4-byte UTF-8. The oracle is the identity on the planted text:
+    // decode(encode(text)) == text IS the check, end to end — any
+    // drift anywhere in pre-tokenize / merge-apply / id-assign /
+    // id-invert / byte-unmap flips the hash.
+    "t25_decode_roundtrip" -> ((s, d) => {
+      val docs = t25Docs(s, d)
+      val wf = ByteBpe.byteWordFreqSp(docs, "text")
+      val merges = ByteBpe.train(wf, nMerges = 30)
+      val dir = GateTmp.dir("graft_tok_store_sp", d)
+      graft.pipelines.TokenizerStore.save(s, dir, "bpe-byte-sp", merges)
+      val (_, perDoc) = graft.pipelines.TokenizerStore.encodeCorpus(
+        s, dir, docs, "doc_id", "text")(graft.CacheScope.session)
+      graft.pipelines.TokenizerStore.decodeCorpus(s, dir, perDoc,
+          "token_ids")
+        .select(col("doc_id"), col("decoded"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- WordPiece decode: boundary-marked reconstruction ----------------
+    // The one family whose flat id stream still carries word
+    // boundaries (BERT's ## convention) decodes back to the
+    // space-joined lowercased word form, unencodable words as [UNK].
+    // The oracle replays the DECODE ITSELF piece by piece (the
+    // ##-strip / space-insert walk over the replayed segmentation in
+    // (wpos, k) order), not a word-level shortcut — so the marker
+    // convention, [UNK] substitution, and word-order composition are
+    // all hash-pinned against the already-trusted t20 chain.
+    "t25b_wordpiece_decode" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val vocab = t20Vocab(s, d)
+      val (_, perDoc) = WordPiece.encodeCorpus(docs, "doc_id", "text",
+        vocab)(graft.CacheScope.session)
+      WordPiece.decodeCorpus(perDoc, "token_ids", vocab)
+        .select(col("doc_id"), col("decoded"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- span corruption: T5-style denoising example construction --------
     // Token ids are hashed word ids (md5-32bit % 50000 — keeps the
     // oracle focused on the corruption algorithm, not a tokenizer
@@ -2683,6 +2761,31 @@ object CurationQueries {
          |FROM documents x LEFT JOIN t20agg a ON a.doc_id = x.doc_id
          |ORDER BY x.doc_id""".stripMargin,
 
+    // the decode walk replayed piece by piece over the t20 chain's
+    // segmentation: ## pieces contribute their marker-stripped body,
+    // word-start pieces a space + body, concatenated in (wpos, k)
+    // order with the artificial leading space stripped — the engine's
+    // WordPiece.decodeCorpus semantics from first principles
+    "t25b_wordpiece_decode" ->
+      s"""WITH ${OracleFragments.wordpieceCtes("documents", "text", 200,
+            8, 24, withChain = true)},
+         |$wpCorpusComposition,
+         |t25p AS (
+         |  SELECT d.doc_id, d.wpos, p.k, p.piece
+         |  FROM t20dw d JOIN t20wp p ON p.word = d.word),
+         |t25d AS (
+         |  SELECT doc_id,
+         |    string_agg(CASE WHEN piece LIKE '##%'
+         |        THEN substring(piece, 3)
+         |        ELSE ' ' || piece END, ''
+         |      ORDER BY wpos, k) AS d0
+         |  FROM t25p GROUP BY 1)
+         |SELECT x.doc_id,
+         |  coalesce(CASE WHEN t.d0 LIKE ' %' THEN substring(t.d0, 2)
+         |    ELSE t.d0 END, '') AS decoded
+         |FROM documents x LEFT JOIN t25d t ON t.doc_id = x.doc_id
+         |ORDER BY x.doc_id""".stripMargin,
+
     // fertility over the greedy family: the t19 counters joined to the
     // WordPiece per-doc composition instead of the unigram DP's
     // byte-level BPE train: planted corpus → first-principles byte map
@@ -2735,6 +2838,16 @@ object CurationQueries {
     // stored model must reproduce the in-memory chain bit for bit
     "t23_tokenizer_store" -> byteCorpusTokensOracle(
       s"${t21DocsSql},\n${OracleFragments.byteMapCtes("pd", "text")}"),
+
+    // the roundtrip contract IS the oracle: the space-carrying byte
+    // family partitions the text into its tokens, so the engine's
+    // store-save → encode → decode chain must land on the planted
+    // text VERBATIM — the oracle recomputes only the plant, and any
+    // drift anywhere in the six-step chain flips the hash
+    "t25_decode_roundtrip" ->
+      s"""WITH ${t25DocsSql}
+         |SELECT doc_id, text AS decoded FROM pd ORDER BY doc_id"""
+        .stripMargin,
 
     // the t14e replay with the vocab ranked over the FROZEN table —
     // the training alphabet (distinct base symbols of the word

@@ -146,6 +146,20 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // ---- warm-start HITS resume: 2 cold + 3 resumed == 5 cold -----------
+    // The wg2b contract at the mutual-reinforcement arithmetic: the
+    // resumed loop seeds its hub vector from the prior's hub_fp table
+    // and every half-step is identical integer arithmetic, so this
+    // gate shares wg4's 5-iteration cold oracle bit for bit.
+    "wg4b_hits_resume" -> ((s, d) => {
+      val edges = WebGraph.domainEdges(synthPages(s, d), "url", "html")
+      val first = WebGraph.hits(edges, iters = 2)
+        .select(col("node"), col("hub_fp"))
+      WebGraph.hitsResume(edges, first, iters = 3)
+        .select(col("node"), col("auth_fp"), col("hub_fp"))
+        .orderBy(col("node"))
+    }),
+
     // ---- connected components (domain communities) ----------------------
     // Undirected closure over the same edges via star contraction; the
     // oracle closes the graph with a recursive CTE over the SAME 60-bit
@@ -600,6 +614,14 @@ object GraphQueries {
          |FROM r5 ORDER BY node""".stripMargin,
 
     "wg4_hits" ->
+      s"""WITH $edgeCtes,
+         |${hitsCtes(iters = 5, scaleL = WebGraph.Scale)}
+         |SELECT a.node, CAST(a.s AS BIGINT) AS auth_fp,
+         |  CAST(h.s AS BIGINT) AS hub_fp
+         |FROM aa5 a JOIN hh5 h ON a.node = h.node
+         |ORDER BY a.node""".stripMargin,
+
+    "wg4b_hits_resume" ->
       s"""WITH $edgeCtes,
          |${hitsCtes(iters = 5, scaleL = WebGraph.Scale)}
          |SELECT a.node, CAST(a.s AS BIGINT) AS auth_fp,

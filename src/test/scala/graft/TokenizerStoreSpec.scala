@@ -292,4 +292,145 @@ class TokenizerStoreSpec extends SparkSpec {
       TokenizerStore.save(spark, tmp(), "sentencepiece-xl", model)
     }
   }
+
+  // ---- decode: the inverse leg, all families ------------------------------
+
+  /** Hostile roundtrip corpus: tabs, newline runs, leading/trailing
+    * whitespace, double spaces, 2-/3-/4-byte UTF-8, and an empty doc. */
+  private val rtCorpus = Seq(
+    (1L, "  hello\tworld\n"),
+    (2L, "café crème  naïve"),
+    (3L, "\n世界 模型 ok 😀\t"),
+    (4L, ""),
+    (5L, "a  b\n\nc "))
+  private def rtDocs = rtCorpus.toDF("doc_id", "text")
+
+  test("bpe-byte-sp: decode(encode(text)) == text BYTE-FOR-BYTE — " +
+      "whitespace runs, emoji, multibyte scripts, empty docs") {
+    val model = ByteBpe.train(ByteBpe.byteWordFreqSp(rtDocs, "text"),
+      nMerges = 8)
+    val dir = tmp()
+    TokenizerStore.save(spark, dir, "bpe-byte-sp", model)
+    CacheScope.withScope { implicit s =>
+      val (_, perDoc) = TokenizerStore.encodeCorpus(spark, dir, rtDocs,
+        "doc_id", "text")
+      val decoded = TokenizerStore.decodeCorpus(spark, dir, perDoc,
+          "token_ids")
+        .select(col("doc_id"), col("decoded")).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(decoded === rtCorpus)
+    }
+  }
+
+  test("bpe-byte (separator variant): decode returns the words " +
+      "CONCATENATED — exact per word, whitespace not carried") {
+    val merges = ByteBpe.train(ByteBpe.byteWordFreq(rtDocs, "text"), 5)
+      .orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    CacheScope.withScope { implicit s =>
+      val (_, perDoc) = ByteBpe.encodeCorpus(rtDocs, "doc_id", "text",
+        merges)
+      val decoded = ByteBpe.decodeCorpus(perDoc, "token_ids", merges)
+        .select(col("doc_id"), col("decoded")).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val expected = rtCorpus.map { case (id, t) =>
+        (id, t.split("\\s+").filter(_.nonEmpty).mkString) }
+      assert(decoded === expected)
+    }
+  }
+
+  test("wordpiece: decode reconstructs the space-joined lowercased " +
+      "word form, unencodable words as [UNK]") {
+    val wpDocs = Seq((1L, "Abab  ABC\tcc"), (2L, "abc 世界 ab"),
+      (3L, "")).toDF("doc_id", "text")
+    val wf = TextAnalysis.bpeWordFreq(wpDocs, "text")
+    val pieces = CacheScope.withScope { implicit s =>
+      WordPiece.vocab(wf, vocabSize = 30, maxPieceLen = 4)
+        .select(col("piece")).collect().map(_.getString(0)).toIndexedSeq
+    }
+    val dir = tmp()
+    TokenizerStore.save(spark, dir, "wordpiece", pieces.toDF("piece"))
+    CacheScope.withScope { implicit s =>
+      val (_, perDoc) = TokenizerStore.encodeCorpus(spark, dir, wpDocs,
+        "doc_id", "text")
+      val decoded = TokenizerStore.decodeCorpus(spark, dir, perDoc,
+          "token_ids")
+        .select(col("doc_id"), col("decoded")).orderBy("doc_id")
+        .collect().map(_.getString(1)).toSeq
+      // every word of the training corpus is single-char-coverable
+      // EXCEPT 世界 (multibyte chars are in the alphabet too, so it
+      // segments as well) — expect the lowercased normal form
+      assert(decoded === Seq("abab abc cc", "abc 世界 ab", ""))
+    }
+  }
+
+  test("wordpiece: a word with a character outside the vocabulary " +
+      "decodes as the literal [UNK]") {
+    val pieces = IndexedSeq("a", "b", "##a", "##b")
+    CacheScope.withScope { implicit s =>
+      val d2 = Seq((1L, "ab zap ba")).toDF("doc_id", "text")
+      val (_, perDoc) = WordPiece.encodeCorpus(d2, "doc_id", "text",
+        pieces)
+      val decoded = WordPiece.decodeCorpus(perDoc, "token_ids", pieces)
+        .select(col("decoded")).collect().head.getString(0)
+      assert(decoded === "ab [UNK] ba")
+    }
+  }
+
+  test("unigram: decode returns the space-joined piece form with " +
+      "reserved-unk ids as <unk>") {
+    val vocab = IndexedSeq(("ab", 100000L), ("a", 200000L),
+      ("b", 200000L), ("c", 200000L))
+    val dir = tmp()
+    TokenizerStore.save(spark, dir, "unigram",
+      vocab.toDF("piece", "cost_mu"))
+    CacheScope.withScope { implicit s =>
+      val d2 = Seq((1L, "abc abz")).toDF("doc_id", "text")
+      val (_, perDoc) = TokenizerStore.encodeCorpus(spark, dir, d2,
+        "doc_id", "text")
+      val decoded = TokenizerStore.decodeCorpus(spark, dir, perDoc,
+          "token_ids")
+        .select(col("decoded")).collect().head.getString(0)
+      // 'abc' -> ab c; 'abz': z falls back to the unk char id
+      assert(decoded === "ab c ab <unk>")
+    }
+  }
+
+  test("char-BPE with alphabet snapshot: decode returns the " +
+      "space-joined symbol form, OOV chars as <unk>; a store " +
+      "WITHOUT a snapshot refuses to decode") {
+    val wf = TextAnalysis.bpeWordFreq(docs, "text")
+    val model = TextAnalysis.bpeTrainLocal(wf, nMerges = 4)
+    val alphabet = TextAnalysis.bpeAlphabet(wf)
+    val dir = tmp()
+    TokenizerStore.save(spark, dir, "bpe", model,
+      alphabet = Some(alphabet.toDF("sym")))
+    CacheScope.withScope { implicit s =>
+      // 'Я' is outside the training alphabet -> reserved OOV id
+      val d2 = Seq((1L, "ab Я")).toDF("doc_id", "text")
+      val (_, perDoc) = TokenizerStore.encodeCorpus(spark, dir, d2,
+        "doc_id", "text")
+      val decoded = TokenizerStore.decodeCorpus(spark, dir, perDoc,
+          "token_ids")
+        .select(col("decoded")).collect().head.getString(0)
+      assert(decoded.endsWith("<unk>"))
+      assert(decoded.replace("<unk>", "").replace(" ", "") === "ab")
+    }
+    val bare = tmp()
+    TokenizerStore.save(spark, bare, "bpe", model)
+    val e = intercept[IllegalArgumentException] {
+      TokenizerStore.decodeCorpus(spark, bare,
+        Seq((1L, Seq(0))).toDF("doc_id", "token_ids"), "token_ids")
+    }
+    assert(e.getMessage.contains("alphabet"))
+  }
+
+  test("decode raises loudly on an id outside the model table") {
+    val merges = Seq(("a", "b"))
+    val bad = Seq((1L, Seq(999999))).toDF("doc_id", "token_ids")
+    val e = intercept[Exception] {
+      ByteBpe.decodeCorpus(bad, "token_ids", merges).collect()
+    }
+    assert(e.getMessage.contains("outside the model table"))
+  }
 }
