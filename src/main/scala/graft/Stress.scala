@@ -1990,6 +1990,157 @@ object Stress {
       }
     }
 
+    // ---- ONE CRAWL DAY as a SYSTEM, measured for the O(delta) claim:
+    // the incremental operators (bucketed-corpus exact dedup,
+    // signature-store near-dup, resumed PageRank, star-contraction
+    // incremental components) composed into the day-N maintenance
+    // pipeline, run TWICE — day 1 against a half-size standing state,
+    // then the state DOUBLES (the "month" of ingests), then day 2 with
+    // an identical-size delta. The claim under test: the day's
+    // dedup/ingest/components stages cost O(delta), so day 2 ≈ day 1
+    // even though the corpus doubled (rank refresh is O(union edges ×
+    // 2 iters) by design — reported separately, honest about its
+    // scaling). c5_crawl_delta hash-pins this composition's
+    // correctness at gate scale; this step is its 100 TB cost story. --
+    step("crawl_day") {
+      val half = nDocs / 2
+      val table = s"c5corpus_$nDocs"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // a prior PROCESS's run leaves the managed location on disk with
+      // no entry in this session's in-memory catalog — saveAsTable
+      // refuses the orphan dir, so reclaim it physically
+      val whDir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), table)
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      if (whDir.exists()) rmrf(whDir)
+      val sigDir = s"$dir/c5sig_$nDocs"
+      def dEdges(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        concat(lit("d"), pmod(conv(substring(md5(concat(lit("s"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(500000L)).cast("string")).as("src"),
+        concat(lit("d"), pmod(conv(substring(md5(concat(lit("t"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(500000L)).cast("string")).as("dst"),
+        lit(1L).as("weight"))
+      def persistCount(df: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val p = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(); p
+      }
+      // ---- standing state at HALF: corpus + signatures + graph ----
+      val d0 = docs.filter(col("doc_id") < half)
+        .select(col("doc_id"), col("text"))
+      val t0 = System.nanoTime()
+      graft.pipelines.CorpusStore.ensure(spark, table, "doc_id", "text")
+      graft.pipelines.CorpusStore.ingest(spark, table, d0, "doc_id",
+        "text")
+      graft.pipelines.SignatureStore.create(spark, sigDir, d0,
+        "doc_id", "text")
+      var prPrior = CacheScope.withScope { implicit sc =>
+        persistCount(graft.operators.WebGraph.pageRank(dEdges(d0),
+          iters = 5, damping = 0.85, localMaxEdges = 0L)
+          .select(col("node"), col("rank_fp")))
+      }
+      var compPrior = CacheScope.withScope { implicit sc =>
+        persistCount(graft.operators.WebGraph.components(dEdges(d0)))
+      }
+      val setupSecs = (System.nanoTime() - t0) / 1e9
+      // ---- one day: 1% new docs + exact re-crawls + near re-crawls
+      def day(tag: String, newLo: Long, sliceLo: Long)
+          : Seq[(String, Double)] = {
+        val dayN = math.max(10000L, nDocs / 100)
+        // genuinely-new content: reversed text from a per-day slice —
+        // new to the corpus (different shingles, different hash), not
+        // a re-crawl of day-(N-1)'s additions
+        val fresh = docs.filter(col("doc_id") >= sliceLo &&
+            col("doc_id") < sliceLo + dayN)
+          .select((col("doc_id") + newLo).as("doc_id"),
+            reverse(coalesce(col("text"), lit(""))).as("text"))
+        val recrawl = docs.filter(col("doc_id") % 50 === 0 &&
+            col("doc_id") < half)
+          .select((col("doc_id") + newLo + 2000000L).as("doc_id"),
+            col("text"))
+        val nears = docs.filter(col("doc_id") % 50 === 1 &&
+            col("doc_id") < half)
+          .select((col("doc_id") + newLo + 4000000L).as("doc_id"),
+            concat(coalesce(col("text"), lit("")),
+              lit(" crawl tail")).as("text"))
+        val delta = persistCount(
+          fresh.unionByName(recrawl).unionByName(nears))
+        // (1) near-dup query BEFORE append (the d9 order), then append
+        val t1 = System.nanoTime()
+        val nNd = CacheScope.withScope { implicit sc =>
+          graft.pipelines.SignatureStore.nearDups(spark, sigDir, delta,
+            "doc_id", "text", minAgreement = 0.45,
+            skipFullyCapped = true).count()
+        }
+        graft.pipelines.SignatureStore.append(spark, sigDir, delta,
+          "doc_id", "text", tag)
+        val sigSecs = (System.nanoTime() - t1) / 1e9
+        // (2) bucketed exact-dedup ingest — corpus read IN PLACE
+        val t2 = System.nanoTime()
+        val (nAdded, nBatch) = graft.pipelines.CorpusStore.ingest(
+          spark, table, delta, "doc_id", "text")
+        val ingestSecs = (System.nanoTime() - t2) / 1e9
+        // (3) graph maintenance: components contract O(nodes+delta);
+        // rank resumes 2 iterations on the union
+        val deltaE = dEdges(delta.select(col("doc_id")))
+        val t3 = System.nanoTime()
+        val newComp = CacheScope.withScope { implicit sc =>
+          persistCount(graft.operators.WebGraph.componentsResume(
+            deltaE, compPrior, localMaxEdges = 0L))
+        }
+        val compSecs = (System.nanoTime() - t3) / 1e9
+        val unionE = dEdges(spark.table(table).select(col("doc_id")))
+        val t4 = System.nanoTime()
+        val newPr = CacheScope.withScope { implicit sc =>
+          persistCount(graft.operators.WebGraph.pageRankResume(unionE,
+            prPrior, iters = 2, damping = 0.85, localMaxEdges = 0L)
+            .select(col("node"), col("rank_fp")))
+        }
+        val prSecs = (System.nanoTime() - t4) / 1e9
+        compPrior.unpersist(blocking = false)
+        prPrior.unpersist(blocking = false)
+        compPrior = newComp
+        prPrior = newPr
+        delta.unpersist(blocking = false)
+        Seq(s"${tag}_batch" -> nBatch.toDouble,
+          s"${tag}_neardups" -> nNd.toDouble,
+          s"${tag}_appended" -> nAdded.toDouble,
+          s"${tag}_sig_secs" -> sigSecs,
+          s"${tag}_ingest_secs" -> ingestSecs,
+          s"${tag}_components_secs" -> compSecs,
+          s"${tag}_rank2it_secs" -> prSecs,
+          s"${tag}_odelta_secs" -> (sigSecs + ingestSecs + compSecs))
+      }
+      val day1 = day("day1", 10000000L, 0L)
+      // ---- the state DOUBLES (second half lands as one big ingest)
+      val tg = System.nanoTime()
+      val d1 = docs.filter(col("doc_id") >= half)
+        .select(col("doc_id"), col("text"))
+      graft.pipelines.CorpusStore.ingest(spark, table, d1, "doc_id",
+        "text")
+      graft.pipelines.SignatureStore.append(spark, sigDir, d1,
+        "doc_id", "text", "half2")
+      val growSecs = (System.nanoTime() - tg) / 1e9
+      val day2 = day("day2", 20000000L, math.max(10000L, nDocs / 100))
+      val o1 = day1.find(_._1 == "day1_odelta_secs").get._2
+      val o2 = day2.find(_._1 == "day2_odelta_secs").get._2
+      compPrior.unpersist(blocking = false)
+      prPrior.unpersist(blocking = false)
+      (Seq("docs_day0" -> half.toDouble,
+        "setup_secs" -> setupSecs,
+        "grow_secs" -> growSecs) ++ day1 ++ day2 ++
+        Seq("odelta_day2_over_day1" ->
+          math.round(o2 / math.max(0.01, o1) * 100.0) / 100.0))
+        .map { case (k, v) => k -> (math.round(v * 100.0) / 100.0) }
+    }
+
     // ---- END-TO-END web graph: 5M REAL html pages → href extraction
     // (two regexp_extract_all passes over every page — the corpus-sized
     // cost, map-side) → registeredDomain on both ends → the distinct

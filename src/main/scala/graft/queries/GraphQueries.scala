@@ -33,7 +33,13 @@ object GraphQueries {
       s"'$salt')), 1, 15), 16, 10) as bigint)")
 
   private def synthPages(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"))
+    synthPagesFrom(Tables.documents(s, d))
+
+  /** [[synthPages]] over an arbitrary (doc_id) frame — the crawl-delta
+    * gate builds pages for SHIFTED survivor ids, so the page universe
+    * must be a function of the id frame, not of the documents table. */
+  private def synthPagesFrom(ids: DataFrame): DataFrame =
+    ids.select(col("doc_id"))
       .select(col("doc_id"),
         concat(lit("https://www.site"), (h("u") % 20).cast("string"),
           lit(".com/p/"), col("doc_id").cast("string")).as("url"),
@@ -287,6 +293,79 @@ object GraphQueries {
         .orderBy(col("component_rep"), col("rank"))
     }),
 
+    // ---- ONE CRAWL DAY, end to end: the incremental operators
+    // composed as the system they exist for. Day 0 is the standing
+    // state (corpus + signature store + converged PageRank); day 1
+    // lands a batch carrying genuinely-new docs, exact re-crawls, and
+    // near-duplicate re-crawls. The day's pipeline: (1) ledger-style
+    // exact dedup — content-hash anti-join against day 0 plus
+    // keep-lowest-id within the batch; (2) near-dup dedup through the
+    // PERSISTED SignatureStore (bucket-pruned candidates, exact
+    // Jaccard >= 0.7 verify — the d9 flow); (3) survivors' pages join
+    // the web graph and PageRank RESUMES from the day-0 vector on the
+    // union (the wg2c flow); (4) the curated output is each survivor
+    // with its domain's refreshed rank. The oracle replays the WHOLE
+    // day from first principles: both dedup phases (md5 equality +
+    // brute-force Jaccard), the shifted-id page synthesis, the 10
+    // prior + 5 resumed unrolled PageRank iterations, and the domain
+    // join — so a drift in ANY stage's contract (dedup order, store
+    // visibility, resume handoff, newcomer rule) flips the hash.
+    "c5_crawl_delta" -> ((s, d) => {
+      import graft.pipelines.SignatureStore
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, d)
+      val day0 = docs.filter(col("doc_id") % 3 =!= 2)
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 3 === 2)
+          .select((col("doc_id") + 90000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 12 === 0)
+          .select((col("doc_id") + 50000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 70000L).as("doc_id"),
+            concat(col("text"), lit(" crawl day tail")).as("text")))
+      // (1) exact dedup: the CorpusStore ingest rule at gate scale
+      val h0 = day0.select(md5(coalesce(col("text"), lit("")))
+        .as("__h")).distinct()
+      val bh = batch.withColumn("__h",
+        md5(coalesce(col("text"), lit(""))))
+      val bNew = bh.join(h0, Seq("__h"), "left_anti")
+      val b2 = bNew.join(
+          bNew.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id")),
+          Seq("__h", "doc_id"))
+        .drop("__h")
+      // (2) near-dup against the persisted store, exact-verified
+      val dir = GateTmp.dir("graft_c5_store", d)
+      SignatureStore.create(s, dir, day0, "doc_id", "text")
+      val nd = SignatureStore.nearDups(s, dir, b2, "doc_id", "text",
+          minAgreement = 0.45)
+        .join(day0.select(col("doc_id").as("store_id"),
+          col("text").as("text_s")), Seq("store_id"))
+        .join(b2.select(col("doc_id").as("batch_id"),
+          col("text").as("text_b")), Seq("batch_id"))
+        .filter(Dedup.jaccard(col("text_s"), col("text_b"), 3) >= 0.7)
+        .select(col("batch_id").as("doc_id")).distinct()
+      val surv = b2.join(nd, Seq("doc_id"), "left_anti")
+      // (3) graph delta + resumed PageRank on the union
+      val e1 = WebGraph.domainEdges(
+        synthPagesFrom(day0.select(col("doc_id"))), "url", "html")
+      val prior = WebGraph.pageRank(e1, iters = 10, damping = 0.85)
+        .select(col("node"), col("rank_fp"))
+      val unionPages = synthPagesFrom(day0.select(col("doc_id"))
+        .unionByName(surv.select(col("doc_id"))))
+      val eU = WebGraph.domainEdges(unionPages, "url", "html")
+      val resumed = WebGraph.pageRankResume(eU, prior, iters = 5,
+        damping = 0.85)
+      // (4) curated day output: survivor -> its domain's fresh rank
+      val survDom = synthPagesFrom(surv.select(col("doc_id")))
+        .select(col("doc_id"),
+          graft.functions.UrlOps.registeredDomain(
+            graft.functions.UrlOps.hostOf(col("url"))).as("node"))
+      survDom.join(resumed.select(col("node"), col("rank_fp")),
+          Seq("node"))
+        .select(col("doc_id"), col("node"), col("rank_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- components driven through SQL TEXT (the TVF) -------------------
     // Shares wg5's oracle: graph_components over the same edge list
     // must land on the same reps and sizes.
@@ -364,6 +443,33 @@ object GraphQueries {
   }
 
   private val edgeCtes: String = edgeCtesWhere("TRUE", "")
+
+  /** [[edgeCtesWhere]] over an arbitrary id RELATION (a CTE providing
+    * `doc_id`) instead of a documents-table predicate — the crawl-delta
+    * oracle derives pages for shifted survivor ids. */
+  private def edgeCtesFrom(table: String, suffix: String): String = {
+    def hh(salt: String): String =
+      s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$salt'), " +
+        "1, 15) AS BIGINT)"
+    s"""hashed$suffix AS (
+       |  SELECT doc_id, ${hh("u")} AS hu, ${hh("a")} AS ha,
+       |    ${hh("b")} AS hb, ${hh("c")} AS hc
+       |  FROM $table),
+       |pagesrc$suffix AS (
+       |  SELECT doc_id,
+       |    'site' || CAST(hu % 20 AS VARCHAR) || '.com' AS src,
+       |    'site' || CAST(ha % 20 AS VARCHAR) || '.com' AS d1,
+       |    'news' || CAST(hb % 7 AS VARCHAR) || '.co.uk' AS d2,
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN 'site' || CAST(hc % 20 AS VARCHAR) || '.com' END AS d3
+       |  FROM hashed$suffix),
+       |linked$suffix AS (
+       |  SELECT src, unnest([d1, d2, d3]) AS dst FROM pagesrc$suffix),
+       |edges$suffix AS MATERIALIZED (
+       |  SELECT src, dst, count(*) AS weight FROM linked$suffix
+       |  WHERE dst IS NOT NULL AND dst <> src
+       |  GROUP BY 1, 2)""".stripMargin
+  }
 
   /** wg8/sql13: the full LPA replay. */
   private lazy val lpaOracle: String =
@@ -628,6 +734,63 @@ object GraphQueries {
          |  CAST(h.s AS BIGINT) AS hub_fp
          |FROM aa5 a JOIN hh5 h ON a.node = h.node
          |ORDER BY a.node""".stripMargin,
+
+    // one crawl day replayed from first principles: both dedup phases
+    // (md5-equality ledger + brute-force Jaccard near-dup), shifted-id
+    // page synthesis for the survivors, 10 prior + 5 resumed unrolled
+    // PageRank iterations with the coalesce-to-uniform handoff, and
+    // the survivor-to-domain-rank join
+    "c5_crawl_delta" ->
+      s"""WITH day0 AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+         |batch AS MATERIALIZED (
+         |  SELECT doc_id + 90000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 3 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 50000, text FROM documents
+         |  WHERE doc_id % 12 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 70000, text || ' crawl day tail'
+         |  FROM documents WHERE doc_id % 15 = 0),
+         |b2 AS MATERIALIZED (
+         |  SELECT b.doc_id, b.text FROM batch b
+         |  WHERE NOT EXISTS (SELECT 1 FROM day0 d
+         |      WHERE md5(coalesce(d.text, '')) =
+         |        md5(coalesce(b.text, '')))
+         |    AND NOT EXISTS (SELECT 1 FROM batch bb
+         |      WHERE md5(coalesce(bb.text, '')) =
+         |          md5(coalesce(b.text, ''))
+         |        AND bb.doc_id < b.doc_id)),
+         |combined AS (
+         |  SELECT doc_id, text FROM day0
+         |  UNION ALL SELECT doc_id, text FROM b2),
+         |${LlmQueries.shinglesCte("combined")},
+         |pairs AS (
+         |  ${LlmQueries.jaccardPairsSql(0.7)}),
+         |surv AS MATERIALIZED (
+         |  SELECT doc_id FROM b2 WHERE doc_id NOT IN (
+         |    SELECT id_b FROM pairs
+         |    WHERE jaccard >= 0.7 AND id_a < 50000 AND id_b >= 50000)),
+         |${edgeCtesWhere("doc_id % 3 <> 2", "1")},
+         |allids AS (
+         |  SELECT doc_id FROM day0 UNION ALL SELECT doc_id FROM surv),
+         |${edgeCtesFrom("allids", "u")},
+         |${pageRankCtes(iters = 10, scaleL = WebGraph.Scale,
+            dmill = 850L, prefix = "p", edges = "edges1")},
+         |${pageRankCtes(iters = 5, scaleL = WebGraph.Scale,
+            dmill = 850L, edges = "edgesu", r0Body = Some(
+              s"""SELECT n.node,
+                 |    coalesce(p.r, ${WebGraph.Scale} // (SELECT n FROM nn))
+                 |      AS r
+                 |  FROM nodes n LEFT JOIN pr10 p ON p.node = n.node"""
+                .stripMargin))},
+         |survdom AS (
+         |  SELECT s.doc_id,
+         |    'site' || CAST(h.hu % 20 AS VARCHAR) || '.com' AS node
+         |  FROM surv s JOIN hashedu h ON h.doc_id = s.doc_id)
+         |SELECT s.doc_id, s.node, CAST(r.r AS BIGINT) AS rank_fp
+         |FROM survdom s JOIN r5 r ON r.node = s.node
+         |ORDER BY s.doc_id""".stripMargin,
 
     "sql7_sql_pagerank" ->
       s"""WITH $edgeCtes,
