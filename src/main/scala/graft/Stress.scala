@@ -1921,6 +1921,61 @@ object Stress {
       }
     }
 
+    // ---- LPA at crawl cadence: rounds-to-convergence resumed vs
+    // cold (the wg8b contract's operational payoff, measured). A
+    // converged labeling warm-starts the union after a 50k-edge
+    // delta; both runs use the LpaStats monitor with early-exit, so
+    // the comparison is rounds and wall to the SAME stop criterion.
+    // (Resumed != cold labels is expected and fine — LPA has no
+    // unique fixed point; determinism is wg8b's gate.) ------------------
+    step("labelprop_resume") {
+      val nEdges = math.max(1000000L, nDocs)
+      val edgesPath = ensurePagerankEdges(spark, dir, nEdges)
+      val e = spark.read.parquet(edgesPath)
+      val delta = spark.range(0, 50000L).select(
+        concat(lit("d"), pmod(conv(substring(md5(concat(lit("la"),
+          col("id").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(500000L)).cast("string")).as("src"),
+        concat(lit("d"), pmod(conv(substring(md5(concat(lit("lb"),
+          col("id").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(500000L)).cast("string")).as("dst"),
+        lit(1L).as("weight"))
+      val union = e.unionByName(delta)
+      val prior = CacheScope.withScope { implicit sc =>
+        val p = graft.operators.WebGraph.labelPropWithStats(e,
+            iters = 30, localMaxEdges = 0L)._1
+          .select(col("node"), col("community_rep"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(); p
+      }
+      val t0 = System.nanoTime()
+      val (resumedRounds, resumedOsc) = CacheScope.withScope {
+        implicit sc =>
+          val (lp, st) = graft.operators.WebGraph
+            .labelPropResumeWithStats(union, prior, iters = 30,
+              localMaxEdges = 0L)
+          lp.count()
+          (st.rounds, st.oscillating)
+      }
+      val resumeSecs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (coldRounds, coldOsc) = CacheScope.withScope { implicit sc =>
+        val (lp, st) = graft.operators.WebGraph.labelPropWithStats(
+          union, iters = 30, localMaxEdges = 0L)
+        lp.count()
+        (st.rounds, st.oscillating)
+      }
+      val coldSecs = (System.nanoTime() - t1) / 1e9
+      prior.unpersist(blocking = false)
+      Seq("delta_edges" -> 50000L,
+        "resume_rounds" -> resumedRounds,
+        "resume_secs" -> math.round(resumeSecs * 100.0) / 100.0,
+        "resume_oscillating" -> resumedOsc,
+        "cold_rounds" -> coldRounds,
+        "cold_secs" -> math.round(coldSecs * 100.0) / 100.0,
+        "cold_oscillating" -> coldOsc)
+    }
+
     // ---- connected components over the same 5M-edge graph: the
     // large-star/small-star contraction path — O(log n) narrow (long,
     // long) shuffle rounds regardless of component diameter, which the

@@ -218,6 +218,61 @@ object TextAnalysis {
           i => concat_ws(" ", slice(t, i + 1, lit(k)))))
     }
 
+  /** Character-bigram entropy per document, in EXACT INTEGER MICROS —
+    * the PORTABLE member of the compression-signal family. zlib
+    * ([[compressionRatio]]) is the measured signal but has no SQL
+    * mirror; this one computes in fixed point with the house rounding
+    * discipline (one `round(ln·1e6)` per distinct bigram — the
+    * [[graft.operators.Unigram]] `cost_mu` pattern — then integer-only
+    * multiply/sum/divide), so a DuckDB oracle replays it bit for bit.
+    * Repetitive, machine-generated text has few distinct bigrams and
+    * low entropy; natural prose is high; both signals order documents
+    * the same way on the extremes (spec-pinned against zlib).
+    *
+    * Per doc over its overlapping code-point bigrams (counts c_g,
+    * total T = chars − 1):
+    * {{{
+    *   entropy_mu       = (Σ_g c_g · round(ln(T/c_g)·1e6)) div T
+    *   distinct_ratio_ppm = distinct_bigrams · 1e6 div T
+    * }}}
+    * Docs with < 2 characters have no bigrams — all outputs 0.
+    *
+    * Scale shape: one explode (O(corpus chars)), one narrow
+    * (id, bigram) shuffle with map-side combine, one per-doc agg —
+    * the n-gram LM spine; no UDF, no driver work. */
+  def bigramEntropy(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val grams = df.select(col(idCol),
+        explode(expr(
+          s"CASE WHEN length(coalesce($textCol, '')) >= 2 THEN " +
+            s"transform(sequence(1, length(coalesce($textCol, '')) - 1), " +
+            s"i -> substring(coalesce($textCol, ''), i, 2)) " +
+            "ELSE cast(array() as array<string>) END")).as("g"))
+    val counts = grams.groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("T"),
+        count(lit(1)).as("distinct_bigrams"))
+    val agg = counts.join(tot, Seq(idCol))
+      .withColumn("term_mu", col("c") *
+        expr("cast(round(ln(cast(T as double) / cast(c as double)) " +
+          "* 1e6) as bigint)"))
+      .groupBy(col(idCol))
+      .agg(max(col("T")).as("n_bigrams"),
+        max(col("distinct_bigrams")).as("distinct_bigrams"),
+        expr("sum(term_mu) div max(T)").as("entropy_mu"),
+        expr("max(distinct_bigrams) * 1000000L div max(T)")
+          .as("distinct_ratio_ppm"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("distinct_bigrams"), lit(0L))
+          .as("distinct_bigrams"),
+        coalesce(col("entropy_mu"), lit(0L)).as("entropy_mu"),
+        coalesce(col("distinct_ratio_ppm"), lit(0L))
+          .as("distinct_ratio_ppm"))
+  }
+
   /** Deflate compression ratio per document — the entropy-style quality
     * signal (Gopher-family filters): machine-generated / repetitive /
     * low-entropy text compresses far better than natural prose, binary

@@ -751,8 +751,40 @@ object WebGraph {
       : (DataFrame, LpaStats) =
     labelPropLoop(edges, iters, localMaxEdges, track = true, earlyExit)
 
+  /** Warm-start LPA: seed each node's label from a prior
+    * `(node, community_rep)` table (nodes absent from the prior start
+    * at their own label, the cold rule) and run `iters` synchronous
+    * rounds on the — typically grown — graph. The honest contract
+    * differs from [[pageRankResume]]/[[hitsResume]]: LPA has NO unique
+    * fixed point, so resumed and cold runs may legitimately land on
+    * different (both valid) labelings; what IS pinned is DETERMINISM —
+    * same edges + same prior → the same labels, via the synchronous
+    * total (sum DESC, label ASC) tie order (the wg8b gate replays the
+    * seeded rounds in SQL) — and the operational payoff measured in
+    * Stress: a converged prior re-converges in fewer rounds than cold
+    * after a crawl delta. A prior community_rep no longer present in
+    * the graph still resolves in the output (the rep-name table is
+    * extended with the prior's names). */
+  def labelPropResume(edges: DataFrame, prior: DataFrame, iters: Int,
+      localMaxEdges: Long = 262144L)
+      (implicit scope: CacheScope = CacheScope.session): DataFrame =
+    labelPropLoop(edges, iters, localMaxEdges, track = false,
+      earlyExit = false, prior = Some(prior))._1
+
+  /** [[labelPropResume]] with the [[LpaStats]] monitor — the
+    * rounds-to-convergence comparison (resumed vs cold) rides on
+    * this. */
+  def labelPropResumeWithStats(edges: DataFrame, prior: DataFrame,
+      iters: Int, localMaxEdges: Long = 262144L,
+      earlyExit: Boolean = true)
+      (implicit scope: CacheScope = CacheScope.session)
+      : (DataFrame, LpaStats) =
+    labelPropLoop(edges, iters, localMaxEdges, track = true, earlyExit,
+      prior = Some(prior))
+
   private def labelPropLoop(edges: DataFrame, iters: Int,
-      localMaxEdges: Long, track: Boolean, earlyExit: Boolean)
+      localMaxEdges: Long, track: Boolean, earlyExit: Boolean,
+      prior: Option[DataFrame] = None)
       (implicit scope: CacheScope): (DataFrame, LpaStats) = {
     require(iters >= 1, s"labelProp: iters must be >= 1, got $iters")
     require(localMaxEdges >= 0 && localMaxEdges < Int.MaxValue,
@@ -769,7 +801,7 @@ object WebGraph {
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (probe.length <= localMaxEdges)
         return labelPropLocal(edges.sparkSession, probe, iters, track,
-          earlyExit)
+          earlyExit, prior.map(collectPrior))
     }
     val spark = edges.sparkSession
     val und = scope.cache(
@@ -793,7 +825,18 @@ object WebGraph {
       a.select(col("nid"), col("lbl").as("la"))
         .join(b.select(col("nid"), col("lbl").as("lb")), Seq("nid"))
         .filter(col("la") =!= col("lb")).count()
-    var lbl = materialize(lid.select(col("nid"), col("nid").as("lbl")))
+    var lbl = materialize(prior match {
+      case None => lid.select(col("nid"), col("nid").as("lbl"))
+      case Some(p) =>
+        // known nodes take the prior's label (the rep's md5-60 id —
+        // the same value space cold labels live in); newcomers start
+        // at their own label, the cold rule
+        lid.join(p.select(col("node").cast("string").as("node"),
+            h(col("community_rep").cast("string")).as("__pl")),
+            Seq("node"), "left")
+          .select(col("nid"), coalesce(col("__pl"), col("nid"))
+            .as("lbl"))
+    })
     var prevPrev: DataFrame = null
     var rounds = 0
     var converged = false
@@ -822,9 +865,21 @@ object WebGraph {
       k += 1
     }
     val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    // label -> rep-name table: current nodes, extended by the prior's
+    // rep names so a winning label whose rep VANISHED from the graph
+    // still resolves instead of silently dropping its community
+    val repMap = prior match {
+      case None => lid.select(col("nid").as("lbl"),
+        col("node").as("community_rep"))
+      case Some(p) => lid.select(col("nid").as("lbl"),
+          col("node").as("community_rep"))
+        .unionByName(p.select(
+          h(col("community_rep").cast("string")).as("lbl"),
+          col("community_rep").cast("string").as("community_rep")))
+        .distinct()
+    }
     val out = lid.join(lbl, Seq("nid"))
-      .join(lid.select(col("nid").as("lbl"),
-        col("node").as("community_rep")), Seq("lbl"))
+      .join(repMap, Seq("lbl"))
       .join(sizes, Seq("lbl"))
       .select(col("node"), col("community_rep"), col("n_members"))
     (out, LpaStats(rounds, converged, oscillating, changed.toSeq))
@@ -835,9 +890,22 @@ object WebGraph {
     * accounting as the distributed path; long sums are
     * order-independent, so the two are bit-identical (stats
     * included). */
+  /** Bounded prior collect for the local path: node -> prior label id
+    * plus label id -> rep name (both node-sized, control-plane). */
+  private def collectPrior(p: DataFrame)
+      : (Map[String, Long], Map[Long, String]) = {
+    val rows = p.select(col("node").cast("string"),
+        col("community_rep").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    (rows.map { case (n, rep) => n -> md5Id60(rep) }.toMap,
+      rows.map { case (_, rep) => md5Id60(rep) -> rep }.toMap)
+  }
+
   private def labelPropLocal(spark: org.apache.spark.sql.SparkSession,
       rows: Array[(String, String, Long)], iters: Int, track: Boolean,
-      earlyExit: Boolean): (DataFrame, LpaStats) = {
+      earlyExit: Boolean,
+      prior: Option[(Map[String, Long], Map[Long, String])] = None)
+      : (DataFrame, LpaStats) = {
     import spark.implicits._
     val nodeIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
     rows.foreach { case (s, d, _) =>
@@ -855,6 +923,11 @@ object WebGraph {
       adj(di).update(si, adj(di).getOrElse(si, 0L) + w)
     }
     var lbl = ids.clone()
+    prior.foreach { case (nodeToLbl, _) =>
+      nodes.indices.foreach { i =>
+        nodeToLbl.get(nodes(i)).foreach(l => lbl(i) = l)
+      }
+    }
     var prevPrev: Array[Long] = null
     var rounds = 0
     var converged = false
@@ -892,7 +965,8 @@ object WebGraph {
       lbl = next
       k += 1
     }
-    val idToNode = ids.zip(nodes).toMap
+    val idToNode = prior.map(_._2).getOrElse(Map.empty) ++
+      ids.zip(nodes).toMap
     val sizes = lbl.groupBy(identity).map { case (l, a) => (l, a.length) }
     val out = nodes.indices.map { v =>
       (nodes(v), idToNode(lbl(v)), sizes(lbl(v)).toLong)

@@ -206,6 +206,28 @@ object GraphQueries {
       WebGraph.labelProp(edges, iters = 5).orderBy(col("node"))
     }),
 
+    // ---- LPA resumed at crawl cadence: warm-start from prior labels ------
+    // Communities were the one graph signal without incremental
+    // maintenance. LPA has no unique fixed point, so unlike
+    // wg2b/wg4b this gate does NOT claim resumed == cold — it pins
+    // DETERMINISM: batch 1 (even docs) labels 5 synchronous rounds
+    // cold, the full crawl lands, and 3 more rounds run seeded from
+    // those labels (newcomers at their own label). The oracle replays
+    // BOTH phases — the batch-1 chain and the seeded union rounds —
+    // with the same exact-long (sum DESC, label ASC) argmax, so the
+    // seeding rule, the newcomer rule, and the sync tie order are all
+    // hash-pinned.
+    "wg8b_labelprop_resume" -> ((s, d) => {
+      val pagesAll = synthPages(s, d)
+      val e1 = WebGraph.domainEdges(
+        pagesAll.filter(col("doc_id") % 2 === 0), "url", "html")
+      val eAll = WebGraph.domainEdges(pagesAll, "url", "html")
+      val prior = WebGraph.labelProp(e1, iters = 5)
+        .select(col("node"), col("community_rep"))
+      WebGraph.labelPropResume(eAll, prior, iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // ---- TrustRank: personalized PageRank from a trusted seed set -------
     // Teleport and dangling mass flow only to the seeds (one of which
     // is absent from the graph and must silently drop); 10 fixed-point
@@ -487,30 +509,35 @@ object GraphQueries {
     * label space, and exact-long (sum DESC, label ASC) argmax as
     * [[WebGraph.labelProp]]. Every CTE MATERIALIZED (the wg2 inlining
     * lesson). */
-  private def lpaCtes(iters: Int): String = {
+  private def lpaCtes(iters: Int, prefix: String = "",
+      edges: String = "edges", l0Body: Option[String] = None): String = {
+    val x = prefix
     val steps = (1 to iters).map { i =>
       val p = i - 1
-      s"""lsc$i AS MATERIALIZED (
+      s"""${x}lsc$i AS MATERIALIZED (
          |  SELECT u.anode AS node, l.lbl, CAST(sum(u.w) AS BIGINT) AS s
-         |  FROM und u JOIN lp$p l ON l.node = u.bnode GROUP BY 1, 2),
-         |lp$i AS MATERIALIZED (
+         |  FROM ${x}und u JOIN ${x}lp$p l ON l.node = u.bnode
+         |  GROUP BY 1, 2),
+         |${x}lp$i AS MATERIALIZED (
          |  SELECT node, lbl FROM (
          |    SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
          |      ORDER BY s DESC, lbl) AS rn
-         |    FROM lsc$i) t
+         |    FROM ${x}lsc$i) t
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""und AS MATERIALIZED (
+    val l0 = l0Body.getOrElse(
+      s"SELECT node, nid AS lbl FROM ${x}lnid")
+    s"""${x}und AS MATERIALIZED (
        |  SELECT anode, bnode, CAST(sum(w) AS BIGINT) AS w FROM (
-       |    SELECT src AS anode, dst AS bnode, weight AS w FROM edges
+       |    SELECT src AS anode, dst AS bnode, weight AS w FROM $edges
        |    UNION ALL
-       |    SELECT dst, src, weight FROM edges) t
+       |    SELECT dst, src, weight FROM $edges) t
        |  GROUP BY 1, 2),
-       |lnid AS MATERIALIZED (
+       |${x}lnid AS MATERIALIZED (
        |  SELECT node, CAST('0x' || substr(md5(node), 1, 15) AS BIGINT)
        |    AS nid
-       |  FROM (SELECT DISTINCT anode AS node FROM und)),
-       |lp0 AS MATERIALIZED (SELECT node, nid AS lbl FROM lnid),
+       |  FROM (SELECT DISTINCT anode AS node FROM ${x}und)),
+       |${x}lp0 AS MATERIALIZED ($l0),
        |$steps""".stripMargin
   }
 
@@ -734,6 +761,27 @@ object GraphQueries {
          |  CAST(h.s AS BIGINT) AS hub_fp
          |FROM aa5 a JOIN hh5 h ON a.node = h.node
          |ORDER BY a.node""".stripMargin,
+
+    // both LPA phases replayed: the batch-1 5-round chain, then the
+    // union rounds seeded from its terminal labels with newcomers at
+    // their own nid — determinism of the seeded sync argmax is the
+    // contract (resumed == cold is NOT claimed; LPA has no unique
+    // fixed point)
+    "wg8b_labelprop_resume" ->
+      s"""WITH ${edgeCtesWhere("doc_id % 2 = 0", "1")},
+         |$edgeCtes,
+         |${lpaCtes(iters = 5, prefix = "b", edges = "edges1")},
+         |${lpaCtes(iters = 3, l0Body = Some(
+              """SELECT n.node, coalesce(p.lbl, n.nid) AS lbl
+                |  FROM lnid n LEFT JOIN blp5 p ON p.node = n.node"""
+                .stripMargin))}
+         |SELECT l.node, r.node AS community_rep,
+         |  CAST(sz.n AS BIGINT) AS n_members
+         |FROM lp3 l
+         |  JOIN lnid r ON r.nid = l.lbl
+         |  JOIN (SELECT lbl, count(*) AS n FROM lp3 GROUP BY 1) sz
+         |    ON sz.lbl = l.lbl
+         |ORDER BY l.node""".stripMargin,
 
     // one crawl day replayed from first principles: both dedup phases
     // (md5-equality ledger + brute-force Jaccard near-dup), shifted-id

@@ -144,6 +144,24 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- PORTABLE compression-family signal: integer bigram entropy ------
+    // The family's first hash-green member: t5's zlib ratio has no SQL
+    // mirror (no_oracle, self-verified via bound columns); this one is
+    // exact fixed-point arithmetic — one round(ln·1e6) per distinct
+    // code-point bigram (the unigram cost_mu rounding discipline),
+    // then integer-only multiply/sum/divide — replayed verbatim in
+    // DuckDB. Same corpus as t5 including the planted repetitive docs,
+    // whose near-zero entropy is the cross-signal evidence (spec pins
+    // extreme-rank agreement between the two signals).
+    "t5b_entropy_signal" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val repetitive = base.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          lit(Seq.fill(50)("repeat").mkString(" ")).as("text"))
+      TA.bigramEntropy(base.unionByName(repetitive), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- exact dedup over mangled copies ---------------------------------
     "d1_exact_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -2086,6 +2104,44 @@ object LlmQueries {
         |        i -> CAST(unicode(t[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS fingerprint
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // integer bigram entropy replayed exactly: the same per-distinct-
+    // bigram round(ln·1e6), integer multiply/sum, and floor divides
+    "t5b_entropy_signal" ->
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000,
+        |    repeat('repeat ', 49) || 'repeat' AS text
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |grams AS (
+        |  SELECT doc_id, coalesce(text, '')[i:i+1] AS g
+        |  FROM input,
+        |    unnest(generate_series(1,
+        |      length(coalesce(text, '')) - 1)) t(i)
+        |  WHERE length(coalesce(text, '')) >= 2),
+        |counts AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM grams GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS tt,
+        |    CAST(count(*) AS BIGINT) AS dg
+        |  FROM counts GROUP BY 1),
+        |ent AS (
+        |  SELECT c.doc_id,
+        |    max(t.tt) AS n_bigrams,
+        |    max(t.dg) AS distinct_bigrams,
+        |    CAST(sum(c.c * CAST(round(ln(CAST(t.tt AS DOUBLE) / c.c)
+        |        * 1e6) AS BIGINT)) // max(t.tt) AS BIGINT) AS entropy_mu,
+        |    max(t.dg) * 1000000 // max(t.tt) AS distinct_ratio_ppm
+        |  FROM counts c JOIN tot t USING (doc_id) GROUP BY 1)
+        |SELECT i.doc_id,
+        |  coalesce(e.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(e.distinct_bigrams, 0) AS distinct_bigrams,
+        |  coalesce(e.entropy_mu, 0) AS entropy_mu,
+        |  coalesce(e.distinct_ratio_ppm, 0) AS distinct_ratio_ppm
+        |FROM input i LEFT JOIN ent e USING (doc_id)
+        |ORDER BY i.doc_id""".stripMargin,
 
     "d1_exact_dedup" ->
       """WITH alldocs AS (

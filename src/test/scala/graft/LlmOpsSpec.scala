@@ -692,6 +692,56 @@ class LlmOpsSpec extends SparkSpec {
     assert(re === got)
   }
 
+  test("bigramEntropy: repetitive text scores low, high-entropy text " +
+      "high, and the ORDERING of the extremes agrees with zlib") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val vocab = Vector("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "while", "seventeen", "astronauts", "discuss",
+      "thermodynamics", "near", "lighthouse", "seven", "green", "rivers",
+      "meander", "through", "ancient", "valleys", "carrying", "stories")
+    val natural = Seq.fill(400)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    val randomChars = Seq.fill(2000)(
+      "abcdefghijklmnopqrstuvwxyz0123456789".charAt(r.nextInt(36))).mkString
+    val docs = Seq(
+      (1L, natural),
+      (2L, Seq.fill(150)("spam spam spam").mkString(" ")),
+      (3L, randomChars),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]),
+      (6L, "x")).toDF("doc_id", "text")
+    val ent = TA.bigramEntropy(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // extremes order exactly as zlib orders them in the t5 spec:
+    // repetition lowest, natural prose middle, random chars highest
+    assert(ent(2L)._3 < ent(1L)._3)
+    assert(ent(1L)._3 < ent(3L)._3)
+    // the repetitive doc's distinct-bigram ratio collapses too
+    assert(ent(2L)._4 < ent(1L)._4)
+    // degenerate docs: no bigrams -> all zeros, rows still present
+    assert(ent(4L) === ((0L, 0L, 0L, 0L)))
+    assert(ent(5L) === ((0L, 0L, 0L, 0L)))
+    assert(ent(6L) === ((0L, 0L, 0L, 0L)))
+    // the zlib signal over the same corpus agrees on the extremes —
+    // the cross-check that lets t5 stay the measured (no-oracle)
+    // member while t5b carries the family's hash-green contract
+    val z = TA.compressionRatio(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert((ent(2L)._3 < ent(3L)._3) === (z(2L).get < z(3L).get))
+    assert((ent(2L)._3 < ent(1L)._3) === (z(2L).get < z(1L).get))
+    assert((ent(1L)._3 < ent(3L)._3) === (z(1L).get < z(3L).get))
+    // entropy bounds: 0 <= H <= ln(T)·1e6
+    ent.values.foreach { case (t, d, mu, ppm) =>
+      assert(mu >= 0L)
+      if (t > 0)
+        assert(mu <= math.round(math.log(t.toDouble) * 1e6) + 1)
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(d <= t)
+    }
+  }
+
   test("tfIdfTopTerms: smoothed idf, per-doc ranks, tie-break, nulls") {
     import spark.implicits._
     val docs = Seq(

@@ -762,6 +762,53 @@ class WebGraphSpec extends SparkSpec {
       "a converged early exit must equal the full fixed budget")
   }
 
+  test("labelPropResume: deterministic seeded rounds, bit-identical " +
+      "across local/distributed paths; a converged prior is a no-op; " +
+      "vanished reps still resolve") {
+    import spark.implicits._
+    // two triangles + a bridge (the wg8-style structure)
+    val tri = Seq(("a", "b", 2L), ("b", "c", 2L), ("c", "a", 2L),
+      ("x", "y", 2L), ("y", "z", 2L), ("z", "x", 2L), ("c", "x", 1L))
+      .toDF("src", "dst", "weight")
+    def run(df: org.apache.spark.sql.DataFrame,
+        p: org.apache.spark.sql.DataFrame, localMax: Long) =
+      CacheScope.withScope { implicit s =>
+        WebGraph.labelPropResume(df, p, iters = 4,
+            localMaxEdges = localMax)
+          .orderBy("node").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      }
+    val prior = CacheScope.withScope { implicit s =>
+      WebGraph.labelProp(tri, iters = 10)
+        .select(col("node"), col("community_rep"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    }
+    val pDf = prior.toDF("node", "community_rep")
+    val r1 = run(tri, pDf, 262144L)
+    // determinism + local/distributed bit-identity
+    assert(r1 === run(tri, pDf, 262144L))
+    assert(r1 === run(tri.repartition(7), pDf, 0L))
+    // a CONVERGED prior on the unchanged graph is a fixed point:
+    // resuming returns the same labeling
+    val fixed = CacheScope.withScope { implicit s =>
+      WebGraph.labelProp(tri, iters = 10).orderBy("node").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    assert(r1 === fixed)
+    // a prior rep that vanished from the graph still resolves by name
+    val ghostPrior = Seq(("a", "ghost"), ("b", "ghost"), ("c", "ghost"))
+      .toDF("node", "community_rep")
+    val single = Seq(("a", "b", 1L), ("b", "c", 5L))
+      .toDF("src", "dst", "weight")
+    val g = run(single, ghostPrior, 262144L)
+    assert(g.nonEmpty)
+    // round 1: b's neighbors are {a: ghost(w1), c: ghost? no — c is
+    // seeded ghost too} — all seeded ghost, so ghost can win rounds
+    // and must surface as a NAMED rep, not a dropped row
+    assert(g.map(_._1).toSet === Set("a", "b", "c"))
+    assert(g === run(single.repartition(3), ghostPrior, 0L))
+  }
+
   test("labelProp: self-loops and null rows drop; weight defaults to 1") {
     import spark.implicits._
     val edges = Seq(
