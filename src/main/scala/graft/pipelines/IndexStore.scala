@@ -184,9 +184,35 @@ object IndexStore {
     * before = one after; queries see identical results
     * ([[IndexStoreSpec]] pins this). Not concurrency-safe with appends
     * — quiesce ingestion first (same contract as every sibling store's
-    * maintenance). */
+    * maintenance).
+    *
+    * DELIBERATE DESIGN: this store keeps the swap+roll-forward idiom
+    * while [[VectorStore]]/[[SignatureStore]] use manifest+vacuum —
+    * two idioms on purpose, not drift. The manifest protocol exists
+    * to keep RETIRED data readable until vacuum (their readers filter
+    * by manifest); this store's readers always want exactly the live
+    * dirs, its stats table must swap atomically WITH the postings
+    * generation, and the swap needs no manifest bookkeeping to do
+    * that. The cost is a read-unavailability window between the first
+    * rename and roll-forward — which [[bm25TopK]] names loudly and
+    * the kill/replay drill in IndexStoreSpec exercises at every
+    * commit-op boundary. */
   def compact(spark: SparkSession, dir: String,
-      intoTag: String = "compacted"): Unit = {
+      intoTag: String = "compacted"): Unit =
+    compactImpl(spark, dir, intoTag, Int.MaxValue)
+
+  /** Test seam: run [[compact]] but THROW after the k-th
+    * commit-sequence FS operation (renames + old-copy deletes), so the
+    * kill/replay drill (IndexStoreSpec) can exercise the recovery
+    * contract at EVERY boundary of the swap protocol instead of only
+    * the one a hand-built crash state happens to model. Production
+    * callers never use this. */
+  private[graft] def compactCrashing(spark: SparkSession, dir: String,
+      intoTag: String, crashAfterOps: Int): Unit =
+    compactImpl(spark, dir, intoTag, crashAfterOps)
+
+  private def compactImpl(spark: SparkSession, dir: String,
+      intoTag: String, crashAfterOps: Int): Unit = {
     require(intoTag.nonEmpty &&
       intoTag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"intoTag must be a dir-safe token: '$intoTag'")
@@ -212,13 +238,24 @@ object IndexStore {
         sum(col("dl_sum")).as("dl_sum"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/stats_compacting/b=$intoTag")
-    // commit: swap live for merged, then drop the old copies
-    fs.rename(p("postings"), p("postings_old"))
-    fs.rename(p("postings_compacting"), p("postings"))
-    fs.rename(p("stats"), p("stats_old"))
-    fs.rename(p("stats_compacting"), p("stats"))
-    fs.delete(p("postings_old"), true)
-    fs.delete(p("stats_old"), true)
+    // commit: swap live for merged, then drop the old copies. Each op
+    // routes through the crash seam so the drill can stop the world at
+    // any boundary; a crash anywhere in this sequence is recovered by
+    // the NEXT compact()'s rollForward + leftover cleanup (every state
+    // has either the live dir or its complete _compacting copy).
+    var ops = 0
+    def op(f: => Unit): Unit = {
+      f; ops += 1
+      if (ops >= crashAfterOps) throw new IllegalStateException(
+        s"IndexStore.compact: injected crash after commit op $ops " +
+          "(test seam)")
+    }
+    op(fs.rename(p("postings"), p("postings_old")))
+    op(fs.rename(p("postings_compacting"), p("postings")))
+    op(fs.rename(p("stats"), p("stats_old")))
+    op(fs.rename(p("stats_compacting"), p("stats")))
+    op(fs.delete(p("postings_old"), true))
+    op(fs.delete(p("stats_old"), true))
   }
 
   /** Complete a compact() that crashed between its commit renames: the

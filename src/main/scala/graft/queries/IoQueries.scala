@@ -337,6 +337,79 @@ object IoQueries {
     // codec at all — a wrong frame index, a palette drift, or a
     // channel swap breaks the hash. The m2 stub keeps the video tier's
     // SHAPE; this is the real multi-frame path.
+    // ---- MULTIMODAL DEDUP: caption-image pairs deduped JOINTLY ----------
+    // The multimodal columns graduate from decode-gates to pipeline
+    // member: every (image, caption) pair gets a joint fingerprint —
+    // md5 over the REAL-PNG-decode statistics (dims + both corner
+    // colors, all integers) concatenated with the whitespace/case-
+    // normalized caption — and exact-dedups keep-lowest-id. Planted
+    // rows: +5000 re-encodes of the SAME image with the SAME caption
+    // (joint dups — must drop) and +8000 same-image DIFFERENT-caption
+    // rows (kept: joint identity is pair identity, visual identity
+    // alone is not enough). The oracle knows every corner color and
+    // dimension analytically from the id, so the whole chain — PNG
+    // byte round-trip, decode, normalization, fingerprint, group
+    // min — is hash-pinned with no image library on the oracle side.
+    "mm1_media_dedup" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val media = base
+          .select(col("doc_id").as("media_id"),
+            col("doc_id").as("base_id"), col("text").as("caption"))
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 5000L).as("media_id"),
+            col("doc_id").as("base_id"), col("text").as("caption")))
+        .unionByName(base.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 8000L).as("media_id"),
+            col("doc_id").as("base_id"),
+            concat(col("text"), lit(" alt view")).as("caption")))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.types.StructField("caption",
+          org.apache.spark.sql.types.StringType)))
+      val rows = media.select(col("media_id"), col("base_id"),
+          col("caption")).rdd
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(1) // image params from the BASE id
+            val w = (8 + (id % 8) * 2).toInt
+            val h = (6 + (id % 5) * 2).toInt
+            val c1 = ((id % 251).toInt, ((id * 7) % 251).toInt,
+              ((id * 13) % 251).toInt)
+            val c2 = (((id * 3) % 251).toInt, ((id * 11) % 251).toInt,
+              ((id * 17) % 251).toInt)
+            org.apache.spark.sql.Row(r.getLong(0),
+              Multimodal.ImageIo.encodeTwoTonePng(w, h, c1, c2),
+              if (r.isNullAt(2)) null else r.getString(2))
+          }
+        }
+      val mediaDf = s.createDataFrame(rows, schema)
+      val stats = Multimodal.decodeImageStats(
+        mediaDf.select(col("media_id"), col("payload")))
+      val capNorm = lower(trim(regexp_replace(
+        coalesce(col("caption"), lit("")), "\\s+", " ")))
+      val fp = stats
+        .join(mediaDf.select(col("media_id"), col("caption")),
+          Seq("media_id"))
+        .select(col("media_id"), md5(concat_ws("|",
+          col("width"), col("height"),
+          col("tl_r"), col("tl_g"), col("tl_b"),
+          col("br_r"), col("br_g"), col("br_b"),
+          capNorm)).as("joint_sig"))
+      val groups = fp.groupBy(col("joint_sig"))
+        .agg(min(col("media_id")).as("__keeper"),
+          count(lit(1)).as("n_group"))
+      fp.join(groups, Seq("joint_sig"))
+        .select(col("media_id"), col("joint_sig"),
+          (col("media_id") =!= col("__keeper")).as("is_duplicate"),
+          col("n_group"))
+        .orderBy(col("media_id"))
+    }),
+
     "m7_gif_frames" -> ((s, d) => {
       val ids = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("media_id"))
@@ -576,6 +649,43 @@ object IoQueries {
         |  CAST((doc_id * 17) % 251 AS INTEGER) AS br_b
         |FROM documents WHERE doc_id < 200
         |ORDER BY media_id""".stripMargin,
+
+    // the joint fingerprint replayed with ZERO image machinery: every
+    // decoded statistic is analytic in the base id, the caption
+    // normalization is the same regex, and md5 agrees byte for byte
+    "mm1_media_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |media AS (
+        |  SELECT doc_id AS media_id, doc_id AS base_id, text AS caption
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 5000, doc_id, text FROM base
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 8000, doc_id, text || ' alt view' FROM base
+        |  WHERE doc_id % 15 = 0),
+        |fp AS (
+        |  SELECT media_id, md5(concat_ws('|',
+        |    CAST(8 + (base_id % 8) * 2 AS VARCHAR),
+        |    CAST(6 + (base_id % 5) * 2 AS VARCHAR),
+        |    CAST(base_id % 251 AS VARCHAR),
+        |    CAST((base_id * 7) % 251 AS VARCHAR),
+        |    CAST((base_id * 13) % 251 AS VARCHAR),
+        |    CAST((base_id * 3) % 251 AS VARCHAR),
+        |    CAST((base_id * 11) % 251 AS VARCHAR),
+        |    CAST((base_id * 17) % 251 AS VARCHAR),
+        |    lower(trim(regexp_replace(coalesce(caption, ''),
+        |      '\s+', ' ', 'g'))))) AS joint_sig
+        |  FROM media),
+        |g AS (
+        |  SELECT joint_sig, min(media_id) AS keeper,
+        |    CAST(count(*) AS BIGINT) AS n_group
+        |  FROM fp GROUP BY 1)
+        |SELECT f.media_id, f.joint_sig,
+        |  f.media_id <> g.keeper AS is_duplicate, g.n_group
+        |FROM fp f JOIN g USING (joint_sig)
+        |ORDER BY f.media_id""".stripMargin,
 
     // every field analytic: the +A/-B pattern has ceil(n/3) A-samples;
     // duration is integer division; n divides 1e6 so the rounded mean

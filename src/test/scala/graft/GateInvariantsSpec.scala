@@ -82,4 +82,49 @@ class GateInvariantsSpec extends SparkSpec {
       s"gates above the 4000-task ceiling: " +
         heavy.map(r => s"${r._1}=${r._3}").mkString(", "))
   }
+
+  // The anchor_flags guard promoted from artifact to TRIPWIRE (the r14
+  // stretch): wall-clock ratios flag machine windows as readily as
+  // plan regressions, but executor run_ms is machine-window-resistant
+  // (the r14 j1 forensics: run_ms flat at ~1.0 s while wall inflated
+  // 16 s under contention). A shared gate whose committed run_ms
+  // exceeds 3x its anchor run_ms is a REAL plan/work regression and
+  // fails the suite at review time instead of waiting for a reader.
+  // Gates under 500 ms of anchor executor time are exempt — the
+  // scheduling floor dominates them.
+  test("anchor run_ms tripwire: no shared gate's executor time " +
+      "exceeds 3x its anchor (reads bench_full.json + " +
+      "bench_anchor.json)") {
+    val f = new java.io.File("bench_full.json")
+    val a = new java.io.File("bench_anchor.json")
+    assume(f.exists, "no bench artifact at repo root")
+    assume(a.exists, "no bench anchor at repo root")
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val atxt = new String(
+      java.nio.file.Files.readAllBytes(a.toPath), "UTF-8")
+    val start = txt.indexOf("\"gate_metrics\":")
+    assume(start >= 0, "artifact predates gate_metrics")
+    val cur = ("\"([a-z0-9_]+)\":\\{\"run_ms\":([0-9]+)").r
+      .findAllMatchIn(txt.substring(start))
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    val aStart = atxt.indexOf("\"run_ms\":{")
+    assume(aStart >= 0, "anchor predates run_ms")
+    val aEnd = atxt.indexOf("}", aStart)
+    val anchor = ("\"([a-z0-9_]+)\":([0-9]+)").r
+      .findAllMatchIn(atxt.substring(aStart, aEnd))
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    val shared = cur.keySet intersect anchor.keySet
+    assume(shared.size >= 100,
+      s"only ${shared.size} shared gates — parser drifted?")
+    val regressed = shared.toSeq
+      .filter(n => anchor(n) >= 500L)
+      .filter(n => cur(n) > 3L * anchor(n))
+      .sortBy(n => -cur(n).toDouble / anchor(n))
+    assert(regressed.isEmpty,
+      "gates whose executor run_ms regressed >3x vs the committed " +
+        "anchor (machine-window-resistant — this is real work): " +
+        regressed.map(n =>
+          s"$n=${cur(n)}ms(anchor ${anchor(n)}ms)").mkString(", "))
+  }
 }

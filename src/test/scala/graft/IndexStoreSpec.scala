@@ -172,6 +172,57 @@ class IndexStoreSpec extends SparkSpec {
     assert(recovered === before)
   }
 
+  test("kill/replay drill: a compact crashed at EVERY commit-op " +
+      "boundary recovers to identical answers, never silent " +
+      "corruption") {
+    // commit sequence = 6 FS ops (4 renames + 2 old-copy deletes);
+    // for each boundary k: inject a crash after op k, verify the
+    // store either answers IDENTICALLY or fails LOUDLY, then replay
+    // compact() and verify full recovery with clean dirs
+    (1 to 6).foreach { k =>
+      val dir = Files.createTempDirectory(s"graft_idxkill$k").toString
+      val docs = corpus.toDF("id", "text")
+      IndexStore.create(spark, dir, docs.filter($"id" <= 3), "id",
+        "text")
+      IndexStore.append(spark, dir,
+        docs.filter($"id" === 4 || $"id" === 5), "id", "text", "b1")
+      IndexStore.append(spark, dir, docs.filter($"id" > 5), "id",
+        "text", "b2")
+      // every query runs in its OWN scope bracket: the store paths are
+      // rewritten under the same names between queries, and a
+      // session-cached plan over a dead generation would otherwise be
+      // hit by the NEXT read of the same path
+      def ask(): Seq[org.apache.spark.sql.Row] =
+        CacheScope.withScope { implicit sc =>
+          IndexStore.bm25TopK(spark, dir, queriesDf, "qid",
+            "qtext", k = 4).orderBy($"qid", $"rank").collect().toSeq
+        }
+      val before = ask()
+      val e = intercept[IllegalStateException] {
+        IndexStore.compactCrashing(spark, dir, "compacted", k)
+      }
+      assert(e.getMessage.contains(s"injected crash after commit op $k"),
+        s"boundary $k")
+      // crashed state: identical answers or a loud failure — never a
+      // silently wrong result
+      try {
+        assert(ask() === before, s"boundary $k answered WRONG")
+      } catch { case _: Exception => () /* loud is acceptable */ }
+      // replay: the next compact rolls forward / cleans up, and the
+      // store answers exactly as before with no leftover dirs
+      IndexStore.compact(spark, dir)
+      assert(ask() === before, s"boundary $k recovery")
+      Seq("postings_old", "stats_old", "postings_compacting",
+        "stats_compacting").foreach { leftover =>
+        assert(!new java.io.File(s"$dir/$leftover").exists(),
+          s"boundary $k left $leftover behind")
+      }
+      val batchDirs = new java.io.File(s"$dir/postings").listFiles()
+        .map(_.getName).filter(_.startsWith("b=")).toSeq
+      assert(batchDirs === Seq("b=compacted"), s"boundary $k dirs")
+    }
+  }
+
   test("bucket pruning: a query's postings scan reads only the " +
       "buckets its terms hash into") {
     val dir = Files.createTempDirectory("graft_idx").toString
