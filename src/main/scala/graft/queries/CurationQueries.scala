@@ -1468,6 +1468,30 @@ object CurationQueries {
         "ORDER BY doc_id")
     }),
 
+    // ---- the decode TVF: the full roundtrip driven from SQL TEXT ---------
+    // A SQL user's inverse path: the space-carrying byte model is
+    // persisted, the corpus encodes through tokenizer_encode, the id
+    // frame lands in parquet, and tokenizer_decode brings the text
+    // back — the oracle is the identity on the planted corpus, so the
+    // whole SQL-surface chain carries the same byte-exact contract as
+    // t25.
+    "sql15_sql_decode" -> ((s, d) => {
+      val docs = t25Docs(s, d)
+      val store = GateTmp.dir("graft_sd_store", d)
+      val docsPath = GateTmp.dir("graft_sd_docs", d)
+      val idsPath = GateTmp.dir("graft_sd_ids", d)
+      docs.write.mode("overwrite").parquet(docsPath)
+      val model = ByteBpe.train(ByteBpe.byteWordFreqSp(docs, "text"),
+        nMerges = 30)
+      graft.pipelines.TokenizerStore.save(s, store, "bpe-byte-sp",
+        model)
+      s.sql(s"SELECT doc_id, token_ids FROM tokenizer_encode(" +
+          s"'$store', '$docsPath', 'doc_id', 'text')")
+        .write.mode("overwrite").parquet(idsPath)
+      s.sql(s"SELECT doc_id, decoded FROM tokenizer_decode('$store', " +
+        s"'$idsPath', 'doc_id', 'token_ids') ORDER BY doc_id")
+    }),
+
     // ---- persisted tokenizer model: save → load → encode ≡ in-memory ----
     // The store path must reproduce t21c exactly: train the byte-level
     // merges, persist them (model first, format marker last), then
@@ -2838,6 +2862,12 @@ object CurationQueries {
     // stored model must reproduce the in-memory chain bit for bit
     "t23_tokenizer_store" -> byteCorpusTokensOracle(
       s"${t21DocsSql},\n${OracleFragments.byteMapCtes("pd", "text")}"),
+
+    // the SQL-driven roundtrip shares t25's identity oracle verbatim
+    "sql15_sql_decode" ->
+      s"""WITH ${t25DocsSql}
+         |SELECT doc_id, text AS decoded FROM pd ORDER BY doc_id"""
+        .stripMargin,
 
     // the roundtrip contract IS the oracle: the space-carrying byte
     // family partitions the text into its tokens, so the engine's

@@ -613,6 +613,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "tokenizer_encode(storeDir, path, idCol, textCol) — four " +
             "string literals")
       }))
+    // the inverse leg from SQL: decode per-doc token ids back through
+    // the STORED model's family dispatch. SELECT * FROM
+    // tokenizer_decode('store_dir', 'tokens.parquet', 'doc_id',
+    // 'token_ids') → the input frame + a `decoded` string column
+    // (byte-sp: exact text; wordpiece: marker-resolved words;
+    // unigram/char: space-joined pieces). sql15-gated against the t25
+    // roundtrip chain.
+    ext.injectTableFunction((FunctionIdentifier("tokenizer_decode"),
+      new ExpressionInfo(classOf[GraftExtensions].getName,
+        "tokenizer_decode"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(sd, p, idc, tic) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          val storeDir = strLit(sd, "tokenizer_decode storeDir")
+          val perDoc = spark.read.parquet(
+            strLit(p, "tokenizer_decode path"))
+          graft.pipelines.TokenizerStore.decodeCorpus(
+            spark, storeDir, perDoc.select(
+              org.apache.spark.sql.functions.col(
+                strLit(idc, "tokenizer_decode idCol")),
+              org.apache.spark.sql.functions.col(
+                strLit(tic, "tokenizer_decode idsCol"))),
+            strLit(tic, "tokenizer_decode idsCol"))
+            .queryExecution.logical
+        case _ => throw new IllegalArgumentException(
+          "tokenizer_decode(storeDir, path, idCol, idsCol) — four " +
+            "string literals")
+      }))
     // store-backed variant: same scoring expression, but the relation
     // comes from a persisted IndexStore directory (bucket-pruned
     // postings), so a SQL user can query a corpus index maintained

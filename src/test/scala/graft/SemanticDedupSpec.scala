@@ -134,6 +134,47 @@ class SemanticDedupSpec extends SparkSpec {
     assert(fused === composed)
   }
 
+  test("degenerate vectors keep their row at EVERY nprobe: the output " +
+      "row universe does not change with the probe count") {
+    // null, zero-norm, and wrong-dimension vectors next to one normal
+    val rows = Seq(
+      1L -> Seq(1.0, 0.0),
+      2L -> null.asInstanceOf[Seq[Double]],
+      3L -> Seq(0.0, 0.0),
+      4L -> Seq(1.0, 0.0, 0.0))
+    val data = vecDf(rows)
+    val c = cents(Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0)))
+    def universe(nprobe: Int): Map[Long, (Option[Long], Boolean)] =
+      CacheScope.withScope { implicit s =>
+        Dedup.semanticDedup(data, "vec_id", "embedding", c,
+            threshold = 0.9, nprobe = nprobe)
+          .collect().map(r => r.getLong(0) ->
+            ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+              r.getBoolean(2))).toMap
+      }
+    val u1 = universe(1)
+    val u2 = universe(2)
+    assert(u1.keySet === Set(1L, 2L, 3L, 4L),
+      "single-probe keeps degenerate rows with a null cell")
+    assert(u2.keySet === u1.keySet,
+      "multi-probe must not drop degenerate rows (keep-list joins " +
+        "would silently lose those docs when nprobe changes)")
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(u1(id) === ((None, true)), s"id $id at nprobe=1")
+      assert(u2(id) === ((None, true)), s"id $id at nprobe=2")
+    }
+    // and the membership frame itself carries crank 1 for them
+    val m = Similarity.assignCellsMulti(data, "vec_id", "embedding",
+      c, nprobe = 2)
+    val deg = m.filter(col("vec_id").isin(2L, 3L, 4L))
+      .select(col("vec_id"), col("cell"), col("crank")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getInt(2))).toSeq
+    assert(deg.toSet === Set((2L, None, 1), (3L, None, 1),
+      (4L, None, 1)))
+  }
+
   test("assignment matches assignCells' argmax/tie rules") {
     val data = vecDf(Seq(1L -> Seq(1.0, 1.0)))
     // equidistant centroids: tie breaks to the lowest cell

@@ -190,6 +190,29 @@ class SignatureStoreSpec extends SparkSpec {
         minAgreement = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 === got)
+    // repeated compactions FOLD: the prior committed compact batch is
+    // a source of the new one and vacuum reclaims it, so exactly ONE
+    // live compact dir remains — file count does not regrow with
+    // compaction count
+    val liveCompact = new java.io.File(s"$dir/sigs").listFiles()
+      .map(_.getName).filter(_.startsWith("b=compact-")).toSeq
+    assert(liveCompact === Seq(s"b=${tag2.get}"),
+      s"prior compact batches must fold into the new one: $liveCompact")
+    // a RETIRED tag can never be re-appended: rows written under it
+    // would be permanently invisible (the readVisible filter) — the
+    // backfill contract demands a loud failure, not silent data loss
+    val e = intercept[IllegalArgumentException] {
+      SignatureStore.append(spark, dir,
+        Seq((405L, doc(5))).toDF("id", "text"), "id", "text", "b3")
+    }
+    assert(e.getMessage.contains("retired"))
+    // and a fresh tag still works
+    SignatureStore.append(spark, dir,
+      Seq((405L, doc(5))).toDF("id", "text"), "id", "text", "b3r")
+    val got3 = SignatureStore.nearDups(spark, dir, probe, "id", "text",
+        minAgreement = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3.contains((405L, 905L)))
   }
 
   test("band scan is partition-pruned to the batch's buckets") {
