@@ -87,6 +87,33 @@ object SignatureStore {
       batchTag)
   }
 
+  /** Continuous ingestion — the [[VectorStore.ingestStream]] /
+    * [[IndexStore.ingestStream]] contract on the near-dup store,
+    * completing the streaming trio: drain a streaming (id, text)
+    * frame, one [[append]] per micro-batch tagged by the checkpointed
+    * batch id. foreachBatch replays a batch whose checkpoint commit
+    * didn't land, and the replay overwrites the SAME
+    * `b=stream-<id>` directory — exactly-once signatures with no
+    * store-side ledger. Do not run [[compact]] concurrently (the
+    * sibling stores' quiesce contract): a compaction committed
+    * between a crash and its replay would have retired the replayed
+    * tag, which [[append]] rejects LOUDLY instead of writing
+    * invisible rows. Trigger.AvailableNow by default
+    * (drain-and-stop). */
+  def ingestStream(spark: SparkSession, dir: String, stream: DataFrame,
+      idCol: String, textCol: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        append(spark, dir, batch, idCol, textCol, s"stream-$batchId")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Near-dup candidates of `batch` against everything persisted:
     * batch bands equi-join the store's band table (scanning ONLY the
     * batch's own bucket partitions — the bounded collect is ≤

@@ -215,6 +215,54 @@ class SignatureStoreSpec extends SparkSpec {
     assert(got3.contains((405L, 905L)))
   }
 
+  test("streaming ingest drains files exactly-once; store answers " +
+      "match an all-at-once append over everything ingested") {
+    val root = Files.createTempDirectory("graft_sigstream").toString
+    val dir = s"$root/store"
+    val in = s"$root/in"
+    val seed = (1 to 20).map(i => (i.toLong, doc(i))).toDF("id", "text")
+    SignatureStore.create(spark, dir, seed, "id", "text")
+    // two pending files, drained one per micro-batch: a planted copy
+    // of doc 5 and an unrelated doc per file
+    Seq((105L, doc(5)), (108L, doc(108))).toDF("id", "text")
+      .coalesce(1).write.parquet(s"$in/f1")
+    Seq((207L, mutated(7)), (209L, doc(209))).toDF("id", "text")
+      .coalesce(1).write.parquet(s"$in/f2")
+    val schema = seed.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+    SignatureStore.ingestStream(spark, dir, stream, "id", "text",
+      s"$root/ckpt")
+    // stream-tagged batch dirs landed, one per micro-batch
+    val tags = new java.io.File(s"$dir/sigs").listFiles()
+      .map(_.getName).filter(_.startsWith("b=stream-")).toSeq.sorted
+    assert(tags.size === 2, s"expected 2 stream batches, got $tags")
+    // and the store's answers equal a plain-append twin over the same
+    // rows (the streamed path adds no rows and loses none)
+    val twin = Files.createTempDirectory("graft_sigtwin").toString
+    SignatureStore.create(spark, twin, seed, "id", "text")
+    SignatureStore.append(spark, twin,
+      Seq((105L, doc(5)), (108L, doc(108)), (207L, mutated(7)),
+        (209L, doc(209))).toDF("id", "text"), "id", "text", "all")
+    val probe = Seq((905L, doc(5)), (907L, mutated(7)))
+      .toDF("id", "text")
+    def run(d: String): Set[(Long, Long)] =
+      SignatureStore.nearDups(spark, d, probe, "id", "text",
+          minAgreement = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(dir) === run(twin))
+    // a RE-RUN of the drained stream (same checkpoint) is a no-op:
+    // no new batch dirs, identical answers — exactly-once
+    val stream2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+    SignatureStore.ingestStream(spark, dir, stream2, "id", "text",
+      s"$root/ckpt")
+    val tags2 = new java.io.File(s"$dir/sigs").listFiles()
+      .map(_.getName).filter(_.startsWith("b=stream-")).toSeq.sorted
+    assert(tags2 === tags)
+    assert(run(dir) === run(twin))
+  }
+
   test("band scan is partition-pruned to the batch's buckets") {
     val dir = Files.createTempDirectory("graft_sigstore3").toString
     val seed = (1 to 20).map(i => (i.toLong, doc(i))).toDF("id", "text")
