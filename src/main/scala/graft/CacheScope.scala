@@ -48,6 +48,22 @@ final class CacheScope private[graft] (releaseOnExit: Boolean) {
     p
   }
 
+  /** [[cache]] + immediate materialization. Use when the cached frame
+    * feeds MULTIPLE subtrees of one action that execute concurrently —
+    * above all broadcast exchanges: Spark builds each broadcast side on
+    * its own thread, and two broadcast jobs hitting a not-yet-
+    * materialized InMemoryRelation each recompute its WHOLE lineage
+    * (measured on bm25TopK at sf0.1: the tokenize+agg ran 4× — once
+    * per broadcast build, once per main job — 83 s of executor time
+    * for a 12 s pass). The count() here pays one pass that the first
+    * consumer would have paid anyway; every concurrent consumer then
+    * reads the materialized cache. */
+  private[graft] def cacheEager(df: DataFrame): DataFrame = {
+    val p = cache(df)
+    p.count()
+    p
+  }
+
   private[graft] def registered: Seq[DataFrame] = synchronized(frames.toSeq)
 
   /** Unpersist every tracked frame (non-blocking) and forget them. */

@@ -175,6 +175,35 @@ object Tables {
       case other => load(s, d, other)
     }
 
+  /** Spread a low-parallelism frame across the cluster before a
+    * CPU-heavy per-row kernel (MinHash/md5/regex/tokenize passes).
+    *
+    * The testdata tables are single parquet files with one row group,
+    * so every scan plans to ONE task regardless of
+    * `spark.sql.files.maxPartitionBytes` — and a per-row kernel
+    * downstream of such a scan runs single-threaded (measured: each
+    * SignatureStore batch signing was a 1-task ~1 s job at sf0.1,
+    * cores idle). At production scale the input has >= cores splits
+    * and this is a NO-OP — the guard keeps it from ever adding an
+    * exchange to a well-partitioned input (guide §2.5 "input skew:
+    * repartition immediately after the read").
+    *
+    * Hash-partitioning on `key` keeps row placement deterministic
+    * under task retries (never round-robin on top of nondeterministic
+    * input, SPARK-38388); callers pass the row's id/key column.
+    *
+    * The parallelism probe is `inputFiles` (driver-side listing, no
+    * job) rather than `rdd.getNumPartitions` — materializing the RDD
+    * of an AQE plan with upstream exchanges would EXECUTE those
+    * stages at plan-construction time. One file can still hold many
+    * row groups at production sizes; the heuristic only needs to
+    * catch the few-small-files regime, where it is exact. */
+  def fanout(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (math.max(df.inputFiles.length, 1) < p) df.repartition(p, key)
+    else df
+  }
+
   /** Exact (order-independent) sum of a double expression, surfaced as double. */
   def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(18, 4))).cast("double")

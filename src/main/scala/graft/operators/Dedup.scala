@@ -209,10 +209,17 @@ object Dedup {
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 5000)(
       implicit scope: graft.CacheScope): DataFrame = {
-    // signatures via the native expression: one tight loop per row
-    val prepared = scope.cache(df.select(col(idCol),
-      graft.expressions.MinHash.minhashSig(col(textCol), k, numHashes)
-        .as("sig")))
+    // signatures via the native expression: one tight loop per row.
+    // fanout: the signature pass is the per-row hot kernel and a
+    // few-files corpus otherwise plans it into one scan task;
+    // cacheEager: prepared feeds the band explode AND both join sides
+    // (a/b) — when a side is broadcast, its build thread would
+    // recompute the whole signature pass against an unmaterialized
+    // cache (the bm25 tf lesson, same disease).
+    val prepared = scope.cacheEager(
+      graft.Tables.fanout(df, col(idCol)).select(col(idCol),
+        graft.expressions.MinHash.minhashSig(col(textCol), k, numHashes)
+          .as("sig")))
     val cands = lshCandidatePairs(
       lshBands(prepared, idCol, "sig", bands), idCol, maxBucket)
     val a = prepared.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
@@ -293,10 +300,11 @@ object Dedup {
     // payload-shaped cache crowded execution memory out during the DF
     // aggregation. Exact shingle sets are recomputed from raw text for
     // the (few) verified candidates only, the minhashDupPairs pattern.
-    val sh = scope.cache(df.select(col(idCol),
-      array_distinct(transform(
-        array_distinct(TextAnalysis.shingles(col(textCol), k)),
-        s => shingleHash(s))).as("shh")))
+    val sh = scope.cacheEager(
+      graft.Tables.fanout(df, col(idCol)).select(col(idCol),
+        array_distinct(transform(
+          array_distinct(TextAnalysis.shingles(col(textCol), k)),
+          s => shingleHash(s))).as("shh")))
     val (index, probes, guarded) =
       if (maxPostings == Int.MaxValue) {
         // uncapped opt-out: no DF pass, array-level bottom-k probes

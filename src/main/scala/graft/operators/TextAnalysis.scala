@@ -440,7 +440,13 @@ object TextAnalysis {
     require(k > 0, s"bm25TopK: k must be positive, got $k")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
-    val tf = scope.cache(docs
+    // cacheEager: tf feeds the `global` and `qtKept` BROADCAST builds
+    // plus the main scoring job — concurrent broadcast threads over an
+    // uncached tf each re-ran the tokenize+agg (4× at sf0.1, measured
+    // 83 s -> ~30 s of executor time with the eager materialize).
+    // fanout: tokenize is the per-row hot kernel; a few-files corpus
+    // otherwise plans it into 1-3 scan tasks.
+    val tf = scope.cacheEager(graft.Tables.fanout(docs, col(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .where(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))

@@ -230,7 +230,11 @@ object IndexStore {
     // is fixed before the write starts)
     spark.read.parquet(s"$dir/postings")
       .select(col("term"), col("id"), col("tf"), col("dl"), col("bkt"))
-      .repartition(col("bkt"))
+      // explicit count: without it AQE coalesces the small shuffle to
+      // one partition and a single task writes every bucket dir
+      // sequentially (parquet-writer init per dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("bkt"))
       .write.mode("overwrite").partitionBy("bkt")
       .parquet(s"$dir/postings_compacting/b=$intoTag")
     spark.read.parquet(s"$dir/stats")
@@ -289,7 +293,9 @@ object IndexStore {
       tf.join(dl, Seq("id"))
         .withColumn("bkt", pmod(xxhash64(col("term")),
           lit(nBuckets.toLong)))
-        .repartition(col("bkt"))
+        // explicit count — see compact(): pins parallel bucket writers
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("bkt"))
         .write.mode("overwrite").partitionBy("bkt")
         .parquet(s"$dir/postings/b=$tag")
       // n_docs counts EVERY batch doc (token-free docs too — they are

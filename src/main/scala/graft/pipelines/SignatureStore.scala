@@ -265,7 +265,13 @@ object SignatureStore {
     spark.read.option("basePath", s"$dir/bands")
       .parquet(candidates.map(b => s"$dir/bands/b=$b"): _*)
       .drop("b")
-      .repartition(col("bkt"))
+      // explicit count: an unnumbered keyed repartition lets AQE
+      // coalesce this tiny shuffle to ONE partition, and that single
+      // task then writes every bucket dir sequentially (~1.2 s of
+      // parquet-writer inits per batch, measured at sf0.1). The count
+      // pins parallel writers; still one file per (bucket, batch).
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("bkt"))
       .write.mode("overwrite").partitionBy("bkt")
       .parquet(s"$dir/bands/b=$tag")
     // manifest via temp + atomic rename = the commit point; a FALSE
@@ -358,11 +364,18 @@ object SignatureStore {
     (tags, retired)
   }
 
+  /** MinHash signing is the store's per-row hot kernel (k-shingle +
+    * numHashes mins per doc); [[Tables.fanout]] spreads a
+    * few-input-files batch across the cluster first — measured at
+    * sf0.1, each batch signing was otherwise a single ~1 s 1-task job
+    * (the whole write serialized on one core). No-op at production
+    * batch sizes. */
   private def signed(df: DataFrame, idCol: String, textCol: String,
       conf: Conf): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
-      graft.expressions.MinHash.minhashSig(col(textCol), conf.k,
-        conf.numHashes).as("sig"))
+    graft.Tables.fanout(df, col(idCol))
+      .select(col(idCol).cast("long").as("id"),
+        graft.expressions.MinHash.minhashSig(col(textCol), conf.k,
+          conf.numHashes).as("sig"))
 
   private def bucketed(bandsDf: DataFrame, nBuckets: Int): DataFrame =
     bandsDf.withColumn("bkt", pmod(col("band_hash"), lit(nBuckets.toLong)))
@@ -372,18 +385,27 @@ object SignatureStore {
   private def writeBatch(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String, conf: Conf,
       tag: String): Unit = {
+    val sc = spark.sparkContext
     val sigs = signed(batch, idCol, textCol, conf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // both writes are actions inside this function, so the cache can be
     // released before returning — no cross-call accumulation
     try {
+      sc.setJobDescription(s"sigstore write sigs b=$tag")
       sigs.write.mode("overwrite").parquet(s"$dir/sigs/b=$tag")
+      sc.setJobDescription(s"sigstore write bands b=$tag")
       bucketed(Dedup.lshBands(sigs, "id", "sig", conf.bands),
           conf.nBuckets)
-        .repartition(col("bkt"))
+        // explicit count — see compact(): AQE would coalesce to one
+        // sequential 64-dir writer task otherwise
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("bkt"))
         .write.mode("overwrite").partitionBy("bkt")
         .parquet(s"$dir/bands/b=$tag")
-    } finally sigs.unpersist(blocking = false)
+    } finally {
+      sc.setJobDescription(null)
+      sigs.unpersist(blocking = false)
+    }
   }
 
   private def loadConf(spark: SparkSession, dir: String): Conf = {

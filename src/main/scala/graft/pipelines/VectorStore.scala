@@ -361,7 +361,13 @@ object VectorStore {
           col("codes"), col("cell"))
         .select(col("id"), col("__qz.q").as("q"),
           col("__qz.scale").as("scale"), col("codes"), col("cell"))
-    out.repartition(col("cell"))
+    // explicit count: an unnumbered keyed repartition lets AQE
+    // coalesce the batch to ONE partition, making a single task write
+    // every cell dir sequentially; the count pins parallel writers
+    // while keeping one file per (cell, batch)
+    out.repartition(
+        out.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cell"))
       .write.mode("overwrite")
       .partitionBy("cell").parquet(s"$dir/vectors/b=$batchTag")
   }
@@ -423,7 +429,9 @@ object VectorStore {
     spark.read.option("basePath", s"$dir/vectors")
       .parquet(candidates.map(b => s"$dir/vectors/b=$b"): _*)
       .drop("b")
-      .repartition(col("cell"))
+      // explicit count — see writeVectors(): pins parallel cell writers
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/vectors/b=$tag")
     // manifest via temp + atomic rename = the commit point; a FALSE

@@ -211,11 +211,19 @@ object ValidateQueries {
   private def driftSource(s: SparkSession, d: String): DataFrame = {
     val k = concat_ws("-", col("l_orderkey"), col("l_linenumber"),
       col("l_partkey"), col("l_suppkey"))
-    Tables.lineitem(s, d).select(k.as("k"),
-      (Tables.dec2(col("l_quantity")) * 100).cast("long").as("qty"),
-      (Tables.dec2(col("l_extendedprice")) * 100).cast("long")
-        .as("price"),
-      (Tables.dec4(col("l_discount")) * 10000).cast("long").as("disc"))
+    // fanout + cache: every dq consumer filters this frame by per-row
+    // md5 draws — on the single-file testdata the scan is ONE task, so
+    // without the spread each of dq2's five downstream jobs re-ran the
+    // scan + md5 single-threaded (~1 s each, measured); cached through
+    // the bench's per-gate CacheScope bracket so the row build runs
+    // once and the md5 filters run 32-way off the cache.
+    graft.CacheScope.session.cache(Tables.fanout(
+      Tables.lineitem(s, d).select(k.as("k"),
+        (Tables.dec2(col("l_quantity")) * 100).cast("long").as("qty"),
+        (Tables.dec2(col("l_extendedprice")) * 100).cast("long")
+          .as("price"),
+        (Tables.dec4(col("l_discount")) * 10000).cast("long").as("disc")),
+      col("k")))
   }
 
   /** The corrupted "current" batch (the md5-upper half): ~10% of
