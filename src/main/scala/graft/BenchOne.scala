@@ -58,14 +58,20 @@ object BenchOne {
     val sfDir = args(0); val names = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B seams for config experiments (comma-separated k=v pairs)
+    val b1 = sys.env.get("SPARK_GRAFT_CONF").map(_.split(',').toSeq)
+      .getOrElse(Nil).filter(_.contains('='))
+      .foldLeft(b0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
+    val spark = b1.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val warmDir = {
       val w = "/root/testdata/sf0.001"

@@ -123,13 +123,22 @@ object Dedup {
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
       bands: Int): DataFrame = {
     val n = bands
-    df.select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(n - 1)), b =>
-          xxhash64(concat_ws("_", b,
-            concat_ws(",", slice(col(sigCol),
-              b * (size(col(sigCol)) / n) + 1,
-              size(col(sigCol)) / n))))))
-      ).withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    // Band count is a plan-time constant, so the band array is built by
+    // STATIC expansion — n codegen'd xxhash64(concat_ws(slice)) elements
+    // — instead of a transform() lambda over sequence(): HOF lambdas
+    // evaluate interpreted (never codegen, never subexpression-
+    // eliminated; the spanCorrupt lesson), measured ~8-10 s of executor
+    // time per sigstore batch at sf0.1 for this one projection. Same
+    // hash-input strings element for element, so band values (and thus
+    // candidate sets) are bit-identical.
+    val bandArr = array((0 until n).map { b =>
+      xxhash64(concat_ws("_", lit(b),
+        concat_ws(",", slice(col(sigCol),
+          lit(b) * (size(col(sigCol)) / n) + 1,
+          size(col(sigCol)) / n))))
+    }: _*)
+    df.select(col(idCol), posexplode(bandArr))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
   }
 
   /** Candidate pairs from banding (a < b, distinct). Within-bucket

@@ -118,7 +118,11 @@ object WebGraph {
     * graph, not the link instances. */
   def domainEdges(docs: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
     val src = UrlOps.registeredDomain(UrlOps.hostOf(col(urlCol)))
-    docs
+    // fanout: href extraction is per-row regex work and the page frame
+    // of a few-files corpus otherwise plans into ONE scan task — every
+    // graph gate pays it once per phase (cold + delta), measured as
+    // the ~0.5 s single-task probe jobs in the wg family at sf0.1
+    graft.Tables.fanout(docs, col(urlCol))
       .select(src.as("src"), explode(extractHrefs(col(htmlCol))).as("href"))
       .select(col("src"),
         UrlOps.registeredDomain(UrlOps.hostOf(col("href"))).as("dst"))

@@ -60,8 +60,11 @@ object CorpusPipeline {
     // the input count rides the SAME job as the kept count via an
     // Observation metric on the pre-filter scan — no separate n0 pass
     val obs = org.apache.spark.sql.Observation()
-    val annotated = annotate(docs.observe(obs, count(lit(1)).as("n0")),
-      textCol)
+    // fanout before the regex-heavy annotation: a few-files corpus
+    // otherwise plans the whole annotate pass into ONE scan task
+    // (measured: a 1-task ~1 s job with 31 cores idle at sf0.1)
+    val annotated = annotate(graft.Tables.fanout(docs, col(idCol))
+      .observe(obs, count(lit(1)).as("n0")), textCol)
     // persist the filtered, annotated corpus: the regex-heavy annotation
     // runs ONCE, and every later stage (dedup winner agg, dedup probe,
     // MinHash, final anti-join) reads the cache instead of re-scanning
@@ -165,7 +168,10 @@ object CorpusPipeline {
       implicit scope: graft.CacheScope): (DataFrame, Map[String, Long]) = {
     val obs0 = org.apache.spark.sql.Observation()
     val obs1 = org.apache.spark.sql.Observation()
-    val c4 = docs.observe(obs0, count(lit(1)).as("n0"))
+    // fanout: the c4 line-clean + gopher report are per-row regex/HOF
+    // kernels; see clean() — single-file corpora serialize them
+    val c4 = graft.Tables.fanout(docs, col(idCol))
+      .observe(obs0, count(lit(1)).as("n0"))
       .withColumn("__c",
         Curation.c4LineClean(col(textCol), minLineWords, minLines))
     // CACHE the c4 projection before the gopher filter: gopherReport is

@@ -336,8 +336,14 @@ object GraphQueries {
       import graft.pipelines.SignatureStore
       import graft.operators.Dedup
       val docs = Tables.documents(s, d)
-      val day0 = docs.filter(col("doc_id") % 3 =!= 2)
-        .select(col("doc_id"), col("text"))
+      // day0 and the deduped batch are each consumed by SEVERAL phases
+      // below (store create + nearDups text joins + page synthesis +
+      // the delta graph); uncached, every phase replayed the whole
+      // md5-dedup chain — gate-scoped caches run each once (the
+      // production posture too: a crawl day fits the cluster cache)
+      val day0 = graft.CacheScope.session.cache(
+        docs.filter(col("doc_id") % 3 =!= 2)
+          .select(col("doc_id"), col("text")))
       val batch = docs.filter(col("doc_id") % 3 === 2)
           .select((col("doc_id") + 90000L).as("doc_id"), col("text"))
         .unionByName(docs.filter(col("doc_id") % 12 === 0)
@@ -348,13 +354,13 @@ object GraphQueries {
       // (1) exact dedup: the CorpusStore ingest rule at gate scale
       val h0 = day0.select(md5(coalesce(col("text"), lit("")))
         .as("__h")).distinct()
-      val bh = batch.withColumn("__h",
+      val bh = Tables.fanout(batch, col("doc_id")).withColumn("__h",
         md5(coalesce(col("text"), lit(""))))
       val bNew = bh.join(h0, Seq("__h"), "left_anti")
-      val b2 = bNew.join(
+      val b2 = graft.CacheScope.session.cacheEager(bNew.join(
           bNew.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id")),
           Seq("__h", "doc_id"))
-        .drop("__h")
+        .drop("__h"))
       // (2) near-dup against the persisted store, exact-verified
       val dir = GateTmp.dir("graft_c5_store", d)
       SignatureStore.create(s, dir, day0, "doc_id", "text")
@@ -366,7 +372,11 @@ object GraphQueries {
           col("text").as("text_b")), Seq("batch_id"))
         .filter(Dedup.jaccard(col("text_s"), col("text_b"), 3) >= 0.7)
         .select(col("batch_id").as("doc_id")).distinct()
-      val surv = b2.join(nd, Seq("doc_id"), "left_anti")
+      // surv feeds the union graph, the survivor-domain projection AND
+      // the final join — cacheEager or the near-dup verify above would
+      // replay once per consumer
+      val surv = graft.CacheScope.session.cacheEager(
+        b2.join(nd, Seq("doc_id"), "left_anti"))
       // (3) graph delta + resumed PageRank on the union
       val e1 = WebGraph.domainEdges(
         synthPagesFrom(day0.select(col("doc_id"))), "url", "html")
