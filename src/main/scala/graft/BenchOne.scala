@@ -64,6 +64,12 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      // the stores' bucket-partitioned dirs cross the 32-path default,
+      // and each distributed-listing JOB costs ~140 ms against a local
+      // FS the driver lists in microseconds; keep distributed listing
+      // for genuinely wide object-store tables (the production case)
+      // by raising, not disabling, the threshold
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       .config("spark.ui.enabled", "false")
     // A/B seams for config experiments (comma-separated k=v pairs)
     val b1 = sys.env.get("SPARK_GRAFT_CONF").map(_.split(',').toSeq)

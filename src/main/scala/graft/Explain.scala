@@ -18,6 +18,12 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      // the stores' bucket-partitioned dirs cross the 32-path default,
+      // and each distributed-listing JOB costs ~140 ms against a local
+      // FS the driver lists in microseconds; keep distributed listing
+      // for genuinely wide object-store tables (the production case)
+      // by raising, not disabling, the threshold
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>

@@ -178,8 +178,15 @@ object DataGen {
     * never shuffles; at 1000 executors this is embarrassingly parallel.
     */
   def factSales(spark: SparkSession, n: Long, dateId: Int,
-      productsDf: DataFrame, storesDf: DataFrame, distributorsDf: DataFrame,
+      productsDf0: DataFrame, storesDf0: DataFrame,
+      distributorsDf0: DataFrame,
       seed: Long = 45, startKey: Long = 0): DataFrame = {
+    // each dim feeds a count, an assignSequential pass and a broadcast
+    // build — cache them once (tiny control-plane frames) instead of
+    // re-running the md5 generators per consumer (~7 extra jobs/call)
+    val productsDf = graft.CacheScope.session.cache(productsDf0)
+    val storesDf = graft.CacheScope.session.cache(storesDf0)
+    val distributorsDf = graft.CacheScope.session.cache(distributorsDf0)
     val nStores = storesDf.count()
     val nProducts = productsDf.count()
     val nDists = distributorsDf.count()

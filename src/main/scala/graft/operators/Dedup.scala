@@ -233,8 +233,13 @@ object Dedup {
       lshBands(prepared, idCol, "sig", bands), idCol, maxBucket)
     val a = prepared.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = prepared.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
-    val est = size(filter(zip_with(col("sig_a"), col("sig_b"),
-      (x, y) => x === y), p => p)).cast("double") / numHashes
+    // static expansion over the plan-time hash count (codegen) instead
+    // of an interpreted zip_with/filter HOF chain per CANDIDATE pair —
+    // same integer match count, same double, bit for bit
+    val est = (0 until numHashes).map { i =>
+      when(element_at(col("sig_a"), i + 1) ===
+        element_at(col("sig_b"), i + 1), 1).otherwise(0)
+    }.reduce(_ + _).cast("double") / numHashes
     // exact shingle sets only for the (few) surviving candidates
     val ta = df.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
     val tb = df.select(col(idCol).as("id_b"), col(textCol).as("text_b"))

@@ -185,12 +185,15 @@ object Similarity {
       s"randomProject: bad dims ($inDim -> $outDim)")
     val inv = 1.0 / math.sqrt(outDim.toDouble)
     graft.operators.TextAnalysis.bindOnce(vec) { v =>
-      // malformed-vector guard: zip_with pads a short/long vector with
-      // nulls, and a NULL ELEMENT inside a correct-length vector
-      // propagates the same way — either would LEAK as per-component
-      // nulls deep into downstream cosines. A whole-row null is the
-      // countable malformed-data signal instead (the codecs' None
-      // posture).
+      // malformed-vector guard: a short/long vector or a NULL ELEMENT
+      // inside a correct-length vector would otherwise LEAK as
+      // per-component nulls deep into downstream cosines. A whole-row
+      // null is the countable malformed-data signal instead (the
+      // codecs' None posture).
+      // NOTE (r15): static expansion of these folds (outDim × inDim
+      // element_at terms) was tried and measured ~4-5× SLOWER — same
+      // codegen-budget fallback as the pqCodes attempt; the HOF
+      // aggregate's tight ArrayData loop wins at this term count.
       when(size(v) === inDim && !exists(v, x => x.isNull),
         array((0 until outDim).map { j =>
           val signs = array((0 until inDim)
@@ -589,6 +592,15 @@ object Similarity {
     * every subspace — the argmin comparison is null so the init value
     * survives). [[pqTopK]] and [[pqTrain]] filter nulls before calling. */
   def pqCodes(vec: Column, mdl: PqModel): Column = {
+    // NOTE (r15 optimization round): a statically expanded argmin
+    // (m × ksub codegen'd distance sums + array_min/array_position)
+    // was tried here and MEASURED 3-9× SLOWER at gate scale (ann5
+    // 5.2 → 45 s, ann4 2.5 → 14 s): the expanded projection blows the
+    // whole-stage-codegen method budget, falls back to interpreted
+    // eval, and an interpreted tree with the distances duplicated
+    // (min + position) loses badly to the HOF aggregate's tight
+    // ArrayData loop. The lshBands static-expansion win does NOT
+    // transfer at this operator's term count — keep the HOF form.
     val cb = typedLit(mdl.flat)
     transform(sequence(lit(0), lit(mdl.m - 1)), j =>
       aggregate(sequence(lit(0), lit(mdl.ksub - 1)),

@@ -168,10 +168,7 @@ object CorpusPipeline {
       implicit scope: graft.CacheScope): (DataFrame, Map[String, Long]) = {
     val obs0 = org.apache.spark.sql.Observation()
     val obs1 = org.apache.spark.sql.Observation()
-    // fanout: the c4 line-clean + gopher report are per-row regex/HOF
-    // kernels; see clean() — single-file corpora serialize them
-    val c4 = graft.Tables.fanout(docs, col(idCol))
-      .observe(obs0, count(lit(1)).as("n0"))
+    val c4 = docs.observe(obs0, count(lit(1)).as("n0"))
       .withColumn("__c",
         Curation.c4LineClean(col(textCol), minLineWords, minLines))
     // CACHE the c4 projection before the gopher filter: gopherReport is

@@ -117,7 +117,10 @@ object IndexStore {
       .select(pmod(xxhash64(col("term")), lit(conf.nBuckets.toLong))
         .as("bkt")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val posts = scope.cache(spark.read.parquet(s"$dir/postings")
+    // cacheEager: posts feeds the df aggregate AND the scoring join
+    // subtrees of one action — an unmaterialized cache would be
+    // recomputed per consumer (the bm25TopK tf lesson)
+    val posts = scope.cacheEager(spark.read.parquet(s"$dir/postings")
       .filter(col("bkt").isin(buckets: _*))
       .join(broadcast(qt.select(col("term")).distinct()), Seq("term")))
     // one posting row per (term, id) per batch and batch ids are
@@ -282,7 +285,9 @@ object IndexStore {
   private def writeBatch(spark: SparkSession, dir: String,
       batch: DataFrame, idCol: String, textCol: String, nBuckets: Int,
       tag: String): Unit = {
-    val tf = batch
+    // fanout: the tokenize+explode is the ingest's per-row hot kernel
+    // and a few-files batch otherwise plans it into one scan task
+    val tf = graft.Tables.fanout(batch, col(idCol))
       .select(col(idCol).cast("long").as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .where(col("term") =!= "")

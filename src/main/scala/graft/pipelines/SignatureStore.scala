@@ -169,8 +169,13 @@ object SignatureStore {
       .select(col("store_id"), col("batch_id")).distinct()
     val ssigs = readVisible(spark, dir, "sigs")
       .select(col("id").as("store_id"), col("sig").as("sig_s"))
-    val agree = size(filter(zip_with(col("sig_s"), col("sig_b"),
-      (x, y) => x === y), p => p)).cast("double") / conf.numHashes
+    // static expansion over the stored hash count (codegen) instead of
+    // an interpreted zip_with/filter HOF per candidate pair — same
+    // integer match count, bit-identical agreement
+    val agree = (0 until conf.numHashes).map { i =>
+      when(element_at(col("sig_s"), i + 1) ===
+        element_at(col("sig_b"), i + 1), 1).otherwise(0)
+    }.reduce(_ + _).cast("double") / conf.numHashes
     val out = cands.join(ssigs, Seq("store_id"))
       .join(bsigs.select(col("id").as("batch_id"),
         col("sig").as("sig_b")), Seq("batch_id"))
