@@ -591,16 +591,22 @@ object Similarity {
     * Contract: `vec` must be non-null (a null vector yields code -1 in
     * every subspace — the argmin comparison is null so the init value
     * survives). [[pqTopK]] and [[pqTrain]] filter nulls before calling. */
-  def pqCodes(vec: Column, mdl: PqModel): Column = {
-    // NOTE (r15 optimization round): a statically expanded argmin
-    // (m × ksub codegen'd distance sums + array_min/array_position)
-    // was tried here and MEASURED 3-9× SLOWER at gate scale (ann5
-    // 5.2 → 45 s, ann4 2.5 → 14 s): the expanded projection blows the
-    // whole-stage-codegen method budget, falls back to interpreted
-    // eval, and an interpreted tree with the distances duplicated
-    // (min + position) loses badly to the HOF aggregate's tight
-    // ArrayData loop. The lshBands static-expansion win does NOT
-    // transfer at this operator's term count — keep the HOF form.
+  def pqCodes(vec: Column, mdl: PqModel): Column =
+    // r16: the fused native expression r15's notes called for — one
+    // tight JVM loop per row over the codebook matrix. The r15 record
+    // stands: a STATIC expansion (m × ksub codegen'd distance sums +
+    // array_min/array_position) measured 3-9× SLOWER (codegen
+    // method-budget fallback on a duplicated tree), and the HOF tower
+    // below ([[pqCodesComposed]], kept as the executable spec) walks
+    // an interpreted expression tree per (subspace × centroid × dim)
+    // term. Bit-identity native ≡ composed is pinned in PqCodesSpec.
+    graft.expressions.PqCodesExpr(vec, mdl.m, mdl.ksub, mdl.dsub,
+      mdl.flat)
+
+  /** The composed-HOF reference formulation of [[pqCodes]] — kept as
+    * the executable spec the fused expression is pinned against
+    * bit-for-bit (PqCodesSpec), the HashEmbed/Cosine pattern. */
+  private[graft] def pqCodesComposed(vec: Column, mdl: PqModel): Column = {
     val cb = typedLit(mdl.flat)
     transform(sequence(lit(0), lit(mdl.m - 1)), j =>
       aggregate(sequence(lit(0), lit(mdl.ksub - 1)),

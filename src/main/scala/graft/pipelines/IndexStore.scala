@@ -58,6 +58,8 @@ object IndexStore {
     import spark.implicits._
     Seq(nBuckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/conf")
+    // seed the metadata memo with the conf just written
+    StoreMeta.put(spark, s"$dir/conf", "conf", Conf(nBuckets))
     writeBatch(spark, dir, seed, idCol, textCol, nBuckets, "seed")
   }
 
@@ -313,6 +315,11 @@ object IndexStore {
     } finally tf.unpersist(blocking = false)
   }
 
+  /** Conf decode behind the [[StoreMeta]] fingerprint memo — see
+    * [[SignatureStore.loadConf]]: one driver FS stat instead of a full
+    * plan + one-task job per protocol step. */
   private def loadConf(spark: SparkSession, dir: String): Conf =
-    Conf(spark.read.parquet(s"$dir/conf").collect()(0).getInt(0))
+    StoreMeta.load(spark, s"$dir/conf", "conf") {
+      Conf(spark.read.parquet(s"$dir/conf").collect()(0).getInt(0))
+    }
 }

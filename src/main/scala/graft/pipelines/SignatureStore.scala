@@ -58,6 +58,10 @@ object SignatureStore {
     Seq((k, numHashes, bands, nBuckets))
       .toDF("k", "num_hashes", "bands", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/conf")
+    // seed the metadata memo with the conf just written (identical to
+    // what a read-back decodes — ints round-trip parquet exactly)
+    StoreMeta.put(spark, s"$dir/conf", "conf",
+      Conf(k, numHashes, bands, nBuckets))
     writeBatch(spark, dir, seed, idCol, textCol, loadConf(spark, dir),
       "seed")
   }
@@ -413,8 +417,12 @@ object SignatureStore {
     }
   }
 
-  private def loadConf(spark: SparkSession, dir: String): Conf = {
-    val r = spark.read.parquet(s"$dir/conf").collect()(0)
-    Conf(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
-  }
+  /** Conf decode behind the [[StoreMeta]] fingerprint memo: the store
+    * protocol re-reads conf at every create/append/query step, and each
+    * uncached read is a full plan + one-task job of driver latency. */
+  private def loadConf(spark: SparkSession, dir: String): Conf =
+    StoreMeta.load(spark, s"$dir/conf", "conf") {
+      val r = spark.read.parquet(s"$dir/conf").collect()(0)
+      Conf(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    }
 }

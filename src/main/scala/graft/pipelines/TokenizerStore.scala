@@ -110,8 +110,10 @@ object TokenizerStore {
     require(fs.exists(p),
       s"TokenizerStore: $dir has no format marker — not a committed " +
         "tokenizer store (a crashed save leaves model/ without format/)")
-    spark.read.parquet(s"$dir/format")
-      .select(col("family")).collect().head.getString(0)
+    StoreMeta.load(spark, s"$dir/format", "family") {
+      spark.read.parquet(s"$dir/format")
+        .select(col("family")).collect().head.getString(0)
+    }
   }
 
   /** The stored model frame, schema per family (see layout). */
@@ -129,6 +131,40 @@ object TokenizerStore {
   private def mergesOf(model: DataFrame): Seq[(String, String)] =
     model.orderBy(col("iter")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  // ---- memoized model decodes ([[StoreMeta]]): the stored tables are
+  // model-sized (≤ ~1 MB) but every encode/decode/TVF call re-collected
+  // them through a fresh plan + job — pure driver latency on the
+  // tokenizer-store gates. Keyed by the model dir's content
+  // fingerprint, so a re-save invalidates automatically.
+
+  private def mergesSeq(spark: SparkSession,
+      dir: String): Seq[(String, String)] =
+    StoreMeta.load(spark, s"$dir/model", "merges") {
+      mergesOf(modelFrame(spark, dir))
+    }
+
+  private def unigramPieces(spark: SparkSession,
+      dir: String): IndexedSeq[(String, Long)] =
+    StoreMeta.load(spark, s"$dir/model", "unigram") {
+      modelFrame(spark, dir).orderBy(col("piece"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .toIndexedSeq
+    }
+
+  private def wordpiecePieces(spark: SparkSession,
+      dir: String): IndexedSeq[String] =
+    StoreMeta.load(spark, s"$dir/model", "wordpiece") {
+      modelFrame(spark, dir).orderBy(col("piece"))
+        .collect().map(_.getString(0)).toIndexedSeq
+    }
+
+  private def alphabetSeq(spark: SparkSession,
+      dir: String): IndexedSeq[String] =
+    StoreMeta.load(spark, s"$dir/alphabet", "alphabet") {
+      spark.read.parquet(s"$dir/alphabet")
+        .collect().map(_.getString(0)).toIndexedSeq
+    }
 
   /** Encode a corpus through the STORED model — dispatches on the
     * recorded family, so the caller needs no tokenizer-specific code
@@ -149,37 +185,33 @@ object TokenizerStore {
           spark.sparkContext.hadoopConfiguration)
         if (fs.exists(alphaPath))
           TextAnalysis.bpeEncodeCorpusFrozen(docs, idCol, textCol,
-            mergesOf(modelFrame(spark, dir)),
-            spark.read.parquet(s"$dir/alphabet")
-              .collect().map(_.getString(0)).toIndexedSeq)
+            mergesSeq(spark, dir), alphabetSeq(spark, dir))
         else
           TextAnalysis.bpeEncodeCorpus(docs, idCol, textCol,
-            mergesOf(modelFrame(spark, dir)))
+            mergesSeq(spark, dir))
       case "bpe-byte" =>
-        ByteBpe.encodeCorpus(docs, idCol, textCol,
-          mergesOf(modelFrame(spark, dir)))
+        ByteBpe.encodeCorpus(docs, idCol, textCol, mergesSeq(spark, dir))
       case "bpe-byte-sp" =>
         // the GPT-2-faithful space-carrying convention: whitespace
         // rides inside the tokens, so this family's decodeCorpus is
         // EXACTLY lossless at the corpus level
         ByteBpe.encodeCorpusSp(docs, idCol, textCol,
-          mergesOf(modelFrame(spark, dir)))
+          mergesSeq(spark, dir))
       case "unigram" =>
         Unigram.encodeCorpus(docs, idCol, textCol,
-          modelFrame(spark, dir).orderBy(col("piece"))
-            .collect().map(r => (r.getString(0), r.getLong(1)))
-            .toIndexedSeq)
+          unigramPieces(spark, dir))
       case "wordpiece" =>
         WordPiece.encodeCorpus(docs, idCol, textCol,
-          modelFrame(spark, dir).orderBy(col("piece"))
-            .collect().map(_.getString(0)).toIndexedSeq)
+          wordpiecePieces(spark, dir))
     }
 
   /** The ordered merge list of a stored BPE-family model — bounded
     * (model-sized) collect. */
   def loadMerges(spark: SparkSession, dir: String)
-      : Seq[(String, String)] =
-    mergesOf(loadModel(spark, dir))
+      : Seq[(String, String)] = {
+    family(spark, dir) // the loud not-a-store check
+    mergesSeq(spark, dir)
+  }
 
   /** Decode per-doc token ids through the STORED model — the inverse
     * leg of [[encodeCorpus]], family-dispatched so the caller cannot
@@ -213,20 +245,13 @@ object TokenizerStore {
             "time and are not a function of the model; re-save the " +
             "store with an alphabet to make ids (and decode) stable")
         TextAnalysis.bpeDecodeCorpusFrozen(perDoc, idsCol,
-          mergesOf(modelFrame(spark, dir)),
-          spark.read.parquet(s"$dir/alphabet")
-            .collect().map(_.getString(0)).toIndexedSeq)
+          mergesSeq(spark, dir), alphabetSeq(spark, dir))
       case "bpe-byte" | "bpe-byte-sp" =>
-        ByteBpe.decodeCorpus(perDoc, idsCol,
-          mergesOf(modelFrame(spark, dir)))
+        ByteBpe.decodeCorpus(perDoc, idsCol, mergesSeq(spark, dir))
       case "unigram" =>
-        Unigram.decodeCorpus(perDoc, idsCol,
-          modelFrame(spark, dir).orderBy(col("piece"))
-            .collect().map(r => (r.getString(0), r.getLong(1)))
-            .toIndexedSeq)
+        Unigram.decodeCorpus(perDoc, idsCol, unigramPieces(spark, dir))
       case "wordpiece" =>
         WordPiece.decodeCorpus(perDoc, idsCol,
-          modelFrame(spark, dir).orderBy(col("piece"))
-            .collect().map(_.getString(0)).toIndexedSeq)
+          wordpiecePieces(spark, dir))
     }
 }

@@ -119,11 +119,17 @@ object VectorStore {
       }.toSeq.asJava, centroidSchema)
     centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/centroids")
+    // seed the metadata memo with the rows just written (exact values
+    // — longs/doubles round-trip parquet bit-for-bit)
+    StoreMeta.put(spark, s"$dir/centroids", "centroids",
+      picked.zipWithIndex.map { case (r, i) =>
+        (i.toLong, r.getSeq[Double](1))
+      }.toSeq)
     val mdl = Similarity.pqTrain(clean, "id", "vec", m, ksub, pqIters)
     saveModel(spark, mdl, s"$dir/codebooks")
     saveFormat(spark, dir, int8)
     val assigned = Similarity.assignCells(clean, "id", "vec",
-      spark.read.parquet(s"$dir/centroids"))
+      centroidsDF(spark, dir))
     writeVectors(withCodes(assigned, mdl), dir, batchTag = "seed",
       int8 = int8)
   }
@@ -153,7 +159,7 @@ object VectorStore {
         "its directory is invisible to readers and reclaimed by " +
         "vacuum(); use a fresh tag (ingestStream: a new tagPrefix)")
     val clean = normalize(batch, idCol, vecCol)
-    val centroids = spark.read.parquet(s"$dir/centroids")
+    val centroids = centroidsDF(spark, dir)
     val mdl = loadModel(spark, s"$dir/codebooks")
     val assigned = Similarity.assignCells(clean, "id", "vec", centroids)
     // appends follow the store's recorded format — a batch written in
@@ -200,7 +206,7 @@ object VectorStore {
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
       qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
     val qClean = finiteQueries(queries, qvecCol)
-    val (cellRank, probed) = probePlan(spark, dir, qClean, qidCol,
+    val (cellRank, probed, _) = probePlan(spark, dir, qClean, qidCol,
       qvecCol, nprobe)
     val vecs = readVectors(spark, dir)
       .filter(col("cell").isin(probed: _*))
@@ -222,13 +228,10 @@ object VectorStore {
     import spark.implicits._
     val mdl = loadModel(spark, s"$dir/codebooks")
     val qClean = finiteQueries(queries, qvecCol)
-    val (cellRank, probed) = probePlan(spark, dir, qClean, qidCol,
+    val (cellRank, probed, qRows) = probePlan(spark, dir, qClean, qidCol,
       qvecCol, nprobe)
     val vecs = readVectors(spark, dir)
       .filter(col("cell").isin(probed: _*))
-    val qRows = qClean
-      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
-      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
     val luts = qRows.map { case (qid, qv) =>
       val lut = for { j <- 0 until mdl.m; c <- 0 until mdl.ksub }
         yield (0 until mdl.dsub)
@@ -290,7 +293,7 @@ object VectorStore {
     val exact = topkIds(vecs.crossJoin(broadcast(qs))
       .withColumn("cosine", Similarity.cosine(col("vec"), col("qvec"))))
     // frozen-quantizer path: the SAME probe ranking topK uses
-    val (cellRank, probed) = probePlan(spark, dir, qs, "qid", "qvec",
+    val (cellRank, probed, _) = probePlan(spark, dir, qs, "qid", "qvec",
       nprobe)
     val approx = topkIds(vecs.filter(col("cell").isin(probed: _*))
       .join(broadcast(cellRank), Seq("cell"))
@@ -560,33 +563,80 @@ object VectorStore {
     import spark.implicits._
     Seq(Tuple1(int8)).toDF("int8")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/format")
+    StoreMeta.put(spark, s"$dir/format", "format", int8)
   }
 
   private def loadFormat(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/format")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && spark.read.parquet(s"$dir/format")
-      .collect()(0).getBoolean(0)
+    fs.exists(p) && StoreMeta.load(spark, s"$dir/format", "format") {
+      spark.read.parquet(s"$dir/format").collect()(0).getBoolean(0)
+    }
+  }
+
+  /** Centroid rows behind the [[StoreMeta]] fingerprint memo: written
+    * once at create time and immutable thereafter, but re-read by
+    * every append/query/monitor protocol step — each uncached read was
+    * a full plan + scan job of driver latency. */
+  private def loadCentroids(spark: SparkSession,
+      dir: String): Seq[(Long, Seq[Double])] =
+    StoreMeta.load(spark, s"$dir/centroids", "centroids") {
+      spark.read.parquet(s"$dir/centroids")
+        .select(col("cell").cast("long"), col("centroid"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+    }
+
+  /** The centroid table as a LOCAL relation (driver rows, no scan job,
+    * broadcast builds directly from memory) — values identical to the
+    * parquet read it replaces. */
+  private def centroidsDF(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    spark.createDataFrame(loadCentroids(spark, dir)
+      .map { case (c, v) => org.apache.spark.sql.Row(c, v) }
+      .asJava, schema)
   }
 
   /** Per-query probe ranking + the collected probe-cell union (bounded
-    * by nQueries·nprobe — queries are few by contract). */
+    * by nQueries·nprobe — queries are few by contract).
+    *
+    * The ranking window runs ONCE and is collected ONCE: the returned
+    * frame is a local relation of the collected rows (downstream
+    * broadcasts build straight from driver memory instead of
+    * re-running the window per consumer), `probed` derives from the
+    * same rows, and the third element hands each query's vector to
+    * callers that need driver-side LUTs — one job where the previous
+    * shape paid three (window + distinct-collect + query re-collect). */
   private def probePlan(spark: SparkSession, dir: String,
-      queries: DataFrame, qidCol: String, qvecCol: String,
-      nprobe: Int): (DataFrame, Seq[Long]) = {
-    val centroids = spark.read.parquet(s"$dir/centroids")
-    val cellRank = queries
+      queries: DataFrame, qidCol: String, qvecCol: String, nprobe: Int)
+      : (DataFrame, Seq[Long], Seq[(Long, Seq[Double])]) = {
+    val cellRankPlan = queries
       .select(col(qidCol).cast("long").as(qidCol), col(qvecCol))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(centroidsDF(spark, dir)))
       .withColumn("crank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(qidCol))
           .orderBy(Similarity.cosine(col(qvecCol), col("centroid")).desc,
             col("cell"))))
       .filter(col("crank") <= nprobe)
       .select(col(qidCol), col(qvecCol), col("cell"))
-    val probed = cellRank.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    (cellRank, probed)
+    val rows = cellRankPlan.collect().toIndexedSeq
+    import scala.jdk.CollectionConverters._
+    val cellRank = spark.createDataFrame(rows.asJava, cellRankPlan.schema)
+    val probed = rows.map(_.getLong(2)).distinct.toSeq
+    // one (qid → vector) row per query, widened to double exactly as
+    // the cast the previous per-caller collect applied (float → double
+    // widening is value-exact)
+    val qVecs = rows.map(r => (r.getLong(0),
+        r.getSeq[Number](1).map(_.doubleValue()): Seq[Double]))
+      .distinctBy(_._1).toSeq
+    (cellRank, probed, qVecs)
   }
 
   private def saveModel(spark: SparkSession, mdl: PqModel,
@@ -595,18 +645,20 @@ object VectorStore {
     Seq((mdl.m, mdl.ksub, mdl.dsub, mdl.flat))
       .toDF("m", "ksub", "dsub", "flat")
       .coalesce(1).write.mode("overwrite").parquet(path)
+    StoreMeta.put(spark, path, "pqmodel", mdl)
   }
 
-  private def loadModel(spark: SparkSession, path: String): PqModel = {
-    val r = spark.read.parquet(path).collect()(0)
-    val (m, ksub, dsub) = (r.getInt(0), r.getInt(1), r.getInt(2))
-    val flat = r.getSeq[Double](3)
-    val codebooks = Array.tabulate(m) { j =>
-      Array.tabulate(ksub) { c =>
-        flat.slice((j * ksub + c) * dsub, (j * ksub + c + 1) * dsub)
-          .toArray
+  private def loadModel(spark: SparkSession, path: String): PqModel =
+    StoreMeta.load(spark, path, "pqmodel") {
+      val r = spark.read.parquet(path).collect()(0)
+      val (m, ksub, dsub) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      val flat = r.getSeq[Double](3)
+      val codebooks = Array.tabulate(m) { j =>
+        Array.tabulate(ksub) { c =>
+          flat.slice((j * ksub + c) * dsub, (j * ksub + c + 1) * dsub)
+            .toArray
+        }
       }
+      PqModel(m, ksub, dsub, codebooks)
     }
-    PqModel(m, ksub, dsub, codebooks)
-  }
 }
