@@ -399,6 +399,9 @@ object SignatureStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // both writes are actions inside this function, so the cache can be
     // released before returning — no cross-call accumulation
+    // (r16: an eager count() before the writes was tried and measured
+    // NET-NEGATIVE — the sigs write already materializes the cache,
+    // the bands job reads it, and the count only added 2 AQE jobs)
     try {
       sc.setJobDescription(s"sigstore write sigs b=$tag")
       sigs.write.mode("overwrite").parquet(s"$dir/sigs/b=$tag")

@@ -97,7 +97,11 @@ object GraphQueries {
     // step-identical arithmetic, so this gate shares wg2's 10-iteration
     // cold oracle bit for bit.
     "wg2b_pagerank_resume" -> ((s, d) => {
-      val edges = WebGraph.domainEdges(synthPages(s, d), "url", "html")
+      // cached: the cold phase and the resume each collect the edge
+      // frame (driver-local iteration), and uncached each collect
+      // replays the full href-extraction pass (r16)
+      val edges = graft.CacheScope.session.cache(
+        WebGraph.domainEdges(synthPages(s, d), "url", "html"))
       val first = WebGraph.pageRank(edges, iters = 5, damping = 0.85)
         .select(col("node"), col("rank_fp"))
       WebGraph.pageRankResume(edges, first, iters = 5, damping = 0.85)
@@ -119,9 +123,16 @@ object GraphQueries {
     // WebGraphSpec with both runs iterated to exact stationarity.)
     "wg2c_pagerank_delta" -> ((s, d) => {
       val pagesAll = synthPages(s, d)
-      val e1 = WebGraph.domainEdges(
-        pagesAll.filter(col("doc_id") % 2 === 0), "url", "html")
-      val eAll = WebGraph.domainEdges(pagesAll, "url", "html")
+      // e1 cached (prior's collect + the union re-aggregation below);
+      // the union edge set is the SUM of the halves' per-(src, dst)
+      // link counts — even/odd doc sets are disjoint, so this is
+      // value-identical to re-extracting hrefs from every page (r16)
+      val e1 = graft.CacheScope.session.cache(WebGraph.domainEdges(
+        pagesAll.filter(col("doc_id") % 2 === 0), "url", "html"))
+      val e2 = WebGraph.domainEdges(
+        pagesAll.filter(col("doc_id") % 2 === 1), "url", "html")
+      val eAll = e1.unionByName(e2).groupBy(col("src"), col("dst"))
+        .agg(sum(col("weight")).as("weight"))
       val prior = WebGraph.pageRank(e1, iters = 10, damping = 0.85)
         .select(col("node"), col("rank_fp"))
       WebGraph.pageRankResume(eAll, prior, iters = 5, damping = 0.85)
@@ -158,7 +169,9 @@ object GraphQueries {
     // and every half-step is identical integer arithmetic, so this
     // gate shares wg4's 5-iteration cold oracle bit for bit.
     "wg4b_hits_resume" -> ((s, d) => {
-      val edges = WebGraph.domainEdges(synthPages(s, d), "url", "html")
+      // cached — cold + resume each collect it (the wg2b note)
+      val edges = graft.CacheScope.session.cache(
+        WebGraph.domainEdges(synthPages(s, d), "url", "html"))
       val first = WebGraph.hits(edges, iters = 2)
         .select(col("node"), col("hub_fp"))
       WebGraph.hitsResume(edges, first, iters = 3)
@@ -219,9 +232,14 @@ object GraphQueries {
     // hash-pinned.
     "wg8b_labelprop_resume" -> ((s, d) => {
       val pagesAll = synthPages(s, d)
-      val e1 = WebGraph.domainEdges(
-        pagesAll.filter(col("doc_id") % 2 === 0), "url", "html")
-      val eAll = WebGraph.domainEdges(pagesAll, "url", "html")
+      // e1 cached + union re-aggregated from the halves (the wg2c
+      // note: disjoint doc sets ⇒ per-(src, dst) counts add exactly)
+      val e1 = graft.CacheScope.session.cache(WebGraph.domainEdges(
+        pagesAll.filter(col("doc_id") % 2 === 0), "url", "html"))
+      val e2 = WebGraph.domainEdges(
+        pagesAll.filter(col("doc_id") % 2 === 1), "url", "html")
+      val eAll = e1.unionByName(e2).groupBy(col("src"), col("dst"))
+        .agg(sum(col("weight")).as("weight"))
       val prior = WebGraph.labelProp(e1, iters = 5)
         .select(col("node"), col("community_rep"))
       WebGraph.labelPropResume(eAll, prior, iters = 3)
@@ -246,7 +264,9 @@ object GraphQueries {
     // The wg2b contract at the seed-gated arithmetic: shares wg7's
     // 10-iteration cold oracle bit for bit.
     "wg7b_trustrank_resume" -> ((s, d) => {
-      val edges = WebGraph.domainEdges(synthPages(s, d), "url", "html")
+      // cached — cold + resume each collect it (the wg2b note)
+      val edges = graft.CacheScope.session.cache(
+        WebGraph.domainEdges(synthPages(s, d), "url", "html"))
       val seeds = Seq("site3.com", "news2.co.uk", "absent.example")
       val first = WebGraph.trustRank(edges, seeds, iters = 5,
           damping = 0.85)
@@ -292,7 +312,9 @@ object GraphQueries {
     // AND the md5 ranking — end to end.
     "c4_trust_curated" -> ((s, d) => {
       val pages = wg6Pages(s, d)
-      val edges = WebGraph.domainEdges(pages, "url", "html")
+      // cached — trustRank AND components each collect it (r16)
+      val edges = graft.CacheScope.session.cache(
+        WebGraph.domainEdges(pages, "url", "html"))
       val seeds = Seq("site0.com", "site9.com", "site14.com",
         "absent.example")
       val trust = WebGraph.trustRank(edges, seeds, iters = 5,
@@ -377,14 +399,22 @@ object GraphQueries {
       // replay once per consumer
       val surv = graft.CacheScope.session.cacheEager(
         b2.join(nd, Seq("doc_id"), "left_anti"))
-      // (3) graph delta + resumed PageRank on the union
-      val e1 = WebGraph.domainEdges(
-        synthPagesFrom(day0.select(col("doc_id"))), "url", "html")
+      // (3) graph delta + resumed PageRank on the union. day-0 edges
+      // are cached and REUSED for the union graph: day-0 and survivor
+      // doc ids are disjoint (shifted +50k/+70k/+90k), so per (src,
+      // dst) the union corpus's link count is exactly the sum of the
+      // two halves' counts — re-aggregating the halves is value-
+      // identical to re-extracting hrefs from every day-0 page a
+      // second time (r16: the href regex pass over day 0 was the
+      // gate's single biggest kernel, paid twice)
+      val e1 = graft.CacheScope.session.cache(WebGraph.domainEdges(
+        synthPagesFrom(day0.select(col("doc_id"))), "url", "html"))
       val prior = WebGraph.pageRank(e1, iters = 10, damping = 0.85)
         .select(col("node"), col("rank_fp"))
-      val unionPages = synthPagesFrom(day0.select(col("doc_id"))
-        .unionByName(surv.select(col("doc_id"))))
-      val eU = WebGraph.domainEdges(unionPages, "url", "html")
+      val eB = WebGraph.domainEdges(
+        synthPagesFrom(surv.select(col("doc_id"))), "url", "html")
+      val eU = e1.unionByName(eB).groupBy(col("src"), col("dst"))
+        .agg(sum(col("weight")).as("weight"))
       val resumed = WebGraph.pageRankResume(eU, prior, iters = 5,
         damping = 0.85)
       // (4) curated day output: survivor -> its domain's fresh rank
