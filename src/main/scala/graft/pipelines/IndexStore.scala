@@ -233,20 +233,22 @@ object IndexStore {
       s"IndexStore.compact: no postings at $dir")
     // full merged copy outside the read roots (the read's file listing
     // is fixed before the write starts)
-    spark.read.parquet(s"$dir/postings")
-      .select(col("term"), col("id"), col("tf"), col("dl"), col("bkt"))
-      // explicit count: without it AQE coalesces the small shuffle to
-      // one partition and a single task writes every bucket dir
-      // sequentially (parquet-writer init per dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt")
-      .parquet(s"$dir/postings_compacting/b=$intoTag")
-    spark.read.parquet(s"$dir/stats")
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("dl_sum")).as("dl_sum"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/stats_compacting/b=$intoTag")
+    StoreMeta.oneJobWrite(spark) {
+      spark.read.parquet(s"$dir/postings")
+        .select(col("term"), col("id"), col("tf"), col("dl"), col("bkt"))
+        // explicit count: without it AQE coalesces the small shuffle to
+        // one partition and a single task writes every bucket dir
+        // sequentially (parquet-writer init per dir)
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$dir/postings_compacting/b=$intoTag")
+      spark.read.parquet(s"$dir/stats")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("dl_sum")).as("dl_sum"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/stats_compacting/b=$intoTag")
+    }
     // commit: swap live for merged, then drop the old copies. Each op
     // routes through the crash seam so the drill can stop the world at
     // any boundary; a crash anywhere in this sequence is recovered by
@@ -295,7 +297,7 @@ object IndexStore {
       .where(col("term") =!= "")
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try StoreMeta.oneJobWrite(spark) {
       val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
       tf.join(dl, Seq("id"))
         .withColumn("bkt", pmod(xxhash64(col("term")),

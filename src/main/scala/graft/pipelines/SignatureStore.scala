@@ -266,23 +266,25 @@ object SignatureStore {
     // bounded file count (no shuffle — compaction IS the small-file
     // fix); bands keep the one-file-per-bucket write shape.
     val nOut = spark.sessionState.conf.numShufflePartitions
-    spark.read.option("basePath", s"$dir/sigs")
-      .parquet(candidates.map(b => s"$dir/sigs/b=$b"): _*)
-      .drop("b")
-      .coalesce(nOut)
-      .write.mode("overwrite").parquet(s"$dir/sigs/b=$tag")
-    spark.read.option("basePath", s"$dir/bands")
-      .parquet(candidates.map(b => s"$dir/bands/b=$b"): _*)
-      .drop("b")
-      // explicit count: an unnumbered keyed repartition lets AQE
-      // coalesce this tiny shuffle to ONE partition, and that single
-      // task then writes every bucket dir sequentially (~1.2 s of
-      // parquet-writer inits per batch, measured at sf0.1). The count
-      // pins parallel writers; still one file per (bucket, batch).
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt")
-      .parquet(s"$dir/bands/b=$tag")
+    StoreMeta.oneJobWrite(spark) {
+      spark.read.option("basePath", s"$dir/sigs")
+        .parquet(candidates.map(b => s"$dir/sigs/b=$b"): _*)
+        .drop("b")
+        .coalesce(nOut)
+        .write.mode("overwrite").parquet(s"$dir/sigs/b=$tag")
+      spark.read.option("basePath", s"$dir/bands")
+        .parquet(candidates.map(b => s"$dir/bands/b=$b"): _*)
+        .drop("b")
+        // explicit count: an unnumbered keyed repartition lets AQE
+        // coalesce this tiny shuffle to ONE partition, and that single
+        // task then writes every bucket dir sequentially (~1.2 s of
+        // parquet-writer inits per batch, measured at sf0.1). The count
+        // pins parallel writers; still one file per (bucket, batch).
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$dir/bands/b=$tag")
+    }
     // manifest via temp + atomic rename = the commit point; a FALSE
     // rename must not report a committed compaction unless the
     // manifest already exists (idempotent retry: same sources ⇒ same
@@ -402,7 +404,7 @@ object SignatureStore {
     // (r16: an eager count() before the writes was tried and measured
     // NET-NEGATIVE — the sigs write already materializes the cache,
     // the bands job reads it, and the count only added 2 AQE jobs)
-    try {
+    try StoreMeta.oneJobWrite(spark) {
       sc.setJobDescription(s"sigstore write sigs b=$tag")
       sigs.write.mode("overwrite").parquet(s"$dir/sigs/b=$tag")
       sc.setJobDescription(s"sigstore write bands b=$tag")

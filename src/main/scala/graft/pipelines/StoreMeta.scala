@@ -87,4 +87,25 @@ private[graft] object StoreMeta {
     fingerprint(spark, path).foreach { fp =>
       cache.synchronized { cache.put(s"$path#$kind", (fp, value)); () }
     }
+
+  /** Run a store WRITE action with AQE scoped off (restored after).
+    *
+    * Why: every store write repartitions with an EXPLICIT partition
+    * count before partitionBy (the small-file-storm control), so AQE
+    * has nothing to re-optimize — but it still materializes the
+    * exchange as its own query-stage JOB, doubling the job count (and
+    * the per-job driver latency + scheduling gap) of every batch
+    * write, compact, and ledger step. Measured in BenchOne: each
+    * store write ran as 2-3 jobs with ~100-200 ms of driver latency
+    * apiece; a bench pass executes ~40 such writes. The written DATA
+    * is identical — partitioning is pinned by the explicit count
+    * either way. Driver-sequential by contract (the stores' writes
+    * are protocol steps, never concurrent with other planning on the
+    * same session). */
+  def oneJobWrite[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
 }

@@ -368,11 +368,13 @@ object VectorStore {
     // coalesce the batch to ONE partition, making a single task write
     // every cell dir sequentially; the count pins parallel writers
     // while keeping one file per (cell, batch)
-    out.repartition(
-        out.sparkSession.sessionState.conf.numShufflePartitions,
-        col("cell"))
-      .write.mode("overwrite")
-      .partitionBy("cell").parquet(s"$dir/vectors/b=$batchTag")
+    StoreMeta.oneJobWrite(out.sparkSession) {
+      out.repartition(
+          out.sparkSession.sessionState.conf.numShufflePartitions,
+          col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$dir/vectors/b=$batchTag")
+    }
   }
 
   /** Fold many small batch directories into one — the answer to the
@@ -429,14 +431,16 @@ object VectorStore {
     // read by EXPLICIT path (basePath anchors partition discovery so
     // the b=/cell= levels parse) — the write target can't overlap a
     // read root, and the stored columns copy verbatim — no re-quantize
-    spark.read.option("basePath", s"$dir/vectors")
-      .parquet(candidates.map(b => s"$dir/vectors/b=$b"): _*)
-      .drop("b")
-      // explicit count — see writeVectors(): pins parallel cell writers
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/vectors/b=$tag")
+    StoreMeta.oneJobWrite(spark) {
+      spark.read.option("basePath", s"$dir/vectors")
+        .parquet(candidates.map(b => s"$dir/vectors/b=$b"): _*)
+        .drop("b")
+        // explicit count — see writeVectors(): pins parallel cell writers
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/vectors/b=$tag")
+    }
     // manifest via temp + atomic rename = the commit point; a FALSE
     // rename (racing maintenance job, lost tmp) must not report a
     // committed compaction — callers would measure/trust an
