@@ -51,7 +51,12 @@ object BenchOne {
         tasks.getOrElse(e.jobId, 0), runMs.getOrElse(e.jobId, 0L),
         nStage.getOrElse(e.jobId, 0))
     }
-    def reset(): Unit = rows.clear()
+    def reset(): Unit = {
+      // clear ALL maps (r15 ADVICE: only rows was cleared — the id-keyed
+      // maps grew unboundedly across runs/gates in long profiling loops)
+      rows.clear(); t0.clear(); desc.clear(); nStage.clear()
+      stageToJob.clear(); tasks.clear(); runMs.clear()
+    }
   }
 
   def main(args: Array[String]): Unit = {

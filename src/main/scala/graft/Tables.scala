@@ -199,9 +199,30 @@ object Tables {
     * row groups at production sizes; the heuristic only needs to
     * catch the few-small-files regime, where it is exact. */
   def fanout(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (math.max(df.inputFiles.length, 1) < p) df.repartition(p, key)
-    else df
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.length >= p) return df
+    // r15 ADVICE: one production-size file holds many row groups and
+    // splits into size-based scan partitions — bound by estimated scan
+    // bytes too, so a few-big-files input (file count < cores but
+    // bytes/maxPartitionBytes >= cores) keeps its natural split
+    // parallelism instead of paying a payload shuffle. Bounded driver
+    // work: < cores paths stat'd. Non-file inputs (empty list, e.g.
+    // streaming micro-batches) keep the spread — their parallelism
+    // comes from a source this probe can't see, and the kernels behind
+    // fanout() are the ones worth one narrow shuffle when in doubt.
+    if (files.nonEmpty) {
+      val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+      val bytes = files.map { f =>
+        val path = new org.apache.hadoop.fs.Path(f)
+        try path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(path).getLen
+        catch { case _: java.io.IOException => 0L }
+      }.sum
+      if (bytes / math.max(maxPart, 1L) >= p) return df
+    }
+    df.repartition(p, key)
   }
 
   /** Exact (order-independent) sum of a double expression, surfaced as double. */

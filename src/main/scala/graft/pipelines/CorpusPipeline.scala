@@ -62,7 +62,12 @@ object CorpusPipeline {
     val obs = org.apache.spark.sql.Observation()
     // fanout before the regex-heavy annotation: a few-files corpus
     // otherwise plans the whole annotate pass into ONE scan task
-    // (measured: a 1-task ~1 s job with 31 cores idle at sf0.1)
+    // (measured: a 1-task ~1 s job with 31 cores idle at sf0.1).
+    // The shuffle carries whatever columns the CALLER passed —
+    // deliberate (r15 ADVICE noted it): clean() must return every
+    // input column, the text payload dominates the row either way,
+    // and projecting here would change the operator's contract.
+    // Callers cycling wide frames should pre-project themselves.
     val annotated = annotate(graft.Tables.fanout(docs, col(idCol))
       .observe(obs, count(lit(1)).as("n0")), textCol)
     // persist the filtered, annotated corpus: the regex-heavy annotation

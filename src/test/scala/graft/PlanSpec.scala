@@ -102,13 +102,19 @@ class PlanSpec extends SparkSpec {
     // oracle legs and store probes):
     val boundedProbes = Seq(
       "ann1_bruteforce_topk" -> 1, "ann2_ivf_topk" -> 1,
-      "ann4_pq_topk" -> 1, "ann5_store_topk" -> 1,
-      "ann6_recall_monitor" -> 2, "anq1_int8_topk" -> 1,
-      "anq2_int8_store" -> 1, "anq3_int8_pq" -> 1,
-      "anq4_compacted_store" -> 1,
+      "ann4_pq_topk" -> 1,
+      // r16: the VectorStore probe ranking (queries × centroids
+      // crossJoin) is computed ONCE at construction time and collected
+      // into a local relation, so the store gates' terminal plans lost
+      // that BNLJ — ann6 keeps exactly the recall monitor's brute-force
+      // ground-truth leg, hy2 its two retrieval legs
+      "ann5_store_topk" -> 0,
+      "ann6_recall_monitor" -> 1, "anq1_int8_topk" -> 1,
+      "anq2_int8_store" -> 0, "anq3_int8_pq" -> 0,
+      "anq4_compacted_store" -> 0,
       "knn1_label_vote" -> 1, "rp1_random_projection" -> 1,
       "rp2_project_rerank" -> 1, "d6_fuzzy_pairs" -> 1,
-      "hy1_hybrid_rrf" -> 3, "hy2_hybrid_ivf" -> 3,
+      "hy1_hybrid_rrf" -> 3, "hy2_hybrid_ivf" -> 2,
       "ir1_index_store" -> 1,
       // emb1: the ≤6-row hash-embedded query stratum broadcasts
       // against the corpus in the brute-force leg
